@@ -1,0 +1,331 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's relational operator surface (SURVEY.md §2) re-expressed
+  * Spark-first over the driver's TPC-H-ish testdata.
+  *
+  * The reference (srini-x/nyc-taxi-data-clickhouse) computes four hash
+  * aggregations over a denormalized fact table (README.md:606-674), one
+  * 4-way broadcast-dimension denormalization join (README.md:366-374), wide
+  * derived-column projections (README.md:549-594), membership predicates
+  * (:556, :572), catalog row-count reconciliation (:271-278) and a
+  * multi-key mixed-direction sort (:674). Each query below maps one of
+  * those operator shapes onto the testdata star schema, with a DuckDB
+  * oracle in [[oracle]].
+  *
+  * Scale notes: every aggregation here is a partial→shuffle→final
+  * HashAggregate (map-side combine free from Catalyst); every dimension
+  * join is explicitly `broadcast(...)` so the 100 TB fact side never
+  * shuffles; sorts appear only where the reference semantics demand
+  * ordered output (q4).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1 analogue (ref README.md:606): 1 low-cardinality key, count(*). */
+  def q1CountByFlag: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q2 analogue (ref README.md:626): 1-key avg over a money column.
+    * avg rounded to 4dp on both sides: double association order differs
+    * between engines at ~1e-12 relative, far below the rounding grain. */
+  def q2AvgByStatus: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .agg(round(
+        sum(col("l_extendedprice").cast("decimal(38,8)")).cast("double")
+          / count(lit(1)), 4).as("avg_price"))
+
+  /** Q3 analogue (ref README.md:646-648): 2 keys, one a derived
+    * expression (toYear → year()), grouped by alias. */
+  def q3CountByFlagYear: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(
+        col("l_returnflag"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q4 analogue (ref README.md:670-674): 3 keys, two derived (year,
+    * round), high cardinality, ordered output `ORDER BY yr, cnt DESC`
+    * where the sort key references an aggregate output (SURVEY.md §2.6 O1). */
+  def q4CountThreeKeySorted: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(
+        col("l_returnflag"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        round(col("l_quantity"), 0).as("dist"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("yr").asc, col("cnt").desc)
+
+  /** Ungrouped scalar count (ref README.md:902, SURVEY.md §2.4 A5). */
+  def q5ScalarCount: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+
+  /** Catalog row-count reconciliation (ref README.md:271-278, S7/A6):
+    * per-table exact counts, ordered descending like the reference's
+    * `ORDER BY reltuples DESC` (:278). */
+  def q6CatalogCounts: Q = (s, d) => {
+    val perTable = Tables.names.map { t =>
+      Tables.load(s, d, t).agg(count(lit(1)).as("cnt"))
+        .select(lit(t).as("tbl"), col("cnt"))
+    }
+    perTable.reduce(_.unionAll(_)).orderBy(col("cnt").desc, col("tbl").asc)
+  }
+
+  /** Denormalization join (ref README.md:366-374, J1-J4): fact side joins
+    * four dimensions, one of them (nation) twice under different role
+    * aliases — the reference joins nyct2010 twice as pick_up/drop_off.
+    * All dims broadcast: at 100 TB the fact side never moves. */
+  def q7DenormJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    val custNation = n.select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val suppNation = n.select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"), "left")
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"), "left")
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"), "left")
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"), "left")
+      .groupBy("cust_nation", "supp_nation")
+      .agg(
+        count(lit(1)).as("cnt"),
+        // per-row double product is bit-identical across engines; casting
+        // it to decimal before the sum makes the aggregate exact and
+        // association-order-independent (double sums differ ~1e-9 between
+        // engines, enough to flip a round-to-cents boundary).
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,8)")), 2).cast("double").as("revenue"))
+  }
+
+  /** Cast-expression equi-join (ref README.md:369-370, J2): the weather
+    * join keys on `weather.date = pickup_datetime::date`. Analogue: a
+    * per-day events rollup left-joined to orders on the CAST-to-date of
+    * both timestamps. The rollup is tiny → broadcast. */
+  def q8CastKeyJoin: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("ev_date"))
+      .agg(count(lit(1)).as("ev_cnt"),
+        round(sum(col("value")), 4).as("ev_value"))
+    val o = Tables.orders(s, d)
+    o.join(broadcast(daily), to_date(o("o_orderdate")) === daily("ev_date"), "left")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(coalesce(col("ev_cnt"), lit(0L))).as("matched_events"))
+  }
+
+  /** Wide projection with renames + derived columns (ref README.md:311-365
+    * P1, :549-594 P2): per-row expression evaluation, no shuffle at all —
+    * at 100 TB this is a pure map stage with full column pruning. */
+  def q9Projection: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey").as("order_id"),
+      col("l_linenumber").cast("long").as("line_no"),
+      col("l_quantity").as("qty"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"),
+      round(col("l_extendedprice") * (lit(1.0) + col("l_tax")), 4)
+        .as("gross"),
+      concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag_status"),
+      to_date(col("l_shipdate")).as("ship_date"))
+
+  /** Membership predicate as value + filter (ref README.md:556 P3: the
+    * `IN` result is *stored* as UInt8 0/1, and :572 filters). */
+  def q10IsInPredicate: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .groupBy(
+        col("l_returnflag"),
+        col("l_linestatus").isin("F").cast("long").as("is_final"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Chained conditional canonicalization (ref README.md:572: 21
+    * payment-type spellings → 5 canon codes via nested ternaries). Spark:
+    * a when().when().otherwise() chain — a single codegen'd CASE. */
+  def q11CaseCanon: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("prio_canon",
+        when(col("o_orderpriority").startsWith("1"), "URG")
+          .when(col("o_orderpriority").startsWith("2"), "HIGH")
+          .when(col("o_orderpriority").startsWith("3"), "MED")
+          .when(col("o_orderpriority").startsWith("4"), "NOSPEC")
+          .otherwise("LOW"))
+      .groupBy("prio_canon")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)")).cast("double")
+          / count(lit(1)), 4).as("avg_price"))
+
+  /** Null-default materialization (ref README.md:553-594: ifNull /
+    * assumeNotNull with type defaults 0 / '' / epoch-0). The testdata has
+    * no physical NULLs, so nulls are synthesized with nullif and then
+    * eliminated exactly the way the reference CTAS does. */
+  def q12NullDefaults: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey").as("order_id"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("")).as("status_nn"),
+        coalesce(nullif(col("o_totalprice"), col("o_totalprice")), lit(0.0))
+          .as("price_zeroed"),
+        coalesce(
+          when(col("o_orderstatus") === "P", col("o_orderdate")),
+          to_timestamp(lit("1970-01-01 00:00:00"))).as("date_or_epoch"))
+
+  /** Fixed-width padding + numeric formatting (ref toFixedString
+    * README.md:581/:590, lpad/to_char README.md:272). */
+  def q13PadFormat: Q = (s, d) =>
+    Tables.nation(s, d)
+      .select(
+        col("n_nationkey").cast("long").as("nation_id"),
+        lpad(col("n_name"), 13, " ").as("name_lpad"),
+        rpad(col("n_name"), 20, "_").as("name_rpad"),
+        substring(col("n_name"), 1, 4).as("name_fixed4"))
+      .orderBy("nation_id")
+
+  /** Window top-k (extension surface, SURVEY.md §2.5): top-3 orders by
+    * totalprice per priority class. Tie-broken on o_orderkey so both
+    * engines rank identically. */
+  def q14WindowTopK: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority").as("prio"), col("rk"),
+        col("o_orderkey").as("order_id"), col("o_totalprice").as("price"))
+  }
+
+  /** Set operations (SURVEY.md §2.7 — absent from the reference's SQL but
+    * implied by its file-level shard union README.md:527-532): UNION ALL,
+    * then distinct-count to keep output deterministic. */
+  def q15SetOps: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val highValue = o.filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    highValue.unionAll(urgent)
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("o_custkey")).as("distinct_custs"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q1_count_by_flag" -> q1CountByFlag,
+    "q2_avg_by_status" -> q2AvgByStatus,
+    "q3_count_by_flag_year" -> q3CountByFlagYear,
+    "q4_count_3key_sorted" -> q4CountThreeKeySorted,
+    "q5_scalar_count" -> q5ScalarCount,
+    "q6_catalog_counts" -> q6CatalogCounts,
+    "q7_denorm_join" -> q7DenormJoin,
+    "q8_cast_key_join" -> q8CastKeyJoin,
+    "q9_projection" -> q9Projection,
+    "q10_isin_predicate" -> q10IsInPredicate,
+    "q11_case_canon" -> q11CaseCanon,
+    "q12_null_defaults" -> q12NullDefaults,
+    "q13_pad_format" -> q13PadFormat,
+    "q14_window_topk" -> q14WindowTopK,
+    "q15_set_ops" -> q15SetOps,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_count_by_flag" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
+    "q2_avg_by_status" ->
+      "SELECT l_linestatus, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) / count(*), 4) AS avg_price FROM lineitem GROUP BY l_linestatus",
+    "q3_count_by_flag_year" ->
+      "SELECT l_returnflag, year(l_shipdate) AS yr, count(*) AS cnt FROM lineitem GROUP BY 1, 2",
+    "q4_count_3key_sorted" ->
+      "SELECT l_returnflag, year(l_shipdate) AS yr, round(l_quantity) AS dist, count(*) AS cnt FROM lineitem GROUP BY 1, 2, 3 ORDER BY yr, cnt DESC",
+    "q5_scalar_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q6_catalog_counts" ->
+      ("SELECT tbl, cnt FROM (" +
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+          .map(t => s"SELECT '$t' AS tbl, count(*) AS cnt FROM $t")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY cnt DESC, tbl ASC"),
+    "q7_denorm_join" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        | count(*) AS cnt,
+        | CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |   AS DECIMAL(38,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |LEFT JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q8_cast_key_join" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS ev_date, count(*) AS ev_cnt,
+        |         round(sum(value), 4) AS ev_value
+        |  FROM events GROUP BY 1)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(coalesce(ev_cnt, 0)) AS BIGINT) AS matched_events
+        |FROM orders LEFT JOIN daily ON CAST(o_orderdate AS DATE) = ev_date
+        |GROUP BY 1""".stripMargin,
+    "q9_projection" ->
+      """SELECT l_orderkey AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
+        | l_quantity AS qty,
+        | round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
+        | round(l_extendedprice * (1.0 + l_tax), 4) AS gross,
+        | l_returnflag || '/' || l_linestatus AS flag_status,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem""".stripMargin,
+    "q10_isin_predicate" ->
+      """SELECT l_returnflag,
+        | CAST(l_linestatus IN ('F') AS BIGINT) AS is_final, count(*) AS cnt
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_case_canon" ->
+      """SELECT CASE
+        |  WHEN o_orderpriority LIKE '1%' THEN 'URG'
+        |  WHEN o_orderpriority LIKE '2%' THEN 'HIGH'
+        |  WHEN o_orderpriority LIKE '3%' THEN 'MED'
+        |  WHEN o_orderpriority LIKE '4%' THEN 'NOSPEC'
+        |  ELSE 'LOW' END AS prio_canon,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+        |   / count(*), 4) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q12_null_defaults" ->
+      """SELECT o_orderkey AS order_id,
+        | coalesce(nullif(o_orderstatus, 'P'), '') AS status_nn,
+        | coalesce(nullif(o_totalprice, o_totalprice), 0.0) AS price_zeroed,
+        | coalesce(CASE WHEN o_orderstatus = 'P' THEN o_orderdate END,
+        |          TIMESTAMP '1970-01-01 00:00:00') AS date_or_epoch
+        |FROM orders""".stripMargin,
+    "q13_pad_format" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+        | lpad(n_name, 13, ' ') AS name_lpad,
+        | rpad(n_name, 20, '_') AS name_rpad,
+        | substring(n_name, 1, 4) AS name_fixed4
+        |FROM nation ORDER BY nation_id""".stripMargin,
+    "q14_window_topk" ->
+      """SELECT prio, rk, order_id, price FROM (
+        | SELECT o_orderpriority AS prio,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk,
+        |  o_orderkey AS order_id, o_totalprice AS price
+        | FROM orders) WHERE rk <= 3""".stripMargin,
+    "q15_set_ops" ->
+      """SELECT count(*) AS cnt, count(DISTINCT o_custkey) AS distinct_custs
+        |FROM (
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+        | UNION ALL
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+  )
+}
