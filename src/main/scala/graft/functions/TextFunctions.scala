@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality signals, language ID, fingerprinting.
+  *
+  * Everything here is a pure `Column` combinator over built-in Catalyst
+  * expressions (higher-order array functions, regexp, hash) — fully
+  * codegen'd, no UDFs, so whole-stage codegen spans survive and the same
+  * code runs unchanged on a 1000-executor cluster. The reference
+  * (srini-x/nyc-taxi-data-clickhouse) has no text surface; these are the
+  * LLM-pipeline extensions from SURVEY.md §7.4.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count (matches DuckDB
+    * `len(regexp_extract_all(text,'\S+'))`). */
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  /** BPE-ish tokenizer proxy: alpha runs, digit runs, and single
+    * non-alnum marks each count as one token — a deterministic stand-in
+    * for subword tokenizers with the same order of magnitude. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"),
+      lit(0))).cast("long")
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Fraction of characters that are whitespace. */
+  def whitespaceRatio(text: Column): Column =
+    length(regexp_replace(text, "\\S", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic, heuristic-quality by design. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+  )
+
+  /** Count of tokens belonging to `lang`'s stopword list. */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(lower(text)),
+      t => t.isin(stopwords(lang): _*))).cast("long")
+
+  /** Stopword ratio against the union of all lists (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    size(filter(tokens(lower(text)), t => t.isin(all: _*))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword hits, "und"
+    * (undetermined) when nothing matches. Ties break on reverse-alpha
+    * order via the struct max — deterministic. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: length credit, punctuation
+    * penalty, stopword credit. Weights are arbitrary but fixed. */
+  def qualityScore(text: Column): Column =
+    round(
+      least(length(text).cast("double") / lit(500.0), lit(1.0)) * 0.4
+        + (lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))) * 0.3
+        + least(stopwordRatio(text) * 4.0, lit(1.0)) * 0.3,
+      4)
+
+  /** Canonical normalized form: lowercase, punctuation stripped,
+    * whitespace collapsed. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text — identical to
+    * DuckDB `md5(...)`, so exact-dedup keys are oracle-checkable. */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Modular rolling (polynomial) hash over the normalized characters:
+    * h = (h*31 + code) mod 1e9+7 — a Karp-Rabin-style document
+    * fingerprint computed as one codegen'd array fold. Modular (not
+    * wrapping) so engines without wrapping int64 arithmetic compute the
+    * identical value. */
+  def rollingHash(text: Column): Column =
+    aggregate(split(normalize(text), ""), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
+
+  /** Word n-gram shingles from a MATERIALIZED tokens column. `toks`
+    * must be a bound attribute, not a nested expression: higher-order
+    * array functions evaluate interpreted (no codegen), so a nested
+    * tokenizer expression would be re-evaluated per lambda element —
+    * O(tokens²) per row. Shingle each stage from the previous stage's
+    * materialized column instead. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) <= n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Word n-gram shingles of raw text — convenience for small inputs;
+    * hot paths should materialize tokens first (see
+    * [[shinglesFromTokens]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Character n-gram shingles of the normalized text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val norm = normalize(text)
+    when(length(norm) < n, array(norm))
+      .otherwise(transform(
+        sequence(lit(1), length(norm) - (n - 1)),
+        i => substr(norm, i, lit(n))))
+  }
+}

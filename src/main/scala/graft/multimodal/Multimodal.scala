@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata, and decode /
+  * feature-extract / frame-sample run as imperative per-partition batch
+  * transforms (`mapPartitions` on typed Datasets — the Scala analogue of
+  * arrow-batched Python UDFs).
+  *
+  * The Spark-side plumbing is real: schemas, encoders, partition-batch
+  * iteration, and the binary column shape are exactly what a production
+  * pipeline uses at 100 TB (payloads never hit the driver; decode
+  * parallelism = partition count; feature rows are columnar downstream).
+  * The codec itself is a clearly-marked deterministic STUB because this
+  * environment ships no image/audio libraries — `decodeImage` derives
+  * "pixel" stats from byte length and content arithmetic instead of a
+  * real decode, keeping every downstream contract testable.
+  */
+object Multimodal {
+
+  /** A blob row: payload + minimal typed metadata. */
+  case class MediaBlob(doc_id: Long, media_type: String, data: Array[Byte])
+
+  /** Extracted per-media features (fake decode, real schema). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, n_frames: Int, luma: Double)
+
+  /** A sampled "frame": fixed-size byte chunk + its modular checksum. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int,
+      frame_hash: Long)
+
+  val FrameSize = 256
+
+  /** Attach a binary payload column (UTF-8 text bytes stand in for real
+    * media payloads) with typed metadata. */
+  def attachBlobs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("image").as("media_type"),
+      col("text").cast("binary").as("data"))
+
+  /** STUB decode — deterministic fake of (width, height, luma); a real
+    * deployment swaps in an actual codec here and nothing else changes. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Double) = {
+    val n = bytes.length.toLong
+    val width = (n % 640 + 1).toInt
+    val height = (n * 7 % 480 + 1).toInt
+    val luma = (n * 2654435761L % 255L).toDouble
+    (width, height, luma)
+  }
+
+  /** Per-partition batch feature extraction over blob rows. */
+  def extractFeatures(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    blobs.select("doc_id", "media_type", "data").as[MediaBlob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val (w, h, luma) = decodeImage(b.data)
+          val nFrames = ((b.data.length + FrameSize - 1) / FrameSize).max(1)
+          MediaFeatures(b.doc_id, b.data.length.toLong, w, h, nFrames, luma)
+        }
+      }
+  }
+
+  /** Sample every `stride`-th fixed-size chunk ("frame") of each payload
+    * — the video-frame-sampling shape: one input row fans out to few
+    * output rows, still fully partition-parallel. */
+  def sampleFrames(spark: SparkSession, blobs: DataFrame,
+      stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    blobs.select("doc_id", "media_type", "data").as[MediaBlob]
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          b.data.grouped(FrameSize).zipWithIndex.collect {
+            case (chunk, i) if i % stride == 0 =>
+              val h = chunk.foldLeft(0L)((acc, byte) =>
+                (acc * 31 + (byte & 0xFF)) % 1000000007L)
+              Frame(b.doc_id, i, chunk.length, h)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of these shapes at 100 TB):
+  *   - Exact dedup is one hash-shuffle on a 16-byte fingerprint, never on
+  *     the raw text.
+  *   - MinHash/LSH turns the O(n²) all-pairs problem into a shuffle on
+  *     (band, bandHash) keys: only documents that collide in some band
+  *     ever meet, and the expensive exact-Jaccard verify runs on that
+  *     candidate set alone.
+  *   - SimHash aggregates per-token sign votes with a single map-side
+  *     combinable groupBy (64 partial sums), then blocks candidates on
+  *     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal).
+  *   - Skewed buckets (boilerplate shingles) are the classic hazard; the
+  *     band hash includes the band index, and verify-side AQE skew-join
+  *     handles residual hot keys.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on the md5 fingerprint of normalized text: one
+    * representative (min id) per distinct content, with the duplicate
+    * count. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TF.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Distinct word-shingle sets per document, each array stage
+    * materialized as its own column: higher-order array lambdas are
+    * interpreted (CodegenFallback), so nesting tokenize inside shingle
+    * inside hash re-evaluates upstream stages per lambda element —
+    * measured 100×+ slowdown. Stage-by-stage projection keeps each
+    * lambda O(its own array). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
+      .select(col("id"), array_distinct(
+        TF.shinglesFromTokens(col("toks"), shingleLen)).as("sh"))
+
+  /** k-permutation MinHash signature from a materialized shingle-array
+    * column. Hash family = xxhash64 seeded by the permutation index
+    * (hashing the pair (i, shingle)). NOTE: array-lambda form — useful
+    * for expression-level composition, but interpreted; the hot path
+    * uses [[minhashSignatures]] (explode + codegen'd min aggregates)
+    * which benchmarked ~10× faster. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** Signatures via explode → k codegen'd `min(xxhash64(i, shingle))`
+    * aggregates → reassembled array. Higher-order array lambdas are
+    * interpreted in Spark; a flat projection + HashAggregate keeps the
+    * whole signature computation inside whole-stage codegen with
+    * map-side partial mins — the shape that scales. Docs with no
+    * shingles drop out (they cannot pair anyway). */
+  def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
+    val exploded = sets.select(col("id"), explode(col("sh")).as("s"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH candidate pairs from shingle sets: signature split into
+    * `bands` bands of k/bands rows; a pair is a candidate iff some band
+    * hashes equal. Returns (id_a, id_b) distinct with id_a < id_b. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleLen: Int = 3): DataFrame =
+    lshCandidatesFromSets(
+      shingleSets(docs, idCol, textCol, shingleLen), k, bands)
+      .select(col("id_a"), col("id_b"))
+
+  private def lshCandidatesFromSets(sets: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val r = k / bands
+    val sig = minhashSignatures(sets, k)
+    // band hash covers (band index, the r signature slots)
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * r + 1, lit(r))))))
+      .toDF("id", "band", "bh")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** LSH candidate pairs scored with their exact shingle-set Jaccard
+    * (unfiltered — callers threshold). One shingle/signature computation
+    * feeds both candidate generation and verification. */
+  def minhashPairsScored(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, shingleLen: Int = 3): DataFrame = {
+    // shingle sets feed signature generation AND two verify joins —
+    // persist the (small) per-doc set table instead of recomputing the
+    // tokenize→shingle→distinct chain three times.
+    val sets = shingleSets(docs, idCol, textCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatesFromSets(sets, k, bands)
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash near-dup pipeline: LSH candidates verified with exact
+    * Jaccard over distinct word shingles; keeps pairs ≥ `threshold`. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 64, bands: Int = 16,
+      shingleLen: Int = 3): DataFrame =
+    minhashPairsScored(docs, idCol, textCol, k, bands, shingleLen)
+      .filter(col("jaccard") >= threshold)
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document. Bit j is the sign of the sum over
+    * tokens of ±1 votes derived from xxhash64(token, j). Computed as
+    * explode → one groupBy with 64 partial-aggregable sums → constant
+    * shifts assemble the long; a single shuffle at any scale.
+    * Tokenless documents get simhash 0. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TF.tokens(col(textCol))).as("tok"))
+    val votes = (0 until 64).map { j =>
+      sum(xxhash64(col("tok"), lit(j)).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val hash = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    docs.select(col(idCol)).distinct()
+      .join(agg.select(col(idCol), hash.as("simhash")), Seq(idCol), "left")
+      .na.fill(0L, Seq("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16):
+    * pigeonhole-block on the four 16-bit chunks, then exact
+    * bit_count(xor) filter. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val chunked = sh.select(col("id"), col("simhash"), posexplode(
+      array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), 16 * c)
+          .bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "simhash", "chunk", "cv")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** All-pairs word n-gram Jaccard within blocks (`blockCols`).
+    * Blocking keeps the quadratic pair-join bounded per block — at scale
+    * the block key is the shuffle key and block sizes must be capped
+    * upstream (use minhashDedup when no natural block exists). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, blockCols: Seq[String]): DataFrame = {
+    val sets = docs
+      .select((col(idCol).as("id") +: blockCols.map(col)) :+
+        TF.tokens(col(textCol)).as("toks"): _*)
+      .select((col("id") +: blockCols.map(col)) :+
+        array_distinct(TF.shinglesFromTokens(col("toks"), n)).as("ng"): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    sets.as("a").join(sets.as("b"), joinCond)
+      .withColumn("jaccard", round(
+        size(array_intersect(col("a.ng"), col("b.ng"))).cast("double") /
+          size(array_union(col("a.ng"), col("b.ng"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+
+  // --------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicates within blocks: pairs with cosine ≥
+    * threshold. Brute force within block; the LSH-bucketed variant in
+    * [[SimilaritySearch]] is the unblocked scale path. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockCols: Seq[String]): DataFrame = {
+    val v = emb.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        col(vecCol).as("vec"): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    v.as("a").join(v.as("b"), joinCond)
+      .withColumn("cos",
+        round(VF.cosineSimilarity(col("a.vec"), col("b.vec")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

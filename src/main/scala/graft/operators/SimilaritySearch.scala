@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]] — exact cosine top-k via broadcast of the
+  *     probe set against the full corpus: the correctness baseline, and
+  *     at 100 TB still the right shape when |probes| is small (probes
+  *     broadcast; the corpus scan is embarrassingly parallel, one pass,
+  *     no shuffle until the tiny per-probe top-k combine).
+  *   - [[lshTopK]] — random-hyperplane LSH bucketing: corpus and probes
+  *     hash to `planes`-bit buckets ([[VF.hyperplaneBucket]]); candidates
+  *     are bucket-mates re-ranked exactly. Trades recall for touching
+  *     only ~1/2^planes of the corpus per probe; bucket id is the
+  *     shuffle/cluster key at scale (an IVF analogue with hash-derived,
+  *     storable centroids).
+  *
+  * Ranking is on cosine rounded to 4dp with id tie-break, so results are
+  * deterministic and engine-independent (oracle-comparable).
+  */
+object SimilaritySearch {
+
+  /** Exact top-k cosine neighbors for each probe (self-matches excluded).
+    * Output: probe_id, rk (1..k), cand_id, cos. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", round(VF.cosineSimilarity(col("pvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("cos"))
+  }
+
+  /** LSH-bucketed ANN: candidates share the probe's hyperplane bucket,
+    * then exact cosine re-rank within bucket. Probes with lonely buckets
+    * return fewer than k rows (recall/cost trade documented here rather
+    * than padded over). */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      VF.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
+      VF.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", round(VF.cosineSimilarity(col("pvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("cos"),
+        col("bucket").cast("long").as("bucket"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.{CsvExport, MergeTreeWriter, RawCsvSource}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** ETL sink/source operators exercised as round-trips over the testdata
+  * so the driver's DuckDB oracle can check them end-to-end: what went
+  * through the sink+source must aggregate identically to the original
+  * parquet (SURVEY.md §2.1 S1-S5).
+  */
+object EtlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(name: String, sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${sfDir.hashCode.toHexString}"
+
+  private val csvSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** Gzip-sharded CSV export (S5) → `\N`-null CSV source (S1/S2)
+    * round-trip. Nulls are synthesized (returnflag 'N' → NULL) so the
+    * `\N` token path is actually exercised; the aggregate must match
+    * DuckDB computing the same nullification on the original parquet. */
+  def csvRoundtrip: Q = (s, d) => {
+    val out = tmp("csv", d)
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"),
+      nullif(col("l_returnflag"), lit("N")).as("l_returnflag"),
+      col("l_shipdate"))
+    CsvExport.write(li, out, shards = 8)
+    RawCsvSource.read(s, out, csvSchema)
+      .agg(
+        count(lit(1)).as("cnt"),
+        count(col("l_returnflag")).as("nonnull_flags"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum(col("l_quantity").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_qty"),
+        max(col("l_shipdate")).as("max_ship"))
+  }
+
+  /** Month-partitioned, time-sorted parquet sink (S4, the MergeTree
+    * analogue) → read-back → per-month integrity aggregate. */
+  def mergetreeRoundtrip: Q = (s, d) => {
+    val out = tmp("mergetree", d)
+    val li = Tables.lineitem(s, d)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    MergeTreeWriter.write(li, out, monthCol = "ship_month",
+      sortCol = "l_shipdate")
+    MergeTreeWriter.read(s, out)
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "etl_csv_roundtrip" -> csvRoundtrip,
+    "etl_mergetree_roundtrip" -> mergetreeRoundtrip,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_csv_roundtrip" ->
+      """SELECT count(*) AS cnt,
+        | count(nullif(l_returnflag, 'N')) AS nonnull_flags,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_qty,
+        | max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+    "etl_mergetree_roundtrip" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | count(*) AS cnt, min(l_shipdate) AS min_ship,
+        | max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream queries: a genuine Structured Streaming aggregation
+  * (driven to completion for deterministic verification) and a batch
+  * sessionization built on window functions. Both have exact DuckDB
+  * oracles.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hourly tumbling-window event stats via a real streaming query;
+    * equals the batch GROUP BY date_trunc('hour') — the oracle. */
+  def streamHourlyStats: Q = (s, d) =>
+    EventsStream.hourlyStats(s, d)
+
+  /** Sessionization: 30-minute-gap sessions per user, summarized per
+    * user. The gap indicator + running sum over an event-time window is
+    * the classic scale-out shape: one shuffle on user_id, sessions never
+    * materialized driver-side. */
+  def sessionize: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val newSession = when(lag(col("ts"), 1).over(w).isNull, 1L)
+      .when(gapUs > 1800L * 1000000L, 1L)
+      .otherwise(0L)
+    ev.withColumn("new_session", newSession)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("total_value"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_hourly_stats" -> streamHourlyStats,
+    "sessionize" -> sessionize,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_hourly_stats" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start,
+        | event_type, count(*) AS cnt,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "sessionize" ->
+      """WITH marked AS (
+        | SELECT user_id, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts ASC, event_id ASC) IS NULL THEN 1
+        |   WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY ts ASC, event_id ASC)) > 1800000000 THEN 1
+        |   ELSE 0 END AS new_session
+        | FROM events)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS total_value
+        |FROM marked GROUP BY 1""".stripMargin,
+  )
+}

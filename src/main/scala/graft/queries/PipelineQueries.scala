@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis) exposed through the driver contract, with DuckDB oracles
+  * wherever DuckDB 1.0 can express the same computation (list lambdas,
+  * md5, regexp, list_cosine_similarity). xxhash64-based operators
+  * (MinHash/SimHash/LSH) cannot be replicated in DuckDB, so their queries
+  * return deterministic single-row summaries for the rows-only check and
+  * are pinned by ScalaTest instead.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm_text", TF.normalize(col("text")))
+
+  // ------------------------------------------------------- text analysis
+
+  def textStats: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      TF.regexTokenCount(col("text")).as("n_regex_tokens"),
+      round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+      round(TF.whitespaceRatio(col("text")), 4).as("ws_ratio"),
+      round(TF.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+      TF.fingerprint(col("text")).as("fp"),
+      TF.rollingHash(col("text")).as("rolling_fp"))
+
+  def textQuality: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      round(TF.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      TF.qualityScore(col("text")).as("quality"))
+
+  /** Language-ID predictions summarized as a (actual, predicted)
+    * confusion table. */
+  def textLangId: Q = (s, d) =>
+    docs(s, d)
+      .groupBy(col("lang"), TF.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // --------------------------------------------------------------- dedup
+
+  def dedupExact: Q = (s, d) =>
+    Dedup.exactDedup(docs(s, d), "doc_id", "text")
+
+  /** MinHash+LSH near-dup: single-row summary (candidate pairs from 16
+    * bands × 4 rows of a 64-hash signature; verified at trigram-Jaccard
+    * ≥ 0.6). xxhash64 has no DuckDB twin → rows-only check here; the
+    * planted near-dup pair is pinned in ScalaTest. */
+  def dedupMinhash: Q = (s, d) => {
+    val scored = Dedup.minhashPairsScored(docs(s, d), "doc_id", "norm_text")
+    scored.agg(
+      count(lit(1)).as("n_candidates"),
+      coalesce(sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)), lit(0L))
+        .as("n_pairs"),
+      coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
+  }
+
+  /** SimHash near-dup: single-row summary (hash cardinality + pairs at
+    * hamming ≤ 3 via 16-bit chunk blocking). */
+  def dedupSimhash: Q = (s, d) => {
+    val dd = docs(s, d)
+    val sh = Dedup.simhash(dd, "doc_id", "norm_text")
+    val pairs = Dedup.simhashPairs(dd, "doc_id", "norm_text", maxHamming = 3)
+    sh.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("simhash")).as("n_distinct_hashes"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs_ham3")))
+  }
+
+  /** Exact word-trigram Jaccard pairs within (lang, source) blocks —
+    * DuckDB-oracled via list lambdas. */
+  def dedupJaccardPairs: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(
+      docs(s, d).filter(TF.tokenCount(col("norm_text")) > 0),
+      "doc_id", "norm_text", n = 3, threshold = 0.2,
+      blockCols = Seq("lang", "source"))
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-dup pairs within label blocks, cosine ≥ 0.35
+    * (the testdata's same-label cosine tops out near 0.45). */
+  def dedupEmbeddingCosine: Q = (s, d) =>
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.35, blockCols = Seq("label"))
+      .orderBy("id_a", "id_b")
+
+  // --------------------------------------------------- similarity search
+
+  /** Exact cosine top-5 for probes vec_id < 5 — the ANN correctness
+    * baseline, DuckDB-oracled. */
+  def annBruteForce: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimilaritySearch.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rk")
+  }
+
+  /** LSH-bucketed ANN summarized as recall@5 against the exact baseline
+    * (single row; xxhash64-derived hyperplanes → no DuckDB twin). */
+  def annLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(
+      emb, probes, "vec_id", "embedding", k = 5)
+    val approx = SimilaritySearch.lshTopK(
+      emb, probes, "vec_id", "embedding", k = 5, planes = 8)
+    val hits = exact.as("e").join(approx.as("a"),
+      col("e.probe_id") === col("a.probe_id") &&
+        col("e.cand_id") === col("a.cand_id"))
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_lsh_results")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall_at_5",
+        round(col("n_hits").cast("double") /
+          (col("n_probes") * 5).cast("double"), 4))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> textStats,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_jaccard_pairs" -> dedupJaccardPairs,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "ann_bruteforce" -> annBruteForce,
+    "ann_lsh" -> annLsh,
+  )
+
+  private val norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  private def stopList(langs: Seq[String]): String =
+    langs.flatMap(TF.stopwords(_)).distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitExpr(lang: String): String =
+    s"len(list_filter(regexp_extract_all(lower(text), '\\S+'), " +
+      s"t -> list_contains(${stopList(Seq(lang))}, t)))"
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
+         | round(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+         | round(CAST(length(regexp_replace(text, '\\S', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS ws_ratio,
+         | round(CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0
+         |   ELSE CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'), t -> length(t))) AS DOUBLE)
+         |        / len(regexp_extract_all(text, '\\S+')) END, 4) AS mean_tok_len,
+         | md5($norm) AS fp,
+         | CAST(CASE WHEN length($norm) = 0 THEN 0
+         |   ELSE list_reduce(list_transform(generate_series(1, length($norm)), i -> CAST(ascii($norm[i]) AS BIGINT)),
+         |        (acc, c) -> (acc * 31 + c) % 1000000007) END AS BIGINT) AS rolling_fp
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         | round(CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+         |     t -> list_contains(${stopList(Seq("en", "es", "fr", "de"))}, t))) AS DOUBLE)
+         |   / greatest(len(regexp_extract_all(text, '\\S+')), 1), 4) AS stopword_ratio,
+         | round(
+         |   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |   + (1.0 - least(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3
+         |   + least(CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+         |       t -> list_contains(${stopList(Seq("en", "es", "fr", "de"))}, t))) AS DOUBLE)
+         |     / greatest(len(regexp_extract_all(text, '\\S+')), 1) * 4.0, 1.0) * 0.3,
+         | 4) AS quality
+         |FROM documents""".stripMargin,
+    "text_langid" ->
+      s"""WITH scored AS (SELECT lang,
+         |  ${hitExpr("de")} AS h_de, ${hitExpr("en")} AS h_en,
+         |  ${hitExpr("es")} AS h_es, ${hitExpr("fr")} AS h_fr
+         | FROM documents)
+         |SELECT lang,
+         | CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+         |  WHEN h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+         |  WHEN h_es >= h_de AND h_es >= h_en THEN 'es'
+         |  WHEN h_en >= h_de THEN 'en'
+         |  ELSE 'de' END AS lang_pred,
+         | count(*) AS cnt
+         |FROM scored GROUP BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |   regexp_extract_all($norm, '[a-z0-9]+') AS toks
+         |  FROM documents),
+         | sh AS (SELECT doc_id, lang, source,
+         |   list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS ng
+         |  FROM d WHERE len(toks) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.ng, b.ng))), 4) AS jaccard
+         |FROM sh a JOIN sh b
+         | ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.ng, b.ng))), 4) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT probe_id, rk, cand_id, cos FROM (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |  round(list_cosine_similarity(p.v, c.v), 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY round(list_cosine_similarity(p.v, c.v), 4) DESC,
+        |             c.vec_id ASC) AS BIGINT) AS rk
+        | FROM e p JOIN e c ON c.vec_id <> p.vec_id
+        | WHERE p.vec_id < 5)
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+  )
+}

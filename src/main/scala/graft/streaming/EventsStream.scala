@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion of the `events` table (SURVEY.md §2.9:
+  * the reference has no streaming surface; this is the streaming-ready
+  * extension from §7.4).
+  *
+  * Design: `readStream` over the parquet directory with an explicit
+  * schema (never inferred on a stream), event-time watermark, tumbling
+  * window aggregation — the canonical at-scale shape: state is bounded
+  * by the watermark, the aggregation is partial-combinable, and the
+  * shuffle key is (window, event_type). The same query would run
+  * unchanged against a Kafka source at production scale.
+  *
+  * For deterministic verification the stream is driven to completion
+  * with `processAllAvailable` into an in-memory sink; the result then
+  * equals the batch aggregation by `date_trunc('hour', ts)` — which is
+  * exactly what the DuckDB oracle computes.
+  */
+object EventsStream {
+
+  /** events.parquet physical schema: ts is INT64 TIMESTAMP(NANOS), read
+    * as Long (nanosAsLong) and converted to micros precision. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly tumbling-window stats per event_type, computed through a
+    * real streaming query (file source → watermark → window agg →
+    * memory sink), returned as a batch DataFrame. */
+  def hourlyStats(spark: SparkSession, sfDir: String,
+      queryName: String = "events_hourly"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      // file-stream sources require a directory; glob-filter to the table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq((1L, "x" * 600), (2L, "short")).toDF("doc_id", "text")
+  }
+
+  test("attachBlobs produces binary payloads with metadata") {
+    val b = Multimodal.attachBlobs(docs)
+    assert(b.schema("data").dataType.typeName === "binary")
+    val r = b.filter(col("doc_id") === 1).head()
+    assert(r.getAs[Array[Byte]]("data").length === 600)
+  }
+
+  test("extractFeatures: deterministic stub decode over partitions") {
+    val f = Multimodal.extractFeatures(spark, Multimodal.attachBlobs(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(f(1L).n_bytes === 600L)
+    assert(f(1L).width === (600 % 640 + 1))
+    assert(f(1L).height === (600 * 7 % 480 + 1).toInt)
+    assert(f(1L).n_frames === 3) // ceil(600/256)
+    assert(f(2L).n_frames === 1)
+    assert(f(1L).luma === (600L * 2654435761L % 255L).toDouble)
+  }
+
+  test("sampleFrames strides chunks and checksums content") {
+    val fr = Multimodal.sampleFrames(spark, Multimodal.attachBlobs(docs), 2)
+      .collect()
+    val d1 = fr.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(d1.map(_.frame_idx).toSeq === Seq(0, 2)) // frames 0,1,2 → stride 2
+    assert(d1.head.frame_bytes === 256)
+    assert(d1.last.frame_bytes === 600 - 512)
+    // checksum of 256 'x' bytes, reference fold
+    val expect = (1 to 256).foldLeft(0L)((a, _) => (a * 31 + 'x'.toInt) % 1000000007L)
+    assert(d1.head.frame_hash === expect)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"), // near dup of 1
+      (4L, "completely different content about database engines and query planners"),
+      (5L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDedup groups identical normalized content") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === 4) // 5 docs, one exact pair
+    val dup = out.filter(col("dup_cnt") === 2).head()
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not distinct docs") {
+    val pairs = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("exact-dup pair has jaccard 1.0") {
+    val j = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .head().getAs[Double]("jaccard")
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical docs equal, near-dups close, distinct far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+    assert(sh(1L) !== sh(4L))
+  }
+
+  test("simhashPairs blocks and filters by hamming") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard within blocks") {
+    import spark.implicits._
+    val blocked = docs.withColumn("grp", lit("g"))
+    val out = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", n = 3,
+      threshold = 0.5, blockCols = Seq("grp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = out.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(exact._3 === 1.0)
+    // near-dup pair differs in the last of 14 tokens: 12 shingles each,
+    // 11 shared → union 13 → j = 11/13 ≈ 0.8462 (rounded to 4dp)
+    val near = out.find(p => p._1 == 1L && p._2 == 3L).get
+    assert(near._3 === 0.8462)
+  }
+
+  test("embeddingNearDup finds the planted close pair only") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.999f, 0.01f, 0.0f)),
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)),
+      (4L, 1, Array(1.0f, 0.0f, 0.0f)), // other block: never paired with 1
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.9, blockCols = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

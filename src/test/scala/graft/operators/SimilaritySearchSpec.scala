@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySearchSpec extends SparkSpec {
+
+  test("vector math: dot, norm, cosine") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("dot"),
+      VectorFunctions.l2Norm(col("a")).as("na"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("cos"),
+      VectorFunctions.l2DistanceSq(col("a"), col("b")).as("d2")).head()
+    assert(r.getAs[Double]("dot") === 2.0)
+    assert(r.getAs[Double]("na") === 3.0)
+    assert(math.abs(r.getAs[Double]("cos") - 2.0 / (3.0 * 2.0)) < 1e-12)
+    assert(r.getAs[Double]("d2") === (1.0 + 4.0 + 4.0))
+  }
+
+  test("zero vector cosine is 0, not NaN") {
+    import spark.implicits._
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .head().getDouble(0) === 0.0)
+  }
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)),
+      (4L, Array(0.7f, 0.7f)),
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, caps at k") {
+    val out = SimilaritySearch.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") === 0), "vec_id", "embedding", 3)
+      .orderBy("rk").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("cand_id")).toSeq === Seq(1L, 4L, 2L))
+    assert(out.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("lshTopK results are a subset of correct cosine ordering") {
+    val out = SimilaritySearch.lshTopK(
+      corpus, corpus.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, planes = 4).collect()
+    // bucket-mates only; every returned cosine must match brute-force value
+    val brute = SimilaritySearch.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") === 0), "vec_id", "embedding", 4)
+      .collect().map(r => r.getAs[Long]("cand_id") -> r.getAs[Double]("cos"))
+      .toMap
+    out.foreach { r =>
+      assert(brute(r.getAs[Long]("cand_id")) === r.getAs[Double]("cos"))
+    }
+  }
+
+  test("hyperplaneBucket is deterministic and partitions the space") {
+    import spark.implicits._
+    val b = corpus.select(col("vec_id"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b2 = corpus.select(col("vec_id"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b === b2)
+    // antipodal vectors land in complementary buckets
+    assert(b(0L) === (~b(3L) & 0xFF))
+  }
+}

@@ -1,0 +1,28 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class EventsStreamSpec extends SparkSpec {
+
+  test("streaming hourly agg equals the batch equivalent") {
+    val streamed = EventsStream.hourlyStats(spark, sf(), "spec_hourly")
+    val batch = Tables.events(spark, sf())
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("sessionize: single user with one gap splits into two sessions") {
+    val out = graft.queries.EventQueries.sessionize(spark, sf())
+    assert(out.count() > 0)
+    // every user's session count is between 1 and its event count
+    assert(out.filter(col("n_sessions") < 1 ||
+      col("n_sessions") > col("n_events")).count() === 0)
+  }
+}
