@@ -41,25 +41,31 @@ object SimilaritySearch {
       .select(col("probe_id"), col("rk"), col("cand_id"), col("cos"))
   }
 
-  /** LSH-bucketed ANN: candidates share the probe's hyperplane bucket,
-    * then exact cosine re-rank within bucket. Probes with lonely buckets
-    * return fewer than k rows (recall/cost trade documented here rather
-    * than padded over). */
+  /** Multi-table LSH ANN: `tables` independent hyperplane families of
+    * `planes` bits each; a candidate is any corpus vector sharing the
+    * probe's bucket in ANY table (union), exact-cosine re-ranked. More
+    * tables → higher recall, more candidates touched — the classic
+    * recall/cost dial. At scale the (table, bucket) pair is the shuffle
+    * key and the probe side broadcasts. Probes whose buckets are empty
+    * in every table return fewer than k rows. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
-      VF.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
-      VF.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(p), Seq("bucket"))
+      vecCol: String, k: Int, planes: Int = 4, tables: Int = 8): DataFrame = {
+    def indexed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(VF.lshTableBuckets(col(vecCol), planes, tables)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl").as("tbl"),
+          col("tb.bkt").as("bkt"))
+    val cands = indexed(corpus, "cand_id", "cvec")
+      .join(broadcast(indexed(probes, "probe_id", "pvec")), Seq("tbl", "bkt"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", round(VF.cosineSimilarity(col("pvec"), col("cvec")), 4))
+      .dropDuplicates("probe_id", "cand_id")
+    val scored = cands.withColumn("cos",
+      round(VF.cosineSimilarity(col("pvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     scored
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
-      .select(col("probe_id"), col("rk"), col("cand_id"), col("cos"),
-        col("bucket").cast("long").as("bucket"))
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("cos"))
   }
 }

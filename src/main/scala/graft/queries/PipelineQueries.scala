@@ -112,7 +112,7 @@ object PipelineQueries {
     val exact = SimilaritySearch.bruteForceTopK(
       emb, probes, "vec_id", "embedding", k = 5)
     val approx = SimilaritySearch.lshTopK(
-      emb, probes, "vec_id", "embedding", k = 5, planes = 8)
+      emb, probes, "vec_id", "embedding", k = 5, planes = 4, tables = 8)
     val hits = exact.as("e").join(approx.as("a"),
       col("e.probe_id") === col("a.probe_id") &&
         col("e.cand_id") === col("a.cand_id"))

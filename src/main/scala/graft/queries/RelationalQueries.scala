@@ -220,7 +220,68 @@ object RelationalQueries {
         countDistinct(col("o_custkey")).as("distinct_custs"))
   }
 
+  /** Window-function battery (extension beyond the reference, SURVEY.md
+    * §2.5): rank, lag, lead, and a running sum per priority class, all
+    * deterministically ordered. One shuffle on the partition key; the
+    * running sum stays inside the window operator (no second shuffle). */
+  def q16WindowAnalytics: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      col("o_orderkey").as("order_id"),
+      row_number().over(w).cast("long").as("rn"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      round(sum(col("o_totalprice").cast("decimal(38,8)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"), 4)
+        .as("running_total"))
+  }
+
+  /** DISTINCT aggregates (absent from the reference — SURVEY.md §2.4
+    * "not present" — added as extension surface): exact distinct counts
+    * shuffle on (group, value) then combine; the HLL approximation
+    * (approx_count_distinct) is the 100 TB path and is pinned by spec
+    * rather than oracle (sketch internals are engine-specific). */
+  def q17DistinctAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        round(sum_distinct(col("l_quantity")), 4).as("sum_distinct_qty"))
+
+  /** ROLLUP grouping-set aggregation (extension): subtotal + grand-total
+    * rows computed in one pass — Spark expands grouping sets before the
+    * hash aggregate, still partial-combinable at scale. */
+  def q18Rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_price"))
+
+  /** Semi-structured parsing (extension): events.props carries JSON;
+    * `from_json` with an explicit schema parses it inside codegen — the
+    * Spark-native path for JSON columns at scale (schema declared, no
+    * sampling pass). Oracle uses a regexp extraction of the same field,
+    * so the check is engine-portable. */
+  def q19JsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+        .getField("k").as("k"))
+      .groupBy((floor(col("k") / 10) * 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("k")).as("distinct_k"))
+
   val queries: Map[String, Q] = Map(
+    "q19_json_extract" -> q19JsonExtract,
+    "q16_window_analytics" -> q16WindowAnalytics,
+    "q17_distinct_agg" -> q17DistinctAgg,
+    "q18_rollup" -> q18Rollup,
     "q1_count_by_flag" -> q1CountByFlag,
     "q2_avg_by_status" -> q2AvgByStatus,
     "q3_count_by_flag_year" -> q3CountByFlagYear,
@@ -239,6 +300,33 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q19_json_extract" ->
+      """SELECT CAST(floor(CAST(regexp_extract(props, '[0-9]+') AS INT) / 10) * 10 AS BIGINT) AS k_bucket,
+        | count(*) AS cnt,
+        | count(DISTINCT CAST(regexp_extract(props, '[0-9]+') AS INT)) AS distinct_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q16_window_analytics" ->
+      """SELECT o_orderpriority AS prio, o_orderkey AS order_id,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) OVER
+        |   (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+        |   AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey ASC)""".stripMargin,
+    "q17_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_supps,
+        | round(sum(DISTINCT l_quantity), 4) AS sum_distinct_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q1_count_by_flag" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag",
     "q2_avg_by_status" ->

@@ -62,6 +62,25 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("native cosine expression is bit-identical to the HOF composition") {
+    import spark.implicits._
+    // pseudo-random float vectors, incl. negatives and a zero vector
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16) { d =>
+        if (i == 49) 0.0f
+        else (((i * 31 + d * 7) % 97) - 48).toFloat / 13.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+    val diff = pairs.select(
+      VectorFunctions.cosineSimilarity(col("a.embedding"),
+        col("b.embedding")).as("native"),
+      VectorFunctions.cosineSimilarityHof(col("a.embedding"),
+        col("b.embedding")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+  }
+
   test("hyperplaneBucket is deterministic and partitions the space") {
     import spark.implicits._
     val b = corpus.select(col("vec_id"),
