@@ -277,7 +277,19 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"),
         countDistinct(col("k")).as("distinct_k"))
 
+  /** HLL approximate distinct (the 100 TB path for A-family distincts:
+    * fixed-size sketch, map-side combinable, no (group,value) shuffle).
+    * Sketch internals are engine-specific, so the driver check is
+    * rows-only; the spec pins the estimate within 5% of exact. */
+  def q20ApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   val queries: Map[String, Q] = Map(
+    "q20_approx_distinct" -> q20ApproxDistinct,
     "q19_json_extract" -> q19JsonExtract,
     "q16_window_analytics" -> q16WindowAnalytics,
     "q17_distinct_agg" -> q17DistinctAgg,
