@@ -124,9 +124,42 @@ object PipelineQueries {
           (col("n_probes") * 5).cast("double"), 4))
   }
 
+  /** IVF ANN summarized as recall@5 against the exact baseline (KMeans
+    * centroids are engine-specific state → rows-only; deterministic via
+    * fixed seed). nProbe=4 of k=16 cells → ~25% of the corpus scanned. */
+  def annIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+    val exact = SimilaritySearch.bruteForceTopK(
+      emb, probes, "vec_id", "embedding", k = 5)
+    val index = graft.operators.IvfIndex.build(s, emb, "vec_id", "embedding",
+      k = 16)
+    val approx = graft.operators.IvfIndex.search(index, probes, "vec_id",
+      "embedding", k = 5, nProbe = 4)
+    val hits = exact.as("e").join(approx.as("a"),
+      col("e.probe_id") === col("a.probe_id") &&
+        col("e.cand_id") === col("a.cand_id"))
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_ivf_results")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall_at_5",
+        round(col("n_hits").cast("double") /
+          (col("n_probes") * 5).cast("double"), 4))
+  }
+
+  /** Salted two-stage aggregation vs its direct equivalent — the skew
+    * path produces identical results, which is exactly what the oracle
+    * (a plain GROUP BY) checks. */
+  def saltedAgg: Q = (s, d) =>
+    graft.operators.SkewTools.saltedCountSum(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "ann_ivf" -> annIvf,
+    "salted_agg" -> saltedAgg,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
@@ -151,6 +184,11 @@ object PipelineQueries {
       s"t -> list_contains(${stopList(Seq(lang))}, t)))"
 
   val oracle: Map[String, String] = Map(
+    "salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
