@@ -41,12 +41,45 @@ object EventQueries {
           .as("total_value"))
   }
 
+  /** As-of join: each event picks up the user's most recent order at or
+    * before the event time. The right side is deduped to one row per
+    * (custkey, orderdate) — keep max o_orderkey — so both engines'
+    * as-of semantics are deterministic. Oracle: DuckDB's native
+    * ASOF LEFT JOIN. */
+  def eventsAsOfOrders: Q = (s, d) => {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val rightDedup = Tables.orders(s, d)
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1).drop("_rn")
+    graft.operators.AsOfJoin.leftAsOf(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      rightDedup,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("order_id"),
+        col("o_totalprice").as("order_price"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_hourly_stats" -> streamHourlyStats,
     "sessionize" -> sessionize,
+    "asof_join" -> eventsAsOfOrders,
   )
 
   val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH rd AS (
+        | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        | FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey,
+        |         o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders)
+        | WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, rd.o_orderkey AS order_id,
+        |       rd.o_totalprice AS order_price
+        |FROM events e ASOF LEFT JOIN rd
+        |  ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate""".stripMargin,
     "stream_hourly_stats" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start,
         | event_type, count(*) AS cnt,

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("leftAsOf picks the latest right row at or before each left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "2020-01-05"), // between r1 and r2 → r1
+      (2L, 10L, "2020-01-10"), // exactly at r2 → r2 (inclusive)
+      (3L, 10L, "2020-03-01"), // after all → r2
+      (4L, 10L, "2019-12-31"), // before all → null
+      (5L, 99L, "2020-01-05")) // unmatched key → null
+      .toDF("event_id", "k", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val right = Seq(
+      (10L, "2020-01-01", "r1"),
+      (10L, "2020-01-10", "r2"))
+      .toDF("rk", "rt", "v")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("v"))
+      .toMap
+    assert(out === Map(1L -> "r1", 2L -> "r2", 3L -> "r2",
+      4L -> null, 5L -> null))
+  }
+
+  test("row count preserved (left join semantics)") {
+    val out = graft.queries.EventQueries.eventsAsOfOrders(spark, sf())
+    assert(out.count() === graft.Tables.events(spark, sf()).count())
+  }
+}
