@@ -21,7 +21,7 @@ object Bench {
     "q1_count_by_flag", "q2_avg_by_status", "q3_count_by_flag_year",
     "q4_count_3key_sorted", "q7_denorm_join", "q9_projection",
     "dedup_exact", "dedup_minhash", "ann_bruteforce",
-    "text_stats", "sessionize")
+    "text_stats", "sessionize", "asof_join", "range_join")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -40,6 +40,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    // local-dev override: bench only the named queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -50,7 +53,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = headline.flatMap { name =>
+    val results = headline
+      .filter(n => only.forall(_.contains(n)))
+      .flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         try {
           (1 to warmups).foreach(_ => run(fn(spark, sfDir)))

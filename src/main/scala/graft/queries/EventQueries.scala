@@ -63,13 +63,29 @@ object EventQueries {
         col("o_totalprice").as("order_price"))
   }
 
+  /** Range join: same-user event pairs within 30 minutes — the
+    * bucketized proximity join, oracled against a plain inequality
+    * join in DuckDB. */
+  def rangeJoinPairs: Q = (s, d) =>
+    graft.operators.RangeJoin.timeProximityPairs(
+      Tables.events(s, d), "event_id", "user_id", "ts", tolSec = 1800L)
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, Q] = Map(
     "stream_hourly_stats" -> streamHourlyStats,
     "sessionize" -> sessionize,
     "asof_join" -> eventsAsOfOrders,
+    "range_join" -> rangeJoinPairs,
   )
 
   val oracle: Map[String, String] = Map(
+    "range_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        | ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
+        |ORDER BY id_a, id_b""".stripMargin,
     "asof_join" ->
       """WITH rd AS (
         | SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice

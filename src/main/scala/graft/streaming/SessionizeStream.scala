@@ -64,7 +64,7 @@ object SessionizeStream {
       .schema(EventsStream.eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("user_id"), col("ts"), col("value")).as[Event]
       .groupByKey(_.user_id)
       // NoTimeout: a session closes only when a later event arrives past

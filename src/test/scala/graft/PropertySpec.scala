@@ -1,0 +1,121 @@
+package graft
+
+import graft.etl.{CsvExport, RawCsvSource, TripsSchemas, TripsTransform}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based coverage (SURVEY.md §5): invariants that must hold for
+  * arbitrary inputs, not just the hand-picked fixtures.
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling (no scalatest bridge in the
+    * offline cache): one seeded draw of n cases per property. */
+  private def samples[A](g: Gen[A], n: Int = 25, seed: Long = 42L): List[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("payment canon maps every in-domain spelling; everything else UNK") {
+    val domain = TripsSchemas.paymentCanon.flatMap { case (c, ss) =>
+      ss.map(_ -> c)
+    }
+    val genIn = Gen.oneOf(domain.keys.toSeq)
+    val genOut = Gen.alphaNumStr.suchThat(s => !domain.contains(s))
+    samples(genIn).foreach { s =>
+      val got = Seq(s).toDF("p")
+        .select(TripsTransform.canonPaymentType(col("p"))).head().getString(0)
+      assert(got === domain(s))
+    }
+    samples(genOut).foreach { s =>
+      val got = Seq(s).toDF("p")
+        .select(TripsTransform.canonPaymentType(col("p"))).head().getString(0)
+      assert(got === "UNK")
+    }
+  }
+
+  test("CSV sink→source round-trip preserves values and nulls") {
+    val genRow = for {
+      id <- Gen.choose(0L, Long.MaxValue / 2)
+      s <- Gen.option(Gen.alphaNumStr.map(_.take(20)))
+      q <- Gen.option(Gen.choose(-1e6, 1e6))
+    } yield (id, s.orNull, q.map(Double.box).orNull)
+    samples(Gen.listOfN(20, genRow), n = 5).foreach { rows =>
+      if (rows.nonEmpty) {
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map {
+            case (a, b, c) => org.apache.spark.sql.Row(a, b, c)
+          }),
+          StructType(Seq(
+            StructField("id", LongType, nullable = false),
+            StructField("s", StringType),
+            StructField("q", DoubleType))))
+        val dir = java.nio.file.Files
+          .createTempDirectory("prop_csv").toString
+        CsvExport.write(df, dir, shards = 2)
+        val back = RawCsvSource.read(spark, dir, df.schema)
+        val got = back.collect()
+          .map(r => (r.getLong(0), r.getString(1),
+            if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+        val want = rows.map { case (a, b, c) =>
+          // the sink writes empty string for "" and \N for null; both
+          // read back as null — the reference's trans.py semantics
+          (a, if (b != null && b.isEmpty) null else b, c)
+        }.toSet
+        assert(got === want)
+      }
+    }
+  }
+
+  test("transform preserves row count for arbitrary null patterns") {
+    val genFlag = Gen.oneOf("Y", "N", "1", "2", "")
+    val genPay = Gen.oneOf("CSH", "Cash", "2", "junk", "")
+    samples(Gen.listOfN(10, Gen.zip(genFlag, genPay)), n = 5).foreach { rows =>
+      if (rows.nonEmpty) {
+        val csv = rows.zipWithIndex.map { case ((f, p), i) =>
+          val cols = Array.fill(51)("")
+          cols(0) = i.toString; cols(1) = "CMT"
+          cols(2) = "2015-01-05 10:00:00"; cols(4) = f; cols(20) = p
+          cols.mkString(",")
+        }
+        val dir = java.nio.file.Files
+          .createTempDirectory("prop_raw").toString
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "t.csv"),
+          csv.mkString("\n").getBytes)
+        val out = TripsTransform(RawCsvSource.read(spark, dir))
+        assert(out.count() === rows.size.toLong)
+        // every payment lands in the 5-value canon domain
+        val canon = out.select("payment_type_").distinct()
+          .as[String].collect().toSet
+        assert(canon.subsetOf(Set("CSH", "CRE", "NOC", "DIS", "UNK")))
+      }
+    }
+  }
+
+  test("rollingHash stays within the modulus for arbitrary text") {
+    samples(Gen.asciiPrintableStr).foreach { s =>
+      val h = Seq(s).toDF("t")
+        .select(TextFunctions.rollingHash(col("t"))).head().getLong(0)
+      assert(h >= 0L && h < 1000000007L)
+    }
+  }
+
+  test("jaccard is symmetric and bounded for arbitrary token lists") {
+    val genDoc = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    samples(Gen.zip(genDoc, genDoc), n = 10).foreach { case (t1, t2) =>
+      val df = Seq((1L, "g", t1), (2L, "g", t2)).toDF("id", "grp", "text")
+      val out = graft.operators.Dedup.ngramJaccardPairs(
+        df, "id", "text", n = 2, threshold = 0.0, blockCols = Seq("grp"))
+        .collect()
+      assert(out.length === 1)
+      val j = out.head.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      if (t1 == t2) assert(j === 1.0)
+    }
+  }
+}
