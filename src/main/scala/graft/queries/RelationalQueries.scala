@@ -71,13 +71,9 @@ object RelationalQueries {
   /** Catalog row-count reconciliation (ref README.md:271-278, S7/A6):
     * per-table exact counts, ordered descending like the reference's
     * `ORDER BY reltuples DESC` (:278). */
-  def q6CatalogCounts: Q = (s, d) => {
-    val perTable = Tables.names.map { t =>
-      Tables.load(s, d, t).agg(count(lit(1)).as("cnt"))
-        .select(lit(t).as("tbl"), col("cnt"))
-    }
-    perTable.reduce(_.unionAll(_)).orderBy(col("cnt").desc, col("tbl").asc)
-  }
+  def q6CatalogCounts: Q = (s, d) =>
+    graft.util.Catalog.tableCounts(s, d)
+      .orderBy(col("cnt").desc, col("tbl").asc)
 
   /** Denormalization join (ref README.md:366-374, J1-J4): fact side joins
     * four dimensions, one of them (nation) twice under different role
