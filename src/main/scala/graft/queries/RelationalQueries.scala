@@ -284,7 +284,34 @@ object RelationalQueries {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** Exact interpolated percentiles (absent from the reference §2.4 —
+    * "no median/quantile" — added as extension surface). Spark's
+    * `percentile` and DuckDB's `quantile_cont` share linear
+    * interpolation, so this oracles exactly. At 100 TB the approximate
+    * sketch (percentile_approx) replaces it; same plan shape. */
+  def q21Percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+
+  /** Pivot (wide aggregation): linestatus counts as columns per
+    * returnflag. Spark leaves empty cells null; coalesced to 0 to match
+    * the conditional-count formulation every SQL engine uses. */
+  def q22Pivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("cnt_f"),
+        coalesce(col("O"), lit(0L)).as("cnt_o"))
+
   val queries: Map[String, Q] = Map(
+    "q21_percentiles" -> q21Percentiles,
+    "q22_pivot" -> q22Pivot,
     "q20_approx_distinct" -> q20ApproxDistinct,
     "q19_json_extract" -> q19JsonExtract,
     "q16_window_analytics" -> q16WindowAnalytics,
@@ -308,6 +335,17 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q22_pivot" ->
+      """SELECT l_returnflag,
+        | count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
+        | count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q19_json_extract" ->
       """SELECT CAST(floor(CAST(regexp_extract(props, '[0-9]+') AS INT) / 10) * 10 AS BIGINT) AS k_bucket,
         | count(*) AS cnt,
