@@ -76,9 +76,13 @@ object EventQueries {
     "sessionize" -> sessionize,
     "asof_join" -> eventsAsOfOrders,
     "range_join" -> rangeJoinPairs,
+    "stream_dedup" -> ((s, d) => EventsStream.streamingDedupCounts(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1""".stripMargin,
     "range_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,
         | epoch_us(b.ts) - epoch_us(a.ts) AS dt_us

@@ -32,6 +32,32 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming deduplication — the streaming twin of exact dedup: state
+    * keyed on the dedup columns drops repeats as they arrive, then a
+    * complete-mode aggregation counts survivors. In production the
+    * watermark bounds dedup state (dropDuplicatesWithinWatermark); on a
+    * drained file source the unbounded form is deterministic and equals
+    * the batch DISTINCT — which is the oracle. */
+  def streamingDedupCounts(spark: SparkSession, sfDir: String,
+      queryName: String = "events_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val deduped = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+    val q = deduped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */
