@@ -1,18 +1,33 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark harness (SURVEY.md §3 E1): mirrors the reference's
-  * `perf stat -r N` discipline (reference src/benchmark_clickhouse.sh:26)
-  * — per-query warmups then repeated measured runs, mean reported.
+  * `perf stat -r N` discipline (reference src/benchmark_clickhouse.sh:26,
+  * README.md:696-699 — mean ± stddev over 10 runs, <1% variance treated
+  * as "measurement is trustworthy") — per-query warmups then repeated
+  * measured runs.
+  *
+  * Robustness (this host has documented intermittent ~10× stalls):
+  *   - ≥5 measured runs per query, MEDIAN reported (outlier-immune);
+  *   - when max/min > 3× the sample is contaminated — up to `repeats`
+  *     extra runs are taken so the median sits on healthy samples;
+  *   - stddev over the retained samples is emitted alongside;
+  *   - all numbers formatted under Locale.ROOT (a comma-decimal default
+  *     locale would emit invalid JSON).
   *
   * Headline queries are the four reference benchmark aggregations
   * (SURVEY.md §2.4 A1-A4) plus one representative of each extension
   * family (join, dedup, ANN, text, streaming-equivalent sessionize) so
   * the bench tracks the whole operator surface, not just the easy scans.
   *
-  * Prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * Output: ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"stddev":{...},"sf":...}
+  * printed to stdout AND written verbatim to $SPARK_GRAFT_BENCH_OUT
+  * (default bench_result.json in the cwd) so the driver can machine-read
+  * it even when a build tool prefixes stdout lines.
   */
 object Bench {
 
@@ -35,11 +50,38 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  private def stddev(xs: Seq[Double]): Double = {
+    val m = xs.sum / xs.size
+    math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+  }
+
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.4f", v)
+
+  /** Measure one query: `repeats` runs, then while the spread looks
+    * contaminated (max/min > 3×) take extra runs, up to `repeats` more.
+    * Returns (median, stddev, all samples). */
+  private def measure(repeats: Int, f: => Unit): (Double, Double, Seq[Double]) = {
+    var times = (1 to repeats).map(_ => time(f))
+    var extra = 0
+    while (times.max / math.max(times.min, 1e-9) > 3.0 && extra < repeats) {
+      times :+= time(f)
+      extra += 1
+    }
+    (median(times), stddev(times), times)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "1").toInt
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "5").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     // local-dev override: bench only the named queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSet)
@@ -56,24 +98,36 @@ object Bench {
     val results = headline
       .filter(n => only.forall(_.contains(n)))
       .flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        try {
-          (1 to warmups).foreach(_ => run(fn(spark, sfDir)))
-          val times = (1 to repeats).map(_ => time(run(fn(spark, sfDir))))
-          System.err.println(
-            s"[bench] $name ${times.map("%.2f".format(_)).mkString(",")}s")
-          name -> times.sum / times.size
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> -1.0
+        SparkEntry.queries.get(name).map { fn =>
+          try {
+            (1 to warmups).foreach(_ => run(fn(spark, sfDir)))
+            val (med, sd, samples) = measure(repeats, run(fn(spark, sfDir)))
+            System.err.println(s"[bench] $name median=${fmt(med)}s " +
+              s"sd=${fmt(sd)} samples=${samples.map(fmt).mkString(",")}")
+            (name, med, sd)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              (name, -1.0, 0.0)
+          }
         }
       }
-    }
-    val qs = results.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+    val qs = results.map { case (k, v, _) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val sds = results.map { case (k, _, sd) => s""""$k":${fmt(sd)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stddev":$sds,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] json written to $outPath")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
@@ -44,11 +45,20 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def plan(q: String): String = {
-      val df = SparkEntry.queries(q)(spark, sfDir)
+    def planOf(df: DataFrame): String = {
       df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE plan
       executedPlan(df.queryExecution.executedPlan)
     }
+    def plan(q: String): String =
+      planOf(SparkEntry.queries(q)(spark, sfDir))
+
+    /** Leaf descriptions of every subtree under an explicit broadcast
+      * hint in the analyzed plan — the code-level intent, before AQE's
+      * runtime size decisions overwrite it. */
+    def hintedLeaves(df: DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint =>
+        h.child.collectLeaves().map(_.simpleString(200))
+      }.flatten
 
     val q1 = plan("q1_count_by_flag")
     check("q1: partial+final hash aggregate",
@@ -59,11 +69,21 @@ object PlanAudit {
       q1.contains("ReadSchema: struct<l_returnflag:string>"),
       "only l_returnflag read")
 
-    val q7 = plan("q7_denorm_join")
-    check("q7: all dim joins broadcast",
-      occurrences(q7, "BroadcastHashJoin") >= 5 &&
-        !q7.contains("SortMergeJoin"),
-      "5 BroadcastHashJoins, no SortMergeJoin")
+    val q7df = SparkEntry.queries("q7_denorm_join")(spark, sfDir)
+    val q7 = planOf(q7df)
+    check("q7: nation dims broadcast",
+      occurrences(q7, "BroadcastHashJoin") >= 2,
+      "both nation role joins are broadcast")
+    // the scale rule: explicit broadcast() hints may target ONLY tables
+    // whose size is constant in the scale factor (nation: 25 rows).
+    // orders/customer/supplier grow with the fact side — a hint there is
+    // an OOM at 100 TB even if AQE would broadcast them at toy scale.
+    // "[n_nationkey#" pins the nation RELATION itself (its first output
+    // column), not merely any table carrying a *_nationkey column.
+    val q7hints = hintedLeaves(q7df)
+    check("q7: no broadcast hint on fact-proportional table",
+      q7hints.nonEmpty && q7hints.forall(_.contains("[n_nationkey#")),
+      s"hinted leaves: ${q7hints.map(_.take(60)).mkString("; ")}")
 
     val q9 = plan("q9_projection")
     check("q9: no shuffle in pure projection", !q9.contains("Exchange"),
@@ -76,9 +96,14 @@ object PlanAudit {
     val ann = plan("ann_bruteforce")
     check("ann: probe side broadcast", ann.contains("BroadcastNestedLoopJoin")
       || ann.contains("BroadcastHashJoin"), "corpus never shuffled for probes")
+    // the scoring expression must sit INSIDE a whole-stage-codegen span:
+    // every plan line mentioning the native cosine expression carries a
+    // "*(stage)" codegen marker.
+    val cosLines = ann.linesIterator
+      .filter(_.toLowerCase.contains("cosinesimilarity")).toSeq
     check("ann: native cosine in codegen",
-      !ann.contains("CodegenFallback") || ann.contains("cosinesimilarityexpr"),
-      "no interpreted fallback in scoring")
+      cosLines.nonEmpty && cosLines.forall(_.contains("*(")),
+      s"${cosLines.size} plan lines score cosine, all codegen'd")
 
     val dm = plan("dedup_minhash")
     check("minhash: map-side partial mins",
@@ -88,6 +113,26 @@ object PlanAudit {
     check("sessionize: single shuffle on user_id",
       occurrences(se, "Exchange hashpartitioning(user_id") >= 1,
       "window + agg share the user_id partitioning")
+
+    // the as-of operator in isolation (the driver query adds a dedup
+    // window over the right side, which legitimately shuffles once
+    // more): union + key-partitioned window = exactly ONE exchange.
+    val asofOp = planOf(graft.operators.AsOfJoin.leftAsOf(
+      Tables.events(spark, sfDir).select("event_id", "user_id", "ts"),
+      Tables.orders(spark, sfDir)
+        .select("o_custkey", "o_orderdate", "o_orderkey"),
+      "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey")))
+    check("asof operator: exactly one exchange",
+      occurrences(asofOp, "Exchange") == 1,
+      "one shuffle of |L|+|R| on the key, no broadcast, no second sort")
+
+    val rj = plan("range_join")
+    check("range_join: equi-join, no nested-loop/cartesian",
+      !rj.contains("BroadcastNestedLoopJoin") &&
+        !rj.contains("CartesianProduct") &&
+        (rj.contains("SortMergeJoin") || rj.contains("ShuffledHashJoin") ||
+          rj.contains("BroadcastHashJoin")),
+      "(key,bucket) hash join carries the proximity predicate")
 
     println(s"\n$failures failures")
     spark.stop()

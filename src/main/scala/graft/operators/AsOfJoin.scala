@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Distributed left as-of join — "for each left row, the most recent
   * right row with the same key and time ≤ the left time" — the classic
@@ -40,33 +41,60 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val rightSchema = right.select(rightCols.map(col): _*).schema
     val leftSchema = left.schema
+    // Join keys keep their NATIVE type when both sides agree; mixed
+    // integral widths widen to long. Anything else (e.g. string vs
+    // long) fails FAST — a blind cast would null every key and silently
+    // match all left rows to the globally latest right row.
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val lkType = left.schema(leftKey).dataType
+    val rkType = right.schema(rightKey).dataType
+    val (lk, rk) =
+      if (lkType == rkType) (col(leftKey), col(rightKey))
+      else if (integral(lkType) && integral(rkType))
+        (col(leftKey).cast(LongType), col(rightKey).cast(LongType))
+      else throw new IllegalArgumentException(
+        s"as-of join keys have incompatible types: $leftKey:$lkType vs " +
+          s"$rightKey:$rkType (only identical or integral types join)")
+    def timeCol(df: DataFrame, c: String): Column = {
+      val dt = df.schema(c).dataType
+      require(dt == TimestampType || dt == DateType || dt == TimestampNTZType,
+        s"as-of time column $c must be a date/timestamp, got $dt")
+      col(c).cast(TimestampType)
+    }
+    // Internal column names share a prefix no input column starts with,
+    // so caller columns can never collide with the plumbing.
+    val taken = (left.columns ++ right.columns).toSet
+    val g = Iterator.iterate("_g")(_ + "_")
+      .find(p => !taken.exists(_.startsWith(p))).get
     // flat columns, not structs: per-row struct copies through the
     // window frame measured ~4× slower than primitive last() carries,
     // and right columns are null together so per-column last(ignoreNulls)
     // still picks every value from the same matched row.
     val l = left.select(
-      Seq(col(leftKey).cast("long").as("_k"),
-        col(leftTime).cast("timestamp").as("_t"),
-        lit(1).as("_side")) ++
+      Seq(lk.as(s"${g}k"),
+        timeCol(left, leftTime).as(s"${g}t"),
+        lit(1).as(s"${g}side")) ++
         leftCols.map(col) ++
         rightSchema.map(f =>
-          lit(null).cast(f.dataType).as(s"_r_${f.name}")): _*)
+          lit(null).cast(f.dataType).as(s"${g}r_${f.name}")): _*)
     val r = right.select(
-      Seq(col(rightKey).cast("long").as("_k"),
-        col(rightTime).cast("timestamp").as("_t"),
-        lit(0).as("_side")) ++
+      Seq(rk.as(s"${g}k"),
+        timeCol(right, rightTime).as(s"${g}t"),
+        lit(0).as(s"${g}side")) ++
         leftSchema.map(f =>
           lit(null).cast(f.dataType).as(f.name)) ++
-        rightCols.map(c => col(c).as(s"_r_$c")): _*)
-    val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc, col("_side").asc)
+        rightCols.map(c => col(c).as(s"${g}r_$c")): _*)
+    val w = Window.partitionBy(col(s"${g}k"))
+      .orderBy(col(s"${g}t").asc, col(s"${g}side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_m_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"${g}m_$c",
+        last(col(s"${g}r_$c"), ignoreNulls = true).over(w))
     }
-    carried.filter(col("_side") === 1)
+    carried.filter(col(s"${g}side") === 1)
       .select(
         leftCols.map(col) ++
-          rightCols.map(c => col(s"_m_$c").as(c)): _*)
+          rightCols.map(c => col(s"${g}m_$c").as(c)): _*)
   }
 }

@@ -105,10 +105,17 @@ object Dedup {
   def minhashPairsScored(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, shingleLen: Int = 3): DataFrame = {
     // shingle sets feed signature generation AND two verify joins —
-    // persist the (small) per-doc set table instead of recomputing the
-    // tokenize→shingle→distinct chain three times.
+    // materialize the (small) per-doc set table once instead of
+    // recomputing the tokenize→shingle→distinct chain three times.
+    // localCheckpoint, NOT persist(): persist registers the plan in the
+    // session CacheManager with no release point in a lazily-returned
+    // result (every Verify/Bench invocation leaked an entry); checkpoint
+    // blocks are reclaimed by the ContextCleaner once the returned plan
+    // is unreachable. (Production caveat: localCheckpoint trades
+    // executor-loss recovery for speed; a persistent pipeline would
+    // checkpoint to the reliable checkpoint dir instead.)
     val sets = shingleSets(docs, idCol, textCol, shingleLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cands = lshCandidatesFromSets(sets, k, bands)
     cands
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")),

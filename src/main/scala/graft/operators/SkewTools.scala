@@ -17,14 +17,19 @@ object SkewTools {
     * (partial, combine) pairs — counts and sums here, the shapes the
     * reference's Q1-Q4 need.
     *
-    * The salt is a deterministic hash of the whole row's fingerprint
-    * (spark_partition_id + a monotonic id would also do): uniform,
-    * reproducible, no RNG in the plan.
+    * The salt hashes ROW CONTENT ONLY (xxhash64 over every column) —
+    * never `monotonically_increasing_id`/`rand`/`spark_partition_id`,
+    * all of which depend on partition layout: on a shuffle-fetch-failure
+    * retry a recomputed partition would re-salt rows differently between
+    * the stage-1 and stage-2 aggregations, duplicating or dropping rows.
+    * Content hashing is stable under any recomputation. (Identical rows
+    * land in the same bucket; a hot key made of literally identical rows
+    * still fans out via the stage-1 map-side partial aggregation.)
     */
   def saltedCountSum(df: DataFrame, keyCol: String, sumCol: String,
       saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(col(keyCol), monotonically_increasing_id()),
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
         lit(saltBuckets.toLong)))
     salted
       .groupBy(col(keyCol), col("_salt"))
@@ -38,12 +43,13 @@ object SkewTools {
   /** Salted broadcast-side replication for a skewed JOIN key: replicate
     * the small side `saltBuckets` times and salt the big side, so the
     * hot key's rows spread across buckets. Returns (bigSalted,
-    * smallReplicated, joinCond) ready to compose. */
+    * smallReplicated, joinCond) ready to compose. Salt is content-derived
+    * (see [[saltedCountSum]]) so retries re-salt identically. */
   def saltedJoinSides(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBuckets: Int = 16):
       (DataFrame, DataFrame, Column) = {
     val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(col(bigKey), monotonically_increasing_id()),
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*),
         lit(saltBuckets.toLong)))
     val smallRep = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))

@@ -78,7 +78,17 @@ object RelationalQueries {
   /** Denormalization join (ref README.md:366-374, J1-J4): fact side joins
     * four dimensions, one of them (nation) twice under different role
     * aliases — the reference joins nyct2010 twice as pick_up/drop_off.
-    * All dims broadcast: at 100 TB the fact side never moves. */
+    *
+    * Broadcast hints target ONLY tables whose size is a CONSTANT of the
+    * schema: nation (25 rows at every scale factor — like the
+    * reference's cab_types/nyct2010 dims). orders, customer and supplier
+    * all grow linearly with the fact side (1.5M / 150k / 10k rows per
+    * SF); a hard-coded broadcast hint on them is a guaranteed OOM at the
+    * 100 TB design point. They join un-hinted: AQE still converts those
+    * joins to broadcast at runtime when the measured side fits, and
+    * falls back to shuffle joins when it doesn't — the behaviour that
+    * survives any scale-up. PlanAudit asserts no explicit hint targets a
+    * fact-proportional table. */
   def q7DenormJoin: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
@@ -89,9 +99,9 @@ object RelationalQueries {
       col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     val suppNation = n.select(
       col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"), "left")
-      .join(broadcast(c), col("o_custkey") === c("c_custkey"), "left")
-      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"), "left")
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+      .join(c, col("o_custkey") === c("c_custkey"), "left")
+      .join(su, li("l_suppkey") === su("s_suppkey"), "left")
       .join(broadcast(custNation), col("c_nationkey") === col("cn_key"), "left")
       .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"), "left")
       .groupBy("cust_nation", "supp_nation")

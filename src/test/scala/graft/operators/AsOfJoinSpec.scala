@@ -27,6 +27,47 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> null, 5L -> null))
   }
 
+  test("string join keys keep their native type (no silent null-cast)") {
+    import spark.implicits._
+    val left = Seq((1L, "u10", "2020-01-05"), (2L, "u99", "2020-01-05"))
+      .toDF("event_id", "k", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val right = Seq(("u10", "2020-01-01", "r1"), ("u11", "2020-01-01", "x"))
+      .toDF("rk", "rt", "v")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("v"))
+      .toMap
+    assert(out === Map(1L -> "r1", 2L -> null))
+  }
+
+  test("incompatible key types fail fast instead of null-matching") {
+    import spark.implicits._
+    val left = Seq((1L, "u10", "2020-01-05")).toDF("event_id", "k", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val right = Seq((10L, "2020-01-01", "r1")).toDF("rk", "rt", "v")
+      .withColumn("rt", to_timestamp(col("rt")))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("v"))
+    }
+  }
+
+  test("caller columns that look like internal names don't collide") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "2020-01-05", "keepme"))
+      .toDF("event_id", "_gk", "t", "_gt") // worst case: _g-prefixed cols
+      .withColumn("t", to_timestamp(col("t")))
+      .withColumnRenamed("_gk", "k")
+    val right = Seq((10L, "2020-01-01", "r1")).toDF("rk", "rt", "_gside")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt",
+      Seq("_gside"))
+    assert(out.columns.toSeq === Seq("event_id", "k", "t", "_gt", "_gside"))
+    val row = out.collect().head
+    assert(row.getAs[String]("_gt") === "keepme")
+    assert(row.getAs[String]("_gside") === "r1")
+  }
+
   test("row count preserved (left join semantics)") {
     val out = graft.queries.EventQueries.eventsAsOfOrders(spark, sf())
     assert(out.count() === graft.Tables.events(spark, sf()).count())
