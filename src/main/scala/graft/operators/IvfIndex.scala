@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -23,14 +23,16 @@ object IvfIndex {
 
   case class Index(centroids: DataFrame, assigned: DataFrame)
 
-  /** Fit k centroids and assign every corpus vector to its nearest. */
+  /** Fit k centroids and assign every corpus vector to its nearest.
+    * The float array column converts declaratively via
+    * `array_to_vector` (double-cast first — the converter is typed),
+    * keeping the whole pipeline columnar: no RDD hop, no positional
+    * row access. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, seed: Long = 42L): Index = {
     import spark.implicits._
-    val ml = corpus.select(col(idCol), col(vecCol)).rdd.map { r =>
-      (r.getLong(0), Vectors.dense(
-        r.getSeq[Float](1).map(_.toDouble).toArray))
-    }.toDF(idCol, "features")
+    val ml = corpus.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .fit(ml)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -41,6 +43,25 @@ object IvfIndex {
       .join(corpus, Seq(idCol))
     Index(centroids, assigned)
   }
+
+  /** Persist the index partitioned by cell — at scale a probe then
+    * touches only its nProbe cell directories (partition pruning on the
+    * equi-join key), and the index is built once and reused across
+    * query batches. */
+  def write(index: Index, path: String): Unit = {
+    index.centroids.write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell")
+      .parquet(s"$path/assigned")
+  }
+
+  /** Reload a persisted index. `cell` comes back as a partition column
+    * (int). */
+  def read(spark: SparkSession, path: String): Index =
+    Index(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
 
   /** Top-k cosine search over the nProbe nearest cells per probe. */
   def search(index: Index, probes: DataFrame, idCol: String,

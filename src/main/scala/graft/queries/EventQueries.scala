@@ -77,10 +77,17 @@ object EventQueries {
     "asof_join" -> eventsAsOfOrders,
     "range_join" -> rangeJoinPairs,
     "stream_dedup" -> ((s, d) => EventsStream.streamingDedupCounts(s, d)),
+    "stream_dedup_wm" ->
+      ((s, d) => EventsStream.streamingDedupBoundedCounts(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
     "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1""".stripMargin,
+    // the drained file source delivers every duplicate inside the
+    // watermark horizon, so bounded-state dedup equals batch DISTINCT
+    "stream_dedup_wm" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
     "range_join" ->

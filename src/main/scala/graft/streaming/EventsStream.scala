@@ -58,6 +58,41 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Bounded-state streaming dedup — the production form of
+    * [[streamingDedupCounts]]: `dropDuplicatesWithinWatermark` keyed on
+    * (user_id, event_type) with an event-time watermark, so dedup state
+    * for a key is EVICTED once the watermark passes its expiry instead
+    * of growing forever. Guarantee: duplicates arriving within the
+    * watermark delay of each other are always dropped; the unbounded
+    * variant's whole-history guarantee is traded for bounded state —
+    * the right trade at 100 TB/day.
+    *
+    * Emitted in append mode (first-seen rows), then batch-aggregated
+    * from the sink; over the drained file source every duplicate lands
+    * inside the horizon, so the result equals batch DISTINCT — the
+    * cross-check the spec and oracle use. */
+  def streamingDedupBoundedCounts(spark: SparkSession, sfDir: String,
+      queryName: String = "events_dedup_wm"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val deduped = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+  }
+
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */

@@ -59,6 +59,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("IVF build stays columnar (no RDD scan) and the persisted index " +
+      "round-trips with identical search results") {
+    val emb = Tables.embeddings(spark, sf())
+    val probes = emb.filter(col("vec_id") < 3)
+    val index = IvfIndex.build(spark, emb, "vec_id", "embedding", k = 8)
+    // declarative conversion: the assigned plan must read parquet via
+    // the columnar scan, with no RDD-boundary (ExistingRDD/Scan rdd)
+    val assignedPlan = index.assigned.queryExecution.executedPlan.toString
+    assert(!assignedPlan.contains("ExistingRDD"),
+      s"RDD hop in IVF build:\n$assignedPlan")
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.write(index, dir)
+    val reloaded = IvfIndex.read(spark, dir)
+    // cell is a partition dir in the persisted layout
+    assert(new java.io.File(s"$dir/assigned").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+    val a = IvfIndex.search(index, probes, "vec_id", "embedding",
+      k = 5, nProbe = 3).collect().toSet
+    val b = IvfIndex.search(reloaded, probes, "vec_id", "embedding",
+      k = 5, nProbe = 3).collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val li = Tables.lineitem(spark, sf())

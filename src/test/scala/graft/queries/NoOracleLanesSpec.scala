@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Pins the VALUES of the driver queries that have no DuckDB oracle
+  * (xxhash64 / KMeans / sketch internals have no cross-engine twin, so
+  * the driver records them rows-only). All inputs are deterministic, so
+  * these summaries are exact constants at sf0.001: any drift in the
+  * MinHash/SimHash/LSH/IVF implementations fails this suite, which is
+  * the check the driver's rows-only lane can't provide. (Gate-scale
+  * sf0.01 values, for the record: minhash 25/25/0.9891, simhash
+  * 500/499/23, lsh recall 0.76, ivf recall 0.72, frames
+  * 527/108236/260412490777.) Every lane also asserts the semantic floor
+  * that makes the number meaningful, not just stable.
+  */
+class NoOracleLanesSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("dedup_minhash: candidate/pair counts and max jaccard pinned") {
+    val r = q("dedup_minhash").head()
+    assert(r.getAs[Long]("n_candidates") === 28L)
+    assert(r.getAs[Long]("n_pairs") === 28L) // all candidates ≥ 0.6
+    assert(r.getAs[Double]("max_jaccard") === 0.9894) // planted near-dup
+    assert(r.getAs[Double]("max_jaccard") >= 0.9) // semantic floor
+  }
+
+  test("dedup_simhash: hash cardinality and hamming≤3 pairs pinned") {
+    val r = q("dedup_simhash").head()
+    assert(r.getAs[Long]("n_docs") === 500L)
+    assert(r.getAs[Long]("n_distinct_hashes") === 495L)
+    assert(r.getAs[Long]("n_pairs_ham3") === 28L)
+  }
+
+  test("ann_lsh: recall@5 pinned and above floor") {
+    val r = q("ann_lsh").head()
+    assert(r.getAs[Long]("n_probes") === 5L)
+    assert(r.getAs[Long]("n_lsh_results") === 25L) // full top-5 per probe
+    assert(r.getAs[Long]("n_hits") === 18L)
+    assert(r.getAs[Double]("recall_at_5") === 0.72)
+    assert(r.getAs[Double]("recall_at_5") >= 0.6) // semantic floor
+  }
+
+  test("ann_ivf: recall@5 pinned and above floor") {
+    val r = q("ann_ivf").head()
+    assert(r.getAs[Long]("n_probes") === 5L)
+    assert(r.getAs[Long]("n_ivf_results") === 25L)
+    assert(r.getAs[Long]("n_hits") === 13L)
+    assert(r.getAs[Double]("recall_at_5") === 0.52)
+    assert(r.getAs[Double]("recall_at_5") >= 0.5) // nProbe=4/16 scans 25% of cells
+  }
+
+  test("multimodal_frames: per-doc frame sampling totals pinned") {
+    val agg = q("multimodal_frames")
+      .agg(count(lit(1)).as("docs"), sum("n_sampled").as("frames"),
+        sum("sampled_bytes").as("bytes"), sum("hash_sum").as("hashes"))
+      .head()
+    assert(agg.getAs[Long]("docs") === 500L)
+    assert(agg.getAs[Long]("frames") === 538L)
+    assert(agg.getAs[Long]("bytes") === 108754L)
+    assert(agg.getAs[Long]("hashes") === 259038096840L)
+  }
+}

@@ -18,6 +18,16 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("bounded-state streaming dedup (watermarked) equals batch DISTINCT") {
+    val streamed = EventsStream.streamingDedupBoundedCounts(
+      spark, sf(), "spec_dedup_wm")
+    val batch = Tables.events(spark, sf())
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("sessionize: single user with one gap splits into two sessions") {
     val out = graft.queries.EventQueries.sessionize(spark, sf())
     assert(out.count() > 0)
