@@ -36,7 +36,12 @@ object Bench {
     "q1_count_by_flag", "q2_avg_by_status", "q3_count_by_flag_year",
     "q4_count_3key_sorted", "q7_denorm_join", "q9_projection",
     "dedup_exact", "dedup_minhash", "ann_bruteforce",
-    "text_stats", "sessionize", "asof_join", "range_join")
+    "text_stats", "sessionize", "asof_join", "range_join",
+    // reference-schema pipeline: warmup triggers the one-time
+    // CSV→staging→transform→MergeTree chain; measured runs then time the
+    // benchmark queries against the materialized analytic table, exactly
+    // like the reference (load once, benchmark queries after).
+    "taxi_e2e_q1", "taxi_e2e_q4")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, EventQueries, MultimodalQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{EtlQueries, EventQueries, MultimodalQueries, PipelineQueries, RelationalQueries, TaxiPipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ PipelineQueries.queries ++
       EventQueries.queries ++ MultimodalQueries.queries ++
-      EtlQueries.queries
+      EtlQueries.queries ++ TaxiPipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ PipelineQueries.oracle ++
       EventQueries.oracle ++ MultimodalQueries.oracle ++
-      EtlQueries.oracle
+      EtlQueries.oracle ++ TaxiPipelineQueries.oracle
 }
