@@ -134,6 +134,15 @@ object PlanAudit {
           rj.contains("BroadcastHashJoin")),
       "(key,bucket) hash join carries the proximity predicate")
 
+    // bucketed fact⋈fact join: the ONLY exchange in the whole query is
+    // the final tiny aggregate on o_orderpriority — the join itself
+    // consumes both bucketed layouts with no shuffle and no sort.
+    val bj = plan("bucketed_join")
+    check("bucketed_join: SMJ with no join-side exchange",
+      bj.contains("SortMergeJoin") && occurrences(bj, "Exchange") == 1 &&
+        bj.contains("Exchange hashpartitioning(o_orderpriority"),
+      "single exchange is the 5-row priority aggregate")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

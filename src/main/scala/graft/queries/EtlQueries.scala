@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.etl.{CsvExport, MergeTreeWriter, RawCsvSource}
+import graft.etl.{BucketedTables, CsvExport, MergeTreeWriter, RawCsvSource}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -62,9 +62,42 @@ object EtlQueries {
         max(col("l_shipdate")).as("max_ship"))
   }
 
+  private val bucketed = scala.collection.mutable.Set[String]()
+
+  /** Bucket lineitem and orders on the join key once per (JVM, sfDir);
+    * returns the two table names. */
+  def prepareBucketed(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val tag = d.hashCode.toHexString
+      val (li, ord) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+      if (!bucketed.contains(tag)) {
+        BucketedTables.write(Tables.lineitem(s, d), li,
+          s"${tmp("li_bkt", d)}", "l_orderkey", buckets = 16)
+        BucketedTables.write(Tables.orders(s, d), ord,
+          s"${tmp("ord_bkt", d)}", "o_orderkey", buckets = 16)
+        bucketed += tag
+      }
+      (li, ord)
+    }
+
+  /** Fact⋈fact join on co-located bucketed tables (zero exchanges — the
+    * write-time shuffle is amortized across every subsequent join):
+    * revenue per order priority. Result is layout-independent, so the
+    * DuckDB oracle is the plain join on the original parquet. */
+  def bucketedJoin: Q = (s, d) => {
+    val (li, ord) = prepareBucketed(s, d)
+    BucketedTables.cogroupJoin(s, li, ord, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,8)")).cast("double"), 2).as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
     "etl_csv_roundtrip" -> csvRoundtrip,
     "etl_mergetree_roundtrip" -> mergetreeRoundtrip,
+    "bucketed_join" -> bucketedJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,5 +114,11 @@ object EtlQueries {
         | count(*) AS cnt, min(l_shipdate) AS min_ship,
         | max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |   AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 }
