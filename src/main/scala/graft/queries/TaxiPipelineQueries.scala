@@ -47,6 +47,40 @@ object TaxiPipelineQueries {
   private def trips(s: SparkSession, d: String): DataFrame =
     MergeTreeWriter.read(s, prepare(s, d))
 
+  /** Incremental variant of [[prepare]]: the same raw rows arrive as TWO
+    * staged drops (the reference's "load month N+1" append,
+    * README.md:527-596) drained by [[graft.streaming.TaxiIngestStream]]
+    * with one checkpoint — the second drain must pick up only the new
+    * shards. Returns the analytic-table path. */
+  def prepareStreamed(s: SparkSession, d: String): String = synchronized {
+    val root =
+      s"${sys.props("java.io.tmpdir")}/graft_taxistream_${d.hashCode.toHexString}"
+    if (!prepared.contains(root)) {
+      val raw = TaxiGen.fromLineitem(Tables.lineitem(s, d))
+      CsvExport.write(raw.filter(pmod(col("trip_id"), lit(2L)) === 0),
+        s"$root/drop1", shards = 4)
+      CsvExport.write(raw.filter(pmod(col("trip_id"), lit(2L)) =!= 0),
+        s"$root/drop2", shards = 4)
+      def stage(drop: String): Unit = {
+        val dst = new java.io.File(s"$root/staging")
+        dst.mkdirs()
+        new java.io.File(s"$root/$drop").listFiles()
+          .filter(_.getName.endsWith(".csv.gz"))
+          .foreach { f =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(dst, f.getName).toPath)
+          }
+        graft.streaming.TaxiIngestStream.ingestAvailable(s,
+          s"$root/staging", s"$root/table", s"$root/ckpt")
+          .awaitTermination()
+      }
+      stage("drop1")
+      stage("drop2")
+      prepared += root
+    }
+    s"$root/table"
+  }
+
   /** Reference Q1 (README.md:606): cab_type counts. */
   def q1: Q = (s, d) =>
     trips(s, d).groupBy("cab_type").agg(count(lit(1)).as("cnt"))
@@ -92,12 +126,20 @@ object TaxiPipelineQueries {
           to_timestamp(lit("1970-01-01 00:00:00")), 1L).otherwise(0L))
           .as("n_epoch_dropoff"))
 
+  /** Reference Q1 over the STREAM-ingested table: the incremental
+    * two-drop ingest must agree with the batch derivation exactly, so
+    * it shares taxi_e2e_q1's oracle. */
+  def q1Streamed: Q = (s, d) =>
+    s.read.parquet(prepareStreamed(s, d))
+      .groupBy("cab_type").agg(count(lit(1)).as("cnt"))
+
   val queries: Map[String, Q] = Map(
     "taxi_e2e_q1" -> q1,
     "taxi_e2e_q2" -> q2,
     "taxi_e2e_q3" -> q3,
     "taxi_e2e_q4" -> q4,
     "taxi_e2e_canon" -> canon,
+    "taxi_stream_ingest" -> q1Streamed,
   )
 
   /** DuckDB replay of TaxiGen + TripsTransform for the oracled columns:
@@ -145,6 +187,8 @@ object TaxiPipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "taxi_e2e_q1" -> (derive +
+      "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
+    "taxi_stream_ingest" -> (derive +
       "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
     "taxi_e2e_q2" -> (derive +
       """SELECT pax,
