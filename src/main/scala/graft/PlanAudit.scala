@@ -134,6 +134,16 @@ object PlanAudit {
           rj.contains("BroadcastHashJoin")),
       "(key,bucket) hash join carries the proximity predicate")
 
+    // reference Q1 on the taxi-schema analytic table: the scan must
+    // read ONLY the grouping column (pickup_month is partition
+    // metadata, not data), with a partial+final aggregate on top.
+    val tq1 = plan("taxi_e2e_q1")
+    check("taxi_q1: scan prunes to cab_type",
+      tq1.contains("ReadSchema: struct<cab_type:string>"),
+      "51-column table, 1 column read")
+    check("taxi_q1: partial+final hash aggregate",
+      occurrences(tq1, "HashAggregate") >= 2, "")
+
     // bucketed fact⋈fact join: the ONLY exchange in the whole query is
     // the final tiny aggregate on o_orderpriority — the join itself
     // consumes both bucketed layouts with no shuffle and no sort.
