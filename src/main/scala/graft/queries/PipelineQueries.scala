@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{ConnectedComponents, Dedup, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,26 @@ object PipelineQueries {
       threshold = 0.35, blockCols = Seq("label"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup CLUSTERS: connected components over the embedding-cosine
+    * pairs (large-star/small-star), every vec_id labeled with its
+    * component's min id (itself if unpaired) plus the cluster size —
+    * the survivor-selection input of a dedup pipeline. Oracled by a
+    * DuckDB recursive CTE computing reachability over the same pairs. */
+  def dedupClusters: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.35, blockCols = Seq("label"))
+    val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+    val all = emb.select(col("vec_id").as("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    all.join(
+      all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+      Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+  }
+
   // --------------------------------------------------- similarity search
 
   /** Exact cosine top-5 for probes vec_id < 5 — the ANN correctness
@@ -168,6 +188,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_clusters" -> dedupClusters,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -257,6 +278,22 @@ object PipelineQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label,
+        |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+        | edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        | reach(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT g.t, r.lab FROM reach r JOIN edges g ON g.s = r.id),
+        | comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id, cluster_id,
+        | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM comp""".stripMargin,
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
