@@ -113,6 +113,30 @@ object PipelineQueries {
       .select(col("id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Stratified deterministic sample + disjoint split assignment over
+    * documents: per-language keep rates, then train/eval/test by hash
+    * interval. Hash-exact across engines (md5-derived, no RNG). */
+  def sampleStratified: Q = (s, d) => {
+    val sampled = operatorsSampling.stratifiedSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      fractions = Map("en" -> 0.5), default = 0.25, salt = "r2")
+    operatorsSampling.split(sampled, "doc_id", splitWeights, salt = "sp")
+      .select(col("doc_id"), col("lang"), col("split"))
+  }
+
+  private val operatorsSampling = graft.operators.Sampling
+  private val splitWeights =
+    Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1)
+  // the oracle must compare against the SAME doubles Spark computes:
+  // cumulative bounds are formatted with 17 significant digits (exact
+  // double round-trip) into the SQL
+  private def d17(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17g", Double.box(x))
+  private def splitBounds: (String, String) = {
+    val cums = splitWeights.map(_._2).scanLeft(0.0)(_ + _).tail
+    (d17(cums(0)), d17(cums(1)))
+  }
+
   // --------------------------------------------------- similarity search
 
   /** Exact cosine top-5 for probes vec_id < 5 — the ANN correctness
@@ -189,6 +213,7 @@ object PipelineQueries {
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_clusters" -> dedupClusters,
+    "sample_stratified" -> sampleStratified,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -294,6 +319,23 @@ object PipelineQueries {
         |SELECT id, cluster_id,
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp""".stripMargin,
+    "sample_stratified" -> {
+      val (b1, b2) = splitBounds
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  CAST(CAST(concat('0x', substring(md5(concat(
+         |    CAST(doc_id AS VARCHAR), 'r2')), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / CAST(4294967296 AS DOUBLE) AS hf,
+         |  CAST(CAST(concat('0x', substring(md5(concat(
+         |    CAST(doc_id AS VARCHAR), 'sp')), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / CAST(4294967296 AS DOUBLE) AS hs
+         | FROM documents)
+         |SELECT doc_id, lang,
+         | CASE WHEN hs < $b1 THEN 'train'
+         |      WHEN hs < $b2 THEN 'eval' ELSE 'test' END AS split
+         |FROM h
+         |WHERE hf < CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)
+         |                ELSE CAST(0.25 AS DOUBLE) END""".stripMargin
+    },
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)

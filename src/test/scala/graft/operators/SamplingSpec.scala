@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling: layout-independence, nesting, split
+  * disjointness, stratified rates. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("sample is identical across runs and partition layouts") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(17), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("samples nest: 10% is a subset of 30% under the same salt") {
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
+
+  test("different salts give (near-)independent samples") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3, salt = "x")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.3, salt = "y")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+  }
+
+  test("split is disjoint, exhaustive, and roughly proportioned") {
+    val n = docs.count()
+    val counts = Sampling.split(docs, "doc_id",
+      Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "eval", "test"))
+    assert(counts.values.sum === n)
+    assert(counts("train") > counts("eval") * 4)
+  }
+
+  test("stratified rates apply per stratum") {
+    val perLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), default = 0.0)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate 1.0 keeps every en doc; rate 0.0 drops every other stratum
+    assert(got === Map("en" -> perLang("en")))
+  }
+}
