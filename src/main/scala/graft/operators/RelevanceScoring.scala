@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring: term/document frequencies, smoothed
+  * TF-IDF, and Okapi BM25 — the ranking/quality signals a training-data
+  * pipeline uses for query-based corpus filtering ("keep documents
+  * relevant to topic X") and boilerplate downweighting.
+  *
+  * Scale shape: term frequencies are one explode + one map-side
+  * combinable groupBy on (doc, term); document frequencies for a QUERY
+  * are computed after filtering to the query's terms, so the df table
+  * is |query| rows and broadcasts; per-document length/score joins hash
+  * on doc id. Nothing is ever collected; the global N/avgdl statistics
+  * ride a 1-row broadcast cross join. Exact integer accumulation
+  * (counts as longs, score sums in decimal) keeps results
+  * order-independent — float sums over shuffled partitions are not
+  * reproducible, decimals are.
+  */
+object RelevanceScoring {
+
+  /** (doc_id, term, tf) — term frequencies over whitespace tokens of a
+    * pre-normalized text column. */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, dl) token counts per document. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TF.tokenCount(col(textCol)).as("dl"))
+
+  /** Okapi BM25 score of every document against a bag of query terms
+    * (docs with score 0 — no query term present — are omitted).
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), the standard
+    * negative-proof smoothing. Scores are rounded to 4 decimals after
+    * an exact decimal sum over the per-term contributions. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val lens = docLengths(docs, idCol, textCol)
+    // exact avgdl: integer sum / count, one double division
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tfq = termFreqs(docs, idCol, textCol)
+      .filter(col("term").isin(queryTerms: _*))
+    val dfs = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tfq
+      .join(broadcast(dfs), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (idf * tfNorm).cast("decimal(38,12)").as("contrib"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("bm25"))
+  }
+
+  /** Smoothed TF-IDF per (doc, term), query-free:
+    * tfidf = (1 + ln(tf)) · ln((N + 1)/(df + 1)). The full-vocabulary
+    * df table shuffles on term (it does NOT broadcast at corpus scale —
+    * vocabulary grows with the data). */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfs, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round((lit(1.0) + log(col("tf"))) *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4)
+          .as("tfidf"))
+  }
+}

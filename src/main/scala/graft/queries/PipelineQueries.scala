@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{ConnectedComponents, Dedup, SimilaritySearch}
+import graft.operators.{ConnectedComponents, Dedup, RelevanceScoring, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,6 +137,18 @@ object PipelineQueries {
     (d17(cums(0)), d17(cums(1)))
   }
 
+  /** Okapi BM25 relevance of every document against a fixed query bag —
+    * the corpus-filtering signal ("keep docs relevant to X"). Exact
+    * decimal summation makes the score order-independent; the oracle
+    * replays the identical arithmetic with constants emitted at 17
+    * significant digits. */
+  def textBm25: Q = (s, d) =>
+    RelevanceScoring.bm25(docs(s, d), "doc_id", "norm_text",
+      bm25Terms, k1 = bm25K1, b = bm25B)
+
+  private val bm25Terms = Seq("join", "stream", "filter")
+  private val (bm25K1, bm25B) = (1.2, 0.75)
+
   // --------------------------------------------------- similarity search
 
   /** Exact cosine top-5 for probes vec_id < 5 — the ANN correctness
@@ -214,6 +226,7 @@ object PipelineQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_clusters" -> dedupClusters,
     "sample_stratified" -> sampleStratified,
+    "text_bm25" -> textBm25,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -335,6 +348,28 @@ object PipelineQueries {
          |FROM h
          |WHERE hf < CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)
          |                ELSE CAST(0.25 AS DOUBLE) END""".stripMargin
+    },
+    "text_bm25" -> {
+      val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
+      val (a, k, c, bb) =
+        (d17(bm25K1 + 1.0), d17(bm25K1), d17(1.0 - bm25B), d17(bm25B))
+      s"""WITH d AS (SELECT doc_id, $norm AS nt FROM documents),
+         | t AS (SELECT doc_id, unnest(regexp_extract_all(nt, '\\S+')) AS term
+         |   FROM d),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |   WHERE term IN ($terms) GROUP BY 1, 2),
+         | dl AS (SELECT doc_id, len(regexp_extract_all(nt, '\\S+')) AS dl
+         |   FROM d),
+         | st AS (SELECT count(*) AS n_docs,
+         |   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT tf.doc_id,
+         | round(CAST(sum(CAST(
+         |   ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+         |   ((tf.tf * $a) / (tf.tf + $k * ($c + ($bb * dl.dl) / st.avgdl)))
+         |  AS DECIMAL(38,12))) AS DOUBLE), 4) AS bm25
+         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |GROUP BY 1""".stripMargin
     },
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
