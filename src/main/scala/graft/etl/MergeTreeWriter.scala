@@ -23,7 +23,13 @@ object MergeTreeWriter {
   def write(df: DataFrame, path: String, monthCol: String = "pickup_month",
       sortCol: String = "pickup_datetime"): Unit =
     df.repartition(col(monthCol))
-      .sortWithinPartitions(sortCol)
+      // sort by (partition col, time), not time alone: a dynamic
+      // partitionBy write REQUIRES ordering by the partition column and
+      // inserts its own UNSTABLE month-only sort when the incoming
+      // order doesn't already satisfy it — silently destroying the
+      // within-month time order. With the month prefix our sort
+      // satisfies the writer's requirement and survives verbatim.
+      .sortWithinPartitions(col(monthCol), col(sortCol))
       .write
       .mode("overwrite")
       .partitionBy(monthCol)
@@ -31,4 +37,16 @@ object MergeTreeWriter {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Periodic compaction for append-heavy tables (the streaming ingest
+    * sink accumulates one small file per drained shard per month):
+    * rewrite `src` into the canonical layout at `dst` — month
+    * partitions, time-sorted rows, one file per month — restoring the
+    * row-group min/max data skipping appends dilute. The analogue of a
+    * MergeTree background merge, run as a scheduled batch job off the
+    * hot append path. */
+  def compact(spark: SparkSession, src: String, dst: String,
+      monthCol: String = "pickup_month",
+      sortCol: String = "pickup_datetime"): Unit =
+    write(read(spark, src), dst, monthCol, sortCol)
 }

@@ -52,6 +52,23 @@ object Sampling {
     df.filter(hashFraction(col(keyCol), salt) < rate)
   }
 
+  /** Per-group quota: keep at most `n` rows per group, best-first by
+    * `rankOrder` (make the last sort key a unique id — ties without one
+    * make row_number, and therefore the kept set, nondeterministic).
+    * The classic domain-balancing op ("≤ n docs per site").
+    *
+    * Scale shape: Catalyst rewrites the rank-filter into
+    * WindowGroupLimit (Spark 3.5+), which prunes to n rows per group on
+    * the MAP side before the single group-key shuffle — a giant domain
+    * never ships more than n·tasks rows. */
+  def groupQuota(df: DataFrame, groupCols: Seq[String],
+      rankOrder: Seq[Column], n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(rankOrder: _*)
+    df.withColumn("_gq_rn", row_number().over(w))
+      .filter(col("_gq_rn") <= n).drop("_gq_rn")
+  }
+
   /** Disjoint, exhaustive split assignment ("train"/"eval"/... with
     * weights summing to ≤ 1; remainder falls into the last split).
     * Same key+salt always lands in the same split, independent of the

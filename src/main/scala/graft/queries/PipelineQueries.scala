@@ -149,6 +149,16 @@ object PipelineQueries {
   private val bm25Terms = Seq("join", "stream", "filter")
   private val (bm25K1, bm25B) = (1.2, 0.75)
 
+  /** Domain balancing: keep the 5 highest-quality docs per
+    * (lang, source), doc_id as the deterministic tiebreak. */
+  def sampleGroupQuota: Q = (s, d) =>
+    operatorsSampling.groupQuota(
+      Tables.documents(s, d)
+        .withColumn("quality", TF.qualityScore(col("text"))),
+      Seq("lang", "source"),
+      Seq(col("quality").desc, col("doc_id").asc), n = 5)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"))
+
   // --------------------------------------------------- similarity search
 
   /** Exact cosine top-5 for probes vec_id < 5 — the ANN correctness
@@ -226,6 +236,7 @@ object PipelineQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_clusters" -> dedupClusters,
     "sample_stratified" -> sampleStratified,
+    "sample_group_quota" -> sampleGroupQuota,
     "text_bm25" -> textBm25,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
@@ -349,6 +360,19 @@ object PipelineQueries {
          |WHERE hf < CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)
          |                ELSE CAST(0.25 AS DOUBLE) END""".stripMargin
     },
+    "sample_group_quota" ->
+      s"""WITH q AS (SELECT doc_id, lang, source,
+         | round(
+         |   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |   + (1.0 - least(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3
+         |   + least(CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+         |       t -> list_contains(${stopList(Seq("en", "es", "fr", "de"))}, t))) AS DOUBLE)
+         |     / greatest(len(regexp_extract_all(text, '\\S+')), 1) * 4.0, 1.0) * 0.3,
+         | 4) AS quality
+         | FROM documents),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
+         |   ORDER BY quality DESC, doc_id ASC) AS rn FROM q)
+         |SELECT doc_id, lang, source, quality FROM r WHERE rn <= 5""".stripMargin,
     "text_bm25" -> {
       val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
       val (a, k, c, bb) =

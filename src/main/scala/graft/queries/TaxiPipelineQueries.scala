@@ -56,6 +56,14 @@ object TaxiPipelineQueries {
     val root =
       s"${sys.props("java.io.tmpdir")}/graft_taxistream_${d.hashCode.toHexString}"
     if (!prepared.contains(root)) {
+      // a previous JVM's root would make this run APPEND onto its
+      // already-checkpointed table (each JVM regenerates shards under
+      // fresh names) — start from nothing instead
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(): Unit
+      }
+      wipe(new java.io.File(root))
       val raw = TaxiGen.fromLineitem(Tables.lineitem(s, d))
       CsvExport.write(raw.filter(pmod(col("trip_id"), lit(2L)) === 0),
         s"$root/drop1", shards = 4)

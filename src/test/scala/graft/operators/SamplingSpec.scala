@@ -46,6 +46,25 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > counts("eval") * 4)
   }
 
+  test("group quota keeps exactly n best rows per group, map-side pruned") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val quota = Sampling.groupQuota(docs, Seq("lang", "source"),
+      Seq(col("doc_id").asc), n = 3)
+    val sizes = quota.groupBy("lang", "source").count()
+      .collect().map(_.getLong(2))
+    assert(sizes.nonEmpty && sizes.forall(_ <= 3))
+    // kept rows are the n smallest doc_ids of each group
+    val perGroup = docs.groupBy("lang", "source")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("min_id"))
+    val joined = quota.join(perGroup, Seq("lang", "source"))
+      .filter(col("doc_id") === col("min_id"))
+    assert(joined.count() === perGroup.count()) // every group's min kept
+    // the rank filter must compile to map-side WindowGroupLimit
+    val plan = quota.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed to WindowGroupLimit:\n$plan")
+  }
+
   test("stratified rates apply per stratum") {
     val perLang = docs.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -61,4 +61,24 @@ class TaxiIngestStreamSpec extends SparkSpec {
     drain()
     assert(spark.read.parquet(s"$root/table").count() === before)
   }
+
+  test("compaction restores the sorted one-file-per-month layout") {
+    graft.etl.MergeTreeWriter.compact(spark, s"$root/table",
+      s"$root/compacted")
+    val src = spark.read.parquet(s"$root/table")
+    val dst = spark.read.parquet(s"$root/compacted")
+    assert(dst.count() === src.count())
+    val months = new java.io.File(s"$root/compacted").listFiles()
+      .filter(_.getName.startsWith("pickup_month="))
+    assert(months.nonEmpty)
+    months.foreach { m =>
+      val files = m.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${m.getName}: expected one file")
+      // rows inside the file are time-sorted (data skipping works)
+      val ts = spark.read.parquet(files.head.getPath)
+        .select("pickup_datetime").collect().map(_.getTimestamp(0))
+      assert(ts.zip(ts.tail).forall { case (a, b) => !a.after(b) },
+        s"${m.getName} not sorted")
+    }
+  }
 }
