@@ -79,6 +79,8 @@ object EventQueries {
     "stream_dedup" -> ((s, d) => EventsStream.streamingDedupCounts(s, d)),
     "stream_dedup_wm" ->
       ((s, d) => EventsStream.streamingDedupBoundedCounts(s, d)),
+    "stream_interval_join" ->
+      ((s, d) => EventsStream.viewPurchaseJoinCounts(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,6 +92,16 @@ object EventQueries {
     "stream_dedup_wm" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
+    // the drained two-sided stream joins exactly the pairs the batch
+    // self-join produces; timestamps compare at microsecond precision
+    "stream_interval_join" ->
+      """SELECT v.user_id AS user_id, count(*) AS n_pairs
+        |FROM events v JOIN events p
+        | ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(v.ts)
+        | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+        |GROUP BY 1""".stripMargin,
     "range_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,
         | epoch_us(b.ts) - epoch_us(a.ts) AS dt_us

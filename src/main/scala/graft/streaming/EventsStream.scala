@@ -93,6 +93,44 @@ object EventsStream {
       .agg(count(lit(1)).as("distinct_users"))
   }
 
+  /** Stream-stream INTERVAL JOIN: views joined to same-user purchases
+    * that follow within 30 minutes — the attribution query. Both sides
+    * are real streams with event-time watermarks; the time-range join
+    * condition is what lets Structured Streaming EVICT join state (a
+    * view older than watermark + 30 min can never match again), so
+    * state stays bounded at any scale. Inner join in append mode emits
+    * each matched pair exactly once; per-user pair counts are then a
+    * batch aggregate over the sink, equal to the batch/DuckDB self-join
+    * — the oracle. Timestamps compare at microsecond precision on both
+    * engines (micros here, epoch_us in the oracle). */
+  def viewPurchaseJoinCounts(spark: SparkSession, sfDir: String,
+      queryName: String = "events_ssjoin"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tp: String, a: String): DataFrame = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === tp)
+      .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_user"),
+        col("ts").as(s"${a}_ts"))
+      .withWatermark(s"${a}_ts", "2 hours")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */

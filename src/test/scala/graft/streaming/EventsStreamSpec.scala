@@ -28,6 +28,24 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-stream interval join equals the batch self-join") {
+    val streamed = EventsStream.viewPurchaseJoinCounts(
+      spark, sf(), "spec_ssjoin")
+    val e = Tables.events(spark, sf())
+    val batch = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .join(e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts")),
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("sessionize: single user with one gap splits into two sessions") {
     val out = graft.queries.EventQueries.sessionize(spark, sf())
     assert(out.count() > 0)
