@@ -41,7 +41,11 @@ object Bench {
     // CSV→staging→transform→MergeTree chain; measured runs then time the
     // benchmark queries against the materialized analytic table, exactly
     // like the reference (load once, benchmark queries after).
-    "taxi_e2e_q1", "taxi_e2e_q4")
+    "taxi_e2e_q1", "taxi_e2e_q4",
+    // round-2 operator lanes: iterative connected components, BM25
+    // scoring, and the co-located bucketed join (bucket write happens
+    // once in warmup — the amortization the layout exists for)
+    "dedup_clusters", "text_bm25", "bucketed_join")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
