@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.CosineSimilarityExpr
+import graft.functions.{CosineSimilarityExpr, TextFunctions => TF}
+import graft.operators.Sampling
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point (SURVEY.md §7.4 preference order
@@ -20,13 +21,50 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  import org.apache.spark.sql.GraftExpressionBridge.{catalystExpression, column}
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  /** Register a Column-combinator as a SQL function: unwrap argument
+    * expressions into Columns, apply the combinator, re-wrap. The
+    * resulting SQL function is the EXACT expression tree the Scala API
+    * builds — same codegen, same oracle parity. */
+  private def injectColumnFn(ext: SparkSessionExtensions, name: String,
+      f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getCanonicalName, name),
+      (exprs: Seq[Expression]) => catalystExpression(f(exprs.map(column)))))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      (FunctionIdentifier("cosine_similarity"),
+        new ExpressionInfo(
           classOf[CosineSimilarityExpr].getCanonicalName,
           "cosine_similarity"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        (exprs: Seq[Expression]) =>
           CosineSimilarityExpr(exprs(0), exprs(1))))
+    // the text-analysis and sampling surface for pure-SQL users
+    injectColumnFn(ext, "token_count", cs => TF.tokenCount(cs(0)))
+    injectColumnFn(ext, "bpe_token_count", cs => TF.regexTokenCount(cs(0)))
+    injectColumnFn(ext, "quality_score", cs => TF.qualityScore(cs(0)))
+    injectColumnFn(ext, "lang_id", cs => TF.langId(cs(0)))
+    injectColumnFn(ext, "doc_fingerprint", cs => TF.fingerprint(cs(0)))
+    injectColumnFn(ext, "rolling_hash", cs => TF.rollingHash(cs(0)))
+    // sample_hash(key) or sample_hash(key, salt_literal-as-column):
+    // the [0,1) deterministic hash behind Sampling — WHERE
+    // sample_hash(id) < 0.1 is a reproducible 10% sample in plain SQL
+    injectColumnFn(ext, "sample_hash", {
+      case Seq(k) => Sampling.hashFraction(k)
+      case Seq(k, salt) =>
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.concat(
+                k.cast("string"), salt.cast("string"))), 1, 8), 16, 10)
+          .cast("long") / 4294967296.0
+      case cs => throw new IllegalArgumentException(
+        s"sample_hash takes 1 or 2 args, got ${cs.size}")
+    })
   }
 }

@@ -113,6 +113,24 @@ object PipelineQueries {
       .select(col("id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** The complete dedup story: pairs → components → SURVIVORS. One doc
+    * per near-dup cluster is kept (the min id); output is the per-label
+    * corpus size before/after dedup — what a pipeline reports after a
+    * dedup pass. */
+  def dedupSurvivors: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.35, blockCols = Seq("label"))
+    val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+    val all = emb.select(col("vec_id").as("id"), col("label")).distinct()
+      .join(labels, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    all.groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id") === col("cluster_id"), 1L).otherwise(0L))
+          .as("n_survivors"))
+  }
+
   /** Stratified deterministic sample + disjoint split assignment over
     * documents: per-language keep rates, then train/eval/test by hash
     * interval. Hash-exact across engines (md5-derived, no RNG). */
@@ -235,6 +253,7 @@ object PipelineQueries {
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_clusters" -> dedupClusters,
+    "dedup_survivors" -> dedupSurvivors,
     "sample_stratified" -> sampleStratified,
     "sample_group_quota" -> sampleGroupQuota,
     "text_bm25" -> textBm25,
@@ -360,6 +379,24 @@ object PipelineQueries {
          |WHERE hf < CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)
          |                ELSE CAST(0.25 AS DOUBLE) END""".stripMargin
     },
+    "dedup_survivors" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label,
+        |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+        | edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        | reach(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT g.t, r.lab FROM reach r JOIN edges g ON g.s = r.id),
+        | comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT e.label, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN comp.id = comp.cluster_id THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_survivors
+        |FROM comp JOIN e ON e.vec_id = comp.id
+        |GROUP BY 1""".stripMargin,
     "sample_group_quota" ->
       s"""WITH q AS (SELECT doc_id, lang, source,
          | round(

@@ -12,4 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly translate a Column's node tree into a catalyst Expression
+    * (UnresolvedFunction/Literal/... nodes the analyzer then resolves).
+    * `ExpressionUtils.expression` merely WRAPS the node in an opaque
+    * Unevaluable leaf — fine inside Dataset transformations, but a
+    * function registered via SparkSessionExtensions must return a real
+    * catalyst tree or codegen dies on the wrapper. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -23,6 +23,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |""".stripMargin).head()
       assert(r.getDouble(0) === 1.0)
       assert(r.getDouble(1) === 0.0)
+      val t = spark.sql(
+        """SELECT token_count('a b  c') AS tc,
+          |       quality_score('hello world, a decent sentence.') AS q,
+          |       lang_id('the quick brown fox and the lazy dog') AS lid,
+          |       doc_fingerprint('Hello,  WORLD') AS fp,
+          |       sample_hash(42) AS h1,
+          |       sample_hash(42, 'x') AS h2
+          |""".stripMargin).head()
+      assert(t.getLong(0) === 3L)
+      assert(t.getDouble(1) > 0.0 && t.getDouble(1) <= 1.0)
+      assert(t.getString(2) === "en")
+      // same fingerprint as the Column API on normalized text
+      assert(t.getString(3) ===
+        spark.sql("SELECT md5(CAST('hello world' AS BINARY))").head()
+          .getString(0))
+      assert(t.getDouble(4) >= 0.0 && t.getDouble(4) < 1.0)
+      assert(t.getDouble(4) !== t.getDouble(5)) // salt changes the hash
     } finally {
       // do NOT spark.stop(): the SparkContext is shared JVM-wide with
       // the other suites; just detach this session from the registry.
