@@ -64,6 +64,28 @@ object Multimodal {
       }
   }
 
+  /** Binary→binary transform (the resize/thumbnail shape): payloads are
+    * decimated by `factor` (every factor-th byte — the STUB standing in
+    * for a real resampling kernel; a codec swap changes only the inner
+    * function). Output rows keep the blob schema, so resize chains with
+    * [[extractFeatures]]/[[sampleFrames]] like any media op. At scale
+    * this is map-only: no shuffle, payloads never leave their
+    * partition. */
+  def resizeBlobs(spark: SparkSession, blobs: DataFrame,
+      factor: Int): Dataset[MediaBlob] = {
+    import spark.implicits._
+    require(factor >= 1, "factor must be >= 1")
+    blobs.select("doc_id", "media_type", "data").as[MediaBlob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val out = b.data.zipWithIndex.collect {
+            case (byte, i) if i % factor == 0 => byte
+          }
+          MediaBlob(b.doc_id, s"${b.media_type}/resized", out)
+        }
+      }
+  }
+
   /** Sample every `stride`-th fixed-size chunk ("frame") of each payload
     * — the video-frame-sampling shape: one input row fans out to few
     * output rows, still fully partition-parallel. */

@@ -32,9 +32,24 @@ object MultimodalQueries {
         sum(col("frame_hash")).as("hash_sum"))
   }
 
+  /** Binary→binary resize (decimation stub) re-measured by the feature
+    * extractor: original vs resized byte counts per doc. The resized
+    * length is ceil(n/3) — a pure function of payload length, so DuckDB
+    * oracles the chained binary ops end-to-end. */
+  def multimodalResize: Q = (s, d) => {
+    val blobs = Multimodal.attachBlobs(Tables.documents(s, d))
+    val resized = Multimodal.resizeBlobs(s, blobs, factor = 3)
+    Multimodal.extractFeatures(s, resized.toDF()).toDF()
+      .select(col("doc_id"), col("n_bytes").as("resized_bytes"))
+      .join(Multimodal.extractFeatures(s, blobs).toDF()
+        .select(col("doc_id"), col("n_bytes").as("orig_bytes")), Seq("doc_id"))
+      .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"))
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_resize" -> multimodalResize,
   )
 
   val oracle: Map[String, String] = Map(
@@ -45,6 +60,12 @@ object MultimodalQueries {
         | CAST(CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 1 AS INT) AS height,
         | CAST(greatest((octet_length(encode(text)) + 255) // 256, 1) AS INT) AS n_frames,
         | CAST(CAST(octet_length(encode(text)) AS BIGINT) * 2654435761 % 255 AS DOUBLE) AS luma
+        |FROM documents""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+        | CAST((octet_length(encode(text)) + 2) // 3 AS BIGINT)
+        |   AS resized_bytes
         |FROM documents""".stripMargin,
   )
 }

@@ -28,6 +28,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L).luma === (600L * 2654435761L % 255L).toDouble)
   }
 
+  test("resizeBlobs decimates payload bytes and keeps the blob schema") {
+    val resized = Multimodal.resizeBlobs(spark,
+      Multimodal.attachBlobs(docs), factor = 3)
+    val r = resized.filter(col("doc_id") === 2).head()
+    // "short" → bytes at indexes 0 and 3: 's', 'r'
+    assert(new String(r.data, "UTF-8") === "sr")
+    assert(r.media_type === "image/resized")
+    // resized blobs chain into the extractor unchanged
+    val f = Multimodal.extractFeatures(spark, resized.toDF())
+      .filter(col("doc_id") === 1).head()
+    assert(f.n_bytes === 200) // ceil(600/3)
+  }
+
   test("sampleFrames strides chunks and checksums content") {
     val fr = Multimodal.sampleFrames(spark, Multimodal.attachBlobs(docs), 2)
       .collect()
