@@ -144,6 +144,12 @@ object PlanAudit {
     check("taxi_q1: partial+final hash aggregate",
       occurrences(tq1, "HashAggregate") >= 2, "")
 
+    // per-group quota: the rank filter must compile to map-side
+    // WindowGroupLimit so giant groups are pruned before the shuffle
+    val gq = plan("sample_group_quota")
+    check("group_quota: map-side WindowGroupLimit",
+      gq.contains("WindowGroupLimit"), "rank<=n pruned before exchange")
+
     // bucketed fact⋈fact join: the ONLY exchange in the whole query is
     // the final tiny aggregate on o_orderpriority — the join itself
     // consumes both bucketed layouts with no shuffle and no sort.

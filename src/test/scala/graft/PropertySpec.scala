@@ -104,6 +104,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sample nesting holds for arbitrary fraction pairs and keys") {
+    import graft.operators.Sampling
+    val keys = (1L to 400L).toDF("k")
+    samples(Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)), n = 8)
+      .foreach { case (f1, f2) =>
+        val (lo, hi) = (math.min(f1, f2), math.max(f1, f2))
+        val a = Sampling.deterministicSample(keys, "k", lo)
+          .collect().map(_.getLong(0)).toSet
+        val b = Sampling.deterministicSample(keys, "k", hi)
+          .collect().map(_.getLong(0)).toSet
+        assert(a.subsetOf(b), s"nesting violated for ($lo, $hi)")
+      }
+  }
+
+  test("split assignment is total and consistent with the split weights") {
+    import graft.operators.Sampling
+    val keys = (1L to 300L).toDF("k")
+    samples(Gen.choose(0.05, 0.95), n = 6).foreach { w =>
+      val out = Sampling.split(keys, "k", Seq("a" -> w, "b" -> (1.0 - w)))
+        .groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.values.sum === 300L)
+      assert(out.keySet.subsetOf(Set("a", "b")))
+    }
+  }
+
   test("jaccard is symmetric and bounded for arbitrary token lists") {
     val genDoc = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e"))
       .map(_.mkString(" "))
