@@ -34,10 +34,21 @@ object AsOfJoin {
     * @param leftTime   event-time column on the left
     * @param rightTime  event-time column on the right
     * @param rightCols  right columns to carry into matched rows
+    * @param direction  "backward" (most recent right at or before the
+    *                   left time — the default) or "forward" (earliest
+    *                   right at or after it), the two merge_asof
+    *                   directions; forward just flips the window's time
+    *                   order, same single shuffle
+    * @param toleranceMicros  optional max |left − matched right| time
+    *                   gap; matches farther away revert to null (the
+    *                   merge_asof tolerance contract)
     */
   def leftAsOf(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], direction: String = "backward",
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val rightSchema = right.select(rightCols.map(col): _*).schema
     val leftSchema = left.schema
@@ -85,16 +96,34 @@ object AsOfJoin {
         leftSchema.map(f =>
           lit(null).cast(f.dataType).as(f.name)) ++
         rightCols.map(c => col(c).as(s"${g}r_$c")): _*)
+    // backward: ascending time, latest right ≤ t wins. forward:
+    // DESCENDING time, so the running last() sees ever-smaller times
+    // and holds the earliest right ≥ t. Right rows (side 0) sort before
+    // left at equal times either way — inclusive semantics.
+    val tOrder =
+      if (direction == "backward") col(s"${g}t").asc else col(s"${g}t").desc
     val w = Window.partitionBy(col(s"${g}k"))
-      .orderBy(col(s"${g}t").asc, col(s"${g}side").asc)
+      .orderBy(tOrder, col(s"${g}side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+    // carry the matched right TIME too, so tolerance can disqualify
+    // (name "mt" cannot collide: right-col carries are all "m_"-prefixed)
+    val base = l.withColumn(s"${g}tr", lit(null).cast(TimestampType))
+      .unionByName(r.withColumn(s"${g}tr", col(s"${g}t")))
+    val carried0 = rightCols.foldLeft(base) { (df, c) =>
       df.withColumn(s"${g}m_$c",
         last(col(s"${g}r_$c"), ignoreNulls = true).over(w))
+    }
+    val carried = carried0.withColumn(s"${g}mt",
+      last(col(s"${g}tr"), ignoreNulls = true).over(w))
+    val withinTol: Column = toleranceMicros match {
+      case None => lit(true)
+      case Some(tol) =>
+        abs(unix_micros(col(s"${g}t")) - unix_micros(col(s"${g}mt"))) <= tol
     }
     carried.filter(col(s"${g}side") === 1)
       .select(
         leftCols.map(col) ++
-          rightCols.map(c => col(s"${g}m_$c").as(c)): _*)
+          rightCols.map(c =>
+            when(withinTol, col(s"${g}m_$c")).otherwise(lit(null)).as(c)): _*)
   }
 }

@@ -63,6 +63,26 @@ object EventQueries {
         col("o_totalprice").as("order_price"))
   }
 
+  /** Forward as-of: each event picks up the user's NEXT order at or
+    * after the event time ("time to next conversion"). Same shuffle
+    * shape as backward; DuckDB's ASOF with a flipped inequality is the
+    * oracle. */
+  def eventsAsOfNextOrder: Q = (s, d) => {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val rightDedup = Tables.orders(s, d)
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1).drop("_rn")
+    graft.operators.AsOfJoin.leftAsOf(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      rightDedup,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey"), direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("next_order_id"))
+  }
+
   /** Range join: same-user event pairs within 30 minutes — the
     * bucketized proximity join, oracled against a plain inequality
     * join in DuckDB. */
@@ -75,6 +95,7 @@ object EventQueries {
     "stream_hourly_stats" -> streamHourlyStats,
     "sessionize" -> sessionize,
     "asof_join" -> eventsAsOfOrders,
+    "asof_join_fwd" -> eventsAsOfNextOrder,
     "range_join" -> rangeJoinPairs,
     "stream_dedup" -> ((s, d) => EventsStream.streamingDedupCounts(s, d)),
     "stream_dedup_wm" ->
@@ -119,6 +140,15 @@ object EventQueries {
         |       rd.o_totalprice AS order_price
         |FROM events e ASOF LEFT JOIN rd
         |  ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate""".stripMargin,
+    "asof_join_fwd" ->
+      """WITH rd AS (
+        | SELECT o_custkey, o_orderdate, o_orderkey
+        | FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey,
+        |         o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders)
+        | WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, rd.o_orderkey AS next_order_id
+        |FROM events e ASOF LEFT JOIN rd
+        |  ON e.user_id = rd.o_custkey AND e.ts <= rd.o_orderdate""".stripMargin,
     "stream_hourly_stats" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start,
         | event_type, count(*) AS cnt,

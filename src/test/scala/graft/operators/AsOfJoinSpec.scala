@@ -27,6 +27,45 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> null, 5L -> null))
   }
 
+  test("forward direction picks the earliest right row at or after") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "2020-01-05"), // between r1 and r2 → r2 (next ahead)
+      (2L, 10L, "2020-01-10"), // exactly at r2 → r2 (inclusive)
+      (3L, 10L, "2020-03-01"), // after all → null
+      (4L, 10L, "2019-12-31")) // before all → r1
+      .toDF("event_id", "k", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val right = Seq(
+      (10L, "2020-01-01", "r1"),
+      (10L, "2020-01-10", "r2"))
+      .toDF("rk", "rt", "v")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt",
+      Seq("v"), direction = "forward")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("v"))
+      .toMap
+    assert(out === Map(1L -> "r2", 2L -> "r2", 3L -> null, 4L -> "r1"))
+  }
+
+  test("tolerance nulls out matches farther than the window") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "2020-01-02"), // 1 day after r1 → within 2-day tol
+      (2L, 10L, "2020-01-08")) // 7 days after r1 → outside tol
+      .toDF("event_id", "k", "t")
+      .withColumn("t", to_timestamp(col("t")))
+    val right = Seq((10L, "2020-01-01", "r1"))
+      .toDF("rk", "rt", "v")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val twoDaysUs = 2L * 24 * 3600 * 1000000
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt",
+      Seq("v"), toleranceMicros = Some(twoDaysUs))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("v"))
+      .toMap
+    assert(out === Map(1L -> "r1", 2L -> null))
+  }
+
   test("string join keys keep their native type (no silent null-cast)") {
     import spark.implicits._
     val left = Seq((1L, "u10", "2020-01-05"), (2L, "u99", "2020-01-05"))
