@@ -226,6 +226,55 @@ object RelationalQueries {
         countDistinct(col("o_custkey")).as("distinct_custs"))
   }
 
+  /** Rolling TIME-RANGE window (§2.5 extension): per customer, each
+    * order's count and decimal-exact spend over the trailing 30 days —
+    * a RANGE frame over event time, not a row frame, so same-day ties
+    * are all included regardless of row order (deterministic without a
+    * tiebreak). One shuffle on the partition key. */
+  def q23RollingWindow: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_seconds(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-30L * 24 * 3600, 0)
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("order_id"),
+        count(lit(1)).over(w).as("n_30d"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)")).over(w)
+          .cast("double"), 4).as("spend_30d"))
+  }
+
+  /** Semi/anti joins (§2.3 extension): per market segment, customers
+    * WITH at least one order (left-semi) and WITHOUT any (left-anti).
+    * Catalyst plans both as existence joins — no row duplication, and
+    * the orders side carries only the join key. */
+  def q24SemiAnti: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val orderKeys = Tables.orders(s, d).select(col("o_custkey"))
+    val withO = cust.join(orderKeys,
+      cust("c_custkey") === orderKeys("o_custkey"), "leftsemi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+    val without = cust.join(orderKeys,
+      cust("c_custkey") === orderKeys("o_custkey"), "leftanti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_no_orders"))
+    withO.join(without, Seq("c_mktsegment"), "outer")
+      .select(col("c_mktsegment").as("segment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_no_orders"), lit(0L)).as("n_no_orders"))
+  }
+
+  /** INTERSECT / EXCEPT (§2.7 completion beyond q15's UNION): customers
+    * in both the urgent and high-value cohorts, and urgent-only. Spark
+    * and SQL both use distinct set semantics. */
+  def q25IntersectExcept: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val high = o.filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey"))
+    urgent.intersect(high).agg(count(lit(1)).as("n_both"))
+      .crossJoin(urgent.except(high)
+        .agg(count(lit(1)).as("n_urgent_only")))
+  }
+
   /** Window-function battery (extension beyond the reference, SURVEY.md
     * §2.5): rank, lag, lead, and a running sum per priority class, all
     * deterministically ordered. One shuffle on the partition key; the
@@ -342,6 +391,9 @@ object RelationalQueries {
     "q13_pad_format" -> q13PadFormat,
     "q14_window_topk" -> q14WindowTopK,
     "q15_set_ops" -> q15SetOps,
+    "q23_rolling_window" -> q23RollingWindow,
+    "q24_semi_anti" -> q24SemiAnti,
+    "q25_intersect_except" -> q25IntersectExcept,
   )
 
   val oracle: Map[String, String] = Map(
@@ -471,5 +523,35 @@ object RelationalQueries {
         | SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
         | UNION ALL
         | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q23_rolling_window" ->
+      """SELECT o_orderkey AS order_id,
+        | count(*) OVER w AS n_30d,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) OVER w
+        |   AS DOUBLE), 4) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        | RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q24_semi_anti" ->
+      """SELECT c_mktsegment AS segment,
+        | CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_with_orders,
+        | CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_no_orders
+        |FROM (SELECT c_mktsegment,
+        |  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+        | FROM customer)
+        |GROUP BY 1""".stripMargin,
+    "q25_intersect_except" ->
+      """SELECT
+        | (SELECT count(*) FROM (
+        |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0))
+        |   AS n_both,
+        | (SELECT count(*) FROM (
+        |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |   EXCEPT
+        |   SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0))
+        |   AS n_urgent_only""".stripMargin,
   )
 }
