@@ -41,11 +41,20 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
     var sig = signature(e)
+    // adaptive narrowing: near-dup edge sets are usually a sliver of the
+    // corpus, so once the (already-known-from-the-signature) edge count
+    // is small, collapse to one partition — each remaining round becomes
+    // single-task instead of paying full-width shuffle scheduling. At
+    // real scale the count stays large and the width stays put.
+    def narrowed(df: DataFrame, count: Long): DataFrame =
+      if (count <= 100000 && df.rdd.getNumPartitions > 1)
+        df.coalesce(1) else df
+    e = narrowed(e, sig._1)
     var round = 0
     while (round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nextSig = signature(next)
-      e = next
+      e = narrowed(next, nextSig._1)
       round += 1
       if (nextSig == sig) return e
       sig = nextSig
