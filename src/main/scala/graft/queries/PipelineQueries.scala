@@ -155,6 +155,37 @@ object PipelineQueries {
     (d17(cums(0)), d17(cums(1)))
   }
 
+  /** Within-document repetition (Gopher-style quality signal): the
+    * fraction of duplicate word 3-grams inside each document. Map-only;
+    * array stages are materialized column-by-column (interpreted HOF
+    * rule). */
+  def textRepetition: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), TF.tokens(col("norm_text")).as("toks"))
+      .select(col("doc_id"),
+        TF.shinglesFromTokens(col("toks"), 3).as("ng"))
+      .select(col("doc_id"),
+        size(col("ng")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("ng"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        // raw double, no rounding: exact integer inputs through the
+        // same two IEEE ops are bit-identical across engines
+        when(col("n_ngrams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+          .otherwise(lit(0.0)).as("repetition"))
+
+  /** Token-length histogram over the corpus — the length-distribution
+    * report every dataset card carries. Fixed-width buckets of 20
+    * tokens, top-coded at bucket 9; pure integer arithmetic so the
+    * bucketing is engine-exact. */
+  def textLengthHist: Q = (s, d) =>
+    docs(s, d)
+      .select(TF.tokenCount(col("norm_text")).as("tc"))
+      .select(least(expr("tc div 20"), lit(9L)).as("bucket"), col("tc"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("tc")).as("min_tokens"), max(col("tc")).as("max_tokens"))
+
   /** Okapi BM25 relevance of every document against a fixed query bag —
     * the corpus-filtering signal ("keep docs relevant to X"). Exact
     * decimal summation makes the score order-independent; the oracle
@@ -257,6 +288,8 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratified,
     "sample_group_quota" -> sampleGroupQuota,
     "text_bm25" -> textBm25,
+    "text_repetition" -> textRepetition,
+    "text_length_hist" -> textLengthHist,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -410,6 +443,31 @@ object PipelineQueries {
          | r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
          |   ORDER BY quality DESC, doc_id ASC) AS rn FROM q)
          |SELECT doc_id, lang, source, quality FROM r WHERE rn <= 5""".stripMargin,
+    "text_repetition" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   regexp_extract_all($norm, '\\S+') AS toks FROM documents),
+         | g AS (SELECT doc_id,
+         |   CASE WHEN len(toks) = 0 THEN []
+         |        WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         |        ELSE list_transform(generate_series(1, len(toks) - 2),
+         |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END
+         |     AS ng
+         |  FROM d)
+         |SELECT doc_id,
+         | CAST(len(ng) AS BIGINT) AS n_ngrams,
+         | CAST(len(list_distinct(ng)) AS BIGINT) AS n_distinct,
+         | CASE WHEN len(ng) > 0
+         |      THEN 1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng)
+         |      ELSE 0.0 END AS repetition
+         |FROM g""".stripMargin,
+    "text_length_hist" ->
+      s"""WITH t AS (SELECT len(regexp_extract_all($norm, '\\S+')) AS tc
+         |  FROM documents)
+         |SELECT CAST(least(tc // 20, 9) AS BIGINT) AS bucket,
+        | count(*) AS n_docs,
+         | CAST(min(tc) AS BIGINT) AS min_tokens,
+         | CAST(max(tc) AS BIGINT) AS max_tokens
+         |FROM t GROUP BY 1""".stripMargin,
     "text_bm25" -> {
       val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
       val (a, k, c, bb) =
