@@ -1,0 +1,82 @@
+package graft
+
+import java.util.Locale
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: runs the four reference benchmark
+  * aggregations against the base fact table and against a K×-enlarged
+  * copy (the base unioned K times, rewritten as parquet), and reports
+  * the time ratio. A plan that "would survive a 100× scale-up" should
+  * grow ≲ linearly in rows here (the partial-aggregate → tiny-shuffle
+  * → final shape has no superlinear stage and its shuffle volume is the
+  * group count, not the row count).
+  *
+  *   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 4"
+  *
+  * Prints one line per query: base median, K× median, ratio, plus a
+  * JSON summary line. Ratios well under K mean the fixed per-job
+  * overhead still dominates at this size; ratios near K mean scan-bound
+  * linear scaling — both are healthy. A ratio ≫ K would flag a
+  * superlinear stage (the thing this harness exists to catch).
+  */
+object ScaleSmoke {
+
+  private val queries = Seq("q1_count_by_flag", "q2_avg_by_status",
+    "q3_count_by_flag_year", "q4_count_3key_sorted")
+
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.size / 2)
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = s"${sys.props("java.io.tmpdir")}/graft_scale_${k}x_${base.hashCode.toHexString}"
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+      val li = Tables.lineitem(spark, base)
+      (1 to k).map(_ => li).reduce(_ unionAll _)
+        .repartition(cpus.toInt * 2)
+        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    }
+    val nBase = Tables.lineitem(spark, base).count()
+    val nBig = Tables.lineitem(spark, big).count()
+    System.err.println(s"[scale] base=$nBase rows, ${k}x=$nBig rows")
+
+    def run(q: String, dir: String): Double = {
+      val f = () => SparkEntry.queries(q)(spark, dir)
+        .queryExecution.toRdd.foreach(_ => ())
+      f() // warmup
+      median((1 to 3).map(_ => time(f())))
+    }
+    val rows = queries.map { q =>
+      val (b, g) = (run(q, base), run(q, big))
+      System.err.println(
+        s"[scale] $q base=${fmt(b)}s ${k}x=${fmt(g)}s ratio=${fmt(g / b)}")
+      (q, b, g)
+    }
+    val js = rows.map { case (q, b, g) =>
+      s""""$q":{"base":${fmt(b)},"k":${fmt(g)},"ratio":${fmt(g / b)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","k":$k,"queries":$js}""")
+    spark.stop()
+  }
+}
