@@ -356,6 +356,23 @@ object RelationalQueries {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
 
+  /** Approximate percentiles — the sketch that REPLACES q21's exact
+    * form at 100 TB (bounded-memory KLL/GK-style digest, mergeable
+    * across partitions, vs exact percentile's full value collection per
+    * group). Emitted beside the exact values; the accuracy parameter
+    * bounds rank error, and the spec pins the gap. Deterministic for a
+    * given dataset, but no DuckDB twin → rows-only driver check. */
+  def q26ApproxPercentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr(
+          "percentile_approx(l_extendedprice, 0.5, 10000)"), 4).as("ap50"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr(
+          "percentile_approx(l_extendedprice, 0.95, 10000)"), 4).as("ap95"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+
   /** Pivot (wide aggregation): linestatus counts as columns per
     * returnflag. Spark leaves empty cells null; coalesced to 0 to match
     * the conditional-count formulation every SQL engine uses. */
@@ -394,6 +411,7 @@ object RelationalQueries {
     "q23_rolling_window" -> q23RollingWindow,
     "q24_semi_anti" -> q24SemiAnti,
     "q25_intersect_except" -> q25IntersectExcept,
+    "q26_approx_percentiles" -> q26ApproxPercentiles,
   )
 
   val oracle: Map[String, String] = Map(

@@ -51,6 +51,17 @@ class NoOracleLanesSpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_5") >= 0.5) // nProbe=4/16 scans 25% of cells
   }
 
+  test("q26_approx_percentiles: sketch tracks exact within rank error") {
+    q("q26_approx_percentiles").collect().foreach { r =>
+      // accuracy 10000 ⇒ rank error ≤ 1/10000; at sf0.001 group sizes
+      // the sketch is effectively exact — pin a tight relative bound
+      assert(math.abs(r.getAs[Double]("ap50") - r.getAs[Double]("p50"))
+        <= 0.01 * r.getAs[Double]("p50"))
+      assert(math.abs(r.getAs[Double]("ap95") - r.getAs[Double]("p95"))
+        <= 0.01 * r.getAs[Double]("p95"))
+    }
+  }
+
   test("multimodal_frames: per-doc frame sampling totals pinned") {
     val agg = q("multimodal_frames")
       .agg(count(lit(1)).as("docs"), sum("n_sampled").as("frames"),
