@@ -31,4 +31,25 @@ object RawCsvSource {
       .option("dateFormat", "yyyy-MM-dd")
       .option("mode", "PERMISSIVE")
       .csv(path)
+
+  /** Staging read that CAPTURES malformed rows instead of silently
+    * nulling their fields — the accounting trans.py's manual loop gave
+    * the reference. Rows that fail to parse keep their raw line in
+    * `_corrupt_record` (null for clean rows), so a pipeline can route
+    * rejects to a quarantine sink and prove every input line is either
+    * loaded or quarantined — at 100 TB, silent row loss is the failure
+    * mode this exists to prevent. */
+  def readCaptureCorrupt(spark: SparkSession, path: String,
+      schema: StructType = TripsSchemas.tripsRaw): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", "false")
+      .option("nullValue", "\\N")
+      .option("emptyValue", null: String)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("dateFormat", "yyyy-MM-dd")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
 }

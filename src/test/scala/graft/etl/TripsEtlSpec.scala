@@ -126,6 +126,29 @@ class TripsEtlSpec extends SparkSpec {
     assert(r3.getAs[Any]("precipitation") == null) // date unmatched
   }
 
+  test("corrupt rows are captured, clean rows parse, nothing is lost") {
+    val dir = tmpDir("trips_corrupt")
+    val lines = Seq(
+      rawLine(7, "CMT", "2015-01-05 10:00:00", "2015-01-05 10:20:00",
+        "Y", "2", "1.5", "CASH", "yellow"),
+      "garbage-trip-id,CMT,not-a-timestamp,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,",
+      rawLine(8, "VTS", "2015-01-06 10:00:00", "", "N", "1", "2.0",
+        "CRD", "green"))
+    Files.write(java.nio.file.Paths.get(dir, "mixed.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val out = RawCsvSource.readCaptureCorrupt(spark, dir).cache()
+    assert(out.count() === 3) // every input line accounted for
+    val bad = out.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() === 1)
+    assert(bad.head().getAs[String]("_corrupt_record")
+      .startsWith("garbage-trip-id"))
+    val good = out.filter(col("_corrupt_record").isNull)
+    assert(good.count() === 2)
+    assert(good.select("trip_id").collect().map(_.getLong(0)).toSet
+      === Set(7L, 8L))
+    out.unpersist()
+  }
+
   test("S4: month-partitioned sorted write round-trips and sorts") {
     val t = TripsTransform(RawCsvSource.read(spark, rawCsvDir))
     val out = tmpDir("mergetree_out")
