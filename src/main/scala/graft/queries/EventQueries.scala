@@ -63,6 +63,26 @@ object EventQueries {
         col("o_totalprice").as("order_price"))
   }
 
+  /** Backward as-of with a 30-day tolerance: stale matches revert to
+    * null. Oracle: DuckDB ASOF plus a CASE disqualifying matches older
+    * than the window, compared at microsecond precision. */
+  def eventsAsOfOrdersTol: Q = (s, d) => {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val rightDedup = Tables.orders(s, d)
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1).drop("_rn")
+    graft.operators.AsOfJoin.leftAsOf(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      rightDedup,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey"),
+      toleranceMicros = Some(30L * 24 * 3600 * 1000000L))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("order_id"))
+  }
+
   /** Forward as-of: each event picks up the user's NEXT order at or
     * after the event time ("time to next conversion"). Same shuffle
     * shape as backward; DuckDB's ASOF with a flipped inequality is the
@@ -96,6 +116,7 @@ object EventQueries {
     "sessionize" -> sessionize,
     "asof_join" -> eventsAsOfOrders,
     "asof_join_fwd" -> eventsAsOfNextOrder,
+    "asof_join_tol" -> eventsAsOfOrdersTol,
     "range_join" -> rangeJoinPairs,
     "stream_dedup" -> ((s, d) => EventsStream.streamingDedupCounts(s, d)),
     "stream_dedup_wm" ->
@@ -138,6 +159,17 @@ object EventQueries {
         | WHERE rn = 1)
         |SELECT e.event_id, e.user_id, rd.o_orderkey AS order_id,
         |       rd.o_totalprice AS order_price
+        |FROM events e ASOF LEFT JOIN rd
+        |  ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate""".stripMargin,
+    "asof_join_tol" ->
+      """WITH rd AS (
+        | SELECT o_custkey, o_orderdate, o_orderkey
+        | FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey,
+        |         o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders)
+        | WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        | CASE WHEN epoch_us(e.ts) - epoch_us(rd.o_orderdate)
+        |        <= 2592000000000 THEN rd.o_orderkey END AS order_id
         |FROM events e ASOF LEFT JOIN rd
         |  ON e.user_id = rd.o_custkey AND e.ts >= rd.o_orderdate""".stripMargin,
     "asof_join_fwd" ->

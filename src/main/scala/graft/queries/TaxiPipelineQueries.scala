@@ -141,6 +141,22 @@ object TaxiPipelineQueries {
     s.read.parquet(prepareStreamed(s, d))
       .groupBy("cab_type").agg(count(lit(1)).as("cnt"))
 
+  /** Reference Q1 over the COMPACTED stream-ingested table: compaction
+    * (the background-merge analogue) must preserve content exactly, so
+    * it shares taxi_e2e_q1's oracle. */
+  def q1Compacted: Q = (s, d) => {
+    val src = prepareStreamed(s, d)
+    val dst = s"${src}_compacted"
+    synchronized {
+      if (!prepared.contains(dst)) {
+        MergeTreeWriter.compact(s, src, dst)
+        prepared += dst
+      }
+    }
+    MergeTreeWriter.read(s, dst)
+      .groupBy("cab_type").agg(count(lit(1)).as("cnt"))
+  }
+
   val queries: Map[String, Q] = Map(
     "taxi_e2e_q1" -> q1,
     "taxi_e2e_q2" -> q2,
@@ -148,6 +164,7 @@ object TaxiPipelineQueries {
     "taxi_e2e_q4" -> q4,
     "taxi_e2e_canon" -> canon,
     "taxi_stream_ingest" -> q1Streamed,
+    "taxi_compacted_q1" -> q1Compacted,
   )
 
   /** DuckDB replay of TaxiGen + TripsTransform for the oracled columns:
@@ -197,6 +214,8 @@ object TaxiPipelineQueries {
     "taxi_e2e_q1" -> (derive +
       "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
     "taxi_stream_ingest" -> (derive +
+      "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
+    "taxi_compacted_q1" -> (derive +
       "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
     "taxi_e2e_q2" -> (derive +
       """SELECT pax,
