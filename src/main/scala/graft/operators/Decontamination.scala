@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-corpus decontamination: flag training documents that share
+  * any word n-gram with a held-out evaluation set — the overlap check
+  * every serious pretraining pipeline runs before training, so eval
+  * numbers measure generalization rather than memorized test data.
+  *
+  * Scale shape: both sides reduce to DISTINCT (doc, n-gram) pairs via
+  * explode + map-side-combinable distinct; the single expensive stage
+  * is one equi-join shuffled on the n-gram. The eval side is typically
+  * thousands of documents — its distinct n-gram set usually broadcasts
+  * outright — while the training side streams through at any size.
+  * For very long n-grams, hash them to 64-bit first (xxhash64) to
+  * shuffle fixed-width keys; the raw-string form here keeps the DuckDB
+  * oracle exact.
+  */
+object Decontamination {
+
+  /** Distinct (id, ngram) pairs of a pre-normalized text column. */
+  private def ngramPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), TF.shinglesFromTokens(col("toks"), n).as("ng"))
+      .select(col("doc_id"), explode(col("ng")).as("ngram"))
+      .distinct()
+
+  /** Flagged training docs: (doc_id, n_shared) for every training doc
+    * sharing ≥1 n-gram with the eval set. Join the output back with a
+    * left-anti to actually drop them. */
+  def flagOverlaps(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalNg = ngramPairs(eval, idCol, textCol, n)
+      .select(col("ngram")).distinct()
+    ngramPairs(train, idCol, textCol, n)
+      .join(evalNg, Seq("ngram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The cleaned corpus: training docs with every flagged doc removed
+    * (left-anti on the flag set — no row duplication). */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val flagged = flagOverlaps(train, eval, idCol, textCol, n)
+      .select(col("doc_id").as("_flagged_id"))
+    train.join(flagged, train(idCol) === col("_flagged_id"), "leftanti")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{ConnectedComponents, Dedup, RelevanceScoring, SimilaritySearch}
+import graft.operators.{ConnectedComponents, Decontamination, Dedup, RelevanceScoring, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -155,6 +155,17 @@ object PipelineQueries {
     (d17(cums(0)), d17(cums(1)))
   }
 
+  /** Eval-set decontamination: a deterministic 10% hash-sample of the
+    * corpus plays the held-out set; training docs sharing any 5-gram
+    * with it are flagged with their shared-gram count. */
+  def decontaminate: Q = (s, d) => {
+    val all = docs(s, d)
+    val isEval = operatorsSampling.hashFraction(col("doc_id"), "eval") < 0.1
+    Decontamination.flagOverlaps(
+      all.filter(!isEval), all.filter(isEval),
+      "doc_id", "norm_text", n = 5)
+  }
+
   /** Within-document repetition (Gopher-style quality signal): the
     * fraction of duplicate word 3-grams inside each document. Map-only;
     * array stages are materialized column-by-column (interpreted HOF
@@ -290,6 +301,7 @@ object PipelineQueries {
     "text_bm25" -> textBm25,
     "text_repetition" -> textRepetition,
     "text_length_hist" -> textLengthHist,
+    "decontaminate" -> decontaminate,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -443,6 +455,25 @@ object PipelineQueries {
          | r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
          |   ORDER BY quality DESC, doc_id ASC) AS rn FROM q)
          |SELECT doc_id, lang, source, quality FROM r WHERE rn <= 5""".stripMargin,
+    "decontaminate" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   regexp_extract_all($norm, '\\S+') AS toks,
+         |   CAST(CAST(concat('0x', substring(md5(concat(
+         |     CAST(doc_id AS VARCHAR), 'eval')), 1, 8)) AS BIGINT) AS DOUBLE)
+         |     / CAST(4294967296 AS DOUBLE) AS h
+         |  FROM documents),
+         | g AS (SELECT doc_id, h, unnest(
+         |   CASE WHEN len(toks) = 0 THEN []
+         |        WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+         |        ELSE list_transform(generate_series(1, len(toks) - 4),
+         |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+         |            toks[i+3], toks[i+4])) END) AS ngram
+         |  FROM d),
+         | ev AS (SELECT DISTINCT ngram FROM g WHERE h < 0.1),
+         | tr AS (SELECT DISTINCT doc_id, ngram FROM g WHERE h >= 0.1)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (ngram)
+         |GROUP BY 1""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (SELECT doc_id,
          |   regexp_extract_all($norm, '\\S+') AS toks FROM documents),
