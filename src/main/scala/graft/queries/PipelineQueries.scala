@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{ConnectedComponents, Decontamination, Dedup, RelevanceScoring, SimilaritySearch}
+import graft.operators.{ConnectedComponents, Decontamination, Dedup, EmbeddingStats, RelevanceScoring, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -155,6 +155,12 @@ object PipelineQueries {
     (d17(cums(0)), d17(cums(1)))
   }
 
+  /** Per-label centroid statistics over the embedding corpus: exact
+    * integer micro-unit sums per (label, dimension). */
+  def embeddingCentroids: Q = (s, d) =>
+    EmbeddingStats.centroidStats(Tables.embeddings(s, d),
+      "label", "embedding")
+
   /** Eval-set decontamination: a deterministic 10% hash-sample of the
     * corpus plays the held-out set; training docs sharing any 5-gram
     * with it are flagged with their shared-gram count. */
@@ -302,6 +308,7 @@ object PipelineQueries {
     "text_repetition" -> textRepetition,
     "text_length_hist" -> textLengthHist,
     "decontaminate" -> decontaminate,
+    "embedding_centroids" -> embeddingCentroids,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -455,6 +462,16 @@ object PipelineQueries {
          | r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
          |   ORDER BY quality DESC, doc_id ASC) AS rn FROM q)
          |SELECT doc_id, lang, source, quality FROM r WHERE rn <= 5""".stripMargin,
+    "embedding_centroids" ->
+      """WITH x AS (SELECT label,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |  unnest(generate_series(1, len(embedding))) AS i
+        | FROM embeddings)
+        |SELECT label AS grp, CAST(i - 1 AS BIGINT) AS dim,
+        | CAST(sum(CAST(floor(v * 1000000) AS BIGINT)) AS BIGINT)
+        |   AS sum_micro,
+        | count(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "decontaminate" ->
       s"""WITH d AS (SELECT doc_id,
          |   regexp_extract_all($norm, '\\S+') AS toks,
