@@ -161,6 +161,15 @@ object PipelineQueries {
     EmbeddingStats.centroidStats(Tables.embeddings(s, d),
       "label", "embedding")
 
+  /** Nearest-centroid confusion matrix: every embedding assigned to its
+    * closest label centroid; ties (none in practice) break to the
+    * higher label. */
+  def embeddingAssign: Q = (s, d) =>
+    EmbeddingStats.nearestCentroidConfusion(Tables.embeddings(s, d),
+      "vec_id", "label", "embedding")
+      .select(col("true_grp").cast("long").as("true_label"),
+        col("assigned_grp").cast("long").as("assigned_label"), col("n"))
+
   /** Eval-set decontamination: a deterministic 10% hash-sample of the
     * corpus plays the held-out set; training docs sharing any 5-gram
     * with it are flagged with their shared-gram count. */
@@ -309,6 +318,7 @@ object PipelineQueries {
     "text_length_hist" -> textLengthHist,
     "decontaminate" -> decontaminate,
     "embedding_centroids" -> embeddingCentroids,
+    "embedding_assign" -> embeddingAssign,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -472,6 +482,27 @@ object PipelineQueries {
         |   AS sum_micro,
         | count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+    "embedding_assign" ->
+      """WITH x AS (SELECT label,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |  unnest(generate_series(1, len(embedding))) AS i
+        | FROM embeddings),
+        | st AS (SELECT label AS grp, i AS dim,
+        |  sum(CAST(floor(v * 1000000) AS BIGINT)) AS sum_micro, count(*) AS n
+        | FROM x GROUP BY 1, 2),
+        | c AS (SELECT grp, list(CAST(sum_micro AS DOUBLE)
+        |    / CAST(n * 1000000 AS DOUBLE) ORDER BY dim) AS centroid
+        |  FROM st GROUP BY 1),
+        | scored AS (SELECT e.vec_id, e.label,
+        |   c.grp, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |     c.centroid) AS cos
+        |  FROM embeddings e CROSS JOIN c),
+        | best AS (SELECT vec_id, label, grp,
+        |   row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY cos DESC, grp DESC) AS rk FROM scored)
+        |SELECT CAST(label AS BIGINT) AS true_label,
+        | CAST(grp AS BIGINT) AS assigned_label, count(*) AS n
+        |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
     "decontaminate" ->
       s"""WITH d AS (SELECT doc_id,
          |   regexp_extract_all($norm, '\\S+') AS toks,

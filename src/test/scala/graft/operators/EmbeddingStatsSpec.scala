@@ -24,4 +24,17 @@ class EmbeddingStatsSpec extends SparkSpec {
     // centroid reconstruction: sum_micro / (n * 1e6)
     assert(got(("a", 0L))._1.toDouble / (2 * 1e6) === 2.0)
   }
+
+  test("nearest-centroid assignment recovers well-separated groups") {
+    // group 1 points along +x, group 2 along +y; all should classify
+    // back to their own centroid
+    val emb = Seq(
+      (1L, 1, Array(1.0f, 0.1f)), (2L, 1, Array(0.9f, -0.1f)),
+      (3L, 2, Array(0.1f, 1.0f)), (4L, 2, Array(-0.1f, 0.9f)))
+      .toDF("vec_id", "label", "embedding")
+    val confusion = EmbeddingStats.nearestCentroidConfusion(
+      emb, "vec_id", "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(confusion === Map((1, 1) -> 2L, (2, 2) -> 2L))
+  }
 }
