@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "cosine_similarity"),
         (exprs: Seq[Expression]) =>
           CosineSimilarityExpr(exprs(0), exprs(1))))
+    // custom TypedImperativeAggregate: heavy_hitters(col, k) — k must
+    // be a literal (evaluated at registration)
+    ext.injectFunction((FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(
+        classOf[graft.functions.HeavyHittersAgg].getCanonicalName,
+        "heavy_hitters"),
+      (exprs: Seq[Expression]) => graft.functions.HeavyHittersAgg(
+        exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
     // the text-analysis and sampling surface for pure-SQL users
     injectColumnFn(ext, "token_count", cs => TF.tokenCount(cs(0)))
     injectColumnFn(ext, "bpe_token_count", cs => TF.regexTokenCount(cs(0)))

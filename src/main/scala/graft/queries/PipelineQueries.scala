@@ -155,6 +155,19 @@ object PipelineQueries {
     (d17(cums(0)), d17(cums(1)))
   }
 
+  /** Heavy hitters over corpus tokens through the custom Misra-Gries
+    * TypedImperativeAggregate. Capacity 200 exceeds this corpus's
+    * vocabulary, so the bounded sketch degenerates to exact counts —
+    * making the custom-aggregate path (ObjectHashAggregate, buffer
+    * serialization between partial and final) fully DuckDB-oracled;
+    * the spec separately exercises the lossy small-k regime. */
+  def textHeavyHitters: Q = (s, d) =>
+    docs(s, d)
+      .select(explode(TF.tokens(col("norm_text"))).as("token"))
+      .agg(graft.functions.SketchFunctions.heavyHitters(col("token"), 200)
+        .as("hh"))
+      .select(explode(col("hh")).as(Seq("token", "cnt")))
+
   /** Per-label centroid statistics over the embedding corpus: exact
     * integer micro-unit sums per (label, dimension). */
   def embeddingCentroids: Q = (s, d) =>
@@ -319,6 +332,7 @@ object PipelineQueries {
     "decontaminate" -> decontaminate,
     "embedding_centroids" -> embeddingCentroids,
     "embedding_assign" -> embeddingAssign,
+    "text_heavy_hitters" -> textHeavyHitters,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -482,6 +496,11 @@ object PipelineQueries {
         |   AS sum_micro,
         | count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+    "text_heavy_hitters" ->
+      s"""SELECT t AS token, count(*) AS cnt
+         |FROM (SELECT unnest(regexp_extract_all($norm, '\\S+')) AS t
+         |      FROM documents)
+         |GROUP BY 1""".stripMargin,
     "embedding_assign" ->
       """WITH x AS (SELECT label,
         |  unnest(CAST(embedding AS DOUBLE[])) AS v,

@@ -40,6 +40,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .getString(0))
       assert(t.getDouble(4) >= 0.0 && t.getDouble(4) < 1.0)
       assert(t.getDouble(4) !== t.getDouble(5)) // salt changes the hash
+      val hh = spark.sql(
+        """SELECT heavy_hitters(tok, 10) AS hh FROM
+          |  (SELECT explode(array('a','a','b')) AS tok)""".stripMargin)
+        .head().getMap[String, Long](0)
+      assert(hh("a") === 2L && hh("b") === 1L)
     } finally {
       // do NOT spark.stop(): the SparkContext is shared JVM-wide with
       // the other suites; just detach this session from the registry.
