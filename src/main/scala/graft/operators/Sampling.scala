@@ -69,6 +69,33 @@ object Sampling {
       .filter(col("_gq_rn") <= n).drop("_gq_rn")
   }
 
+  /** Mixture composition (the data-mixing step of a pretraining run):
+    * given per-stratum TOKEN budgets, derive each stratum's keep
+    * fraction from its measured token total and hash-sample to it —
+    * so "2:1 web-to-code" style recipes become a declarative spec.
+    *
+    * Two passes: a map-side-combinable token-total aggregate (rows =
+    * strata count — broadcast-joined back), then the map-only hash
+    * filter. The realized budget is approximate in proportion to
+    * document-length variance (documents are kept whole); the spec
+    * bounds the error. Deterministic end to end: same data + budgets +
+    * salt → the same corpus, any layout, any engine. */
+  def composeMixture(df: DataFrame, keyCol: String, strataCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      salt: String = ""): DataFrame = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol).cast("long")).as("_total_toks"))
+    val budget = budgets.foldLeft(lit(0L): Column) {
+      case (acc, (k, b)) => when(col(strataCol) === lit(k), lit(b))
+        .otherwise(acc)
+    }
+    df.join(broadcast(totals), Seq(strataCol))
+      .withColumn("_keep_frac",
+        least(lit(1.0), budget.cast("double") / col("_total_toks")))
+      .filter(hashFraction(col(keyCol), salt) < col("_keep_frac"))
+      .drop("_total_toks", "_keep_frac")
+  }
+
   /** Disjoint, exhaustive split assignment ("train"/"eval"/... with
     * weights summing to ≤ 1; remainder falls into the last split).
     * Same key+salt always lands in the same split, independent of the

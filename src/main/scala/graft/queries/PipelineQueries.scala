@@ -155,6 +155,19 @@ object PipelineQueries {
     (d17(cums(0)), d17(cums(1)))
   }
 
+  /** Mixture composition: per-language token budgets realized by
+    * derived keep-fractions + hash sampling; output is the per-language
+    * doc/token report of the composed corpus. */
+  def sampleMixture: Q = (s, d) =>
+    operatorsSampling.composeMixture(
+      docs(s, d).withColumn("n_toks", TF.tokenCount(col("norm_text"))),
+      "doc_id", "lang", "n_toks",
+      budgets = Map("en" -> 3000L, "es" -> 1500L, "fr" -> 800L),
+      salt = "mix")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+
   /** Heavy hitters over corpus tokens through the custom Misra-Gries
     * TypedImperativeAggregate. Capacity 200 exceeds this corpus's
     * vocabulary, so the bounded sketch degenerates to exact counts —
@@ -333,6 +346,7 @@ object PipelineQueries {
     "embedding_centroids" -> embeddingCentroids,
     "embedding_assign" -> embeddingAssign,
     "text_heavy_hitters" -> textHeavyHitters,
+    "sample_mixture" -> sampleMixture,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
   )
@@ -496,6 +510,22 @@ object PipelineQueries {
         |   AS sum_micro,
         | count(*) AS n
         |FROM x GROUP BY 1, 2""".stripMargin,
+    "sample_mixture" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS n_toks,
+         |  CAST(CAST(concat('0x', substring(md5(concat(
+         |    CAST(doc_id AS VARCHAR), 'mix')), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / CAST(4294967296 AS DOUBLE) AS h
+         | FROM documents),
+         | tot AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS total
+         |  FROM t GROUP BY 1),
+         | kept AS (SELECT t.* FROM t JOIN tot USING (lang)
+         |  WHERE h < least(CAST(1.0 AS DOUBLE),
+         |    CAST(CASE lang WHEN 'en' THEN 3000 WHEN 'es' THEN 1500
+         |         WHEN 'fr' THEN 800 ELSE 0 END AS DOUBLE) / tot.total))
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY 1""".stripMargin,
     "text_heavy_hitters" ->
       s"""SELECT t AS token, count(*) AS cnt
          |FROM (SELECT unnest(regexp_extract_all($norm, '\\S+')) AS t

@@ -65,6 +65,30 @@ class SamplingSpec extends SparkSpec {
       s"rank filter not pushed to WindowGroupLimit:\n$plan")
   }
 
+  test("mixture composition hits token budgets within doc-length slack") {
+    import org.apache.spark.sql.functions.{col, length}
+    val withToks = docs.withColumn("n_toks", length(col("text")))
+    val budgets = Map("en" -> 30000L, "es" -> 10000L)
+    val out = Sampling.composeMixture(withToks, "doc_id", "lang",
+      "n_toks", budgets)
+    val realized = out.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zero-budget strata are dropped entirely
+    assert(realized.keySet.subsetOf(budgets.keySet))
+    // realized totals near the budget (hash sampling of whole docs:
+    // generous 50% slack at this tiny scale)
+    budgets.foreach { case (lang, b) =>
+      assert(realized(lang) > b / 2 && realized(lang) < b * 3 / 2,
+        s"$lang: realized ${realized(lang)} vs budget $b")
+    }
+    // deterministic under repartition
+    val again = Sampling.composeMixture(withToks.repartition(13),
+      "doc_id", "lang", "n_toks", budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("stratified rates apply per stratum") {
     val perLang = docs.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
