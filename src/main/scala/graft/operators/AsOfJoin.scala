@@ -96,6 +96,10 @@ object AsOfJoin {
         leftSchema.map(f =>
           lit(null).cast(f.dataType).as(f.name)) ++
         rightCols.map(c => col(c).as(s"${g}r_$c")): _*)
+      // a null-time right row would sort FIRST (nulls-first ascending)
+      // and its payload would be carried into EVERY left row of the key
+      // — an un-timestamped reference row must never match anything
+      .filter(col(s"${g}t").isNotNull)
     // backward: ascending time, latest right ≤ t wins. forward:
     // DESCENDING time, so the running last() sees ever-smaller times
     // and holds the earliest right ≥ t. Right rows (side 0) sort before

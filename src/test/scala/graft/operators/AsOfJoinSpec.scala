@@ -107,6 +107,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[String]("_gside") === "r1")
   }
 
+  test("null-time right rows never match; null-time left rows get null") {
+    import spark.implicits._
+    val left = Seq((1L, Some("2020-01-05")), (2L, None))
+      .toDF("event_id", "t")
+      .withColumn("t", to_timestamp(col("t")))
+      .withColumn("k", lit(10L))
+    val right = Seq((10L, Some("2020-06-01"), "future"),
+      (10L, None, "nulltime"))
+      .toDF("rk", "rt", "v")
+      .withColumn("rt", to_timestamp(col("rt")))
+    val out = AsOfJoin.leftAsOf(left, right, "k", "rk", "t", "rt", Seq("v"))
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("v"))
+      .toMap
+    // no right row at/before 2020-01-05 (the null-time row must NOT
+    // leak in), and the null-time left row matches nothing
+    assert(out === Map(1L -> null, 2L -> null))
+  }
+
   test("row count preserved (left join semantics)") {
     val out = graft.queries.EventQueries.eventsAsOfOrders(spark, sf())
     assert(out.count() === graft.Tables.events(spark, sf()).count())

@@ -65,6 +65,24 @@ class SamplingSpec extends SparkSpec {
       s"rank filter not pushed to WindowGroupLimit:\n$plan")
   }
 
+  test("null keys are deterministically assigned, not dropped or lumped") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val withNulls = (Seq[Option[Long]](None) ++ (1L to 99L).map(Some(_)))
+      .toDF("k")
+    // the null-keyed row participates in splits like any other row
+    val splits = Sampling.split(withNulls, "k",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    assert(splits.count() === 100)
+    val nullSplit = splits.filter(col("k").isNull)
+      .head().getAs[String]("split")
+    // and lands in a hash-determined split, stably across runs
+    val again = Sampling.split(withNulls.repartition(7), "k",
+      Seq("a" -> 0.5, "b" -> 0.5))
+      .filter(col("k").isNull).head().getAs[String]("split")
+    assert(nullSplit === again)
+  }
+
   test("mixture composition hits token budgets within doc-length slack") {
     import org.apache.spark.sql.functions.{col, length}
     val withToks = docs.withColumn("n_toks", length(col("text")))
