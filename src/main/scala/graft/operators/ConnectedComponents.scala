@@ -26,13 +26,22 @@ import org.apache.spark.sql.functions._
   * of two `except` jobs; a false positive needs a 64-bit xor collision
   * between consecutive edge sets of equal size, which is negligible.
   */
-object ConnectedComponents {
+object ConnectedComponents extends Serializable {
+
+  /** Below this many distinct edges the whole graph fits one task, and
+    * the iterative loop's per-round scheduling (2 shuffles + checkpoint
+    * + signature job, ×O(log n) rounds) costs more than the graph is
+    * worth — a single-partition union-find finishes in ONE job. At real
+    * scale the count stays large and the star-contraction loop runs. */
+  val smallGraphEdges = 100000L
 
   /** Star edges (node → component-min) for every non-root node that
     * appears in `edges`. Input orientation/duplication is irrelevant;
-    * self-loops are dropped. Key types are preserved (no blind casts). */
+    * self-loops are dropped. Key types are preserved (no blind casts).
+    * `smallGraph` overrides the fast-path threshold (tests set 0 to
+    * force the iterative path). */
   def starEdges(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, smallGraph: Long = smallGraphEdges): DataFrame = {
     var e = edges
       .select(col(srcCol).as("eu"), col(dstCol).as("ev"))
       .filter(col("eu") =!= col("ev"))
@@ -41,13 +50,14 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
     var sig = signature(e)
+    if (sig._1 <= smallGraph) return unionFindStars(e)
     // adaptive narrowing: near-dup edge sets are usually a sliver of the
     // corpus, so once the (already-known-from-the-signature) edge count
     // is small, collapse to one partition — each remaining round becomes
     // single-task instead of paying full-width shuffle scheduling. At
     // real scale the count stays large and the width stays put.
     def narrowed(df: DataFrame, count: Long): DataFrame =
-      if (count <= 100000 && df.rdd.getNumPartitions > 1)
+      if (count <= smallGraphEdges && df.rdd.getNumPartitions > 1)
         df.coalesce(1) else df
     e = narrowed(e, sig._1)
     var round = 0
@@ -63,10 +73,44 @@ object ConnectedComponents {
       s"connected components did not converge in $maxRounds rounds")
   }
 
+  /** Small-graph fast path: the canonicalized edge list fits one task,
+    * so compute exact components with a per-partition union-find (path
+    * compression + min-as-root) — one Spark job instead of O(log n)
+    * rounds of (2 shuffles + checkpoint + count). Output contract is
+    * identical to the loop's fixed point: (u=node, v=component-min) for
+    * every non-root node. */
+  private def unionFindStars(e: DataFrame): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(e.schema)
+    e.coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      @annotation.tailrec
+      def find(x: Any): Any = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val g = parent(p); parent(x) = g; find(g) }
+      }
+      it.foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      // snapshot keys: find() path-compresses (writes) during iteration
+      parent.keys.toArray.iterator
+        .map(k => (k, find(k)))
+        .collect { case (k, root) if k != root =>
+          org.apache.spark.sql.Row(k, root)
+        }
+    }
+  }
+
   /** (id, cluster_id) for every node present in `edges`; cluster_id is
-    * the component's minimum id. */
-  def labels(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val stars = starEdges(edges, srcCol, dstCol)
+    * the component's minimum id. `smallGraph` as in [[starEdges]]. */
+  def labels(edges: DataFrame, srcCol: String, dstCol: String,
+      smallGraph: Long = smallGraphEdges): DataFrame = {
+    val stars = starEdges(edges, srcCol, dstCol, smallGraph = smallGraph)
     // non-roots point at their root; roots label themselves
     val nonRoot = stars.select(col("u").as("id"), col("v").as("cluster_id"))
     val roots = stars.select(col("v").as("id"), col("v").as("cluster_id"))

@@ -9,9 +9,18 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def componentsOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b")
+  /** smallGraph=0 forces the iterative star-contraction path; the
+    * default exercises the single-task union-find fast path. Both are
+    * asserted equal on every graph below. */
+  private def componentsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val fast = ConnectedComponents.labels(df, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = ConnectedComponents.labels(df, "a", "b", smallGraph = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === loop, "fast path and star-contraction disagree")
+    fast
+  }
 
   /** Driver-side union-find oracle. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
