@@ -71,6 +71,17 @@ object TextFunctions {
       greatest(size(tokens(text)), lit(1)).cast("double")
   }
 
+  /** Occurrences of any word from a banned list (C4-style content
+    * filter): whole-token regex matches over the lowercased text. The
+    * alternation compiles once into the codegen'd RegExpCount — no UDF,
+    * no per-row list scan. Word-boundary semantics are identical in
+    * Java regex and RE2, so the DuckDB oracle replays it verbatim. */
+  def bannedHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "banned list must be non-empty")
+    regexp_count(lower(text),
+      lit(words.mkString("\\b(", "|", ")\\b"))).cast("long")
+  }
+
   /** Heuristic language ID: argmax of per-language stopword hits, "und"
     * (undetermined) when nothing matches. Ties break on reverse-alpha
     * order via the struct max — deterministic. */

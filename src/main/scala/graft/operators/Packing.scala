@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step that turns a deduplicated, filtered
+  * document corpus into fixed-token-budget training sequences.
+  * Two standard layouts:
+  *
+  *  - [[chunkPack]]: concat-and-chunk. Documents are concatenated in a
+  *    deterministic order and sliced every `budget` tokens; documents
+  *    may straddle sequence boundaries (the classic GPT-style packing —
+  *    zero padding waste). Pure window arithmetic, fully codegen'd.
+  *  - [[nextFitPack]]: whole-document next-fit. A document never splits;
+  *    a sequence closes as soon as the next document would overflow it.
+  *    Non-associative running state (the fill resets on overflow), which
+  *    no window function expresses — per-shard sorted `mapPartitions`
+  *    is the honest shape (the one legitimate per-partition-imperative
+  *    use in this codebase, mirroring how production packers work:
+  *    each worker packs its own shard).
+  *
+  * Scale design: packing is embarrassingly parallel ACROSS shards and
+  * inherently sequential WITHIN one, so the corpus is hash-sharded
+  * first (`pmod(md5-hash(id, salt), shards)`) and all order/offset
+  * arithmetic is per-shard. One shuffle on the shard key, then map-side
+  * window/iterator work; no global sort, no driver state. The order
+  * within a shard is the md5 of the id — deterministic, layout- and
+  * retry-stable, engine-portable (the DuckDB oracle replays it), and
+  * doubles as the training-order shuffle (documents land in hash order,
+  * not corpus order).
+  *
+  * Reference scope note: the reference engine (nyc-taxi-data-clickhouse)
+  * has no packing surface; this is part of the LLM-pipeline extension
+  * family the build brief makes first-class.
+  */
+object Packing {
+
+  /** md5-derived order key: deterministic, uniform, collision-free for
+    * distinct ids (full 32-hex-char string). */
+  private[operators] def orderKey(id: Column, salt: String): Column =
+    md5(concat(id.cast("string"), lit(salt)))
+
+  /** Shard from the first 8 hex chars of the same md5. */
+  private[operators] def shardOf(ord: Column, shards: Int): Column =
+    pmod(conv(substring(ord, 1, 8), 16, 10).cast("long"), lit(shards.toLong))
+
+  /** Concat-and-chunk packing plan. Output: one row per document with
+    * its shard, placement, and split count —
+    * (id, shard, start_tok, first_seq, last_seq, start_off, n_splits).
+    * `first_seq`/`last_seq` are the sequence indices (per shard, width
+    * `budget`) holding the document's first/last token; `start_off` is
+    * the offset of its first token inside `first_seq`; `n_splits` is
+    * how many sequence boundaries cut through it. */
+  def chunkPack(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int, salt: String = "pack"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val ord = orderKey(col(idCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_ord"), col(idCol))
+    df.select(col(idCol), col(tokenCol).cast("long").as("_tok"),
+        ord.as("_ord"))
+      .withColumn("shard", shardOf(col("_ord"), shards))
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .withColumn("start_tok", col("_cum") - col("_tok"))
+      // integer division throughout: `div`, never `/` (double division
+      // loses exactness on large longs and drifts vs the oracle)
+      .withColumn("first_seq", expr(s"start_tok div ${budget}L"))
+      .withColumn("last_seq",
+        when(col("_tok") > 0, expr(s"(_cum - 1L) div ${budget}L"))
+          .otherwise(col("first_seq")))
+      .withColumn("start_off", pmod(col("start_tok"), lit(budget)))
+      .withColumn("n_splits", col("last_seq") - col("first_seq"))
+      .select(col(idCol), col("shard"), col("start_tok"), col("first_seq"),
+        col("last_seq"), col("start_off"), col("n_splits"))
+  }
+
+  /** Whole-document next-fit packing: documents in per-shard hash order;
+    * a document joins the current sequence iff it fits, else opens the
+    * next one (an oversized document occupies a sequence alone, closing
+    * the previous). Output: (id, shard, seq_id) with seq_id counted per
+    * shard from 0.
+    *
+    * Physical shape: one hash shuffle on shard + a per-partition sorted
+    * scan (`repartition(shard)` guarantees shard co-location;
+    * `sortWithinPartitions` orders within; the iterator resets state on
+    * shard change — the classic secondary-sort pattern). */
+  def nextFitPack(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int, salt: String = "pack"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ord = orderKey(col(idCol), salt)
+    val prepared = df
+      .select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("tok"), ord.as("ord"))
+      .withColumn("shard", shardOf(col("ord"), shards))
+      .select(col("shard"), col("ord"), col("id"), col("tok"))
+      .as[(Long, String, Long, Long)]
+    prepared
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"), col("id"))
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var seq = 0L
+        var fill = 0L
+        it.map { case (shard, _, id, tok) =>
+          if (shard != curShard) { curShard = shard; seq = 0L; fill = 0L }
+          if (fill > 0 && fill + tok > budget) { seq += 1; fill = 0L }
+          fill += tok
+          (id, shard, seq)
+        }
+      }
+      .toDF("id", "shard", "seq_id")
+  }
+
+  /** Per-shard packing report for a [[nextFitPack]] result joined back
+    * to token counts: sequences formed, docs, tokens, and fill rate —
+    * what a dataset card reports about the packed corpus. */
+  def packReport(packed: DataFrame, tokens: DataFrame, idCol: String,
+      tokenCol: String, budget: Long): DataFrame =
+    packed.join(tokens.select(col(idCol).as("id"),
+        col(tokenCol).cast("long").as("_tok")), Seq("id"))
+      .groupBy("shard")
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"))
+      // whole-valued longs through one IEEE division: engine-exact
+      .withColumn("fill_rate",
+        col("n_tokens").cast("double") /
+          (col("n_seqs") * lit(budget)).cast("double"))
+}

@@ -260,6 +260,79 @@ object PipelineQueries {
       Seq(col("quality").desc, col("doc_id").asc), n = 5)
       .select(col("doc_id"), col("lang"), col("source"), col("quality"))
 
+  // ------------------------------------------------------------- packing
+
+  private val (packBudget, packShards, packSalt) = (256L, 8, "pk")
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).withColumn("n_toks", TF.tokenCount(col("norm_text")))
+
+  /** Concat-and-chunk sequence packing: every document placed into the
+    * fixed-256-token sequence grid of its hash shard (GPT-style packing,
+    * documents may straddle boundaries). Pure window arithmetic. */
+  def packChunk: Q = (s, d) =>
+    graft.operators.Packing.chunkPack(docsWithTokens(s, d),
+      "doc_id", "n_toks", packBudget, packShards, packSalt)
+
+  /** Whole-document next-fit packing (documents never split; a sequence
+    * closes when the next doc would overflow it) — per-shard sorted
+    * mapPartitions, oracled by a DuckDB recursive CTE replaying the
+    * same fold. */
+  def packNextFit: Q = (s, d) =>
+    graft.operators.Packing.nextFitPack(docsWithTokens(s, d),
+      "doc_id", "n_toks", packBudget, packShards, packSalt)
+      .select(col("id").as("doc_id"), col("shard"), col("seq_id"))
+
+  /** Per-shard packing report over the next-fit layout: sequences,
+    * docs, tokens, fill rate. */
+  def packReport: Q = (s, d) => {
+    val dd = docsWithTokens(s, d)
+    val packed = graft.operators.Packing.nextFitPack(dd,
+      "doc_id", "n_toks", packBudget, packShards, packSalt)
+    graft.operators.Packing.packReport(packed, dd, "doc_id", "n_toks",
+      packBudget)
+  }
+
+  // -------------------------------------------- boilerplate / filtering
+
+  /** Cross-document boilerplate removal report: non-overlapping 3-token
+    * segments seen in >4 distinct docs are dropped; per-doc counts. */
+  def boilerplateClean: Q = (s, d) =>
+    graft.operators.Boilerplate.cleanStats(
+      docs(s, d).withColumn("toks", TF.tokens(col("norm_text"))),
+      "doc_id", "toks", width = 3, minDocs = 4)
+
+  private val bannedWords = Seq("dup", "spam")
+
+  /** C4-style banned-word filter: whole-token hits of the banned list,
+    * keep flag for clean docs. */
+  def textBadwords: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"),
+      TF.bannedHits(col("text"), bannedWords).as("n_banned"))
+      .withColumn("kept",
+        when(col("n_banned") === 0L, 1L).otherwise(0L))
+
+  /** Quantile-based quality filtering: per-language p10/p90 quality
+    * thresholds (exact interpolated percentile), keep the middle band —
+    * the "drop the junk AND the outlier boilerplate" cut. */
+  def quantileFilter: Q = (s, d) => {
+    val dd = docs(s, d).withColumn("quality", TF.qualityScore(col("text")))
+    val thr = dd.groupBy("lang").agg(
+      round(expr("percentile(quality, 0.1)"), 4).as("lo"),
+      round(expr("percentile(quality, 0.9)"), 4).as("hi"),
+      count(lit(1)).as("n_total"))
+    dd.join(broadcast(thr), Seq("lang"))
+      .filter(col("quality") >= col("lo") && col("quality") <= col("hi"))
+      .groupBy(col("lang"), col("lo"), col("hi"), col("n_total"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select("lang", "lo", "hi", "n_total", "n_kept")
+  }
+
+  /** Sharded-export manifest: the per-shard (docs, tokens, order-key
+    * range) summary a trainer validates before reading a shard. */
+  def exportManifest: Q = (s, d) =>
+    graft.operators.ShardedExport.manifest(docsWithTokens(s, d),
+      "doc_id", "n_toks", shards = 8, salt = "export")
+
   // --------------------------------------------------- similarity search
 
   /** Exact cosine top-5 for probes vec_id < 5 — the ANN correctness
@@ -349,6 +422,13 @@ object PipelineQueries {
     "sample_mixture" -> sampleMixture,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
+    "pack_chunk" -> packChunk,
+    "pack_nextfit" -> packNextFit,
+    "pack_report" -> packReport,
+    "boilerplate_clean" -> boilerplateClean,
+    "text_badwords" -> textBadwords,
+    "quantile_filter" -> quantileFilter,
+    "export_manifest" -> exportManifest,
   )
 
   private val norm =
@@ -630,5 +710,132 @@ object PipelineQueries {
         | FROM e p JOIN e c ON c.vec_id <> p.vec_id
         | WHERE p.vec_id < 5)
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "pack_chunk" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS tok,
+         |   md5(concat(CAST(doc_id AS VARCHAR), 'pk')) AS ord
+         |  FROM documents),
+         | s AS (SELECT *,
+         |   CAST(concat('0x', substring(ord, 1, 8)) AS BIGINT) % 8 AS shard
+         |  FROM d),
+         | c AS (SELECT doc_id, shard, tok,
+         |   CAST(sum(tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s)
+         |SELECT doc_id, shard, cum - tok AS start_tok,
+         | (cum - tok) // 256 AS first_seq,
+         | CASE WHEN tok > 0 THEN (cum - 1) // 256
+         |      ELSE (cum - tok) // 256 END AS last_seq,
+         | (cum - tok) % 256 AS start_off,
+         | (CASE WHEN tok > 0 THEN (cum - 1) // 256
+         |       ELSE (cum - tok) // 256 END)
+         |   - (cum - tok) // 256 AS n_splits
+         |FROM c""".stripMargin,
+    "pack_nextfit" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |   CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS tok,
+         |   md5(concat(CAST(doc_id AS VARCHAR), 'pk')) AS ord
+         |  FROM documents),
+         | r AS (SELECT doc_id, tok,
+         |   CAST(concat('0x', substring(ord, 1, 8)) AS BIGINT) % 8 AS shard,
+         |   row_number() OVER (PARTITION BY
+         |     CAST(concat('0x', substring(ord, 1, 8)) AS BIGINT) % 8
+         |     ORDER BY ord, doc_id) AS rn
+         |  FROM d),
+         | s(shard, rn, doc_id, seq, fill) AS (
+         |  SELECT shard, rn, doc_id, CAST(0 AS BIGINT), tok
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id,
+         |   CASE WHEN s.fill > 0 AND s.fill + r.tok > 256
+         |        THEN s.seq + 1 ELSE s.seq END,
+         |   CASE WHEN s.fill > 0 AND s.fill + r.tok > 256
+         |        THEN r.tok ELSE s.fill + r.tok END
+         |  FROM s JOIN r ON r.shard = s.shard AND r.rn = s.rn + 1)
+         |SELECT doc_id, shard, seq AS seq_id FROM s""".stripMargin,
+    "pack_report" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |   CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS tok,
+         |   md5(concat(CAST(doc_id AS VARCHAR), 'pk')) AS ord
+         |  FROM documents),
+         | r AS (SELECT doc_id, tok,
+         |   CAST(concat('0x', substring(ord, 1, 8)) AS BIGINT) % 8 AS shard,
+         |   row_number() OVER (PARTITION BY
+         |     CAST(concat('0x', substring(ord, 1, 8)) AS BIGINT) % 8
+         |     ORDER BY ord, doc_id) AS rn
+         |  FROM d),
+         | s(shard, rn, doc_id, seq, fill) AS (
+         |  SELECT shard, rn, doc_id, CAST(0 AS BIGINT), tok
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.shard, r.rn, r.doc_id,
+         |   CASE WHEN s.fill > 0 AND s.fill + r.tok > 256
+         |        THEN s.seq + 1 ELSE s.seq END,
+         |   CASE WHEN s.fill > 0 AND s.fill + r.tok > 256
+         |        THEN r.tok ELSE s.fill + r.tok END
+         |  FROM s JOIN r ON r.shard = s.shard AND r.rn = s.rn + 1)
+         |SELECT s.shard,
+         | CAST(count(DISTINCT s.seq) AS BIGINT) AS n_seqs,
+         | count(*) AS n_docs,
+         | CAST(sum(r2.tok) AS BIGINT) AS n_tokens,
+         | CAST(CAST(sum(r2.tok) AS BIGINT) AS DOUBLE)
+         |   / CAST(CAST(count(DISTINCT s.seq) AS BIGINT) * 256 AS DOUBLE)
+         |   AS fill_rate
+         |FROM s JOIN r r2 ON r2.shard = s.shard AND r2.rn = s.rn
+         |GROUP BY 1""".stripMargin,
+    "boilerplate_clean" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   regexp_extract_all($norm, '[a-z0-9]+') AS toks FROM documents),
+         | seg AS (SELECT doc_id,
+         |   md5(array_to_string(
+         |     toks[(i-1)*3+1 : least(i*3, len(toks))], ' ')) AS seg_fp,
+         |   CAST(least(i*3, len(toks)) - (i-1)*3 AS BIGINT) AS seg_len
+         |  FROM d, unnest(generate_series(1,
+         |    CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS t(i)
+         |  WHERE len(toks) > 0),
+         | dict AS (SELECT seg_fp FROM seg GROUP BY 1
+         |  HAVING count(DISTINCT doc_id) > 4)
+         |SELECT seg.doc_id, count(*) AS n_segs,
+         | CAST(sum(CASE WHEN dict.seg_fp IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_dropped,
+         | CAST(sum(CASE WHEN dict.seg_fp IS NULL THEN seg.seg_len
+         |   ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM seg LEFT JOIN dict ON seg.seg_fp = dict.seg_fp
+         |GROUP BY 1""".stripMargin,
+    "text_badwords" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '\b(dup|spam)\b'))
+        |   AS BIGINT) AS n_banned,
+        | CAST(CASE WHEN len(regexp_extract_all(lower(text),
+        |   '\b(dup|spam)\b')) = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM documents""".stripMargin,
+    "quantile_filter" -> {
+      val q = s"""round(
+         |   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |   + (1.0 - least(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3
+         |   + least(CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+         |       t -> list_contains(${stopList(Seq("en", "es", "fr", "de"))}, t))) AS DOUBLE)
+         |     / greatest(len(regexp_extract_all(text, '\\S+')), 1) * 4.0, 1.0) * 0.3,
+         | 4)""".stripMargin
+      s"""WITH q AS (SELECT lang, $q AS quality FROM documents),
+         | thr AS (SELECT lang,
+         |   round(quantile_cont(quality, 0.1), 4) AS lo,
+         |   round(quantile_cont(quality, 0.9), 4) AS hi,
+         |   count(*) AS n_total
+         |  FROM q GROUP BY 1)
+         |SELECT q.lang, thr.lo, thr.hi, thr.n_total, count(*) AS n_kept
+         |FROM q JOIN thr ON q.lang = thr.lang
+         |WHERE q.quality >= thr.lo AND q.quality <= thr.hi
+         |GROUP BY 1, 2, 3, 4""".stripMargin
+    },
+    "export_manifest" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS tok,
+         |  md5(concat(CAST(doc_id AS VARCHAR), 'export')) AS ord
+         | FROM documents)
+         |SELECT CAST(concat('0x', substring(ord, 1, 8)) AS BIGINT) % 8
+         |   AS shard,
+         | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         | min(ord) AS first_key, max(ord) AS last_key
+         |FROM d GROUP BY 1""".stripMargin,
   )
 }
