@@ -45,7 +45,11 @@ object Bench {
     // round-2 operator lanes: iterative connected components, BM25
     // scoring, and the co-located bucketed join (bucket write happens
     // once in warmup — the amortization the layout exists for)
-    "dedup_clusters", "text_bm25", "bucketed_join")
+    "dedup_clusters", "text_bm25", "bucketed_join",
+    // round-3 lanes: whole-doc sequence packing (shuffle + sorted
+    // partition fold) and cross-doc boilerplate removal (explode +
+    // dictionary join)
+    "pack_nextfit", "boilerplate_clean")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -159,6 +159,41 @@ object PlanAudit {
         bj.contains("Exchange hashpartitioning(o_orderpriority"),
       "single exchange is the 5-row priority aggregate")
 
+    // chunk packing: one shuffle on the shard key feeds the running-sum
+    // window; everything downstream is map-side arithmetic.
+    val pc = plan("pack_chunk")
+    check("pack_chunk: single shard-key exchange",
+      occurrences(pc, "Exchange hashpartitioning(shard") == 1 &&
+        occurrences(pc, "Exchange") == 1,
+      "window cumsum rides the shard partitioning")
+    check("pack_chunk: placement arithmetic codegen'd",
+      pc.contains("*("), "")
+
+    // next-fit packing: exactly one exchange (the shard repartition);
+    // the per-partition fold adds no second shuffle.
+    val pn = plan("pack_nextfit")
+    check("pack_nextfit: single shard-key exchange",
+      occurrences(pn, "Exchange") == 1, "sorted fold is partition-local")
+
+    // boilerplate: dictionary + cleaning join, no nested-loop anywhere;
+    // the per-doc report aggregates partial+final.
+    val bp = plan("boilerplate_clean")
+    check("boilerplate: no nested-loop/cartesian join",
+      !bp.contains("BroadcastNestedLoopJoin") &&
+        !bp.contains("CartesianProduct"),
+      "segment-fingerprint equi-join only")
+    check("boilerplate: partial+final aggregates",
+      occurrences(bp, "HashAggregate") >= 2, "")
+
+    // export manifest: one aggregate over the shard key — map-side
+    // partial combine (partial_min/partial_max markers) before a single
+    // exchange. The string min/max buffer is immutable, so the planner
+    // picks SortAggregate — still partial+final, still one shuffle.
+    val em = plan("export_manifest")
+    check("export_manifest: partial+final aggregate, one exchange",
+      em.contains("partial_min") && em.contains("partial_max") &&
+        occurrences(em, "Exchange") == 1, "")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

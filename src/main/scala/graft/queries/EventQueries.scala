@@ -123,6 +123,8 @@ object EventQueries {
       ((s, d) => EventsStream.streamingDedupBoundedCounts(s, d)),
     "stream_interval_join" ->
       ((s, d) => EventsStream.viewPurchaseJoinCounts(s, d)),
+    "stream_heavy_hitters" ->
+      ((s, d) => EventsStream.streamingHeavyHitters(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,6 +135,12 @@ object EventQueries {
     // watermark horizon, so bounded-state dedup equals batch DISTINCT
     "stream_dedup_wm" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1""".stripMargin,
+    // capacity (200) far exceeds key cardinality (~50), so the
+    // Misra-Gries sketch is exact and equals the batch GROUP BY
+    "stream_heavy_hitters" ->
+      """SELECT concat(event_type, ':', CAST(user_id % 10 AS VARCHAR))
+        |  AS key, count(*) AS cnt
         |FROM events GROUP BY 1""".stripMargin,
     // the drained two-sided stream joins exactly the pairs the batch
     // self-join produces; timestamps compare at microsecond precision

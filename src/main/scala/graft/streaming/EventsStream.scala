@@ -131,6 +131,38 @@ object EventsStream {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Streaming heavy hitters: the custom Misra-Gries
+    * `TypedImperativeAggregate` running INSIDE a streaming aggregation —
+    * partial sketch buffers merge across micro-batches through the
+    * state store exactly as they merge across partitions in batch, so
+    * the same bounded-memory sketch that summarizes a 100 TB corpus
+    * also summarizes an unbounded stream. Keys are (event_type, user
+    * bucket): ~50 distinct, far under capacity 200, so the lossy
+    * sketch degenerates to exact counts and the lane is DuckDB-oracled
+    * (the same exactness argument `text_heavy_hitters` uses; the lossy
+    * regime is spec-pinned separately). */
+  def streamingHeavyHitters(spark: SparkSession, sfDir: String,
+      queryName: String = "events_hh"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val agg = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(concat(col("event_type"), lit(":"),
+        pmod(col("user_id"), lit(10L)).cast("string")).as("key"))
+      .agg(graft.functions.SketchFunctions.heavyHitters(col("key"), 200)
+        .as("hh"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+      .select(explode(col("hh")).as(Seq("key", "cnt")))
+  }
+
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */

@@ -28,6 +28,20 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming Misra-Gries heavy hitters equals batch GROUP BY") {
+    // capacity >> cardinality: the custom TypedImperativeAggregate's
+    // state-store path (merge across micro-batches) must be exact
+    val streamed = EventsStream.streamingHeavyHitters(
+      spark, sf(), "spec_hh")
+    val batch = Tables.events(spark, sf())
+      .groupBy(concat(col("event_type"), lit(":"),
+        pmod(col("user_id"), lit(10L)).cast("string")).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("stream-stream interval join equals the batch self-join") {
     val streamed = EventsStream.viewPurchaseJoinCounts(
       spark, sf(), "spec_ssjoin")
