@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   private val queries = Seq("q1_count_by_flag", "q2_avg_by_status",
-    "q3_count_by_flag_year", "q4_count_3key_sorted")
+    "q3_count_by_flag_year", "q4_count_3key_sorted",
+    // document-pipeline lanes (scale on the enlarged documents table):
+    // packing = shuffle + partition fold, boilerplate = explode +
+    // dictionary join, exact dedup = one 16-byte-key shuffle
+    "pack_nextfit", "boilerplate_clean", "dedup_exact")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
@@ -57,9 +61,23 @@ object ScaleSmoke {
         .repartition(cpus.toInt * 2)
         .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
     }
+    if (!new java.io.File(s"$big/documents.parquet").exists()) {
+      // K copies with disjoint, deterministic doc_ids so dedup/packing
+      // keys stay unique (the copies differ only in id, which is what
+      // these operators key on)
+      val docs = Tables.documents(spark, base)
+      (0 until k).map(i => docs.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionAll _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
     val nBase = Tables.lineitem(spark, base).count()
     val nBig = Tables.lineitem(spark, big).count()
-    System.err.println(s"[scale] base=$nBase rows, ${k}x=$nBig rows")
+    val dBase = Tables.documents(spark, base).count()
+    val dBig = Tables.documents(spark, big).count()
+    System.err.println(s"[scale] lineitem base=$nBase rows, ${k}x=$nBig; " +
+      s"documents base=$dBase, ${k}x=$dBig")
 
     def run(q: String, dir: String): Double = {
       val f = () => SparkEntry.queries(q)(spark, dir)

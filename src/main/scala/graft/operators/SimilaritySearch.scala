@@ -41,6 +41,32 @@ object SimilaritySearch {
       .select(col("probe_id"), col("rk"), col("cand_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: each probe's top-k
+    * most-similar candidates with a DIFFERENT label — the confusable
+    * negatives that actually move a contrastive loss (easy negatives
+    * are free; hard ones need exactly this query). Same broadcast-probe
+    * one-pass shape as [[bruteForceTopK]]; the label-mismatch predicate
+    * rides the join so same-label pairs are never scored. */
+  def hardNegativesTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cvec"),
+      col(labelCol).as("cand_label"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pvec"),
+      col(labelCol).as("probe_label"))
+    val scored = c.join(broadcast(p),
+        col("probe_id") =!= col("cand_id") &&
+          col("probe_label") =!= col("cand_label"))
+      .withColumn("cos",
+        round(VF.cosineSimilarity(col("pvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("probe_label"), col("rk"),
+        col("cand_id"), col("cand_label"), col("cos"))
+  }
+
   /** Multi-table LSH ANN: `tables` independent hyperplane families of
     * `planes` bits each; a candidate is any corpus vector sharing the
     * probe's bucket in ANY table (union), exact-cosine re-ranked. More

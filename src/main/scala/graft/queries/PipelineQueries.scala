@@ -387,6 +387,17 @@ object PipelineQueries {
           (col("n_probes") * 5).cast("double"), 4))
   }
 
+  /** Hard-negative mining: top-5 nearest DIFFERENT-label neighbors per
+    * probe — the contrastive-training counterpart of [[annBruteForce]],
+    * exactly DuckDB-oracled. */
+  def annHardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimilaritySearch.hardNegativesTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      "label", k = 5)
+      .orderBy("probe_id", "rk")
+  }
+
   /** Salted two-stage aggregation vs its direct equivalent — the skew
     * path produces identical results, which is exactly what the oracle
     * (a plain GROUP BY) checks. */
@@ -422,6 +433,7 @@ object PipelineQueries {
     "sample_mixture" -> sampleMixture,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
+    "ann_hard_negatives" -> annHardNegatives,
     "pack_chunk" -> packChunk,
     "pack_nextfit" -> packNextFit,
     "pack_report" -> packReport,
@@ -708,6 +720,20 @@ object PipelineQueries {
         |    ORDER BY round(list_cosine_similarity(p.v, c.v), 4) DESC,
         |             c.vec_id ASC) AS BIGINT) AS rk
         | FROM e p JOIN e c ON c.vec_id <> p.vec_id
+        | WHERE p.vec_id < 5)
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT probe_id, probe_label, rk, cand_id, cand_label, cos FROM (
+        | SELECT p.vec_id AS probe_id, p.label AS probe_label,
+        |  c.vec_id AS cand_id, c.label AS cand_label,
+        |  round(list_cosine_similarity(p.v, c.v), 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY round(list_cosine_similarity(p.v, c.v), 4) DESC,
+        |             c.vec_id ASC) AS BIGINT) AS rk
+        | FROM e p JOIN e c
+        |  ON c.vec_id <> p.vec_id AND c.label <> p.label
         | WHERE p.vec_id < 5)
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     "pack_chunk" ->

@@ -48,6 +48,19 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("hardNegativesTopK never returns a same-label candidate") {
+    val labeled = corpus.withColumn("label",
+      when(col("vec_id") < 2, lit(0L)).otherwise(lit(1L)))
+    val out = SimilaritySearch.hardNegativesTopK(
+      labeled, labeled.filter(col("vec_id") === 0), "vec_id", "embedding",
+      "label", k = 3).orderBy("rk").collect()
+    // probe 0 (label 0): candidates are only vec_ids 2,3,4 (label 1),
+    // ranked by cosine: 4 (0.7,0.7) > 2 (0,1) > 3 (-1,0)
+    assert(out.map(_.getAs[Long]("cand_id")).toSeq === Seq(4L, 2L, 3L))
+    assert(out.forall(_.getAs[Long]("cand_label") === 1L))
+    assert(out.map(_.getAs[Long]("rk")).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("lshTopK results are a subset of correct cosine ordering") {
     val out = SimilaritySearch.lshTopK(
       corpus, corpus.filter(col("vec_id") === 0), "vec_id", "embedding",
