@@ -250,6 +250,19 @@ object PipelineQueries {
   private val bm25Terms = Seq("join", "stream", "filter")
   private val (bm25K1, bm25B) = (1.2, 0.75)
 
+  /** Keyword extraction: top-3 terms per document by smoothed TF-IDF
+    * (rounded-then-ranked with a term tiebreak, so the cut is
+    * engine-exact). The full-vocabulary df table shuffles on term —
+    * the corpus-scale path bm25's query-pruned df avoids. */
+  def textTfidf: Q = (s, d) => {
+    val scored = RelevanceScoring.tfidf(docs(s, d), "doc_id", "norm_text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
   /** Domain balancing: keep the 5 highest-quality docs per
     * (lang, source), doc_id as the deterministic tiebreak. */
   def sampleGroupQuota: Q = (s, d) =>
@@ -424,6 +437,7 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratified,
     "sample_group_quota" -> sampleGroupQuota,
     "text_bm25" -> textBm25,
+    "text_tfidf" -> textTfidf,
     "text_repetition" -> textRepetition,
     "text_length_hist" -> textLengthHist,
     "decontaminate" -> decontaminate,
@@ -722,6 +736,23 @@ object PipelineQueries {
         | FROM e p JOIN e c ON c.vec_id <> p.vec_id
         | WHERE p.vec_id < 5)
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id,
+         |     unnest(regexp_extract_all($norm, '\\S+')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         | dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         | n AS (SELECT count(*) AS n_docs FROM documents),
+         | scored AS (SELECT tf.doc_id, tf.term,
+         |   round((1.0 + ln(tf.tf)) *
+         |     ln((n.n_docs + 1.0) / (dfs.df + 1.0)), 4) AS tfidf
+         |  FROM tf JOIN dfs USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tfidf,
+         | CAST(rk AS BIGINT) AS rk FROM (
+         | SELECT *, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+         |WHERE rk <= 3""".stripMargin,
     "ann_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
