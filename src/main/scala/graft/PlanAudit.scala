@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
@@ -158,6 +159,25 @@ object PlanAudit {
       bj.contains("SortMergeJoin") && occurrences(bj, "Exchange") == 1 &&
         bj.contains("Exchange hashpartitioning(o_orderpriority"),
       "single exchange is the 5-row priority aggregate")
+
+    // native as-of join (custom Strategy) in isolation — the driver
+    // lane adds a right-side dedup window, which legitimately brings
+    // its own exchange+window; the operator itself must contribute the
+    // merge exec, no Window state, no Union, one exchange per side.
+    val an = planOf(graft.plans.AsOfJoinNative.leftAsOf(
+      Tables.events(spark, sfDir).select("event_id", "user_id", "ts"),
+      Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_ts"),
+          col("o_orderkey")),
+      "user_id", "o_custkey", "ts", "o_ts", Seq("o_orderkey")))
+    check("asof_native: custom exec, no window/union",
+      an.contains("AsOfJoin") && !an.contains("Window") &&
+        !an.contains("Union"),
+      "merge exec with O(1) state")
+    check("asof_native: one exchange per side",
+      occurrences(an, "Exchange hashpartitioning") == 2,
+      "left on user_id, right on o_custkey")
 
     // chunk packing: one shuffle on the shard key feeds the running-sum
     // window; everything downstream is map-side arithmetic.

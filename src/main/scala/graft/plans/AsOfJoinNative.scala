@@ -1,0 +1,209 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** Native as-of join — the whole-operator tier of the custom-extension
+  * ladder (SURVEY.md §7.3 preference (c)): a custom [[LogicalPlan]]
+  * node, a [[SparkStrategy]] lowering it, and a [[BinaryExecNode]] that
+  * merge-scans two (key, time)-sorted sides in one pass.
+  *
+  * Why a custom operator here, when [[graft.operators.AsOfJoin]] already
+  * composes the same semantics from union + window? The compositional
+  * form shuffles |L|+|R| rows THROUGH A UNION and carries every right
+  * payload column as window state (one `last(_, ignoreNulls)` per
+  * column). The native exec shuffles each side independently (the same
+  * total rows, but no union materialization), keeps NO window state —
+  * just one lookahead row and one match row per partition — and
+  * evaluates no null-carry expression tree per column. Semantics Spark
+  * genuinely lacks: SQL has no ASOF JOIN; the nearest built-ins
+  * (window tricks, range join) either serialize state or explode
+  * candidates. This is the textbook case where the strategy tier is
+  * justified, and it doubles as a second, independent implementation
+  * that cross-checks the compositional one (spec + shared oracle).
+  *
+  * Null semantics (documented, spec-pinned): right rows with a null key
+  * or null time can never match; left rows with a null key or time emit
+  * the null carry. Ties on (key, time) resolve to the LAST right row in
+  * sort order — callers dedup the right side per (key, time) for
+  * determinism, exactly as the compositional operator requires.
+  *
+  * Scale shape: two hash shuffles (one per side — what any co-located
+  * join pays), per-partition merge is O(|L|+|R|) with O(1) state; AQE
+  * coalesces both exchanges consistently so the zipped partitioning is
+  * preserved.
+  */
+object AsOfJoinNative {
+
+  /** Logical node: output = left columns ++ carried right columns
+    * (nullable). Attributes are resolved child references, so the node
+    * enters analysis already resolved — the standard extension shape. */
+  case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+      leftKey: Attribute, rightKey: Attribute,
+      leftTime: Attribute, rightTime: Attribute,
+      carried: Seq[Attribute]) extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ carried.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Planner strategy: lower the logical node to the merge exec. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsOfJoinNode(l, r, lk, rk, lt, rt, carried) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+          carried) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical backward as-of join: children hash-clustered on the key
+    * and sorted by (key, time) — EnsureRequirements inserts the
+    * exchanges/sorts — then a single forward merge per partition. */
+  case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+      leftKey: Attribute, rightKey: Attribute,
+      leftTime: Attribute, rightTime: Attribute,
+      carried: Seq[Attribute]) extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ carried.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(Seq(leftKey)) ::
+        ClusteredDistribution(Seq(rightKey)) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      // upcast to Expression: bindReference[A] casts its result back to
+      // A, and a bound Attribute is a BoundReference, not an Attribute
+      val lKeyB = BindReferences.bindReference(
+        leftKey: org.apache.spark.sql.catalyst.expressions.Expression,
+        left.output)
+      val lTimeB = BindReferences.bindReference(
+        leftTime: org.apache.spark.sql.catalyst.expressions.Expression,
+        left.output)
+      val rKeyB = BindReferences.bindReference(
+        rightKey: org.apache.spark.sql.catalyst.expressions.Expression,
+        right.output)
+      val rTimeB = BindReferences.bindReference(
+        rightTime: org.apache.spark.sql.catalyst.expressions.Expression,
+        right.output)
+      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      val carriedSeq = carried
+      val leftOut = left.output
+      val rightOut = right.output
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        // projection of the carried columns out of a right row (copied:
+        // the match outlives the iterator's row buffer reuse)
+        val carryProj = UnsafeProjection.create(carriedSeq, rightOut)
+        // both expression AND input schema carry nullable right columns:
+        // a non-nullable input field makes codegen skip the null check
+        // and read garbage from the all-null carry row
+        val nullableCarried = carriedSeq.map(_.withNullability(true))
+        val outProj = UnsafeProjection.create(
+          leftOut ++ nullableCarried, leftOut ++ nullableCarried)
+        val nullCarry = new GenericInternalRow(carriedSeq.length)
+        val joined = new JoinedRow
+        // one-row lookahead over the right side; null-keyed/timed right
+        // rows are skipped (they can never match)
+        var pendKey: Any = null
+        var pendTime: Any = null
+        var pendRow: InternalRow = null
+        var pendValid = false
+        def advanceRight(): Unit = {
+          pendValid = false
+          while (!pendValid && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyB.eval(r)
+            val t = rTimeB.eval(r)
+            if (k != null && t != null) {
+              pendKey = k; pendTime = t
+              pendRow = carryProj(r).copy()
+              pendValid = true
+            }
+          }
+        }
+        advanceRight()
+        // latest right row at or before the current left time, valid
+        // only while the left key equals matchKey
+        var matchKey: Any = null
+        var matchRow: InternalRow = null
+        lIter.map { l =>
+          val lk = lKeyB.eval(l)
+          val lt = lTimeB.eval(l)
+          if (lk == null || lt == null) {
+            joined(l, nullCarry)
+          } else {
+            var done = false
+            while (!done && pendValid) {
+              val kc = keyOrd.compare(pendKey, lk)
+              if (kc < 0) advanceRight()
+              else if (kc == 0 && timeOrd.compare(pendTime, lt) <= 0) {
+                matchKey = pendKey; matchRow = pendRow
+                advanceRight()
+              } else done = true
+            }
+            if (matchRow != null && matchKey != null &&
+              keyOrd.compare(matchKey, lk) == 0) {
+              joined(l, matchRow)
+            } else {
+              joined(l, nullCarry)
+            }
+          }
+        }.map(outProj)
+      }
+    }
+  }
+
+  /** Public API: backward as-of join of `left` to `right` on an equal
+    * key and `rightTime <= leftTime`, carrying `carry` right columns
+    * (null when no prior right row exists). Key and time columns must
+    * have identical types on both sides (cast beforehand); the right
+    * side should be deduplicated per (key, time). Registers the planner
+    * strategy on the session idempotently. */
+  def leftAsOf(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    val spark = left.sparkSession
+    GraftPlanBridge.ensureStrategy(spark, Strategy)
+    def attr(df: DataFrame, name: String): Attribute =
+      df.queryExecution.analyzed.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"column $name not found in ${df.columns.mkString(",")}"))
+    val (lk, rk) = (attr(left, leftKey), attr(right, rightKey))
+    val (lt, rt) = (attr(left, leftTime), attr(right, rightTime))
+    require(lk.dataType == rk.dataType,
+      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"time types differ: ${lt.dataType} vs ${rt.dataType}")
+    // prune the right side to what the merge needs before it shuffles
+    val prunedRight = right.select(
+      (Seq(rightKey, rightTime) ++ carry).distinct.map(col): _*)
+    val carriedAttrs = carry.map(attr(prunedRight, _))
+    GraftPlanBridge.dataFrame(spark, AsOfJoinNode(
+      left.queryExecution.analyzed, prunedRight.queryExecution.analyzed,
+      lk, attr(prunedRight, rightKey), lt, attr(prunedRight, rightTime),
+      carriedAttrs))
+  }
+}

@@ -1,0 +1,31 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Bridge into the `private[sql]` plan-construction surface of Spark 4's
+  * classic API — the whole-operator counterpart of
+  * [[GraftExpressionBridge]]: libraries that add custom logical
+  * operators need `Dataset.ofRows` to wrap a hand-built [[LogicalPlan]]
+  * as a DataFrame, and a place to register the planner strategy that
+  * lowers it. Same public extension-library pattern as the expression
+  * bridge.
+  */
+object GraftPlanBridge {
+
+  /** Wrap a logical plan as a DataFrame (runs the normal analyzer /
+    * optimizer / planner pipeline over it). */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to the session (the public
+    * `experimental.extraStrategies` hook; cluster deployments would use
+    * `SparkSessionExtensions.injectPlannerStrategy` instead). */
+  def ensureStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy)) {
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ strategy
+    }
+  }
+}
