@@ -47,9 +47,11 @@ object Bench {
     // once in warmup — the amortization the layout exists for)
     "dedup_clusters", "text_bm25", "bucketed_join",
     // round-3 lanes: whole-doc sequence packing (shuffle + sorted
-    // partition fold) and cross-doc boilerplate removal (explode +
-    // dictionary join)
-    "pack_nextfit", "boilerplate_clean")
+    // partition fold), cross-doc boilerplate removal (explode +
+    // dictionary join), and the native-vs-compositional as-of A/B
+    // (asof_join above is the union+window form; this is the custom
+    // merge exec on the same data and oracle)
+    "pack_nextfit", "boilerplate_clean", "asof_join_native")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
