@@ -87,6 +87,25 @@ object EventQueries {
         col("o_totalprice").as("order_price"))
   }
 
+  /** Forward as-of through the native operator — shares the
+    * compositional forward lane's oracle. */
+  def eventsAsOfNextOrderNative: Q = (s, d) => {
+    val dedupW = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val rightDedup = Tables.orders(s, d)
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
+    graft.plans.AsOfJoinNative.leftAsOf(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      rightDedup,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_ts",
+      carry = Seq("o_orderkey"), direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("next_order_id"))
+  }
+
   /** Backward as-of with a 30-day tolerance: stale matches revert to
     * null. Oracle: DuckDB ASOF plus a CASE disqualifying matches older
     * than the window, compared at microsecond precision. */
@@ -140,6 +159,7 @@ object EventQueries {
     "sessionize" -> sessionize,
     "asof_join" -> eventsAsOfOrders,
     "asof_join_native" -> eventsAsOfOrdersNative,
+    "asof_join_native_fwd" -> eventsAsOfNextOrderNative,
     "asof_join_fwd" -> eventsAsOfNextOrder,
     "asof_join_tol" -> eventsAsOfOrdersTol,
     "range_join" -> rangeJoinPairs,
@@ -184,6 +204,16 @@ object EventQueries {
         | ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 1800000000
         |ORDER BY id_a, id_b""".stripMargin,
+    // identical semantics to asof_join_fwd — native merge exec path
+    "asof_join_native_fwd" ->
+      """WITH rd AS (
+        | SELECT o_custkey, o_orderdate, o_orderkey
+        | FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey,
+        |         o_orderdate ORDER BY o_orderkey DESC) AS rn FROM orders)
+        | WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, rd.o_orderkey AS next_order_id
+        |FROM events e ASOF LEFT JOIN rd
+        |  ON e.user_id = rd.o_custkey AND e.ts <= rd.o_orderdate""".stripMargin,
     // identical semantics to asof_join — two implementations, one oracle
     "asof_join_native" ->
       """WITH rd AS (

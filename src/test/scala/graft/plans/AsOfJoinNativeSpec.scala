@@ -40,6 +40,39 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(got(6L) === null) // key 30 never quoted; key 40 skipped over
   }
 
+  test("forward semantics: earliest quote at or after each trade") {
+    val got = AsOfJoinNative.leftAsOf(trades, quotes,
+      "key", "qkey", "t", "qt", Seq("px"), direction = "forward")
+      .select("id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else Double.box(r.getDouble(1)))).toMap
+    assert(got(1L) === 1.0) // exact-time match included (qt >= t)
+    assert(got(2L) === 3.0) // 205 -> next quote at 250
+    assert(got(3L) === null) // nothing after 300
+    assert(got(4L) === 9.0) // 50 -> quote at 60
+    assert(got(5L) === null)
+    assert(got(6L) === null)
+  }
+
+  test("tolerance disqualifies distant matches in both directions") {
+    val back = AsOfJoinNative.leftAsOf(trades, quotes,
+      "key", "qkey", "t", "qt", Seq("px"), tolerance = Some(10L))
+      .select("id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else Double.box(r.getDouble(1)))).toMap
+    assert(back(1L) === 1.0) // dt = 0
+    assert(back(2L) === 2.0) // dt = 5 <= 10
+    assert(back(3L) === null) // dt = 50 > 10
+    val fwd = AsOfJoinNative.leftAsOf(trades, quotes,
+      "key", "qkey", "t", "qt", Seq("px"), direction = "forward",
+      tolerance = Some(10L))
+      .select("id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else Double.box(r.getDouble(1)))).toMap
+    assert(fwd(4L) === 9.0) // dt = 10 <= 10
+    assert(fwd(2L) === null) // next quote 45 away
+  }
+
   test("null keys/times never match and never poison the merge state") {
     val t = Seq((1L, Option(10L), Option(100L)), (2L, None, Option(100L)),
       (3L, Option(10L), None)).toDF("id", "key", "t")
@@ -93,5 +126,16 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(native.count() === events.count())
     assert(native.exceptAll(comp).count() === 0)
     assert(comp.exceptAll(native).count() === 0)
+    // forward direction against the compositional forward form
+    val nativeFwd = AsOfJoinNative.leftAsOf(events, rd,
+      "user_id", "o_custkey", "ts", "o_ts", Seq("o_orderkey"),
+      direction = "forward")
+      .select("event_id", "o_orderkey")
+    val compFwd = graft.operators.AsOfJoin.leftAsOf(events, rd,
+      "user_id", "o_custkey", "ts", "o_ts", Seq("o_orderkey"),
+      direction = "forward")
+      .select("event_id", "o_orderkey")
+    assert(nativeFwd.exceptAll(compFwd).count() === 0)
+    assert(compFwd.exceptAll(nativeFwd).count() === 0)
   }
 }
