@@ -144,4 +144,43 @@ class PropertySpec extends SparkSpec {
       if (t1 == t2) assert(j === 1.0)
     }
   }
+
+  test("packing invariants hold for arbitrary token-count corpora") {
+    import graft.operators.Packing
+    val genDocs = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 5000L), Gen.choose(0L, 150L)))
+      .map(_.distinctBy(_._1))
+    samples(genDocs, n = 5).foreach { docs =>
+      val df = docs.toDF("id", "tok")
+      val budget = 100L
+      // chunk placement tiles each shard without gaps or overlaps
+      val chunk = Packing.chunkPack(df, "id", "tok", budget, shards = 4)
+        .collect()
+      chunk.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(2))
+        sorted.foldLeft(0L) { (expectStart, r) =>
+          assert(r.getLong(2) === expectStart)
+          expectStart + docs.find(_._1 == r.getLong(0)).get._2
+        }
+      }
+      // next-fit never overflows a multi-doc sequence; every doc
+      // appears exactly once; seq ids are dense from 0 per shard
+      val packed = Packing.nextFitPack(df, "id", "tok", budget, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(packed.map(_._1).sorted.toSeq ===
+        docs.map(_._1).sorted.toSeq)
+      val toks = docs.toMap
+      packed.groupBy(p => (p._2, p._3)).foreach { case (_, members) =>
+        val fill = members.map(m => toks(m._1)).sum
+        // an over-budget sequence is only ever one oversized document
+        // (possibly sharing with zero-token docs that add nothing)
+        assert(fill <= budget ||
+          members.count(m => toks(m._1) > 0) === 1)
+      }
+      packed.groupBy(_._2).foreach { case (_, rows) =>
+        val seqs = rows.map(_._3).distinct.sorted
+        assert(seqs.toSeq === (0L until seqs.size).toSeq)
+      }
+    }
+  }
 }
