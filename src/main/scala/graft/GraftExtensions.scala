@@ -75,5 +75,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case cs => throw new IllegalArgumentException(
         s"sample_hash takes 1 or 2 args, got ${cs.size}")
     })
+    // banned_hits(text, 'w1,w2,...') — whole-token banned-list counting;
+    // the word list must be a literal (compiled into the regex once)
+    injectColumnFn(ext, "banned_hits", {
+      case Seq(t, words) =>
+        val list = org.apache.spark.sql.GraftExpressionBridge
+          .expression(words) match {
+          case lit if lit.foldable =>
+            lit.eval().toString.split(",").map(_.trim).toSeq
+          case _ => throw new IllegalArgumentException(
+            "banned_hits word list must be a literal")
+        }
+        TF.bannedHits(t, list)
+      case cs => throw new IllegalArgumentException(
+        s"banned_hits takes 2 args, got ${cs.size}")
+    })
+    // the whole-operator tier: a cluster setting
+    // spark.sql.extensions=graft.GraftExtensions gets the native as-of
+    // strategy without any code (the Scala API registers it lazily via
+    // experimental.extraStrategies instead)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinNative.Strategy)
   }
 }

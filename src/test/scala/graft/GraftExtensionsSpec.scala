@@ -45,6 +45,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  (SELECT explode(array('a','a','b')) AS tok)""".stripMargin)
         .head().getMap[String, Long](0)
       assert(hh("a") === 2L && hh("b") === 1L)
+      val bw = spark.sql(
+        "SELECT banned_hits('the spam and the dup and spam', 'dup,spam')")
+        .head().getLong(0)
+      assert(bw === 3L)
+      // the native as-of strategy arrives via injectPlannerStrategy:
+      // the custom exec appears in a plan built on this session
+      import org.apache.spark.sql.functions.col
+      val aLeft = spark.range(3).select(col("id"), (col("id") * 10).as("t"))
+      val aRight = spark.range(2).select(col("id"), (col("id") * 10).as("t"),
+        (col("id") + 100).as("v"))
+      val asof = graft.plans.AsOfJoinNative.leftAsOf(
+        aLeft.toDF, aRight.toDF, "id", "id", "t", "t", Seq("v"))
+      assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(asof.count() === 3L)
     } finally {
       // do NOT spark.stop(): the SparkContext is shared JVM-wide with
       // the other suites; just detach this session from the registry.
