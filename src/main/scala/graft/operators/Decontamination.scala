@@ -41,6 +41,29 @@ object Decontamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Cross-source contamination matrix: for every pair of corpus
+    * sources, how many DISTINCT n-grams they share — the dataset-card
+    * audit that surfaces mirror sites, syndicated content, and scraped
+    * duplicates BETWEEN sources before they melt into the training mix.
+    *
+    * Scale shape: sources reduce to distinct (source, ngram) pairs
+    * (map-side combinable); the matrix is one self-equi-join shuffled
+    * on the n-gram — never on the cross of sources — followed by a
+    * pair-count aggregate whose output is |sources|² rows at most.
+    * Canonicalized (src_a < src_b) so each pair appears once. */
+  def sourceOverlapMatrix(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val sg = docs
+      .select(col(sourceCol).as("src"), TF.tokens(col(textCol)).as("toks"))
+      .select(col("src"), TF.shinglesFromTokens(col("toks"), n).as("ng"))
+      .select(col("src"), explode(col("ng")).as("ngram"))
+      .distinct()
+    sg.as("a").join(sg.as("b"),
+        col("a.ngram") === col("b.ngram") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** The cleaned corpus: training docs with every flagged doc removed
     * (left-anti on the flag set — no row duplication). */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,

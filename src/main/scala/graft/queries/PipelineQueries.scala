@@ -207,6 +207,13 @@ object PipelineQueries {
       "doc_id", "norm_text", n = 5)
   }
 
+  /** Cross-source contamination matrix: distinct shared 5-grams per
+    * source pair — the "which sources are mirrors of each other"
+    * dataset-card audit. */
+  def sourceOverlap: Q = (s, d) =>
+    Decontamination.sourceOverlapMatrix(docs(s, d), "source",
+      "norm_text", n = 5)
+
   /** Within-document repetition (Gopher-style quality signal): the
     * fraction of duplicate word 3-grams inside each document. Map-only;
     * array stages are materialized column-by-column (interpreted HOF
@@ -441,6 +448,7 @@ object PipelineQueries {
     "text_repetition" -> textRepetition,
     "text_length_hist" -> textLengthHist,
     "decontaminate" -> decontaminate,
+    "source_overlap" -> sourceOverlap,
     "embedding_centroids" -> embeddingCentroids,
     "embedding_assign" -> embeddingAssign,
     "text_heavy_hitters" -> textHeavyHitters,
@@ -677,6 +685,20 @@ object PipelineQueries {
          |SELECT tr.doc_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (ngram)
          |GROUP BY 1""".stripMargin,
+    "source_overlap" ->
+      s"""WITH d AS (SELECT source,
+         |   regexp_extract_all($norm, '\\S+') AS toks FROM documents),
+         | g AS (SELECT DISTINCT source, unnest(
+         |   CASE WHEN len(toks) = 0 THEN []
+         |        WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+         |        ELSE list_transform(generate_series(1, len(toks) - 4),
+         |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+         |            toks[i+3], toks[i+4])) END) AS ngram
+         |  FROM d)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         | count(*) AS shared_ngrams
+         |FROM g a JOIN g b ON a.ngram = b.ngram AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "text_repetition" ->
       s"""WITH d AS (SELECT doc_id,
          |   regexp_extract_all($norm, '\\S+') AS toks FROM documents),

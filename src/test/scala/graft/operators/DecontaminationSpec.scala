@@ -16,6 +16,21 @@ class DecontaminationSpec extends SparkSpec {
     (100L, "a quick brown fox jumps over everything it sees"))
     .toDF("doc_id", "text")
 
+  test("source overlap matrix counts distinct shared n-grams per pair") {
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta epsilon zeta"),
+      ("s2", "alpha beta gamma delta epsilon other"), // shares 2 5-grams? no: 1
+      ("s2", "alpha beta gamma delta epsilon zeta"), // duplicate of s1 doc
+      ("s3", "nothing in common with anyone here at all"),
+    ).toDF("source", "text")
+    val m = Decontamination.sourceOverlapMatrix(docs, "source", "text",
+      n = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // s1 grams: {a b g d e, b g d e z}; s2 grams: both docs' grams =
+    // {a b g d e, b g d e o, b g d e z} -> distinct shared = 2
+    assert(m === Map(("s1", "s2") -> 2L))
+  }
+
   test("flags exactly the training doc sharing a 5-gram with eval") {
     val flagged = Decontamination.flagOverlaps(train, eval,
       "doc_id", "text", n = 5)

@@ -103,6 +103,21 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(!plan.contains("Union"), "no union materialization")
   }
 
+  test("mismatched key/time types fail fast, not silently") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
+    val r = Seq((5L, 10L, 1.0)).toDF("qkey", "qt", "px")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNative.leftAsOf(l, r, "key", "qkey", "t", "qt", Seq("px"))
+    }
+    assert(e.getMessage.contains("key types differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinNative.leftAsOf(l.select(col("id"), col("id").as("key2"),
+        col("t")), r.select(col("qkey"), col("qt").cast("int").as("qt"),
+        col("px")), "key2", "qkey", "t", "qt", Seq("px"))
+    }
+    assert(e2.getMessage.contains("time types differ"))
+  }
+
   test("equals the compositional operator on real events x orders") {
     val sfDir = sf()
     val events = Tables.events(spark, sfDir)
