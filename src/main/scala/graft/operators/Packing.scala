@@ -37,11 +37,11 @@ object Packing {
 
   /** md5-derived order key: deterministic, uniform, collision-free for
     * distinct ids (full 32-hex-char string). */
-  private[operators] def orderKey(id: Column, salt: String): Column =
+  private[graft] def orderKey(id: Column, salt: String): Column =
     md5(concat(id.cast("string"), lit(salt)))
 
   /** Shard from the first 8 hex chars of the same md5. */
-  private[operators] def shardOf(ord: Column, shards: Int): Column =
+  private[graft] def shardOf(ord: Column, shards: Int): Column =
     pmod(conv(substring(ord, 1, 8), 16, 10).cast("long"), lit(shards.toLong))
 
   /** Concat-and-chunk packing plan. Output: one row per document with

@@ -170,6 +170,8 @@ object EventQueries {
       ((s, d) => EventsStream.viewPurchaseJoinCounts(s, d)),
     "stream_heavy_hitters" ->
       ((s, d) => EventsStream.streamingHeavyHitters(s, d)),
+    "stream_export_manifest" ->
+      ((s, d) => EventsStream.streamingExportManifest(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,6 +183,20 @@ object EventQueries {
     "stream_dedup_wm" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
+    // shard/order keys are pure row functions, so the drained stream's
+    // complete-mode manifest equals the batch manifest exactly
+    "stream_export_manifest" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+        |    '\S+')) AS BIGINT) AS tok,
+        |  md5(concat(CAST(doc_id AS VARCHAR), 'export')) AS ord
+        | FROM documents)
+        |SELECT CAST(concat('0x', substring(ord, 1, 8)) AS BIGINT) % 8
+        |   AS shard,
+        | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+        | min(ord) AS first_key, max(ord) AS last_key
+        |FROM d GROUP BY 1""".stripMargin,
     // capacity (200) far exceeds key cardinality (~50), so the
     // Misra-Gries sketch is exact and equals the batch GROUP BY
     "stream_heavy_hitters" ->

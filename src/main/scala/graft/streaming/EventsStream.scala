@@ -163,6 +163,47 @@ object EventsStream {
       .select(explode(col("hh")).as(Seq("key", "cnt")))
   }
 
+  /** Streaming export manifest: the per-shard (docs, tokens, key-range)
+    * manifest of [[graft.operators.ShardedExport]] maintained over a
+    * DOCUMENT STREAM — the shape of an always-on ingestion pipeline
+    * whose manifest a trainer can read at any cut point. Shard
+    * assignment and order keys are pure row functions, so the streaming
+    * aggregate is the exact batch manifest at every micro-batch
+    * boundary; over the drained file source it equals the batch
+    * manifest — the oracle. */
+  def streamingExportManifest(spark: SparkSession, sfDir: String,
+      queryName: String = "docs_manifest"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .withColumn("n_toks",
+        graft.functions.TextFunctions.tokenCount(
+          graft.functions.TextFunctions.normalize(col("text"))))
+    val ord = graft.operators.Packing.orderKey(col("doc_id"), "export")
+    val agg = docs
+      .withColumn("_ord", ord)
+      .withColumn("shard", graft.operators.Packing.shardOf(col("_ord"), 8))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        min(col("_ord")).as("first_key"),
+        max(col("_ord")).as("last_key"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */

@@ -28,6 +28,19 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming export manifest equals the batch manifest") {
+    val streamed = EventsStream.streamingExportManifest(
+      spark, sf(), "spec_manifest")
+    val batch = graft.operators.ShardedExport.manifest(
+      Tables.documents(spark, sf()).withColumn("n_toks",
+        graft.functions.TextFunctions.tokenCount(
+          graft.functions.TextFunctions.normalize(col("text")))),
+      "doc_id", "n_toks", shards = 8)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming Misra-Gries heavy hitters equals batch GROUP BY") {
     // capacity >> cardinality: the custom TypedImperativeAggregate's
     // state-store path (merge across micro-batches) must be exact
