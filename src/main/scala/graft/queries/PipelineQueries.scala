@@ -207,6 +207,23 @@ object PipelineQueries {
       "doc_id", "norm_text", n = 5)
   }
 
+  /** Corpus snapshot diff: the previous release is derived
+    * deterministically from the current one (docs with id % 20 == 0
+    * absent — "added since"; docs with id % 17 == 0 carrying truncated
+    * text — "changed"; a disjoint id range present only before —
+    * "removed"), then diffed by content fingerprint. */
+  def snapshotDiff: Q = (s, d) => {
+    val cur = docs(s, d)
+    val prevBase = cur.filter(pmod(col("doc_id"), lit(20L)) =!= 0L)
+      .withColumn("text", when(pmod(col("doc_id"), lit(17L)) === 0L,
+        substring(col("text"), 1, 50)).otherwise(col("text")))
+    val prev = prevBase.select("doc_id", "text")
+      .unionAll(cur.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.operators.SnapshotDiff.summary(prev, cur.select("doc_id", "text"),
+      "doc_id", "text")
+  }
+
   /** Cross-source contamination matrix: distinct shared 5-grams per
     * source pair — the "which sources are mirrors of each other"
     * dataset-card audit. */
@@ -449,6 +466,7 @@ object PipelineQueries {
     "text_length_hist" -> textLengthHist,
     "decontaminate" -> decontaminate,
     "source_overlap" -> sourceOverlap,
+    "snapshot_diff" -> snapshotDiff,
     "embedding_centroids" -> embeddingCentroids,
     "embedding_assign" -> embeddingAssign,
     "text_heavy_hitters" -> textHeavyHitters,
@@ -685,6 +703,22 @@ object PipelineQueries {
          |SELECT tr.doc_id, count(*) AS n_shared
          |FROM tr JOIN ev USING (ngram)
          |GROUP BY 1""".stripMargin,
+    "snapshot_diff" ->
+      s"""WITH prev AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 17 = 0
+         |    THEN substring(text, 1, 50) ELSE text END AS text
+         |  FROM documents WHERE doc_id % 20 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+         | p AS (SELECT doc_id, md5($norm) AS fp FROM prev),
+         | c AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+         | j AS (SELECT coalesce(p.doc_id, c.doc_id) AS id,
+         |   CASE WHEN p.fp IS NULL THEN 'added'
+         |        WHEN c.fp IS NULL THEN 'removed'
+         |        WHEN p.fp <> c.fp THEN 'changed'
+         |        ELSE 'same' END AS status
+         |  FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id)
+         |SELECT status, count(*) AS n_docs FROM j GROUP BY 1""".stripMargin,
     "source_overlap" ->
       s"""WITH d AS (SELECT source,
          |   regexp_extract_all($norm, '\\S+') AS toks FROM documents),
