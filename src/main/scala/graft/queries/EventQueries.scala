@@ -146,6 +146,19 @@ object EventQueries {
         col("o_orderkey").as("next_order_id"))
   }
 
+  /** Daily resample with forward-fill: every user's latest event state
+    * at each day boundary — grid construction + the native as-of join
+    * as a building block. Oracle: DuckDB generate_series grid + native
+    * ASOF. */
+  def eventsResampleFfill: Q = (s, d) =>
+    graft.operators.Resample.dailyForwardFill(
+      Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+      keyCol = "user_id", timeCol = "ts", tieBreak = "event_id",
+      carry = Seq("event_id", "value"))
+      .select(col("user_id"), col("day"),
+        col("event_id").as("last_event_id"),
+        col("value").as("last_value"))
+
   /** Range join: same-user event pairs within 30 minutes — the
     * bucketized proximity join, oracled against a plain inequality
     * join in DuckDB. */
@@ -172,6 +185,7 @@ object EventQueries {
       ((s, d) => EventsStream.streamingHeavyHitters(s, d)),
     "stream_export_manifest" ->
       ((s, d) => EventsStream.streamingExportManifest(s, d)),
+    "resample_ffill" -> eventsResampleFfill,
   )
 
   val oracle: Map[String, String] = Map(
@@ -183,6 +197,21 @@ object EventQueries {
     "stream_dedup_wm" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
+    "resample_ffill" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) AS mn,
+        |   date_trunc('day', max(ts)) AS mx FROM events),
+        | days AS (SELECT unnest(generate_series(b.mn, b.mx,
+        |   INTERVAL 1 DAY)) AS day FROM b),
+        | users AS (SELECT DISTINCT user_id FROM events),
+        | grid AS (SELECT user_id, day FROM users CROSS JOIN days),
+        | rd AS (SELECT user_id, ts, event_id, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |          ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1)
+        |SELECT g.user_id, g.day, rd.event_id AS last_event_id,
+        |       rd.value AS last_value
+        |FROM grid g ASOF LEFT JOIN rd
+        |  ON g.user_id = rd.user_id AND g.day >= rd.ts""".stripMargin,
     // shard/order keys are pure row functions, so the drained stream's
     // complete-mode manifest equals the batch manifest exactly
     "stream_export_manifest" ->
