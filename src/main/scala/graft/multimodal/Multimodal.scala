@@ -86,6 +86,41 @@ object Multimodal {
       }
   }
 
+  /** A media embedding row: the output contract of any real encoder. */
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** Media → embedding extraction (the CLIP/encoder shape): payloads
+    * batch through mapPartitions and come out as fixed-width float
+    * vectors feeding the similarity-search operators — the bridge from
+    * the multimodal family into the ANN family. The "encoder" is a
+    * deterministic STUB (md5-derived unit-range floats — no model
+    * weights ship in this environment), but unlike a random stub it is
+    * REPLAYABLE BY THE ORACLE: every dimension is pure hash arithmetic
+    * both engines compute identically, so the whole
+    * blob→embedding→top-k chain is hash-checked end to end. */
+  def embedBlobs(spark: SparkSession, blobs: DataFrame,
+      dims: Int = 8): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    blobs.select("doc_id", "media_type", "data").as[MediaBlob]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(bytes: Array[Byte]): String = {
+          md.reset()
+          md.digest(bytes).map(b => f"${b & 0xFF}%02x").mkString
+        }
+        it.map { b =>
+          val payloadHex = hex(b.data)
+          val emb = Array.tabulate(dims) { d =>
+            val h = java.lang.Long.parseLong(
+              hex((payloadHex + d.toString).getBytes("UTF-8"))
+                .substring(0, 8), 16)
+            (h.toDouble / 4294967296.0 * 2.0 - 1.0).toFloat
+          }
+          MediaEmbedding(b.doc_id, emb)
+        }
+      }
+  }
+
   /** Sample every `stride`-th fixed-size chunk ("frame") of each payload
     * — the video-frame-sampling shape: one input row fans out to few
     * output rows, still fully partition-parallel. */

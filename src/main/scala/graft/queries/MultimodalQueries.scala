@@ -46,10 +46,23 @@ object MultimodalQueries {
       .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"))
   }
 
+  /** The multimodal→ANN bridge: blob → hash-derived 8-dim embedding
+    * (mapPartitions encoder stub, oracle-replayable) → exact cosine
+    * top-3 for the first three payloads. The whole
+    * binary→embedding→similarity chain is hash-checked. */
+  def multimodalEmbedAnn: Q = (s, d) => {
+    val blobs = Multimodal.attachBlobs(Tables.documents(s, d))
+    val emb = Multimodal.embedBlobs(s, blobs).toDF()
+    graft.operators.SimilaritySearch.bruteForceTopK(
+      emb, emb.filter(col("doc_id") < 3), "doc_id", "embedding", k = 3)
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
+    "multimodal_embed_ann" -> multimodalEmbedAnn,
   )
 
   val oracle: Map[String, String] = Map(
@@ -67,5 +80,25 @@ object MultimodalQueries {
         | CAST((octet_length(encode(text)) + 2) // 3 AS BIGINT)
         |   AS resized_bytes
         |FROM documents""".stripMargin,
+    // the encoder stub is pure hash arithmetic, replayed dimension by
+    // dimension; float cast then double cosine mirrors the Spark path
+    "multimodal_embed_ann" ->
+      """WITH e AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 7), d ->
+        |    CAST(CAST(CAST(concat('0x', substring(md5(concat(md5(text),
+        |      CAST(d AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 * 2.0 - 1.0 AS FLOAT)) AS v
+        | FROM documents)
+        |SELECT probe_id, rk, cand_id, cos FROM (
+        | SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+        |  round(list_cosine_similarity(CAST(p.v AS DOUBLE[]),
+        |    CAST(c.v AS DOUBLE[])), 4) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY p.doc_id
+        |    ORDER BY round(list_cosine_similarity(CAST(p.v AS DOUBLE[]),
+        |      CAST(c.v AS DOUBLE[])), 4) DESC, c.doc_id ASC) AS BIGINT)
+        |    AS rk
+        | FROM e p JOIN e c ON c.doc_id <> p.doc_id
+        | WHERE p.doc_id < 3)
+        |WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
   )
 }

@@ -28,6 +28,23 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L).luma === (600L * 2654435761L % 255L).toDouble)
   }
 
+  test("embedBlobs: deterministic unit-range vectors, layout-invariant") {
+    val b = Multimodal.attachBlobs(docs)
+    val e1 = Multimodal.embedBlobs(spark, b).collect()
+      .map(m => m.doc_id -> m.embedding.toSeq).toMap
+    assert(e1.keySet === Set(1L, 2L))
+    e1.values.foreach { v =>
+      assert(v.size === 8)
+      v.foreach(x => assert(x >= -1.0f && x < 1.0f))
+    }
+    // same payload -> same embedding regardless of partitioning
+    val e2 = Multimodal.embedBlobs(spark, b.repartition(5)).collect()
+      .map(m => m.doc_id -> m.embedding.toSeq).toMap
+    assert(e1 === e2)
+    // distinct payloads -> distinct embeddings
+    assert(e1(1L) !== e1(2L))
+  }
+
   test("resizeBlobs decimates payload bytes and keeps the blob schema") {
     val resized = Multimodal.resizeBlobs(spark,
       Multimodal.attachBlobs(docs), factor = 3)
