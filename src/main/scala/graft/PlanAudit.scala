@@ -179,6 +179,17 @@ object PlanAudit {
       occurrences(an, "Exchange hashpartitioning") == 2,
       "left on user_id, right on o_custkey")
 
+    // resample: the forward-fill rides the native as-of merge exec; the
+    // only nested-loop join is the deliberate broadcast of the tiny day
+    // list against the entity set (the grid construction).
+    val rs = plan("resample_ffill")
+    check("resample: fill uses the native as-of exec",
+      rs.contains("AsOfJoin"), "grid->events fill is the merge exec")
+    check("resample: grid cross join broadcasts the day list",
+      occurrences(rs, "BroadcastNestedLoopJoin") <= 1 &&
+        !rs.contains("CartesianProduct"),
+      "days broadcast; no unbounded cartesian")
+
     // chunk packing: one shuffle on the shard key feeds the running-sum
     // window; everything downstream is map-side arithmetic.
     val pc = plan("pack_chunk")
