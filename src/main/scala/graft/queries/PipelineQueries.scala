@@ -370,6 +370,23 @@ object PipelineQueries {
     graft.operators.ShardedExport.manifest(docsWithTokens(s, d),
       "doc_id", "n_toks", shards = 8, salt = "export")
 
+  /** The WRITER under the gate: write the corpus as sorted shard files,
+    * read the files back, and manifest the read-back rows — any writer
+    * corruption (lost rows, shard misassignment, token drift) breaks
+    * the hash against the same manifest oracle. */
+  def exportRoundtrip: Q = (s, d) => {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_export_${d.hashCode.toHexString}"
+    graft.operators.ShardedExport.write(docsWithTokens(s, d), "doc_id",
+      out, shards = 8, salt = "export")
+    val back = s.read.parquet(out)
+    back.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        min(col("_ord")).as("first_key"),
+        max(col("_ord")).as("last_key"))
+      .withColumn("shard", col("shard").cast("long"))
+  }
+
   // --------------------------------------------------- similarity search
 
   /** Exact cosine top-5 for probes vec_id < 5 — the ANN correctness
@@ -481,6 +498,7 @@ object PipelineQueries {
     "text_badwords" -> textBadwords,
     "quantile_filter" -> quantileFilter,
     "export_manifest" -> exportManifest,
+    "export_roundtrip" -> exportRoundtrip,
   )
 
   private val norm =
@@ -941,6 +959,17 @@ object PipelineQueries {
          |GROUP BY 1, 2, 3, 4""".stripMargin
     },
     "export_manifest" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS tok,
+         |  md5(concat(CAST(doc_id AS VARCHAR), 'export')) AS ord
+         | FROM documents)
+         |SELECT CAST(concat('0x', substring(ord, 1, 8)) AS BIGINT) % 8
+         |   AS shard,
+         | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         | min(ord) AS first_key, max(ord) AS last_key
+         |FROM d GROUP BY 1""".stripMargin,
+    // written files must read back to exactly the source-side manifest
+    "export_roundtrip" ->
       s"""WITH d AS (SELECT doc_id,
          |  CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS tok,
          |  md5(concat(CAST(doc_id AS VARCHAR), 'export')) AS ord
