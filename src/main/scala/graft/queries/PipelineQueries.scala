@@ -168,6 +168,32 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"))
 
+  /** Incremental dedup lane: a deterministic 70% hash-slice of the
+    * documents plays the existing corpus, the remaining 30% the new
+    * batch; output is the batch docs that survive exact-fingerprint and
+    * trigram-Jaccard ≥ 0.6 screening against the corpus. */
+  def dedupIncremental: Q = (s, d) => {
+    val dd = docs(s, d)
+    val h = operatorsSampling.hashFraction(col("doc_id"), "inc")
+    Dedup.incrementalDedup(
+      corpus = dd.filter(h < 0.7), batch = dd.filter(h >= 0.7),
+      "doc_id", "norm_text", n = 3, threshold = 0.6,
+      blockCols = Seq("lang", "source"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-flattened mixture: per-language budgets ∝ tokens^0.5
+    * scaled to a 4000-token total — the low-resource-language balancing
+    * sampler; output is the per-language doc/token report. */
+  def sampleTemperature: Q = (s, d) =>
+    operatorsSampling.temperatureMixture(
+      docs(s, d).withColumn("n_toks", TF.tokenCount(col("norm_text"))),
+      "doc_id", "lang", "n_toks", alpha = 0.5, totalBudget = 4000L,
+      salt = "temp")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+
   /** Heavy hitters over corpus tokens through the custom Misra-Gries
     * TypedImperativeAggregate. Capacity 200 exceeds this corpus's
     * vocabulary, so the bounded sketch degenerates to exact counts —
@@ -488,6 +514,8 @@ object PipelineQueries {
     "embedding_assign" -> embeddingAssign,
     "text_heavy_hitters" -> textHeavyHitters,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
+    "dedup_incremental" -> dedupIncremental,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_hard_negatives" -> annHardNegatives,
@@ -673,6 +701,65 @@ object PipelineQueries {
          |  WHERE h < least(CAST(1.0 AS DOUBLE),
          |    CAST(CASE lang WHEN 'en' THEN 3000 WHEN 'es' THEN 1500
          |         WHEN 'fr' THEN 800 ELSE 0 END AS DOUBLE) / tot.total))
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, $norm AS nt,
+         |  CAST(CAST(concat('0x', substring(md5(concat(
+         |    CAST(doc_id AS VARCHAR), 'inc')), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / CAST(4294967296 AS DOUBLE) AS h
+         | FROM documents),
+         | c AS (SELECT * FROM d WHERE h < CAST(0.7 AS DOUBLE)),
+         | b AS (SELECT * FROM d WHERE h >= CAST(0.7 AS DOUBLE)),
+         | cfp AS (SELECT DISTINCT md5(nt) AS fp FROM c),
+         | bfp AS (SELECT doc_id, lang, source, md5(nt) AS fp FROM b),
+         | reps AS (SELECT doc_id, lang, source, fp FROM
+         |   (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS k FROM bfp)
+         |  WHERE doc_id = k),
+         | ctk AS (SELECT doc_id, lang, source,
+         |   regexp_extract_all(nt, '[a-z0-9]+') AS toks FROM c),
+         | btk AS (SELECT doc_id, lang, source,
+         |   regexp_extract_all(nt, '[a-z0-9]+') AS toks FROM b),
+         | csh AS (SELECT doc_id, lang, source,
+         |   list_distinct(CASE WHEN len(toks) <= 3
+         |    THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END)
+         |     AS ng
+         |  FROM ctk WHERE len(toks) > 0),
+         | bsh AS (SELECT doc_id, lang, source,
+         |   list_distinct(CASE WHEN len(toks) <= 3
+         |    THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END)
+         |     AS ng
+         |  FROM btk WHERE len(toks) > 0),
+         | near AS (SELECT DISTINCT a.doc_id FROM bsh a JOIN csh x
+         |   ON a.lang = x.lang AND a.source = x.source
+         |  WHERE CAST(len(list_intersect(a.ng, x.ng)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(a.ng, x.ng))) AS DOUBLE)
+         |    >= CAST(0.6 AS DOUBLE))
+         |SELECT r.doc_id, r.lang, r.source FROM reps r
+         |WHERE r.fp NOT IN (SELECT fp FROM cfp)
+         |  AND r.doc_id NOT IN (SELECT doc_id FROM near)
+         |ORDER BY doc_id""".stripMargin,
+    "sample_temperature" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS n_toks,
+         |  CAST(CAST(concat('0x', substring(md5(concat(
+         |    CAST(doc_id AS VARCHAR), 'temp')), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / CAST(4294967296 AS DOUBLE) AS h
+         | FROM documents),
+         | tot AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS toks
+         |  FROM t GROUP BY 1),
+         | w AS (SELECT lang, toks,
+         |  CAST(floor(pow(CAST(toks AS DOUBLE), 0.5) * 1000000.0) AS BIGINT)
+         |    AS w_micro FROM tot),
+         | z AS (SELECT CAST(sum(w_micro) AS BIGINT) AS z_micro FROM w),
+         | kept AS (SELECT t.* FROM t JOIN w USING (lang) CROSS JOIN z
+         |  WHERE h < least(CAST(1.0 AS DOUBLE),
+         |    CAST(4000 AS DOUBLE) * w_micro / z_micro / toks))
          |SELECT lang, count(*) AS n_docs,
          | CAST(sum(n_toks) AS BIGINT) AS n_tokens
          |FROM kept GROUP BY 1""".stripMargin,

@@ -81,4 +81,38 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("incrementalDedup drops exact, near, and within-batch dups") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "b", "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "b", "spark catalyst optimizer rewrites logical plans into physical plans"),
+    ).toDF("doc_id", "blk", "text")
+    val batch = Seq(
+      (10L, "b", "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of corpus 1 → dropped (a)
+      (11L, "b", "the quick brown fox jumps over the lazy dog near the river bank tomorrow"), // near dup of corpus 1 (j ≈ 0.85) → dropped (b)
+      (12L, "b", "completely different content about database engines and query planners"),
+      (13L, "b", "completely different content about database engines and query planners"), // batch dup of 12 → dropped (c)
+      (14L, "b", ""), // tokenless: skips the near stage, kept
+    ).toDF("doc_id", "blk", "text")
+    val kept = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      n = 3, threshold = 0.6, blockCols = Seq("blk"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 14L))
+  }
+
+  test("incrementalDedup near stage respects blocks") {
+    import spark.implicits._
+    val corpus = Seq((1L, "x",
+      "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "blk", "text")
+    // same near-dup text but in another block → not compared, kept
+    val batch = Seq((10L, "y",
+      "the quick brown fox jumps over the lazy dog near the river bank tomorrow"))
+      .toDF("doc_id", "blk", "text")
+    val kept = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      n = 3, threshold = 0.6, blockCols = Seq("blk"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L))
+  }
 }

@@ -117,4 +117,42 @@ class SamplingSpec extends SparkSpec {
     // rate 1.0 keeps every en doc; rate 0.0 drops every other stratum
     assert(got === Map("en" -> perLang("en")))
   }
+
+  private lazy val docsWithToks = docs.withColumn("n_toks",
+    graft.functions.TextFunctions.tokenCount(col("text")))
+
+  test("temperatureMixture: budget >= corpus keeps everything") {
+    val total = docsWithToks.agg(sum("n_toks")).head().getLong(0)
+    val kept = Sampling.temperatureMixture(docsWithToks, "doc_id", "lang",
+      "n_toks", alpha = 0.5, totalBudget = total * 2)
+    assert(kept.count() === docs.count())
+  }
+
+  test("temperatureMixture flattens the language distribution") {
+    val natural = docsWithToks.groupBy("lang").agg(sum("n_toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalNat = natural.values.sum.toDouble
+    val kept = Sampling.temperatureMixture(docsWithToks, "doc_id", "lang",
+      "n_toks", alpha = 0.25, totalBudget = totalNat.toLong / 4,
+      salt = "tm")
+      .groupBy("lang").agg(sum("n_toks").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalKept = kept.values.sum.toDouble
+    val head = natural.maxBy(_._2)._1
+    val tail = natural.minBy(_._2)._1
+    // α < 1 shifts share away from the head language toward the tail
+    assert(kept(head) / totalKept < natural(head) / totalNat)
+    assert(kept(tail) / totalKept > natural(tail) / totalNat)
+  }
+
+  test("temperatureMixture is layout-independent") {
+    val a = Sampling.temperatureMixture(docsWithToks, "doc_id", "lang",
+      "n_toks", alpha = 0.5, totalBudget = 3000L, salt = "tm")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixture(docsWithToks.repartition(13),
+      "doc_id", "lang", "n_toks", alpha = 0.5, totalBudget = 3000L,
+      salt = "tm")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b && a.nonEmpty)
+  }
 }
