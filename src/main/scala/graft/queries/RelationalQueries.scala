@@ -385,7 +385,27 @@ object RelationalQueries {
         coalesce(col("F"), lit(0L)).as("cnt_f"),
         coalesce(col("O"), lit(0L)).as("cnt_o"))
 
+  /** Interval-dimension lookup: orders classified into irregular price
+    * bands through [[graft.operators.IntervalLookup]] — the bucketized
+    * equi-join rewrite of `v BETWEEN lo AND hi` (BroadcastHashJoin, not
+    * the O(|fact|·|dim|) BroadcastNestedLoopJoin the naive predicate
+    * plans as). */
+  def qIntervalLookup: Q = (s, d) => {
+    import s.implicits._
+    val bands = Seq(
+      ("A_micro", 0L, 2000L), ("B_small", 2000L, 9000L),
+      ("C_mid", 9000L, 47000L), ("D_large", 47000L, 163000L),
+      ("E_jumbo", 163000L, 600000L)).toDF("band", "lo", "hi")
+    graft.operators.IntervalLookup.lookup(Tables.orders(s, d),
+      "o_totalprice", bands, "lo", "hi", bucketWidth = 25000L)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)")).cast("double"),
+          4).as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "interval_lookup" -> qIntervalLookup,
     "q21_percentiles" -> q21Percentiles,
     "q22_pivot" -> q22Pivot,
     "q20_approx_distinct" -> q20ApproxDistinct,
@@ -415,6 +435,17 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "interval_lookup" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('A_micro', 0, 2000), ('B_small', 2000, 9000),
+        |  ('C_mid', 9000, 47000), ('D_large', 47000, 163000),
+        |  ('E_jumbo', 163000, 600000))
+        |SELECT band, count(*) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS total
+        |FROM orders JOIN bands
+        | ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1""".stripMargin,
     "q21_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
