@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model: train token-transition counts on
+  * a reference corpus, score every document by its average per-bigram
+  * log-likelihood — the perplexity-style quality signal training-data
+  * pipelines use to filter gibberish and off-language text (documents
+  * that "look like" the reference corpus score high).
+  *
+  * Model: Laplace-smoothed bigram MLE,
+  *   P(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V),
+  * with c(w1,·) the count of w1 in bigram-first position (so the
+  * conditional sums to 1 over the vocabulary) and V the reference
+  * corpus's distinct-token count.
+  *
+  * Scale shape: counts are explode → map-side-combinable groupBys; the
+  * scoring path shuffle-joins document bigrams against the count tables
+  * on (w1, w2) then w1 — the model tables grow with the corpus
+  * vocabulary and deliberately do NOT broadcast (same policy as
+  * [[RelevanceScoring.tfidf]]); V rides a 1-row broadcast. Per-bigram
+  * log contributions are summed in decimal so the per-doc result is
+  * partition-order-independent (float sums are not reproducible,
+  * decimal sums are).
+  */
+object LanguageModel {
+
+  /** One row per bigram OCCURRENCE: (doc_id, w1, w2). Documents with
+    * fewer than 2 tokens have no bigrams and drop out. The tokens array
+    * is materialized before the transform lambda (interpreted HOF —
+    * a nested tokenizer would re-run per element). */
+  def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** (doc_id, n_bigrams, avg_ll): average Laplace-smoothed bigram
+    * log-likelihood of every document in `docs` (≥ 1 bigram) under the
+    * model trained on `train`. */
+  def bigramLogLik(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val trainBg = docBigrams(train, idCol, textCol)
+    val c12 = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = train
+      .select(explode(TF.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("vocab"))
+    val lp = log(
+      (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("vocab")).cast("double"))
+    docBigrams(docs, idCol, textCol)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), lp.cast("decimal(38,12)").as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 4)
+          .as("avg_ll"))
+  }
+}

@@ -168,6 +168,15 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"))
 
+  /** Bigram LM scoring lane: model trained on the English slice,
+    * every document scored by average smoothed bigram log-likelihood —
+    * off-language and gibberish text scores low. */
+  def textLmScore: Q = (s, d) => {
+    val dd = docs(s, d)
+    graft.operators.LanguageModel.bigramLogLik(
+      dd, dd.filter(col("lang") === "en"), "doc_id", "norm_text")
+  }
+
   /** Incremental dedup lane: a deterministic 70% hash-slice of the
     * documents plays the existing corpus, the remaining 30% the new
     * batch; output is the batch docs that survive exact-fingerprint and
@@ -516,6 +525,7 @@ object PipelineQueries {
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
     "dedup_incremental" -> dedupIncremental,
+    "text_lm_score" -> textLmScore,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_hard_negatives" -> annHardNegatives,
@@ -704,6 +714,31 @@ object PipelineQueries {
          |SELECT lang, count(*) AS n_docs,
          | CAST(sum(n_toks) AS BIGINT) AS n_tokens
          |FROM kept GROUP BY 1""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |   regexp_extract_all($norm, '[a-z0-9]+') AS toks FROM documents),
+         | bg AS (SELECT doc_id, lang,
+         |   unnest(list_transform(generate_series(1, len(toks) - 1),
+         |     i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+         |  FROM tk WHERE len(toks) >= 2),
+         | b2 AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         | c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2
+         |  WHERE lang = 'en' GROUP BY 1, 2),
+         | c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12
+         |  GROUP BY 1),
+         | v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+         |  FROM (SELECT unnest(toks) AS t FROM tk WHERE lang = 'en')),
+         | scored AS (SELECT d.doc_id,
+         |   ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+         |      / CAST(coalesce(c1.c1, 0) + v.vocab AS DOUBLE)) AS lp
+         |  FROM b2 d
+         |  LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+         |  LEFT JOIN c1 ON d.w1 = c1.w1
+         |  CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         | round(CAST(sum(CAST(lp AS DECIMAL(38,12))) AS DOUBLE)
+         |   / count(*), 4) AS avg_ll
+         |FROM scored GROUP BY 1""".stripMargin,
     "dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, lang, source, $norm AS nt,
          |  CAST(CAST(concat('0x', substring(md5(concat(

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Bigram LM: hand-computed smoothed log-likelihoods on a tiny corpus,
+  * and the discriminative property the signal exists for (in-language
+  * text outscores off-language text under an in-language model). */
+class LanguageModelSpec extends SparkSpec {
+
+  test("docBigrams emits every occurrence, none for short docs") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a"), (2L, "solo"), (3L, "")).toDF("id", "text")
+    val bg = LanguageModel.docBigrams(d, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(bg.toSeq.sorted === Seq((1L, "a", "b"), (1L, "b", "a")))
+  }
+
+  test("bigramLogLik matches hand-computed Laplace probabilities") {
+    import spark.implicits._
+    // train: bigrams (a,b)x2 (b,a)x2 (a,c)x1 → c1: a=3 b=2; vocab=3
+    val train = Seq((100L, "a b a b a c")).toDF("id", "text")
+    val score = Seq((1L, "a b"), (2L, "z z"), (3L, "a")).toDF("id", "text")
+    val out = LanguageModel.bigramLogLik(score, train, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // P(b|a) = (2+1)/(3+3); P(z|z) = (0+1)/(0+3)
+    assert(out(1L) === ((1L, math.rint(math.log(3.0 / 6.0) * 1e4) / 1e4)))
+    assert(out(2L) === ((1L, math.rint(math.log(1.0 / 3.0) * 1e4) / 1e4)))
+    assert(!out.contains(3L)) // no bigrams → no row
+  }
+
+  test("en-trained model scores en docs above fr docs on real data") {
+    val dd = Tables.documents(spark, sf())
+      .withColumn("norm_text", TF.normalize(col("text")))
+    val scored = LanguageModel.bigramLogLik(
+      dd, dd.filter(col("lang") === "en"), "doc_id", "norm_text")
+      .join(dd.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg("avg_ll").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scored("en") > scored("fr"))
+    assert(scored("en") > scored("de"))
+  }
+}
