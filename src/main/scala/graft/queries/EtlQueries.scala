@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.etl.{BucketedTables, CsvExport, MergeTreeWriter, RawCsvSource}
+import graft.etl.{BucketedTables, CsvExport, MergeTreeWriter, RawCsvSource, ZOrderLayout}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -94,11 +94,41 @@ object EtlQueries {
           .cast("decimal(38,8)")).cast("double"), 2).as("revenue"))
   }
 
+  /** Z-order layout (multi-dimensional MergeTree analogue) under the
+    * driver gate: orders written along the Morton curve over
+    * (o_custkey, floor(o_totalprice)), read back, and every row's
+    * z-value recomputed from the round-tripped data — the oracle
+    * replays the exact normalize+interleave integer arithmetic, so both
+    * the sink/source path and the curve math are hash-checked. The
+    * pruning property the layout exists for (tight per-file min/max on
+    * BOTH dimensions) is asserted in ZOrderLayoutSpec. */
+  def zorderRoundtrip: Q = (s, d) => {
+    val out = tmp("zorder", d)
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey"), floor(col("o_totalprice")).cast("long").as("price_l"))
+    ZOrderLayout.writeZOrdered(o, "o_custkey", "price_l", out, nFiles = 8)
+    val back = s.read.parquet(out)
+    val stats = back.agg(
+      min(col("o_custkey")).as("amin"), max(col("o_custkey")).as("amax"),
+      min(col("price_l")).as("bmin"), max(col("price_l")).as("bmax"))
+    back.crossJoin(broadcast(stats))
+      .select(col("o_orderkey"),
+        ZOrderLayout.zValue(col("o_custkey"), col("amin"), col("amax"),
+          col("price_l"), col("bmin"), col("bmax"), bits = 16).as("zv"))
+  }
+
   val queries: Map[String, Q] = Map(
     "etl_csv_roundtrip" -> csvRoundtrip,
     "etl_mergetree_roundtrip" -> mergetreeRoundtrip,
     "bucketed_join" -> bucketedJoin,
+    "zorder_roundtrip" -> zorderRoundtrip,
   )
+
+  /** 32 shift/mask terms of the 16-bit interleave, as DuckDB SQL. */
+  private def interleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($a >> $i) & 1) << ${2 * i})",
+      s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracle: Map[String, String] = Map(
     "etl_csv_roundtrip" ->
@@ -114,6 +144,20 @@ object EtlQueries {
         | count(*) AS cnt, min(l_shipdate) AS min_ship,
         | max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "zorder_roundtrip" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey AS a,
+         |   CAST(floor(o_totalprice) AS BIGINT) AS b FROM orders),
+         | s AS (SELECT min(a) AS amin, max(a) AS amax,
+         |   min(b) AS bmin, max(b) AS bmax FROM o),
+         | n AS (SELECT o_orderkey,
+         |   CASE WHEN amax = amin THEN 0
+         |    ELSE ((a - amin) * 65535) // (amax - amin) END AS na,
+         |   CASE WHEN bmax = bmin THEN 0
+         |    ELSE ((b - bmin) * 65535) // (bmax - bmin) END AS nb
+         |  FROM o CROSS JOIN s)
+         |SELECT o_orderkey,
+         | CAST(${interleaveSql("na", "nb", 16)} AS BIGINT) AS zv
+         |FROM n""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
