@@ -82,6 +82,26 @@ object TextFunctions {
       lit(words.mkString("\\b(", "|", ")\\b"))).cast("long")
   }
 
+  /** PII patterns, shared verbatim by the Column combinators and the
+    * DuckDB oracle SQL (single source of truth; RE2-compatible syntax —
+    * char classes, bounded counts, word boundaries — so Java regex and
+    * RE2 agree match-for-match). All are applied to lowercased text. */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Occurrences of one PII pattern in the lowercased text. */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(lower(text), lit(pattern)).cast("long")
+
+  /** Redact emails, then phones, then IPv4s (that order: an email or
+    * phone containing digit runs must be consumed before the broader
+    * numeric patterns see them) — the C4-style scrub step before
+    * training export. Codegen'd regexp_replace chain, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(lower(text),
+      emailRe, "<email>"), phoneRe, "<phone>"), ipv4Re, "<ip>")
+
   /** Heuristic language ID: argmax of per-language stopword hits, "und"
     * (undetermined) when nothing matches. Ties break on reverse-alpha
     * order via the struct max — deterministic. */

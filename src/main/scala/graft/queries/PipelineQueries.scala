@@ -168,6 +168,28 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"))
 
+  /** PII scrub lane: the corpus contains no PII, so deterministic
+    * emails/phones/IPs are planted by doc_id residue (the scrubber is
+    * what's under test, not the data — same pattern as the planted
+    * decontamination overlap); output is per-doc pattern counts plus
+    * the fingerprint of the redacted text, both oracle-replayed. */
+  def textPiiScrub: Q = (s, d) => {
+    val r = pmod(col("doc_id"), lit(5))
+    val planted = docs(s, d).withColumn("ptext",
+      when(r === 0, concat(col("text"), lit(" reach me at user"),
+        col("doc_id").cast("string"), lit("@example.com")))
+        .when(r === 1,
+          concat(col("text"), lit(" call 555-123-4567 or 555.987.6543 today")))
+        .when(r === 2, concat(col("text"), lit(" server at 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".17 up")))
+        .otherwise(col("text")))
+    planted.select(col("doc_id"),
+      TF.piiCount(col("ptext"), TF.emailRe).as("n_emails"),
+      TF.piiCount(col("ptext"), TF.phoneRe).as("n_phones"),
+      TF.piiCount(col("ptext"), TF.ipv4Re).as("n_ips"),
+      md5(TF.redactPii(col("ptext")).cast("binary")).as("redacted_fp"))
+  }
+
   /** Bigram LM scoring lane: model trained on the English slice,
     * every document scored by average smoothed bigram log-likelihood —
     * off-language and gibberish text scores low. */
@@ -526,6 +548,7 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperature,
     "dedup_incremental" -> dedupIncremental,
     "text_lm_score" -> textLmScore,
+    "text_pii_scrub" -> textPiiScrub,
     "ann_bruteforce" -> annBruteForce,
     "ann_lsh" -> annLsh,
     "ann_hard_negatives" -> annHardNegatives,
@@ -714,6 +737,28 @@ object PipelineQueries {
          |SELECT lang, count(*) AS n_docs,
          | CAST(sum(n_toks) AS BIGINT) AS n_tokens
          |FROM kept GROUP BY 1""".stripMargin,
+    "text_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN concat(text, ' reach me at user',
+         |    CAST(doc_id AS VARCHAR), '@example.com')
+         |   WHEN doc_id % 5 = 1 THEN
+         |    concat(text, ' call 555-123-4567 or 555.987.6543 today')
+         |   WHEN doc_id % 5 = 2 THEN concat(text, ' server at 10.0.',
+         |    CAST(doc_id % 256 AS VARCHAR), '.17 up')
+         |   ELSE text END AS ptext
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(lower(ptext), '${TF.emailRe}'))
+         |   AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(lower(ptext), '${TF.phoneRe}'))
+         |   AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(lower(ptext), '${TF.ipv4Re}'))
+         |   AS BIGINT) AS n_ips,
+         | md5(regexp_replace(regexp_replace(regexp_replace(lower(ptext),
+         |   '${TF.emailRe}', '<email>', 'g'),
+         |   '${TF.phoneRe}', '<phone>', 'g'),
+         |   '${TF.ipv4Re}', '<ip>', 'g')) AS redacted_fp
+         |FROM p""".stripMargin,
     "text_lm_score" ->
       s"""WITH tk AS (SELECT doc_id, lang,
          |   regexp_extract_all($norm, '[a-z0-9]+') AS toks FROM documents),

@@ -79,4 +79,33 @@ class TextFunctionsSpec extends SparkSpec {
       .select(charNgrams(col("t"), 3).as("s")).head().getSeq[String](0)
     assert(ng === Seq("abc", "bcd"))
   }
+
+  test("piiCount finds emails, phones, and IPs; clean text scores 0") {
+    import spark.implicits._
+    val d = Seq(
+      "mail Bob.Smith+x@Example.COM or call 555-123-4567 and 555.987.6543",
+      "host 10.0.3.17 and 192.168.0.1 up",
+      "no pii here at all",
+    ).toDF("t")
+    val got = d.select(
+      piiCount(col("t"), emailRe).as("e"),
+      piiCount(col("t"), phoneRe).as("p"),
+      piiCount(col("t"), ipv4Re).as("i"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) === ((1L, 2L, 0L)))
+    assert(got(1) === ((0L, 0L, 2L)))
+    assert(got(2) === ((0L, 0L, 0L)))
+  }
+
+  test("redactPii replaces every occurrence, email before numbers") {
+    import spark.implicits._
+    val out = Seq("write a1-b2@x.io; dial 555-123-4567; ping 10.0.0.1 ok")
+      .toDF("t").select(redactPii(col("t")).as("r")).head().getString(0)
+    assert(out === "write <email>; dial <phone>; ping <ip> ok")
+    // an address whose local part looks like a phone is consumed as an
+    // email — the order the chain guarantees
+    val tricky = Seq("ref 555-123-4567@x.io end").toDF("t")
+      .select(redactPii(col("t")).as("r")).head().getString(0)
+    assert(tricky === "ref <email> end")
+  }
 }
