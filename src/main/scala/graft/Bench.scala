@@ -51,7 +51,11 @@ object Bench {
     // dictionary join), and the native-vs-compositional as-of A/B
     // (asof_join above is the union+window form; this is the custom
     // merge exec on the same data and oracle)
-    "pack_nextfit", "boilerplate_clean", "asof_join_native")
+    "pack_nextfit", "boilerplate_clean", "asof_join_native",
+    // round-3 second wave: bigram-LM scoring (two vocabulary-keyed
+    // shuffle joins — the heaviest new lane) and the bucketized
+    // interval lookup (broadcast hash join replacing nested-loop)
+    "text_lm_score", "interval_lookup")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -44,6 +44,33 @@ object Packing {
   private[graft] def shardOf(ord: Column, shards: Int): Column =
     pmod(conv(substring(ord, 1, 8), 16, 10).cast("long"), lit(shards.toLong))
 
+  /** Per-document sliding token windows (RAG-style overlapping
+    * chunking): windows of `chunkSize` tokens starting every `stride`
+    * tokens (stride < chunkSize ⇒ overlap), trailing windows shrink at
+    * the document end. The third sequence-forming layout beside
+    * [[chunkPack]] and [[nextFitPack]], for retrieval corpora where a
+    * chunk must never span documents and context overlap is wanted.
+    *
+    * Map-only: every document emits its own chunks inside the scan
+    * stage — no shuffle, no state, the shape that scales to any corpus
+    * size. The tokens array is materialized before the (interpreted)
+    * transform lambda, same discipline as the MinHash path. Output:
+    * (doc_id, chunk_id, n_tokens, chunk_fp). */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride positive")
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("toks")), lit(stride)),
+        s => slice(col("toks"), s, lit(chunkSize)))))
+      .toDF("doc_id", "chunk_id", "chunk")
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+  }
+
   /** Concat-and-chunk packing plan. Output: one row per document with
     * its shard, placement, and split count —
     * (id, shard, start_tok, first_seq, last_seq, start_off, n_splits).

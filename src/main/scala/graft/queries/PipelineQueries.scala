@@ -367,6 +367,13 @@ object PipelineQueries {
     graft.operators.Packing.chunkPack(docsWithTokens(s, d),
       "doc_id", "n_toks", packBudget, packShards, packSalt)
 
+  /** Sliding overlapping chunks (RAG layout): 64-token windows every
+    * 48 tokens per document — map-only, chunk fingerprints and sizes
+    * under the gate. */
+  def packSliding: Q = (s, d) =>
+    graft.operators.Packing.slidingChunks(docs(s, d), "doc_id",
+      "norm_text", chunkSize = 64, stride = 48)
+
   /** Whole-document next-fit packing (documents never split; a sequence
     * closes when the next doc would overflow it) — per-shard sorted
     * mapPartitions, oracled by a DuckDB recursive CTE replaying the
@@ -553,6 +560,7 @@ object PipelineQueries {
     "ann_lsh" -> annLsh,
     "ann_hard_negatives" -> annHardNegatives,
     "pack_chunk" -> packChunk,
+    "pack_sliding" -> packSliding,
     "pack_nextfit" -> packNextFit,
     "pack_report" -> packReport,
     "boilerplate_clean" -> boilerplateClean,
@@ -737,6 +745,19 @@ object PipelineQueries {
          |SELECT lang, count(*) AS n_docs,
          | CAST(sum(n_toks) AS BIGINT) AS n_tokens
          |FROM kept GROUP BY 1""".stripMargin,
+    "pack_sliding" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |   regexp_extract_all($norm, '[a-z0-9]+') AS toks FROM documents),
+         | ch AS (SELECT doc_id,
+         |   unnest(list_transform(generate_series(1, len(toks), 48),
+         |     s -> toks[s : s + 63])) AS chunk,
+         |   unnest(generate_series(1,
+         |     len(generate_series(1, len(toks), 48)))) AS i
+         |  FROM tk WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_id,
+         | CAST(len(chunk) AS BIGINT) AS n_tokens,
+         | md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM ch""".stripMargin,
     "text_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id,
          |  CASE WHEN doc_id % 5 = 0 THEN concat(text, ' reach me at user',

@@ -104,4 +104,26 @@ class PackingSpec extends SparkSpec {
       assert(fillRate === nTokens.toDouble / (nSeqs * 100L).toDouble)
     }
   }
+
+  test("slidingChunks windows with overlap; trailing windows shrink") {
+    import spark.implicits._
+    // 10 tokens, size 8, stride 4 → windows at 1 (8 toks), 5 (6), 9 (2)
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2L, ""))
+      .toDF("id", "text")
+    val out = Packing.slidingChunks(d, "id", "text",
+      chunkSize = 8, stride = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0L, 8L), (1L, 6L), (2L, 2L)))
+  }
+
+  test("slidingChunks with stride == size tiles exactly, no overlap") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val out = Packing.slidingChunks(d, "id", "text",
+      chunkSize = 4, stride = 4).collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(2)).sum === 12L) // every token exactly once
+  }
 }
