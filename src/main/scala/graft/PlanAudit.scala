@@ -225,6 +225,48 @@ object PlanAudit {
       em.contains("partial_min") && em.contains("partial_max") &&
         occurrences(em, "Exchange") == 1, "")
 
+    // interval lookup: the whole point of the bucketized rewrite — the
+    // range predicate rides a broadcast HASH join, never nested-loop.
+    val il = plan("interval_lookup")
+    check("interval_lookup: broadcast hash join, no nested-loop",
+      il.contains("BroadcastHashJoin") &&
+        !il.contains("BroadcastNestedLoopJoin"),
+      "bucket equi-key carries the BETWEEN predicate")
+
+    // bigram LM: model counts are partial+final aggregates; the scoring
+    // joins shuffle on the vocabulary key (they must NOT broadcast — the
+    // model grows with the corpus); only the 1-row V aggregate may
+    // broadcast.
+    val lmDf = SparkEntry.queries("text_lm_score")(spark, sfDir)
+    val lm = planOf(lmDf)
+    check("text_lm_score: partial+final count aggregates",
+      occurrences(lm, "HashAggregate") >= 4, "c12/c1 map-side combined")
+    // code-level policy: the ONLY explicit broadcast hint is the 1-row
+    // vocab-size aggregate; the model-count joins carry no hint (their
+    // tables grow with the corpus — at toy scale AQE may still
+    // broadcast them at runtime, which is AQE's call, not ours).
+    val lmHints = lmDf.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h
+    }
+    check("text_lm_score: only the vocab aggregate is hinted",
+      lmHints.size == 1 &&
+        lmHints.head.child.schema.fieldNames.sameElements(Array("vocab")),
+      s"${lmHints.size} hints; model joins decided by size at runtime")
+
+    // sliding chunks: map-only — chunks are emitted inside the scan
+    // stage, no exchange anywhere.
+    val ps = plan("pack_sliding")
+    check("pack_sliding: map-only, no shuffle", !ps.contains("Exchange"),
+      "chunk emission fused into the scan stage")
+
+    // incremental dedup: fingerprint screening is hash equi-joins; the
+    // near stage is the block-bounded equi-join — no nested-loop.
+    val di = plan("dedup_incremental")
+    check("dedup_incremental: equi-joins only",
+      !di.contains("BroadcastNestedLoopJoin") &&
+        !di.contains("CartesianProduct"),
+      "anti-joins + block join, all hash-keyed")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)
