@@ -28,7 +28,11 @@ object ScaleSmoke {
     // document-pipeline lanes (scale on the enlarged documents table):
     // packing = shuffle + partition fold, boilerplate = explode +
     // dictionary join, exact dedup = one 16-byte-key shuffle
-    "pack_nextfit", "boilerplate_clean", "dedup_exact")
+    "pack_nextfit", "boilerplate_clean", "dedup_exact",
+    // round-3 second wave: LM scoring = vocabulary-keyed shuffle joins
+    // (counts AND scored docs both grow with the corpus), sliding
+    // chunks = pure map stage
+    "text_lm_score", "pack_sliding")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
