@@ -55,7 +55,10 @@ object Bench {
     // round-3 second wave: bigram-LM scoring (two vocabulary-keyed
     // shuffle joins — the heaviest new lane) and the bucketized
     // interval lookup (broadcast hash join replacing nested-loop)
-    "text_lm_score", "interval_lookup")
+    "text_lm_score", "interval_lookup",
+    // third wave: the optimizer-rule tier — the NAIVE non-equi
+    // proximity join, auto-rewritten to the bucketized hash join
+    "range_rewrite")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -95,5 +95,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strategy without any code (the Scala API registers it lazily via
     // experimental.extraStrategies instead)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinNative.Strategy)
+    // the optimizer-rule tier: naive |Δt| <= tol non-equi joins are
+    // rewritten to the bucketized hash join (pure-SQL users included)
+    ext.injectOptimizerRule(_ =>
+      graft.plans.ProximityJoinRewrite.RewriteRule)
   }
 }

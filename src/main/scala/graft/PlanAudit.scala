@@ -259,6 +259,23 @@ object PlanAudit {
     check("pack_sliding: map-only, no shuffle", !ps.contains("Exchange"),
       "chunk emission fused into the scan stage")
 
+    // proximity-join rewrite: the NAIVE |Δt| <= tol join (no equi
+    // conjunct — nested-loop territory without the optimizer rule) must
+    // come out as a bucketized hash join with the marker columns in the
+    // optimized plan.
+    val rrDf = SparkEntry.queries("range_rewrite")(spark, sfDir)
+    check("range_rewrite: optimizer rule fired",
+      rrDf.queryExecution.optimizedPlan.toString
+        .contains(graft.plans.ProximityJoinRewrite.marker),
+      "naive non-equi join rewritten to bucket equi-join")
+    val rr = planOf(rrDf)
+    check("range_rewrite: hash join, no nested-loop/cartesian",
+      !rr.contains("BroadcastNestedLoopJoin") &&
+        !rr.contains("CartesianProduct") &&
+        (rr.contains("SortMergeJoin") || rr.contains("ShuffledHashJoin") ||
+          rr.contains("BroadcastHashJoin")),
+      "rewrite output plans like the hand-bucketized join")
+
     // incremental dedup: fingerprint screening is hash equi-joins; the
     // near stage is the block-bounded equi-join — no nested-loop.
     val di = plan("dedup_incremental")

@@ -72,4 +72,55 @@ object Decontamination {
       .select(col("doc_id").as("_flagged_id"))
     train.join(flagged, train(idCol) === col("_flagged_id"), "leftanti")
   }
+
+  /** Serialized Bloom filter over the eval set's distinct n-gram hashes
+    * — built with Spark's own mergeable [[org.apache.spark.sql.catalyst
+    * .expressions.aggregate.BloomFilterAggregate]] (the sketch behind
+    * runtime row-level filtering), so partials combine map-side and the
+    * result is one binary blob sized `numBits` regardless of input. */
+  def evalNgramBloom(eval: DataFrame, idCol: String, textCol: String,
+      n: Int, estItems: Long = 1L << 20, numBits: Long = 1L << 23)
+      : Array[Byte] = {
+    import org.apache.spark.sql.GraftExpressionBridge.{catalystExpression, column}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = column(new BloomFilterAggregate(
+      catalystExpression(xxhash64(col("ngram"))),
+      Literal(estItems), Literal(numBits)).toAggregateExpression())
+    ngramPairs(eval, idCol, textCol, n)
+      .select(col("ngram")).distinct()
+      .agg(agg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[flagOverlaps]] with a Bloom-filter pre-screen — the 100 TB form.
+    *
+    * The exact join shuffles EVERY distinct training (doc, n-gram) pair
+    * on the n-gram, though almost none overlap the eval set. Here the
+    * eval side is first reduced to a fixed-size Bloom filter (built in
+    * one mergeable aggregate, a few MB at any eval size), shipped to
+    * every scan task as a binary literal — the same constant-filter
+    * shape Spark's own InjectRuntimeFilter produces, with the codegen'd
+    * `might_contain` as the predicate — and only training n-grams the
+    * filter might contain reach the shuffle. No false negatives, so the
+    * follow-up exact join on the survivors returns EXACTLY
+    * [[flagOverlaps]]'s answer (same oracle); false positives only cost
+    * a few stray rows through the join, bounded by the filter's fpp.
+    */
+  def flagOverlapsBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{catalystExpression, column}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val bf = evalNgramBloom(eval, idCol, textCol, n)
+    val mightContain = column(BloomFilterMightContain(
+      catalystExpression(lit(bf)),
+      catalystExpression(xxhash64(col("ngram")))))
+    val evalNg = ngramPairs(eval, idCol, textCol, n)
+      .select(col("ngram")).distinct()
+    ngramPairs(train, idCol, textCol, n)
+      .filter(mightContain)
+      .join(evalNg, Seq("ngram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -167,8 +167,29 @@ object EventQueries {
       Tables.events(s, d), "event_id", "user_id", "ts", tolSec = 1800L)
       .orderBy("id_a", "id_b")
 
+  /** The NAIVE keyless proximity join — `abs(t_a − t_b) <= 60s` with no
+    * equi conjunct, which Spark alone can only plan as an O(n²)
+    * BroadcastNestedLoopJoin — relying on
+    * [[graft.plans.ProximityJoinRewrite]] to rewrite it into the
+    * bucketized hash join. Same result, same oracle shape as a
+    * hand-bucketized join; the ENGINE supplies the scalability. */
+  def rangeRewritePairs: Q = (s, d) => {
+    org.apache.spark.sql.GraftPlanBridge.ensureOptimizerRule(
+      s, graft.plans.ProximityJoinRewrite.RewriteRule)
+    val e = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("t"))
+    val a = e.select(col("event_id").as("id_a"), col("t").as("t_a"))
+    val b = e.select(col("event_id").as("id_b"), col("t").as("t_b"))
+    a.join(b, col("id_a") < col("id_b") &&
+        abs(col("t_a") - col("t_b")) <= lit(60000000L))
+      .select(col("id_a"), col("id_b"),
+        (col("t_b") - col("t_a")).as("dt_us"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_hourly_stats" -> streamHourlyStats,
+    "range_rewrite" -> rangeRewritePairs,
     "sessionize" -> sessionize,
     "asof_join" -> eventsAsOfOrders,
     "asof_join_native" -> eventsAsOfOrdersNative,
@@ -242,6 +263,13 @@ object EventQueries {
         | AND epoch_us(p.ts) >= epoch_us(v.ts)
         | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
         |GROUP BY 1""".stripMargin,
+    "range_rewrite" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        | epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        | ON a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |ORDER BY id_a, id_b""".stripMargin,
     "range_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,
         | epoch_us(b.ts) - epoch_us(a.ts) AS dt_us

@@ -264,6 +264,20 @@ object PipelineQueries {
       "doc_id", "norm_text", n = 5)
   }
 
+  /** The SAME decontamination flags through the Bloom-filter pre-screen
+    * (eval n-grams → fixed-size mergeable sketch → codegen'd
+    * `might_contain` scan filter → exact confirm join). No false
+    * negatives, so the answer — and the oracle — are identical to
+    * [[decontaminate]]; what changes is the 100 TB shape: only n-grams
+    * that might overlap reach the shuffle. */
+  def decontaminateBloom: Q = (s, d) => {
+    val all = docs(s, d)
+    val isEval = operatorsSampling.hashFraction(col("doc_id"), "eval") < 0.1
+    Decontamination.flagOverlapsBloom(
+      all.filter(!isEval), all.filter(isEval),
+      "doc_id", "norm_text", n = 5)
+  }
+
   /** Corpus snapshot diff: the previous release is derived
     * deterministically from the current one (docs with id % 20 == 0
     * absent — "added since"; docs with id % 17 == 0 carrying truncated
@@ -546,6 +560,7 @@ object PipelineQueries {
     "text_repetition" -> textRepetition,
     "text_length_hist" -> textLengthHist,
     "decontaminate" -> decontaminate,
+    "decontaminate_bloom" -> decontaminateBloom,
     "source_overlap" -> sourceOverlap,
     "snapshot_diff" -> snapshotDiff,
     "embedding_centroids" -> embeddingCentroids,
@@ -580,6 +595,26 @@ object PipelineQueries {
   private def hitExpr(lang: String): String =
     s"len(list_filter(regexp_extract_all(lower(text), '\\S+'), " +
       s"t -> list_contains(${stopList(Seq(lang))}, t)))"
+
+  private lazy val decontaminateSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |   regexp_extract_all($norm, '\\S+') AS toks,
+       |   CAST(CAST(concat('0x', substring(md5(concat(
+       |     CAST(doc_id AS VARCHAR), 'eval')), 1, 8)) AS BIGINT) AS DOUBLE)
+       |     / CAST(4294967296 AS DOUBLE) AS h
+       |  FROM documents),
+       | g AS (SELECT doc_id, h, unnest(
+       |   CASE WHEN len(toks) = 0 THEN []
+       |        WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+       |        ELSE list_transform(generate_series(1, len(toks) - 4),
+       |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+       |            toks[i+3], toks[i+4])) END) AS ngram
+       |  FROM d),
+       | ev AS (SELECT DISTINCT ngram FROM g WHERE h < 0.1),
+       | tr AS (SELECT DISTINCT doc_id, ngram FROM g WHERE h >= 0.1)
+       |SELECT tr.doc_id, count(*) AS n_shared
+       |FROM tr JOIN ev USING (ngram)
+       |GROUP BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "salted_agg" ->
@@ -890,25 +925,10 @@ object PipelineQueries {
         |SELECT CAST(label AS BIGINT) AS true_label,
         | CAST(grp AS BIGINT) AS assigned_label, count(*) AS n
         |FROM best WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
-    "decontaminate" ->
-      s"""WITH d AS (SELECT doc_id,
-         |   regexp_extract_all($norm, '\\S+') AS toks,
-         |   CAST(CAST(concat('0x', substring(md5(concat(
-         |     CAST(doc_id AS VARCHAR), 'eval')), 1, 8)) AS BIGINT) AS DOUBLE)
-         |     / CAST(4294967296 AS DOUBLE) AS h
-         |  FROM documents),
-         | g AS (SELECT doc_id, h, unnest(
-         |   CASE WHEN len(toks) = 0 THEN []
-         |        WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-         |        ELSE list_transform(generate_series(1, len(toks) - 4),
-         |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-         |            toks[i+3], toks[i+4])) END) AS ngram
-         |  FROM d),
-         | ev AS (SELECT DISTINCT ngram FROM g WHERE h < 0.1),
-         | tr AS (SELECT DISTINCT doc_id, ngram FROM g WHERE h >= 0.1)
-         |SELECT tr.doc_id, count(*) AS n_shared
-         |FROM tr JOIN ev USING (ngram)
-         |GROUP BY 1""".stripMargin,
+    "decontaminate" -> decontaminateSql,
+    // the Bloom pre-screen has no false negatives and the survivors are
+    // confirmed by the exact join — same answer, same oracle
+    "decontaminate_bloom" -> decontaminateSql,
     "snapshot_diff" ->
       s"""WITH prev AS (
          |  SELECT doc_id, CASE WHEN doc_id % 17 = 0

@@ -28,4 +28,17 @@ object GraftPlanBridge {
         cs.experimental.extraStrategies :+ strategy
     }
   }
+
+  /** Idempotently add an optimizer rule to the session (the public
+    * `experimental.extraOptimizations` hook; cluster deployments would
+    * use `SparkSessionExtensions.injectOptimizerRule` instead). */
+  def ensureOptimizerRule(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule)) {
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ rule
+    }
+  }
 }

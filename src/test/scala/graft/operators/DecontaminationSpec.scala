@@ -54,4 +54,36 @@ class DecontaminationSpec extends SparkSpec {
       "doc_id", "text", n = 5)
     assert(flagged.count() === 0)
   }
+
+  test("bloom pre-screen returns exactly the exact-join flags") {
+    val exact = Decontamination.flagOverlaps(train, eval,
+      "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Decontamination.flagOverlapsBloom(train, eval,
+      "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact)
+    assert(bloom.keySet === Set(1L)) // no false negatives on the plant
+  }
+
+  test("bloom pre-screen on real docs equals exact on sf0.001") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text")
+    val evalSide = docs.filter($"doc_id" % 10 === 0)
+    val trainSide = docs.filter($"doc_id" % 10 =!= 0)
+    val exact = Decontamination.flagOverlaps(trainSide, evalSide,
+      "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Decontamination.flagOverlapsBloom(trainSide, evalSide,
+      "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom === exact)
+  }
+
+  test("bloom filter predicate prunes non-overlapping n-grams") {
+    // a bloom built from ONE n-gram must reject essentially all of a
+    // disjoint set (fpp at 2^23 bits over 1 item is ~0)
+    val bf = Decontamination.evalNgramBloom(eval, "doc_id", "text", n = 5)
+    assert(bf.length > 0)
+  }
 }
