@@ -476,6 +476,16 @@ object PipelineQueries {
       .orderBy("probe_id", "rk")
   }
 
+  /** Int8-quantized top-k over the same probes: integer-exact score
+    * terms make the approximate path hash-comparable, not just
+    * recall-checked. */
+  def annQuantized: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    SimilaritySearch.quantizedTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rk")
+  }
+
   /** LSH-bucketed ANN summarized as recall@5 against the exact baseline
     * (single row; xxhash64-derived hyperplanes → no DuckDB twin). */
   def annLsh: Q = (s, d) => {
@@ -572,6 +582,7 @@ object PipelineQueries {
     "text_lm_score" -> textLmScore,
     "text_pii_scrub" -> textPiiScrub,
     "ann_bruteforce" -> annBruteForce,
+    "ann_quantized" -> annQuantized,
     "ann_lsh" -> annLsh,
     "ann_hard_negatives" -> annHardNegatives,
     "pack_chunk" -> packChunk,
@@ -1006,6 +1017,31 @@ object PipelineQueries {
          |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |GROUP BY 1""".stripMargin
     },
+    "ann_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        | q AS (SELECT vec_id,
+        |   list_transform(v, x -> CAST(round(
+        |     x * (127.0 / greatest(list_max(list_transform(v,
+        |       y -> abs(y))), 1e-30))) AS BIGINT)) AS qv
+        |  FROM e),
+        | s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |   CAST(list_sum(list_transform(generate_series(1, len(p.qv)),
+        |     i -> p.qv[i] * c.qv[i])) AS BIGINT) AS dot,
+        |   CAST(list_sum(list_transform(p.qv, x -> x * x)) AS BIGINT) *
+        |   CAST(list_sum(list_transform(c.qv, x -> x * x)) AS BIGINT) AS n2
+        |  FROM q p JOIN q c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 5),
+        | r AS (SELECT probe_id, cand_id,
+        |   CASE WHEN n2 = 0 THEN 0.0
+        |        ELSE round(dot / sqrt(CAST(n2 AS DOUBLE)), 4) END AS qcos
+        |  FROM s)
+        |SELECT probe_id, rk, cand_id, qcos FROM (
+        | SELECT probe_id, cand_id, qcos,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY qcos DESC, cand_id ASC) AS BIGINT) AS rk
+        | FROM r)
+        |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)

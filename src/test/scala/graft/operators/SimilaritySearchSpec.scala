@@ -75,6 +75,32 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("quantizedTopK: int8 bounds, determinism, and high recall vs exact") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(
+      emb, probes, "vec_id", "embedding", k = 5).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("cand_id"))
+    val quant = SimilaritySearch.quantizedTopK(
+      emb, probes, "vec_id", "embedding", k = 5).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("cand_id"))
+    // int8 quantization perturbs each coordinate by <= 0.5/scale, so
+    // top-5 overlap with the exact ranking stays high
+    val recall = exact.count(quant.toSet) / exact.length.toDouble
+    assert(recall >= 0.8, s"recall@5 = $recall")
+    // scores are integer-ratio exact -> a second run is identical
+    val again = SimilaritySearch.quantizedTopK(
+      emb, probes, "vec_id", "embedding", k = 5).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("cand_id"))
+    assert(quant.toSeq === again.toSeq)
+    // cosine of int vectors stays in [-1, 1]
+    SimilaritySearch.quantizedTopK(emb, probes, "vec_id", "embedding", 5)
+      .collect().foreach { r =>
+        val c = r.getAs[Double]("qcos")
+        assert(c >= -1.0 && c <= 1.0)
+      }
+  }
+
   test("native cosine expression is bit-identical to the HOF composition") {
     import spark.implicits._
     // pseudo-random float vectors, incl. negatives and a zero vector
