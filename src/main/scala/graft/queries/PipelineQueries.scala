@@ -264,6 +264,15 @@ object PipelineQueries {
       "doc_id", "norm_text", n = 5)
   }
 
+  /** Linear-model quality inference: every document scored by a
+    * literal-weight linear classifier over codegen'd lexical counts —
+    * map-only, integer-exact logit (micro-units), keep = logit > 0. */
+  def qualityModelScore: Q = (s, d) =>
+    graft.operators.ModelScoring.linearQualityScore(
+      Tables.documents(s, d), "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_digits", "n_punct", "n_chars",
+        "logit_micro", "keep")
+
   /** The SAME decontamination flags through the Bloom-filter pre-screen
     * (eval n-grams → fixed-size mergeable sketch → codegen'd
     * `might_contain` scan filter → exact confirm join). No false
@@ -571,6 +580,7 @@ object PipelineQueries {
     "text_length_hist" -> textLengthHist,
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
+    "quality_model_score" -> qualityModelScore,
     "source_overlap" -> sourceOverlap,
     "snapshot_diff" -> snapshotDiff,
     "embedding_centroids" -> embeddingCentroids,
@@ -940,6 +950,20 @@ object PipelineQueries {
     // the Bloom pre-screen has no false negatives and the survivors are
     // confirmed by the exact join — same answer, same oracle
     "decontaminate_bloom" -> decontaminateSql,
+    "quality_model_score" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |    AS n_punct,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        | FROM documents)
+        |SELECT doc_id, n_tokens, n_digits, n_punct, n_chars,
+        | CAST(250000 + 12000 * n_tokens - 3000 * n_digits
+        |   + 8000 * n_punct - 3000 * n_chars AS BIGINT) AS logit_micro,
+        | (250000 + 12000 * n_tokens - 3000 * n_digits
+        |   + 8000 * n_punct - 3000 * n_chars) > 0 AS keep
+        |FROM f""".stripMargin,
     "snapshot_diff" ->
       s"""WITH prev AS (
          |  SELECT doc_id, CASE WHEN doc_id % 17 = 0
