@@ -206,6 +206,8 @@ object EventQueries {
       ((s, d) => EventsStream.streamingHeavyHitters(s, d)),
     "stream_export_manifest" ->
       ((s, d) => EventsStream.streamingExportManifest(s, d)),
+    "stream_enrich" ->
+      ((s, d) => EventsStream.streamStaticEnrichedCounts(s, d)),
     "resample_ffill" -> eventsResampleFfill,
   )
 
@@ -262,6 +264,14 @@ object EventQueries {
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) >= epoch_us(v.ts)
         | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+        |GROUP BY 1""".stripMargin,
+    // the drained stream-static join equals the batch join+aggregate
+    "stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(e.value AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin,
     "range_rewrite" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,

@@ -204,6 +204,38 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Stream-static ENRICHMENT join: the event stream joined to a static
+    * customer dimension (market segment) — the canonical streaming
+    * lookup. Stream-static joins are STATELESS: no watermark, no join
+    * state; each micro-batch probes the dimension (which Spark re-plans
+    * per batch, so at scale a broadcast dim refreshes as files change).
+    * Left join keeps events with no dimension row (segment null →
+    * "UNKNOWN"), then a complete-mode per-segment aggregate. Over the
+    * drained source this equals the batch join+group — the oracle. */
+  def streamStaticEnrichedCounts(spark: SparkSession, sfDir: String,
+      queryName: String = "events_enrich"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */

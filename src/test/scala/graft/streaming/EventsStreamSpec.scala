@@ -28,6 +28,21 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-static enrichment join equals the batch join+aggregate") {
+    val streamed = EventsStream.streamStaticEnrichedCounts(
+      spark, sf(), "spec_enrich")
+    val dim = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val batch = Tables.events(spark, sf())
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming export manifest equals the batch manifest") {
     val streamed = EventsStream.streamingExportManifest(
       spark, sf(), "spec_manifest")
