@@ -273,6 +273,34 @@ object PipelineQueries {
       .select("doc_id", "n_tokens", "n_digits", "n_punct", "n_chars",
         "logit_micro", "keep")
 
+  /** URL canonicalization + crawl dedup: deterministic MESSY urls are
+    * derived from (doc_id, source) — mixed-case scheme/host, www
+    * prefixes, default ports, trailing slashes, utm tracking params,
+    * unordered queries, fragments — then canonicalized
+    * ([[graft.functions.UrlFunctions]]) and grouped, so raw variants of
+    * the same page merge. The oracle replays both the derivation and
+    * every canonicalization rule. */
+  def urlCanonical: Q = (s, d) => {
+    val m = (k: Long) => pmod(col("doc_id"), lit(k))
+    val url = concat(
+      when(m(2) === 0L, lit("https")).otherwise(lit("HTTP")), lit("://"),
+      when(m(3) === 0L, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(m(10) === 0L, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), m(7).cast("string"),
+      when(m(4) === 0L, lit("/")).otherwise(lit("")),
+      when(m(3) === 0L, lit("?utm_source=feed&b=2&a=1"))
+        .when(m(3) === 1L, lit("?a=1&b=2")).otherwise(lit("")),
+      when(m(6) === 0L, lit("#sec")).otherwise(lit("")))
+    Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+      .withColumn("canon", graft.functions.UrlFunctions
+        .canonicalizeUrl(col("url")))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw"))
+      .orderBy("canon")
+  }
+
   /** The SAME decontamination flags through the Bloom-filter pre-screen
     * (eval n-grams → fixed-size mergeable sketch → codegen'd
     * `might_contain` scan filter → exact confirm join). No false
@@ -581,6 +609,7 @@ object PipelineQueries {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "quality_model_score" -> qualityModelScore,
+    "url_canonical" -> urlCanonical,
     "source_overlap" -> sourceOverlap,
     "snapshot_diff" -> snapshotDiff,
     "embedding_centroids" -> embeddingCentroids,
@@ -950,6 +979,42 @@ object PipelineQueries {
     // the Bloom pre-screen has no false negatives and the survivors are
     // confirmed by the exact join — same answer, same oracle
     "decontaminate_bloom" -> decontaminateSql,
+    "url_canonical" ->
+      """WITH u AS (SELECT doc_id, concat(
+        |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
+        |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+        |  source, '.Example.COM',
+        |  CASE WHEN doc_id % 10 = 0 THEN ':443' ELSE '' END,
+        |  '/docs/', CAST(doc_id % 7 AS VARCHAR),
+        |  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+        |  CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |       WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END,
+        |  CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+        | FROM documents),
+        | p AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+        |  FROM u),
+        | c AS (SELECT doc_id, url,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  regexp_replace(lower(regexp_extract(nf,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '')
+        |    AS host0,
+        |  regexp_replace(regexp_extract(nf,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')
+        |    AS path0,
+        |  regexp_extract(nf, '\?([^#]*)', 1) AS qs
+        |  FROM p),
+        | k AS (SELECT doc_id, url, concat(scheme, '://',
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+        |       ELSE host0 END,
+        |  CASE WHEN path0 = '' THEN '/' ELSE path0 END,
+        |  CASE WHEN len(pl) = 0 THEN ''
+        |       ELSE concat('?', array_to_string(pl, '&')) END) AS canon
+        |  FROM (SELECT *, list_sort(list_filter(string_split(qs, '&'),
+        |    x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS pl FROM c))
+        |SELECT canon, count(*) AS n_docs, count(DISTINCT url) AS n_raw
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "quality_model_score" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
