@@ -259,6 +259,15 @@ object PlanAudit {
     check("pack_sliding: map-only, no shuffle", !ps.contains("Exchange"),
       "chunk emission fused into the scan stage")
 
+    // custom DataSource V2: the per-cab aggregate needs 3 of 5 columns
+    // — SupportsPushDownRequiredColumns must keep the rest out of the
+    // BatchScan entirely.
+    val gs = plan("gen_source_agg")
+    check("gen_source: V2 scan with pruned columns",
+      gs.contains("BatchScan") && !gs.contains("pickup_ts") &&
+        !gs.contains("trip_id"),
+      "3 of 5 generated columns reach the scan")
+
     // proximity-join rewrite: the NAIVE |Δt| <= tol join (no equi
     // conjunct — nested-loop territory without the optimizer rule) must
     // come out as a bucketized hash join with the marker columns in the

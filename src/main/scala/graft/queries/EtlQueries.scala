@@ -117,11 +117,27 @@ object EtlQueries {
           col("price_l"), col("bmin"), col("bmax"), bits = 16).as("zv"))
   }
 
+  /** The custom DataSource V2 under the gate: 100k generated trips,
+    * aggregated per cab type. The grouped query needs 3 of 5 columns,
+    * so the V2 column pruning keeps pickup_ts/trip_id out of the scan
+    * (PlanAudit asserts it); DuckDB replays the generator arithmetic
+    * over generate_series. */
+  def genSourceAgg: Q = (s, _) =>
+    s.read.format("graft.sources.TripsGenProvider")
+      .option("rows", 100000L).option("slices", 8).load()
+      .groupBy(col("cab_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("fare_cents")).as("total_fare_cents"),
+        round(avg(col("passenger_count").cast("double")), 6)
+          .as("avg_passengers"))
+      .orderBy("cab_type")
+
   val queries: Map[String, Q] = Map(
     "etl_csv_roundtrip" -> csvRoundtrip,
     "etl_mergetree_roundtrip" -> mergetreeRoundtrip,
     "bucketed_join" -> bucketedJoin,
     "zorder_roundtrip" -> zorderRoundtrip,
+    "gen_source_agg" -> genSourceAgg,
   )
 
   /** 32 shift/mask terms of the 16-bit interleave, as DuckDB SQL. */
@@ -131,6 +147,17 @@ object EtlQueries {
       s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    "gen_source_agg" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 99999)) AS i),
+        | t AS (SELECT
+        |   ['yellow', 'green', 'uber'][CAST(i % 3 AS INT) + 1] AS cab_type,
+        |   (i * 7 + 3) % 6 AS passenger_count,
+        |   250 + (i * 131) % 4750 AS fare_cents
+        |  FROM g)
+        |SELECT cab_type, count(*) AS n,
+        | CAST(sum(fare_cents) AS BIGINT) AS total_fare_cents,
+        | round(avg(CAST(passenger_count AS DOUBLE)), 6) AS avg_passengers
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_csv_roundtrip" ->
       """SELECT count(*) AS cnt,
         | count(nullif(l_returnflag, 'N')) AS nonnull_flags,
