@@ -53,7 +53,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.HeavyHittersAgg(
         exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
+    // second custom TypedImperativeAggregate: count_min(col, d, w) —
+    // d/w must be literals (evaluated at registration)
+    ext.injectFunction((FunctionIdentifier("count_min"),
+      new ExpressionInfo(
+        classOf[graft.functions.CountMinAgg].getCanonicalName,
+        "count_min"),
+      (exprs: Seq[Expression]) => graft.functions.CountMinAgg(
+        exprs(0), exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
     // the text-analysis and sampling surface for pure-SQL users
+    injectColumnFn(ext, "canonical_url",
+      cs => graft.functions.UrlFunctions.canonicalizeUrl(cs(0)))
     injectColumnFn(ext, "token_count", cs => TF.tokenCount(cs(0)))
     injectColumnFn(ext, "bpe_token_count", cs => TF.regexTokenCount(cs(0)))
     injectColumnFn(ext, "quality_score", cs => TF.qualityScore(cs(0)))

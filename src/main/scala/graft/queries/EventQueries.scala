@@ -187,9 +187,26 @@ object EventQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Count-Min sketch beside exact counts: the md5-bucketed custom
+    * aggregate makes even hash collisions engine-replayable, so the
+    * ESTIMATES (not just bounds) are oracle-checked. est ≥ exact
+    * always; equal when the key's row buckets are collision-free. */
+  def sketchCms: Q = (s, d) => {
+    import graft.functions.CountMinFunctions._
+    val ev = Tables.events(s, d)
+    val sketch = ev.agg(countMin(col("event_type"), 4, 256).as("sk"))
+    val keys = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact"))
+    keys.crossJoin(broadcast(sketch))
+      .select(col("event_type"),
+        countMinEstimate(col("sk"), col("event_type"), 4, 256).as("est"),
+        col("exact"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_hourly_stats" -> streamHourlyStats,
     "range_rewrite" -> rangeRewritePairs,
+    "sketch_cms" -> sketchCms,
     "sessionize" -> sessionize,
     "asof_join" -> eventsAsOfOrders,
     "asof_join_native" -> eventsAsOfOrdersNative,
@@ -265,6 +282,23 @@ object EventQueries {
         | AND epoch_us(p.ts) >= epoch_us(v.ts)
         | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
         |GROUP BY 1""".stripMargin,
+    // the sketch's md5 bucketing is replayed cell-for-cell: per-key row
+    // buckets, cell counts summed over colliding keys, est = min cell
+    "sketch_cms" ->
+      """WITH ev AS (SELECT event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        | r AS (SELECT unnest(generate_series(0, 3)) AS rw),
+        | kb AS (SELECT ev.event_type, ev.cnt, r.rw,
+        |   CAST(concat('0x', substring(md5(concat(ev.event_type, ':',
+        |     CAST(r.rw AS VARCHAR))), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM ev CROSS JOIN r),
+        | cellcnt AS (SELECT rw, b, CAST(sum(cnt) AS BIGINT) AS cell
+        |  FROM kb GROUP BY 1, 2),
+        | est AS (SELECT kb.event_type, min(cellcnt.cell) AS est
+        |  FROM kb JOIN cellcnt USING (rw, b) GROUP BY 1)
+        |SELECT ev.event_type, est.est, ev.cnt AS exact
+        |FROM ev JOIN est USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // the drained stream-static join equals the batch join+aggregate
     "stream_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,

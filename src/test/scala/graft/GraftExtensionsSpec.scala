@@ -49,6 +49,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT banned_hits('the spam and the dup and spam', 'dup,spam')")
         .head().getLong(0)
       assert(bw === 3L)
+      val cu = spark.sql(
+        """SELECT canonical_url(
+          |  'HTTP://WWW.Site.com:80/a/?utm_source=x&b=2&a=1#top')"""
+          .stripMargin).head().getString(0)
+      assert(cu === "http://site.com/a?a=1&b=2")
+      // count_min: 1 key, depth 2 — each row holds exactly one 3-count
+      val cm = spark.sql(
+        """SELECT count_min(tok, 2, 16) FROM
+          |  (SELECT explode(array('x','x','x')) AS tok)""".stripMargin)
+        .head().getSeq[scala.collection.Seq[Long]](0)
+      assert(cm.length === 2)
+      cm.foreach { row => assert(row.sum === 3L && row.max === 3L) }
       // the native as-of strategy arrives via injectPlannerStrategy:
       // the custom exec appears in a plan built on this session
       import org.apache.spark.sql.functions.col
