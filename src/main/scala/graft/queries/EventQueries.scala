@@ -41,6 +41,23 @@ object EventQueries {
           .as("total_value"))
   }
 
+  /** Native session windows: `session_window(ts, gap)` — Spark's
+    * dynamic-gap grouping (the operator form of [[sessionize]]'s
+    * hand-built lag/cumsum). Each (user, session) row carries the
+    * window bounds (end = last event + gap), event count and value sum.
+    * The same expression works in a streaming aggregation with
+    * watermark-driven session closure; the batch form here shares its
+    * oracle with a DuckDB gap-split replay. */
+  def sessionWindowAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** As-of join: each event picks up the user's most recent order at or
     * before the event time. The right side is deduped to one row per
     * (custkey, orderdate) — keep max o_orderkey — so both engines'
@@ -208,6 +225,7 @@ object EventQueries {
     "range_rewrite" -> rangeRewritePairs,
     "sketch_cms" -> sketchCms,
     "sessionize" -> sessionize,
+    "session_window_agg" -> sessionWindowAgg,
     "asof_join" -> eventsAsOfOrders,
     "asof_join_native" -> eventsAsOfOrdersNative,
     "asof_join_native_fwd" -> eventsAsOfNextOrderNative,
@@ -378,6 +396,23 @@ object EventQueries {
         | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "session_window_agg" ->
+      """WITH o AS (SELECT user_id, ts, value, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |   THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT user_id, ts, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        | (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "sessionize" ->
       """WITH marked AS (
         | SELECT user_id, value,

@@ -28,6 +28,17 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("session_window agrees with the hand-built lag/cumsum sessionizer") {
+    // native session_window sessions per user == sessionize's n_sessions
+    val sw = graft.queries.EventQueries.sessionWindowAgg(spark, sf())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val hand = graft.queries.EventQueries.sessionize(spark, sf())
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    assert(sw.exceptAll(hand).count() === 0)
+    assert(hand.exceptAll(sw).count() === 0)
+  }
+
   test("stream-static enrichment join equals the batch join+aggregate") {
     val streamed = EventsStream.streamStaticEnrichedCounts(
       spark, sf(), "spec_enrich")
