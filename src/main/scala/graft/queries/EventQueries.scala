@@ -226,6 +226,8 @@ object EventQueries {
     "sketch_cms" -> sketchCms,
     "sessionize" -> sessionize,
     "session_window_agg" -> sessionWindowAgg,
+    "stream_session_window" ->
+      ((s, d) => EventsStream.streamingSessionWindows(s, d)),
     "asof_join" -> eventsAsOfOrders,
     "asof_join_native" -> eventsAsOfOrdersNative,
     "asof_join_native_fwd" -> eventsAsOfNextOrderNative,
@@ -396,6 +398,28 @@ object EventQueries {
         | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the append-mode stream emits exactly the sessions the zero-delay
+    // watermark closed: session_end <= global max event time
+    "stream_session_window" ->
+      """WITH o AS (SELECT user_id, ts, value, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |   THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | s AS (SELECT user_id, ts, value,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        | g AS (SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+        |  (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |    AS sum_value
+        | FROM s GROUP BY user_id, sid)
+        |SELECT * FROM g
+        |WHERE session_end <= (SELECT max(ts)::TIMESTAMP FROM events)"""
+        .stripMargin,
     "session_window_agg" ->
       """WITH o AS (SELECT user_id, ts, value, event_id,
         |  CASE WHEN lag(ts) OVER w IS NULL

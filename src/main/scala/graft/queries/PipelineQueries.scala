@@ -264,6 +264,52 @@ object PipelineQueries {
       "doc_id", "norm_text", n = 5)
   }
 
+  /** Vocabulary construction — the tokenizer-training prerequisite:
+    * corpus-wide token counts, a min-count cut, then CONTIGUOUS ids
+    * assigned by (count desc, token) rank. The corpus-sized work is the
+    * one token-keyed count shuffle (map-side combined); the global
+    * rank window runs only over the surviving vocabulary, which a
+    * min-count cut keeps bounded (vocabularies are ≤ millions at any
+    * corpus size — the single-partition rank is over the SMALL side,
+    * the standard shape for id assignment). */
+  def vocabBuild: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d)
+      .select(explode(TF.tokens(col("norm_text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .withColumn("token_id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token").asc))
+        .cast("long") - 1L)
+  }
+
+  /** Per-group z-score outliers: group mean/stddev from EXACT integer
+    * sums (prices → cents, Σc and Σc² accumulated as 64-bit/decimal
+    * integers — order-independent AND free of cross-engine decimal
+    * rounding), then |x − μ| > 1.5σ flags (the price distribution is near-uniform, max |z| = √3 ≈ 1.73, so a 3σ cut can never fire; 1.5σ captures the true tails) — the numeric quality screen
+    * every feature pipeline runs. Map-side-combinable aggregates + one
+    * broadcast join of the tiny per-group stats. */
+  def outlierZscore: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val stats = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("c")).as("s1"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      .select(col("l_returnflag"),
+        (col("s1").cast("double") / (col("n") * 100.0)).as("mu"),
+        sqrt(col("s2").cast("double") / (col("n") * 10000.0) -
+          (col("s1").cast("double") / (col("n") * 100.0)) *
+            (col("s1").cast("double") / (col("n") * 100.0))).as("sigma"))
+    li.join(broadcast(stats), Seq("l_returnflag"))
+      .filter(abs(col("c") / 100.0 - col("mu")) > lit(1.5) * col("sigma"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_outliers"),
+        round(min(col("c")) / 100.0, 2).as("min_outlier"),
+        round(max(col("c")) / 100.0, 2).as("max_outlier"))
+  }
+
   /** Linear-model quality inference: every document scored by a
     * literal-weight linear classifier over codegen'd lexical counts —
     * map-only, integer-exact logit (micro-units), keep = logit > 0. */
@@ -610,6 +656,8 @@ object PipelineQueries {
     "decontaminate_bloom" -> decontaminateBloom,
     "quality_model_score" -> qualityModelScore,
     "url_canonical" -> urlCanonical,
+    "vocab_build" -> vocabBuild,
+    "outlier_zscore" -> outlierZscore,
     "source_overlap" -> sourceOverlap,
     "snapshot_diff" -> snapshotDiff,
     "embedding_centroids" -> embeddingCentroids,
@@ -979,6 +1027,35 @@ object PipelineQueries {
     // the Bloom pre-screen has no false negatives and the survivors are
     // confirmed by the exact join — same answer, same oracle
     "decontaminate_bloom" -> decontaminateSql,
+    "vocab_build" ->
+      s"""WITH t AS (SELECT unnest(regexp_extract_all($norm, '\\S+'))
+         |   AS token FROM documents),
+         | v AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1
+         |   HAVING count(*) >= 5)
+         |SELECT token, cnt,
+         | CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+         |   AS BIGINT) AS token_id
+         |FROM v""".stripMargin,
+    "outlier_zscore" ->
+      """WITH li AS (SELECT l_returnflag,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        | st AS (SELECT l_returnflag, count(*) AS n,
+        |   CAST(sum(c) AS BIGINT) AS s1,
+        |   sum(CAST(c * c AS DECIMAL(38,0))) AS s2
+        |  FROM li GROUP BY 1),
+        | mu AS (SELECT l_returnflag,
+        |   CAST(s1 AS DOUBLE) / (n * 100.0) AS mu,
+        |   sqrt(CAST(s2 AS DOUBLE) / (n * 10000.0) -
+        |     (CAST(s1 AS DOUBLE) / (n * 100.0)) *
+        |     (CAST(s1 AS DOUBLE) / (n * 100.0))) AS sigma
+        |  FROM st)
+        |SELECT li.l_returnflag, count(*) AS n_outliers,
+        | round(min(li.c) / 100.0, 2) AS min_outlier,
+        | round(max(li.c) / 100.0, 2) AS max_outlier
+        |FROM li JOIN mu USING (l_returnflag)
+        |WHERE abs(li.c / 100.0 - mu.mu) > 1.5 * mu.sigma
+        |GROUP BY 1""".stripMargin,
     "url_canonical" ->
       """WITH u AS (SELECT doc_id, concat(
         |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',

@@ -236,6 +236,42 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** STREAMING session windows: `session_window` inside a watermarked
+    * streaming aggregation, append mode — sessions are held in the
+    * state store while open and emitted exactly once when the watermark
+    * passes their end (last event + gap). That eviction contract is the
+    * deterministic cut the lane verifies: with a zero-delay watermark
+    * the final watermark is the global max event time, so the drained
+    * stream emits precisely the sessions whose end ≤ max(ts) — the
+    * batch session set minus each user's still-open tail session. The
+    * oracle applies the same cut. */
+  def streamingSessionWindows(spark: SparkSession, sfDir: String,
+      queryName: String = "events_swin"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sessions = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */

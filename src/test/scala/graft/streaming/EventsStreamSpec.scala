@@ -39,6 +39,19 @@ class EventsStreamSpec extends SparkSpec {
     assert(hand.exceptAll(sw).count() === 0)
   }
 
+  test("streaming session windows emit exactly the watermark-closed set") {
+    val streamed = EventsStream.streamingSessionWindows(
+      spark, sf(), "spec_swin")
+    val maxTs = Tables.events(spark, sf())
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val batchClosed = graft.queries.EventQueries
+      .sessionWindowAgg(spark, sf())
+      .filter(col("session_end") <= lit(maxTs))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchClosed).count() === 0)
+    assert(batchClosed.exceptAll(streamed).count() === 0)
+  }
+
   test("stream-static enrichment join equals the batch join+aggregate") {
     val streamed = EventsStream.streamStaticEnrichedCounts(
       spark, sf(), "spec_enrich")
