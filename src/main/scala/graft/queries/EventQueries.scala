@@ -220,7 +220,35 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Ordered funnel: users who VIEWed, then CLICKed after their first
+    * view, then PURCHASEd after that click — the product-analytics
+    * staple. Min-time chaining (first qualifying timestamp per stage)
+    * keeps every step an aggregate + equi-join on user_id: three
+    * narrow user-keyed shuffles, no per-user event sorting, no
+    * sequence materialization — at 100 TB each stage moves one row per
+    * user, not one per event. Timestamps compare at microsecond
+    * precision (the engine's native resolution). */
+  def funnelSteps: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("step"), col("n_users"))
+      .unionAll(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionAll(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "funnel_steps" -> funnelSteps,
     "stream_hourly_stats" -> streamHourlyStats,
     "range_rewrite" -> rangeRewritePairs,
     "sketch_cms" -> sketchCms,
@@ -249,6 +277,20 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |   WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(v.t1)
+        |  GROUP BY 1),
+        | p AS (SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(c.t2)
+        |  GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,

@@ -319,6 +319,41 @@ object PipelineQueries {
       .select("doc_id", "n_tokens", "n_digits", "n_punct", "n_chars",
         "logit_micro", "keep")
 
+  /** ROC-AUC of the linear quality model against a reference label
+    * (lang = 'en' — the testdata's only document-level binary signal),
+    * via the Mann-Whitney rank statistic. The scale-aware shape: ranks
+    * are never assigned per row — rows collapse to per-SCORE counts
+    * first (distinct logit values ≪ corpus size), and the tie-averaged
+    * rank sum is recovered from the running count of lower-scored rows:
+    * 2·Σranks = Σ_s cp_s·(2·cum_s + c_s + 1). Everything until the final
+    * division is exact integer arithmetic (decimal(38,0) — at corpus
+    * scale the rank sum exceeds 64 bits), so the oracle hash-matches.
+    * The one ordered pass runs over the bounded distinct-score set, not
+    * the corpus. */
+  def modelAuc: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docsDf = Tables.documents(s, d)
+    val scored = graft.operators.ModelScoring
+      .linearQualityScore(docsDf, "doc_id", "text")
+      .join(docsDf.select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("pos")), "doc_id")
+    val per = scored.groupBy(col("logit_micro").as("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("cp"))
+    val w = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = per.withColumn("cum",
+      coalesce(sum(col("c")).over(w), lit(0L)))
+    val m = ranked.agg(
+      sum((col("cp") * (lit(2L) * col("cum") + col("c") + lit(1L)))
+        .cast("decimal(38,0)")).as("r2"),
+      sum(col("cp")).as("p"), sum(col("c")).as("t"))
+    m.select(col("p").as("n_pos"), (col("t") - col("p")).as("n_neg"),
+      round((col("r2").cast("double") - col("p").cast("double")
+        * (col("p").cast("double") + 1.0))
+        / (lit(2.0) * col("p").cast("double")
+          * (col("t") - col("p")).cast("double")), 6).as("auc"))
+  }
+
   /** URL canonicalization + crawl dedup: deterministic MESSY urls are
     * derived from (doc_id, source) — mixed-case scheme/host, www
     * prefixes, default ports, trailing slashes, utm tracking params,
@@ -655,6 +690,7 @@ object PipelineQueries {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "quality_model_score" -> qualityModelScore,
+    "model_auc" -> modelAuc,
     "url_canonical" -> urlCanonical,
     "vocab_build" -> vocabBuild,
     "outlier_zscore" -> outlierZscore,
@@ -1106,6 +1142,31 @@ object PipelineQueries {
         | (250000 + 12000 * n_tokens - 3000 * n_digits
         |   + 8000 * n_punct - 3000 * n_chars) > 0 AS keep
         |FROM f""".stripMargin,
+    "model_auc" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |    AS n_punct,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        | FROM documents),
+        | sc AS (SELECT
+        |   CAST(250000 + 12000 * n_tokens - 3000 * n_digits
+        |     + 8000 * n_punct - 3000 * n_chars AS BIGINT) AS score, pos
+        |  FROM f),
+        | per AS (SELECT score, count(*) AS c, sum(pos) AS cp
+        |  FROM sc GROUP BY 1),
+        | r AS (SELECT *, coalesce(sum(c) OVER (ORDER BY score ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM per),
+        | m AS (SELECT sum(cp * (2 * cum + c + 1)) AS r2,
+        |   sum(cp) AS p, sum(c) AS t FROM r)
+        |SELECT CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg,
+        | round((CAST(r2 AS DOUBLE) - CAST(p AS DOUBLE)
+        |     * (CAST(p AS DOUBLE) + 1.0))
+        |   / (2.0 * CAST(p AS DOUBLE) * CAST(t - p AS DOUBLE)), 6) AS auc
+        |FROM m""".stripMargin,
     "snapshot_diff" ->
       s"""WITH prev AS (
          |  SELECT doc_id, CASE WHEN doc_id % 17 = 0

@@ -404,8 +404,86 @@ object RelationalQueries {
           4).as("total"))
   }
 
+  /** CUBE grouping sets (completes the grouping-set family beyond q18's
+    * ROLLUP): all four (flag, status) slices in one pass. Spark expands
+    * the grouping sets before the hash aggregate, so the plan stays
+    * partial+final combinable — the expansion multiplies rows by the
+    * number of sets (4 here), a constant, not a data-dependent blowup. */
+  def q27Cube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_price"))
+
+  /** SCD-2 dimension snapshot (slowly-changing-dimension intervals):
+    * collapse each customer's priority history into validity runs —
+    * `valid_from` = first order date of a run of equal priorities,
+    * `valid_to` = start of the next run (the conventional 9999-12-31
+    * sentinel while current — an open interval, and BETWEEN-friendly). The
+    * gaps-and-islands build every warehouse dimension pipeline runs:
+    * one shuffle on the entity key; the change flags, run ids, and
+    * interval bounds all ride the same partitioning (a single Window
+    * exchange feeds lag, the running sum, and lead). */
+  def q28Scd2: Q = (s, d) => {
+    val seq = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("odate").asc, col("o_orderkey").asc)
+    val runs = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderpriority").as("prio"))
+      .withColumn("chg",
+        when(lag(col("prio"), 1).over(seq).isNull ||
+          lag(col("prio"), 1).over(seq) =!= col("prio"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg"))
+        .over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val iv = runs
+      .groupBy(col("o_custkey").as("custkey"), col("run_id"), col("prio"))
+      .agg(min(col("odate")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val nw = Window.partitionBy(col("custkey")).orderBy(col("run_id").asc)
+    iv.select(col("custkey"), col("run_id"), col("prio"),
+      col("valid_from"),
+      coalesce(lead(col("valid_from"), 1).over(nw),
+        to_date(lit("9999-12-31"))).as("valid_to"),
+      col("n_orders"))
+  }
+
+  /** Exact correlation / covariance statistics per group. Float Σxy
+    * accumulation is association-order-dependent (different partitionings
+    * → different last-ulp sums → cross-engine hash mismatches), so the
+    * moments are integer cents: Σx, Σy as 64-bit, Σxy/Σx²/Σy² as
+    * decimal(38,0) — exact, map-side combinable, one narrow shuffle of
+    * six numbers per group. The double-precision corr/cov derivation
+    * then runs on identical integers in identical expression order in
+    * both engines, so even the floating-point result is bit-stable. */
+  def q29CorrStats: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val m = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val n = col("n").cast("double")
+    val mx = col("sx").cast("double") / n / 100.0
+    val my = col("sy").cast("double") / n / 100.0
+    val cov = col("sxy").cast("double") / n / 10000.0 - mx * my
+    val vx = col("sxx").cast("double") / n / 10000.0 - mx * mx
+    val vy = col("syy").cast("double") / n / 10000.0 - my * my
+    m.select(col("l_returnflag"), col("n"),
+      round(mx, 6).as("mean_qty"), round(my, 6).as("mean_price"),
+      round(cov, 6).as("cov_pop"),
+      round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr"))
+  }
+
   val queries: Map[String, Q] = Map(
     "interval_lookup" -> qIntervalLookup,
+    "q27_cube" -> q27Cube,
+    "scd2_intervals" -> q28Scd2,
+    "stat_corr" -> q29CorrStats,
     "q21_percentiles" -> q21Percentiles,
     "q22_pivot" -> q22Pivot,
     "q20_approx_distinct" -> q20ApproxDistinct,
@@ -435,6 +513,60 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q27_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "scd2_intervals" ->
+      """WITH seqd AS (SELECT o_custkey, o_orderkey,
+        |   CAST(o_orderdate AS DATE) AS odate, o_orderpriority AS prio,
+        |   CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |     OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |     THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
+        | runs AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |   ORDER BY odate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM seqd),
+        | iv AS (SELECT o_custkey AS custkey, run_id, prio,
+        |   min(odate) AS valid_from, count(*) AS n_orders
+        |  FROM runs GROUP BY 1, 2, 3)
+        |SELECT custkey, CAST(run_id AS BIGINT) AS run_id, prio, valid_from,
+        | coalesce(lead(valid_from) OVER (PARTITION BY custkey
+        |     ORDER BY run_id), DATE '9999-12-31') AS valid_to,
+        | n_orders
+        |FROM iv""".stripMargin,
+    "stat_corr" ->
+      """WITH c AS (SELECT l_returnflag,
+        |   CAST(round(l_quantity * 100) AS BIGINT) AS x,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        | m AS (SELECT l_returnflag, count(*) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |   sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |   sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |  FROM c GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_qty,
+        | round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_price,
+        | round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+        |   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0), 6) AS cov_pop,
+        | round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+        |   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0))
+        |  / (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+        |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0))
+        |   * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0
+        |     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0))), 6)
+        |   AS corr
+        |FROM m""".stripMargin,
     "interval_lookup" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('A_micro', 0, 2000), ('B_small', 2000, 9000),
