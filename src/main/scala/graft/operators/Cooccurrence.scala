@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token co-occurrence statistics (PMI) — the association-mining step
+  * behind collocation extraction, phrase detection, and word-vector
+  * preprocessing (word2vec-style skip-gram counting).
+  *
+  * Scale shape: pair GENERATION is map-side — every (w1, w2) pair
+  * within the window is emitted from the tokens array inside the scan
+  * stage, never via a positional self-join of an exploded token table
+  * (which would shuffle one row per token and join on (doc, pos) —
+  * corpus-sized work for a per-row computation). The only shuffles are
+  * the pair-count and unigram-count groupBys plus two token-keyed joins
+  * of pair counts to unigram counts; the corpus-total token/pair counts
+  * ride 1-row broadcasts. Like [[LanguageModel]], the count tables grow
+  * with the vocabulary and deliberately do NOT broadcast.
+  */
+object Cooccurrence {
+
+  /** One row per ordered skip-gram occurrence: (doc_id, w1, w2) for
+    * every token pair at distance 1..`window` (w1 precedes w2).
+    * Documents with < 2 tokens drop out. The tokens array materializes
+    * once; the nested transform emits (window) slices of it. */
+  def skipgrams(docs: DataFrame, idCol: String, textCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    docs
+      .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(flatten(transform(
+        sequence(lit(1), least(lit(window), size(col("toks")) - 1)),
+        d => transform(sequence(lit(1), size(col("toks")) - d),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + d).as("w2")))))).as("sg"))
+      .select(col("doc_id"), col("sg.w1").as("w1"), col("sg.w2").as("w2"))
+  }
+
+  /** Pointwise mutual information per frequent skip-gram pair:
+    * pmi = ln( (c12/B) / ((c1/T)·(c2/T)) ), with B the corpus skip-gram
+    * total and T the corpus token total. Counts are exact integers;
+    * the one floating-point step runs in identical expression order in
+    * any engine. Pairs below `minPairCount` are cut BEFORE the unigram
+    * joins — the classic frequency cut that also bounds the join width. */
+  def pmi(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, minPairCount: Long): DataFrame = {
+    val sg = skipgrams(docs, idCol, textCol, window)
+    val pairs = sg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val totalPairs = pairs.agg(sum(col("c12")).as("b"))
+    val uni = docs
+      .select(explode(TF.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totalToks = uni.agg(sum(col("c")).as("t_total"))
+    val pmiExpr = log(
+      (col("c12").cast("double") / col("b").cast("double")) /
+        ((col("c1").cast("double") / col("t_total").cast("double")) *
+          (col("c2").cast("double") / col("t_total").cast("double"))))
+    pairs.filter(col("c12") >= minPairCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totalPairs))
+      .crossJoin(broadcast(totalToks))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        round(pmiExpr, 4).as("pmi"))
+  }
+}

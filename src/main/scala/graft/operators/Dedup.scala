@@ -260,6 +260,38 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 
+  // ------------------------------------------------------ repeated spans
+
+  /** Cross-document repeated token SPANS — substring-level exact dedup
+    * (the "dedup the span, not the document" pass of training-data
+    * pipelines, after Lee et al. 2022's repeated-sequence findings):
+    * every n-token window (stride 1) of every document is fingerprinted,
+    * and spans occurring in ≥ `minDocs` distinct documents surface with
+    * their occurrence counts. Document-level dedup misses these —
+    * boilerplate paragraphs embedded in otherwise-unique pages.
+    *
+    * Scale shape: window generation is map-side (one transform over the
+    * tokens array inside the scan stage — ~|tokens| rows per doc, same
+    * cost class as the MinHash shingle explode); the md5 runs AFTER the
+    * explode so it stays codegen'd; the only shuffle is one groupBy on
+    * the 32-hex fingerprint. No self-join, no all-pairs anything. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    docs
+      .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("span"))
+      .groupBy(md5(col("span")).as("span_fp"))
+      .agg(min(col("span")).as("span"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates within blocks: pairs with cosine ≥

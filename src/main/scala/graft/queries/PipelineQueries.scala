@@ -319,6 +319,43 @@ object PipelineQueries {
       .select("doc_id", "n_tokens", "n_digits", "n_punct", "n_chars",
         "logit_micro", "keep")
 
+  /** PMI collocations: skip-gram (±2) pair counts → pointwise mutual
+    * information for pairs seen ≥ 5 times. Pair generation is map-side
+    * from the tokens array ([[graft.operators.Cooccurrence]]) — never a
+    * positional self-join. */
+  def textPmi: Q = (s, d) =>
+    graft.operators.Cooccurrence.pmi(docs(s, d), "doc_id", "norm_text",
+      window = 2, minPairCount = 5L)
+
+  /** Substring-level exact dedup: 8-token spans (stride 1) repeated
+    * across ≥ 2 distinct documents — catches shared boilerplate
+    * paragraphs document-level fingerprints miss. One fingerprint-keyed
+    * shuffle; see [[Dedup.repeatedSpans]]. */
+  def spanDedup: Q = (s, d) =>
+    Dedup.repeatedSpans(docs(s, d), "doc_id", "norm_text",
+      n = 8, minDocs = 2L)
+
+  /** Fuzzy record linkage under edit distance ≤ 2: part names are
+    * deterministically corrupted (drop 2nd char / swap first two /
+    * trailing junk, by key residue) and linked back to the canonical
+    * part table through [[graft.operators.FuzzyJoin]]'s lossless
+    * length-bucket blocking — the oracle replays the corruption and
+    * ranks candidates over the UNBLOCKED cross join, so the check
+    * also proves no pair was blocked away. */
+  def fuzzyLink: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val m = pmod(col("p_partkey"), lit(3))
+    val corrupted =
+      when(m === 0, concat(substring(col("p_name"), 1, 1),
+        substring(col("p_name"), 3, 1000)))
+        .when(m === 1, concat(substring(col("p_name"), 2, 1),
+          substring(col("p_name"), 1, 1), substring(col("p_name"), 3, 1000)))
+        .otherwise(concat(col("p_name"), lit("x")))
+    val probe = p.select(col("p_partkey").as("qid"), corrupted.as("qname"))
+    graft.operators.FuzzyJoin.bestMatch(probe, "qid", "qname",
+      p, "p_partkey", "p_name", maxDist = 2, blockWidth = 4)
+  }
+
   /** ROC-AUC of the linear quality model against a reference label
     * (lang = 'en' — the testdata's only document-level binary signal),
     * via the Mann-Whitney rank statistic. The scale-aware shape: ranks
@@ -691,6 +728,9 @@ object PipelineQueries {
     "decontaminate_bloom" -> decontaminateBloom,
     "quality_model_score" -> qualityModelScore,
     "model_auc" -> modelAuc,
+    "text_pmi" -> textPmi,
+    "span_dedup" -> spanDedup,
+    "fuzzy_link" -> fuzzyLink,
     "url_canonical" -> urlCanonical,
     "vocab_build" -> vocabBuild,
     "outlier_zscore" -> outlierZscore,
@@ -1142,6 +1182,62 @@ object PipelineQueries {
         | (250000 + 12000 * n_tokens - 3000 * n_digits
         |   + 8000 * n_punct - 3000 * n_chars) > 0 AS keep
         |FROM f""".stripMargin,
+    "text_pmi" ->
+      s"""WITH d AS (SELECT regexp_extract_all($norm, '\\S+') AS toks
+         |  FROM documents),
+         | sg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i])) AS w1,
+         |   unnest(list_transform(generate_series(1, len(toks) - 1),
+         |    i -> toks[i+1])) AS w2
+         |  FROM d WHERE len(toks) >= 2
+         |  UNION ALL
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> toks[i])),
+         |   unnest(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> toks[i+2]))
+         |  FROM d WHERE len(toks) >= 3),
+         | pairs AS (SELECT w1, w2, count(*) AS c12 FROM sg GROUP BY 1, 2),
+         | b AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM pairs),
+         | uni AS (SELECT unnest(toks) AS t FROM d),
+         | u AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+         | tt AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM u)
+         |SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+         | round(ln((CAST(p.c12 AS DOUBLE) / CAST(b.b AS DOUBLE)) /
+         |   ((CAST(u1.c AS DOUBLE) / CAST(tt.t_total AS DOUBLE)) *
+         |    (CAST(u2.c AS DOUBLE) / CAST(tt.t_total AS DOUBLE)))), 4) AS pmi
+         |FROM pairs p
+         |JOIN u u1 ON p.w1 = u1.t
+         |JOIN u u2 ON p.w2 = u2.t, b, tt
+         |WHERE p.c12 >= 5""".stripMargin,
+    "span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, regexp_extract_all($norm, '\\S+') AS toks
+         |  FROM documents),
+         | s AS (SELECT doc_id,
+         |   unnest(list_transform(generate_series(1, len(toks) - 7),
+         |     i -> array_to_string(toks[i:i+7], ' '))) AS span
+         |  FROM d WHERE len(toks) >= 8)
+         |SELECT md5(span) AS span_fp, min(span) AS span,
+         | count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+         | min(doc_id) AS first_doc
+         |FROM s GROUP BY 1
+         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "fuzzy_link" ->
+      """WITH probe AS (SELECT p_partkey AS probe_id,
+        |  CASE CAST(p_partkey % 3 AS INT)
+        |   WHEN 0 THEN substring(p_name, 1, 1) || substring(p_name, 3)
+        |   WHEN 1 THEN substring(p_name, 2, 1) || substring(p_name, 1, 1)
+        |     || substring(p_name, 3)
+        |   ELSE p_name || 'x' END AS q
+        | FROM part),
+        | cand AS (SELECT probe_id, q, p_partkey AS base_id,
+        |   p_name AS base_name, levenshtein(q, p_name) AS dist
+        |  FROM probe CROSS JOIN part
+        |  WHERE levenshtein(q, p_name) <= 2),
+        | best AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |   ORDER BY dist, base_id) AS rk FROM cand)
+        |SELECT probe_id, q, base_id, base_name, CAST(dist AS BIGINT) AS dist
+        |FROM best WHERE rk = 1""".stripMargin,
     "model_auc" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
