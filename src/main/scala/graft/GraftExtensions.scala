@@ -63,6 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0), exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()))
+    // custom GENERATOR (table function): ngram_explode(text, n) — n
+    // must be a literal (evaluated at registration). SQL users get
+    // `SELECT ngram_explode(text, 3) FROM docs` / LATERAL VIEW.
+    ext.injectFunction((FunctionIdentifier("ngram_explode"),
+      new ExpressionInfo(
+        classOf[graft.functions.NGramExplode].getCanonicalName,
+        "ngram_explode"),
+      (exprs: Seq[Expression]) => graft.functions.NGramExplode(
+        exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
     // the text-analysis and sampling surface for pure-SQL users
     injectColumnFn(ext, "canonical_url",
       cs => graft.functions.UrlFunctions.canonicalizeUrl(cs(0)))

@@ -335,6 +335,18 @@ object PipelineQueries {
     Dedup.repeatedSpans(docs(s, d), "doc_id", "norm_text",
       n = 8, minDocs = 2L)
 
+  /** Frequent word trigrams through the custom GENERATOR
+    * ([[graft.functions.NGramExplode]], the UDTF tier): one
+    * GenerateExec row per n-gram window straight off the tokenize pass
+    * — no token-array column, no interpreted higher-order lambda —
+    * then one n-gram-keyed count shuffle. */
+  def textNgrams: Q = (s, d) =>
+    docs(s, d)
+      .select(graft.functions.NGramFunctions
+        .ngramExplode(col("norm_text"), 3).as(Seq("pos", "ngram")))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+
   /** Fuzzy record linkage under edit distance ≤ 2: part names are
     * deterministically corrupted (drop 2nd char / swap first two /
     * trailing junk, by key residue) and linked back to the canonical
@@ -731,6 +743,7 @@ object PipelineQueries {
     "text_pmi" -> textPmi,
     "span_dedup" -> spanDedup,
     "fuzzy_link" -> fuzzyLink,
+    "text_ngrams" -> textNgrams,
     "url_canonical" -> urlCanonical,
     "vocab_build" -> vocabBuild,
     "outlier_zscore" -> outlierZscore,
@@ -1182,6 +1195,14 @@ object PipelineQueries {
         | (250000 + 12000 * n_tokens - 3000 * n_digits
         |   + 8000 * n_punct - 3000 * n_chars) > 0 AS keep
         |FROM f""".stripMargin,
+    "text_ngrams" ->
+      s"""WITH d AS (SELECT regexp_extract_all($norm, '\\S+') AS toks
+         |  FROM documents),
+         | g AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+         |  FROM d WHERE len(toks) >= 3)
+         |SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
+         |HAVING count(*) >= 5""".stripMargin,
     "text_pmi" ->
       s"""WITH d AS (SELECT regexp_extract_all($norm, '\\S+') AS toks
          |  FROM documents),
