@@ -273,10 +273,23 @@ object EventQueries {
       ((s, d) => EventsStream.streamingExportManifest(s, d)),
     "stream_enrich" ->
       ((s, d) => EventsStream.streamStaticEnrichedCounts(s, d)),
+    "stream_upsert" ->
+      ((s, d) => EventsStream.streamingUpsertLatest(s, d)),
     "resample_ffill" -> eventsResampleFfill,
   )
 
   val oracle: Map[String, String] = Map(
+    // the foreachBatch upsert's final snapshot = the batch argmax
+    // (per-key latest by (time, id) — ns timestamps compare at the
+    // engine's µs precision, event_id breaks the remaining ties)
+    "stream_upsert" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        | FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_type, round(value, 4) AS last_value
+        |FROM r WHERE rk = 1""".stripMargin,
     "funnel_steps" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
         |   WHERE event_type = 'view' GROUP BY 1),

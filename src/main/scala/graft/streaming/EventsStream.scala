@@ -275,6 +275,71 @@ object EventsStream {
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */
+  /** CDC-style keyed UPSERT materialization — the sink-side pattern for
+    * "maintain the latest row per key from a change stream"
+    * (last-write-wins by (event time, event id)). Spark has no built-in
+    * MERGE sink for plain parquet, so this is the canonical
+    * `foreachBatch` recipe: each micro-batch unions into the current
+    * snapshot, keeps the per-key argmax, and writes a NEW versioned
+    * snapshot directory (never overwriting what it read — versioning is
+    * what makes a failed batch retryable and the sink effectively
+    * exactly-once; a table format's MERGE would replace the rewrite
+    * with a log append, same semantics).
+    *
+    * The merge is an argmax fold: associative, commutative, and
+    * idempotent over re-delivered batches, so the final state equals
+    * the global argmax regardless of micro-batch order/count — which
+    * is the oracle. The events table is staged into `nChunks` files so
+    * the file source genuinely delivers multiple micro-batches
+    * (`maxFilesPerTrigger = 1`), exercising the incremental path.
+    *
+    * At scale the snapshot rewrite is the textbook compaction cost of
+    * upsert-on-immutable-files; the per-key state stays one row. */
+  def streamingUpsertLatest(spark: SparkSession, sfDir: String,
+      nChunks: Int = 4, workDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val work = workDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    (0 until nChunks).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/src/chunk_$c")
+    }
+    val chunkSchema = ev.schema
+    var current: Option[String] = None
+    val stream = spark.readStream
+      .schema(chunkSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$work/src/chunk_*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = current match {
+          case Some(p) => spark.read.parquet(p).unionByName(batch)
+          case None => batch
+        }
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val next = s"$work/state_$batchId"
+        merged.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).drop("rk")
+          .write.mode("overwrite").parquet(next)
+        current = Some(next)
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.getOrElse(
+      throw new IllegalStateException("no micro-batch delivered")))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 4).as("last_value"))
+  }
+
   def hourlyStats(spark: SparkSession, sfDir: String,
       queryName: String = "events_hourly"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
