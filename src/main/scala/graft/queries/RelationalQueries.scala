@@ -479,8 +479,85 @@ object RelationalQueries {
       round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr"))
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the status
+    * dimension carries a NULL key row ("unknown"), and the fact side's
+    * key is NULLed for pending orders — a plain equi-join would drop
+    * them; the null-safe join matches them. Still a hash join: null-safe
+    * equality is a valid equi-join key (nulls hash to one bucket). */
+  def q30NullSafeJoin: Q = (s, d) => {
+    import s.implicits._
+    val dim = Seq(("F", "final"), ("O", "open"), (null, "unknown"))
+      .toDF("k", "label")
+    val facts = Tables.orders(s, d)
+      .select(nullif(col("o_orderstatus"), lit("P")).as("k"),
+        col("o_totalprice"))
+    facts.join(broadcast(dim), facts("k") <=> dim("k"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("total"))
+  }
+
+  /** Distribution-rank window battery (ntile / percent_rank /
+    * cume_dist — SQL-standard definitions shared by every engine).
+    * Deterministic tie-break on the order key; one shuffle on the
+    * partition key, all four functions share the single Window. */
+  def q33RankFuncs: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_orderpriority").as("prio"),
+      col("o_orderkey").as("order_id"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  /** Scalar string-function battery (§2.8 analogue surface beyond the
+    * reference's own list): all codegen'd built-ins, exact cross-engine
+    * semantics (1-based positions, 0-if-absent strpos). */
+  def q31Strings: Q = (s, d) =>
+    Tables.nation(s, d).select(
+      col("n_name").as("name"),
+      lower(col("n_name")).as("lc"),
+      reverse(col("n_name")).as("rev"),
+      expr("repeat(n_name, 2)").as("doubled"),
+      substring(col("n_name"), 1, 3).as("first3"),
+      expr("right(n_name, 3)").as("last3"),
+      instr(col("n_name"), "A").as("pos_a"),
+      expr("split_part(n_name, 'A', 1)").as("before_a"),
+      regexp_extract(col("n_name"), "([AEIOU]+)", 1).as("first_vowels"),
+      translate(col("n_name"), "AEIOU", "aeiou").as("folded"))
+      .orderBy("name")
+
+  /** Scalar date/time-function battery: calendar parts, ISO weeks, day
+    * names, month boundaries, day arithmetic — the projection runs
+    * inside the scan stage (no exchange). */
+  def q32Datetime: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("order_id"),
+      col("o_orderdate").cast("date").as("odate"))
+      .select(
+        col("order_id"),
+        col("odate"),
+        year(col("odate")).cast("long").as("yr"),
+        quarter(col("odate")).cast("long").as("qtr"),
+        month(col("odate")).cast("long").as("mon"),
+        dayofmonth(col("odate")).cast("long").as("dom"),
+        date_format(col("odate"), "EEEE").as("day_name"),
+        weekofyear(col("odate")).cast("long").as("iso_week"),
+        last_day(col("odate")).as("month_end"),
+        date_add(col("odate"), 30).as("plus_30d"),
+        trunc(col("odate"), "month").as("month_start"),
+        datediff(col("odate"), to_date(lit("1995-01-01")))
+          .cast("long").as("days_since_95"))
+
   val queries: Map[String, Q] = Map(
     "interval_lookup" -> qIntervalLookup,
+    "q30_nullsafe_join" -> q30NullSafeJoin,
+    "q31_strings" -> q31Strings,
+    "q32_datetime" -> q32Datetime,
+    "q33_rank_funcs" -> q33RankFuncs,
     "q27_cube" -> q27Cube,
     "scd2_intervals" -> q28Scd2,
     "stat_corr" -> q29CorrStats,
@@ -513,6 +590,51 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q30_nullsafe_join" ->
+      """WITH dim(k, label) AS (VALUES
+        |  ('F', 'final'), ('O', 'open'), (NULL, 'unknown')),
+        | f AS (SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice
+        |  FROM orders)
+        |SELECT label, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS total
+        |FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY 1""".stripMargin,
+    "q33_rank_funcs" ->
+      """SELECT o_orderpriority AS prio, o_orderkey AS order_id,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    "q31_strings" ->
+      """SELECT n_name AS name,
+        | lower(n_name) AS lc,
+        | reverse(n_name) AS rev,
+        | repeat(n_name, 2) AS doubled,
+        | substring(n_name, 1, 3) AS first3,
+        | right(n_name, 3) AS last3,
+        | CAST(strpos(n_name, 'A') AS INT) AS pos_a,
+        | split_part(n_name, 'A', 1) AS before_a,
+        | regexp_extract(n_name, '([AEIOU]+)', 1) AS first_vowels,
+        | translate(n_name, 'AEIOU', 'aeiou') AS folded
+        |FROM nation ORDER BY name""".stripMargin,
+    "q32_datetime" ->
+      """SELECT o_orderkey AS order_id,
+        | CAST(o_orderdate AS DATE) AS odate,
+        | year(CAST(o_orderdate AS DATE)) AS yr,
+        | quarter(CAST(o_orderdate AS DATE)) AS qtr,
+        | month(CAST(o_orderdate AS DATE)) AS mon,
+        | day(CAST(o_orderdate AS DATE)) AS dom,
+        | dayname(CAST(o_orderdate AS DATE)) AS day_name,
+        | weekofyear(CAST(o_orderdate AS DATE)) AS iso_week,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+        | date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |   AS days_since_95
+        |FROM orders""".stripMargin,
     "q27_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)

@@ -24,6 +24,23 @@ class QueriesSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("null-safe join matches the NULLed (pending) orders to 'unknown'") {
+    val got = RelationalQueries.q30NullSafeJoin(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    val pending = graft.Tables.orders(spark, sf())
+      .filter(col("o_orderstatus") === "P").count()
+    assert(got("unknown") === pending)
+    assert(got.values.sum === graft.Tables.orders(spark, sf()).count())
+  }
+
+  test("ntile quartiles are balanced within one row per partition") {
+    val sizes = RelationalQueries.q33RankFuncs(spark, sf())
+      .groupBy("prio", "quartile").count()
+      .groupBy("prio").agg((max("count") - min("count")).as("spread"))
+      .collect()
+    assert(sizes.forall(_.getAs[Long]("spread") <= 1L))
+  }
+
   test("approx distinct within 5% of exact per group") {
     val bad = RelationalQueries.q20ApproxDistinct(spark, sf())
       .filter(abs(col("approx_parts") - col("exact_parts")) >
