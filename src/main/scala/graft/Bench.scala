@@ -58,7 +58,11 @@ object Bench {
     "text_lm_score", "interval_lookup",
     // third wave: the optimizer-rule tier — the NAIVE non-equi
     // proximity join, auto-rewritten to the bucketized hash join
-    "range_rewrite")
+    "range_rewrite",
+    // fourth wave: the explode-heavy text operators (skip-gram PMI,
+    // repeated-span fingerprints) and the blocked edit-distance
+    // linkage — the three heaviest round-3 additions
+    "text_pmi", "span_dedup", "fuzzy_link")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

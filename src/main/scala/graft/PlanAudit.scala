@@ -293,6 +293,46 @@ object PlanAudit {
         !di.contains("CartesianProduct"),
       "anti-joins + block join, all hash-keyed")
 
+    // fuzzy linkage: the edit-distance predicate must ride the length-
+    // bucket HASH join (never a cartesian), and the best-match rank
+    // filter must prune map-side via WindowGroupLimit.
+    val fz = plan("fuzzy_link")
+    check("fuzzy_link: hash equi-join on the length bucket",
+      !fz.contains("CartesianProduct") &&
+        !fz.contains("BroadcastNestedLoopJoin"),
+      "levenshtein runs on bucket candidates only")
+    check("fuzzy_link: map-side WindowGroupLimit for best-match",
+      fz.contains("WindowGroupLimit"), "rank=1 pruned before exchange")
+
+    // PMI: pair/unigram counts partial+final; the only nested-loop joins
+    // are the two deliberate 1-row broadcasts (B and T totals).
+    val pm = plan("text_pmi")
+    check("text_pmi: partial+final count aggregates",
+      occurrences(pm, "HashAggregate") >= 4, "")
+    check("text_pmi: only 1-row totals cross-join",
+      occurrences(pm, "BroadcastNestedLoopJoin") <= 2 &&
+        !pm.contains("CartesianProduct"),
+      "pair->unigram joins are hash equi-joins")
+
+    // custom Generator: n-grams must stream through GenerateExec — no
+    // interpreted higher-order lambda, no token-array materialization.
+    val ng = plan("text_ngrams")
+    check("text_ngrams: GenerateExec, no HOF lambda",
+      ng.contains("Generate") && !ng.contains("transform("),
+      "custom generator in the scan stage")
+
+    // repeated spans: explode + md5 + one fingerprint-keyed aggregate
+    // chain — no join anywhere.
+    // (min over strings uses the immutable-buffer SortAggregate, like
+    // export_manifest — still partial+final, still one logical shuffle)
+    val sd = plan("span_dedup")
+    check("span_dedup: no join, aggregate-only pipeline",
+      !sd.contains("Join") &&
+        occurrences(sd, "HashAggregate") +
+          occurrences(sd, "SortAggregate") +
+          occurrences(sd, "ObjectHashAggregate") >= 2,
+      "explode -> fingerprint groupBy, partial+final")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

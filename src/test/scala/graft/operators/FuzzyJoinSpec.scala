@@ -52,6 +52,44 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(blocked.count() === probe.count()) // every corruption links back
   }
 
+  test("segment blocking equals length blocking and the naive join") {
+    val p = Tables.part(spark, sf())
+    val m = pmod(col("p_partkey"), lit(3))
+    val corrupted =
+      when(m === 0, concat(substring(col("p_name"), 1, 1),
+        substring(col("p_name"), 3, 1000)))
+        .when(m === 1, concat(substring(col("p_name"), 2, 1),
+          substring(col("p_name"), 1, 1), substring(col("p_name"), 3, 1000)))
+        .otherwise(concat(col("p_name"), lit("x")))
+    val probe = p.select(col("p_partkey").as("qid"), corrupted.as("qname"))
+    val seg = FuzzyJoin.bestMatchSegmented(probe, "qid", "qname",
+      p, "p_partkey", "p_name", maxDist = 2)
+    val len = FuzzyJoin.bestMatch(probe, "qid", "qname",
+      p, "p_partkey", "p_name", maxDist = 2, blockWidth = 4)
+    assert(seg.exceptAll(len).isEmpty && len.exceptAll(seg).isEmpty)
+    assert(seg.count() === probe.count())
+  }
+
+  test("segment blocking survives adversarial edit placements") {
+    import spark.implicits._
+    val base = Seq((1L, "abcdefghij"), (2L, "qrstuvwxyz")).toDF("id", "name")
+    val probe = Seq(
+      (10L, "Xbcdefghij"), // sub at segment 0
+      (11L, "abcdXfghij"), // sub at segment 1 (middle)
+      (12L, "abcdefghiX"), // sub at segment 2 (end)
+      (13L, "bcdefghij"), // delete first char (everything shifts left)
+      (14L, "abcdefghijXY"), // two appends
+      (15L, "XbYdeZghij"), // three scattered subs — NO match at k=2
+      (16L, "aXbcdeYfghij")) // two inserts in different segments
+      .toDF("id", "name")
+    val got = FuzzyJoin.bestMatchSegmented(probe, "id", "name",
+      base, "id", "name", maxDist = 2)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("base_id"), r.getAs[Long]("dist"))).toMap
+    assert(got === Map(10L -> (1L, 1L), 11L -> (1L, 1L), 12L -> (1L, 1L),
+      13L -> (1L, 1L), 14L -> (1L, 2L), 16L -> (1L, 2L)))
+  }
+
   test("blockWidth must exceed maxDist (losslessness precondition)") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "name")
