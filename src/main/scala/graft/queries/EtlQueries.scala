@@ -132,7 +132,31 @@ object EtlQueries {
           .as("avg_passengers"))
       .orderBy("cab_type")
 
+  /** Schema evolution across table generations: generation 1 was
+    * written before the `o_orderpriority` column existed; generation 2
+    * carries it. `mergeSchema` unifies the footers at read time (old
+    * rows NULL-fill the new column — no rewrite of historical data,
+    * the only sane upgrade path for a 100 TB table), and the aggregate
+    * distinguishes pre-upgrade rows explicitly. */
+  def schemaEvolution: Q = (s, d) => {
+    val out = tmp("schema_evo", d)
+    val o = Tables.orders(s, d)
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/g1")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/g2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/g1", s"$out/g2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-upgrade>"))
+        .as("prio"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "schema_evolution" -> schemaEvolution,
     "etl_csv_roundtrip" -> csvRoundtrip,
     "etl_mergetree_roundtrip" -> mergetreeRoundtrip,
     "bucketed_join" -> bucketedJoin,
@@ -147,6 +171,13 @@ object EtlQueries {
       s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    "schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-upgrade>'
+        |  ELSE o_orderpriority END AS prio,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS total
+        |FROM orders GROUP BY 1""".stripMargin,
     "gen_source_agg" ->
       """WITH g AS (SELECT unnest(generate_series(0, 99999)) AS i),
         | t AS (SELECT
