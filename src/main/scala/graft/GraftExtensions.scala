@@ -25,6 +25,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+  /** Arity gate + literal-int extraction for registrations whose shape
+    * parameters (k, depth, width, n) compile into the operator at plan
+    * time: a wrong arg count or a non-foldable parameter must surface
+    * as a clean `AnalysisException` naming the expected signature, not
+    * an IndexOutOfBounds/ClassCast from inside the builder. */
+  private def litInt(fn: String, usage: String, exprs: Seq[Expression],
+      arity: Int, idx: Int): Int = {
+    if (exprs.length != arity)
+      throw org.apache.spark.sql.GraftExpressionBridge.analysisException(
+        s"$fn expects $arity arguments ($usage), got ${exprs.length}")
+    val e = exprs(idx)
+    if (!e.foldable)
+      throw org.apache.spark.sql.GraftExpressionBridge.analysisException(
+        s"$fn: argument ${idx + 1} of $usage must be an integer literal")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw org.apache.spark.sql.GraftExpressionBridge.analysisException(
+          s"$fn: argument ${idx + 1} of $usage must be an integer " +
+            s"literal, got ${if (other == null) "NULL" else other}")
+    }
+  }
+
   /** Register a Column-combinator as a SQL function: unwrap argument
     * expressions into Columns, apply the combinator, re-wrap. The
     * resulting SQL function is the EXACT expression tree the Scala API
@@ -51,7 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.HeavyHittersAgg].getCanonicalName,
         "heavy_hitters"),
       (exprs: Seq[Expression]) => graft.functions.HeavyHittersAgg(
-        exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        exprs(0), litInt("heavy_hitters", "heavy_hitters(col, k)",
+          exprs, 2, 1))
         .toAggregateExpression()))
     // second custom TypedImperativeAggregate: count_min(col, d, w) —
     // d/w must be literals (evaluated at registration)
@@ -60,8 +84,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.CountMinAgg].getCanonicalName,
         "count_min"),
       (exprs: Seq[Expression]) => graft.functions.CountMinAgg(
-        exprs(0), exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())
+        exprs(0), litInt("count_min", "count_min(col, d, w)", exprs, 3, 1),
+        litInt("count_min", "count_min(col, d, w)", exprs, 3, 2))
         .toAggregateExpression()))
     // custom GENERATOR (table function): ngram_explode(text, n) — n
     // must be a literal (evaluated at registration). SQL users get
@@ -71,7 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.NGramExplode].getCanonicalName,
         "ngram_explode"),
       (exprs: Seq[Expression]) => graft.functions.NGramExplode(
-        exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+        exprs(0), litInt("ngram_explode", "ngram_explode(text, n)",
+          exprs, 2, 1))))
     // the text-analysis and sampling surface for pure-SQL users
     injectColumnFn(ext, "canonical_url",
       cs => graft.functions.UrlFunctions.canonicalizeUrl(cs(0)))

@@ -48,11 +48,22 @@ object Cooccurrence {
       window: Int, minPairCount: Long): DataFrame = {
     val sg = skipgrams(docs, idCol, textCol, window)
     val pairs = sg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val totalPairs = pairs.agg(sum(col("c12")).as("b"))
     val uni = docs
       .select(explode(TF.tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val totalToks = uni.agg(sum(col("c")).as("t_total"))
+    // Corpus totals B = Σ c12 and T = Σ c are pure arithmetic over the
+    // per-doc token COUNT — a doc with n tokens emits n unigrams and
+    // Σ_{d=1..min(w,n-1)} (n−d) = k·n − k(k+1)/2 skip-grams (k =
+    // min(w, n−1)). Computing them from `size(tokens)` in one cheap
+    // map-side agg means the expensive explode+groupBy subtrees above
+    // each execute exactly ONCE per action (they previously also fed
+    // the totals, doubling the heaviest stage — no persist needed).
+    val perDoc = docs.select(size(TF.tokens(col(textCol))).as("n"))
+      .select(col("n").cast("long").as("n"),
+        least(lit(window.toLong), greatest(col("n") - 1L, lit(0L))).as("k"))
+    val totals = perDoc.agg(
+      sum(col("k") * col("n") - expr("(k * (k + 1)) DIV 2")).as("b"),
+      sum(col("n")).as("t_total"))
     val pmiExpr = log(
       (col("c12").cast("double") / col("b").cast("double")) /
         ((col("c1").cast("double") / col("t_total").cast("double")) *
@@ -60,8 +71,7 @@ object Cooccurrence {
     pairs.filter(col("c12") >= minPairCount)
       .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
-      .crossJoin(broadcast(totalPairs))
-      .crossJoin(broadcast(totalToks))
+      .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         round(pmiExpr, 4).as("pmi"))
   }

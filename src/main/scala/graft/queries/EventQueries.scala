@@ -247,7 +247,16 @@ object EventQueries {
         .select(lit("3_purchase").as("step"), col("n_users")))
   }
 
+  /** Typed `Dataset[T]` tier ([[graft.operators.TypedOps]]): longest
+    * strictly-increasing value streak per user via groupByKey +
+    * mapGroups. The oracle is the declarative twin — lag-compare →
+    * running run-id → per-run length → per-user max. */
+  def typedStreak: Q = (s, d) =>
+    graft.operators.TypedOps
+      .longestIncreasingStreak(Tables.events(s, d)).toDF()
+
   val queries: Map[String, Q] = Map(
+    "typed_streak" -> typedStreak,
     "funnel_steps" -> funnelSteps,
     "stream_hourly_stats" -> streamHourlyStats,
     "range_rewrite" -> rangeRewritePairs,
@@ -279,6 +288,25 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the mapGroups streak fold's declarative twin: a new run starts
+    // wherever value fails to increase; run lengths per (user, run_id),
+    // then the per-user max (event order = (µs time, event id), same
+    // as the typed fold's in-group sort)
+    "typed_streak" ->
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id)),
+        | r AS (SELECT user_id, SUM(brk) OVER
+        |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM m),
+        | runs AS (SELECT user_id, run_id, count(*) AS len
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_events,
+        | MAX(len) AS longest_streak
+        |FROM runs GROUP BY user_id""".stripMargin,
     // the foreachBatch upsert's final snapshot = the batch argmax
     // (per-key latest by (time, id) — ns timestamps compare at the
     // engine's µs precision, event_id breaks the remaining ties)

@@ -281,10 +281,12 @@ object EventsStream {
     * MERGE sink for plain parquet, so this is the canonical
     * `foreachBatch` recipe: each micro-batch unions into the current
     * snapshot, keeps the per-key argmax, and writes a NEW versioned
-    * snapshot directory (never overwriting what it read — versioning is
-    * what makes a failed batch retryable and the sink effectively
-    * exactly-once; a table format's MERGE would replace the rewrite
-    * with a log append, same semantics).
+    * snapshot directory. Snapshot names carry an attempt counter on top
+    * of the batch id, and `current` only advances after the write
+    * commits — so even a RETRIED batch (same batchId, new attempt)
+    * never overwrites the directory it is reading, which is what makes
+    * the sink effectively exactly-once; a table format's MERGE would
+    * replace the rewrite with a log append, same semantics.
     *
     * The merge is an argmax fold: associative, commutative, and
     * idempotent over re-delivered batches, so the final state equals
@@ -309,6 +311,7 @@ object EventsStream {
     }
     val chunkSchema = ev.schema
     var current: Option[String] = None
+    var attempt = 0L
     val stream = spark.readStream
       .schema(chunkSchema)
       .option("maxFilesPerTrigger", 1)
@@ -322,7 +325,11 @@ object EventsStream {
         }
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts").desc, col("event_id").desc)
-        val next = s"$work/state_$batchId"
+        // attempt-suffixed path: a retry of batchId N reads the last
+        // COMMITTED snapshot via `current` and writes a fresh dir —
+        // never the one it reads (`current` advances only post-write)
+        attempt += 1
+        val next = s"$work/state_${batchId}_a$attempt"
         merged.withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1).drop("rk")
           .write.mode("overwrite").parquet(next)

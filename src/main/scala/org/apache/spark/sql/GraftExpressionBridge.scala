@@ -13,6 +13,14 @@ object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Plain-message `AnalysisException` — the public constructors in
+    * Spark 4 are error-class keyed; extension libraries raising their
+    * own registration/arity errors use the positional form with no
+    * error class, which this wraps. */
+  def analysisException(msg: String): AnalysisException =
+    new AnalysisException(msg, None, None, None, None, Map.empty,
+      Array.empty[org.apache.spark.QueryContext])
+
   /** Eagerly translate a Column's node tree into a catalyst Expression
     * (UnresolvedFunction/Literal/... nodes the analyzer then resolves).
     * `ExpressionUtils.expression` merely WRAPS the node in an opaque

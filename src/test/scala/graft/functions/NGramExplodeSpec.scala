@@ -38,6 +38,8 @@ class NGramExplodeSpec extends SparkSpec {
   test("SQL registration: ngram_explode works in plain SQL") {
     // getOrCreate would return another suite's extension-less session;
     // clear the default so the builder actually applies the extensions.
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s2: SparkSession = SparkSession.builder()
@@ -56,8 +58,14 @@ class NGramExplodeSpec extends SparkSpec {
       assert(rows.toSeq === Seq((1, "the quick"), (2, "quick brown"),
         (3, "brown fox")))
     } finally {
-      // shared-JVM sessions: drop only this session's state
+      // shared-JVM sessions: drop only this session's state and put the
+      // suite's original default/active session back so later suites'
+      // getOrCreate doesn't inherit this extension-bearing one
       s2.catalog.dropTempView("t")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
     }
   }
 
