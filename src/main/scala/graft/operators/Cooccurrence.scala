@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * stage, never via a positional self-join of an exploded token table
   * (which would shuffle one row per token and join on (doc, pos) —
   * corpus-sized work for a per-row computation). The only shuffles are
-  * the pair-count and unigram-count groupBys plus two token-keyed joins
-  * of pair counts to unigram counts; the corpus-total token/pair counts
-  * ride 1-row broadcasts. Like [[LanguageModel]], the count tables grow
-  * with the vocabulary and deliberately do NOT broadcast.
+  * the pair-count and unigram-count groupBys plus ONE token-keyed
+  * melt-join of pair counts to unigram counts; the corpus-total
+  * token/pair counts ride a 1-row broadcast computed arithmetically
+  * from per-doc token counts. Like [[LanguageModel]], the count tables
+  * grow with the vocabulary and deliberately do NOT broadcast.
   */
 object Cooccurrence {
 
@@ -68,9 +69,23 @@ object Cooccurrence {
       (col("c12").cast("double") / col("b").cast("double")) /
         ((col("c1").cast("double") / col("t_total").cast("double")) *
           (col("c2").cast("double") / col("t_total").cast("double"))))
-    pairs.filter(col("c12") >= minPairCount)
-      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
-      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+    // Melt-join: each surviving pair emits (side, token) rows and joins
+    // the unigram table ONCE, then folds back to one row per pair. Two
+    // token-keyed joins (w1 then w2) would run the corpus-wide unigram
+    // explode+groupBy subtree twice — the melt trades that second
+    // corpus pass for a shuffle of 2·|pairs| post-frequency-cut rows,
+    // which is orders of magnitude smaller at any scale.
+    val melted = pairs.filter(col("c12") >= minPairCount)
+      .select(col("w1"), col("w2"), col("c12"),
+        explode(array(
+          struct(lit(1).as("side"), col("w1").as("t")),
+          struct(lit(2).as("side"), col("w2").as("t")))).as("m"))
+      .select(col("w1"), col("w2"), col("c12"),
+        col("m.side").as("side"), col("m.t").as("t"))
+    melted.join(uni, "t")
+      .groupBy("w1", "w2", "c12")
+      .agg(max(when(col("side") === 1, col("c"))).as("c1"),
+        max(when(col("side") === 2, col("c"))).as("c2"))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         round(pmiExpr, 4).as("pmi"))
