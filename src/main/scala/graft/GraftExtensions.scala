@@ -87,6 +87,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0), litInt("count_min", "count_min(col, d, w)", exprs, 3, 1),
         litInt("count_min", "count_min(col, d, w)", exprs, 3, 2))
         .toAggregateExpression()))
+    // third custom TypedImperativeAggregate: bounded_topk(col, k) —
+    // exact k-smallest + total count in O(k) state (k a literal)
+    ext.injectFunction((FunctionIdentifier("bounded_topk"),
+      new ExpressionInfo(
+        classOf[graft.functions.BoundedTopKAgg].getCanonicalName,
+        "bounded_topk"),
+      (exprs: Seq[Expression]) => graft.functions.BoundedTopKAgg(
+        exprs(0), litInt("bounded_topk", "bounded_topk(col, k)",
+          exprs, 2, 1))
+        .toAggregateExpression()))
     // custom GENERATOR (table function): ngram_explode(text, n) — n
     // must be a literal (evaluated at registration). SQL users get
     // `SELECT ngram_explode(text, 3) FROM docs` / LATERAL VIEW.

@@ -176,6 +176,35 @@ object EventQueries {
         col("event_id").as("last_event_id"),
         col("value").as("last_value"))
 
+  /** Daily linear-interpolation resample: the native as-of join run in
+    * BOTH directions (prev event ≤ day, next event ≥ day) and a
+    * fixed-order lerp between them — boundary-exact gap filling where
+    * forward-fill staircases. Oracled against DuckDB's native ASOF
+    * joins both ways. */
+  def eventsResampleInterp: Q = (s, d) =>
+    graft.operators.Resample.dailyInterpolate(
+      Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+      keyCol = "user_id", timeCol = "ts", tieBreak = "event_id",
+      valueCol = "value")
+
+  /** Cohort retention: users bucketed by first-event week, activity
+    * counted per (cohort, week offset) — the standard retention
+    * triangle. One user-keyed window pass assigns cohorts (no
+    * agg+join back), then a distinct + count shuffle. */
+  def cohortRetention: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", min(col("ts")).over(w)).as("cohort_week"),
+        date_trunc("week", col("ts")).as("wk"))
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / lit(7))
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Range join: same-user event pairs within 30 minutes — the
     * bucketized proximity join, oracled against a plain inequality
     * join in DuckDB. */
@@ -285,6 +314,8 @@ object EventQueries {
     "stream_upsert" ->
       ((s, d) => EventsStream.streamingUpsertLatest(s, d)),
     "resample_ffill" -> eventsResampleFfill,
+    "resample_interp" -> eventsResampleInterp,
+    "cohort_retention" -> cohortRetention,
   )
 
   val oracle: Map[String, String] = Map(
@@ -355,6 +386,50 @@ object EventQueries {
         |       rd.value AS last_value
         |FROM grid g ASOF LEFT JOIN rd
         |  ON g.user_id = rd.user_id AND g.day >= rd.ts""".stripMargin,
+    // two native ASOF joins (backward + forward) and the same
+    // fixed-order lerp; endpoint policy back-fill/forward-fill/null
+    "resample_interp" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) AS mn,
+        |   date_trunc('day', max(ts)) AS mx FROM events),
+        | days AS (SELECT unnest(generate_series(b.mn, b.mx,
+        |   INTERVAL 1 DAY)) AS day FROM b),
+        | users AS (SELECT DISTINCT user_id FROM events),
+        | grid AS (SELECT user_id, day FROM users CROSS JOIN days),
+        | rd AS (SELECT user_id, ts, value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |          ORDER BY event_id DESC) AS rn FROM events)
+        |  WHERE rn = 1),
+        | p AS (SELECT g.user_id, g.day, rd.ts AS p_ts, rd.value AS p_val
+        |  FROM grid g ASOF LEFT JOIN rd
+        |    ON g.user_id = rd.user_id AND g.day >= rd.ts),
+        | n AS (SELECT g.user_id, g.day, rd.ts AS n_ts, rd.value AS n_val
+        |  FROM grid g ASOF LEFT JOIN rd
+        |    ON g.user_id = rd.user_id AND g.day <= rd.ts)
+        |SELECT p.user_id, p.day, round(CASE
+        |   WHEN p_ts IS NULL AND n_ts IS NULL THEN NULL
+        |   WHEN p_ts IS NULL THEN n_val
+        |   WHEN n_ts IS NULL THEN p_val
+        |   WHEN epoch_us(n_ts) = epoch_us(p_ts) THEN p_val
+        |   ELSE p_val + (n_val - p_val) *
+        |     (CAST(epoch_us(p.day) - epoch_us(p_ts) AS DOUBLE) /
+        |      CAST(epoch_us(n_ts) - epoch_us(p_ts) AS DOUBLE))
+        |  END, 4) AS value_interp
+        |FROM p JOIN n ON p.user_id = n.user_id AND p.day = n.day""".stripMargin,
+    // cohort = first-event week per user; a user contributes once per
+    // active week offset; offsets are whole weeks by construction
+    "cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id,
+        |   date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+        |     AS cohort_week,
+        |   date_trunc('week', ts) AS wk
+        |  FROM events),
+        | o AS (SELECT DISTINCT user_id, cohort_week,
+        |   date_diff('day', CAST(cohort_week AS DATE), CAST(wk AS DATE))
+        |     // 7 AS week_offset
+        |  FROM w)
+        |SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT)
+        |   AS n_users
+        |FROM o GROUP BY 1, 2""".stripMargin,
     // shard/order keys are pure row functions, so the drained stream's
     // complete-mode manifest equals the batch manifest exactly
     "stream_export_manifest" ->

@@ -155,6 +155,22 @@ object PipelineQueries {
     (d17(cums(0)), d17(cums(1)))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * 10 docs per language, selection probability ∝ n_chars —
+    * deterministic (hash-derived uniforms), engine-replayable. */
+  def weightedSample: Q = (s, d) =>
+    operatorsSampling.weightedQuota(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      "doc_id", "n_chars", Seq("lang"), n = 10, salt = "ws")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+
+  /** Inverted-index build: per-token exact document frequency + the
+    * first-5 posting list, through the custom bounded top-k aggregate
+    * (O(k) state per token — no collect_set blowup on head tokens). */
+  def invertedIndex: Q = (s, d) =>
+    graft.operators.InvertedIndex.postings(
+      docs(s, d), "doc_id", "norm_text", minDf = 50L, sampleK = 5)
+
   /** Mixture composition: per-language token budgets realized by
     * derived keep-fractions + hash sampling; output is the per-language
     * doc/token report of the composed corpus. */
@@ -758,6 +774,8 @@ object PipelineQueries {
     "text_heavy_hitters" -> textHeavyHitters,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
+    "weighted_sample" -> weightedSample,
+    "inverted_index" -> invertedIndex,
     "dedup_incremental" -> dedupIncremental,
     "text_lm_score" -> textLmScore,
     "text_pii_scrub" -> textPiiScrub,
@@ -897,6 +915,31 @@ object PipelineQueries {
         |SELECT id, cluster_id,
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp""".stripMargin,
+    // A-ES replay: u from the md5 hash, rank by u^(1/weight) desc with
+    // the doc id tie-break, top 10 per language (weight <= 0 excluded)
+    "weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |  CAST(CAST(concat('0x', substring(md5(concat(
+        |    CAST(doc_id AS VARCHAR), 'ws')), 1, 8)) AS BIGINT) AS DOUBLE)
+        |    / CAST(4294967296 AS DOUBLE) AS u
+        | FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+        | r AS (SELECT lang, doc_id, n_chars, row_number() OVER (
+        |   PARTITION BY lang
+        |   ORDER BY pow(u, 1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id)
+        |    AS rn
+        |  FROM h)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 10""".stripMargin,
+    // per-doc distinct tokens -> exact df + the 5 smallest doc ids
+    "inverted_index" ->
+      s"""WITH x AS (SELECT doc_id,
+         |   unnest(regexp_extract_all($norm, '\\S+')) AS t
+         |  FROM documents),
+         | tok AS (SELECT DISTINCT doc_id, t FROM x),
+         | g AS (SELECT t, CAST(count(*) AS BIGINT) AS df,
+         |   array_to_string(list_slice(list(doc_id ORDER BY doc_id),
+         |     1, 5), ',') AS postings_head
+         |  FROM tok GROUP BY t)
+         |SELECT t, df, postings_head FROM g WHERE df >= 50""".stripMargin,
     "sample_stratified" -> {
       val (b1, b2) = splitBounds
       s"""WITH h AS (SELECT doc_id, lang,

@@ -37,4 +37,21 @@ class ResampleSpec extends SparkSpec {
     assert(out((2L, "2024-01-03")) === null)
     assert(out((2L, "2024-01-04")) === 20L)
   }
+
+  test("interpolation lerps between neighbors; endpoints fill flat") {
+    val out = Resample.dailyInterpolate(events, "user_id", "ts",
+      "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10)) ->
+        (if (r.isNullAt(2)) null else Double.box(r.getDouble(2)))).toMap
+    assert(out.size === 8)
+    // user 1: events (day1 12:00, 1.5) and (day4 12:00, 4.5) — 72h apart
+    assert(out((1L, "2024-01-01")) === 1.5) // before first: back-fill
+    // day-2 midnight is 12h past the day-1 event: 1.5 + 3.0 * 12/72
+    assert(out((1L, "2024-01-02")) === 2.0)
+    assert(out((1L, "2024-01-03")) === 3.0) // 36/72 of the way
+    assert(out((1L, "2024-01-04")) === 4.0) // 60/72 of the way
+    // user 2: single event — flat fill both directions
+    assert(out((2L, "2024-01-01")) === 3.5)
+    assert(out((2L, "2024-01-04")) === 3.5)
+  }
 }

@@ -65,6 +65,31 @@ class SamplingSpec extends SparkSpec {
       s"rank filter not pushed to WindowGroupLimit:\n$plan")
   }
 
+  test("weighted quota favors heavy rows, deterministically") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    // one group, 200 rows: ids 0..99 weight 1, ids 100..199 weight 50
+    val df = spark.range(200).select(lit("g").as("g"), col("id"),
+      when(col("id") >= 100, 50.0).otherwise(1.0).as("w"))
+    val pick = Sampling.weightedQuota(df, "id", "w", Seq("g"), n = 20,
+      salt = "t")
+    val picked = pick.collect().map(_.getLong(1)).toSet
+    assert(picked.size === 20)
+    // expectation: heavy rows dominate the sample (P(heavy) ~ 50/51
+    // per slot); 15+ of 20 heavy is a loose, deterministic bound
+    assert(picked.count(_ >= 100) >= 15)
+    // same data + salt -> identical selection under any layout
+    val again = Sampling.weightedQuota(df.repartition(7), "id", "w",
+      Seq("g"), n = 20, salt = "t").collect().map(_.getLong(1)).toSet
+    assert(again === picked)
+    // zero/negative weights can never be sampled
+    val withZero = df.union(Seq(("g", 500L, 0.0), ("g", 501L, -1.0))
+      .toDF("g", "id", "w"))
+    val p2 = Sampling.weightedQuota(withZero, "id", "w", Seq("g"),
+      n = 200, salt = "t").collect().map(_.getLong(1)).toSet
+    assert(!p2.contains(500L) && !p2.contains(501L))
+  }
+
   test("null keys are deterministically assigned, not dropped or lumped") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
