@@ -62,7 +62,11 @@ object Bench {
     // fourth wave: the explode-heavy text operators (skip-gram PMI,
     // repeated-span fingerprints) and the blocked edit-distance
     // linkage — the three heaviest round-3 additions
-    "text_pmi", "span_dedup", "fuzzy_link")
+    "text_pmi", "span_dedup", "fuzzy_link",
+    // round-4 lanes: the bounded-top-k inverted index (one token
+    // shuffle, O(k) buffers), the A-ES weighted sampler
+    // (WindowGroupLimit prune), and the double as-of interpolation
+    "inverted_index", "weighted_sample", "resample_interp")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

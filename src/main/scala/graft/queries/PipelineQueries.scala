@@ -171,6 +171,29 @@ object PipelineQueries {
     graft.operators.InvertedIndex.postings(
       docs(s, d), "doc_id", "norm_text", minDf = 50L, sampleK = 5)
 
+  private val bpeMergeCount = 6
+
+  /** BPE tokenizer training: 6 merges learned from corpus word
+    * frequencies ([[graft.operators.BpeTrainer]]); the oracle replays
+    * training merge for merge (unrolled CTE chain). */
+  def bpeTrain: Q = (s, d) =>
+    graft.operators.BpeTrainer.trainMerges(docs(s, d), "norm_text",
+      nMerges = bpeMergeCount)
+
+  /** BPE encode: the corpus segmented with the merges just learned —
+    * train (driver collects 6 rules) then a pure map encode stage;
+    * output is per-doc subword counts. */
+  def bpeEncode: Q = (s, d) => {
+    val dd = docs(s, d)
+    val merges = graft.operators.BpeTrainer
+      .trainMerges(dd, "norm_text", nMerges = bpeMergeCount)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.BpeTrainer.encode(dd, "norm_text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+      .filter(col("n_bpe_tokens") > 0)
+  }
+
   /** Mixture composition: per-language token budgets realized by
     * derived keep-fractions + hash sampling; output is the per-language
     * doc/token report of the composed corpus. */
@@ -776,6 +799,8 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperature,
     "weighted_sample" -> weightedSample,
     "inverted_index" -> invertedIndex,
+    "bpe_train" -> bpeTrain,
+    "bpe_encode" -> bpeEncode,
     "dedup_incremental" -> dedupIncremental,
     "text_lm_score" -> textLmScore,
     "text_pii_scrub" -> textPiiScrub,
@@ -796,6 +821,36 @@ object PipelineQueries {
 
   private val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Unrolled BPE-training CTE chain (n merge iterations) + a caller
+    * `SELECT` over its results. Exposes per-iteration CTEs `b1..bn`
+    * (the winning pair), `s0..sn` (word spellings after each merge,
+    * tokens double-space separated), and `merges` (the union of all
+    * b_i with their rank) — the exact DuckDB twin of
+    * [[graft.operators.BpeTrainer.trainMerges]]. */
+  private def bpeOracleSql(n: Int, select: String): String = {
+    val head =
+      s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         | FROM (SELECT unnest(regexp_extract_all($norm, '\\S+')) AS w
+         |   FROM documents) GROUP BY w),
+         |s0 AS (SELECT w, cnt,
+         |  regexp_replace(w, '(.)', ' \\1 ', 'g') AS sp FROM w0)""".stripMargin
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (SELECT cnt, t, unnest(generate_series(1, len(t) - 1)) AS j
+         | FROM (SELECT cnt, string_split(trim(sp), '  ') AS t
+         |   FROM s${i - 1})),
+         |g$i AS (SELECT t[j] AS l, t[j + 1] AS r,
+         |  CAST(sum(cnt) AS BIGINT) AS c FROM p$i GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, c FROM g$i ORDER BY c DESC, l, r LIMIT 1),
+         |s$i AS (SELECT s.w, s.cnt, replace(s.sp,
+         |  ' ' || b.l || '  ' || b.r || ' ',
+         |  ' ' || b.l || b.r || ' ') AS sp FROM s${i - 1} s, b$i b)""".stripMargin
+    }
+    val union = (1 to n).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, c AS pair_count FROM b$i")
+      .mkString("merges AS (", " UNION ALL ", ")")
+    (Seq(head) ++ iters ++ Seq(union)).mkString(",\n") + "\n" + select
+  }
 
   private def stopList(langs: Seq[String]): String =
     langs.flatMap(TF.stopwords(_)).distinct
@@ -915,6 +970,19 @@ object PipelineQueries {
         |SELECT id, cluster_id,
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp""".stripMargin,
+    // BPE training replayed merge for merge: the CTE chain below is
+    // the same word-count -> spaced-spelling -> (pair count, argmax,
+    // replace)^n iteration the Scala trainer runs, unrolled
+    "bpe_train" -> bpeOracleSql(bpeMergeCount,
+      "SELECT merge_rank, lhs, rhs, pair_count FROM merges"),
+    "bpe_encode" -> bpeOracleSql(bpeMergeCount,
+      s"""SELECT doc_id, CAST(sum(m.nsub) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id,
+         |   unnest(regexp_extract_all($norm, '\\S+')) AS w
+         |  FROM documents) dw
+         |JOIN (SELECT w, CAST(len(string_split(trim(sp), '  '))
+         |   AS BIGINT) AS nsub FROM s$bpeMergeCount) m USING (w)
+         |GROUP BY doc_id""".stripMargin),
     // A-ES replay: u from the md5 hash, rank by u^(1/weight) desc with
     // the doc id tie-break, top 10 per language (weight <= 0 excluded)
     "weighted_sample" ->
