@@ -97,6 +97,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(0), litInt("bounded_topk", "bounded_topk(col, k)",
           exprs, 2, 1))
         .toAggregateExpression()))
+    // fourth custom TypedImperativeAggregate: hll(col, b) — the
+    // oracle-able HyperLogLog (2^b md5-derived registers, b a literal)
+    ext.injectFunction((FunctionIdentifier("hll"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllAgg].getCanonicalName, "hll"),
+      (exprs: Seq[Expression]) => graft.functions.HllAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
+          org.apache.spark.sql.types.StringType),
+        litInt("hll", "hll(col, b)", exprs, 2, 1))
+        .toAggregateExpression()))
     // custom GENERATOR (table function): ngram_explode(text, n) — n
     // must be a literal (evaluated at registration). SQL users get
     // `SELECT ngram_explode(text, 3) FROM docs` / LATERAL VIEW.

@@ -205,6 +205,19 @@ object EventQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Distinct users per event type: exact count side by side with the
+    * custom ORACLE-ABLE HyperLogLog ([[graft.functions.HllAgg]], 256
+    * md5-derived registers) — unlike `approx_count_distinct`, every
+    * register and the estimate replay exactly in DuckDB. */
+  def hllDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        graft.functions.HllFunctions.hll(col("user_id"), 8).as("regs"))
+      .select(col("event_type"), col("n_exact"),
+        round(graft.functions.HllFunctions.hllEstimate(col("regs"), 8), 2)
+          .as("hll_est"))
+
   /** Range join: same-user event pairs within 30 minutes — the
     * bucketized proximity join, oracled against a plain inequality
     * join in DuckDB. */
@@ -316,6 +329,7 @@ object EventQueries {
     "resample_ffill" -> eventsResampleFfill,
     "resample_interp" -> eventsResampleInterp,
     "cohort_retention" -> cohortRetention,
+    "hll_distinct" -> hllDistinct,
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +400,36 @@ object EventQueries {
         |       rd.value AS last_value
         |FROM grid g ASOF LEFT JOIN rd
         |  ON g.user_id = rd.user_id AND g.day >= rd.ts""".stripMargin,
+    // the custom HLL replayed register for register: 60-bit md5 hash,
+    // bucket = hv mod 256, rho from the binary-string bitlength trick;
+    // exact-integer register sum, alpha_256 correction, linear
+    // counting under 2.5m — identical arithmetic to HllFunctions
+    "hll_distinct" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS hv
+        | FROM events),
+        | r AS (SELECT event_type, hv % 256 AS bucket,
+        |   52 - length(ltrim(bin(hv // 256), '0')) + 1 AS rho FROM h),
+        | regs AS (SELECT event_type, bucket, MAX(rho) AS mj
+        |  FROM r GROUP BY 1, 2),
+        | agg AS (SELECT event_type,
+        |   CAST(SUM(CAST(pow(2.0, 53 - mj) AS BIGINT)) AS BIGINT)
+        |     + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s,
+        |   256 - CAST(count(*) AS BIGINT) AS v
+        |  FROM regs GROUP BY 1),
+        | ex AS (SELECT event_type,
+        |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT ex.event_type, ex.n_exact,
+        | round(CASE WHEN (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0)
+        |     * 256.0) * 9007199254740992.0 / CAST(a.s AS DOUBLE)
+        |     <= 640.0 AND a.v > 0
+        |   THEN 256.0 * ln(256.0 / CAST(a.v AS DOUBLE))
+        |   ELSE (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0)
+        |     * 9007199254740992.0 / CAST(a.s AS DOUBLE) END, 2)
+        |  AS hll_est
+        |FROM ex JOIN agg a USING (event_type)""".stripMargin,
     // two native ASOF joins (backward + forward) and the same
     // fixed-order lerp; endpoint policy back-fill/forward-fill/null
     "resample_interp" ->

@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The oracle-able HyperLogLog: custom-aggregate registers must equal
+  * the declarative per-row pipeline, estimates must hit standard HLL
+  * accuracy, merges must be layout-independent, and the small-range
+  * linear-counting path must engage. */
+class HllSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val b = 8
+
+  test("aggregate registers equal the declarative (bucket, max rho) twin") {
+    val df = spark.range(5000).select(col("id").cast("string").as("k"))
+    val viaAgg = df.agg(HllFunctions.hll(col("k"), b).as("regs"))
+      .collect().head.getSeq[Int](0)
+    val viaSql = df
+      .select(HllFunctions.hllBucket(col("k"), b).as("bucket"),
+        HllFunctions.hllRho(col("k"), b).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("mj"))
+      .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+    val expected = (0 until (1 << b)).map(i => viaSql.getOrElse(i, 0))
+    assert(viaAgg === expected)
+  }
+
+  test("estimate within standard error (1.04/sqrt(m) ~ 6.5%) at 20k keys") {
+    val n = 20000
+    val df = spark.range(n).select(concat(lit("user_"), col("id")).as("k"))
+      // duplicates must not move the estimate
+      .union(spark.range(n / 2).select(concat(lit("user_"), col("id"))))
+    val est = df.agg(HllFunctions.hllEstimate(
+      HllFunctions.hll(col("k"), b), b).as("e")).collect().head.getDouble(0)
+    assert(math.abs(est - n) / n < 0.15, s"estimate $est vs true $n")
+  }
+
+  test("merge is layout-independent") {
+    val df = spark.range(3000).select(col("id").cast("string").as("k"))
+    def regs(parts: Int) = df.repartition(parts)
+      .agg(HllFunctions.hll(col("k"), b)).collect().head.getSeq[Int](0)
+    assert(regs(1) === regs(17))
+  }
+
+  test("small cardinalities take the linear-counting path, near-exact") {
+    val df = spark.range(40).select(col("id").cast("string").as("k"))
+    val est = df.agg(HllFunctions.hllEstimate(
+      HllFunctions.hll(col("k"), b), b)).collect().head.getDouble(0)
+    // linear counting at n << m is typically exact to the integer
+    assert(math.abs(est - 40.0) < 3.0, s"linear-counting estimate $est")
+  }
+
+  test("SQL registration: hll over a non-string key") {
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("hll-sql")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      s2.range(100).createOrReplaceTempView("t")
+      val regs = s2.sql("SELECT hll(id, 8) AS r FROM t")
+        .collect().head.getSeq[Int](0)
+      assert(regs.length === 256 && regs.exists(_ > 0))
+    } finally {
+      s2.catalog.dropTempView("t")
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+}
