@@ -330,6 +330,8 @@ object EventQueries {
     "resample_interp" -> eventsResampleInterp,
     "cohort_retention" -> cohortRetention,
     "hll_distinct" -> hllDistinct,
+    "stream_hll" ->
+      ((s, d) => EventsStream.streamingHllDistinct(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -400,6 +402,31 @@ object EventQueries {
         |       rd.value AS last_value
         |FROM grid g ASOF LEFT JOIN rd
         |  ON g.user_id = rd.user_id AND g.day >= rd.ts""".stripMargin,
+    // streaming HLL = batch HLL (element-wise-max register merge is
+    // micro-batch-cut invariant); same replay minus the exact column
+    "stream_hll" ->
+      """WITH h AS (SELECT event_type,
+        |  CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+        |    1, 15)) AS BIGINT) AS hv
+        | FROM events),
+        | r AS (SELECT event_type, hv % 256 AS bucket,
+        |   52 - length(ltrim(bin(hv // 256), '0')) + 1 AS rho FROM h),
+        | regs AS (SELECT event_type, bucket, MAX(rho) AS mj
+        |  FROM r GROUP BY 1, 2),
+        | agg AS (SELECT event_type,
+        |   CAST(SUM(CAST(pow(2.0, 53 - mj) AS BIGINT)) AS BIGINT)
+        |     + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s,
+        |   256 - CAST(count(*) AS BIGINT) AS v
+        |  FROM regs GROUP BY 1)
+        |SELECT event_type,
+        | round(CASE WHEN (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0)
+        |     * 256.0) * 9007199254740992.0 / CAST(s AS DOUBLE)
+        |     <= 640.0 AND v > 0
+        |   THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+        |   ELSE (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0)
+        |     * 9007199254740992.0 / CAST(s AS DOUBLE) END, 2)
+        |  AS hll_est
+        |FROM agg""".stripMargin,
     // the custom HLL replayed register for register: 60-bit md5 hash,
     // bucket = hv mod 256, rho from the binary-string bitlength trick;
     // exact-integer register sum, alpha_256 correction, linear

@@ -163,6 +163,36 @@ object EventsStream {
       .select(explode(col("hh")).as(Seq("key", "cnt")))
   }
 
+  /** Streaming distinct-user HLL per event type: the custom
+    * oracle-able sketch ([[graft.functions.HllAgg]]) maintained over
+    * the event stream in complete mode — registers merge by
+    * element-wise max across micro-batches exactly as they do across
+    * partitions, so the drained stream's registers (and therefore the
+    * estimate) equal the batch aggregation's bit for bit; the batch
+    * DuckDB replay is the oracle. The always-on form of "how many
+    * distinct users per type" with O(2^b) state per group. */
+  def streamingHllDistinct(spark: SparkSession, sfDir: String,
+      queryName: String = "events_hll"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val agg = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HllFunctions.hll(col("user_id"), 8).as("regs"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+      .select(col("event_type"),
+        round(graft.functions.HllFunctions.hllEstimate(col("regs"), 8), 2)
+          .as("hll_est"))
+  }
+
   /** Streaming export manifest: the per-shard (docs, tokens, key-range)
     * manifest of [[graft.operators.ShardedExport]] maintained over a
     * DOCUMENT STREAM — the shape of an always-on ingestion pipeline

@@ -51,6 +51,19 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est - 40.0) < 3.0, s"linear-counting estimate $est")
   }
 
+  test("streaming HLL equals batch HLL (micro-batch-cut invariance)") {
+    val streamed = graft.streaming.EventsStream
+      .streamingHllDistinct(spark, sf(), queryName = "hll_spec_stream")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = graft.Tables.events(spark, sf())
+      .groupBy("event_type")
+      .agg(HllFunctions.hll(col("user_id"), b).as("regs"))
+      .select(col("event_type"),
+        round(HllFunctions.hllEstimate(col("regs"), b), 2).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("SQL registration: hll over a non-string key") {
     val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
     val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
