@@ -758,11 +758,45 @@ object PipelineQueries {
       Tables.lineitem(s, d), "l_returnflag", "l_extendedprice")
       .orderBy("l_returnflag")
 
+  /** PageRank over the customer–supplier interaction graph (distinct
+    * trade pairs from orders⋈lineitem, symmetrized; customer nodes
+    * even, supplier nodes odd): 5 exact-integer power iterations
+    * ([[graft.operators.PageRank]]), top 20 by rank mass. */
+  def pageRank: Q = (s, d) => {
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val pairs = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.union(pairs.select(col("b"), col("a")))
+    graft.operators.PageRank.ranks(edges, "a", "b", iters = 5)
+      .orderBy(col("pr_mass").desc, col("node")).limit(20)
+  }
+
+  /** Salted skew JOIN under the gate: the fact side salted, the small
+    * dim replicated per salt bucket ([[graft.operators.SkewTools
+    * .saltedJoinSides]]) — the salt only routes rows, so the join
+    * result is salt-independent and the plain-join SQL is the oracle. */
+  def saltedJoin: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val (big, small, cond) = graft.operators.SkewTools.saltedJoinSides(
+      li, sup, "l_suppkey", "s_suppkey", saltBuckets = 16)
+    big.join(small, cond)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("revenue"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "ann_ivf" -> annIvf,
     "salted_agg" -> saltedAgg,
+    "salted_join" -> saltedJoin,
+    "pagerank" -> pageRank,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
@@ -821,6 +855,34 @@ object PipelineQueries {
 
   private val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Unrolled PageRank power iteration (the DuckDB twin of
+    * [[graft.operators.PageRank.ranks]] at scale 10^9): same edge
+    * symmetrization, same truncating integer divisions, same damping
+    * arithmetic, `iters` CTE stages. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH p AS (SELECT DISTINCT o_custkey * 2 AS a,
+        |   l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM p
+        |  UNION ALL SELECT b, a FROM p),
+        |o AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM e GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr_mass
+        |  FROM n)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, SUM(r.pr_mass // o.outdeg) AS s
+         | FROM e JOIN o USING (src) JOIN r${i - 1} r ON r.node = e.src
+         | GROUP BY 1),
+         |r$i AS (SELECT n.node, CAST(150000000 +
+         |  (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr_mass
+         | FROM n LEFT JOIN c$i c USING (node))""".stripMargin
+    }
+    (Seq(head) ++ its).mkString(",\n") +
+      s"\nSELECT node, pr_mass FROM r$iters ORDER BY pr_mass DESC, node LIMIT 20"
+  }
 
   /** Unrolled BPE-training CTE chain (n merge iterations) + a caller
     * `SELECT` over its results. Exposes per-iteration CTEs `b1..bn`
@@ -886,6 +948,16 @@ object PipelineQueries {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS total
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 5 power iterations replayed in exact integer arithmetic
+    // (rank div outdeg contributions, 85% damping via integer div)
+    "pagerank" -> pageRankOracleSql(5),
+    // the salt is routing-only — the plain join is the oracle
+    "salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8)))
+        |   AS DOUBLE), 4) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
