@@ -121,6 +121,45 @@ object Multimodal {
       }
   }
 
+  /** A framed audio-analysis row: per fixed-size sample window. */
+  case class AudioFrame(doc_id: Long, win_idx: Long, n_samples: Long,
+      energy: Long, zero_crossings: Long)
+
+  val AudioWindow = 64
+
+  /** Audio branch of the multimodal family: payload bytes decode to a
+    * PCM-like waveform (STUB decode: sample = byte − 64 — ASCII
+    * payloads give signed, sign-alternating samples), framed into
+    * non-overlapping [[AudioWindow]]-sample windows with per-window
+    * energy (Σ s²) and zero-crossing counts — the standard VAD/silence
+    * feature front-end. All-integer feature math, so unlike a real
+    * codec the stub is REPLAYED BY THE ORACLE sample for sample.
+    * Same partition-batch shape as every media op: one input row fans
+    * out to its windows, payloads never leave the partition. */
+  def audioFrames(spark: SparkSession, blobs: DataFrame): Dataset[AudioFrame] = {
+    import spark.implicits._
+    blobs.select("doc_id", "media_type", "data").as[MediaBlob]
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val s = b.data.map(byte => (byte & 0xFF) - 64)
+          val n = s.length
+          (0 until n by AudioWindow).iterator.map { start =>
+            val end = math.min(start + AudioWindow, n)
+            var energy = 0L
+            var zc = 0L
+            var k = start
+            while (k < end) {
+              energy += s(k).toLong * s(k)
+              if (k + 1 < end && s(k).toLong * s(k + 1) < 0) zc += 1
+              k += 1
+            }
+            AudioFrame(b.doc_id, (start / AudioWindow).toLong,
+              (end - start).toLong, energy, zc)
+          }
+        }
+      }
+  }
+
   /** Sample every `stride`-th fixed-size chunk ("frame") of each payload
     * — the video-frame-sampling shape: one input row fans out to few
     * output rows, still fully partition-parallel. */

@@ -58,7 +58,21 @@ object MultimodalQueries {
       .orderBy("probe_id", "rk")
   }
 
+  /** Audio branch: normalized text bytes stand in for a PCM payload
+    * (pure ASCII, so the stub decode sample = byte − 64 replays in
+    * SQL); non-overlapping 64-sample windows with integer energy and
+    * zero-crossing counts — the VAD front-end shape, fully
+    * oracle-checked. */
+  def multimodalAudio: Q = (s, d) => {
+    val blobs = Tables.documents(s, d)
+      .select(col("doc_id"), lit("audio").as("media_type"),
+        graft.functions.TextFunctions.normalize(col("text"))
+          .cast("binary").as("data"))
+    Multimodal.audioFrames(s, blobs).toDF()
+  }
+
   val queries: Map[String, Q] = Map(
+    "multimodal_audio" -> multimodalAudio,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
     "multimodal_resize" -> multimodalResize,
@@ -66,6 +80,29 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the audio stub decode + framing replayed sample for sample:
+    // ascii(char) − 64 samples, (j−1)//64 windows, crossings counted
+    // only between neighbors in the SAME window
+    "multimodal_audio" ->
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        | FROM documents),
+        | idx AS (SELECT doc_id, t,
+        |   unnest(generate_series(1, length(t))) AS j
+        |  FROM c WHERE length(t) > 0),
+        | smp AS (SELECT doc_id, j,
+        |   ascii(substring(t, j, 1)) - 64 AS s FROM idx),
+        | w AS (SELECT doc_id, j, s, (j - 1) // 64 AS win_idx,
+        |   lead(s) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+        |  FROM smp)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(s * s) AS BIGINT) AS energy,
+        | CAST(sum(CASE WHEN j // 64 = (j - 1) // 64
+        |   AND nxt IS NOT NULL AND s * nxt < 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS zero_crossings
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -58,6 +58,28 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_bytes === 200) // ceil(600/3)
   }
 
+  test("audioFrames: hand-computed window energy and zero crossings") {
+    import spark.implicits._
+    // samples = byte - 64: 'a'(97)->33, ' '(32)->-32, '0'(48)->-16
+    // payload "a 0a" -> samples [33, -32, -16, 33]: one 4-sample window
+    // energy = 1089+1024+256+1089 = 3458; crossings: 33/-32 and -16/33
+    val blobs = Seq((1L, "audio", "a 0a".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "data")
+    val got = Multimodal.audioFrames(spark, blobs).collect()
+    assert(got.length === 1)
+    assert(got.head === Multimodal.AudioFrame(1L, 0L, 4L, 3458L, 2L))
+    // 70 samples -> windows of 64 + 6; crossing at the 64/65 boundary
+    // must NOT count (different windows)
+    val alt = ("a " * 35).trim + " " // 70 chars alternating sign
+    val blobs2 = Seq((2L, "audio", alt.getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "data")
+    val g2 = Multimodal.audioFrames(spark, blobs2).collect()
+      .map(f => f.win_idx -> (f.n_samples, f.zero_crossings)).toMap
+    assert(g2(0L)._1 === 64L && g2(1L)._1 === 6L)
+    // within window 0: 63 sign alternations; boundary 64->65 excluded
+    assert(g2(0L)._2 === 63L && g2(1L)._2 === 5L)
+  }
+
   test("sampleFrames strides chunks and checksums content") {
     val fr = Multimodal.sampleFrames(spark, Multimodal.attachBlobs(docs), 2)
       .collect()
