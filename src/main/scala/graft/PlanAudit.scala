@@ -293,14 +293,16 @@ object PlanAudit {
         !di.contains("CartesianProduct"),
       "anti-joins + block join, all hash-keyed")
 
-    // fuzzy linkage: the edit-distance predicate must ride the length-
-    // bucket HASH join (never a cartesian), and the best-match rank
-    // filter must prune map-side via WindowGroupLimit.
+    // fuzzy linkage (Pass-Join form): the candidate join must be a
+    // HASH join on the (L, i, segment) key. The only nested-loop joins
+    // allowed are the deliberate bounded crosses against the 3-row
+    // segment-index sequence (each input row × 3 segment slots) — a
+    // constant fan-out, not a data×data cross.
     val fz = plan("fuzzy_link")
-    check("fuzzy_link: hash equi-join on the length bucket",
-      !fz.contains("CartesianProduct") &&
-        !fz.contains("BroadcastNestedLoopJoin"),
-      "levenshtein runs on bucket candidates only")
+    check("fuzzy_link: segment candidates via hash equi-join",
+      !fz.contains("CartesianProduct") && fz.contains("BroadcastHashJoin") &&
+        occurrences(fz, "BroadcastNestedLoopJoin") <= 2,
+      "levenshtein runs on segment-bucket candidates only")
     check("fuzzy_link: map-side WindowGroupLimit for best-match",
       fz.contains("WindowGroupLimit"), "rank=1 pruned before exchange")
 
@@ -332,6 +334,48 @@ object PlanAudit {
           occurrences(sd, "SortAggregate") +
           occurrences(sd, "ObjectHashAggregate") >= 2,
       "explode -> fingerprint groupBy, partial+final")
+
+    // inverted index: the bounded top-k TypedImperativeAggregate must
+    // plan partial+final (ObjectHashAggregate) around exactly ONE
+    // token-keyed exchange — O(k) buffers both sides of the shuffle.
+    val ii = plan("inverted_index")
+    check("inverted_index: partial+final ObjectHashAggregate",
+      occurrences(ii, "ObjectHashAggregate") >= 2, "")
+    check("inverted_index: single token exchange",
+      occurrences(ii, "Exchange hashpartitioning") == 1, "")
+
+    // weighted A-ES sample: same WindowGroupLimit contract as
+    // group_quota — the top-n-by-key cut prunes map-side.
+    val ws = plan("weighted_sample")
+    check("weighted_sample: map-side WindowGroupLimit",
+      ws.contains("WindowGroupLimit"), "A-ES rank cut pruned before exchange")
+
+    // interpolation: BOTH directions ride the native as-of merge exec.
+    val ri = plan("resample_interp")
+    check("resample_interp: two native as-of merge execs",
+      occurrences(ri, "AsOfJoin") >= 2 && !ri.contains("CartesianProduct"),
+      "prev + next fills are merge joins")
+
+    // audio framing: pure partition-local pipeline — typed mapPartitions
+    // fan-out, no exchange anywhere.
+    val au = plan("multimodal_audio")
+    check("multimodal_audio: map-only, no shuffle",
+      !au.contains("Exchange"), "windows emitted inside the scan stage")
+
+    // pagerank top-20: the bounded cut must be TakeOrderedAndProject
+    // (per-partition heaps + driver merge), never a global sort.
+    val pr = plan("pagerank")
+    check("pagerank: top-k via TakeOrderedAndProject",
+      pr.contains("TakeOrderedAndProject") && !pr.contains("Sort "),
+      "no global sort for the top-20 cut")
+
+    // salted join: hash equi-join on (key, salt); no cartesian, no
+    // nested loop — the salt is part of the join key.
+    val sj = plan("salted_join")
+    check("salted_join: hash equi-join carries the salt",
+      !sj.contains("CartesianProduct") &&
+        !sj.contains("BroadcastNestedLoopJoin"),
+      "(key, salt) equi-join")
 
     println(s"\n$failures failures")
     spark.stop()
