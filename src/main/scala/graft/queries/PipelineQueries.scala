@@ -173,6 +173,19 @@ object PipelineQueries {
 
   private val bpeMergeCount = 6
 
+  /** Content-defined chunking: rolling-hash boundaries (window 8,
+    * divisor 64) over normalized text — per-chunk spans and md5
+    * fingerprints ([[graft.operators.ContentChunker]]). */
+  def cdcChunks: Q = (s, d) =>
+    graft.operators.ContentChunker.chunks(docs(s, d), "doc_id",
+      "norm_text", window = 8, divisor = 64L)
+
+  /** The CDC payoff in one row: distinct vs total chunks and how many
+    * occurrences are shared across documents. */
+  def cdcReport: Q = (s, d) =>
+    graft.operators.ContentChunker.dedupReport(docs(s, d), "doc_id",
+      "norm_text", window = 8, divisor = 64L)
+
   /** BPE tokenizer training: 6 merges learned from corpus word
     * frequencies ([[graft.operators.BpeTrainer]]); the oracle replays
     * training merge for merge (unrolled CTE chain). */
@@ -835,6 +848,8 @@ object PipelineQueries {
     "inverted_index" -> invertedIndex,
     "bpe_train" -> bpeTrain,
     "bpe_encode" -> bpeEncode,
+    "cdc_chunks" -> cdcChunks,
+    "cdc_report" -> cdcReport,
     "dedup_incremental" -> dedupIncremental,
     "text_lm_score" -> textLmScore,
     "text_pii_scrub" -> textPiiScrub,
@@ -855,6 +870,38 @@ object PipelineQueries {
 
   private val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** CDC boundary/chunk CTE chain — the DuckDB twin of
+    * [[graft.operators.ContentChunker.chunks]] (window 8, divisor 64):
+    * same per-position 8-term modular window hash (power literals
+    * generated from the same B/M), same lag-based span construction.
+    * `select` runs over the final `ch` CTE (per-chunk rows). */
+  private def cdcOracleSql(select: String): String = {
+    val ck = graft.operators.ContentChunker
+    val powers = Array.iterate(1L, 8)(p => p * ck.B % ck.M).reverse
+    val terms = powers.indices.map(i =>
+      s"CAST(ascii(substring(t, CAST(p - 7 + $i AS INT), 1)) AS BIGINT)" +
+        s" * ${powers(i)} % ${ck.M}")
+      .mkString("(", " + ", s") % ${ck.M}")
+    s"""WITH dd AS (SELECT doc_id, t, length(t) AS n
+       | FROM (SELECT doc_id, $norm AS t FROM documents)
+       | WHERE length(t) > 0),
+       |pos AS (SELECT doc_id, t, n, unnest(generate_series(8, n)) AS p
+       |  FROM dd WHERE n >= 8
+       | UNION ALL SELECT doc_id, t, n, n AS p FROM dd WHERE n < 8),
+       |b AS (SELECT doc_id, t, p AS e FROM pos
+       | WHERE n < 8 OR p = n OR $terms % 64 = 0),
+       |c AS (SELECT doc_id, t, e,
+       |  COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY e) AS ci
+       | FROM b),
+       |ch AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(prev + 1 AS BIGINT) AS start, CAST(e - prev AS BIGINT) AS len,
+       |  md5(substring(t, CAST(prev + 1 AS INT), CAST(e - prev AS INT)))
+       |    AS chunk_fp
+       | FROM c)
+       |$select""".stripMargin
+  }
 
   /** Unrolled PageRank power iteration (the DuckDB twin of
     * [[graft.operators.PageRank.ranks]] at scale 10^9): same edge
@@ -948,6 +995,16 @@ object PipelineQueries {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS total
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the CDC window hash, boundaries, spans and fingerprints replayed
+    "cdc_chunks" -> cdcOracleSql(
+      "SELECT doc_id, chunk_idx, start, len, chunk_fp FROM ch"),
+    "cdc_report" -> cdcOracleSql(
+      """SELECT CAST(count(*) AS BIGINT) AS distinct_chunks,
+        | CAST(SUM(n_occ) AS BIGINT) AS total_chunks,
+        | CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END)
+        |   AS BIGINT) AS shared_occurrences
+        |FROM (SELECT chunk_fp, count(*) AS n_occ,
+        |   count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1)""".stripMargin),
     // 5 power iterations replayed in exact integer arithmetic
     // (rank div outdeg contributions, 85% damping via integer div)
     "pagerank" -> pageRankOracleSql(5),
