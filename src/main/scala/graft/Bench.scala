@@ -66,7 +66,11 @@ object Bench {
     // round-4 lanes: the bounded-top-k inverted index (one token
     // shuffle, O(k) buffers), the A-ES weighted sampler
     // (WindowGroupLimit prune), and the double as-of interpolation
-    "inverted_index", "weighted_sample", "resample_interp")
+    "inverted_index", "weighted_sample", "resample_interp",
+    // content-defined chunking: the per-position hash stage is the
+    // heaviest new map stage (element_at char array, NOT O(p)
+    // substrings — the 16s→2.5s lesson)
+    "cdc_chunks")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -32,7 +32,15 @@ object ScaleSmoke {
     // round-3 second wave: LM scoring = vocabulary-keyed shuffle joins
     // (counts AND scored docs both grow with the corpus), sliding
     // chunks = pure map stage
-    "text_lm_score", "pack_sliding")
+    "text_lm_score", "pack_sliding",
+    // round-4: bounded-top-k index build (one token shuffle, O(k)
+    // buffers), CDC chunking (per-position map hash + doc-keyed lag),
+    // BPE training (corpus word-count pass scales; merge iterations run
+    // over the DISTINCT vocabulary, which K identical copies leave
+    // unchanged — iterations should be ~flat), and PageRank (the
+    // distinct-edge pass scales; the iteration cost is edge-set-bound
+    // and K copies of the same pairs leave the edge set unchanged)
+    "inverted_index", "cdc_chunks", "bpe_train", "pagerank")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
@@ -75,6 +83,14 @@ object ScaleSmoke {
         .reduce(_ unionAll _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
+    if (!new java.io.File(s"$big/orders.parquet").exists()) {
+      // pagerank reads orders⋈lineitem; keys repeat across copies,
+      // which its DISTINCT edge pass absorbs by design
+      val ord = Tables.orders(spark, base)
+      (1 to k).map(_ => ord).reduce(_ unionAll _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$big/orders.parquet")
     }
     val nBase = Tables.lineitem(spark, base).count()
     val nBig = Tables.lineitem(spark, big).count()

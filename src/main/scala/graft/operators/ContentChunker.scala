@@ -42,15 +42,22 @@ object ContentChunker {
     val powers = Array.iterate(1L, window)(p => p * B % M).reverse
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("t"),
       length(col(textCol)).as("n")).filter(col("n") > 0)
-    // window hash ending at p (1-based): chars p-window+1 .. p
+    // Hash on a pre-split char ARRAY, not substring(t, p, 1):
+    // UTF8String substring scans from the string start to find the
+    // character offset (variable-width UTF-8), so per-position
+    // substrings are O(p) each — O(n²) per document. One split gives
+    // O(1) element_at per term. The array rides the explode as a
+    // reference inside whole-stage codegen; it is dropped before the
+    // one shuffle.
     val hashAt = (p: org.apache.spark.sql.Column) =>
       powers.indices.map { i =>
-        ascii(substring(col("t"),
-          (p - lit(window) + lit(1 + i)).cast("int"), lit(1))) *
+        ascii(element_at(col("_chars"),
+          (p - lit(window) + lit(1 + i)).cast("int"))) *
           lit(powers(i)) % M
       }.reduce(_ + _) % M
     val bounds = d
-      .select(col("doc_id"), col("t"), col("n"),
+      .withColumn("_chars", split(col("t"), ""))
+      .select(col("doc_id"), col("t"), col("n"), col("_chars"),
         explode(when(col("n") >= window,
           sequence(lit(window), col("n").cast("int")))
           .otherwise(array(col("n").cast("int")))).as("p"))

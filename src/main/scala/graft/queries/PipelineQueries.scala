@@ -176,14 +176,21 @@ object PipelineQueries {
   /** Content-defined chunking: rolling-hash boundaries (window 8,
     * divisor 64) over normalized text — per-chunk spans and md5
     * fingerprints ([[graft.operators.ContentChunker]]). */
+  // The testdata table is ONE parquet file → one scan partition; the
+  // per-position hash fan-out (8 ops/char) must be spread across cores
+  // first. At real scale the scan is already many-partitioned and this
+  // repartition is a cheap no-op-sized shuffle of the raw docs.
+  private def cdcDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).repartition(col("doc_id"))
+
   def cdcChunks: Q = (s, d) =>
-    graft.operators.ContentChunker.chunks(docs(s, d), "doc_id",
+    graft.operators.ContentChunker.chunks(cdcDocs(s, d), "doc_id",
       "norm_text", window = 8, divisor = 64L)
 
   /** The CDC payoff in one row: distinct vs total chunks and how many
     * occurrences are shared across documents. */
   def cdcReport: Q = (s, d) =>
-    graft.operators.ContentChunker.dedupReport(docs(s, d), "doc_id",
+    graft.operators.ContentChunker.dedupReport(cdcDocs(s, d), "doc_id",
       "norm_text", window = 8, divisor = 64L)
 
   /** BPE tokenizer training: 6 merges learned from corpus word
