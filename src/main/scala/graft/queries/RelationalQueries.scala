@@ -332,6 +332,28 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"),
         countDistinct(col("k")).as("distinct_k"))
 
+  /** ANALYZE-style column statistics (the optimizer-statistics surface:
+    * row count, null count, exact NDV, min/max) for a representative
+    * column set — one narrow column-pruned scan per column (cheaper
+    * than a single multi-distinct pass, which would Expand the fact
+    * 5×), unioned into the canonical stats table. min/max are cast to
+    * string only for types with engine-identical rendering (integers,
+    * strings, dates — never floats). */
+  def q34TableStats: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def statsFor(c: String): DataFrame =
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    Seq("l_orderkey", "l_suppkey", "l_linenumber", "l_returnflag",
+      "l_shipdate").map(statsFor).reduce(_ unionAll _)
+  }
+
   /** HLL approximate distinct (the 100 TB path for A-family distincts:
     * fixed-size sketch, map-side combinable, no (group,value) shuffle).
     * Sketch internals are engine-specific, so the driver check is
@@ -564,6 +586,7 @@ object RelationalQueries {
     "q21_percentiles" -> q21Percentiles,
     "q22_pivot" -> q22Pivot,
     "q20_approx_distinct" -> q20ApproxDistinct,
+    "q34_table_stats" -> q34TableStats,
     "q19_json_extract" -> q19JsonExtract,
     "q16_window_analytics" -> q16WindowAnalytics,
     "q17_distinct_agg" -> q17DistinctAgg,
@@ -590,6 +613,18 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // ANALYZE replay: one stats row per column; min/max stringified
+    // only for engine-identical renderings (ints, strings, timestamps)
+    "q34_table_stats" -> Seq("l_orderkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_shipdate").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_nulls,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_s,
+         | CAST(max($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "q30_nullsafe_join" ->
       """WITH dim(k, label) AS (VALUES
         |  ('F', 'final'), ('O', 'open'), (NULL, 'unknown')),
