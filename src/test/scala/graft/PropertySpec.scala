@@ -183,4 +183,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("CDC chunks tile arbitrary documents exactly") {
+    import graft.operators.ContentChunker
+    val genDoc = for {
+      n <- Gen.choose(1, 300)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'z') :+ ' ' :+ '0'))
+    } yield cs.mkString
+    val docs = samples(genDoc, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = ContentChunker.chunks(docs.toDF("doc_id", "text"),
+      "doc_id", "text", window = 8, divisor = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).groupBy(_._1)
+    docs.foreach { case (id, t) =>
+      val ch = got(id).sortBy(_._2)
+      assert(ch.head._3 === 1L, s"doc $id first chunk start")
+      assert(ch.map(_._4).sum === t.length.toLong, s"doc $id tiling")
+      ch.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) => assert(s2 === s1 + l1)
+        case _ =>
+      }
+    }
+  }
+
+  test("bounded top-k aggregate equals sort-take for arbitrary inputs") {
+    import graft.functions.BoundedTopKAgg
+    val genVals = Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L))
+    samples(genVals, 15).zipWithIndex.foreach { case (vs, i) =>
+      val k = (i % 5) + 1
+      val row = vs.toDF("v")
+        .agg(BoundedTopKAgg.boundedTopK(col("v"), k).as("tk"))
+        .select(col("tk.cnt"), col("tk.ids")).head()
+      assert(row.getLong(0) === vs.length.toLong)
+      assert(row.getSeq[Long](1) === vs.sorted.take(k))
+    }
+  }
+
+  test("BPE merges are invariant to document order and layout") {
+    import graft.operators.BpeTrainer
+    val corpus = Seq("the cat sat", "the hat", "a cat a hat", "sat the cat")
+    def mergesOf(rows: Seq[String], parts: Int) =
+      BpeTrainer.trainMerges(
+        rows.toDF("text").repartition(parts), "text", nMerges = 4)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val base = mergesOf(corpus, 1)
+    assert(mergesOf(corpus.reverse, 3) === base)
+    assert(mergesOf(corpus, 7) === base)
+    assert(base.length === 4)
+  }
 }
