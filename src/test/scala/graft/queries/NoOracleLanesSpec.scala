@@ -51,6 +51,19 @@ class NoOracleLanesSpec extends SparkSpec {
     assert(r.getAs[Double]("recall_at_5") >= 0.5) // nProbe=4/16 scans 25% of cells
   }
 
+  test("q20_approx_distinct: built-in HLL within relative-error bound") {
+    val rows = q("q20_approx_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) =
+        (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+      // default rsd 0.05 → 3σ bound 15%; deterministic inputs make the
+      // realized estimates exact constants, so any drift fails here
+      assert(math.abs(approx - exact).toDouble / exact < 0.15,
+        s"flag ${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("q26_approx_percentiles: sketch tracks exact within rank error") {
     q("q26_approx_percentiles").collect().foreach { r =>
       // accuracy 10000 ⇒ rank error ≤ 1/10000; at sf0.001 group sizes
