@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.{TextFunctions => TF}
 import graft.operators.{ConnectedComponents, Decontamination, Dedup, EmbeddingStats, RelevanceScoring, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (dedup, similarity search, text
@@ -212,6 +213,35 @@ object PipelineQueries {
     graft.operators.BpeTrainer.encode(dd, "norm_text", merges)
       .select(col("doc_id"), col("n_bpe_tokens"))
       .filter(col("n_bpe_tokens") > 0)
+  }
+
+  /** Deterministic source-interleaved training order: docs get a
+    * hash-random rank WITHIN their source, and the global order is
+    * (rank, source) — a round-robin interleave that spreads every
+    * source evenly through the epoch (the data-ordering guarantee
+    * curriculum schedules build on) while staying a pure function of
+    * the data. Output: the first 200 positions. One window pass per
+    * source partition + the bounded top-k cut. */
+  def trainOrder: Q = (s, d) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(operatorsSampling.hashFraction(col("doc_id"), "ord").asc,
+        col("doc_id").asc)
+    // the head-200 cut is orderBy+limit (TakeOrderedAndProject:
+    // per-partition heaps, no global sort); explicit positions are then
+    // a window over the bounded result only. A full-epoch export would
+    // skip positions and WRITE in this sort order instead (a global
+    // row_number window would single-partition the corpus).
+    val top = docs(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .orderBy(col("rank_in_source").asc, col("source").asc,
+        col("doc_id").asc)
+      .limit(200)
+    top.withColumn("position", row_number().over(
+        Window.orderBy(col("rank_in_source").asc, col("source").asc,
+          col("doc_id").asc)).cast("long"))
+      .select(col("position"), col("doc_id"), col("source"),
+        col("rank_in_source"))
   }
 
   /** Mixture composition: per-language token budgets realized by
@@ -853,6 +883,7 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperature,
     "weighted_sample" -> weightedSample,
     "inverted_index" -> invertedIndex,
+    "train_order" -> trainOrder,
     "bpe_train" -> bpeTrain,
     "bpe_encode" -> bpeEncode,
     "cdc_chunks" -> cdcChunks,
@@ -1002,6 +1033,24 @@ object PipelineQueries {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS total
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // round-robin interleave replay: hash rank within source, global
+    // order (rank, source, id), first 200 positions
+    "train_order" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(CAST(concat('0x', substring(md5(concat(
+        |    CAST(doc_id AS VARCHAR), 'ord')), 1, 8)) AS BIGINT) AS DOUBLE)
+        |    / CAST(4294967296 AS DOUBLE) AS hf
+        | FROM documents),
+        | r AS (SELECT doc_id, source,
+        |   CAST(row_number() OVER (PARTITION BY source
+        |     ORDER BY hf, doc_id) AS BIGINT) AS rank_in_source
+        |  FROM h),
+        | p AS (SELECT doc_id, source, rank_in_source,
+        |   CAST(row_number() OVER (ORDER BY rank_in_source, source,
+        |     doc_id) AS BIGINT) AS position
+        |  FROM r)
+        |SELECT position, doc_id, source, rank_in_source
+        |FROM p WHERE position <= 200""".stripMargin,
     // the CDC window hash, boundaries, spans and fingerprints replayed
     "cdc_chunks" -> cdcOracleSql(
       "SELECT doc_id, chunk_idx, start, len, chunk_fp FROM ch"),

@@ -332,6 +332,18 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"),
         countDistinct(col("k")).as("distinct_k"))
 
+  /** Schema-on-read through Spark 4's VARIANT type: `parse_json` once,
+    * typed `variant_get` extraction — the open-schema path for
+    * semi-structured columns (vs q19's fixed-schema `from_json`). The
+    * parse and extraction fuse into the scan stage. */
+  def q35Variant: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   /** ANALYZE-style column statistics (the optimizer-statistics surface:
     * row count, null count, exact NDV, min/max) for a representative
     * column set — one narrow column-pruned scan per column (cheaper
@@ -587,6 +599,7 @@ object RelationalQueries {
     "q22_pivot" -> q22Pivot,
     "q20_approx_distinct" -> q20ApproxDistinct,
     "q34_table_stats" -> q34TableStats,
+    "q35_variant" -> q35Variant,
     "q19_json_extract" -> q19JsonExtract,
     "q16_window_analytics" -> q16WindowAnalytics,
     "q17_distinct_agg" -> q17DistinctAgg,
@@ -625,6 +638,17 @@ object RelationalQueries {
          | CAST(max($c) AS VARCHAR) AS max_s
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // the single-int-field props make regexp and variant extraction
+    // agree; same replay style as q19
+    "q35_variant" ->
+      """SELECT event_type, count(*) AS cnt,
+        | CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS INT))
+        |   AS BIGINT) AS sum_k,
+        | CAST(min(CAST(regexp_extract(props, '[0-9]+') AS INT)) AS INT)
+        |   AS min_k,
+        | CAST(max(CAST(regexp_extract(props, '[0-9]+') AS INT)) AS INT)
+        |   AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "q30_nullsafe_join" ->
       """WITH dim(k, label) AS (VALUES
         |  ('F', 'final'), ('O', 'open'), (NULL, 'unknown')),
