@@ -155,7 +155,41 @@ object EtlQueries {
           .cast("double"), 4).as("total"))
   }
 
+  /** Malformed-record handling (the PERMISSIVE-mode ETL surface): a
+    * deterministic fraction of CSV rows is corrupted (numeric field
+    * replaced by text), the read captures them in `_corrupt_record`
+    * with every data field nulled, and the report counts both
+    * populations plus the clean-row aggregate. The oracle replays the
+    * corruption rule on the original parquet — good/corrupt splits and
+    * the clean sum must agree exactly. */
+  def csvBadRecords: Q = (s, d) => {
+    val out = tmp("badcsv", d)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("qty_str",
+        when(pmod(col("l_orderkey") + col("l_linenumber"), lit(7)) === 0,
+          lit("oops")).otherwise(col("l_quantity").cast("string")))
+      .select(concat_ws(",", col("l_orderkey"), col("l_linenumber"),
+        col("qty_str")).as("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out)
+      .agg(count(lit(1)).as("total_rows"),
+        count(col("_corrupt_record")).as("corrupt_rows"),
+        count(col("l_quantity")).as("good_rows"),
+        round(sum(col("l_quantity").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_bad_records" -> csvBadRecords,
     "schema_evolution" -> schemaEvolution,
     "etl_csv_roundtrip" -> csvRoundtrip,
     "etl_mergetree_roundtrip" -> mergetreeRoundtrip,
@@ -171,6 +205,18 @@ object EtlQueries {
       s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    // replay the corruption rule on the source rows: (ok+ln) % 7 == 0
+    // rows become unparseable, everything else must survive exactly
+    "etl_bad_records" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        | CAST(sum(CASE WHEN (l_orderkey + l_linenumber) % 7 = 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS corrupt_rows,
+        | CAST(sum(CASE WHEN (l_orderkey + l_linenumber) % 7 <> 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS good_rows,
+        | round(CAST(sum(CASE WHEN (l_orderkey + l_linenumber) % 7 <> 0
+        |   THEN CAST(l_quantity AS DECIMAL(38,8)) END) AS DOUBLE), 4)
+        |   AS sum_qty
+        |FROM lineitem""".stripMargin,
     "schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-upgrade>'
         |  ELSE o_orderpriority END AS prio,
