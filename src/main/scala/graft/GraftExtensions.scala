@@ -40,7 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       throw org.apache.spark.sql.GraftExpressionBridge.analysisException(
         s"$fn: argument ${idx + 1} of $usage must be an integer literal")
     e.eval() match {
-      case n: Number => n.intValue()
+      // integral types only: a 2.5 must error, not silently truncate
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long) =>
+        n.asInstanceOf[Number].intValue()
       case other =>
         throw org.apache.spark.sql.GraftExpressionBridge.analysisException(
           s"$fn: argument ${idx + 1} of $usage must be an integer " +
@@ -73,40 +76,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.HeavyHittersAgg].getCanonicalName,
         "heavy_hitters"),
-      (exprs: Seq[Expression]) => graft.functions.HeavyHittersAgg(
-        exprs(0), litInt("heavy_hitters", "heavy_hitters(col, k)",
-          exprs, 2, 1))
-        .toAggregateExpression()))
+      (exprs: Seq[Expression]) => {
+        // arity gate BEFORE exprs(0): constructor args evaluate left to
+        // right, so touching exprs(0) first would turn a zero-arg call
+        // into an IndexOutOfBounds instead of litInt's clean error
+        val k = litInt("heavy_hitters", "heavy_hitters(col, k)",
+          exprs, 2, 1)
+        graft.functions.HeavyHittersAgg(exprs(0), k)
+          .toAggregateExpression()
+      }))
     // second custom TypedImperativeAggregate: count_min(col, d, w) —
     // d/w must be literals (evaluated at registration)
     ext.injectFunction((FunctionIdentifier("count_min"),
       new ExpressionInfo(
         classOf[graft.functions.CountMinAgg].getCanonicalName,
         "count_min"),
-      (exprs: Seq[Expression]) => graft.functions.CountMinAgg(
-        exprs(0), litInt("count_min", "count_min(col, d, w)", exprs, 3, 1),
-        litInt("count_min", "count_min(col, d, w)", exprs, 3, 2))
-        .toAggregateExpression()))
+      (exprs: Seq[Expression]) => {
+        val d = litInt("count_min", "count_min(col, d, w)", exprs, 3, 1)
+        val w = litInt("count_min", "count_min(col, d, w)", exprs, 3, 2)
+        graft.functions.CountMinAgg(exprs(0), d, w).toAggregateExpression()
+      }))
     // third custom TypedImperativeAggregate: bounded_topk(col, k) —
     // exact k-smallest + total count in O(k) state (k a literal)
     ext.injectFunction((FunctionIdentifier("bounded_topk"),
       new ExpressionInfo(
         classOf[graft.functions.BoundedTopKAgg].getCanonicalName,
         "bounded_topk"),
-      (exprs: Seq[Expression]) => graft.functions.BoundedTopKAgg(
-        exprs(0), litInt("bounded_topk", "bounded_topk(col, k)",
-          exprs, 2, 1))
-        .toAggregateExpression()))
+      (exprs: Seq[Expression]) => {
+        val k = litInt("bounded_topk", "bounded_topk(col, k)", exprs, 2, 1)
+        // widen any integral input to the aggregate's long contract
+        // (the update path does v.asInstanceOf[Long])
+        graft.functions.BoundedTopKAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
+            org.apache.spark.sql.types.LongType), k)
+          .toAggregateExpression()
+      }))
     // fourth custom TypedImperativeAggregate: hll(col, b) — the
     // oracle-able HyperLogLog (2^b md5-derived registers, b a literal)
     ext.injectFunction((FunctionIdentifier("hll"),
       new ExpressionInfo(
         classOf[graft.functions.HllAgg].getCanonicalName, "hll"),
-      (exprs: Seq[Expression]) => graft.functions.HllAgg(
-        org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
-          org.apache.spark.sql.types.StringType),
-        litInt("hll", "hll(col, b)", exprs, 2, 1))
-        .toAggregateExpression()))
+      (exprs: Seq[Expression]) => {
+        val b = litInt("hll", "hll(col, b)", exprs, 2, 1)
+        graft.functions.HllAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(0),
+            org.apache.spark.sql.types.StringType), b)
+          .toAggregateExpression()
+      }))
     // custom GENERATOR (table function): ngram_explode(text, n) — n
     // must be a literal (evaluated at registration). SQL users get
     // `SELECT ngram_explode(text, 3) FROM docs` / LATERAL VIEW.
@@ -114,9 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.NGramExplode].getCanonicalName,
         "ngram_explode"),
-      (exprs: Seq[Expression]) => graft.functions.NGramExplode(
-        exprs(0), litInt("ngram_explode", "ngram_explode(text, n)",
-          exprs, 2, 1))))
+      (exprs: Seq[Expression]) => {
+        val n = litInt("ngram_explode", "ngram_explode(text, n)",
+          exprs, 2, 1)
+        graft.functions.NGramExplode(exprs(0), n)
+      }))
     // the text-analysis and sampling surface for pure-SQL users
     injectColumnFn(ext, "canonical_url",
       cs => graft.functions.UrlFunctions.canonicalizeUrl(cs(0)))

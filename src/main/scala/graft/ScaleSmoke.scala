@@ -85,10 +85,12 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$big/documents.parquet")
     }
     if (!new java.io.File(s"$big/orders.parquet").exists()) {
-      // pagerank reads orders⋈lineitem; keys repeat across copies,
-      // which its DISTINCT edge pass absorbs by design
-      val ord = Tables.orders(spark, base)
-      (1 to k).map(_ => ord).reduce(_ unionAll _)
+      // pagerank reads orders⋈lineitem. Orders is written ONCE (not
+      // ×k): duplicating BOTH join sides would blow the pre-DISTINCT
+      // pair intermediate up k²-fold — an artifact of the enlargement,
+      // not of the operator — while k× lineitem against 1× orders
+      // scales the join linearly as intended.
+      Tables.orders(spark, base)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$big/orders.parquet")
     }

@@ -2,18 +2,22 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Local-dev scratch main (not part of the library surface). */
+/** Local-dev plan/timing probe (not part of the library surface):
+  *   sbt "runMain graft.Scratch <query>..."
+  * Data dir from SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  * threads from SPARK_GRAFT_CPUS — the same env contract as Bench. */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args) {
       val df = SparkEntry.queries(name)(spark, d)
       println(s"===== $name formatted plan =====")

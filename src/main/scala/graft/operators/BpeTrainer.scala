@@ -42,8 +42,12 @@ object BpeTrainer {
     val words = docs
       .select(explode(TF.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // the ONE corpus pass materializes here — without the checkpoint
+    // every iteration's argmax job would re-run the corpus-sized
+    // tokenize+explode+groupBy (same policy as PageRank/CC)
     var sp = words.select(col("cnt"),
       regexp_replace(col("w"), "(.)", " $1 ").as("sp"))
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var i = 1
     var exhausted = false
@@ -101,6 +105,8 @@ object BpeTrainer {
     docs.withColumn("bpe_tokens",
       concat_ws(" ", transform(TF.tokens(col(textCol)), perWord(_))))
       .withColumn("n_bpe_tokens",
-        size(split(col("bpe_tokens"), " ")).cast("long"))
+        // split("") yields [""], so the empty document must count 0
+        when(col("bpe_tokens") === "", 0L)
+          .otherwise(size(split(col("bpe_tokens"), " ")).cast("long")))
   }
 }

@@ -59,7 +59,11 @@ object Cooccurrence {
     // map-side agg means the expensive explode+groupBy subtrees above
     // each execute exactly ONCE per action (they previously also fed
     // the totals, doubling the heaviest stage — no persist needed).
-    val perDoc = docs.select(size(TF.tokens(col(textCol))).as("n"))
+    // null text ⇒ size() is null (or -1 under the legacy flag): clamp
+    // to 0 so such docs contribute nothing, matching the explode paths
+    val perDoc = docs
+      .select(greatest(coalesce(size(TF.tokens(col(textCol))), lit(0)),
+        lit(0)).as("n"))
       .select(col("n").cast("long").as("n"),
         least(lit(window.toLong), greatest(col("n") - 1L, lit(0L))).as("k"))
     val totals = perDoc.agg(

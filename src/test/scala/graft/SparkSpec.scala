@@ -14,4 +14,29 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Run `f` against a FRESH session built with [[graft.GraftExtensions]]
+    * (getOrCreate would return a shared extension-less session), then
+    * restore the previous default/active sessions so extension state
+    * never leaks into later suites in the same JVM. The new session is
+    * deliberately not stopped — that would kill the shared
+    * SparkContext. */
+  def withExtensionSession(name: String)(f: SparkSession => Unit): Unit = {
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]").appName(name)
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

@@ -37,37 +37,40 @@ class BoundedTopKSpec extends SparkSpec {
   }
 
   test("SQL registration: bounded_topk and its arity/literal gates") {
-    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
-    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").appName("btk-sql")
-      .config("spark.sql.shuffle.partitions", "2")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
-    try {
+    withExtensionSession("btk-sql") { s2 =>
       import s2.implicits._
       Seq(("a", 5L), ("a", 1L), ("a", 9L)).toDF("g", "v")
         .createOrReplaceTempView("t")
-      val row = s2.sql(
-        "SELECT bounded_topk(v, 2) AS tk FROM t").select("tk.cnt", "tk.ids")
-        .collect().head
-      assert(row.getLong(0) === 3L && row.getSeq[Long](1) === Seq(1L, 5L))
-      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
-        s2.sql("SELECT bounded_topk(v) FROM t").collect()
+      try {
+        val row = s2.sql(
+          "SELECT bounded_topk(v, 2) AS tk FROM t").select("tk.cnt", "tk.ids")
+          .collect().head
+        assert(row.getLong(0) === 3L && row.getSeq[Long](1) === Seq(1L, 5L))
+        // an INT column must widen, not ClassCastException in the task
+        Seq(("a", 3)).toDF("g", "i").createOrReplaceTempView("ti")
+        val narrow = s2.sql("SELECT bounded_topk(i, 1) AS tk FROM ti")
+          .select("tk.ids").collect().head.getSeq[Long](0)
+        assert(narrow === Seq(3L))
+        val e0 = intercept[org.apache.spark.sql.AnalysisException] {
+          s2.sql("SELECT bounded_topk() FROM t").collect()
+        }
+        assert(e0.getMessage.contains("bounded_topk(col, k)"))
+        val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+          s2.sql("SELECT bounded_topk(v) FROM t").collect()
+        }
+        assert(e1.getMessage.contains("bounded_topk(col, k)"))
+        val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+          s2.sql("SELECT bounded_topk(v, v) FROM t").collect()
+        }
+        assert(e2.getMessage.contains("integer literal"))
+        val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+          s2.sql("SELECT bounded_topk(v, 2.5) FROM t").collect()
+        }
+        assert(e3.getMessage.contains("integer literal"))
+      } finally {
+        s2.catalog.dropTempView("t")
+        s2.catalog.dropTempView("ti")
       }
-      assert(e1.getMessage.contains("bounded_topk(col, k)"))
-      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
-        s2.sql("SELECT bounded_topk(v, v) FROM t").collect()
-      }
-      assert(e2.getMessage.contains("integer literal"))
-    } finally {
-      s2.catalog.dropTempView("t")
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
-      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
     }
   }
 }

@@ -65,26 +65,13 @@ class HllSpec extends SparkSpec {
   }
 
   test("SQL registration: hll over a non-string key") {
-    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
-    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").appName("hll-sql")
-      .config("spark.sql.shuffle.partitions", "2")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
-    try {
+    withExtensionSession("hll-sql") { s2 =>
       s2.range(100).createOrReplaceTempView("t")
-      val regs = s2.sql("SELECT hll(id, 8) AS r FROM t")
-        .collect().head.getSeq[Int](0)
-      assert(regs.length === 256 && regs.exists(_ > 0))
-    } finally {
-      s2.catalog.dropTempView("t")
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
-      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      try {
+        val regs = s2.sql("SELECT hll(id, 8) AS r FROM t")
+          .collect().head.getSeq[Int](0)
+        assert(regs.length === 256 && regs.exists(_ > 0))
+      } finally s2.catalog.dropTempView("t")
     }
   }
 }

@@ -36,36 +36,17 @@ class NGramExplodeSpec extends SparkSpec {
   }
 
   test("SQL registration: ngram_explode works in plain SQL") {
-    // getOrCreate would return another suite's extension-less session;
-    // clear the default so the builder actually applies the extensions.
-    val prevActive = SparkSession.getActiveSession
-    val prevDefault = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s2: SparkSession = SparkSession.builder()
-      .master("local[2]")
-      .appName("ngram-sql")
-      .config("spark.sql.shuffle.partitions", "2")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
-    try {
+    withExtensionSession("ngram-sql") { s2 =>
       import s2.implicits._
       Seq((1L, "the quick brown fox")).toDF("id", "text")
         .createOrReplaceTempView("t")
-      val rows = s2.sql(
-        "SELECT pos, ngram FROM t LATERAL VIEW ngram_explode(text, 2) g AS pos, ngram")
-        .collect().map(r => (r.getInt(0), r.getString(1)))
-      assert(rows.toSeq === Seq((1, "the quick"), (2, "quick brown"),
-        (3, "brown fox")))
-    } finally {
-      // shared-JVM sessions: drop only this session's state and put the
-      // suite's original default/active session back so later suites'
-      // getOrCreate doesn't inherit this extension-bearing one
-      s2.catalog.dropTempView("t")
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+      try {
+        val rows = s2.sql(
+          "SELECT pos, ngram FROM t LATERAL VIEW ngram_explode(text, 2) g AS pos, ngram")
+          .collect().map(r => (r.getInt(0), r.getString(1)))
+        assert(rows.toSeq === Seq((1, "the quick"), (2, "quick brown"),
+          (3, "brown fox")))
+      } finally s2.catalog.dropTempView("t")
     }
   }
 
