@@ -70,7 +70,11 @@ object Bench {
     // content-defined chunking: the per-position hash stage is the
     // heaviest new map stage (element_at char array, NOT O(p)
     // substrings — the 16s→2.5s lesson)
-    "cdc_chunks")
+    "cdc_chunks",
+    // round-4 second wave: the bounded-state histogram quantile (one
+    // fact shuffle of (group,bin) pairs) and the one-scan end-to-end
+    // preprocessing funnel (langid+quality+dedup flags in one pass)
+    "quantile_hist", "pipeline_e2e")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

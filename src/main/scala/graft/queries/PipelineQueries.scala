@@ -49,6 +49,90 @@ object PipelineQueries {
       .groupBy(col("lang"), TF.langId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Higher-order array-function battery (the §2.8-style surface for
+    * ARRAY columns — `transform`/`filter`/`aggregate`/`exists`/
+    * `zip_with`/`array_sort`/`sequence`, all codegen-friendly lambda
+    * combinators, zero UDFs): per-document token statistics computed
+    * entirely inside the array domain. Everything runs in the scan
+    * stage projection — no exchange, no explode (the explode-then-
+    * reaggregate alternative would shuffle |tokens| rows to compute
+    * what the lambda folds compute in place). `zip_with` pairs token
+    * lengths with their 1-based positions from `sequence`; DuckDB
+    * replays it via an indexed `list_transform` — same values, so the
+    * lane is hash-checked. */
+  def arrayFuncs: Q = (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), TF.tokens(col("norm_text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(filter(col("toks"), t => length(t) > 3))
+          .cast("long").as("n_long"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("total_chars"),
+        array_max(transform(col("toks"), t => length(t)))
+          .cast("long").as("max_len"),
+        exists(col("toks"), t => length(t) >= 8)
+          .cast("int").as("has_long8"),
+        array_sort(col("toks")).getItem(0).as("first_sorted"),
+        aggregate(
+          zip_with(
+            transform(col("toks"), t => length(t).cast("long")),
+            sequence(lit(1L), size(col("toks")).cast("long")),
+            (l, i) => l * i),
+          lit(0L), (acc, x) => acc + x).as("pos_weighted"))
+
+  /** End-to-end training-data funnel — the canonical preprocessing
+    * chain (ingest → empty-drop → language filter → quality threshold →
+    * exact dedup → token cap) composed as ONE DAG, reported as the
+    * per-stage (docs, tokens) survival table every corpus build ships.
+    *
+    * Composition, not recomputation: every stage predicate is a flag
+    * column over one shared scan; the only exchange in the whole plan
+    * is the fingerprint window for dedup (survivor = min doc_id among
+    * stage-3 survivors per md5 fingerprint). The final funnel is a
+    * single conditional aggregation melted with `stack` — at 100 TB the
+    * report costs one scan + one dedup shuffle, and each stage's flag
+    * reuses the columns (langid hits, quality score) the flags before
+    * it already computed. */
+  def pipelineFunnel: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TF.tokenCount(col("text")).as("n_toks"),
+      (length(TF.normalize(col("text"))) > 0).as("s1"),
+      TF.langId(col("text")).as("pred"),
+      TF.qualityScore(col("text")).as("q"),
+      TF.fingerprint(col("text")).as("fp"))
+    val flagged = base
+      .withColumn("s2", col("s1") && col("pred") === col("lang"))
+      .withColumn("s3", col("s2") && col("q") >= 0.5)
+    val kept = flagged.withColumn("s4",
+      col("s3") && col("doc_id") ===
+        min(when(col("s3"), col("doc_id")))
+          .over(Window.partitionBy("fp")))
+    kept.agg(
+      count(lit(1)).as("d0"), sum(col("n_toks")).as("t0"),
+      sum(when(col("s1"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("s1"), col("n_toks")).otherwise(0L)).as("t1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("d2"),
+      sum(when(col("s2"), col("n_toks")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+      sum(when(col("s3"), col("n_toks")).otherwise(0L)).as("t3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("d4"),
+      sum(when(col("s4"), col("n_toks")).otherwise(0L)).as("t4"),
+      sum(when(col("s4"), least(col("n_toks"), lit(256L)))
+        .otherwise(0L)).as("t5"))
+      .select(expr(
+        """stack(6,
+          |  '0_ingest',   d0, t0,
+          |  '1_nonempty', d1, t1,
+          |  '2_langid',   d2, t2,
+          |  '3_quality',  d3, t3,
+          |  '4_dedup',    d4, t4,
+          |  '5_capped',   d4, t5) AS (stage, n_docs, n_tokens)""".stripMargin))
+  }
+
   // --------------------------------------------------------------- dedup
 
   def dedupExact: Q = (s, d) =>
@@ -850,6 +934,8 @@ object PipelineQueries {
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
+    "array_funcs" -> arrayFuncs,
+    "pipeline_e2e" -> pipelineFunnel,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1085,6 +1171,74 @@ object PipelineQueries {
          |   ELSE list_reduce(list_transform(generate_series(1, length($norm)), i -> CAST(ascii($norm[i]) AS BIGINT)),
          |        (acc, c) -> (acc * 31 + c) % 1000000007) END AS BIGINT) AS rolling_fp
          |FROM documents""".stripMargin,
+    // list-lambda replay of the array battery; zip_with twins as an
+    // indexed list_transform over range(1, len+1)
+    "array_funcs" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   regexp_extract_all($norm, '\\S+') AS toks FROM documents),
+         | f AS (SELECT * FROM d WHERE len(toks) > 0)
+         |SELECT doc_id,
+         | CAST(len(toks) AS BIGINT) AS n_toks,
+         | CAST(len(list_filter(toks, t -> length(t) > 3)) AS BIGINT)
+         |   AS n_long,
+         | CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+         |   AS total_chars,
+         | CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT)
+         |   AS max_len,
+         | CAST(CASE WHEN len(list_filter(toks, t -> length(t) >= 8)) > 0
+         |   THEN 1 ELSE 0 END AS INT) AS has_long8,
+         | list_sort(toks)[1] AS first_sorted,
+         | CAST(list_sum(list_transform(range(1, 1 + len(toks)),
+         |   i -> i * length(toks[i]))) AS BIGINT) AS pos_weighted
+         |FROM f""".stripMargin,
+    // the funnel replayed stage for stage: same flags, same fingerprint
+    // window, same conditional aggregation
+    "pipeline_e2e" -> {
+      val pred =
+        """CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0
+          |  THEN 'und'
+          | WHEN h_fr >= h_de AND h_fr >= h_en AND h_fr >= h_es THEN 'fr'
+          | WHEN h_es >= h_de AND h_es >= h_en THEN 'es'
+          | WHEN h_en >= h_de THEN 'en'
+          | ELSE 'de' END""".stripMargin
+      s"""WITH scored AS (SELECT doc_id, lang,
+         |   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
+         |   length($norm) > 0 AS s1,
+         |   md5($norm) AS fp,
+         |   round(
+         |     least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |     + (1.0 - least(CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3
+         |     + least(CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+         |         t -> list_contains(${stopList(Seq("en", "es", "fr", "de"))}, t))) AS DOUBLE)
+         |       / greatest(len(regexp_extract_all(text, '\\S+')), 1) * 4.0, 1.0) * 0.3,
+         |   4) AS q,
+         |   ${hitExpr("de")} AS h_de, ${hitExpr("en")} AS h_en,
+         |   ${hitExpr("es")} AS h_es, ${hitExpr("fr")} AS h_fr
+         |  FROM documents),
+         | flg AS (SELECT *, s1 AND lang = ($pred) AS s2 FROM scored),
+         | flg2 AS (SELECT *, s2 AND q >= 0.5 AS s3 FROM flg),
+         | kept AS (SELECT *, s3 AND doc_id = min(CASE WHEN s3 THEN doc_id END)
+         |     OVER (PARTITION BY fp) AS s4 FROM flg2),
+         | a AS (SELECT
+         |   count(*) AS d0, CAST(sum(n_toks) AS BIGINT) AS t0,
+         |   CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |   CAST(sum(CASE WHEN s1 THEN n_toks ELSE 0 END) AS BIGINT) AS t1,
+         |   CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |   CAST(sum(CASE WHEN s2 THEN n_toks ELSE 0 END) AS BIGINT) AS t2,
+         |   CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |   CAST(sum(CASE WHEN s3 THEN n_toks ELSE 0 END) AS BIGINT) AS t3,
+         |   CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+         |   CAST(sum(CASE WHEN s4 THEN n_toks ELSE 0 END) AS BIGINT) AS t4,
+         |   CAST(sum(CASE WHEN s4 THEN least(n_toks, 256) ELSE 0 END)
+         |     AS BIGINT) AS t5
+         |  FROM kept)
+         |SELECT '0_ingest' AS stage, d0 AS n_docs, t0 AS n_tokens FROM a
+         |UNION ALL SELECT '1_nonempty', d1, t1 FROM a
+         |UNION ALL SELECT '2_langid', d2, t2 FROM a
+         |UNION ALL SELECT '3_quality', d3, t3 FROM a
+         |UNION ALL SELECT '4_dedup', d4, t4 FROM a
+         |UNION ALL SELECT '5_capped', d4, t5 FROM a""".stripMargin
+    },
     "text_quality" ->
       s"""SELECT doc_id,
          | round(CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),

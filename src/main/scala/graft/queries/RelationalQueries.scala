@@ -366,6 +366,57 @@ object RelationalQueries {
       "l_shipdate").map(statsFor).reduce(_ unionAll _)
   }
 
+  /** Explicit GROUPING SETS (completes the grouping-set family beyond
+    * q18's ROLLUP and q27's CUBE): an asymmetric set list — each single
+    * column plus the grand total, WITHOUT the (flag, status) pair — that
+    * neither rollup nor cube can produce. `grouping()` markers
+    * disambiguate set-NULLs from data NULLs, the reason the SQL standard
+    * has them. Same scale shape as cube: Expand multiplies rows by the
+    * set count (3, a constant) before one partial+final HashAggregate. */
+  def q36GroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_price"))
+
+  /** RANGE-frame window (widens §2.5 beyond q23's ROWS frame): per
+    * priority class, the trailing-30-day order total — the frame is
+    * defined by the ORDER-BY VALUE (day index), not a row count, so all
+    * peer orders of a day enter together and the result is independent
+    * of intra-day row order (what makes it hash-checkable; a ROWS frame
+    * over ties would not be). Money in integer cents for exact sums.
+    * One shuffle on the partition key; the frame scan is the standard
+    * sliding-window pass within each sorted partition. */
+  def q37RangeFrame: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("order_id"),
+      col("o_orderpriority").as("prio"),
+      datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01")))
+        .cast("long").as("day_idx"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("day_idx"))
+      .rangeBetween(-29, Window.currentRow)
+    base.select(col("order_id"), col("prio"), col("day_idx"),
+      sum(col("cents")).over(w).as("trail30_cents"),
+      count(lit(1)).over(w).as("trail30_orders"))
+  }
+
+  /** Histogram quantiles through [[graft.operators.HistogramQuantile]]:
+    * the bounded-state sketch variant of q21/q26 whose estimate replays
+    * exactly in DuckDB ($500 bins over integer cents). */
+  def qQuantileHist: Q = (s, d) =>
+    graft.operators.HistogramQuantile.quantiles(
+      Tables.lineitem(s, d), "l_returnflag",
+      round(col("l_extendedprice") * 100), binWidth = 50000L,
+      perUnit = 100L,
+      qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p95", 19, 20)))
+
   /** HLL approximate distinct (the 100 TB path for A-family distincts:
     * fixed-size sketch, map-side combinable, no (group,value) shuffle).
     * Sketch internals are engine-specific, so the driver check is
@@ -600,6 +651,9 @@ object RelationalQueries {
     "q20_approx_distinct" -> q20ApproxDistinct,
     "q34_table_stats" -> q34TableStats,
     "q35_variant" -> q35Variant,
+    "q36_grouping_sets" -> q36GroupingSets,
+    "q37_range_frame" -> q37RangeFrame,
+    "quantile_hist" -> qQuantileHist,
     "q19_json_extract" -> q19JsonExtract,
     "q16_window_analytics" -> q16WindowAnalytics,
     "q17_distinct_agg" -> q17DistinctAgg,
@@ -638,6 +692,54 @@ object RelationalQueries {
          | CAST(max($c) AS VARCHAR) AS max_s
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // asymmetric grouping-set list + GROUPING() markers; count/sum per
+    // set replayed directly
+    "q36_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    // value-defined RANGE frame over the integer day index — peers of a
+    // day enter the frame together in both engines
+    "q37_range_frame" ->
+      """WITH o AS (SELECT o_orderkey AS order_id,
+        |  o_orderpriority AS prio,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS day_idx,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders)
+        |SELECT order_id, prio, day_idx,
+        | CAST(sum(cents) OVER w AS BIGINT) AS trail30_cents,
+        | count(*) OVER w AS trail30_orders
+        |FROM o
+        |WINDOW w AS (PARTITION BY prio ORDER BY day_idx
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // the histogram sketch replayed stage for stage: binning, cumulative
+    // counts, ceil-rank pick, fixed-order IEEE interpolation
+    "quantile_hist" ->
+      """WITH h AS (SELECT l_returnflag AS g,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) // 50000 AS bin,
+        |   count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        | c AS (SELECT g, bin, cnt,
+        |   sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |   sum(cnt) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        | q(q_label, qn, qd) AS (SELECT * FROM (VALUES
+        |   ('p25', 1, 4), ('p50', 1, 2), ('p95', 19, 20))),
+        | t AS (SELECT g, q_label, bin, cnt, cum, n,
+        |   (n * qn + qd - 1) // qd AS target FROM c, q)
+        |SELECT g AS l_returnflag, q_label,
+        | CAST(target AS BIGINT) AS target_rank,
+        | round((CAST(bin * 50000 AS DOUBLE)
+        |   + 50000.0 * (CAST(target - (cum - cnt) AS DOUBLE)
+        |     / CAST(cnt AS DOUBLE)))
+        |   / 100.0, 6) AS est
+        |FROM t WHERE cum >= target AND cum - cnt < target""".stripMargin,
     // the single-int-field props make regexp and variant extraction
     // agree; same replay style as q19
     "q35_variant" ->
