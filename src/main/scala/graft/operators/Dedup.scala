@@ -136,6 +136,63 @@ object Dedup {
     minhashPairsScored(docs, idCol, textCol, k, bands, shingleLen)
       .filter(col("jaccard") >= threshold)
 
+  // ------------------------------------- portable minhash (mod-arith)
+
+  /** MinHash+LSH with an ENGINE-PORTABLE hash family, putting the LSH
+    * pipeline itself under the cross-engine oracle gate (the xxhash64
+    * family above has no DuckDB twin, so its lane is rows-only).
+    *
+    * Base shingle hash: the 60-bit md5 prefix (the same replay trick
+    * the HLL sketch uses) reduced mod p = 2^31−1; permutation family
+    * h_i(x) = (a_i·x + b_i) mod p with a_i = (i+1)·2654435761 mod p,
+    * b_i = (i+1)·2245399549 mod p — a_i, x < 2^31 keeps every product
+    * under 2^62, so plain BIGINT arithmetic is exact in both engines.
+    * Same explode + codegen'd-min-aggregate shape as
+    * [[minhashSignatures]]; band keys are the comma-joined slot values
+    * (portable — no second-level hash needed, the slots ARE the key).
+    * md5-per-shingle costs ~2× xxhash64 — the price of replayability;
+    * the xxhash64 path remains the production default. */
+  def minhashPairsPortable(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 32, bands: Int = 8,
+      shingleLen: Int = 3): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands must divide k: k=$k bands=$bands")
+    val P = 2147483647L // 2^31 − 1 (Mersenne prime)
+    val r = k / bands
+    val sets = shingleSets(docs, idCol, textCol, shingleLen)
+      .localCheckpoint(true)
+    val exploded = sets.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P)
+          .as("h"))
+    val mins = (0 until k).map { i =>
+      val a = ((i + 1).toLong * 2654435761L) % P
+      val b = ((i + 1).toLong * 2245399549L) % P
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i")
+    }
+    val sig = exploded.groupBy("id").agg(mins.head, mins.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(",", (0 until r).map(j => col(s"m${b * r + j}")): _*)
+    }
+    val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)))
+      .toDF("id", "band", "bkey")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // --------------------------------------------------- incremental dedup
 
   /** Incremental dedup: which documents of a NEW batch survive against

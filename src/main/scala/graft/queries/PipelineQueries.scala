@@ -164,6 +164,17 @@ object PipelineQueries {
 
   /** Exact word-trigram Jaccard pairs within (lang, source) blocks —
     * DuckDB-oracled via list lambdas. */
+  /** MinHash+LSH under the oracle gate: the portable mod-arithmetic
+    * hash family of [[Dedup.minhashPairsPortable]] — the full
+    * signature → band → candidate → exact-Jaccard pipeline hash-checked
+    * against a DuckDB replay (the xxhash64 lane above stays rows-only;
+    * this one proves the LSH mechanics themselves). */
+  def dedupMinhashOracle: Q = (s, d) =>
+    Dedup.minhashPairsPortable(
+      docs(s, d).filter(TF.tokenCount(col("norm_text")) > 0),
+      "doc_id", "norm_text")
+      .orderBy("id_a", "id_b")
+
   def dedupJaccardPairs: Q = (s, d) =>
     Dedup.ngramJaccardPairs(
       docs(s, d).filter(TF.tokenCount(col("norm_text")) > 0),
@@ -938,6 +949,7 @@ object PipelineQueries {
     "pipeline_e2e" -> pipelineFunnel,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_oracle" -> dedupMinhashOracle,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -1268,6 +1280,43 @@ object PipelineQueries {
     "dedup_exact" ->
       s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
          |FROM documents GROUP BY 1""".stripMargin,
+    // the portable-hash MinHash+LSH pipeline replayed end to end:
+    // 60-bit md5 prefix mod 2^31−1 per shingle, 32 affine permutations,
+    // 8 bands of 4 comma-joined slots, candidate self-join, exact
+    // Jaccard on the shingle sets
+    "dedup_minhash_oracle" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   regexp_extract_all($norm, '[a-z0-9]+') AS toks
+         |  FROM documents),
+         | sh0 AS (SELECT doc_id,
+         |   list_distinct(CASE WHEN len(toks) <= 3
+         |     THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |    END) AS sh
+         |  FROM d WHERE len(toks) > 0),
+         | hv AS (SELECT doc_id, sh, list_transform(sh,
+         |     s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+         |       % 2147483647) AS h0
+         |  FROM sh0),
+         | sig AS (SELECT doc_id, list_transform(range(0, 32),
+         |     i -> list_min(list_transform(h0,
+         |       h -> (((i + 1) * 2654435761 % 2147483647) * h
+         |             + ((i + 1) * 2245399549 % 2147483647))
+         |            % 2147483647))) AS sg
+         |  FROM hv),
+         | bnd AS (SELECT doc_id, b.i AS band,
+         |     array_to_string(list_slice(sg, b.i * 4 + 1, b.i * 4 + 4),
+         |       ',') AS bkey
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS i) b),
+         | cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM bnd a JOIN bnd b2 ON a.band = b2.band
+         |    AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+         |SELECT c.id_a, c.id_b,
+         | round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+         |FROM cand c JOIN sh0 x ON c.id_a = x.doc_id
+         | JOIN sh0 y ON c.id_b = y.doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, lang, source,
          |   regexp_extract_all($norm, '[a-z0-9]+') AS toks

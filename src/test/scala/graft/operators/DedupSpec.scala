@@ -32,6 +32,40 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("portable minhash finds the planted dups, like the xxhash64 path") {
+    val pairs = Dedup.minhashPairsPortable(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("portable minhash base hash matches the cross-engine definition") {
+    // DuckDB: CAST(concat('0x', substring(md5('hello world'), 1, 15))
+    //   AS BIGINT) = 426544247714475757 — the 60-bit md5-prefix trick
+    // must produce the identical value on the Spark side.
+    import spark.implicits._
+    val h = Seq("hello world").toDF("s")
+      .select(expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+      .head().getLong(0)
+    assert(h === 426544247714475757L)
+  }
+
+  test("portable minhash is layout-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairsPortable(df, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+    assert(run(docs) === run(docs.repartition(7)))
+  }
+
+  test("portable minhash rejects a band count that does not divide k") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairsPortable(docs, "doc_id", "text", k = 32, bands = 5)
+    }
+  }
+
   test("exact-dup pair has jaccard 1.0") {
     val j = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
       .filter(col("id_a") === 1 && col("id_b") === 2)
