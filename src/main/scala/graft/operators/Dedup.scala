@@ -271,6 +271,31 @@ object Dedup {
       .na.fill(0L, Seq("simhash"))
   }
 
+  /** SimHash with an ENGINE-PORTABLE bit source (same oracle-gate move
+    * as [[minhashPairsPortable]]): all 60 vote bits come from ONE
+    * 60-bit md5 prefix per token — cheaper than the xxhash64 path's
+    * per-bit hash call, and every vote, bit and signature replays in
+    * DuckDB (`(h >> j) & 1` is engine-identical integer math). Tokens
+    * vote with multiplicity, like [[simhash]]; empty docs sign 0. */
+  def simhashPortable(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TF.tokens(col(textCol))).as("tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val votes = (0 until 60).map { j =>
+      sum(shiftrightunsigned(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
+    val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val hash = (0 until 60)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    docs.select(col(idCol)).distinct()
+      .join(agg.select(col(idCol), hash.as("simhash")), Seq(idCol), "left")
+      .na.fill(0L, Seq("simhash"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16):
     * pigeonhole-block on the four 16-bit chunks, then exact
     * bit_count(xor) filter. */

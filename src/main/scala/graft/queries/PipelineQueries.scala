@@ -175,6 +175,13 @@ object PipelineQueries {
       "doc_id", "norm_text")
       .orderBy("id_a", "id_b")
 
+  /** SimHash under the oracle gate: portable md5-bit votes
+    * ([[Dedup.simhashPortable]]) — the full 60-bit signature of every
+    * document hash-checked against the DuckDB bit-for-bit replay (the
+    * xxhash64 simhash lane stays rows-only). */
+  def dedupSimhashOracle: Q = (s, d) =>
+    Dedup.simhashPortable(docs(s, d), "doc_id", "norm_text")
+
   def dedupJaccardPairs: Q = (s, d) =>
     Dedup.ngramJaccardPairs(
       docs(s, d).filter(TF.tokenCount(col("norm_text")) > 0),
@@ -950,6 +957,7 @@ object PipelineQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_oracle" -> dedupMinhashOracle,
+    "dedup_simhash_oracle" -> dedupSimhashOracle,
     "dedup_simhash" -> dedupSimhash,
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -1280,6 +1288,26 @@ object PipelineQueries {
     "dedup_exact" ->
       s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
          |FROM documents GROUP BY 1""".stripMargin,
+    // the portable simhash replayed bit for bit: one 60-bit md5 prefix
+    // per token, per-bit votes with multiplicity, sign → signature;
+    // empty docs left-join to 0
+    "dedup_simhash_oracle" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   unnest(regexp_extract_all($norm, '\\S+')) AS tok
+         |  FROM documents),
+         | h AS (SELECT doc_id,
+         |   CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+         |  FROM t),
+         | v AS (SELECT doc_id, jj.j AS j,
+         |   CAST(sum(((h >> jj.j) & 1) * 2 - 1) AS BIGINT) AS v
+         |  FROM h, (SELECT unnest(range(0, 60)) AS j) jj GROUP BY 1, 2),
+         | sg AS (SELECT doc_id,
+         |   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+         |     ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM v GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sg.simhash, 0) AS simhash
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN sg USING (doc_id)""".stripMargin,
     // the portable-hash MinHash+LSH pipeline replayed end to end:
     // 60-bit md5 prefix mod 2^31−1 per shingle, 32 affine permutations,
     // 8 bands of 4 comma-joined slots, candidate self-join, exact

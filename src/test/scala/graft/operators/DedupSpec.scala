@@ -60,6 +60,21 @@ class DedupSpec extends SparkSpec {
     assert(run(docs) === run(docs.repartition(7)))
   }
 
+  test("portable simhash: identical equal, near close, distinct far, empty zero") {
+    import spark.implicits._
+    val withEmpty = docs.union(Seq((6L, "   ")).toDF("doc_id", "text"))
+    val sh = Dedup.simhashPortable(withEmpty, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) === sh(2L))
+    assert(ham(sh(1L), sh(3L)) <= 12)
+    assert(ham(sh(1L), sh(4L)) > 12)
+    assert(ham(sh(1L), sh(5L)) > 12)
+    assert(sh(6L) === 0L)
+    // 60-bit hash: bits 60..63 never set
+    assert(sh.values.forall(v => (v >>> 60) === 0L))
+  }
+
   test("portable minhash rejects a band count that does not divide k") {
     intercept[IllegalArgumentException] {
       Dedup.minhashPairsPortable(docs, "doc_id", "text", k = 32, bands = 5)
