@@ -140,4 +140,45 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
       .select(col("probe_id"), col("rk"), col("cand_id"), col("cos"))
   }
+
+  /** Fixed ±1 hyperplane set for [[hyperplaneBucketsPortable]]:
+    * deterministic (seeded LCG), shared between the Spark plan and the
+    * generated oracle SQL — both sides inline the SAME literals, which
+    * is what makes the bucketing replayable. */
+  def portablePlanes(nPlanes: Int, dim: Int,
+      seed: Long = 42L): Seq[Seq[Long]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** Hyperplane-LSH bucket assignment under the oracle gate (the
+    * rows-only `ann_lsh` lane proves recall; this proves the BUCKETING
+    * MECHANICS value for value): embeddings are quantized to exact
+    * integers (×10⁴ — a float times 10⁴ can never land on an exact .5,
+    * so round() agrees in every engine), hyperplane weights are ±1
+    * literals, and each bucket bit is the sign of an exact integer dot
+    * product. No floating comparison anywhere past the quantize.
+    *
+    * Shape: corpus × broadcast(planes) — a constant fan-out of
+    * |planes|, like the band explode in MinHash — then one groupBy id
+    * to assemble bucket bits. The bucket id is the shuffle/cluster key
+    * the ANN index stores at 100 TB. */
+  def hyperplaneBucketsPortable(vecs: DataFrame, idCol: String,
+      vecCol: String, planes: Seq[Seq[Long]]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val planesDf = planes.zipWithIndex.map { case (w, p) => (p, w) }
+      .toDF("p", "w")
+    val q = vecs.select(col(idCol),
+      transform(col(vecCol), x => round(x.cast("double") * 10000)
+        .cast("long")).as("q"))
+    q.crossJoin(broadcast(planesDf))
+      .withColumn("dot", aggregate(
+        zip_with(col("q"), col("w"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L))
+        .as("bucket"))
+  }
 }

@@ -850,6 +850,17 @@ object PipelineQueries {
 
   /** LSH-bucketed ANN summarized as recall@5 against the exact baseline
     * (single row; xxhash64-derived hyperplanes → no DuckDB twin). */
+  /** Hyperplane-LSH bucketing under the oracle gate: every embedding's
+    * 16-bit bucket id hash-checked against the DuckDB replay
+    * ([[SimilaritySearch.hyperplaneBucketsPortable]] — integer-quantized
+    * vectors, ±1 plane literals shared between both engines, sign of
+    * exact integer dots). The `ann_lsh` lane above measures recall;
+    * this one proves the bucket assignment itself. */
+  def annLshOracle: Q = (s, d) =>
+    SimilaritySearch.hyperplaneBucketsPortable(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      SimilaritySearch.portablePlanes(16, 64))
+
   def annLsh: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val probes = emb.filter(col("vec_id") < 5)
@@ -1000,6 +1011,7 @@ object PipelineQueries {
     "ann_bruteforce" -> annBruteForce,
     "ann_quantized" -> annQuantized,
     "ann_lsh" -> annLsh,
+    "ann_lsh_oracle" -> annLshOracle,
     "ann_hard_negatives" -> annHardNegatives,
     "pack_chunk" -> packChunk,
     "pack_sliding" -> packSliding,
@@ -1891,6 +1903,28 @@ object PipelineQueries {
          |  AS DECIMAL(38,12))) AS DOUBLE), 4) AS bm25
          |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |GROUP BY 1""".stripMargin
+    },
+    // hyperplane buckets replayed with the SAME ±1 plane literals the
+    // Spark plan inlines: quantize ×10⁴ (never an exact .5 from a
+    // float), exact integer dots, sign bits assembled by shift
+    "ann_lsh_oracle" -> {
+      val planes = graft.operators.SimilaritySearch.portablePlanes(16, 64)
+      val values = planes.zipWithIndex.map { case (w, p) =>
+        s"($p, ${w.mkString("[", ", ", "]")})"
+      }.mkString(",\n   ")
+      s"""WITH planes(p, w) AS (VALUES
+         |   $values),
+         | q AS (SELECT vec_id, list_transform(embedding,
+         |     x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         | d AS (SELECT vec_id, p,
+         |   list_sum(list_transform(range(1, 1 + len(q)),
+         |     i -> q[i] * w[i])) AS dot
+         |  FROM q, planes)
+         |SELECT vec_id,
+         | CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+         |   ELSE 0 END) AS BIGINT) AS bucket
+         |FROM d GROUP BY 1""".stripMargin
     },
     "ann_quantized" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

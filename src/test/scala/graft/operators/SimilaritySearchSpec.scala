@@ -120,6 +120,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("portable hyperplane buckets: sign antisymmetry and determinism") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 0.8f - 0.4f)))
+    // 40 vectors and their exact negations
+    val df = (vecs ++ vecs.map { case (i, v) =>
+      (i + 100L, v.map(x => -x)) }).toDF("vec_id", "embedding")
+    val planes = SimilaritySearch.portablePlanes(8, 16)
+    val out = SimilaritySearch
+      .hyperplaneBucketsPortable(df, "vec_id", "embedding", planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 80)
+    assert(out.values.forall(b => b >= 0L && b < 256L))
+    // with no zero dot products, negating the vector flips every sign
+    // bit: bucket(−v) = 255 − bucket(v)
+    vecs.foreach { case (i, _) =>
+      assert(out(i + 100L) === 255L - out(i), s"vec $i")
+    }
+    // plane generation is deterministic
+    assert(planes === SimilaritySearch.portablePlanes(8, 16))
+  }
+
   test("hyperplaneBucket is deterministic and partitions the space") {
     import spark.implicits._
     val b = corpus.select(col("vec_id"),
