@@ -377,6 +377,60 @@ object PlanAudit {
         !sj.contains("BroadcastNestedLoopJoin"),
       "(key, salt) equi-join")
 
+    // array battery: every lambda combinator folds in the scan
+    // projection — no exchange, no generate/explode.
+    val af = plan("array_funcs")
+    check("array_funcs: map-only, no exchange, no explode",
+      !af.contains("Exchange") && !af.contains("Generate"),
+      "HOFs fold in place of an explode+reaggregate")
+
+    // histogram quantile: the FACT rows shuffle once, as (group,bin)
+    // partial aggregates; windows + quantile pick run over the tiny bin
+    // table (second exchange carries aggregated rows only).
+    val qh = plan("quantile_hist")
+    check("quantile_hist: partial+final bin aggregate",
+      occurrences(qh, "HashAggregate") >= 2, "map-side combine on bins")
+    check("quantile_hist: quantile list broadcast, no nested loop",
+      occurrences(qh, "BroadcastNestedLoopJoin") <= 1 &&
+        !qh.contains("CartesianProduct"),
+      "literal quantile table broadcast to bin rows")
+
+    // e2e funnel: ONE scan of documents; the dedup fingerprint window
+    // is the only row-level exchange (the final 1-row aggregate's
+    // exchange carries a single row).
+    val fe = planOf(SparkEntry.queries("pipeline_e2e")(spark, sfDir))
+    check("pipeline_e2e: single documents scan",
+      occurrences(fe, "Scan parquet") == 1,
+      "all stage flags ride one shared scan")
+    check("pipeline_e2e: one row-level exchange (fingerprint window)",
+      occurrences(fe, "Exchange hashpartitioning") == 1,
+      "dedup window; the funnel agg exchanges 1 row")
+
+    // portable minhash: same contract as the xxhash64 path — banded
+    // equi-join candidates, never an all-pairs product.
+    val mo = plan("dedup_minhash_oracle")
+    check("dedup_minhash_oracle: banded equi-join, no cross product",
+      !mo.contains("CartesianProduct") &&
+        !mo.contains("BroadcastNestedLoopJoin"),
+      "(band, key) hash join")
+    check("dedup_minhash_oracle: codegen'd min aggregates partial+final",
+      occurrences(mo, "HashAggregate") >= 2, "")
+
+    // portable simhash: explode -> 60 partial sums -> final; no join
+    // other than the empty-doc left join back to ids.
+    val so = plan("dedup_simhash_oracle")
+    check("dedup_simhash_oracle: partial+final vote aggregate",
+      occurrences(so, "HashAggregate") >= 2, "")
+
+    // portable LSH buckets: constant plane fan-out must be a broadcast,
+    // and bucket assembly a partial+final aggregate.
+    val lo = plan("ann_lsh_oracle")
+    check("ann_lsh_oracle: planes broadcast, buckets partial+final",
+      lo.contains("Broadcast") &&
+        occurrences(lo, "HashAggregate") >= 2 &&
+        !lo.contains("CartesianProduct"),
+      "corpus x broadcast(planes), one id-keyed aggregate")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)
