@@ -49,17 +49,28 @@ object HistogramQuantile {
       binWidth: Long, perUnit: Long,
       qs: Seq[(String, Int, Int)]): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    require(perUnit > 0, s"perUnit must be positive, got $perUnit")
-    require(qs.nonEmpty && qs.forall { case (_, n, dn) =>
-      n > 0 && dn >= n }, s"quantiles must satisfy 0 < num <= den: $qs")
-    val spark = df.sparkSession
-    import spark.implicits._
-
     val hist = df
       .select(col(groupCol).as("g"), units.cast("long").as("u"))
       .select(col("g"), expr(s"u DIV $binWidth").as("bin"))
       .groupBy("g", "bin")
       .agg(count(lit(1)).as("cnt"))
+    quantilesOfHist(hist, groupCol, binWidth, perUnit, qs)
+  }
+
+  /** Quantile pick over an ALREADY-BUILT `(g, bin, cnt)` histogram —
+    * shared by the batch path above and by streaming sketches that
+    * maintain the per-(group, bin) counts in complete mode (count
+    * merge is micro-batch-cut invariant, so the drained stream's
+    * histogram IS the batch histogram). */
+  def quantilesOfHist(hist: DataFrame, groupCol: String,
+      binWidth: Long, perUnit: Long,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(perUnit > 0, s"perUnit must be positive, got $perUnit")
+    require(qs.nonEmpty && qs.forall { case (_, n, dn) =>
+      n > 0 && dn >= n }, s"quantiles must satisfy 0 < num <= den: $qs")
+    val spark = hist.sparkSession
+    import spark.implicits._
 
     // Both windows share the (g) partitioning → a single exchange of the
     // ALREADY-AGGREGATED bin table (≤ nBins rows per group), never the

@@ -332,6 +332,8 @@ object EventQueries {
     "hll_distinct" -> hllDistinct,
     "stream_hll" ->
       ((s, d) => EventsStream.streamingHllDistinct(s, d)),
+    "stream_quantile_hist" ->
+      ((s, d) => EventsStream.streamingQuantileHist(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -402,6 +404,30 @@ object EventQueries {
         |       rd.value AS last_value
         |FROM grid g ASOF LEFT JOIN rd
         |  ON g.user_id = rd.user_id AND g.day >= rd.ts""".stripMargin,
+    // streaming histogram quantile = batch histogram quantile (the
+    // per-(type,bin) count merge is micro-batch-cut invariant); the
+    // batch replay over events is the oracle — same stages as the
+    // quantile_hist lane, $10 bins over value cents
+    "stream_quantile_hist" ->
+      """WITH h AS (SELECT event_type AS g,
+        |   CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+        |   count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | c AS (SELECT g, bin, cnt,
+        |   sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |   sum(cnt) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        | q(q_label, qn, qd) AS (SELECT * FROM (VALUES
+        |   ('p50', 1, 2), ('p95', 19, 20))),
+        | t AS (SELECT g, q_label, bin, cnt, cum, n,
+        |   (n * qn + qd - 1) // qd AS target FROM c, q)
+        |SELECT g AS event_type, q_label,
+        | CAST(target AS BIGINT) AS target_rank,
+        | round((CAST(bin * 1000 AS DOUBLE)
+        |   + 1000.0 * (CAST(target - (cum - cnt) AS DOUBLE)
+        |     / CAST(cnt AS DOUBLE)))
+        |   / 100.0, 6) AS est
+        |FROM t WHERE cum >= target AND cum - cnt < target""".stripMargin,
     // streaming HLL = batch HLL (element-wise-max register merge is
     // micro-batch-cut invariant); same replay minus the exact column
     "stream_hll" ->

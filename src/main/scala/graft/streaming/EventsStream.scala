@@ -193,6 +193,37 @@ object EventsStream {
           .as("hll_est"))
   }
 
+  /** Streaming histogram quantile per event type: the bounded-state
+    * quantile sketch ([[graft.operators.HistogramQuantile]]) maintained
+    * over the event stream in complete mode. Per-(type, bin) counts
+    * merge by SUM across micro-batches exactly as they do across
+    * partitions — cut-invariant — so the drained stream's histogram
+    * equals the batch histogram row for row, and the rank-pick over it
+    * equals the batch operator's output (the DuckDB replay is the
+    * oracle). O(bins) state per group: always-on percentiles, the
+    * streaming twin of `quantile_hist`. */
+  def streamingQuantileHist(spark: SparkSession, sfDir: String,
+      queryName: String = "events_qhist"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val hist = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .groupBy(col("event_type").as("g"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = hist.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    graft.operators.HistogramQuantile.quantilesOfHist(
+      spark.table(queryName), "event_type", binWidth = 1000L,
+      perUnit = 100L, qs = Seq(("p50", 1, 2), ("p95", 19, 20)))
+  }
+
   /** Streaming export manifest: the per-shard (docs, tokens, key-range)
     * manifest of [[graft.operators.ShardedExport]] maintained over a
     * DOCUMENT STREAM — the shape of an always-on ingestion pipeline

@@ -94,6 +94,21 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming histogram quantile equals the batch operator") {
+    // per-(type,bin) count merge is micro-batch-cut invariant, so the
+    // drained stream's histogram — and the rank pick over it — must
+    // equal the batch HistogramQuantile output row for row
+    val streamed = EventsStream.streamingQuantileHist(
+      spark, sf(), "spec_qhist")
+    val batch = graft.operators.HistogramQuantile.quantiles(
+      Tables.events(spark, sf()), "event_type",
+      round(col("value") * 100), binWidth = 1000L, perUnit = 100L,
+      qs = Seq(("p50", 1, 2), ("p95", 19, 20)))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("stream-stream interval join equals the batch self-join") {
     val streamed = EventsStream.viewPurchaseJoinCounts(
       spark, sf(), "spec_ssjoin")
