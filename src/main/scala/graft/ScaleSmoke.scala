@@ -40,7 +40,16 @@ object ScaleSmoke {
     // unchanged — iterations should be ~flat), and PageRank (the
     // distinct-edge pass scales; the iteration cost is edge-set-bound
     // and K copies of the same pairs leave the edge set unchanged)
-    "inverted_index", "cdc_chunks", "bpe_train", "pagerank")
+    "inverted_index", "cdc_chunks", "bpe_train", "pagerank",
+    // round-4 second wave: histogram quantile (fact shuffle carries
+    // (group,bin) partials — K× rows, SAME bin-table size downstream)
+    // and the one-scan funnel (map flags + one fingerprint shuffle;
+    // survivors stay constant while the scan grows K×). The portable
+    // minhash lane is deliberately NOT here: its OUTPUT is dup pairs,
+    // and K disjoint-id copies manufacture K(K−1)/2 pairs per original
+    // fingerprint group — a quadratic output the harness would misread
+    // as a superlinear stage.
+    "quantile_hist", "pipeline_e2e")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

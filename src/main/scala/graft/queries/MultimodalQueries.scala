@@ -32,6 +32,25 @@ object MultimodalQueries {
         sum(col("frame_hash")).as("hash_sum"))
   }
 
+  /** Frame sampling under the oracle gate (the audio lane's move
+    * applied to the video shape): normalized text bytes stand in for
+    * the payload (pure ASCII, byte = ascii(char)), every 2nd 256-byte
+    * frame emitted with its modular polynomial checksum — the
+    * sequential fold replays in SQL as a `list_reduce`, so chunking,
+    * stride, AND content are all hash-checked per frame (the raw-text
+    * `multimodal_frames` lane keeps its rows-only check: multi-byte
+    * UTF-8 in the zh docs has no per-char SQL byte twin). */
+  def multimodalFramesOracle: Q = (s, d) => {
+    val blobs = Tables.documents(s, d)
+      .select(col("doc_id"), lit("video").as("media_type"),
+        graft.functions.TextFunctions.normalize(col("text"))
+          .cast("binary").as("data"))
+    Multimodal.sampleFrames(s, blobs, stride = 2).toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_bytes").cast("long").as("frame_bytes"),
+        col("frame_hash"))
+  }
+
   /** Binary→binary resize (decimation stub) re-measured by the feature
     * extractor: original vs resized byte counts per doc. The resized
     * length is ceil(n/3) — a pure function of payload length, so DuckDB
@@ -75,11 +94,32 @@ object MultimodalQueries {
     "multimodal_audio" -> multimodalAudio,
     "multimodal_features" -> multimodalFeatures,
     "multimodal_frames" -> multimodalFrames,
+    "multimodal_frames_oracle" -> multimodalFramesOracle,
     "multimodal_resize" -> multimodalResize,
     "multimodal_embed_ann" -> multimodalEmbedAnn,
   )
 
   val oracle: Map[String, String] = Map(
+    // frame sampling replayed per frame: 256-char chunks of the ASCII
+    // normalized text, stride 2, checksum = the same sequential
+    // (acc*31 + byte) % 1e9+7 fold via list_reduce
+    "multimodal_frames_oracle" ->
+      """WITH c AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+        | FROM documents),
+        | f AS (SELECT doc_id, t,
+        |   unnest(range(0, CAST(ceil(length(t) / 256.0) AS BIGINT))) AS i
+        |  FROM c WHERE length(t) > 0)
+        |SELECT doc_id, i AS frame_idx,
+        | CAST(length(substring(t, CAST(i * 256 + 1 AS INT), 256))
+        |   AS BIGINT) AS frame_bytes,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(
+        |     split(substring(t, CAST(i * 256 + 1 AS INT), 256), ''),
+        |     ch -> CAST(ascii(ch) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS frame_hash
+        |FROM f WHERE i % 2 = 0""".stripMargin,
     // the audio stub decode + framing replayed sample for sample:
     // ascii(char) − 64 samples, (j−1)//64 windows, crossings counted
     // only between neighbors in the SAME window

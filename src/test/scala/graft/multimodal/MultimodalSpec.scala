@@ -91,4 +91,26 @@ class MultimodalSpec extends SparkSpec {
     val expect = (1 to 256).foldLeft(0L)((a, _) => (a * 31 + 'x'.toInt) % 1000000007L)
     assert(d1.head.frame_hash === expect)
   }
+
+  test("frames-oracle lane: ASCII payload, per-frame hash replay") {
+    import spark.implicits._
+    // normalize() collapses to lowercase ascii, so byte == ascii(char)
+    // and the driver's SQL list_reduce replay sees the same samples
+    val mixed = Seq((1L, "AB!  cd" + "e" * 300), (2L, "")).toDF("doc_id", "text")
+    val blobs = mixed.select(col("doc_id"), lit("video").as("media_type"),
+      graft.functions.TextFunctions.normalize(col("text"))
+        .cast("binary").as("data"))
+    val fr = Multimodal.sampleFrames(spark, blobs, 2).collect()
+    // doc 2 normalizes empty → no frames at all
+    assert(!fr.exists(_.doc_id == 2L))
+    val d1 = fr.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    // "ab cd" + 300×e = 305 chars → frames 0 (256) and 1 (49); stride 2
+    // keeps only frame 0
+    assert(d1.map(_.frame_idx).toSeq === Seq(0))
+    assert(d1.head.frame_bytes === 256)
+    val payload = "ab cd" + "e" * 300
+    val expect = payload.take(256).foldLeft(0L)((a, c) =>
+      (a * 31 + c.toInt) % 1000000007L)
+    assert(d1.head.frame_hash === expect)
+  }
 }
