@@ -48,4 +48,56 @@ object TypedOps {
         Streak(uid, evs.length.toLong, if (evs.isEmpty) 0L else best)
       }
   }
+
+  case class Moments(n: Long, s1: Long, s2: Long)
+
+  /** Typed `Aggregator` — the Encoder-based aggregation tier, beside
+    * the four Catalyst `TypedImperativeAggregate`s (MG/CMS/top-k/HLL):
+    * exact integer moments (n, Σc, Σc²) over a cents-valued column.
+    * Integer moments make the aggregate associative, commutative and
+    * layout-independent — no Welford float drift, and mean/variance
+    * derive EXACTLY afterwards, so the whole thing replays in an ANSI
+    * engine (the float-streaming Welford form would not).
+    *
+    * Scale: Aggregator plans as a TypedAggregateExpression with
+    * partial+final aggregation — map-side combine like any builtin;
+    * O(1) state per group. */
+  val momentsAgg: org.apache.spark.sql.expressions.Aggregator[
+      Long, Moments, Moments] =
+    new org.apache.spark.sql.expressions.Aggregator[Long, Moments, Moments] {
+      def zero: Moments = Moments(0L, 0L, 0L)
+      def reduce(b: Moments, a: Long): Moments =
+        Moments(b.n + 1, b.s1 + a, b.s2 + a * a)
+      def merge(x: Moments, y: Moments): Moments =
+        Moments(x.n + y.n, x.s1 + y.s1, x.s2 + y.s2)
+      def finish(r: Moments): Moments = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Moments] =
+        org.apache.spark.sql.Encoders.product[Moments]
+      def outputEncoder: org.apache.spark.sql.Encoder[Moments] =
+        org.apache.spark.sql.Encoders.product[Moments]
+    }
+
+  /** Per-group exact mean/variance through [[momentsAgg]]: the value is
+    * quantized to integer cents (exact for 2dp money), moments
+    * aggregate exactly, and the two floating divisions at the end run
+    * in a fixed order — deterministic and oracle-comparable. */
+  def typedMoments(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(momentsAgg.toColumn.name("m"))
+      .toDF("event_type", "m")
+      .select(col("event_type"), col("m.n").as("n_events"),
+        round((col("m.s1").cast("double") / col("m.n")) / 100.0, 6)
+          .as("mean_value"),
+        round((col("m.s2").cast("double") / col("m.n")
+          - (col("m.s1").cast("double") / col("m.n"))
+            * (col("m.s1").cast("double") / col("m.n"))) / 10000.0, 6)
+          .as("var_value"))
+  }
 }

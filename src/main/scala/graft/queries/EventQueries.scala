@@ -297,8 +297,15 @@ object EventQueries {
     graft.operators.TypedOps
       .longestIncreasingStreak(Tables.events(s, d)).toDF()
 
+  /** Typed `Aggregator` tier ([[graft.operators.TypedOps.momentsAgg]]):
+    * exact integer moments per event type → mean/variance derived in a
+    * fixed floating order. */
+  def typedMoments: Q = (s, d) =>
+    graft.operators.TypedOps.typedMoments(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "typed_streak" -> typedStreak,
+    "typed_moments" -> typedMoments,
     "funnel_steps" -> funnelSteps,
     "stream_hourly_stats" -> streamHourlyStats,
     "range_rewrite" -> rangeRewritePairs,
@@ -341,6 +348,20 @@ object EventQueries {
     // wherever value fails to increase; run lengths per (user, run_id),
     // then the per-user max (event order = (µs time, event id), same
     // as the typed fold's in-group sort)
+    // the typed Aggregator's integer moments replayed exactly; the two
+    // trailing float divisions run in the same fixed order
+    "typed_moments" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+        | FROM events GROUP BY 1)
+        |SELECT event_type, n AS n_events,
+        | round((CAST(s1 AS DOUBLE) / n) / 100.0, 6) AS mean_value,
+        | round((CAST(s2 AS DOUBLE) / n
+        |   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |   / 10000.0, 6) AS var_value
+        |FROM m""".stripMargin,
     "typed_streak" ->
       """WITH m AS (SELECT user_id, ts, event_id,
         |  CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk

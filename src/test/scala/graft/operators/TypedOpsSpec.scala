@@ -59,4 +59,41 @@ class TypedOpsSpec extends SparkSpec {
       declarative.exceptAll(typed).isEmpty)
     assert(typed.count() > 0)
   }
+
+  test("momentsAgg: hand moments, merge laws, and layout invariance") {
+    import spark.implicits._
+    // reduce semantics on a tiny fixture
+    val m = Seq(3L, 5L, 7L).foldLeft(TypedOps.momentsAgg.zero)(
+      TypedOps.momentsAgg.reduce)
+    assert(m === TypedOps.Moments(3L, 15L, 83L))
+    // merge is the coordinate-wise sum (associative + commutative)
+    val a = TypedOps.Moments(2L, 8L, 34L)
+    val b = TypedOps.Moments(1L, 7L, 49L)
+    assert(TypedOps.momentsAgg.merge(a, b) ===
+      TypedOps.momentsAgg.merge(b, a))
+    assert(TypedOps.momentsAgg.merge(a, b) === m)
+  }
+
+  test("typedMoments equals the declarative aggregation, any layout") {
+    val ev = graft.Tables.events(spark, sf())
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TypedOps.typedMoments(df).collect().map(_.toSeq).toSet
+    val base = run(ev)
+    assert(base === run(ev.repartition(11)))
+    val declarative = ev
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n_events"),
+        round((col("s1").cast("double") / col("n_events")) / 100.0, 6)
+          .as("mean_value"),
+        round((col("s2").cast("double") / col("n_events")
+          - (col("s1").cast("double") / col("n_events"))
+            * (col("s1").cast("double") / col("n_events"))) / 10000.0, 6)
+          .as("var_value"))
+      .collect().map(_.toSeq).toSet
+    assert(base === declarative)
+  }
 }
