@@ -341,6 +341,8 @@ object EventQueries {
       ((s, d) => EventsStream.streamingHllDistinct(s, d)),
     "stream_quantile_hist" ->
       ((s, d) => EventsStream.streamingQuantileHist(s, d)),
+    "stream_typed_moments" ->
+      ((s, d) => EventsStream.streamingTypedMoments(s, d)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -348,6 +350,20 @@ object EventQueries {
     // wherever value fails to increase; run lengths per (user, run_id),
     // then the per-user max (event order = (µs time, event id), same
     // as the typed fold's in-group sort)
+    // streaming typed moments = batch typed moments (integer moment
+    // sums are micro-batch-cut invariant); same replay
+    "stream_typed_moments" ->
+      """WITH m AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+        | FROM events GROUP BY 1)
+        |SELECT event_type, n AS n_events,
+        | round((CAST(s1 AS DOUBLE) / n) / 100.0, 6) AS mean_value,
+        | round((CAST(s2 AS DOUBLE) / n
+        |   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |   / 10000.0, 6) AS var_value
+        |FROM m""".stripMargin,
     // the typed Aggregator's integer moments replayed exactly; the two
     // trailing float divisions run in the same fixed order
     "typed_moments" ->

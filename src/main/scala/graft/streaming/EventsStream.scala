@@ -224,6 +224,46 @@ object EventsStream {
       perUnit = 100L, qs = Seq(("p50", 1, 2), ("p95", 19, 20)))
   }
 
+  /** Streaming typed-Aggregator moments: [[graft.operators.TypedOps
+    * .momentsAgg]] maintained over the event stream in complete mode.
+    * Integer moment sums are associative and commutative, so the
+    * micro-batch cut points are invisible — the drained stream's
+    * (n, Σc, Σc²) equal the batch Aggregator's exactly, and the derived
+    * mean/variance match the same DuckDB replay. The typed-API
+    * counterpart of the untyped sketch lanes (stream_hll,
+    * stream_quantile_hist). */
+  def streamingTypedMoments(spark: SparkSession, sfDir: String,
+      queryName: String = "events_moments"): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val agg = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.operators.TypedOps.momentsAgg.toColumn.name("m"))
+      .toDF("event_type", "m")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+      .select(col("event_type"), col("m.n").as("n_events"),
+        round((col("m.s1").cast("double") / col("m.n")) / 100.0, 6)
+          .as("mean_value"),
+        round((col("m.s2").cast("double") / col("m.n")
+          - (col("m.s1").cast("double") / col("m.n"))
+            * (col("m.s1").cast("double") / col("m.n"))) / 10000.0, 6)
+          .as("var_value"))
+  }
+
   /** Streaming export manifest: the per-shard (docs, tokens, key-range)
     * manifest of [[graft.operators.ShardedExport]] maintained over a
     * DOCUMENT STREAM — the shape of an always-on ingestion pipeline

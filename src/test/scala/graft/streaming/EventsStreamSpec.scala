@@ -109,6 +109,16 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming typed-Aggregator moments equal the batch operator") {
+    val streamed = EventsStream.streamingTypedMoments(
+      spark, sf(), "spec_moments")
+    val batch = graft.operators.TypedOps.typedMoments(
+      Tables.events(spark, sf()))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("stream-stream interval join equals the batch self-join") {
     val streamed = EventsStream.viewPurchaseJoinCounts(
       spark, sf(), "spec_ssjoin")
