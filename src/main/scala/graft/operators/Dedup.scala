@@ -354,9 +354,20 @@ object Dedup {
     *
     * Scale shape: window generation is map-side (one transform over the
     * tokens array inside the scan stage — ~|tokens| rows per doc, same
-    * cost class as the MinHash shingle explode); the md5 runs AFTER the
-    * explode so it stays codegen'd; the only shuffle is one groupBy on
-    * the 32-hex fingerprint. No self-join, no all-pairs anything. */
+    * cost class as the MinHash shingle explode). Aggregation is
+    * two-level with the SPAN TEXT as the grouping key: (span, doc) →
+    * per-doc occurrence counts, then (span) → doc/occurrence totals.
+    * Grouping by the text instead of aggregating `min(span)` into a
+    * string buffer keeps BOTH levels codegen'd HashAggregates with
+    * all-long buffers (a string-valued aggregate buffer forces the
+    * whole chain onto sort-based aggregation: at sf0.1 the same lane
+    * planned Generate → Sort → SortAggregate ×4 over every span
+    * occurrence), map-side combine dedups per-doc repeats before the
+    * shuffle, and the md5 runs once per DISTINCT span after
+    * aggregation, not once per occurrence. Wall-clock at sf0.1 is
+    * explode-bound and unchanged; the sort removal is what matters
+    * when the exploded rows no longer fit a sort buffer. No self-join,
+    * no all-pairs anything. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Long): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
@@ -366,12 +377,14 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - (n - 1)),
         i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("span"))
-      .groupBy(md5(col("span")).as("span_fp"))
-      .agg(min(col("span")).as("span"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
+      .groupBy("span", "doc_id")
+      .agg(count(lit(1)).as("occ"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
+      .select(md5(col("span")).as("span_fp"), col("span"),
+        col("n_docs"), col("n_occ"), col("first_doc"))
   }
 
   // --------------------------------------------------- embedding near-dup
