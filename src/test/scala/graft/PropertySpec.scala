@@ -233,4 +233,53 @@ class PropertySpec extends SparkSpec {
     assert(mergesOf(corpus, 7) === base)
     assert(base.length === 4)
   }
+
+  test("histogram quantile brackets the true rank for arbitrary data") {
+    import graft.operators.HistogramQuantile
+    val genVals = Gen.nonEmptyListOf(Gen.choose(0L, 5000L))
+    samples(genVals, 10).foreach { vs =>
+      val binW = 100L
+      val out = HistogramQuantile.quantiles(
+        vs.map(("g", _)).toDF("g", "c"), "g", col("c"),
+        binWidth = binW, perUnit = 1L,
+        qs = Seq(("p50", 1, 2), ("p90", 9, 10)))
+        .collect().map(r => r.getString(1) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val sorted = vs.sorted
+      Seq(("p50", 1, 2), ("p90", 9, 10)).foreach { case (lbl, qn, qd) =>
+        val target = (vs.length.toLong * qn + qd - 1) / qd
+        val (gotRank, est) = out(lbl)
+        assert(gotRank === target, s"$lbl rank on $vs")
+        // the estimate lives inside the bin that holds the target rank
+        val trueVal = sorted((target - 1).toInt)
+        assert(math.abs(est - trueVal) <= binW.toDouble,
+          s"$lbl est=$est true=$trueVal")
+      }
+    }
+  }
+
+  test("portable minhash jaccard is bounded and pairs are ordered") {
+    import graft.operators.Dedup
+    val genDoc = for {
+      n <- Gen.choose(4, 40)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "epsilon", "zeta", "eta", "theta"))
+    } yield ws.mkString(" ")
+    val docs = samples(genDoc, 20).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val pairs = Dedup.minhashPairsPortable(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.foreach { case (a, b, j) =>
+      assert(a < b, s"pair order ($a,$b)")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard $j")
+    }
+    // identical docs must collide in every band → jaccard 1.0
+    val twins = (docs :+ (100L, docs.head._2)).toDF("doc_id", "text")
+    val hit = Dedup.minhashPairsPortable(twins, "doc_id", "text",
+      k = 16, bands = 4)
+      .filter(col("id_a") === docs.head._1 && col("id_b") === 100L)
+      .collect()
+    assert(hit.length === 1 && hit.head.getDouble(2) === 1.0)
+  }
 }
