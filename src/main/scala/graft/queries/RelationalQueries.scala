@@ -534,6 +534,40 @@ object RelationalQueries {
       col("n_orders"))
   }
 
+  /** Point-in-time join — the feature-store operator: for each order,
+    * the customer's priority REGIME in force 30 days before the order
+    * was placed (training-time features must come from the dimension
+    * version valid at label time, never the current one — the
+    * leakage-free join every feature store implements). Composed from
+    * the SCD-2 interval build (q28) and the native as-of exec:
+    * intervals tile contiguously per customer, so "the interval
+    * containing t" is exactly the backward as-of against interval
+    * STARTS — one merge pass, no interval explode, no BETWEEN
+    * nested-loop. Orders whose PIT instant predates the customer's
+    * first interval miss (→ 'NONE'/−1), exercising the null carry. */
+  def q38PitJoin: Q = (s, d) => {
+    // A same-day regime flip creates two intervals with the same
+    // valid_from (the earlier one zero-length). "State as of end of
+    // day" keeps the LATEST run per (custkey, valid_from) — and the
+    // as-of exec requires a deduplicated (key, time) right side anyway.
+    val tieW = Window.partitionBy(col("custkey"), col("valid_from"))
+      .orderBy(col("run_id").desc)
+    val dim = q28Scd2(s, d).select(col("custkey"), col("run_id"),
+      col("prio").as("dim_prio"), col("valid_from"))
+      .withColumn("_rn", row_number().over(tieW))
+      .filter(col("_rn") === 1).drop("_rn")
+    val fact = Tables.orders(s, d).select(
+      col("o_orderkey").as("order_id"), col("o_custkey"),
+      date_sub(col("o_orderdate").cast("date"), 30).as("pit_date"))
+    graft.plans.AsOfJoinNative.leftAsOf(
+      fact, dim, leftKey = "o_custkey", rightKey = "custkey",
+      leftTime = "pit_date", rightTime = "valid_from",
+      carry = Seq("run_id", "dim_prio"))
+      .select(col("order_id"),
+        coalesce(col("dim_prio"), lit("NONE")).as("pit_prio"),
+        coalesce(col("run_id"), lit(-1L)).as("pit_run"))
+  }
+
   /** Exact correlation / covariance statistics per group. Float Σxy
     * accumulation is association-order-dependent (different partitionings
     * → different last-ulp sums → cross-engine hash mismatches), so the
@@ -645,6 +679,7 @@ object RelationalQueries {
     "q33_rank_funcs" -> q33RankFuncs,
     "q27_cube" -> q27Cube,
     "scd2_intervals" -> q28Scd2,
+    "pit_join" -> q38PitJoin,
     "stat_corr" -> q29CorrStats,
     "q21_percentiles" -> q21Percentiles,
     "q22_pivot" -> q22Pivot,
@@ -801,6 +836,36 @@ object RelationalQueries {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // the PIT join replayed: same SCD-2 CTE chain, then DuckDB's native
+    // ASOF LEFT JOIN picks the latest interval start <= the PIT instant
+    "pit_join" ->
+      """WITH seqd AS (SELECT o_custkey, o_orderkey,
+        |   CAST(o_orderdate AS DATE) AS odate, o_orderpriority AS prio,
+        |   CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |     OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |     THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
+        | runs AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |   ORDER BY odate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM seqd),
+        | iv AS (SELECT o_custkey AS custkey,
+        |   CAST(run_id AS BIGINT) AS run_id, prio,
+        |   min(odate) AS valid_from
+        |  FROM runs GROUP BY 1, 2, 3),
+        | dim AS (SELECT custkey, run_id, prio, valid_from
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY custkey,
+        |     valid_from ORDER BY run_id DESC) AS rn FROM iv)
+        |  WHERE rn = 1),
+        | fact AS (SELECT o_orderkey AS order_id, o_custkey,
+        |   CAST(o_orderdate AS DATE) - 30 AS pit_date FROM orders)
+        |SELECT f.order_id,
+        | coalesce(d.prio, 'NONE') AS pit_prio,
+        | coalesce(d.run_id, CAST(-1 AS BIGINT)) AS pit_run
+        |FROM fact f ASOF LEFT JOIN dim d
+        | ON f.o_custkey = d.custkey AND f.pit_date >= d.valid_from""".stripMargin,
     "scd2_intervals" ->
       """WITH seqd AS (SELECT o_custkey, o_orderkey,
         |   CAST(o_orderdate AS DATE) AS odate, o_orderpriority AS prio,

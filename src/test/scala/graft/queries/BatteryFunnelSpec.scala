@@ -86,6 +86,45 @@ class BatteryFunnelSpec extends SparkSpec {
     assert(one.head().getLong(1) === 13L)
   }
 
+  test("pit join: features come from the regime in force 30 days back") {
+    val out = RelationalQueries.q38PitJoin(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val orders = Tables.orders(spark, sf()).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("odate"),
+      col("o_orderpriority").as("prio"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toLocalDate, r.getString(3)))
+    assert(out.size === orders.length)
+    // replay per order: regime = priority of the latest run whose first
+    // order date <= (odate - 30); runs built per customer in
+    // (date, orderkey) order
+    val byCust = orders.groupBy(_._2)
+    orders.take(80).foreach { case (oid, cust, odate, _) =>
+      val hist = byCust(cust).sortBy(o => (o._3.toEpochDay, o._1))
+      val runs = hist.foldLeft(Vector.empty[(String, java.time.LocalDate)]) {
+        case (acc, (_, _, d0, p)) =>
+          if (acc.nonEmpty && acc.last._1 == p) acc
+          else acc :+ (p, d0) // run start = first date of the run
+      }
+      val pit = odate.minusDays(30)
+      val want = runs.zipWithIndex
+        .filter { case ((_, from), _) => !from.isAfter(pit) }
+        .lastOption
+      val (gotPrio, gotRun) = out(oid)
+      want match {
+        case Some(((p, _), i)) =>
+          assert(gotPrio === p, s"order $oid")
+          assert(gotRun === (i + 1).toLong, s"order $oid run")
+        case None =>
+          assert(gotPrio === "NONE" && gotRun === -1L, s"order $oid miss")
+      }
+    }
+    // the pre-history miss case must actually occur in the data
+    assert(out.values.exists(_._1 == "NONE"))
+  }
+
   test("funnel: monotone survival and stage cross-checks") {
     val rows = PipelineQueries.pipelineFunnel(spark, sf())
       .collect().map(r =>
