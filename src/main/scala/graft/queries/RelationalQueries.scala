@@ -568,6 +568,36 @@ object RelationalQueries {
         coalesce(col("run_id"), lit(-1L)).as("pit_run"))
   }
 
+  /** Nested array-of-structs battery (the collect→sort→extract family:
+    * `collect_list(struct)` + `sort_array` + `element_at` + struct-field
+    * HOFs — the denormalized "entity history as a column" shape nested
+    * parquet pipelines live on): each customer's order history as a
+    * (date, key, cents) struct array, sorted for determinism (struct
+    * comparison is field-order lexicographic in both engines, with the
+    * order key as tiebreak), then reduced back to scalars — first/last
+    * order, exact total from a struct-field fold. The output stays
+    * scalar on purpose: nested values render engine-specifically, but
+    * everything DERIVED from them hash-checks. Scale: per-entity
+    * history is bounded (~30 orders/customer at every SF), which is
+    * the contract any collect_list carries. */
+  def q39Nested: Q = (s, d) => {
+    val hist = Tables.orders(s, d)
+      .select(col("o_custkey").as("custkey"),
+        struct(col("o_orderdate").cast("date").as("odate"),
+          col("o_orderkey").as("okey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .as("o"))
+      .groupBy("custkey")
+      .agg(sort_array(collect_list(col("o"))).as("hist"))
+    hist.select(col("custkey"),
+      size(col("hist")).cast("long").as("n_orders"),
+      element_at(col("hist"), 1).getField("odate").as("first_date"),
+      element_at(col("hist"), -1).getField("odate").as("last_date"),
+      element_at(col("hist"), -1).getField("cents").as("last_cents"),
+      aggregate(transform(col("hist"), o => o.getField("cents")),
+        lit(0L), (a, x) => a + x).as("total_cents"))
+  }
+
   /** Exact correlation / covariance statistics per group. Float Σxy
     * accumulation is association-order-dependent (different partitionings
     * → different last-ulp sums → cross-engine hash mismatches), so the
@@ -680,6 +710,7 @@ object RelationalQueries {
     "q27_cube" -> q27Cube,
     "scd2_intervals" -> q28Scd2,
     "pit_join" -> q38PitJoin,
+    "q39_nested" -> q39Nested,
     "stat_corr" -> q29CorrStats,
     "q21_percentiles" -> q21Percentiles,
     "q22_pivot" -> q22Pivot,
@@ -836,6 +867,24 @@ object RelationalQueries {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // the nested battery replayed: list(struct_pack) + list_sort share
+    // Spark's field-order struct comparison; scalars extracted the
+    // same way
+    "q39_nested" ->
+      """WITH h AS (SELECT o_custkey AS custkey,
+        |  list_sort(list(struct_pack(
+        |    odate := CAST(o_orderdate AS DATE),
+        |    okey := o_orderkey,
+        |    cents := CAST(round(o_totalprice * 100) AS BIGINT)))) AS hist
+        | FROM orders GROUP BY 1)
+        |SELECT custkey,
+        | CAST(len(hist) AS BIGINT) AS n_orders,
+        | hist[1].odate AS first_date,
+        | hist[-1].odate AS last_date,
+        | hist[-1].cents AS last_cents,
+        | CAST(list_sum(list_transform(hist, s -> s.cents)) AS BIGINT)
+        |   AS total_cents
+        |FROM h""".stripMargin,
     // the PIT join replayed: same SCD-2 CTE chain, then DuckDB's native
     // ASOF LEFT JOIN picks the latest interval start <= the PIT instant
     "pit_join" ->

@@ -125,6 +125,26 @@ class BatteryFunnelSpec extends SparkSpec {
     assert(out.values.exists(_._1 == "NONE"))
   }
 
+  test("nested battery equals the flat window/aggregate computation") {
+    val nested = RelationalQueries.q39Nested(spark, sf())
+    val flat = Tables.orders(spark, sf())
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("date").as("odate"),
+        col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("odate")).as("first_date"),
+        max(struct(col("odate"), col("okey"), col("cents"))).as("last"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("custkey"), col("n_orders"), col("first_date"),
+        col("last.odate").as("last_date"),
+        col("last.cents").as("last_cents"), col("total_cents"))
+    assert(nested.count() === flat.count())
+    assert(nested.exceptAll(flat).count() === 0)
+    assert(flat.exceptAll(nested).count() === 0)
+  }
+
   test("funnel: monotone survival and stage cross-checks") {
     val rows = PipelineQueries.pipelineFunnel(spark, sf())
       .collect().map(r =>
