@@ -431,6 +431,22 @@ object PlanAudit {
         !lo.contains("CartesianProduct"),
       "corpus x broadcast(planes), one id-keyed aggregate")
 
+    // PIT join: interval containment must ride the native as-of merge
+    // exec — no interval explode, no BETWEEN nested-loop.
+    val pj = plan("pit_join")
+    check("pit_join: native as-of exec, no nested loop",
+      pj.contains("AsOfJoin") && !pj.contains("BroadcastNestedLoopJoin") &&
+        !pj.contains("CartesianProduct"),
+      "backward as-of on interval starts")
+
+    // nested battery: collect_list plans as partial+final
+    // ObjectHashAggregate around one customer-keyed exchange.
+    val nb = plan("q39_nested")
+    check("q39_nested: partial+final collect aggregate",
+      occurrences(nb, "ObjectHashAggregate") >= 2 &&
+        occurrences(nb, "Exchange hashpartitioning") == 1,
+      "bounded per-entity history, one exchange")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)
