@@ -598,6 +598,26 @@ object RelationalQueries {
         lit(0L), (a, x) => a + x).as("total_cents"))
   }
 
+  /** UNPIVOT/melt (q22's pivot inverted — the wide→long reshape, a
+    * first-class `Dataset.unpivot` in Spark 4 and an Expand under the
+    * hood: rows × |measures|, a constant fan-out that then feeds a
+    * normal partial+final aggregate): the four lineitem measures melt
+    * to (measure, value) rows and aggregate per measure in exact
+    * decimal. */
+  def q40Unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("total"))
+
   /** Exact correlation / covariance statistics per group. Float Σxy
     * accumulation is association-order-dependent (different partitionings
     * → different last-ulp sums → cross-engine hash mismatches), so the
@@ -711,6 +731,7 @@ object RelationalQueries {
     "scd2_intervals" -> q28Scd2,
     "pit_join" -> q38PitJoin,
     "q39_nested" -> q39Nested,
+    "q40_unpivot" -> q40Unpivot,
     "stat_corr" -> q29CorrStats,
     "q21_percentiles" -> q21Percentiles,
     "q22_pivot" -> q22Pivot,
@@ -867,6 +888,19 @@ object RelationalQueries {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // wide→long reshape replayed with DuckDB's UNPIVOT; per-measure
+    // totals in exact decimal
+    "q40_unpivot" ->
+      """WITH u AS (
+        | SELECT l_orderkey, measure, value FROM (
+        |   SELECT l_orderkey, l_quantity, l_extendedprice, l_discount,
+        |     l_tax FROM lineitem)
+        | UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice,
+        |   l_discount, l_tax)))
+        |SELECT measure, count(*) AS n,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS total
+        |FROM u GROUP BY 1""".stripMargin,
     // the nested battery replayed: list(struct_pack) + list_sort share
     // Spark's field-order struct comparison; scalars extracted the
     // same way

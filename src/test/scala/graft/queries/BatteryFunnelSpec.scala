@@ -145,6 +145,23 @@ class BatteryFunnelSpec extends SparkSpec {
     assert(flat.exceptAll(nested).count() === 0)
   }
 
+  test("unpivot: melt is pivot's inverse, totals reconcile per measure") {
+    val out = RelationalQueries.q40Unpivot(spark, sf())
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val li = Tables.lineitem(spark, sf())
+    val n = li.count()
+    assert(out.keySet === Set("l_quantity", "l_extendedprice",
+      "l_discount", "l_tax"))
+    assert(out.values.forall(_._1 === n))
+    val direct = li.agg(
+      round(sum(col("l_quantity").cast("decimal(38,8)")).cast("double"), 4),
+      round(sum(col("l_tax").cast("decimal(38,8)")).cast("double"), 4))
+      .head()
+    assert(out("l_quantity")._2 === direct.getDouble(0))
+    assert(out("l_tax")._2 === direct.getDouble(1))
+  }
+
   test("funnel: monotone survival and stage cross-checks") {
     val rows = PipelineQueries.pipelineFunnel(spark, sf())
       .collect().map(r =>
