@@ -618,6 +618,31 @@ object RelationalQueries {
         round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
           .as("total"))
 
+  /** `Dataset.observe` instrumentation (the metrics tier: named
+    * aggregates collected ON THE FLOW at a chosen plan point, no second
+    * scan — how a 100 TB pipeline reports per-stage row/volume counts
+    * without re-reading anything): pre-filter totals observed on the
+    * scan, post-filter count from the query itself, emitted side by
+    * side. The observation is exact and deterministic (count + decimal
+    * sum), so the lane oracles like any aggregate. */
+  def q41Observe: Q = (s, d) => {
+    val obs = org.apache.spark.sql.Observation()
+    val filtered = Tables.lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(38,8)")).as("q"))
+      .filter(col("l_returnflag") === "A")
+      .agg(count(lit(1)).as("n_a")).head().getLong(0)
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("q").asInstanceOf[java.math.BigDecimal].doubleValue(),
+      filtered))
+      .toDF("n_rows", "sum_qty", "n_a")
+      .select(col("n_rows"), round(col("sum_qty"), 4).as("sum_qty"),
+        col("n_a"))
+  }
+
   /** Exact correlation / covariance statistics per group. Float Σxy
     * accumulation is association-order-dependent (different partitionings
     * → different last-ulp sums → cross-engine hash mismatches), so the
@@ -732,6 +757,7 @@ object RelationalQueries {
     "pit_join" -> q38PitJoin,
     "q39_nested" -> q39Nested,
     "q40_unpivot" -> q40Unpivot,
+    "q41_observe" -> q41Observe,
     "stat_corr" -> q29CorrStats,
     "q21_percentiles" -> q21Percentiles,
     "q22_pivot" -> q22Pivot,
@@ -888,6 +914,15 @@ object RelationalQueries {
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // observe metrics replay as plain aggregates: pre-filter totals +
+    // the post-filter count
+    "q41_observe" ->
+      """SELECT count(*) AS n_rows,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_qty,
+        | CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_a
+        |FROM lineitem""".stripMargin,
     // wide→long reshape replayed with DuckDB's UNPIVOT; per-measure
     // totals in exact decimal
     "q40_unpivot" ->

@@ -162,6 +162,17 @@ class BatteryFunnelSpec extends SparkSpec {
     assert(out("l_tax")._2 === direct.getDouble(1))
   }
 
+  test("observe lane: flow metrics equal direct aggregates") {
+    val r = RelationalQueries.q41Observe(spark, sf()).head()
+    val li = Tables.lineitem(spark, sf())
+    assert(r.getLong(0) === li.count())
+    assert(r.getLong(2) ===
+      li.filter(col("l_returnflag") === "A").count())
+    val direct = li.agg(round(sum(col("l_quantity")
+      .cast("decimal(38,8)")).cast("double"), 4)).head().getDouble(0)
+    assert(r.getDouble(1) === direct)
+  }
+
   test("funnel: monotone survival and stage cross-checks") {
     val rows = PipelineQueries.pipelineFunnel(spark, sf())
       .collect().map(r =>
