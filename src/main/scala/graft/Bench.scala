@@ -72,9 +72,11 @@ object Bench {
     // substrings — the 16s→2.5s lesson)
     "cdc_chunks",
     // round-4 second wave: the bounded-state histogram quantile (one
-    // fact shuffle of (group,bin) pairs) and the one-scan end-to-end
-    // preprocessing funnel (langid+quality+dedup flags in one pass)
-    "quantile_hist", "pipeline_e2e")
+    // fact shuffle of (group,bin) pairs), the one-scan end-to-end
+    // preprocessing funnel (langid+quality+dedup flags in one pass),
+    // and the point-in-time feature join (SCD-2 build + native as-of
+    // merge — two window passes and one merge join)
+    "quantile_hist", "pipeline_e2e", "pit_join")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
