@@ -47,7 +47,13 @@ object LanguageModel {
   def bigramLogLik(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val trainBg = docBigrams(train, idCol, textCol)
+    // c12 feeds BOTH score joins (directly, and through c1) —
+    // checkpoint the aggregated table once so the train-side
+    // explode+groupBy subtree executes once per action, not twice
+    // (same policy, and same persist-vs-checkpoint reasoning, as
+    // Dedup.minhashPairsScored).
     val c12 = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = train
       .select(explode(TF.tokens(col(textCol))).as("t"))
