@@ -63,7 +63,12 @@ object Boilerplate {
     * quality-filter policy, not a dedup mechanic). */
   def cleanStats(df: DataFrame, idCol: String, tokensCol: String,
       width: Int, minDocs: Int): DataFrame = {
-    val segs = segments(df, idCol, tokensCol, width)
+    // the segment table feeds BOTH the dictionary aggregate and the
+    // marking join — checkpoint it once so the tokenize+explode+md5
+    // subtree executes once per action, not twice (the segment rows
+    // are ~|tokens|/width, far cheaper to hold than to recompute;
+    // same checkpoint-not-persist policy as Dedup.minhashPairsScored)
+    val segs = segments(df, idCol, tokensCol, width).localCheckpoint(true)
     val dict = commonSegments(segs, idCol, minDocs)
     segs.join(dict.select(col("seg_fp"), lit(1L).as("_common")),
         Seq("seg_fp"), "left")
