@@ -41,13 +41,19 @@ object RelevanceScoring {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val lens = docLengths(docs, idCol, textCol)
+    // lens feeds the corpus stats AND the per-doc join; tfq feeds the
+    // df aggregate AND the scoring join — checkpoint both so each
+    // tokenize+explode pass over the corpus runs once per action, not
+    // twice (the plan showed documents scanned 4× before this; same
+    // checkpoint-not-persist policy as Dedup.minhashPairsScored).
+    val lens = docLengths(docs, idCol, textCol).localCheckpoint(true)
     // exact avgdl: integer sum / count, one double division
     val stats = lens.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val tfq = termFreqs(docs, idCol, textCol)
       .filter(col("term").isin(queryTerms: _*))
+      .localCheckpoint(true)
     val dfs = tfq.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -69,7 +75,11 @@ object RelevanceScoring {
     * df table shuffles on term (it does NOT broadcast at corpus scale —
     * vocabulary grows with the data). */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = termFreqs(docs, idCol, textCol)
+    // tf feeds the df aggregate AND the scoring join — checkpoint so
+    // the full-vocabulary explode runs once per action (materializing
+    // the (doc, term) table costs exactly what its shuffle already
+    // moves; recomputing it costs a second corpus tokenize).
+    val tf = termFreqs(docs, idCol, textCol).localCheckpoint(true)
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(dfs, Seq("term"))
