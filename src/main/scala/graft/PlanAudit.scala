@@ -447,6 +447,24 @@ object PlanAudit {
         occurrences(nb, "Exchange hashpartitioning") == 1,
       "bounded per-entity history, one exchange")
 
+    // runtime pruning lanes: partition-level (DPP subquery in the fact
+    // scan's PartitionFilters) and row-level (Bloom might_contain in the
+    // probe's scan stage, before its exchange).
+    val dpp = plan("dpp_join")
+    check("dpp_join: dynamic partition pruning in fact scan",
+      dpp.contains("dynamicpruning"),
+      "3 of 84 month partitions read")
+    val qbj = plan("q42_bloom_join")
+    val bjFilterBeforeJoin = {
+      val fi = qbj.indexOf("might_contain")
+      val ji = qbj.indexOf("Join")
+      fi >= 0 && ji >= 0 && fi > ji // plan strings print top-down: the
+      // join node appears ABOVE (before) its scan-stage children, so the
+      // probe-side filter must occur after it textually
+    }
+    check("q42_bloom_join: bloom prune inside probe scan stage",
+      bjFilterBeforeJoin, "might_contain below the join in the plan tree")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -188,7 +188,53 @@ object EtlQueries {
           .cast("double"), 4).as("sum_qty"))
   }
 
+  private val dppPrepared = scala.collection.mutable.Set[String]()
+
+  /** Month-partitioned lineitem + a tiny month→quarter dim, written
+    * once per (JVM, sfDir). The dim is a real parquet table (not a
+    * local relation) so its selective filter survives into the
+    * optimized plan where the `PartitionPruning` rule looks for it —
+    * the same reason a production calendar dim is a table. */
+  def prepareDpp(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val (factOut, dimOut) = (tmp("dpp_fact", d), tmp("dpp_dim", d))
+      if (!dppPrepared.contains(d)) {
+        Tables.lineitem(s, d)
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("ship_month").parquet(factOut)
+        val months = for { y <- 1995 to 2001; m <- 1 to 12 }
+          yield (f"$y-$m%02d", s"$y-Q${(m - 1) / 3 + 1}")
+        s.createDataFrame(months).toDF("ship_month", "quarter")
+          .coalesce(1).write.mode("overwrite").parquet(dimOut)
+        dppPrepared += d
+      }
+      (factOut, dimOut)
+    }
+
+  /** Dynamic partition pruning (the partition-level runtime filter,
+    * complementing the row-level Bloom pruning in
+    * [[graft.operators.RuntimeFilters]]): the fact table is stored
+    * partitioned on the join key's derivation (`ship_month`, the
+    * MergeTree `PARTITION BY toYYYYMM` analogue the reference declares
+    * in README.md:561-565), the calendar dim carries the selective
+    * predicate, and Catalyst's `PartitionPruning` rule turns the
+    * broadcast dim into `dynamicpruningexpression(...)` inside the
+    * scan's PartitionFilters — at 100 TB the scan reads 3 months of
+    * files, not 84, before a single row is decoded. DppBloomSpec
+    * asserts the pruning subquery is actually in the executed plan. */
+  def dppJoin: Q = (s, d) => {
+    val (factOut, dimOut) = prepareDpp(s, d)
+    val fact = s.read.parquet(factOut)
+    val dim = s.read.parquet(dimOut).filter(col("quarter") === "1996-Q2")
+    fact.join(broadcast(dim), Seq("ship_month"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity").cast("decimal(38,8)"))
+          .cast("double"), 2).as("sum_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
     "schema_evolution" -> schemaEvolution,
     "etl_csv_roundtrip" -> csvRoundtrip,
@@ -205,6 +251,16 @@ object EtlQueries {
       s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   val oracle: Map[String, String] = Map(
+    // replay the dim semantics directly: 1996-Q2 = months 04..06
+    "dpp_join" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE), 2)
+        |   AS sum_qty
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m')
+        |  IN ('1996-04', '1996-05', '1996-06')
+        |GROUP BY 1""".stripMargin,
     // replay the corruption rule on the source rows: (ok+ln) % 7 == 0
     // rows become unparseable, everything else must survive exactly
     "etl_bad_records" ->

@@ -746,7 +746,33 @@ object RelationalQueries {
         datediff(col("odate"), to_date(lit("1995-01-01")))
           .cast("long").as("days_since_95"))
 
+  /** Bloom-pruned selective join ([[graft.operators.RuntimeFilters]]):
+    * urgent-order revenue by year. Only ~20% of orders are 1-URGENT, so
+    * an unpruned plan shuffles every lineitem row to drop 4 in 5 at the
+    * join; here the urgent orderkeys are reduced to a fixed-size Bloom
+    * filter applied inside lineitem's scan stage, and only candidate
+    * rows reach the exchange. No false negatives → row-identical to
+    * the plain join the DuckDB oracle runs (false positives die in the
+    * exact join). The row-level complement of `dpp_join`'s
+    * partition-level pruning. */
+  def q42BloomJoin: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    graft.operators.RuntimeFilters.bloomPrunedJoin(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+        urgent, "l_orderkey", "o_orderkey")
+      .groupBy(year(col("o_orderdate").cast("date")).cast("int")
+        .as("order_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,8)")).cast("double"), 2).as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q42_bloom_join" -> q42BloomJoin,
     "interval_lookup" -> qIntervalLookup,
     "q30_nullsafe_join" -> q30NullSafeJoin,
     "q31_strings" -> q31Strings,
@@ -909,6 +935,17 @@ object RelationalQueries {
         | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |   AS days_since_95
         |FROM orders""".stripMargin,
+    // the oracle is the UNPRUNED join — bloom pruning must be
+    // row-invisible (no false negatives; false positives rejected by
+    // the exact join)
+    "q42_bloom_join" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+        | count(*) AS n_items,
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |   AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     "q27_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
