@@ -771,8 +771,37 @@ object RelationalQueries {
           .cast("decimal(38,8)")).cast("double"), 2).as("revenue"))
   }
 
+  /** Batch MERGE under the gate ([[graft.operators.MergeInto]]): a
+    * deterministic changeset — 10%-band price updates, every-97th-key
+    * deletes, 10%-band re-keyed inserts — applied to orders in one
+    * full-outer join, then the post-merge state summarized per
+    * priority (updates surface as their own 'MERGED-UP' group, deletes
+    * shrink counts, inserts grow them). The oracle replays the merge
+    * algebraically: survivors with CASE'd updates UNION ALL inserts. */
+  def qMergeUpsert: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    val updates = base.filter(k % 10 === 3 && k % 97 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("o_orderpriority", lit("MERGED-UP"))
+      .withColumn("_delete", lit(false))
+    val deletes = base.filter(k % 97 === 0)
+      .withColumn("_delete", lit(true))
+    val inserts = base.filter(k % 10 === 7)
+      .withColumn("o_orderkey", k + lit(100000000L))
+      .withColumn("_delete", lit(false))
+    graft.operators.MergeInto.merge(base,
+        updates.unionByName(deletes).unionByName(inserts),
+        "o_orderkey", "_delete")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)"))
+          .cast("double"), 2).as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q42_bloom_join" -> q42BloomJoin,
+    "merge_upsert" -> qMergeUpsert,
     "interval_lookup" -> qIntervalLookup,
     "q30_nullsafe_join" -> q30NullSafeJoin,
     "q31_strings" -> q31Strings,
@@ -935,6 +964,23 @@ object RelationalQueries {
         | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |   AS days_since_95
         |FROM orders""".stripMargin,
+    // merge replayed algebraically: %97 deletes vanish via WHERE, %10=3
+    // updates via CASE, %10=7 inserts via UNION ALL (their new keys
+    // don't matter to the aggregate)
+    "merge_upsert" ->
+      """WITH merged AS (
+        | SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'MERGED-UP'
+        |   ELSE o_orderpriority END AS prio,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 1.1
+        |   ELSE o_totalprice END AS price
+        | FROM orders WHERE o_orderkey % 97 <> 0
+        | UNION ALL
+        | SELECT o_orderpriority AS prio, o_totalprice AS price
+        | FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT prio, count(*) AS cnt,
+        | round(CAST(sum(CAST(price AS DECIMAL(38,8))) AS DOUBLE), 2)
+        |   AS total
+        |FROM merged GROUP BY 1""".stripMargin,
     // the oracle is the UNPRUNED join — bloom pruning must be
     // row-invisible (no false negatives; false positives rejected by
     // the exact join)
