@@ -76,7 +76,12 @@ object Bench {
     // preprocessing funnel (langid+quality+dedup flags in one pass),
     // and the point-in-time feature join (SCD-2 build + native as-of
     // merge — two window passes and one merge join)
-    "quantile_hist", "pipeline_e2e", "pit_join")
+    "quantile_hist", "pipeline_e2e", "pit_join",
+    // round-4 third wave: runtime pruning (partition-level DPP with the
+    // partitioned fact written once in warmup; row-level Bloom-pruned
+    // join building its filter per run — the build IS the operator) and
+    // the full-outer-join MERGE resolve
+    "dpp_join", "q42_bloom_join", "merge_upsert")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

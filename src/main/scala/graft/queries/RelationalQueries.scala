@@ -799,9 +799,30 @@ object RelationalQueries {
           .cast("double"), 2).as("total"))
   }
 
+  /** Incremental aggregate maintenance under the gate
+    * ([[graft.operators.IncrementalAgg]]): per-priority order totals
+    * maintained as mergeable state across three deterministic "append
+    * batches" (orderdate thirds standing in for daily loads), merged
+    * out of order, then rendered. Must equal the one-shot aggregate the
+    * oracle computes — the invariant that lets a 100 TB table keep its
+    * rollups current for the cost of each delta. */
+  def qIncrAgg: Q = (s, d) => {
+    import graft.operators.IncrementalAgg._
+    val o = Tables.orders(s, d)
+    val day = dayofmonth(col("o_orderdate").cast("date"))
+    val batches = Seq(
+      o.filter(day <= 10),
+      o.filter(day > 20), // merged out of arrival order on purpose
+      o.filter(day > 10 && day <= 20))
+      .map(b => aggState(b, "o_orderpriority", "o_totalprice"))
+    render(mergeStates(batches))
+      .withColumnRenamed("o_orderpriority", "prio")
+  }
+
   val queries: Map[String, Q] = Map(
     "q42_bloom_join" -> q42BloomJoin,
     "merge_upsert" -> qMergeUpsert,
+    "incr_agg" -> qIncrAgg,
     "interval_lookup" -> qIntervalLookup,
     "q30_nullsafe_join" -> q30NullSafeJoin,
     "q31_strings" -> q31Strings,
@@ -964,6 +985,14 @@ object RelationalQueries {
         | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |   AS days_since_95
         |FROM orders""".stripMargin,
+    // the one-shot aggregate the incremental state-merge must equal
+    "incr_agg" ->
+      """SELECT o_orderpriority AS prio, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 2)
+        |   AS total,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE)
+        |   / count(*), 6) AS avg
+        |FROM orders GROUP BY 1""".stripMargin,
     // merge replayed algebraically: %97 deletes vanish via WHERE, %10=3
     // updates via CASE, %10=7 inserts via UNION ALL (their new keys
     // don't matter to the aggregate)

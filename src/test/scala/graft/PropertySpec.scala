@@ -282,4 +282,29 @@ class PropertySpec extends SparkSpec {
       .collect()
     assert(hit.length === 1 && hit.head.getDouble(2) === 1.0)
   }
+
+  test("MergeInto equals the set-algebra reference for arbitrary changesets") {
+    import graft.operators.MergeInto
+    // base keys 0..19; changeset draws disjoint action sets over 0..29
+    // (keys >= 20 exercise insert and orphan-delete paths)
+    val genActions = for {
+      upd <- Gen.someOf(0L to 29L)
+      del <- Gen.someOf((0L to 29L).filterNot(upd.contains))
+    } yield (upd.toSet, del.toSet)
+    samples(genActions, n = 8).foreach { case (upd, del) =>
+      val base = (0L until 20L).map(k => (k, s"v$k")).toDF("k", "v")
+      val changes =
+        (upd.toSeq.sorted.map(k => (k, s"U$k", false)) ++
+          del.toSeq.sorted.map(k => (k, "", true)))
+          .toDF("k", "v", "_delete")
+      val got = MergeInto.merge(base, changes, "k", "_delete")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // reference: survivors keep or take update; live inserts appear
+      val want =
+        (0L until 20L).filterNot(del.contains)
+          .map(k => k -> (if (upd.contains(k)) s"U$k" else s"v$k")).toSet ++
+          upd.filter(_ >= 20L).map(k => k -> s"U$k")
+      assert(got === want, s"upd=$upd del=$del")
+    }
+  }
 }
