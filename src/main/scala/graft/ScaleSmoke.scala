@@ -49,7 +49,14 @@ object ScaleSmoke {
     // and K disjoint-id copies manufacture K(K−1)/2 pairs per original
     // fingerprint group — a quadratic output the harness would misread
     // as a superlinear stage.
-    "quantile_hist", "pipeline_e2e")
+    "quantile_hist", "pipeline_e2e",
+    // round-4 third wave: DPP (K× fact rows behind the SAME 84 month
+    // partitions — the pruned scan should grow with rows-per-partition,
+    // i.e. ~linearly) and the Bloom-pruned join (K× probe against the
+    // 1× orders build side — prune + join stay linear in the probe).
+    // merge_upsert / incr_agg are NOT here: they read only orders,
+    // which the enlargement deliberately keeps 1× (see above).
+    "dpp_join", "q42_bloom_join")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

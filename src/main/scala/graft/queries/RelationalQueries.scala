@@ -819,8 +819,30 @@ object RelationalQueries {
       .withColumnRenamed("o_orderpriority", "prio")
   }
 
+  /** The AUTOMATIC form of q42 ([[graft.plans.BloomJoinInject]]): the
+    * user writes the obvious join against the filtered dim — no
+    * operator call — and the injected optimizer rule adds the
+    * bloom-subquery prune to the probe side. Same oracle as q42: the
+    * rewrite must be row-invisible. */
+  def q43BloomRewrite: Q = (s, d) =>
+    org.apache.spark.sql.GraftPlanBridge.withScopedOptimizerRule(s,
+      graft.plans.BloomJoinInject.InjectRule) {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate").cast("date")).cast("int")
+        .as("order_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(38,8)")).cast("double"), 2).as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q42_bloom_join" -> q42BloomJoin,
+    "q43_bloom_rewrite" -> q43BloomRewrite,
     "merge_upsert" -> qMergeUpsert,
     "incr_agg" -> qIncrAgg,
     "interval_lookup" -> qIntervalLookup,
@@ -1010,6 +1032,15 @@ object RelationalQueries {
         | round(CAST(sum(CAST(price AS DECIMAL(38,8))) AS DOUBLE), 2)
         |   AS total
         |FROM merged GROUP BY 1""".stripMargin,
+    // the auto-injected rewrite must equal the same unpruned join
+    "q43_bloom_rewrite" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+        | count(*) AS n_items,
+        | round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |   AS DECIMAL(38,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
     // the oracle is the UNPRUNED join — bloom pruning must be
     // row-invisible (no false negatives; false positives rejected by
     // the exact join)

@@ -41,4 +41,22 @@ object GraftPlanBridge {
         cs.experimental.extraOptimizations :+ rule
     }
   }
+
+  /** Build a DataFrame with `rule` active, then RESTORE the session's
+    * previous rule set — for rules that should rewrite one query, not
+    * silently alter every later plan in a shared session. Forcing
+    * `optimizedPlan` (a cached lazy val) pins the rewrite into the
+    * returned frame, so it survives the restore; AQE's runtime
+    * re-optimization uses its own rule set and never re-runs session
+    * extras, so the rewrite is not lost at execution either. */
+  def withScopedOptimizerRule(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])(
+      build: => DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val before = cs.experimental.extraOptimizations
+    ensureOptimizerRule(spark, rule)
+    try { val df = build; df.queryExecution.optimizedPlan; df }
+    finally cs.experimental.extraOptimizations = before
+  }
 }
