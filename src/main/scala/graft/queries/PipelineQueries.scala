@@ -879,6 +879,50 @@ object PipelineQueries {
           (col("n_probes") * 5).cast("double"), 4))
   }
 
+  /** The IVF search path UNDER the hash gate — the move that put
+    * MinHash/SimHash/hyperplane-LSH under oracles applied to the last
+    * ungated ANN family: swap KMeans (engine-specific state) for
+    * deterministic label-mean centroids (the exact integer-micro-sum
+    * construction the green `embedding_centroids` lane already
+    * replays), then run the REAL inverted-file plan — tiny centroid
+    * table broadcast, corpus assigned to its best cell, probes scan
+    * only their nProbe best cells, top-k by rounded cosine with id
+    * tie-breaks. Full result rows (probe, rank, candidate, cosine) are
+    * hash-checked; the KMeans variant stays beside it (`ann_ivf`) as
+    * the production centroid source. Corpus never shuffles: both the
+    * centroid table and the probe-cells table broadcast. */
+  def annIvfOracle: Q = (s, d) => {
+    import graft.functions.{VectorFunctions => VF}
+    val cents = EmbeddingStats.centroids(Tables.embeddings(s, d),
+        "label", "embedding")
+      .select(col("grp").cast("long").as("cell"), col("centroid"))
+    val corpus = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    def bestCells(in: DataFrame, idc: String, vc: String, n: Int) = {
+      val w = Window.partitionBy(col(idc))
+        .orderBy(col("ccos").desc, col("cell").desc)
+      in.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(VF.cosineSimilarity(col(vc), col("centroid")), 4))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= n)
+        .select(in.columns.map(col) :+ col("cell"): _*)
+    }
+    val assigned = bestCells(corpus, "vec_id", "vec", 1)
+    val probes = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("vec").as("pvec"))
+    val probeCells = bestCells(probes, "probe_id", "pvec", 2)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(VF.cosineSimilarity(col("pvec"), col("vec")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("cos"))
+  }
+
   /** IVF ANN summarized as recall@5 against the exact baseline (KMeans
     * centroids are engine-specific state → rows-only; deterministic via
     * fixed seed). nProbe=4 of k=16 cells → ~25% of the corpus scanned. */
@@ -957,6 +1001,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "ann_ivf" -> annIvf,
+    "ann_ivf_oracle" -> annIvfOracle,
     "salted_agg" -> saltedAgg,
     "salted_join" -> saltedJoin,
     "pagerank" -> pageRank,
@@ -1904,6 +1949,47 @@ object PipelineQueries {
          |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
          |GROUP BY 1""".stripMargin
     },
+    // the IVF plan replayed end-to-end: exact-micro-sum centroids (the
+    // embedding_centroids construction), best-cell assignment and probe
+    // cells ranked on the SAME rounded cosine + cell tiebreak, top-k
+    // within the probed cells
+    "ann_ivf_oracle" ->
+      """WITH x AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |   unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings),
+        | st AS (SELECT label AS grp, i AS dim,
+        |   sum(CAST(floor(v * 1000000) AS BIGINT)) AS sum_micro,
+        |   count(*) AS n
+        |  FROM x GROUP BY 1, 2),
+        | c AS (SELECT CAST(grp AS BIGINT) AS cell,
+        |   list(CAST(sum_micro AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+        |     ORDER BY dim) AS centroid
+        |  FROM st GROUP BY 1),
+        | co AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        | asg AS (SELECT vec_id, vec, cell FROM (
+        |   SELECT co.vec_id, co.vec, c.cell,
+        |    row_number() OVER (PARTITION BY co.vec_id ORDER BY
+        |      round(list_cosine_similarity(co.vec, c.centroid), 4) DESC,
+        |      c.cell DESC) AS crk
+        |   FROM co CROSS JOIN c) WHERE crk = 1),
+        | p AS (SELECT vec_id AS probe_id, vec AS pvec FROM co
+        |  WHERE vec_id < 5),
+        | pc AS (SELECT probe_id, pvec, cell FROM (
+        |   SELECT p.probe_id, p.pvec, c.cell,
+        |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |      round(list_cosine_similarity(p.pvec, c.centroid), 4) DESC,
+        |      c.cell DESC) AS crk
+        |   FROM p CROSS JOIN c) WHERE crk <= 2),
+        | cand AS (SELECT pc.probe_id, a.vec_id AS cand_id,
+        |   round(list_cosine_similarity(pc.pvec, a.vec), 4) AS cos
+        |  FROM pc JOIN asg a USING (cell)
+        |  WHERE a.vec_id <> pc.probe_id)
+        |SELECT probe_id, rk, cand_id, cos FROM (
+        | SELECT probe_id, cand_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rk
+        | FROM cand) WHERE rk <= 5""".stripMargin,
     // hyperplane buckets replayed with the SAME ±1 plane literals the
     // Spark plan inlines: quantize ×10⁴ (never an exact .5 from a
     // float), exact integer dots, sign bits assembled by shift

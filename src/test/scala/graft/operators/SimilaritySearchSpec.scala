@@ -155,4 +155,17 @@ class SimilaritySearchSpec extends SparkSpec {
     // antipodal vectors land in complementary buckets
     assert(b(0L) === (~b(3L) & 0xFF))
   }
+
+  test("gated IVF lane: dense ranks, bounded cosines, descending per probe") {
+    val rows = graft.queries.PipelineQueries.annIvfOracle(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byProbe.values.foreach { ps =>
+      assert(ps.map(_._2).sorted.toSeq === (1L to 5L))
+      val cos = ps.sortBy(_._2).map(_._3)
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
