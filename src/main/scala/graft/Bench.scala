@@ -108,6 +108,10 @@ object Bench {
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.4f", v)
 
+  /** Bench lanes resolve from the full registry: oracle-swept lanes
+    * plus the spec-pinned production-hash lanes (e.g. dedup_minhash). */
+  private def benchQuery(name: String) = SparkEntry.allQueries.get(name)
+
   /** Measure one query: `repeats` runs, then while the spread looks
     * contaminated (max/min > 3×) take extra runs, up to 2×`repeats` more.
     * The reported median/stddev are computed over the HEALTHY samples
@@ -116,13 +120,17 @@ object Bench {
     * minimum is the cleanest estimate of true plan cost and anything 3×
     * above it is the host's documented intermittent stall, not the
     * query. All raw samples are still logged to stderr for audit.
-    * Returns (median, stddev, all samples). */
-  private def measure(repeats: Int, f: => Unit): (Double, Double, Seq[Double]) = {
-    var times = (1 to repeats).map(_ => time(f))
+    * `after` runs UNTIMED after every sample — the harness passes the
+    * checkpoint-block sweep there (see main). Returns
+    * (median, stddev, all samples). */
+  private def measure(repeats: Int, f: => Unit,
+      after: => Unit): (Double, Double, Seq[Double]) = {
+    def sample(): Double = { val t = time(f); after; t }
+    var times = (1 to repeats).map(_ => sample())
     def healthy = times.filter(_ <= math.max(times.min, 1e-9) * 3.0)
     var extra = 0
     while (healthy.size < repeats && extra < 2 * repeats) {
-      times :+= time(f)
+      times :+= sample()
       extra += 1
     }
     val h = healthy
@@ -151,10 +159,22 @@ object Bench {
     val results = headline
       .filter(n => only.forall(_.contains(n)))
       .flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
+        benchQuery(name).map { fn =>
           try {
-            (1 to warmups).foreach(_ => run(fn(spark, sfDir)))
-            val (med, sd, samples) = measure(repeats, run(fn(spark, sfDir)))
+            // every lane construction eagerly localCheckpoints working
+            // frames; left in place they accumulate across the 37-lane
+            // × (warmups + ≥5 runs) sweep and contaminate later lanes
+            // (r4: dedup_clusters recorded 4.23 s mid-sequence vs
+            // 1.22 s clean-session). Each run rebuilds its frames from
+            // source, so sweeping ALL pinned blocks after every sample
+            // is safe — and untimed, so the sweep never pollutes the
+            // measurement itself.
+            (1 to warmups).foreach { _ =>
+              run(fn(spark, sfDir)); graft.util.Checkpoints.releaseAll(spark)
+            }
+            val (med, sd, samples) = measure(repeats,
+              run(fn(spark, sfDir)),
+              graft.util.Checkpoints.releaseAll(spark))
             System.err.println(s"[bench] $name median=${fmt(med)}s " +
               s"sd=${fmt(sd)} samples=${samples.map(fmt).mkString(",")}")
             (name, med, sd)

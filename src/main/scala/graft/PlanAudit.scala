@@ -51,7 +51,7 @@ object PlanAudit {
       executedPlan(df.queryExecution.executedPlan)
     }
     def plan(q: String): String =
-      planOf(SparkEntry.queries(q)(spark, sfDir))
+      planOf(SparkEntry.allQueries(q)(spark, sfDir))
 
     /** Leaf descriptions of every subtree under an explicit broadcast
       * hint in the analyzed plan — the code-level intent, before AQE's

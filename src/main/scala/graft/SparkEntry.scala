@@ -22,6 +22,21 @@ object SparkEntry {
       EventQueries.queries ++ MultimodalQueries.queries ++
       EtlQueries.queries ++ TaxiPipelineQueries.queries
 
+  /** Production-path lanes whose outputs depend on engine-specific
+    * hashes/sketches (xxhash64, HLL++, t-digest, seeded KMeans) that
+    * DuckDB cannot replay bit-for-bit. Each is value-pinned by
+    * NoOracleLanesSpec AND shadowed by a green portable `_oracle` twin
+    * in [[queries]] exercising the same code path, so they carry no
+    * extra correctness signal for the driver — they stay here for the
+    * bench and the plan audit, out of the oracle sweep. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.benchOnly ++ PipelineQueries.benchOnly ++
+      MultimodalQueries.benchOnly
+
+  /** Every runnable lane — oracle-swept plus bench-only. */
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ benchOnly
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =

@@ -13,12 +13,25 @@ import org.apache.spark.sql.types._
   *
   * Scale shape: the only corpus-sized pass is the word-count groupBy
   * (map-side combinable). Each merge iteration runs two small jobs over
-  * the vocabulary (pair-count aggregate + argmax), and the single
-  * winning pair per iteration is the ONE driver-side row this operator
+  * the vocabulary (pair-count aggregate + argmax), and the winning
+  * pairs per iteration are the ONLY driver-side rows this operator
   * collects — the canonical iterative-refinement pattern (same as
-  * KMeans centroids), not a data collect. Lineage grows by one
-  * `replace` per merge; at hundreds of merges insert a checkpoint
-  * every ~20 iterations (noted, not needed at the demo merge count).
+  * KMeans centroids), not a data collect.
+  *
+  * Driver-loop bound: sequential training runs ONE pair-count job per
+  * merge — fine at demo merge counts, unbounded at vocab scale (30 k
+  * merges = 30 k jobs). `batchSize > 1` amortizes that: each job's
+  * ranked pair table admits the longest RANK-PREFIX of pairwise
+  * symbol-disjoint pairs (stop at the first pair sharing a symbol
+  * with an accepted one — never skip past it). Disjoint pairs'
+  * counts are invariant under each other's replacements, and any pair
+  * a batch merge CREATES is bounded by an ancestor pair that would
+  * have ended the prefix first, so batched training reproduces
+  * sequential training exactly (up to count-ties involving created
+  * symbols — exotic; lower `batchSize` if a corpus manufactures one).
+  * Job count drops from nMerges to ~nMerges/acceptedPerBatch. Lineage
+  * is re-checkpointed every ~20 applied merges (pin + release of the
+  * previous blocks, the [[graft.util.Checkpoints]] policy).
   *
   * Determinism / oracle contract: the spelling of a word is its
   * characters each wrapped in single spaces (`"abc"` → `" a  b  c "`),
@@ -34,10 +47,13 @@ object BpeTrainer {
 
   /** Learn `nMerges` merges; returns (merge_rank, lhs, rhs, pair_count)
     * in learning order. Stops early if the vocabulary runs out of
-    * pairs. */
+    * pairs. `batchSize` merges may be accepted per pair-count job (see
+    * object doc for the disjoint-prefix rule that keeps batched ≡
+    * sequential); 1 = classic sequential training. */
   def trainMerges(docs: DataFrame, textCol: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int, batchSize: Int = 1): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(TF.tokens(col(textCol))).as("w"))
@@ -45,15 +61,17 @@ object BpeTrainer {
     // the ONE corpus pass materializes here — without the checkpoint
     // every iteration's argmax job would re-run the corpus-sized
     // tokenize+explode+groupBy (same policy as PageRank/CC)
-    var sp = words.select(col("cnt"),
-      regexp_replace(col("w"), "(.)", " $1 ").as("sp"))
-      .localCheckpoint(true)
+    var (sp, release) = graft.util.Checkpoints.pin(
+      words.select(col("cnt"),
+        regexp_replace(col("w"), "(.)", " $1 ").as("sp")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var sinceCheckpoint = 0
     var i = 1
     var exhausted = false
     while (i <= nMerges && !exhausted) {
       val toks = split(trim(col("sp")), "  ")
-      val best = sp
+      val want = math.min(batchSize, nMerges - i + 1)
+      val ranked = sp
         .select(col("cnt"), col("sp"))
         .withColumn("t", toks)
         // single-symbol spellings have no pairs (and Spark's
@@ -66,18 +84,41 @@ object BpeTrainer {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(want).collect()
+      if (ranked.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += Row(i, l, r, c)
-        sp = sp.withColumn("sp",
-          org.apache.spark.sql.functions.replace(col("sp"),
-            lit(s" $l  $r "), lit(s" $l$r ")))
-        i += 1
+        // longest rank-prefix of pairwise symbol-disjoint pairs: stop
+        // at (never skip) the first conflict — skipping would let a
+        // pair whose count the earlier merges change into the batch
+        val symbols = scala.collection.mutable.Set.empty[String]
+        val accepted = ranked.iterator.takeWhile { row =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          // the batch's FIRST pair is the sequential argmax — always
+          // taken (even a self-pair like (a,a)); later pairs must be
+          // symbol-disjoint from every accepted one
+          val ok = symbols.isEmpty || (!symbols(l) && !symbols(r))
+          if (ok) { symbols += l; symbols += r }
+          ok
+        }.toSeq
+        accepted.foreach { row =>
+          val (l, r, c) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Row(i, l, r, c)
+          sp = sp.withColumn("sp",
+            org.apache.spark.sql.functions.replace(col("sp"),
+              lit(s" $l  $r "), lit(s" $l$r ")))
+          i += 1
+        }
+        sinceCheckpoint += accepted.size
+        if (sinceCheckpoint >= 20) {
+          // cut the replace-chain lineage and drop the stale blocks
+          val (cp, rel) = graft.util.Checkpoints.pin(sp)
+          release(); sp = cp; release = rel
+          sinceCheckpoint = 0
+        }
       }
     }
+    release()
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1),
       StructType(Seq(

@@ -42,13 +42,12 @@ object ConnectedComponents extends Serializable {
     * force the iterative path). */
   def starEdges(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 50, smallGraph: Long = smallGraphEdges): DataFrame = {
-    var e = edges
+    var (e, release) = graft.util.Checkpoints.pin(edges
       .select(col(srcCol).as("eu"), col(dstCol).as("ev"))
       .filter(col("eu") =!= col("ev"))
       .select(greatest(col("eu"), col("ev")).as("u"),
         least(col("eu"), col("ev")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var sig = signature(e)
     if (sig._1 <= smallGraph) return unionFindStars(e)
     // adaptive narrowing: near-dup edge sets are usually a sliver of the
@@ -62,8 +61,14 @@ object ConnectedComponents extends Serializable {
     e = narrowed(e, sig._1)
     var round = 0
     while (round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val (next, releaseNext) =
+        graft.util.Checkpoints.pin(smallStar(largeStar(e)))
       val nextSig = signature(next)
+      // round N is materialized into its own blocks — round N-1's are
+      // dead; dropping them keeps steady-state block-manager usage at
+      // O(one round) instead of O(rounds) over a long job
+      release()
+      release = releaseNext
       e = narrowed(next, nextSig._1)
       round += 1
       if (nextSig == sig) return e

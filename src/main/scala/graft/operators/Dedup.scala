@@ -390,13 +390,36 @@ object Dedup {
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates within blocks: pairs with cosine ≥
-    * threshold. Brute force within block; the LSH-bucketed variant in
-    * [[SimilaritySearch]] is the unblocked scale path. */
+    * threshold. This is the VERIFY path: brute force within block is
+    * O(block²) and a single hot block (one dominant label) goes
+    * quadratic — `maxBlockRows` fails loudly before that happens
+    * instead of silently burning a cluster. The production scale path
+    * is [[SimilaritySearch.hyperplaneBucketsPortable]] (hyperplane-LSH
+    * bucketing, corpus-size-independent bucket width) — route
+    * near-dup candidate generation through it at any real corpus size
+    * and keep this form for block-scoped verification.
+    *
+    * @param maxBlockRows guard: largest block the quadratic form may
+    *        process (default 10k rows ⇒ ≤ ~50M comparisons per block) */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blockCols: Seq[String]): DataFrame = {
+      threshold: Double, blockCols: Seq[String],
+      maxBlockRows: Long = 10000L): DataFrame = {
     val v = emb.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         col(vecCol).as("vec"): _*)
+    // one cheap aggregate over the ids (map-side combinable) before the
+    // quadratic join is allowed to exist
+    val hot = v.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBlockRows)
+      .limit(1).collect()
+    require(hot.isEmpty, {
+      val b = hot.head
+      s"embeddingNearDup: block (${blockCols.mkString(",")}) = " +
+        s"(${blockCols.indices.map(b.get).mkString(",")}) has " +
+        s"${b.getAs[Long]("n")} rows > maxBlockRows=$maxBlockRows — the " +
+        "within-block join is quadratic; use " +
+        "SimilaritySearch.hyperplaneBucketsPortable (LSH) at this scale"
+    })
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     v.as("a").join(v.as("b"), joinCond)

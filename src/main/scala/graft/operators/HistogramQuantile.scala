@@ -30,14 +30,27 @@ import org.apache.spark.sql.functions._
   */
 object HistogramQuantile {
 
+  /** SQL fragment: floor division of integer expression `x` by positive
+    * literal `d`. Spark's `DIV` truncates toward zero while DuckDB's
+    * `//` floors, so binning negative units with `DIV` would silently
+    * put them one bin off between the engines; flooring on the Spark
+    * side makes the histograms identical for every sign. Pure built-in
+    * integer arithmetic — stays inside whole-stage codegen. */
+  def floorDivSql(x: String, d: Long): String = {
+    require(d > 0, s"divisor must be positive, got $d")
+    s"CASE WHEN ($x) >= 0 THEN ($x) DIV $d ELSE -((-($x) + $d - 1) DIV $d) END"
+  }
+
   /** Per-group histogram quantile estimates.
     *
     * @param df       input
     * @param groupCol grouping column name (returned under the same name)
-    * @param units    Column of non-negative integer-valued measurements
-    *                 in their smallest exact unit (e.g. money in cents)
-    *                 — integer units keep every count and rank exact in
-    *                 both engines
+    * @param units    Column of integer-valued measurements in their
+    *                 smallest exact unit (e.g. money in cents) —
+    *                 integer units keep every count and rank exact in
+    *                 both engines; negative values bin by FLOOR
+    *                 division (see [[floorDivSql]]), so both engines
+    *                 agree for every sign
     * @param binWidth histogram bin width in the same integer units
     * @param perUnit  how many integer units make one natural unit of the
     *                 returned estimate (100 for cents → dollars)
@@ -51,7 +64,7 @@ object HistogramQuantile {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val hist = df
       .select(col(groupCol).as("g"), units.cast("long").as("u"))
-      .select(col("g"), expr(s"u DIV $binWidth").as("bin"))
+      .select(col("g"), expr(floorDivSql("u", binWidth)).as("bin"))
       .groupBy("g", "bin")
       .agg(count(lit(1)).as("cnt"))
     quantilesOfHist(hist, groupCol, binWidth, perUnit, qs)

@@ -18,25 +18,49 @@ import org.apache.spark.sql.functions._
   *
   * Semantics: change rows win wholesale (whole-row UPDATE — a change
   * row's NULL overwrites, it does not "keep old"); a delete for an
-  * absent key is a no-op; keys must be unique on both sides (standard
-  * MERGE precondition — violations would cartesian the match).
+  * absent key is a no-op; a change row with a NULL key can never
+  * equi-match, so it INSERTs (delete-flagged null-key rows are
+  * no-ops), exactly as a never-matching key does; keys must be unique
+  * on both sides (standard MERGE precondition — violations would
+  * cartesian the match; `assertUniqueKeys` checks it at one extra
+  * aggregate's cost for debug runs).
   */
 object MergeInto {
+
+  /** Change-row presence marker: non-null on every `changes` row, so
+    * after the full-outer join "change side present" is testable even
+    * for NULL-key change rows (testing key nullity instead would emit
+    * an all-NULL row for them — base-side columns of an unmatched
+    * change row). */
+  private val presentCol = "__graft_c_present"
 
   /** Apply `changes` to `base`. Both carry the same data columns;
     * `changes` additionally has boolean `deleteFlag`. Output schema =
     * `base` schema. */
   def merge(base: DataFrame, changes: DataFrame, key: String,
-      deleteFlag: String): DataFrame = {
+      deleteFlag: String, assertUniqueKeys: Boolean = false): DataFrame = {
+    if (assertUniqueKeys) {
+      def assertUnique(df: DataFrame, side: String): Unit = {
+        val dup = df.filter(col(key).isNotNull).groupBy(col(key))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1)
+          .collect()
+        require(dup.isEmpty,
+          s"MERGE precondition violated: $side has duplicate key " +
+            s"${dup.head.get(0)} (matches would cartesian)")
+      }
+      assertUnique(base, "base")
+      assertUnique(changes, "changes")
+    }
     val dataCols = base.columns
-    val joined = base.alias("b").join(changes.alias("c"),
+    val joined = base.alias("b").join(
+      changes.withColumn(presentCol, lit(true)).alias("c"),
       col(s"b.$key") === col(s"c.$key"), "full_outer")
     joined
       // matched-or-orphan delete rows drop out; everything else survives
       .filter(!coalesce(col(s"c.$deleteFlag"), lit(false)))
       // change row present → its values win wholesale; else keep base
       .select(dataCols.toIndexedSeq.map { n =>
-        when(col(s"c.$key").isNotNull, col(s"c.$n"))
+        when(col(s"c.$presentCol").isNotNull, col(s"c.$n"))
           .otherwise(col(s"b.$n")).as(n)
       }: _*)
   }

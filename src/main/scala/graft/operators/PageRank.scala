@@ -34,15 +34,19 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
-    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    import graft.util.Checkpoints.pin
+    val (e, releaseE) = pin(edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")))
+    val (out, releaseOut) = pin(e.groupBy("src")
+      .agg(count(lit(1)).as("outdeg")))
+    val (nodes, releaseNodes) = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val base = 15L * scale / 100L
     var r = nodes.withColumn("pr_mass", lit(scale))
+    // release handle for the previous iteration's rank blocks — once
+    // iteration N is checkpointed, N-1's blocks are dead weight
+    var releaseR: () => Unit = () => ()
     (1 to iters).foreach { _ =>
       val contrib = e
         .join(out, "src")
@@ -50,12 +54,17 @@ object PageRank {
         .select(col("dst").as("node"),
           expr("pr_mass div outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      r = nodes.join(contrib, Seq("node"), "left")
+      val (next, releaseNext) = pin(nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0L)) div 100"))
-            .as("pr_mass"))
-        .localCheckpoint(true)
+            .as("pr_mass")))
+      releaseR()
+      r = next
+      releaseR = releaseNext
     }
+    // the final ranks are materialized into their own blocks — the
+    // graph-shape frames are no longer needed by the returned plan
+    releaseE(); releaseOut(); releaseNodes()
     r
   }
 }

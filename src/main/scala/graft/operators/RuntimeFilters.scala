@@ -44,8 +44,13 @@ object RuntimeFilters {
   }
 
   /** Codegen'd `might_contain(filter, xxhash64(key))` predicate over a
-    * pre-built filter blob. */
+    * pre-built filter blob. A null blob (empty build side — see
+    * [[keyBloom]]) would fail analysis as a NullType operand; callers
+    * must branch on it first, as [[bloomPrunedJoin]] does. */
   def mightContain(bloom: Array[Byte], key: Column): Column = {
+    require(bloom != null,
+      "null bloom blob (empty build side?) — the join result is empty; " +
+        "branch on it instead of building a might_contain predicate")
     import org.apache.spark.sql.GraftExpressionBridge.{catalystExpression, column}
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     column(BloomFilterMightContain(
@@ -61,7 +66,14 @@ object RuntimeFilters {
       probeKey: String, buildKey: String,
       estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
     val bf = keyBloom(build, buildKey, estItems, numBits)
-    probe.filter(mightContain(bf, col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey))
+    if (bf == null)
+      // BloomFilterAggregate yields null over zero rows: the build side
+      // is empty (or all-null-keyed), so the inner join is provably
+      // empty — return that directly with the joined schema instead of
+      // letting a NullType blob fail analysis
+      probe.limit(0).join(build, col(probeKey) === col(buildKey))
+    else
+      probe.filter(mightContain(bf, col(probeKey)))
+        .join(build, col(probeKey) === col(buildKey))
   }
 }

@@ -30,9 +30,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Guards: inner equi-join; build subtree is a Project/Filter/leaf
   * chain with a likely-selective predicate (comparison/IN against a
   * literal); build stats ≤ `maxBuildBytes` AND strictly smaller than
-  * the probe; plans already carrying a `might_contain` are left alone —
-  * the idempotence marker for the fixed-point batch that
-  * `experimental.extraOptimizations` runs in.
+  * the probe (NOTE: without CBO `ANALYZE` stats `sizeInBytes` is a
+  * coarse file-size-derived estimate — a large un-analyzed build scan
+  * correctly declines via `maxBuildBytes`, but the relative-size test
+  * is only as good as the estimates; run `ANALYZE TABLE` where the
+  * rule's choice matters, as `q34_table_stats` does). Idempotence for
+  * the fixed-point batch `experimental.extraOptimizations` runs in is
+  * scoped PER JOIN: a probe subtree already filtered by
+  * `might_contain(..., xxhash64(<same key>))` declines — so one join
+  * composed from the explicit [[graft.operators.RuntimeFilters]]
+  * operator doesn't stop OTHER eligible joins in the same plan from
+  * getting their filter.
   */
 object BloomJoinInject {
 
@@ -42,9 +50,18 @@ object BloomJoinInject {
 
   object InjectRule extends Rule[LogicalPlan] with PredicateHelper {
 
-    private def hasBloom(plan: LogicalPlan): Boolean =
-      plan.exists(_.expressions.exists(
-        _.exists(_.isInstanceOf[BloomFilterMightContain])))
+    /** Probe subtree already carries a Bloom filter on this key —
+      * either a previous pass of this rule or an explicit
+      * `RuntimeFilters.mightContain` composed by the user. Scoped to
+      * (subtree, key) so unrelated joins elsewhere in the plan still
+      * get their own injection. */
+    private def alreadyInjected(probe: LogicalPlan,
+        probeKey: Expression): Boolean =
+      probe.exists(_.expressions.exists(_.exists {
+        case BloomFilterMightContain(_, h: XxHash64) =>
+          h.children.size == 1 && h.children.head.semanticEquals(probeKey)
+        case _ => false
+      }))
 
     /** Comparison or membership test against literals — the cheap
       * syntactic stand-in for "this filter drops most rows". */
@@ -70,8 +87,7 @@ object BloomJoinInject {
     }
 
     override def apply(plan: LogicalPlan): LogicalPlan =
-      if (hasBloom(plan)) plan
-      else plan.transformUp {
+      plan.transformUp {
         case j @ Join(l, r, Inner, Some(cond), _) =>
           val keys = splitConjunctivePredicates(cond).collectFirst {
             case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
@@ -80,9 +96,9 @@ object BloomJoinInject {
                 a.references.subsetOf(r.outputSet) => (b, a)
           }
           keys match {
-            case Some((lk, rk)) if eligible(r, l) =>
+            case Some((lk, rk)) if eligible(r, l) && !alreadyInjected(l, lk) =>
               j.copy(left = inject(l, lk, r, rk))
-            case Some((lk, rk)) if eligible(l, r) =>
+            case Some((lk, rk)) if eligible(l, r) && !alreadyInjected(r, rk) =>
               j.copy(right = inject(r, rk, l, lk))
             case _ => j
           }

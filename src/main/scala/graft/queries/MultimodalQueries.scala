@@ -90,10 +90,17 @@ object MultimodalQueries {
     Multimodal.audioFrames(s, blobs).toDF()
   }
 
+  /** xxhash64 frame ids have no DuckDB twin; the portable
+    * `multimodal_frames_oracle` twin replays the same sampler end to
+    * end, and NoOracleLanesSpec pins this lane's values. Kept out of
+    * the driver's oracle sweep. */
+  val benchOnly: Map[String, Q] = Map(
+    "multimodal_frames" -> multimodalFrames,
+  )
+
   val queries: Map[String, Q] = Map(
     "multimodal_audio" -> multimodalAudio,
     "multimodal_features" -> multimodalFeatures,
-    "multimodal_frames" -> multimodalFrames,
     "multimodal_frames_oracle" -> multimodalFramesOracle,
     "multimodal_resize" -> multimodalResize,
     "multimodal_embed_ann" -> multimodalEmbedAnn,

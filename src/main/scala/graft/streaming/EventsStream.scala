@@ -210,7 +210,8 @@ object EventsStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .groupBy(col("event_type").as("g"),
-        expr("CAST(round(value * 100) AS BIGINT) DIV 1000").as("bin"))
+        expr(graft.operators.HistogramQuantile.floorDivSql(
+          "CAST(round(value * 100) AS BIGINT)", 1000)).as("bin"))
       .agg(count(lit(1)).as("cnt"))
     val q = hist.writeStream
       .outputMode("complete")

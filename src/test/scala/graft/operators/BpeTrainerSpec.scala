@@ -33,6 +33,29 @@ class BpeTrainerSpec extends SparkSpec {
     assert(m(1) === (("aa", "aa", 1L)))
   }
 
+  test("batched training ≡ sequential on a multi-word corpus") {
+    // distinct letter regions make several disjoint merges available
+    // per batch; conflicting pairs must end the prefix, not be skipped
+    val df = Seq("aab ab xy xy xyz", "ab aab xy qq qq qqr").toDF("text")
+    def run(b: Int) = BpeTrainer.trainMerges(df, "text",
+      nMerges = 6, batchSize = b).orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val seqOrder = run(1)
+    assert(run(3) === seqOrder)
+    assert(run(6) === seqOrder)
+  }
+
+  test("batched self-pair argmax doesn't stall (aaaa, batchSize 4)") {
+    val df = Seq("aaaa").toDF("text")
+    val m = BpeTrainer.trainMerges(df, "text", nMerges = 2, batchSize = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // (a,a) is the argmax AND overlaps itself: batch accepts exactly it,
+    // recounts, then learns (aa,aa) — identical to sequential
+    assert(m.toSeq === Seq(("a", "a", 3L), ("aa", "aa", 1L)))
+  }
+
   test("stops early when the vocabulary runs out of pairs") {
     val df = Seq("ab ab").toDF("text")
     val m = BpeTrainer.trainMerges(df, "text", nMerges = 10).collect()

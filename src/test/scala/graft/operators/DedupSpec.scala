@@ -131,6 +131,22 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 2L)))
   }
 
+  test("embeddingNearDup fails loudly on a hot block instead of going quadratic") {
+    import spark.implicits._
+    val emb = (1L to 10L).map(i => (i, 0, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+        threshold = 0.9, blockCols = Seq("label"), maxBlockRows = 5L)
+    }
+    assert(e.getMessage.contains("quadratic") &&
+      e.getMessage.contains("hyperplaneBucketsPortable"))
+    // under the limit the same corpus computes normally
+    assert(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.9, blockCols = Seq("label"), maxBlockRows = 10L)
+      .count() === 45L)
+  }
+
   test("incrementalDedup drops exact, near, and within-batch dups") {
     import spark.implicits._
     val corpus = Seq(

@@ -20,6 +20,21 @@ class HistogramQuantileSpec extends SparkSpec {
     assert(out("p90") === (90L, 90.0))
   }
 
+  test("negative units bin by floor division (ANSI `//` semantics)") {
+    // values -50..49, width 10 → bins -5..4 with 10 values each; trunc
+    // division would dump -9..-1 into bin 0 on the Spark side only and
+    // silently diverge from the DuckDB replay
+    val df = (-50L until 50L).map(c => ("n", c)).toDF("g", "c")
+    val out = HistogramQuantile.quantiles(df, "g", col("c"),
+      binWidth = 10L, perUnit = 1L,
+      qs = Seq(("p25", 1, 4), ("p50", 1, 2))).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    // p25: target 25 → bin -3 (cum 30, prevCum 20) → -30 + 10*5/10 = -25
+    assert(out("p25") === (25L, -25.0))
+    // p50: target 50 → bin -1 (cum 50, prevCum 40) → -10 + 10*10/10 = 0
+    assert(out("p50") === (50L, 0.0))
+  }
+
   test("single-bin group interpolates inside the only bin") {
     val df = Seq(("y", 5L), ("y", 6L), ("y", 7L), ("y", 8L))
       .toDF("g", "c")

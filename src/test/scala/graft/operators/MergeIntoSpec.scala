@@ -34,6 +34,33 @@ class MergeIntoSpec extends SparkSpec {
     assert(got.length === 1 && got(0).isNullAt(1))
   }
 
+  test("NULL-key change rows insert (never emit a base-side NULL ghost)") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq(
+      (Option.empty[Long], "nullkey", false), // can never equi-match → insert
+      (Option.empty[Long], "gone", true))     // null-key delete: no-op
+      .toDF("k", "v", "_delete")
+    val got = MergeInto.merge(base, changes, "k", "_delete")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1)))
+      .toSet
+    assert(got === Set((Some(1L), "a"), (None, "nullkey")))
+  }
+
+  test("assertUniqueKeys rejects duplicate merge keys") {
+    val base = Seq((1L, "a"), (1L, "a2")).toDF("k", "v")
+    val changes = Seq((2L, "b", false)).toDF("k", "v", "_delete")
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.merge(base, changes, "k", "_delete", assertUniqueKeys = true)
+    }
+    assert(e.getMessage.contains("duplicate merge key") ||
+      e.getMessage.contains("duplicate key"))
+    // and the happy path still resolves with the check on
+    val ok = MergeInto.merge(Seq((1L, "a")).toDF("k", "v"), changes,
+      "k", "_delete", assertUniqueKeys = true).collect()
+    assert(ok.map(_.getString(1)).toSet === Set("a", "b"))
+  }
+
   test("merge_upsert lane counts reconcile with base populations") {
     val d = sf()
     val base = graft.Tables.orders(spark, d)

@@ -46,6 +46,43 @@ class BloomJoinInjectSpec extends SparkSpec {
     }
   }
 
+  test("an explicit might_contain on one join doesn't block injection " +
+      "on other joins (per-join idempotence scope)") {
+    withRule {
+      // join 1: explicit operator form — carries a literal-blob
+      // might_contain on pk before the rule ever runs
+      val explicit = graft.operators.RuntimeFilters.bloomPrunedJoin(
+        probe, build.filter(col("tag") === "hot"), "pk", "bk")
+      // join 2: the obvious filtered-dim join on a DIFFERENT key — the
+      // rule must still inject here instead of bailing on the whole plan
+      val dim2 = build.select(col("bk").as("bk2"),
+        col("tag").as("tag2"))
+      val df = explicit.join(dim2.filter(col("tag2") === "hot"),
+        col("pv") === col("bk2") % 50)
+      val opt = df.queryExecution.optimizedPlan.toString
+      val n = opt.sliding("might_contain".length)
+        .count(_ == "might_contain")
+      assert(n >= 2, s"expected the explicit filter PLUS an injected " +
+        s"one, found $n in:\n$opt")
+    }
+  }
+
+  test("declines when the build side is a large un-analyzed scan") {
+    withRule {
+      // roles flipped: the filtered side is the 10×-larger probe table.
+      // Without ANALYZE/CBO stats, Filter passes through its child's
+      // file-size estimate, so the build side is NOT smaller than the
+      // probe and the relative-size guard must decline.
+      val df = build.join(probe.filter(col("pv") === 7),
+        col("bk") === col("pk"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("might_contain"),
+        s"rule should decline on a larger-than-probe build side:\n$opt")
+      // pk ≡ 7 (mod 50) up to 5000 → 100 rows, of which pk ≤ 500 match
+      assert(df.count() === 10L)
+    }
+  }
+
   test("no injection without a selective build filter") {
     withRule {
       val df = probe.join(build, col("pk") === col("bk"))

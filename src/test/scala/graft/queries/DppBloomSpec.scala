@@ -57,6 +57,22 @@ class DppBloomSpec extends SparkSpec {
     assert(plain.size === (7L to 2000L by 7).size)
   }
 
+  test("empty build side degrades to the (empty) join, not an analysis error") {
+    import spark.implicits._
+    val probe = (1L to 100L).map(i => (i, s"p$i")).toDF("pk", "pv")
+    val empty = Seq.empty[(Long, String)].toDF("bk", "bv")
+    // BloomFilterAggregate over zero rows yields a null blob; the join
+    // must come back empty with the joined schema instead of failing
+    // analysis on a NullType might_contain operand
+    val out = RuntimeFilters.bloomPrunedJoin(probe, empty, "pk", "bk")
+    assert(out.columns.toSeq === Seq("pk", "pv", "bk", "bv"))
+    assert(out.count() === 0L)
+    // all-null-keyed build side is the same degenerate case
+    val nullKeys = Seq((Option.empty[Long], "x")).toDF("bk", "bv")
+    assert(RuntimeFilters.bloomPrunedJoin(probe, nullKeys, "pk", "bk")
+      .count() === 0L)
+  }
+
   test("bloom pruning sits before the join in the probe plan") {
     val df = RelationalQueries.q42BloomJoin(spark, sf())
     val plan = executedPlanString(df)

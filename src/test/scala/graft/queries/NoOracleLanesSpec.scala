@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 class NoOracleLanesSpec extends SparkSpec {
 
-  private def q(name: String) = SparkEntry.queries(name)(spark, sf())
+  private def q(name: String) = SparkEntry.allQueries(name)(spark, sf())
 
   test("dedup_minhash: candidate/pair counts and max jaccard pinned") {
     val r = q("dedup_minhash").head()
