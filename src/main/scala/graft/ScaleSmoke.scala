@@ -13,13 +13,21 @@ import org.apache.spark.sql.functions._
   * → final shape has no superlinear stage and its shuffle volume is the
   * group count, not the row count).
   *
-  *   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 4"
+  *   sbt "runMain graft.ScaleSmoke /root/testdata/sf0.1 16"
   *
   * Prints one line per query: base median, K× median, ratio, plus a
-  * JSON summary line. Ratios well under K mean the fixed per-job
-  * overhead still dominates at this size; ratios near K mean scan-bound
-  * linear scaling — both are healthy. A ratio ≫ K would flag a
-  * superlinear stage (the thing this harness exists to catch).
+  * JSON summary line (also written to $SPARK_GRAFT_SCALE_OUT, default
+  * scale_result.json — the committed SCALE_r{N}.json artifact). Ratios
+  * well under K mean the fixed per-job overhead still dominates at
+  * this size; ratios near K mean scan-bound linear scaling — both are
+  * healthy. A ratio ≫ K would flag a superlinear stage (the thing
+  * this harness exists to catch).
+  *
+  * Measurement discipline matches [[Bench]]: 1 warmup + 5 measured
+  * runs per (query, size), median over the healthy samples (within 3×
+  * of the minimum — the host has documented intermittent stalls), and
+  * ALL pinned checkpoint blocks released after every sample so lanes
+  * can't contaminate each other across the sweep.
   */
 object ScaleSmoke {
 
@@ -61,11 +69,24 @@ object ScaleSmoke {
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
   private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted; s(s.size / 2)
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 5 samples, untimed block sweep after each, median of the samples
+    * within 3× of the minimum (the Bench healthy-sample policy). */
+  private def measure(spark: SparkSession, f: => Unit): Double = {
+    val times = (1 to 5).map { _ =>
+      val t = time(f)
+      graft.util.Checkpoints.releaseAll(spark)
+      t
+    }
+    median(times.filter(_ <= math.max(times.min, 1e-9) * 3.0))
   }
 
   def main(args: Array[String]): Unit = {
@@ -118,10 +139,11 @@ object ScaleSmoke {
       s"documents base=$dBase, ${k}x=$dBig")
 
     def run(q: String, dir: String): Double = {
-      val f = () => SparkEntry.queries(q)(spark, dir)
+      val f = () => SparkEntry.allQueries(q)(spark, dir)
         .queryExecution.toRdd.foreach(_ => ())
       f() // warmup
-      median((1 to 3).map(_ => time(f())))
+      graft.util.Checkpoints.releaseAll(spark)
+      measure(spark, f())
     }
     val rows = queries.map { q =>
       val (b, g) = (run(q, base), run(q, big))
@@ -132,7 +154,18 @@ object ScaleSmoke {
     val js = rows.map { case (q, b, g) =>
       s""""$q":{"base":${fmt(b)},"k":${fmt(g)},"ratio":${fmt(g / b)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","k":$k,"queries":$js}""")
+    val line =
+      s"""{"metric":"scale_smoke","k":$k,"base_dir":"$base","rows_lineitem_k":$nBig,"queries":$js}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_result.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[scale] json written to $outPath")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[scale] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
