@@ -170,11 +170,11 @@ object Bench {
             // is safe — and untimed, so the sweep never pollutes the
             // measurement itself.
             (1 to warmups).foreach { _ =>
-              run(fn(spark, sfDir)); graft.util.Checkpoints.releaseAll(spark)
+              run(fn(spark, sfDir)); graft.util.Checkpoints.releaseAllAndGc(spark)
             }
             val (med, sd, samples) = measure(repeats,
               run(fn(spark, sfDir)),
-              graft.util.Checkpoints.releaseAll(spark))
+              graft.util.Checkpoints.releaseAllAndGc(spark))
             System.err.println(s"[bench] $name median=${fmt(med)}s " +
               s"sd=${fmt(sd)} samples=${samples.map(fmt).mkString(",")}")
             (name, med, sd)

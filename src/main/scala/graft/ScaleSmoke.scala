@@ -83,7 +83,7 @@ object ScaleSmoke {
   private def measure(spark: SparkSession, f: => Unit): Double = {
     val times = (1 to 5).map { _ =>
       val t = time(f)
-      graft.util.Checkpoints.releaseAll(spark)
+      graft.util.Checkpoints.releaseAllAndGc(spark)
       t
     }
     median(times.filter(_ <= math.max(times.min, 1e-9) * 3.0))
@@ -142,7 +142,7 @@ object ScaleSmoke {
       val f = () => SparkEntry.allQueries(q)(spark, dir)
         .queryExecution.toRdd.foreach(_ => ())
       f() // warmup
-      graft.util.Checkpoints.releaseAll(spark)
+      graft.util.Checkpoints.releaseAllAndGc(spark)
       measure(spark, f())
     }
     val rows = queries.map { q =>
