@@ -93,6 +93,10 @@ object ScaleSmoke {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local-dev override: smoke only the named lanes (e.g. the headline
+    // four at a K too large to rebuild every corpus-bound lane for)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scale-smoke")
@@ -145,7 +149,7 @@ object ScaleSmoke {
       graft.util.Checkpoints.releaseAllAndGc(spark)
       measure(spark, f())
     }
-    val rows = queries.map { q =>
+    val rows = queries.filter(q => only.forall(_.contains(q))).map { q =>
       val (b, g) = (run(q, base), run(q, big))
       System.err.println(
         s"[scale] $q base=${fmt(b)}s ${k}x=${fmt(g)}s ratio=${fmt(g / b)}")
