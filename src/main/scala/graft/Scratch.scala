@@ -19,7 +19,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (name <- args) {
-      val df = SparkEntry.queries(name)(spark, d)
+      val df = SparkEntry.allQueries(name)(spark, d)
       println(s"===== $name formatted plan =====")
       df.explain("formatted")
       val t0 = System.nanoTime()

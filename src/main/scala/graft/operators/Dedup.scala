@@ -266,10 +266,16 @@ object Dedup {
     * shifts assemble the long; a single shuffle at any scale.
     * Tokenless documents get simhash 0. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // one string hash per token; the 64 bits of that hash ARE the 64
+    // per-plane votes (the same one-hash move the portable path makes
+    // with its md5 prefix — and the same hash-once economics as
+    // minhashSignatures: k bit extractions of a fixed-width long
+    // instead of k string hashes)
     val toks = docs.select(col(idCol),
       explode(TF.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
     val votes = (0 until 64).map { j =>
-      sum(xxhash64(col("tok"), lit(j)).bitwiseAND(1) * 2 - 1).as(s"v$j")
+      sum(shiftrightunsigned(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"v$j")
     }
     val agg = toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
     val hash = (0 until 64)
