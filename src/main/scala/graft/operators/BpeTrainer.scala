@@ -77,11 +77,13 @@ object BpeTrainer {
         // single-symbol spellings have no pairs (and Spark's
         // sequence(1, 0) would DESCEND, not return empty)
         .filter(size(col("t")) >= 2)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          j => struct(element_at(col("t"), j).as("l"),
-            element_at(col("t"), j + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        // explode positions, extract the pair in the codegen'd
+        // projection (transform() lambdas are interpreted — the
+        // bigram-path discipline)
+        .select(col("cnt"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("j"))
+        .groupBy(element_at(col("t"), col("j")).as("l"),
+          element_at(col("t"), col("j") + 1).as("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(want).collect()

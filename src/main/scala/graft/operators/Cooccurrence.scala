@@ -24,19 +24,25 @@ object Cooccurrence {
   /** One row per ordered skip-gram occurrence: (doc_id, w1, w2) for
     * every token pair at distance 1..`window` (w1 precedes w2).
     * Documents with < 2 tokens drop out. The tokens array materializes
-    * once; the nested transform emits (window) slices of it. */
+    * once; distances then positions explode as two Generate stages and
+    * the (w1, w2) extraction runs in the codegen'd projection after —
+    * the previous nested transform-in-transform was doubly interpreted
+    * (CodegenFallback), the HOF cost the bigram/span paths avoid the
+    * same way. */
   def skipgrams(docs: DataFrame, idCol: String, textCol: String,
       window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     docs
       .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(flatten(transform(
-        sequence(lit(1), least(lit(window), size(col("toks")) - 1)),
-        d => transform(sequence(lit(1), size(col("toks")) - d),
-          i => struct(element_at(col("toks"), i).as("w1"),
-            element_at(col("toks"), i + d).as("w2")))))).as("sg"))
-      .select(col("doc_id"), col("sg.w1").as("w1"), col("sg.w2").as("w2"))
+      .select(col("doc_id"), col("toks"), explode(
+        sequence(lit(1), least(lit(window), size(col("toks")) - 1)))
+        .as("d"))
+      .select(col("doc_id"), col("toks"), col("d"), explode(
+        sequence(lit(1), size(col("toks")) - col("d"))).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + col("d")).as("w2"))
   }
 
   /** Pointwise mutual information per frequent skip-gram pair:

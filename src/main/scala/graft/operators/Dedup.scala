@@ -389,9 +389,14 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - (n - 1)),
-        i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("span"))
+      // explode the POSITIONS, build each span string in the codegen'd
+      // projection after — building them inside a transform() lambda is
+      // interpreted (CodegenFallback), the same HOF cost the minhash
+      // signature path avoids the same way
+      .select(col("doc_id"), col("toks"), explode(
+        sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("span"))
       .groupBy("span", "doc_id")
       .agg(count(lit(1)).as("occ"))
       .groupBy("span")

@@ -28,18 +28,20 @@ import org.apache.spark.sql.functions._
 object LanguageModel {
 
   /** One row per bigram OCCURRENCE: (doc_id, w1, w2). Documents with
-    * fewer than 2 tokens have no bigrams and drop out. The tokens array
-    * is materialized before the transform lambda (interpreted HOF —
-    * a nested tokenizer would re-run per element). */
+    * fewer than 2 tokens have no bigrams and drop out. The positions
+    * are exploded and the (w1, w2) extraction happens in the codegen'd
+    * projection AFTER the explode — building the pair structs inside a
+    * transform() lambda is interpreted (CodegenFallback), the HOF cost
+    * the MinHash/span paths avoid the same way. */
   def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => struct(element_at(col("toks"), i).as("w1"),
-          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
 
   /** (doc_id, n_bigrams, avg_ll): average Laplace-smoothed bigram
     * log-likelihood of every document in `docs` (≥ 1 bigram) under the

@@ -62,11 +62,16 @@ object Packing {
     df.select(col(idCol).as("doc_id"),
       graft.functions.TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("toks")), lit(stride)),
-        s => slice(col("toks"), s, lit(chunkSize)))))
-      .toDF("doc_id", "chunk_id", "chunk")
+      // posexplode the START POSITIONS; the chunk slice happens in the
+      // codegen'd projection after (slicing inside the transform()
+      // lambda is interpreted — the HOF cost the bigram/span paths
+      // avoid the same way)
+      .select(col("doc_id"), col("toks"), posexplode(
+        sequence(lit(1), size(col("toks")), lit(stride))))
+      .toDF("doc_id", "toks", "chunk_id", "s")
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("s"), lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
   }
