@@ -36,18 +36,18 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Distinct word-shingle sets per document, each array stage
-    * materialized as its own column: higher-order array lambdas are
-    * interpreted (CodegenFallback), so nesting tokenize inside shingle
-    * inside hash re-evaluates upstream stages per lambda element —
-    * measured 100×+ slowdown. Stage-by-stage projection keeps each
-    * lambda O(its own array). */
+  /** Distinct word-shingle sets per document via the imperative
+    * [[graft.functions.DistinctShingles]] expression: one tight-loop
+    * eval per row. (History: nesting tokenize inside shingle inside
+    * hash as lambdas re-evaluated upstream stages per element —
+    * measured 100×+ slowdown; then stage-by-stage lambda projection;
+    * now no per-element interpretation at all.) */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int): DataFrame =
     docs
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
-      .select(col("id"), array_distinct(
-        TF.shinglesFromTokens(col("toks"), shingleLen)).as("sh"))
+      .select(col("id"), graft.functions.ShingleFunctions
+        .distinctShingles(col("toks"), shingleLen).as("sh"))
 
   /** k-permutation MinHash signature from a materialized shingle-array
     * column. Hash family = hash-of-hash: the shingle string is hashed
@@ -241,7 +241,7 @@ object Dedup {
         TF.tokens(col(textCol)).as("toks"): _*)
       .filter(size(col("toks")) > 0)
       .select((col("id") +: blockCols.map(col)) :+
-        array_distinct(TF.shinglesFromTokens(col("toks"), n)).as("ng"): _*)
+        graft.functions.ShingleFunctions.distinctShingles(col("toks"), n).as("ng"): _*)
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(lit(true))(_ && _)
     // (b) batch ids with a near-dup partner anywhere in the corpus
@@ -346,7 +346,7 @@ object Dedup {
       .select((col(idCol).as("id") +: blockCols.map(col)) :+
         TF.tokens(col(textCol)).as("toks"): _*)
       .select((col("id") +: blockCols.map(col)) :+
-        array_distinct(TF.shinglesFromTokens(col("toks"), n)).as("ng"): _*)
+        graft.functions.ShingleFunctions.distinctShingles(col("toks"), n).as("ng"): _*)
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     sets.as("a").join(sets.as("b"), joinCond)
