@@ -42,12 +42,15 @@ object TextFunctions {
     length(regexp_replace(text, "\\S", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  /** Mean token length in characters (0 for empty docs). */
+  /** Mean token length in characters (0 for empty docs). Tokens are
+    * the \s+-split runs, so Σ token lengths ≡ the count of
+    * non-whitespace characters — one codegen'd regex strip instead of
+    * an interpreted per-element aggregate() fold. */
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks).cast("double"))
+    val nTok = tokenCount(text)
+    when(nTok === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "\\s", "")).cast("double") /
+        nTok.cast("double"))
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -59,15 +62,16 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
   )
 
-  /** Count of tokens belonging to `lang`'s stopword list. */
+  /** Count of tokens belonging to `lang`'s stopword list — one
+    * imperative hash-set pass ([[TokenSetCount]]; ≡ the interpreted
+    * `size(filter(toks, isin(...)))` it replaces). */
   def stopwordHits(text: Column, lang: String): Column =
-    size(filter(tokens(lower(text)),
-      t => t.isin(stopwords(lang): _*))).cast("long")
+    StopwordFunctions.tokenSetCount(tokens(lower(text)), stopwords(lang))
 
   /** Stopword ratio against the union of all lists (quality signal). */
   def stopwordRatio(text: Column): Column = {
     val all = stopwords.values.flatten.toSeq.distinct
-    size(filter(tokens(lower(text)), t => t.isin(all: _*))).cast("double") /
+    StopwordFunctions.tokenSetCount(tokens(lower(text)), all).cast("double") /
       greatest(size(tokens(text)), lit(1)).cast("double")
   }
 
@@ -104,15 +108,13 @@ object TextFunctions {
 
   /** Heuristic language ID: argmax of per-language stopword hits, "und"
     * (undetermined) when nothing matches. Ties break on reverse-alpha
-    * order via the struct max — deterministic. */
-  def langId(text: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map { l =>
-      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("hits") === 0, lit("und"))
-      .otherwise(best.getField("lang"))
-  }
+    * order — deterministic. One tokenize + one imperative pass over
+    * the tokens ([[BestStopwordLang]]); the previous
+    * greatest-of-structs form re-tokenized and re-filtered once per
+    * language, each filter interpreted per element. */
+  def langId(text: Column): Column =
+    StopwordFunctions.bestStopwordLang(tokens(lower(text)),
+      stopwords.keys.toSeq.sorted.map(l => l -> stopwords(l)))
 
   /** Composite quality score in [0,1]: length credit, punctuation
     * penalty, stopword credit. Weights are arbitrary but fixed. */
