@@ -137,12 +137,12 @@ object TextFunctions {
 
   /** Modular rolling (polynomial) hash over the normalized characters:
     * h = (h*31 + code) mod 1e9+7 — a Karp-Rabin-style document
-    * fingerprint computed as one codegen'd array fold. Modular (not
-    * wrapping) so engines without wrapping int64 arithmetic compute the
-    * identical value. */
+    * fingerprint, one imperative byte loop per row
+    * ([[RollingHash]]; the previous aggregate() fold was interpreted
+    * per character). Modular (not wrapping) so engines without
+    * wrapping int64 arithmetic compute the identical value. */
   def rollingHash(text: Column): Column =
-    aggregate(split(normalize(text), ""), lit(0L),
-      (acc, c) => (acc * 31L + ascii(c).cast("long")) % 1000000007L)
+    RollingHashFunctions.rollingHash(normalize(text))
 
   /** Word n-gram shingles from a MATERIALIZED tokens column. `toks`
     * must be a bound attribute, not a nested expression: higher-order
