@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
-  /** Distinct (id, ngram) pairs of a pre-normalized text column. */
+  /** Distinct (id, ngram) pairs of a pre-normalized text column.
+    * [[graft.functions.DistinctShingles]] dedups per document in its
+    * one imperative pass, so exploding it yields (doc_id, ngram) pairs
+    * that are unique BY CONSTRUCTION — no distinct() shuffle. */
   private def ngramPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), TF.shinglesFromTokens(col("toks"), n).as("ng"))
-      .select(col("doc_id"), explode(col("ng")).as("ngram"))
-      .distinct()
+      .select(col("doc_id"), explode(graft.functions.ShingleFunctions
+        .distinctShingles(col("toks"), n)).as("ngram"))
 
   /** Flagged training docs: (doc_id, n_shared) for every training doc
     * sharing ≥1 n-gram with the eval set. Join the output back with a
@@ -55,8 +57,11 @@ object Decontamination {
       textCol: String, n: Int): DataFrame = {
     val sg = docs
       .select(col(sourceCol).as("src"), TF.tokens(col(textCol)).as("toks"))
-      .select(col("src"), TF.shinglesFromTokens(col("toks"), n).as("ng"))
-      .select(col("src"), explode(col("ng")).as("ngram"))
+      // per-doc dedup in the imperative shingle pass shrinks the rows
+      // entering the cross-doc distinct's shuffle; the distinct() is
+      // still needed to collapse ngrams repeated ACROSS a source's docs
+      .select(col("src"), explode(graft.functions.ShingleFunctions
+        .distinctShingles(col("toks"), n)).as("ngram"))
       .distinct()
     sg.as("a").join(sg.as("b"),
         col("a.ngram") === col("b.ngram") && col("a.src") < col("b.src"))

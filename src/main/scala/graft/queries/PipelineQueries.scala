@@ -672,10 +672,15 @@ object PipelineQueries {
     docs(s, d)
       .select(col("doc_id"), TF.tokens(col("norm_text")).as("toks"))
       .select(col("doc_id"),
-        TF.shinglesFromTokens(col("toks"), 3).as("ng"))
-      .select(col("doc_id"),
-        size(col("ng")).cast("long").as("n_ngrams"),
-        size(array_distinct(col("ng"))).cast("long").as("n_distinct"))
+        // total window count is pure arithmetic (the shinglesFromTokens
+        // cases: 0 tokens → 0, ≤3 → the single whole-doc shingle,
+        // else size−2); only the DISTINCT set needs materializing, via
+        // the one-pass imperative expression
+        when(size(col("toks")) === 0, 0L)
+          .when(size(col("toks")) <= 3, 1L)
+          .otherwise((size(col("toks")) - 2).cast("long")).as("n_ngrams"),
+        size(graft.functions.ShingleFunctions
+          .distinctShingles(col("toks"), 3)).cast("long").as("n_distinct"))
       .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
         // raw double, no rounding: exact integer inputs through the
         // same two IEEE ops are bit-identical across engines
