@@ -18,12 +18,13 @@ import org.apache.spark.sql.functions._
   * plain integer arithmetic both engines compute identically — every
   * boundary, chunk span, and chunk fingerprint replays in DuckDB.
   *
-  * Scale shape: per-position hashing is map-side (explode of the
-  * position sequence fused into the scan stage — W literal power
-  * terms per position, no HOF-in-HOF); boundary→chunk conversion is
-  * ONE doc-keyed window pass (lag over boundary rows, ~n/divisor rows
-  * per doc, far smaller than the corpus); fingerprints are substring
-  * + md5 map work. No join anywhere.
+  * Scale shape: boundary detection is ONE imperative rolling-hash
+  * pass per document ([[graft.functions.CdcBoundaries]] — 3 modular
+  * ops per character, emitting only the ~n/divisor boundary ends), so
+  * the whole operator is map-side: the boundary ARRAY gives each
+  * chunk its predecessor by position (`element_at`), which removes
+  * the doc-keyed window shuffle the lag-over-boundary-rows form paid.
+  * Fingerprints are substring + md5 map work. No join, no exchange.
   */
 object ContentChunker {
 
@@ -34,9 +35,46 @@ object ContentChunker {
     * `textCol`, md5 fingerprints. Docs shorter than `window` form one
     * chunk. A boundary fires where the window hash ending at position
     * p satisfies hash mod divisor == 0; the final position is always a
-    * boundary so chunks tile the document exactly. */
+    * boundary so chunks tile the document exactly.
+    *
+    * Contract: `textCol` is NORMALIZED text ([a-z0-9 ] — single-byte
+    * ASCII), so the boundary pass's byte offsets equal `substring`'s
+    * character offsets and the oracle's `ascii()` replay exactly (the
+    * same contract as [[graft.functions.RollingHash]]). */
   def chunks(docs: DataFrame, idCol: String, textCol: String,
       window: Int, divisor: Long): DataFrame = {
+    require(window >= 2 && window <= 16, s"window must be in [2,16]: $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        graft.functions.CdcFunctions
+          .cdcBoundaries(col("t"), window, divisor).as("_b"))
+      .select(col("doc_id"), col("t"), col("_b"),
+        posexplode(col("_b")).as(Seq("_i", "end")))
+      .select(col("doc_id"),
+        (col("_i") + 1).cast("long").as("chunk_idx"),
+        col("t"), col("end"),
+        // element_at is 1-based: chunk _i's predecessor end is the
+        // _i-th array element (0 for the first chunk).
+        when(col("_i") === 0, lit(0L))
+          .otherwise(element_at(col("_b"), col("_i"))).as("prev"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("prev") + 1L).as("start"),
+        (col("end") - col("prev")).as("len"),
+        md5(substring(col("t"), (col("prev") + 1L).cast("int"),
+          (col("end") - col("prev")).cast("int")).cast("binary"))
+          .as("chunk_fp"))
+  }
+
+  /** The explode-of-positions reference form of [[chunks]] — the shape
+    * built purely from built-ins (per-position 8-term window hash in
+    * the scan projection, lag-window span construction). Kept as the
+    * parity target for [[chunks]]'s imperative rolling-hash pass; the
+    * production path is `chunks`. */
+  private[graft] def chunksViaExplode(docs: DataFrame, idCol: String,
+      textCol: String, window: Int, divisor: Long): DataFrame = {
     require(window >= 2 && window <= 16, s"window must be in [2,16]: $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val powers = Array.iterate(1L, window)(p => p * B % M).reverse

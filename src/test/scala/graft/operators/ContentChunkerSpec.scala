@@ -35,9 +35,28 @@ class ContentChunkerSpec extends SparkSpec {
     assert((got.head.getLong(2), got.head.getLong(3)) === ((1L, 3L)))
   }
 
+  test("imperative boundary pass ≡ explode-of-positions reference") {
+    val dd = graft.Tables.documents(spark, sf())
+      .withColumn("norm_text",
+        graft.functions.TextFunctions.normalize(col("text")))
+    val cols = Seq("doc_id", "chunk_idx", "start", "len", "chunk_fp")
+    val fast = ContentChunker.chunks(dd, "doc_id", "norm_text", 8, 64L)
+      .orderBy(cols.map(col): _*).collect().toSeq
+    val ref = ContentChunker
+      .chunksViaExplode(dd, "doc_id", "norm_text", 8, 64L)
+      .orderBy(cols.map(col): _*).collect().toSeq
+    assert(fast.nonEmpty)
+    assert(fast === ref)
+  }
+
   test("boundaries re-sync after a prefix edit (the CDC property)") {
+    // Normalized text, per the operator's ASCII contract (the
+    // production lane chunks norm_text; raw multi-byte text has no
+    // byte↔char position agreement to chunk against).
     val base = graft.Tables.documents(spark, sf())
-      .orderBy(desc("n_chars")).select("text").head().getString(0)
+      .withColumn("norm_text",
+        graft.functions.TextFunctions.normalize(col("text")))
+      .orderBy(desc("n_chars")).select("norm_text").head().getString(0)
     val fps = (doc: String, id: Long) =>
       chunksOf(Seq((id, doc))).select("chunk_fp").collect()
         .map(_.getString(0)).toSet
