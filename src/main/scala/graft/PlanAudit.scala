@@ -259,6 +259,16 @@ object PlanAudit {
     check("pack_sliding: map-only, no shuffle", !ps.contains("Exchange"),
       "chunk emission fused into the scan stage")
 
+    // CDC chunking: the imperative boundary pass makes the operator
+    // map-side — the ONLY exchange is the lane's explicit parallelism
+    // spread (repartition of the single-file testdata scan), and the
+    // old lag-window span construction (Sort + Window over doc_id) is
+    // gone: chunk predecessors come from the boundary array itself.
+    val cc = plan("cdc_chunks")
+    check("cdc_chunks: map-side after the spread repartition",
+      occurrences(cc, "Exchange") == 1 && !cc.contains("Window"),
+      "boundary array, not a lag window, supplies chunk spans")
+
     // custom DataSource V2: the per-cab aggregate needs 3 of 5 columns
     // — SupportsPushDownRequiredColumns must keep the rest out of the
     // BatchScan entirely.

@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   * plain integer arithmetic both engines compute identically — every
   * boundary, chunk span, and chunk fingerprint replays in DuckDB.
   *
-  * Scale shape: boundary detection is ONE imperative rolling-hash
-  * pass per document ([[graft.functions.CdcBoundaries]] — 3 modular
-  * ops per character, emitting only the ~n/divisor boundary ends), so
-  * the whole operator is map-side: the boundary ARRAY gives each
-  * chunk its predecessor by position (`element_at`), which removes
-  * the doc-keyed window shuffle the lag-over-boundary-rows form paid.
-  * Fingerprints are substring + md5 map work. No join, no exchange.
+  * Scale shape: ONE imperative rolling-hash byte pass per document
+  * ([[graft.functions.CdcChunkExplode]], a custom Generator — 3
+  * modular ops per character) computes boundaries AND slices each
+  * chunk as it closes, so a chunk row carries only its own
+  * ~divisor-byte slice (not the whole document text) and nothing
+  * re-scans the string per chunk. The whole operator is map-side —
+  * no window shuffle, no join, no exchange; fingerprints are md5
+  * over the emitted slices.
   */
 object ContentChunker {
 
@@ -47,25 +48,10 @@ object ContentChunker {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("t"))
-      .filter(length(col("t")) > 0)
-      .select(col("doc_id"), col("t"),
-        graft.functions.CdcFunctions
-          .cdcBoundaries(col("t"), window, divisor).as("_b"))
-      .select(col("doc_id"), col("t"), col("_b"),
-        posexplode(col("_b")).as(Seq("_i", "end")))
-      .select(col("doc_id"),
-        (col("_i") + 1).cast("long").as("chunk_idx"),
-        col("t"), col("end"),
-        // element_at is 1-based: chunk _i's predecessor end is the
-        // _i-th array element (0 for the first chunk).
-        when(col("_i") === 0, lit(0L))
-          .otherwise(element_at(col("_b"), col("_i"))).as("prev"))
-      .select(col("doc_id"), col("chunk_idx"),
-        (col("prev") + 1L).as("start"),
-        (col("end") - col("prev")).as("len"),
-        md5(substring(col("t"), (col("prev") + 1L).cast("int"),
-          (col("end") - col("prev")).cast("int")).cast("binary"))
-          .as("chunk_fp"))
+      .select(col("doc_id"), graft.functions.CdcFunctions
+        .cdcChunkExplode(col("t"), window, divisor))
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+        md5(col("chunk").cast("binary")).as("chunk_fp"))
   }
 
   /** The explode-of-positions reference form of [[chunks]] — the shape
