@@ -64,7 +64,17 @@ object ScaleSmoke {
     // 1× orders build side — prune + join stay linear in the probe).
     // merge_upsert / incr_agg are NOT here: they read only orders,
     // which the enlargement deliberately keeps 1× (see above).
-    "dpp_join", "q42_bloom_join")
+    "dpp_join", "q42_bloom_join",
+    // round-5: the heaviest remaining bench lanes, all linear-output
+    // under the disjoint-id enlargement. q7 = the 5-table denorm join
+    // (K× lineitem probes 1× orders/customer/supplier/nation — the
+    // same probe-side policy as the Bloom lane); span_dedup emits
+    // DISTINCT spans (counts grow K×, the span set doesn't); text_pmi
+    // emits distinct pairs over a fixed vocabulary; text_bm25 scores
+    // each doc once (K× docs → K× rows, query-pruned df stays tiny);
+    // cross-doc minhash/cluster pair lanes stay excluded per the note
+    // above.
+    "q7_denorm_join", "span_dedup", "text_pmi", "text_bm25")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
@@ -134,6 +144,15 @@ object ScaleSmoke {
       Tables.orders(spark, base)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$big/orders.parquet")
+    }
+    // q7's dimension tables ride along at 1× (the fact side is what
+    // the harness enlarges; dims join un-hinted and AQE handles them
+    // the same at either size).
+    for (t <- Seq("customer", "supplier", "nation")) {
+      if (!new java.io.File(s"$big/$t.parquet").exists()) {
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$big/$t.parquet")
+      }
     }
     val nBase = Tables.lineitem(spark, base).count()
     val nBig = Tables.lineitem(spark, big).count()
