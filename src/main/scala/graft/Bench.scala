@@ -81,7 +81,10 @@ object Bench {
     // partitioned fact written once in warmup; row-level Bloom-pruned
     // join building its filter per run — the build IS the operator) and
     // the full-outer-join MERGE resolve
-    "dpp_join", "q42_bloom_join", "merge_upsert")
+    "dpp_join", "q42_bloom_join", "merge_upsert",
+    // round-5: SemDeDup — centroid train + broadcast assignment +
+    // within-assigned-cluster pairs + star-contraction components
+    "semantic_dedup")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -448,4 +448,55 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (cluster the embedding
+    * space, compare only within a cluster, keep one item per
+    * near-duplicate set — the semantic-dedup recipe of Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): every vector is assigned to its NEAREST
+    * prototype centroid (centroids trained per `protoCol` group —
+    * deterministic integer-micro sums, [[EmbeddingStats.centroids]]),
+    * near-dup pairs are found only within an assigned cluster, and
+    * each connected near-dup component keeps its minimum id. The
+    * learned assignment — not the labeled group — is the blocking
+    * key, which is what lets the pass catch cross-label duplicates
+    * that label-blocked [[embeddingNearDup]] by construction cannot.
+    *
+    * Scale shape: the centroid table is groups × dims (tiny at any
+    * corpus size) → broadcast, so assignment is map-only; the
+    * within-cluster quadratic is behind [[embeddingNearDup]]'s loud
+    * `maxClusterRows` guard (at real corpus sizes route candidate
+    * generation through `SimilaritySearch.hyperplaneBucketsPortable`
+    * and keep this form for verification); component labeling is the
+    * bounded star-contraction of [[ConnectedComponents]].
+    *
+    * Returns one row per input id: (id, cluster, dup_root, keep) —
+    * `dup_root` the component's min id (itself if unpaired), `keep`
+    * true exactly for the survivor of each component. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      protoCol: String, threshold: Double,
+      maxClusterRows: Long = 10000L): DataFrame = {
+    val cents = EmbeddingStats.centroids(emb, protoCol, vecCol)
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // argmax cosine over the broadcast centroids; ties break to the
+    // highest group id via lexicographic struct max (the
+    // nearestCentroidConfusion policy, replayed in the oracle as
+    // ORDER BY cos DESC, grp DESC)
+    val assigned = base.crossJoin(broadcast(cents))
+      .select(col("id"), struct(
+        VF.cosineSimilarity(col("vec"), col("centroid")).as("cos"),
+        col("grp")).as("scored"))
+      .groupBy("id")
+      .agg(max(col("scored")).getField("grp").cast("long").as("cluster"))
+    val withCluster = base.join(assigned, Seq("id"))
+    val pairs = embeddingNearDup(withCluster, "id", "vec", threshold,
+      blockCols = Seq("cluster"), maxBlockRows = maxClusterRows)
+    val comp = ConnectedComponents.labels(pairs, "id_a", "id_b")
+    withCluster.select(col("id"), col("cluster"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("cluster_id"), col("id")).as("dup_root"))
+      .withColumn("keep", col("dup_root") === col("id"))
+  }
 }

@@ -234,6 +234,14 @@ object PipelineQueries {
           .as("n_survivors"))
   }
 
+  /** SemDeDup lane: semantic dedup over the embeddings table — every
+    * vector assigned to its nearest label-prototype centroid, near-dup
+    * pairs found within the ASSIGNED cluster (not the true label), one
+    * survivor per connected component. See [[Dedup.semanticDedup]]. */
+  def semanticDedup: Q = (s, d) =>
+    Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      "label", threshold = 0.35)
+
   /** Stratified deterministic sample + disjoint split assignment over
     * documents: per-language keep rates, then train/eval/test by hash
     * interval. Hash-exact across engines (md5-derived, no RNG). */
@@ -1033,6 +1041,7 @@ object PipelineQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_clusters" -> dedupClusters,
     "dedup_survivors" -> dedupSurvivors,
+    "semantic_dedup" -> semanticDedup,
     "sample_stratified" -> sampleStratified,
     "sample_group_quota" -> sampleGroupQuota,
     "text_bm25" -> textBm25,
@@ -1456,6 +1465,44 @@ object PipelineQueries {
         |SELECT id, cluster_id,
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM comp""".stripMargin,
+    // SemDeDup replay: centroid training + nearest-centroid assignment
+    // (the embedding_assign CTEs), pairs within the ASSIGNED cluster,
+    // reachability closure, min-id survivor per component
+    "semantic_dedup" ->
+      """WITH RECURSIVE x AS (SELECT label,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |  unnest(generate_series(1, len(embedding))) AS i
+        | FROM embeddings),
+        | st AS (SELECT label AS grp, i AS dim,
+        |  sum(CAST(floor(v * 1000000) AS BIGINT)) AS sum_micro, count(*) AS n
+        | FROM x GROUP BY 1, 2),
+        | c AS (SELECT grp, list(CAST(sum_micro AS DOUBLE)
+        |    / CAST(n * 1000000 AS DOUBLE) ORDER BY dim) AS centroid
+        |  FROM st GROUP BY 1),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        | scored AS (SELECT e.vec_id, c.grp,
+        |   list_cosine_similarity(e.v, c.centroid) AS cos
+        |  FROM e CROSS JOIN c),
+        | best AS (SELECT vec_id, grp,
+        |   row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY cos DESC, grp DESC) AS rk FROM scored),
+        | a AS (SELECT e.vec_id, e.v, CAST(b.grp AS BIGINT) AS cluster
+        |  FROM e JOIN best b ON b.vec_id = e.vec_id AND b.rk = 1),
+        | pairs AS (SELECT p.vec_id AS id_a, q.vec_id AS id_b
+        |  FROM a p JOIN a q ON p.cluster = q.cluster
+        |    AND p.vec_id < q.vec_id
+        |  WHERE round(list_cosine_similarity(p.v, q.v), 4) >= 0.35),
+        | edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        | reach(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT g.t, r.lab FROM reach r JOIN edges g ON g.s = r.id),
+        | comp AS (SELECT id, min(lab) AS dup_root FROM reach GROUP BY id)
+        |SELECT a.vec_id AS id, a.cluster, comp.dup_root,
+        | (comp.dup_root = a.vec_id) AS keep
+        |FROM a JOIN comp ON comp.id = a.vec_id""".stripMargin,
     // BPE training replayed merge for merge: the CTE chain below is
     // the same word-count -> spaced-spelling -> (pair count, argmax,
     // replace)^n iteration the Scala trainer runs, unrolled

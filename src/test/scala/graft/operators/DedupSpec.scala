@@ -147,6 +147,38 @@ class DedupSpec extends SparkSpec {
       .count() === 45L)
   }
 
+  test("semanticDedup blocks by ASSIGNED cluster and keeps min id per component") {
+    import spark.implicits._
+    // Label-0 prototype ≈ x-axis, label-1 prototype ≈ y-axis. Vector 4
+    // is LABELED 1 but sits on the x-axis: label-blocking would never
+    // compare it with 1/2; assignment-blocking routes it to cluster 0
+    // and catches the duplicate.
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(0.999f, 0.01f)), // near-dup of 1, same label
+      (3L, 1, Array(0.0f, 1.0f)),
+      (4L, 1, Array(0.998f, 0.02f)), // near-dup of 1/2, WRONG label
+      (5L, 1, Array(0.01f, 0.999f)), // near-dup of 3, same label
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", "label",
+      threshold = 0.9)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // 4 is assigned to cluster 0 despite label 1, and folds into 1's
+    // component; the label-blocked operator cannot produce this
+    assert(out(4L) === ((0L, 1L, false)))
+    assert(out(1L) === ((0L, 1L, true)))  // min id survives
+    assert(out(2L) === ((0L, 1L, false)))
+    assert(out(3L)._3 === true && out(5L)._3 === false) // y-axis pair
+    assert(out.values.count(_._3) === 2) // one survivor per component
+    // label-blocking misses the cross-label pair — the contrast that
+    // motivates the operator
+    val labelBlocked = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.9, blockCols = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!labelBlocked.contains((1L, 4L)))
+  }
+
   test("incrementalDedup drops exact, near, and within-batch dups") {
     import spark.implicits._
     val corpus = Seq(
