@@ -83,8 +83,10 @@ object Bench {
     // the full-outer-join MERGE resolve
     "dpp_join", "q42_bloom_join", "merge_upsert",
     // round-5: SemDeDup — centroid train + broadcast assignment +
-    // within-assigned-cluster pairs + star-contraction components
-    "semantic_dedup")
+    // within-assigned-cluster pairs + star-contraction components —
+    // and DSIR importance resampling (one bigram pass scored under two
+    // merged LM count tables + Gumbel top-k)
+    "semantic_dedup", "importance_resample")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

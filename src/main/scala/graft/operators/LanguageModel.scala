@@ -73,4 +73,68 @@ object LanguageModel {
         round(sum(col("lp")).cast("double") / count(lit(1)), 4)
           .as("avg_ll"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling": select raw-corpus
+    * examples with probability ∝ p_target(x)/p_raw(x), both densities
+    * estimated by cheap n-gram LMs): every document in `docs` is scored
+    * under a TARGET bigram model (trained on `target`) and a RAW model
+    * (trained on `raw`), and `logw = avg_ll_target − avg_ll_raw` is the
+    * per-bigram log importance ratio (length-normalized so logw is
+    * bounded and comparable across document lengths).
+    *
+    * Scale shape: the corpus bigram explode runs ONCE — the two
+    * models' count tables are pre-merged by key (c12 tables full-outer
+    * on (w1,w2), c1 tables on w1), so scoring under both densities
+    * costs the same two vocabulary-keyed joins as scoring under one
+    * ([[bigramLogLik]] called twice would pay the corpus explode and
+    * both join chains twice). Model tables grow with vocabulary and
+    * deliberately do NOT broadcast; the two vocab sizes ride a 1-row
+    * broadcast. Per-bigram logs sum in decimal (partition-order
+    * independent), and all derived floats round to 4 dp so the output
+    * replays engine-for-engine.
+    *
+    * Returns (doc_id, n_bigrams, avg_ll_target, avg_ll_raw, logw). */
+  def importanceWeights(docs: DataFrame, target: DataFrame,
+      raw: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def model(train: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val bg = docBigrams(train, idCol, textCol)
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true)
+      val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val vocab = train
+        .select(explode(TF.tokens(col(textCol))).as("t"))
+        .agg(countDistinct(col("t")).as("vocab"))
+      (c12, c1, vocab)
+    }
+    val (c12t, c1t, vt) = model(target)
+    val (c12r, c1r, vr) = model(raw)
+    val c12 = c12t.withColumnRenamed("c12", "c12_t")
+      .join(c12r.withColumnRenamed("c12", "c12_r"),
+        Seq("w1", "w2"), "full_outer")
+    val c1 = c1t.withColumnRenamed("c1", "c1_t")
+      .join(c1r.withColumnRenamed("c1", "c1_r"), Seq("w1"), "full_outer")
+    val vocabs = vt.withColumnRenamed("vocab", "vocab_t")
+      .crossJoin(vr.withColumnRenamed("vocab", "vocab_r"))
+    def lp(c12c: String, c1c: String, vc: String) = log(
+      (coalesce(col(c12c), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col(c1c), lit(0L)) + col(vc)).cast("double"))
+    val scored = docBigrams(docs, idCol, textCol)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabs))
+      .select(col("doc_id"),
+        lp("c12_t", "c1_t", "vocab_t").cast("decimal(38,12)").as("lp_t"),
+        lp("c12_r", "c1_r", "vocab_r").cast("decimal(38,12)").as("lp_r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp_t")).cast("double") / count(lit(1)), 4)
+          .as("avg_ll_target"),
+        round(sum(col("lp_r")).cast("double") / count(lit(1)), 4)
+          .as("avg_ll_raw"))
+    // logw from the ROUNDED averages: exact 4-dp arithmetic, so the
+    // downstream selection key is engine-portable by construction
+    scored.withColumn("logw",
+      round(col("avg_ll_target") - col("avg_ll_raw"), 4))
+  }
 }

@@ -242,6 +242,24 @@ object PipelineQueries {
     Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
       "label", threshold = 0.35)
 
+  /** DSIR importance-resampling lane: every document scored under a
+    * target bigram LM (the English slice) and a raw LM (the whole
+    * corpus) in ONE bigram pass; `logw` = per-bigram log importance
+    * ratio; the top-100 selection is Gumbel top-k — `logw − ln(−ln(u))`
+    * with the deterministic md5 uniform — which samples ∝ softmax(logw)
+    * without replacement and replays engine-for-engine (both the
+    * rounded key and the doc_id tiebreak). See
+    * [[graft.operators.LanguageModel.importanceWeights]]. */
+  def importanceResample: Q = (s, d) => {
+    val dd = docs(s, d)
+    val w = graft.operators.LanguageModel.importanceWeights(
+      dd, dd.filter(col("lang") === "en"), dd, "doc_id", "norm_text")
+    val u = operatorsSampling.hashFraction(col("doc_id"), "dsir")
+    w.withColumn("sel_key", round(col("logw") - log(-log(u)), 8))
+      .orderBy(col("sel_key").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
   /** Stratified deterministic sample + disjoint split assignment over
     * documents: per-language keep rates, then train/eval/test by hash
     * interval. Hash-exact across engines (md5-derived, no RNG). */
@@ -1042,6 +1060,7 @@ object PipelineQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_survivors" -> dedupSurvivors,
     "semantic_dedup" -> semanticDedup,
+    "importance_resample" -> importanceResample,
     "sample_stratified" -> sampleStratified,
     "sample_group_quota" -> sampleGroupQuota,
     "text_bm25" -> textBm25,
@@ -1675,6 +1694,55 @@ object PipelineQueries {
          | round(CAST(sum(CAST(lp AS DECIMAL(38,12))) AS DOUBLE)
          |   / count(*), 4) AS avg_ll
          |FROM scored GROUP BY 1""".stripMargin,
+    // DSIR replay: the lm CTE chain twice (target = en slice, raw =
+    // whole corpus) merged into one scoring pass, then the Gumbel
+    // top-k selection with the md5 uniform and doc_id tiebreak
+    "importance_resample" ->
+      s"""WITH tk AS (SELECT doc_id, lang,
+         |   regexp_extract_all($norm, '[a-z0-9]+') AS toks FROM documents),
+         | bg AS (SELECT doc_id, lang,
+         |   unnest(list_transform(generate_series(1, len(toks) - 1),
+         |     i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+         |  FROM tk WHERE len(toks) >= 2),
+         | b2 AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         | c12t AS (SELECT w1, w2, count(*) AS c FROM b2
+         |  WHERE lang = 'en' GROUP BY 1, 2),
+         | c1t AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c12t
+         |  GROUP BY 1),
+         | vt AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+         |  FROM (SELECT unnest(toks) AS t FROM tk WHERE lang = 'en')),
+         | c12r AS (SELECT w1, w2, count(*) AS c FROM b2 GROUP BY 1, 2),
+         | c1r AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c12r
+         |  GROUP BY 1),
+         | vr AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+         |  FROM (SELECT unnest(toks) AS t FROM tk)),
+         | scored AS (SELECT d.doc_id,
+         |   CAST(ln(CAST(coalesce(t12.c, 0) + 1 AS DOUBLE)
+         |      / CAST(coalesce(t1.c, 0) + vt.vocab AS DOUBLE))
+         |     AS DECIMAL(38,12)) AS lp_t,
+         |   CAST(ln(CAST(coalesce(r12.c, 0) + 1 AS DOUBLE)
+         |      / CAST(coalesce(r1.c, 0) + vr.vocab AS DOUBLE))
+         |     AS DECIMAL(38,12)) AS lp_r
+         |  FROM b2 d
+         |  LEFT JOIN c12t t12 ON d.w1 = t12.w1 AND d.w2 = t12.w2
+         |  LEFT JOIN c1t t1 ON d.w1 = t1.w1
+         |  LEFT JOIN c12r r12 ON d.w1 = r12.w1 AND d.w2 = r12.w2
+         |  LEFT JOIN c1r r1 ON d.w1 = r1.w1
+         |  CROSS JOIN vt CROSS JOIN vr),
+         | agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |   round(CAST(sum(lp_t) AS DOUBLE) / count(*), 4)
+         |     AS avg_ll_target,
+         |   round(CAST(sum(lp_r) AS DOUBLE) / count(*), 4) AS avg_ll_raw
+         |  FROM scored GROUP BY 1),
+         | w AS (SELECT *,
+         |   round(avg_ll_target - avg_ll_raw, 4) AS logw,
+         |   CAST(CAST(concat('0x', substring(md5(concat(
+         |     CAST(doc_id AS VARCHAR), 'dsir')), 1, 8)) AS BIGINT)
+         |     AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS u
+         |  FROM agg)
+         |SELECT doc_id, n_bigrams, avg_ll_target, avg_ll_raw, logw,
+         | round(logw - ln(-ln(u)), 8) AS sel_key
+         |FROM w ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin,
     "dedup_incremental" ->
       s"""WITH d AS (SELECT doc_id, lang, source, $norm AS nt,
          |  CAST(CAST(concat('0x', substring(md5(concat(

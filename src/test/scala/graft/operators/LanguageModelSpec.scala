@@ -31,6 +31,38 @@ class LanguageModelSpec extends SparkSpec {
     assert(!out.contains(3L)) // no bigrams → no row
   }
 
+  test("importanceWeights equals two independent bigramLogLik runs") {
+    val dd = Tables.documents(spark, sf())
+      .withColumn("norm_text", TF.normalize(col("text")))
+    val target = dd.filter(col("lang") === "en")
+    val fused = LanguageModel.importanceWeights(
+      dd, target, dd, "doc_id", "norm_text")
+    val t = LanguageModel.bigramLogLik(dd, target, "doc_id", "norm_text")
+      .withColumnRenamed("avg_ll", "t_ll")
+    val r = LanguageModel.bigramLogLik(dd, dd, "doc_id", "norm_text")
+      .withColumnRenamed("avg_ll", "r_ll").drop("n_bigrams")
+    val joined = fused.join(t, "doc_id").join(r, "doc_id")
+    assert(joined.count() === fused.count())
+    assert(joined.filter(
+      col("avg_ll_target") =!= col("t_ll") ||
+        col("avg_ll_raw") =!= col("r_ll") ||
+        col("logw") =!= round(col("t_ll") - col("r_ll"), 4))
+      .count() === 0L)
+  }
+
+  test("importance weight favors target-like documents") {
+    import spark.implicits._
+    // target: "a b" language; raw pool: half "a b", half "x y"
+    val target = Seq((100L, "a b a b a b")).toDF("id", "text")
+    val raw = Seq((1L, "a b a b"), (2L, "x y x y")).toDF("id", "text")
+    val w = LanguageModel.importanceWeights(raw, target, raw, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // the RANKING is the property DSIR selection relies on (absolute
+    // signs are a Laplace artifact at toy vocabulary sizes: a 2-token
+    // target vocab gives every unseen bigram P = 1/2)
+    assert(w(1L) > w(2L))
+  }
+
   test("en-trained model scores en docs above fr docs on real data") {
     val dd = Tables.documents(spark, sf())
       .withColumn("norm_text", TF.normalize(col("text")))
