@@ -269,6 +269,24 @@ object PlanAudit {
       occurrences(cc, "Exchange") == 1 && !cc.contains("Window"),
       "boundary array, not a lag window, supplies chunk spans")
 
+    // SemDeDup: the only nested-loop is the INTENTIONAL broadcast of
+    // the tiny centroid table (groups × dims — constant-size at any
+    // corpus); the near-dup pair join is an equi-join on the assigned
+    // cluster, never a cartesian.
+    val semd = plan("semantic_dedup")
+    check("semantic_dedup: centroid broadcast, no cartesian",
+      occurrences(semd, "BroadcastNestedLoopJoin") == 1 &&
+        !semd.contains("CartesianProduct"),
+      "assignment is map-only over a broadcast prototype table")
+
+    // DSIR: the top-k selection must plan as TakeOrderedAndProject
+    // (map-side partial top-k per partition, k rows to the driver) —
+    // a global Sort before limit would shuffle the whole corpus.
+    val ir = plan("importance_resample")
+    check("importance_resample: top-k via TakeOrderedAndProject",
+      ir.contains("TakeOrderedAndProject"),
+      "Gumbel selection prunes map-side, never a full global sort")
+
     // custom DataSource V2: the per-cab aggregate needs 3 of 5 columns
     // — SupportsPushDownRequiredColumns must keep the rest out of the
     // BatchScan entirely.
