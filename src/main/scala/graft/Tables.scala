@@ -31,14 +31,21 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** Spark reads parquet TIMESTAMP(NANOS) either as TimestampType (with
-    * `spark.sql.legacy.parquet.nanosAsLong=false`, nanos truncated) or as
-    * LongType (nanos since epoch). Handle both so the loader is independent
-    * of session config: a Long `ts` becomes a micros-precision timestamp. */
+  /** The driver generator has shipped `events.ts` under several parquet
+    * encodings across rounds; normalize all of them to session-TZ micros
+    * TimestampType so every downstream operator sees one column type:
+    *   - INT64 TIMESTAMP(NANOS) → LongType under `nanosAsLong` (nanos
+    *     since epoch), converted to micros here;
+    *   - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZ,
+    *     cast (UTC session timezone, so the instant is unchanged);
+    *   - INT64 TIMESTAMP(MICROS, UTC) → already TimestampType. */
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

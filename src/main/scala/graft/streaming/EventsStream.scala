@@ -22,15 +22,47 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet physical schema: ts is INT64 TIMESTAMP(NANOS), read
-    * as Long (nanosAsLong) and converted to micros precision. */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** Explicit schema for events.parquet with `ts` declared as the given
+    * physical type — streams must never infer schemas, and the driver's
+    * generator has shipped `ts` under more than one parquet encoding
+    * (see [[eventsRawStream]]). */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** File-stream over events.parquet with `ts` normalized to session-TZ
+    * micros `TimestampType`, whatever the file's physical encoding:
+    *   - INT64 TIMESTAMP(NANOS): Spark's reader only models it as Long
+    *     (`nanosAsLong`), converted here nanos → micros;
+    *   - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): read as
+    *     TIMESTAMP_NTZ, cast to TimestampType (UTC session, so the
+    *     instant is unchanged);
+    *   - INT64 TIMESTAMP(MICROS, UTC): already TimestampType.
+    * The footer is probed once with a driver-only batch read (no data
+    * scan, no inference job on the stream) so the declared stream schema
+    * always matches the files — a mismatch would silently misread `ts`
+    * and corrupt every watermark downstream. */
+  def eventsRawStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsPhysical =
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsRawSchema(tsPhysical))
+      // file-stream sources require a directory; glob-filter to the table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    tsPhysical match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Streaming deduplication — the streaming twin of exact dedup: state
     * keyed on the dedup columns drops repeats as they arrive, then a
@@ -40,11 +72,7 @@ object EventsStream {
     * the batch DISTINCT — which is the oracle. */
   def streamingDedupCounts(spark: SparkSession, sfDir: String,
       queryName: String = "events_dedup"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val deduped = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val deduped = eventsRawStream(spark, sfDir)
       .dropDuplicates("user_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("distinct_users"))
@@ -73,12 +101,7 @@ object EventsStream {
     * cross-check the spec and oracle use. */
   def streamingDedupBoundedCounts(spark: SparkSession, sfDir: String,
       queryName: String = "events_dedup_wm"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val deduped = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = eventsRawStream(spark, sfDir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
     val q = deduped.writeStream
@@ -105,12 +128,7 @@ object EventsStream {
     * engines (micros here, epoch_us in the oracle). */
   def viewPurchaseJoinCounts(spark: SparkSession, sfDir: String,
       queryName: String = "events_ssjoin"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def side(tp: String, a: String): DataFrame = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(tp: String, a: String): DataFrame = eventsRawStream(spark, sfDir)
       .filter(col("event_type") === tp)
       .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_user"),
         col("ts").as(s"${a}_ts"))
@@ -143,11 +161,7 @@ object EventsStream {
     * regime is spec-pinned separately). */
   def streamingHeavyHitters(spark: SparkSession, sfDir: String,
       queryName: String = "events_hh"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val agg = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val agg = eventsRawStream(spark, sfDir)
       .select(concat(col("event_type"), lit(":"),
         pmod(col("user_id"), lit(10L)).cast("string")).as("key"))
       .agg(graft.functions.SketchFunctions.heavyHitters(col("key"), 200)
@@ -173,11 +187,7 @@ object EventsStream {
     * distinct users per type" with O(2^b) state per group. */
   def streamingHllDistinct(spark: SparkSession, sfDir: String,
       queryName: String = "events_hll"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val agg = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val agg = eventsRawStream(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(graft.functions.HllFunctions.hll(col("user_id"), 8).as("regs"))
     val q = agg.writeStream
@@ -204,11 +214,7 @@ object EventsStream {
     * streaming twin of `quantile_hist`. */
   def streamingQuantileHist(spark: SparkSession, sfDir: String,
       queryName: String = "events_qhist"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val hist = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val hist = eventsRawStream(spark, sfDir)
       .groupBy(col("event_type").as("g"),
         expr(graft.operators.HistogramQuantile.floorDivSql(
           "CAST(round(value * 100) AS BIGINT)", 1000)).as("bin"))
@@ -236,11 +242,7 @@ object EventsStream {
   def streamingTypedMoments(spark: SparkSession, sfDir: String,
       queryName: String = "events_moments"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val agg = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val agg = eventsRawStream(spark, sfDir)
       .select(col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .as[(String, Long)]
@@ -316,13 +318,9 @@ object EventsStream {
     * drained source this equals the batch join+group — the oracle. */
   def streamStaticEnrichedCounts(spark: SparkSession, sfDir: String,
       queryName: String = "events_enrich"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val enriched = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val enriched = eventsRawStream(spark, sfDir)
       .join(dim, col("user_id") === col("c_custkey"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("n_events"),
@@ -349,12 +347,7 @@ object EventsStream {
     * oracle applies the same cut. */
   def streamingSessionWindows(spark: SparkSession, sfDir: String,
       queryName: String = "events_swin"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sessions = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = eventsRawStream(spark, sfDir)
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -451,14 +444,8 @@ object EventsStream {
 
   def hourlyStats(spark: SparkSession, sfDir: String,
       queryName: String = "events_hourly"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.streaming.schemaInference", "false")
-    val stream = spark.readStream
-      .schema(eventsRawSchema)
-      // file-stream sources require a directory; glob-filter to the table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsRawStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(

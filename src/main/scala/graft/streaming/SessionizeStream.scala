@@ -59,12 +59,7 @@ object SessionizeStream {
   def run(spark: SparkSession, sfDir: String,
       queryName: String = "sessions_stream"): Dataset[Session] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sessions = spark.readStream
-      .schema(EventsStream.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = EventsStream.eventsRawStream(spark, sfDir)
       .select(col("user_id"), col("ts"), col("value")).as[Event]
       .groupByKey(_.user_id)
       // NoTimeout: a session closes only when a later event arrives past
