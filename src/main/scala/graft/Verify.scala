@@ -24,12 +24,18 @@ object Verify {
     // on a local[N] master thrash the scheduler/GC instead of
     // overlapping usefully. One query at a time keeps each job's
     // parallelism = the executor threads.
+    // A lane that throws must stay VISIBLE: it is skipped from the
+    // parquet dump (so the driver's compare just omits it), which is
+    // exactly how a round-5 testdata re-encoding silently dropped 8
+    // green lanes. Collect failures and dump them as an artifact.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -48,6 +54,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // rc stays 0 — the 159 dumped lanes must still reach the driver's
+    // compare; the artifact + stderr line carry the failure signal.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} lane(s) FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }
