@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-based bigram language model: train token-transition counts on
@@ -116,6 +116,55 @@ object LanguageModel {
       .join(c1r.withColumnRenamed("c1", "c1_r"), Seq("w1"), "full_outer")
     val vocabs = vt.withColumnRenamed("vocab", "vocab_t")
       .crossJoin(vr.withColumnRenamed("vocab", "vocab_r"))
+    scoreUnderMergedModels(docs, c12, c1, vocabs, idCol, textCol)
+  }
+
+  /** DSIR fast path for the shape DSIR actually prescribes (Xie et al.
+    * 2023 §2: raw IS the corpus being resampled): target =
+    * `docs WHERE isTarget`, raw = `docs`. Both count tables come out of
+    * ONE bigram explode and ONE (w1, w2) shuffle as conditional counts
+    * — the raw count of each pair and its target-restricted count — so
+    * the two-frame form's second corpus explode, second count shuffle,
+    * second vocab explode, and both full-outer merge joins disappear.
+    * The arithmetic is unchanged bit for bit: a pair or prefix with no
+    * target occurrences counts 0 exactly where the full-outer merge
+    * produced null → coalesce 0, and `countDistinct(when(isTarget, t))`
+    * is the target slice's vocabulary. Only valid because target ⊆ raw
+    * by construction; arbitrary target/raw frames must use the general
+    * [[importanceWeights]]. */
+  def importanceWeightsSelf(docs: DataFrame, isTarget: Column,
+      idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(isTarget.cast("boolean").as("is_t"),
+        TF.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("is_t"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(col("is_t"),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+    // same checkpoint policy as the general form: pin the AGGREGATED
+    // table (vocab²-bounded), never the raw explode (corpus-sized)
+    val c12 = bg.groupBy("w1", "w2").agg(
+      count(when(col("is_t"), 1)).as("c12_t"),
+      count(lit(1)).as("c12_r")).localCheckpoint(true)
+    val c1 = c12.groupBy("w1").agg(
+      sum(col("c12_t")).as("c1_t"), sum(col("c12_r")).as("c1_r"))
+    val vocabs = docs
+      .select(isTarget.cast("boolean").as("is_t"),
+        explode(TF.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(when(col("is_t"), col("t"))).as("vocab_t"),
+        countDistinct(col("t")).as("vocab_r"))
+    scoreUnderMergedModels(docs, c12, c1, vocabs, idCol, textCol)
+  }
+
+  /** Shared scoring tail: join document bigrams against the merged
+    * two-model count tables and reduce to per-doc average
+    * log-likelihoods + logw (decimal sums, 4-dp rounding — see
+    * [[importanceWeights]] doc). */
+  private def scoreUnderMergedModels(docs: DataFrame, c12: DataFrame,
+      c1: DataFrame, vocabs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     def lp(c12c: String, c1c: String, vc: String) = log(
       (coalesce(col(c12c), lit(0L)) + lit(1L)).cast("double") /
         (coalesce(col(c1c), lit(0L)) + col(vc)).cast("double"))

@@ -252,8 +252,8 @@ object PipelineQueries {
     * [[graft.operators.LanguageModel.importanceWeights]]. */
   def importanceResample: Q = (s, d) => {
     val dd = docs(s, d)
-    val w = graft.operators.LanguageModel.importanceWeights(
-      dd, dd.filter(col("lang") === "en"), dd, "doc_id", "norm_text")
+    val w = graft.operators.LanguageModel.importanceWeightsSelf(
+      dd, col("lang") === "en", "doc_id", "norm_text")
     val u = operatorsSampling.hashFraction(col("doc_id"), "dsir")
     w.withColumn("sel_key", round(col("logw") - log(-log(u)), 8))
       .orderBy(col("sel_key").desc, col("doc_id").asc)

@@ -50,6 +50,26 @@ class LanguageModelSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("importanceWeightsSelf equals the general two-frame form") {
+    val dd = Tables.documents(spark, sf())
+      .withColumn("norm_text", TF.normalize(col("text")))
+    val general = LanguageModel.importanceWeights(
+      dd, dd.filter(col("lang") === "en"), dd, "doc_id", "norm_text")
+    val fused = LanguageModel.importanceWeightsSelf(
+      dd, col("lang") === "en", "doc_id", "norm_text")
+    assert(fused.columns.toSeq === general.columns.toSeq)
+    assert(fused.count() === general.count())
+    val g = general.withColumnRenamed("n_bigrams", "g_n")
+      .withColumnRenamed("avg_ll_target", "g_t")
+      .withColumnRenamed("avg_ll_raw", "g_r")
+      .withColumnRenamed("logw", "g_w")
+    assert(fused.join(g, "doc_id").filter(
+      col("n_bigrams") =!= col("g_n") ||
+        col("avg_ll_target") =!= col("g_t") ||
+        col("avg_ll_raw") =!= col("g_r") ||
+        col("logw") =!= col("g_w")).count() === 0L)
+  }
+
   test("importance weight favors target-like documents") {
     import spark.implicits._
     // target: "a b" language; raw pool: half "a b", half "x y"
