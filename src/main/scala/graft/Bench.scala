@@ -86,7 +86,11 @@ object Bench {
     // within-assigned-cluster pairs + star-contraction components —
     // and DSIR importance resampling (one bigram pass scored under two
     // merged LM count tables + Gumbel top-k)
-    "semantic_dedup", "importance_resample")
+    "semantic_dedup", "importance_resample",
+    // round-6: distributed GD training — iters+2 aggregation jobs over
+    // a checkpointed standardized-feature frame (the model-in-the-loop
+    // trainer behind quality_model_score's weights)
+    "lr_train")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -527,6 +527,26 @@ object PipelineQueries {
         round(max(col("c")) / 100.0, 2).as("max_outlier"))
   }
 
+  /** Distributed model TRAINING: fit a linear probability model to the
+    * heuristic scorer's own keep decisions by full-batch GD — distill
+    * the rule into retrainable weights ([[graft.operators
+    * .GradientTrainer]]). One 5-value aggregation job per iteration
+    * over a checkpointed standardized-feature frame; O(#features)
+    * driver state; no transcendentals, so the whole trajectory
+    * (standardization, every gradient, the final mse/accuracy audit)
+    * hash-replays in DuckDB as a recursive CTE. */
+  def lrTrain: Q = (s, d) => {
+    val MS = graft.operators.ModelScoring
+    val dd = Tables.documents(s, d)
+    val feats = MS.features.map { case (n, _, f) => (n, f(col("text"))) }
+    val teacherLogit = MS.features.map { case (_, wt, f) =>
+      f(col("text")).cast("long") * lit(wt)
+    }.foldLeft(lit(MS.interceptMicro).cast("long"))(_ + _)
+    graft.operators.GradientTrainer.train(
+      dd, feats, (teacherLogit > 0L).cast("long"),
+      lrNum = 1L, lrDen = 2L, iters = 10)
+  }
+
   /** Linear-model quality inference: every document scored by a
     * literal-weight linear classifier over codegen'd lexical counts —
     * map-only, integer-exact logit (micro-units), keep = logit > 0. */
@@ -1070,6 +1090,7 @@ object PipelineQueries {
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "quality_model_score" -> qualityModelScore,
+    "lr_train" -> lrTrain,
     "model_auc" -> modelAuc,
     "text_pmi" -> textPmi,
     "span_dedup" -> spanDedup,
@@ -1112,6 +1133,87 @@ object PipelineQueries {
 
   private val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Full GD training trajectory of [[graft.operators.GradientTrainer]]
+    * as a recursive CTE: integer feature counts → exact-sum
+    * standardization → per-iteration 12-dp-rounded decimal gradient
+    * sums lifted to EXACT integers (×10¹², HUGEINT) → the same
+    * half-away-from-zero integer step in micro-units (no doubles in the
+    * weight trajectory — the fixed-dp double update sat exactly on
+    * HALF_UP ties where engines disagree) → final mse/acc audit. The
+    * residual is one repeated expression; built here so the Spark
+    * operator's left-assoc chain and single micro→double divide are
+    * spelled identically everywhere they appear. */
+  private def lrTrainOracleSql: String = {
+    def res(w: Int => String, x: Int => String): String =
+      s"${w(0)} + ${w(1)}*${x(1)} + ${w(2)}*${x(2)} + " +
+        s"${w(3)}*${x(3)} + ${w(4)}*${x(4)} - ${x(0)}"
+    def wDbl(p: String)(j: Int) = s"CAST(${p}w$j AS DOUBLE)/1000000.0"
+    def xCol(p: String)(j: Int) = if (j == 0) s"${p}y" else s"${p}x$j"
+    val rIt = res(wDbl(""), xCol(""))
+    val rFin = res(wDbl("fin."), xCol("x."))
+    def grad(j: Int): String = {
+      val contrib = if (j == 0) s"($rIt)" else s"($rIt)*x$j"
+      s"CAST(round(sum(CAST(round($contrib, 12) AS DECIMAL(38,12))) " +
+        s"* 1000000000000, 0) AS HUGEINT) AS a$j"
+    }
+    def step(j: Int): String =
+      s"CASE WHEN a$j < 0 THEN -((2*(-a$j) + b) // (2*b)) " +
+        s"ELSE (2*a$j + b) // (2*b) END AS s$j"
+    val featSql = Seq(
+      ("t", raw"CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)"),
+      ("d", "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)"),
+      ("p", "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)"),
+      ("c", "CAST(length(text) AS BIGINT)"))
+    val teacher = "(250000 + 12000*" + featSql(0)._2 +
+      " - 3000*" + featSql(1)._2 + " + 8000*" + featSql(2)._2 +
+      " - 3000*" + featSql(3)._2 + ") > 0"
+    val names = Seq("t", "d", "p", "c")
+    def stdStats = names.map { nm =>
+      s"round(CAST(sum($nm) AS DOUBLE)/count(*),12) AS m$nm, " +
+        s"round(CAST(sum($nm*$nm) AS DOUBLE)/count(*),12) AS q$nm"
+    }.mkString(",\n  ")
+    def sdCols = names.map { nm =>
+      s"CASE WHEN round(q$nm-m$nm*m$nm,12) > 0 THEN " +
+        s"round(sqrt(round(q$nm-m$nm*m$nm,12)),12) ELSE 1.0 END AS e$nm"
+    }.mkString(",\n  ")
+    val xSel = names.zipWithIndex.map { case (nm, j) =>
+      s"round(($nm-m$nm)/e$nm,12) AS x${j + 1}"
+    }.mkString(", ")
+    val outW = Seq("intercept", "n_tokens", "n_digits", "n_punct",
+      "n_chars").zipWithIndex.map { case (nm, j) =>
+      s"CAST(any_value(fin.w$j) AS BIGINT) AS w_${nm}_micro"
+    }.mkString(",\n  ")
+    s"""WITH RECURSIVE f AS (
+       |  SELECT ${featSql.map { case (nm, e) => s"$e AS $nm" }
+        .mkString(",\n    ")},
+       |    CAST($teacher AS DOUBLE) AS y
+       |  FROM documents),
+       |st AS (SELECT count(*) AS n,
+       |  $stdStats FROM f),
+       |sd AS (SELECT n, ${names.map(nm => s"m$nm").mkString(", ")},
+       |  $sdCols FROM st),
+       |x AS (SELECT $xSel, y, n FROM f, sd),
+       |it AS (
+       |  SELECT 0 AS i, ${(0 to 4)
+        .map(j => s"CAST(0 AS HUGEINT) AS w$j").mkString(", ")}
+       |  UNION ALL
+       |  SELECT i+1, ${(0 to 4).map(j => s"w$j - g.s$j").mkString(", ")}
+       |  FROM it, LATERAL (
+       |    SELECT ${(0 to 4).map(step).mkString(",\n      ")}
+       |    FROM (SELECT ${(0 to 4).map(grad).mkString(",\n      ")},
+       |      any_value(n) * 2 * 1000000 AS b
+       |    FROM x)) g
+       |  WHERE i < 10)
+       |SELECT any_value(x.n) AS n_docs,
+       |  CAST(any_value(fin.i) AS BIGINT) AS n_iters,
+       |  $outW,
+       |  round(CAST(sum(CAST(round(($rFin)*($rFin), 12)
+       |    AS DECIMAL(38,12))) AS DOUBLE)/any_value(x.n), 6) AS mse,
+       |  round(CAST(sum(CAST(($rFin + x.y > 0.5) = (x.y > 0.5)
+       |    AS BIGINT)) AS DOUBLE)/any_value(x.n), 6) AS acc
+       |FROM (SELECT * FROM it WHERE i = 10) fin, x""".stripMargin
+  }
 
   /** CDC boundary/chunk CTE chain — the DuckDB twin of
     * [[graft.operators.ContentChunker.chunks]] (window 8, divisor 64):
@@ -1911,6 +2013,7 @@ object PipelineQueries {
         | (250000 + 12000 * n_tokens - 3000 * n_digits
         |   + 8000 * n_punct - 3000 * n_chars) > 0 AS keep
         |FROM f""".stripMargin,
+    "lr_train" -> lrTrainOracleSql,
     "text_ngrams" ->
       s"""WITH d AS (SELECT regexp_extract_all($norm, '\\S+') AS toks
          |  FROM documents),
