@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the compressed-index ANN tier beside the
+  * exact ([[SimilaritySearch.bruteForceTopK]]), hashed
+  * ([[SimilaritySearch.lshTopK]]), partitioned ([[IvfIndex]]) and
+  * scalar-quantized ([[SimilaritySearch.quantizedTopK]]) paths: split
+  * each D-dim vector into M subspaces of D/M dims, learn a K-entry
+  * codebook per subspace, store each vector as M small codes (here
+  * 64 floats → 4 codes: 64× smaller), and answer queries with
+  * asymmetric distance computation (ADC) — the query precomputes its
+  * distance to every codebook entry (an M×K table) and a candidate's
+  * approximate distance is M table lookups, no float math per
+  * candidate.
+  *
+  * At 100 TB the shapes are: codebook training is O(N·D·K) join
+  * fan-out against a BROADCAST codebook (M·K·(D/M) rows — ~1k here —
+  * constant-size at any corpus); the encoded index is N·M small ints
+  * (the thing that fits in memory when raw vectors don't); ADC search
+  * joins candidate codes against a broadcast per-probe distance table
+  * and reduces with one (probe, cand) aggregation. Compose with
+  * [[IvfIndex]] cells for IVF-PQ: the cell prunes candidates, the PQ
+  * codes price them.
+  *
+  * Exact cross-engine replay: components are micro-unit integers
+  * (floor(v·10⁶)), every distance is an exact integer sum of squares
+  * (≤ 4·10¹²·D — inside int64), codebook means use floor division, and
+  * Lloyd's iterations are a FIXED unrolled budget from a portable
+  * md5-bucket initialization — so training, encoding and ADC search
+  * all hash-replay in DuckDB as a plain (non-recursive) CTE chain.
+  */
+object ProductQuantizer {
+
+  /** Floor division for long columns — both engines' integer division
+    * truncates toward zero (Spark `DIV`, DuckDB `//`), so BOTH sides
+    * spell out the floor ([[HistogramQuantile.floorDivSql]] with a
+    * column divisor; the oracle uses the matching CASE). The double
+    * divide is exact: the subtraction makes the dividend an exact
+    * multiple of b, and both operands stay far below 2^53. */
+  private def floorDiv(a: Column, b: Column): Column = {
+    val fm = ((a % b) + b) % b
+    ((a - fm) / b).cast("long")
+  }
+
+  /** (id, m, j, v) micro-unit subvector components: dim = m·(D/M)+j. */
+  private def subComponents(vecs: DataFrame, idCol: String,
+      vecCol: String, subDim: Int): DataFrame =
+    vecs.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("id"),
+        (col("dim") / subDim).cast("int").as("m"),
+        (col("dim") % subDim).cast("int").as("j"),
+        floor(col("v").cast("double") * 1000000L).cast("long")
+          .as("vm"))
+
+  /** Per-(m, code) micro-unit codebook means of the given assignment:
+    * (m, g, j, cm). Empty codes simply emit no rows. */
+  private def codebookOf(sub: DataFrame, assign: DataFrame): DataFrame =
+    sub.join(assign, Seq("id", "m"))
+      .groupBy(col("m"), col("g"), col("j"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("m"), col("g"), col("j"),
+        floorDiv(col("s"), col("n")).as("cm"))
+
+  /** Nearest-code assignment (id, m, g) under `cb`: exact integer
+    * squared distance summed over the subspace, ties to the lowest
+    * code. The codebook is constant-size — always broadcast. */
+  private def assignTo(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m", "j"))
+      .groupBy(col("id"), col("m"), col("g"))
+      .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm")))
+        .as("dist"))
+      .groupBy(col("id"), col("m"))
+      .agg(min(struct(col("dist"), col("g"))).as("best"))
+      .select(col("id"), col("m"), col("best.g").as("g"))
+
+  /** Train per-subspace codebooks: portable md5-bucket init, then a
+    * fixed unrolled budget of Lloyd iterations. Returns (m, g, j, cm).
+    */
+  def trainCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, subDim: Int, lloydIters: Int = 2,
+      salt: String = "pq"): DataFrame = {
+    require(m > 0 && k > 1 && subDim > 0 && lloydIters >= 0)
+    val sub = subComponents(vecs, idCol, vecCol, subDim)
+    val init = sub.select(col("id"), col("m")).distinct()
+      .withColumn("g",
+        (conv(substring(md5(concat(col("id").cast("string"),
+          lit(s":$salt"))), 1, 15), 16, 10).cast("long") % k).cast("int"))
+    (1 to lloydIters).foldLeft(codebookOf(sub, init)) { case (cb, _) =>
+      codebookOf(sub, assignTo(sub, cb))
+    }
+  }
+
+  /** Encode every vector as its M nearest codes under the trained
+    * codebooks: (id, m, code). */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, subDim: Int): DataFrame =
+    assignTo(subComponents(vecs, idCol, vecCol, subDim), cb)
+      .select(col("id").as(idCol), col("m"),
+        col("g").cast("long").as("code"))
+
+  /** ADC top-k: per probe, precompute the M×K integer distance table
+    * to the codebooks (broadcast — probes × M × K rows), then price
+    * every encoded candidate with one (m, code) join + one
+    * (probe, cand) sum. Ties (equal approximate distance) break to the
+    * lower candidate id. */
+  def adcTopK(codes: DataFrame, cb: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, subDim: Int, k: Int): DataFrame = {
+    val psub = subComponents(probes, idCol, vecCol, subDim)
+      .withColumnRenamed("id", "probe_id")
+    val dt = psub.join(broadcast(cb), Seq("m", "j"))
+      .groupBy(col("probe_id"), col("m"), col("g"))
+      .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm")))
+        .as("d"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("cand_id").asc)
+    codes.select(col(idCol).as("cand_id"), col("m"),
+      col("code").cast("int").as("g"))
+      .join(broadcast(dt), Seq("m", "g"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("cand_id"), col("adist"))
+  }
+}

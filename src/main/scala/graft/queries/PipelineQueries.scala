@@ -889,6 +889,32 @@ object PipelineQueries {
       .orderBy("probe_id", "rk")
   }
 
+  /** Product-quantization index build ([[graft.operators
+    * .ProductQuantizer]]): 64-dim vectors → 16 subspace codes
+    * (6 bits each: 24× smaller) from codebooks trained by md5-bucket
+    * init + 2 unrolled Lloyd iterations, all in exact micro-unit
+    * integer arithmetic — the compressed index a 100 TB ANN keeps in
+    * memory. */
+  def pqEncode: Q = (s, d) => {
+    val PQ = graft.operators.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val cb = PQ.trainCodebooks(emb, "vec_id", "embedding",
+      m = 16, k = 64, subDim = 4)
+    PQ.encode(emb, "vec_id", "embedding", cb, subDim = 4)
+  }
+
+  /** ADC search over the PQ index: each probe prices every candidate
+    * with M integer table lookups — no per-candidate float math. */
+  def annPq: Q = (s, d) => {
+    val PQ = graft.operators.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val cb = PQ.trainCodebooks(emb, "vec_id", "embedding",
+      m = 16, k = 64, subDim = 4)
+    val codes = PQ.encode(emb, "vec_id", "embedding", cb, subDim = 4)
+    PQ.adcTopK(codes, cb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", subDim = 4, k = 10)
+  }
+
   /** Int8-quantized top-k over the same probes: integer-exact score
     * terms make the approximate path hash-comparable, not just
     * recall-checked. */
@@ -1117,6 +1143,8 @@ object PipelineQueries {
     "text_lm_score" -> textLmScore,
     "text_pii_scrub" -> textPiiScrub,
     "ann_bruteforce" -> annBruteForce,
+    "pq_encode" -> pqEncode,
+    "ann_pq" -> annPq,
     "ann_quantized" -> annQuantized,
     "ann_lsh_oracle" -> annLshOracle,
     "ann_hard_negatives" -> annHardNegatives,
@@ -1213,6 +1241,64 @@ object PipelineQueries {
        |  round(CAST(sum(CAST(($rFin + x.y > 0.5) = (x.y > 0.5)
        |    AS BIGINT)) AS DOUBLE)/any_value(x.n), 6) AS acc
        |FROM (SELECT * FROM it WHERE i = 10) fin, x""".stripMargin
+  }
+
+  /** PQ training/encode/ADC CTE chain — the DuckDB twin of
+    * [[graft.operators.ProductQuantizer]] (M=16, K=64, subDim=4, 2
+    * unrolled Lloyd iterations): same micro-unit components, same
+    * md5-bucket init, same FLOOR-division codebook means (DuckDB `//`
+    * truncates toward zero on negatives — spelled out as the same CASE
+    * the Spark side uses), same exact integer distances with
+    * (dist, code)/(adist, cand) tie order. `select` runs over the
+    * final CTEs (`codes` for the index, `cb2`+probe CTEs for ADC). */
+  private def pqOracleSql(select: String): String = {
+    def cbOf(name: String, assign: String): String =
+      s"""$name AS (SELECT m, g, j, CAST(CASE WHEN s >= 0 THEN s // n
+         |    ELSE -((-s + n - 1) // n) END AS BIGINT) AS cm
+         |  FROM (SELECT s.m, a.g, s.j, sum(s.vm) AS s, count(*) AS n
+         |    FROM sub s JOIN $assign a ON s.id = a.id AND s.m = a.m
+         |    GROUP BY s.m, a.g, s.j))""".stripMargin
+    def assignOf(name: String, cb: String): String =
+      s"""$name AS (SELECT id, m, g FROM (
+         |  SELECT id, m, g,
+         |    row_number() OVER (PARTITION BY id, m ORDER BY dist, g) AS rk
+         |  FROM (SELECT s.id, s.m, c.g,
+         |      sum((s.vm - c.cm)*(s.vm - c.cm)) AS dist
+         |    FROM sub s JOIN $cb c ON s.m = c.m AND s.j = c.j
+         |    GROUP BY s.id, s.m, c.g)) WHERE rk = 1)""".stripMargin
+    s"""WITH sub AS (SELECT vec_id AS id,
+       |    CAST((dim - 1) // 4 AS INT) AS m,
+       |    CAST((dim - 1) % 4 AS INT) AS j,
+       |    CAST(floor(v * 1000000) AS BIGINT) AS vm
+       |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    unnest(generate_series(1, len(embedding))) AS dim
+       |   FROM embeddings)),
+       |init AS (SELECT DISTINCT id, m,
+       |  CAST(CAST(concat('0x', substring(md5(concat(CAST(id AS VARCHAR),
+       |    ':pq')), 1, 15)) AS BIGINT) % 64 AS INT) AS g FROM sub),
+       |${cbOf("cb0", "init")},
+       |${assignOf("a1", "cb0")},
+       |${cbOf("cb1", "a1")},
+       |${assignOf("a2", "cb1")},
+       |${cbOf("cb2", "a2")},
+       |${assignOf("af", "cb2")},
+       |codes AS (SELECT id AS vec_id, m, CAST(g AS BIGINT) AS code
+       |  FROM af),
+       |psub AS (SELECT * FROM sub WHERE id < 5),
+       |dt AS (SELECT p.id AS probe_id, p.m, c.g,
+       |    sum((p.vm - c.cm)*(p.vm - c.cm)) AS d
+       |  FROM psub p JOIN cb2 c ON p.m = c.m AND p.j = c.j
+       |  GROUP BY p.id, p.m, c.g),
+       |ad AS (SELECT dt.probe_id, k.vec_id AS cand_id,
+       |    CAST(sum(dt.d) AS BIGINT) AS adist
+       |  FROM codes k JOIN dt ON k.m = dt.m AND k.code = dt.g
+       |  WHERE k.vec_id <> dt.probe_id
+       |  GROUP BY dt.probe_id, k.vec_id),
+       |topk AS (SELECT probe_id, cand_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adist, cand_id) AS BIGINT) AS rk
+       |  FROM ad)
+       |$select""".stripMargin
   }
 
   /** CDC boundary/chunk CTE chain — the DuckDB twin of
@@ -2268,6 +2354,10 @@ object PipelineQueries {
         |    ORDER BY qcos DESC, cand_id ASC) AS BIGINT) AS rk
         | FROM r)
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "pq_encode" -> pqOracleSql(
+      "SELECT vec_id, m, code FROM codes"),
+    "ann_pq" -> pqOracleSql(
+      "SELECT probe_id, rk, cand_id, adist FROM topk WHERE rk <= 10"),
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)

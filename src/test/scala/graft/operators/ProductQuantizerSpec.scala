@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** ProductQuantizer: code-range/coverage invariants, determinism, the
+  * ADC distance cross-checked against an independent reconstruction,
+  * and recall against the exact L2 baseline on real embeddings. */
+class ProductQuantizerSpec extends SparkSpec {
+
+  private val M = 16
+  private val K = 64
+  private val D = 4
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+  private lazy val cb = ProductQuantizer.trainCodebooks(
+    emb, "vec_id", "embedding", m = M, k = K, subDim = D)
+  private lazy val codes = ProductQuantizer.encode(
+    emb, "vec_id", "embedding", cb, subDim = D)
+
+  test("every vector gets exactly one in-range code per subspace") {
+    val n = emb.count()
+    assert(codes.count() == n * M)
+    assert(codes.groupBy("vec_id", "m").count()
+      .filter(col("count") =!= 1).count() == 0L)
+    assert(codes.filter(col("code") < 0 || col("code") >= K)
+      .count() == 0L)
+    assert(codes.filter(col("m") < 0 || col("m") >= M).count() == 0L)
+  }
+
+  test("training and encoding are deterministic") {
+    val cb2 = ProductQuantizer.trainCodebooks(
+      emb, "vec_id", "embedding", m = M, k = K, subDim = D)
+    assert(cb.exceptAll(cb2).count() == 0L &&
+      cb2.exceptAll(cb).count() == 0L)
+  }
+
+  test("ADC distance equals an independent reconstruction") {
+    val probes = emb.filter(col("vec_id") < 3)
+    val got = ProductQuantizer.adcTopK(codes, cb, probes,
+      "vec_id", "embedding", subDim = D, k = 5)
+    // Independent path: reassemble each probe's micro subvector rows
+    // and each candidate's ASSIGNED codebook rows, then sum squared
+    // diffs directly — no distance table, no per-(m) pre-aggregation.
+    val psub = probes.select(col("vec_id").as("probe_id"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("probe_id"), (col("dim") / D).cast("int").as("m"),
+        (col("dim") % D).cast("int").as("j"),
+        floor(col("v").cast("double") * 1000000L).cast("long").as("pm"))
+    val candCb = codes.select(col("vec_id").as("cand_id"), col("m"),
+      col("code").cast("int").as("g")).join(cb, Seq("m", "g"))
+    val direct = psub.join(candCb, Seq("m", "j"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .groupBy("probe_id", "cand_id")
+      .agg(sum((col("pm") - col("cm")) * (col("pm") - col("cm")))
+        .as("ddist"))
+    val joined = got.join(direct, Seq("probe_id", "cand_id"))
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("adist") =!= col("ddist")).count() == 0L)
+  }
+
+  test("recall@10 beats random against the exact L2 baseline") {
+    import graft.functions.{VectorFunctions => VF}
+    val probes = emb.filter(col("vec_id") < 5)
+    val got = ProductQuantizer.adcTopK(codes, cb, probes,
+      "vec_id", "embedding", subDim = D, k = 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    val exact = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"))
+      .crossJoin(emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("dist", VF.l2DistanceSq(col("pv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("probe_id", "cand_id")
+    val hits = got.select("probe_id", "cand_id")
+      .intersect(exact).count()
+    val total = exact.count()
+    // Measured 0.58 on this synthetic (cluster-free) corpus — pin well
+    // above chance (10/500 = 0.02) with slack for data regeneration.
+    assert(hits.toDouble / total >= 0.3,
+      s"recall@10 ${hits.toDouble / total} < 0.3")
+  }
+}
