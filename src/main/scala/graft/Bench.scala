@@ -89,8 +89,9 @@ object Bench {
     "semantic_dedup", "importance_resample",
     // round-6: distributed GD training — iters+2 aggregation jobs over
     // a checkpointed standardized-feature frame (the model-in-the-loop
-    // trainer behind quality_model_score's weights)
-    "lr_train")
+    // trainer behind quality_model_score's weights) — and PQ ADC search
+    // (train fan-out against broadcast codebooks + table-lookup pricing)
+    "lr_train", "ann_pq")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

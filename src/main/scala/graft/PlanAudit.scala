@@ -493,6 +493,25 @@ object PlanAudit {
     check("q42_bloom_join: bloom prune inside probe scan stage",
       bjFilterBeforeJoin, "might_contain below the join in the plan tree")
 
+    // round-6: PQ — every codebook/distance-table join must broadcast
+    // (both are constant-size at any corpus), and candidate pricing is
+    // an equi-join + partial+final sum: no nested loop anywhere.
+    val pqe = plan("pq_encode")
+    check("pq_encode: codebook joins broadcast",
+      occurrences(pqe, "BroadcastHashJoin") >= 2 &&
+        !pqe.contains("CartesianProduct") &&
+        !pqe.contains("BroadcastNestedLoopJoin"),
+      "train+encode assignment joins against broadcast codebooks")
+    val apq = plan("ann_pq")
+    check("ann_pq: ADC equi-joins broadcast, no nested loop",
+      occurrences(apq, "BroadcastHashJoin") >= 2 &&
+        !apq.contains("CartesianProduct") &&
+        !apq.contains("BroadcastNestedLoopJoin"),
+      "distance table + codebook ride broadcasts; pricing is hash join")
+    check("ann_pq: partial+final distance aggregation",
+      occurrences(apq, "HashAggregate") >= 2,
+      "per-(probe,cand) sums combine map-side")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

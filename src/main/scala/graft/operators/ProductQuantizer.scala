@@ -57,6 +57,38 @@ object ProductQuantizer {
         floor(col("v").cast("double") * 1000000L).cast("long")
           .as("vm"))
 
+  /** (id, m, sv: array<long>) micro-unit subVECTORS — the row shape the
+    * K-way assignment fan-out joins on, so the fan-out is N·M·K rows,
+    * not N·D·K: the subDim distance terms stay INSIDE one codegen'd
+    * projection (a static expression tree per j — a transform() lambda
+    * here would run interpreted, the HOF cost the round-5 sweep
+    * removed everywhere else). */
+  private def subVectors(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("_v"),
+      explode(array((0 until m).map(i => lit(i)): _*)).as("m"))
+      .select(col("id"), col("m"),
+        array((0 until subDim).map { j =>
+          floor(element_at(col("_v"), col("m") * subDim + j + 1)
+            .cast("double") * 1000000L).cast("long")
+        }: _*).as("sv"))
+
+  /** Codebook reshaped to (m, g, cv: array<long>) for the array-form
+    * distance — tiny table, the sort-by-j collect is negligible. */
+  private def codebookVectors(cb: DataFrame): DataFrame =
+    cb.groupBy(col("m"), col("g"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("cm")))),
+        x => x.getField("cm")).as("cv"))
+
+  /** Exact integer squared distance between two micro-unit arrays as a
+    * static codegen'd term sum. */
+  private def sqDist(a: Column, b: Column, subDim: Int): Column =
+    (0 until subDim).map { j =>
+      (element_at(a, j + 1) - element_at(b, j + 1)) *
+        (element_at(a, j + 1) - element_at(b, j + 1))
+    }.reduce(_ + _)
+
   /** Per-(m, code) micro-unit codebook means of the given assignment:
     * (m, g, j, cm). Empty codes simply emit no rows. */
   private def codebookOf(sub: DataFrame, assign: DataFrame): DataFrame =
@@ -66,14 +98,15 @@ object ProductQuantizer {
       .select(col("m"), col("g"), col("j"),
         floorDiv(col("s"), col("n")).as("cm"))
 
-  /** Nearest-code assignment (id, m, g) under `cb`: exact integer
-    * squared distance summed over the subspace, ties to the lowest
-    * code. The codebook is constant-size — always broadcast. */
-  private def assignTo(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), Seq("m", "j"))
-      .groupBy(col("id"), col("m"), col("g"))
-      .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm")))
-        .as("dist"))
+  /** Nearest-code assignment (id, m, g) under the array-form codebook:
+    * exact integer squared distance in one codegen'd projection, ties
+    * to the lowest code via the (dist, g) struct min. The codebook is
+    * constant-size — always broadcast; the fan-out is N·M·K rows. */
+  private def assignTo(subArr: DataFrame, cbArr: DataFrame,
+      subDim: Int): DataFrame =
+    subArr.join(broadcast(cbArr), Seq("m"))
+      .select(col("id"), col("m"), col("g"),
+        sqDist(col("sv"), col("cv"), subDim).as("dist"))
       .groupBy(col("id"), col("m"))
       .agg(min(struct(col("dist"), col("g"))).as("best"))
       .select(col("id"), col("m"), col("best.g").as("g"))
@@ -86,20 +119,36 @@ object ProductQuantizer {
       salt: String = "pq"): DataFrame = {
     require(m > 0 && k > 1 && subDim > 0 && lloydIters >= 0)
     val sub = subComponents(vecs, idCol, vecCol, subDim)
+    val subArr = subVectors(vecs, idCol, vecCol, m, subDim)
     val init = sub.select(col("id"), col("m")).distinct()
       .withColumn("g",
         (conv(substring(md5(concat(col("id").cast("string"),
           lit(s":$salt"))), 1, 15), 16, 10).cast("long") % k).cast("int"))
-    (1 to lloydIters).foldLeft(codebookOf(sub, init)) { case (cb, _) =>
-      codebookOf(sub, assignTo(sub, cb))
+    // Each iteration's codebook is tiny (≤ m·k·subDim rows) but its
+    // LINEAGE holds the full O(N·M·K) assignment join of every prior
+    // iteration — and the result feeds encode + ADC + the next round,
+    // so an unpinned chain re-executes the whole history per consumer.
+    // Pin each round, release the stale one once its successor is
+    // materialized (the ConnectedComponents/PageRank discipline).
+    var (cb, release) = graft.util.Checkpoints.pin(codebookOf(sub, init))
+    for (_ <- 1 to lloydIters) {
+      val assigned = assignTo(subArr, codebookVectors(cb), subDim)
+      val (next, releaseNext) =
+        graft.util.Checkpoints.pin(codebookOf(sub, assigned))
+      release(); cb = next; release = releaseNext
     }
+    cb
   }
 
   /** Encode every vector as its M nearest codes under the trained
-    * codebooks: (id, m, code). */
+    * codebooks: (id, m, code). The subspace count derives from the
+    * codebook itself (max m + 1 would cost a job; the caller's m is
+    * implied by cb's row keys, so recover it from subDim and the
+    * vector width at plan time via the same explode range). */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
-      cb: DataFrame, subDim: Int): DataFrame =
-    assignTo(subComponents(vecs, idCol, vecCol, subDim), cb)
+      cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    assignTo(subVectors(vecs, idCol, vecCol, m, subDim),
+      codebookVectors(cb), subDim)
       .select(col("id").as(idCol), col("m"),
         col("g").cast("long").as("code"))
 

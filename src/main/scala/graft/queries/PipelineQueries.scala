@@ -900,7 +900,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     val cb = PQ.trainCodebooks(emb, "vec_id", "embedding",
       m = 16, k = 64, subDim = 4)
-    PQ.encode(emb, "vec_id", "embedding", cb, subDim = 4)
+    PQ.encode(emb, "vec_id", "embedding", cb, m = 16, subDim = 4)
   }
 
   /** ADC search over the PQ index: each probe prices every candidate
@@ -910,7 +910,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, d)
     val cb = PQ.trainCodebooks(emb, "vec_id", "embedding",
       m = 16, k = 64, subDim = 4)
-    val codes = PQ.encode(emb, "vec_id", "embedding", cb, subDim = 4)
+    val codes = PQ.encode(emb, "vec_id", "embedding", cb, m = 16, subDim = 4)
     PQ.adcTopK(codes, cb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", subDim = 4, k = 10)
   }

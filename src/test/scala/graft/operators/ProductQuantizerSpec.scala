@@ -16,7 +16,7 @@ class ProductQuantizerSpec extends SparkSpec {
   private lazy val cb = ProductQuantizer.trainCodebooks(
     emb, "vec_id", "embedding", m = M, k = K, subDim = D)
   private lazy val codes = ProductQuantizer.encode(
-    emb, "vec_id", "embedding", cb, subDim = D)
+    emb, "vec_id", "embedding", cb, m = M, subDim = D)
 
   test("every vector gets exactly one in-range code per subspace") {
     val n = emb.count()
