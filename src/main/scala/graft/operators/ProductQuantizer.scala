@@ -152,6 +152,35 @@ object ProductQuantizer {
       .select(col("id").as(idCol), col("m"),
         col("g").cast("long").as("code"))
 
+  /** IVF-PQ: the composition the two indexes exist for — the IVF cell
+    * PRUNES (only candidates in the probe's nProbe nearest cells are
+    * considered; at scale that is a partition-pruned read of the
+    * cell-partitioned code table), the PQ codes PRICE (ADC table
+    * lookups, no float math per candidate). `cells` is (idCol, cell)
+    * from [[IvfIndex.build]]'s assignment; everything else as
+    * [[adcTopK]]. Fewer candidates than k in the probed cells simply
+    * yield fewer rows — the standard IVF recall/probe trade. */
+  def searchIvfPq(codes: DataFrame, cb: DataFrame, cells: DataFrame,
+      centroids: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, subDim: Int, k: Int, nProbe: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val wCell = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", VF.l2DistanceSq(col("pvec"), col("centroid")))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nProbe)
+      .select(col("probe_id"), col("cell"))
+    val pruned = codes.join(
+      cells.select(col(idCol), col("cell")), Seq(idCol))
+      .join(broadcast(probeCells), Seq("cell"))
+    // price only the surviving (probe, cand) pairs
+    adcTopKOn(pruned.select(col("probe_id"), col(idCol), col("m"),
+      col("code")), cb, probes, idCol, vecCol, subDim, k)
+  }
+
   /** ADC top-k: per probe, precompute the M×K integer distance table
     * to the codebooks (broadcast — probes × M × K rows), then price
     * every encoded candidate with one (m, code) join + one
@@ -159,17 +188,41 @@ object ProductQuantizer {
     * lower candidate id. */
   def adcTopK(codes: DataFrame, cb: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, subDim: Int, k: Int): DataFrame = {
-    val psub = subComponents(probes, idCol, vecCol, subDim)
+    val dt = distanceTable(cb, probes, idCol, vecCol, subDim)
+    priceAndRank(
+      codes.select(col(idCol).as("cand_id"), col("m"),
+        col("code").cast("int").as("g"))
+        .join(broadcast(dt), Seq("m", "g")), k)
+  }
+
+  /** ADC over candidates already scoped per probe (the IVF-pruned
+    * path): same pricing, but the distance-table join also carries the
+    * probe key so only surviving (probe, cand) pairs are priced. */
+  private def adcTopKOn(cand: DataFrame, cb: DataFrame,
+      probes: DataFrame, idCol: String, vecCol: String, subDim: Int,
+      k: Int): DataFrame = {
+    val dt = distanceTable(cb, probes, idCol, vecCol, subDim)
+    priceAndRank(
+      cand.select(col("probe_id"), col(idCol).as("cand_id"), col("m"),
+        col("code").cast("int").as("g"))
+        .join(broadcast(dt), Seq("probe_id", "m", "g")), k)
+  }
+
+  /** (probe_id, m, g, d): each probe's exact integer distance to every
+    * codebook entry — M·K rows per probe, always broadcast. */
+  private def distanceTable(cb: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, subDim: Int): DataFrame =
+    subComponents(probes, idCol, vecCol, subDim)
       .withColumnRenamed("id", "probe_id")
-    val dt = psub.join(broadcast(cb), Seq("m", "j"))
+      .join(broadcast(cb), Seq("m", "j"))
       .groupBy(col("probe_id"), col("m"), col("g"))
       .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm")))
         .as("d"))
+
+  private def priceAndRank(priced: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adist").asc, col("cand_id").asc)
-    codes.select(col(idCol).as("cand_id"), col("m"),
-      col("code").cast("int").as("g"))
-      .join(broadcast(dt), Seq("m", "g"))
+    priced
       .filter(col("cand_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("cand_id"))
       .agg(sum(col("d")).as("adist"))

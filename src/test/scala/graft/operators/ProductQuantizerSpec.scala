@@ -59,6 +59,42 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(joined.filter(col("adist") =!= col("ddist")).count() == 0L)
   }
 
+  test("IVF-PQ prunes to the probed cells and prices identically") {
+    val probes = emb.filter(col("vec_id") < 3)
+    val ivf = IvfIndex.build(spark, emb, "vec_id", "embedding", k = 8)
+    val got = ProductQuantizer.searchIvfPq(codes, cb,
+      ivf.assigned.select("vec_id", "cell"), ivf.centroids, probes,
+      "vec_id", "embedding", subDim = D, k = 5, nProbe = 2)
+    val full = ProductQuantizer.adcTopK(codes, cb, probes,
+      "vec_id", "embedding", subDim = D, k = emb.count().toInt)
+    // every pruned result carries the SAME price as the full ADC pass,
+    // and only candidates from the probed cells appear
+    val j = got.join(full.withColumnRenamed("adist", "full_adist")
+      .drop("rk"), Seq("probe_id", "cand_id"))
+    assert(j.count() == got.count())
+    assert(j.filter(col("adist") =!= col("full_adist")).count() == 0L)
+    assert(got.groupBy("probe_id").count()
+      .filter(col("count") > 5).count() == 0L)
+    // pruning is real: some full-ADC top candidate set differs from the
+    // pruned one only via cell membership — verify every returned cand
+    // is in a probed cell
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cdist").asc, col("cell").asc)
+    import graft.functions.{VectorFunctions => VF}
+    val probeCells = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"))
+      .crossJoin(broadcast(ivf.centroids))
+      .withColumn("cdist", VF.l2DistanceSq(col("pv"), col("centroid")))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= 2).select("probe_id", "cell")
+    val outside = got
+      .join(ivf.assigned.select(col("vec_id").as("cand_id"),
+        col("cell")), Seq("cand_id"))
+      .join(probeCells, Seq("probe_id", "cell"), "left_anti")
+    assert(outside.count() == 0L)
+  }
+
   test("recall@10 beats random against the exact L2 baseline") {
     import graft.functions.{VectorFunctions => VF}
     val probes = emb.filter(col("vec_id") < 5)
