@@ -915,6 +915,25 @@ object PipelineQueries {
       "vec_id", "embedding", subDim = 4, k = 10)
   }
 
+  /** In-engine ANN quality eval ([[graft.operators.AnnEval]]): recall@10
+    * of the PQ/ADC result against the exact integer-micro L2 reference —
+    * the measurement that tunes code budgets before a 100 TB index
+    * build, itself hash-replayable because both sides are. */
+  def annRecall: Q = (s, d) => {
+    val PQ = graft.operators.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+    val cb = PQ.trainCodebooks(emb, "vec_id", "embedding",
+      m = 16, k = 64, subDim = 4)
+    val codes = PQ.encode(emb, "vec_id", "embedding", cb, m = 16,
+      subDim = 4)
+    val approx = PQ.adcTopK(codes, cb, probes,
+      "vec_id", "embedding", subDim = 4, k = 10)
+    val exact = graft.operators.AnnEval.l2MicroTopK(
+      emb, probes, "vec_id", "embedding", k = 10)
+    graft.operators.AnnEval.recallAtK(approx, exact)
+  }
+
   /** Int8-quantized top-k over the same probes: integer-exact score
     * terms make the approximate path hash-comparable, not just
     * recall-checked. */
@@ -1145,6 +1164,7 @@ object PipelineQueries {
     "ann_bruteforce" -> annBruteForce,
     "pq_encode" -> pqEncode,
     "ann_pq" -> annPq,
+    "ann_recall" -> annRecall,
     "ann_quantized" -> annQuantized,
     "ann_lsh_oracle" -> annLshOracle,
     "ann_hard_negatives" -> annHardNegatives,
@@ -2358,6 +2378,23 @@ object PipelineQueries {
       "SELECT vec_id, m, code FROM codes"),
     "ann_pq" -> pqOracleSql(
       "SELECT probe_id, rk, cand_id, adist FROM topk WHERE rk <= 10"),
+    // recall@10 of the ADC result vs exact integer-micro L2 — both
+    // sides are CTEs of the same chain, so the recall itself replays
+    "ann_recall" -> pqOracleSql(
+      """SELECT e.probe_id,
+        |  CAST(count(a.cand_id) AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n_exact,
+        |  round(CAST(count(a.cand_id) AS DOUBLE)/count(*), 4) AS recall
+        |FROM (SELECT probe_id, cand_id FROM (
+        |    SELECT p.id AS probe_id, s.id AS cand_id,
+        |      row_number() OVER (PARTITION BY p.id
+        |        ORDER BY sum((p.vm - s.vm)*(p.vm - s.vm)), s.id) AS rk
+        |    FROM psub p JOIN sub s
+        |      ON p.m = s.m AND p.j = s.j AND s.id <> p.id
+        |    GROUP BY p.id, s.id) WHERE rk <= 10) e
+        |LEFT JOIN (SELECT probe_id, cand_id FROM topk WHERE rk <= 10) a
+        |  ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id
+        |GROUP BY e.probe_id""".stripMargin),
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
