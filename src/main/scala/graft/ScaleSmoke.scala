@@ -74,7 +74,15 @@ object ScaleSmoke {
     // each doc once (K× docs → K× rows, query-pruned df stays tiny);
     // cross-doc minhash/cluster pair lanes stay excluded per the note
     // above.
-    "q7_denorm_join", "span_dedup", "text_pmi", "text_bm25")
+    "q7_denorm_join", "span_dedup", "text_pmi", "text_bm25",
+    // round-6: GD training (iters+2 aggregation jobs — the scan grows
+    // K×, driver state stays O(#features)), PQ ADC search (every stage
+    // linear in the corpus: K× assignment fan-out against the same
+    // constant-size broadcast codebook, K× pricing rows, constant
+    // top-k), and DSIR resampling (K identical copies leave the
+    // vocabulary fixed; bigram counts and scoring rows grow K×,
+    // selection stays top-100)
+    "lr_train", "ann_pq", "importance_resample")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
@@ -134,6 +142,16 @@ object ScaleSmoke {
         .reduce(_ unionAll _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    }
+    if (!new java.io.File(s"$big/embeddings.parquet").exists()) {
+      // disjoint vec_ids, same policy as documents: ann/PQ lanes key on
+      // the id; probes (vec_id < 5) stay the base five
+      val embs = Tables.embeddings(spark, base)
+      (0 until k).map(i => embs.withColumn("vec_id",
+          col("vec_id") + lit(i.toLong * 100000000L)))
+        .reduce(_ unionAll _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     }
     if (!new java.io.File(s"$big/orders.parquet").exists()) {
       // pagerank reads orders⋈lineitem. Orders is written ONCE (not
