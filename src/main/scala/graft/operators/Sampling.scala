@@ -40,6 +40,35 @@ object Sampling {
       coalesce(key.cast("string"), lit("\u0000")), lit(salt))), 1, 8),
       16, 10).cast("long") / 4294967296.0
 
+  /** Leakage-safe split: every row of a GROUP lands in the same split,
+    * because the split decision hashes the group key, not the row key.
+    * With the group = a near-dup cluster id, this is the split rule
+    * that keeps near-duplicates from straddling train/eval (row-keyed
+    * splitting leaks: two near-identical documents hash independently,
+    * and at 100 TB some pair WILL land on both sides of the cut —
+    * the held-out set then overlaps the training set semantically).
+    * Same hash-threshold mechanics as [[stratifiedSample]]: map-only,
+    * deterministic, engine-replayable.
+    *
+    * @param fractions ordered (name, share) with shares summing to 1;
+    *                  cumulative thresholds cut the uniform hash. */
+  def leakageSafeSplit(df: DataFrame, groupCol: String,
+      fractions: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1: $fractions")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "split names must be distinct")
+    val u = hashFraction(col(groupCol), salt)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val split = fractions.zip(cum).init.reverse
+      .foldLeft(lit(fractions.last._1): Column) {
+        case (acc, ((nm, _), c)) => when(u < c, lit(nm)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+  }
+
   /** Keep each row iff hashFraction(key) < fraction. */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
       salt: String = ""): DataFrame =

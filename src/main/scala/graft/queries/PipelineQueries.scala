@@ -220,6 +220,24 @@ object PipelineQueries {
     * per near-dup cluster is kept (the min id); output is the per-label
     * corpus size before/after dedup — what a pipeline reports after a
     * dedup pass. */
+  /** Leakage-safe train/val split ([[graft.operators.Sampling
+    * .leakageSafeSplit]]): the split decision hashes the near-dup
+    * CLUSTER id, so near-duplicates never straddle the cut — the
+    * row-keyed split (`sample_stratified`'s rule) provably leaks some
+    * near-dup pair across train/eval at scale. */
+  def clusterSplit: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.35, blockCols = Seq("label"))
+    val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+    val all = emb.select(col("vec_id").as("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    operatorsSampling.leakageSafeSplit(all, "cluster_id",
+      Seq(("train", 0.9), ("val", 0.1)))
+  }
+
   def dedupSurvivors: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val pairs = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
@@ -1123,6 +1141,7 @@ object PipelineQueries {
     "dedup_jaccard_pairs" -> dedupJaccardPairs,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_clusters" -> dedupClusters,
+    "cluster_split" -> clusterSplit,
     "dedup_survivors" -> dedupSurvivors,
     "semantic_dedup" -> semanticDedup,
     "importance_resample" -> importanceResample,
@@ -1691,6 +1710,26 @@ object PipelineQueries {
         | comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
         |SELECT id, cluster_id,
         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM comp""".stripMargin,
+    // same component closure, split decision hashed on the CLUSTER id
+    "cluster_split" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label,
+        |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35),
+        | edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        | reach(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT g.t, r.lab FROM reach r JOIN edges g ON g.s = r.id),
+        | comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id, cluster_id,
+        | CASE WHEN CAST(CAST(concat('0x', substring(md5(concat(
+        |     CAST(cluster_id AS VARCHAR), 'split')), 1, 8)) AS BIGINT)
+        |     AS DOUBLE) / CAST(4294967296 AS DOUBLE) < 0.9
+        |   THEN 'train' ELSE 'val' END AS split
         |FROM comp""".stripMargin,
     // SemDeDup replay: centroid training + nearest-centroid assignment
     // (the embedding_assign CTEs), pairs within the ASSIGNED cluster,

@@ -9,6 +9,41 @@ class SamplingSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, sf())
 
+  test("leakageSafeSplit keeps every group whole across the cut") {
+    import spark.implicits._
+    // groups chosen so ROW-keyed hashing would split some of them:
+    // members of each group get ids that hash to different sides
+    val df = (1L to 400L).map(id => (id, id % 50)).toDF("id", "grp")
+    val split = Sampling.leakageSafeSplit(df, "grp",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(split.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") =!= 1).count() == 0L)
+    // exhaustive + all three names present at 50 groups
+    assert(split.filter(col("split").isNull).count() == 0L)
+    val names = split.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(names.subsetOf(Set("train", "val", "test")) && names.size >= 2)
+    // row-keyed hashing DOES split some group (the leak this exists
+    // to prevent): reuse the same hash on the row id
+    val rowKeyed = Sampling.leakageSafeSplit(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(rowKeyed.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() > 0L)
+  }
+
+  test("leakageSafeSplit validates fractions") {
+    import spark.implicits._
+    val df = Seq((1L, 1L)).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(df, "grp", Seq(("a", 0.5), ("b", 0.4)))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(df, "grp", Seq(("a", 0.5), ("a", 0.5)))
+    }
+  }
+
   test("sample is identical across runs and partition layouts") {
     val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
