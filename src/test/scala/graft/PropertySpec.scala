@@ -307,4 +307,87 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"upd=$upd del=$del")
     }
   }
+
+  test("GradientTrainer: distributed trajectory == exact replay on random frames") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    import graft.operators.GradientTrainer
+    val genRow = for {
+      a <- Gen.choose(-40L, 40L)
+      b <- Gen.choose(0L, 60L)
+      y <- Gen.oneOf(0.0, 1.0)
+    } yield (a, b, y)
+    samples(Gen.listOfN(8, genRow), n = 3, seed = 7L).foreach { rows =>
+      val df = rows.toDF("a", "b", "y")
+      val feats = Seq[(String, org.apache.spark.sql.Column)](
+        ("a", col("a")), ("b", col("b")))
+      val got = GradientTrainer.train(df, feats, col("y"),
+        lrNum = 1L, lrDen = 2L, iters = 2).head()
+      def r12(d: Double): Double =
+        new JBD(d).setScale(12, RoundingMode.HALF_UP).doubleValue
+      val n = rows.length
+      val stats = (0 until 2).map { j =>
+        val vs = rows.map(r => if (j == 0) r._1 else r._2)
+        val m = r12(vs.sum.toDouble / n)
+        val v = r12(vs.map(x => x * x).sum.toDouble / n - m * m)
+        (m, if (v > 0) r12(math.sqrt(v)) else 1.0)
+      }
+      val xs = rows.map { r =>
+        (Array(r12((r._1 - stats(0)._1) / stats(0)._2),
+          r12((r._2 - stats(1)._1) / stats(1)._2)), r._3)
+      }
+      val bigB = BigInt(2) * n * 1000000L
+      var w = Array.fill(3)(0L)
+      for (_ <- 1 to 2) {
+        val sums = Array.fill(3)(BigInt(0))
+        for ((x, y) <- xs) {
+          val wd = w.map(_.toDouble / 1000000.0)
+          val res = wd(0) + wd(1) * x(0) + wd(2) * x(1) - y
+          for (j <- 0 to 2) {
+            val c = if (j == 0) res else res * x(j - 1)
+            sums(j) += BigInt(new JBD(c).setScale(12,
+              RoundingMode.HALF_UP).movePointRight(12).toBigIntegerExact)
+          }
+        }
+        w = w.indices.map { j =>
+          val a = sums(j)
+          w(j) - (a.signum * ((a.abs * 2 + bigB) / (bigB * 2))).toLong
+        }.toArray
+      }
+      assert(got.getAs[Long]("w_intercept_micro") == w(0) &&
+        got.getAs[Long]("w_a_micro") == w(1) &&
+        got.getAs[Long]("w_b_micro") == w(2),
+        s"trajectory diverged on $rows")
+    }
+  }
+
+  test("ProductQuantizer: ADC price == reconstruction on random vectors") {
+    import graft.operators.ProductQuantizer
+    val genVec = Gen.listOfN(8, Gen.choose(-2.0f, 2.0f))
+    samples(Gen.listOfN(12, genVec), n = 3, seed = 11L).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val cb = ProductQuantizer.trainCodebooks(df, "vec_id", "embedding",
+        m = 2, k = 4, subDim = 4, lloydIters = 1)
+      val codes = ProductQuantizer.encode(df, "vec_id", "embedding",
+        cb, m = 2, subDim = 4)
+      val probes = df.filter(col("vec_id") < 2)
+      val got = ProductQuantizer.adcTopK(codes, cb, probes,
+        "vec_id", "embedding", subDim = 4, k = 5)
+      val psub = probes.select(col("vec_id").as("probe_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("probe_id"), (col("dim") / 4).cast("int").as("m"),
+          (col("dim") % 4).cast("int").as("j"),
+          floor(col("v").cast("double") * 1000000L).cast("long").as("pm"))
+      val candCb = codes.select(col("vec_id").as("cand_id"), col("m"),
+        col("code").cast("int").as("g")).join(cb, Seq("m", "g"))
+      val direct = psub.join(candCb, Seq("m", "j"))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(sum((col("pm") - col("cm")) * (col("pm") - col("cm")))
+          .as("ddist"))
+      val joined = got.join(direct, Seq("probe_id", "cand_id"))
+      assert(joined.count() == got.count())
+      assert(joined.filter(col("adist") =!= col("ddist")).count() == 0L)
+    }
+  }
 }
