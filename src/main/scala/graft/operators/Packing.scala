@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — the step that turns a deduplicated, filtered
@@ -160,4 +161,34 @@ object Packing {
       .withColumn("fill_rate",
         col("n_tokens").cast("double") /
           (col("n_seqs") * lit(budget)).cast("double"))
+
+  /** Length-bucketed batching — the PADDED-batch counterpart of the
+    * packed-sequence builders above: a trainer that pads each batch to
+    * its longest member wants batches of SIMILAR-length documents, and
+    * random batching wastes (max−len) padding tokens per doc. Docs
+    * land in a length bucket (binWidth-sized bins), are ordered
+    * (length, id) within the bucket, and cut into batches of
+    * `batchSize`; per batch the report carries the padding cost the
+    * trainer will actually pay. One shuffle on the bucket key (the
+    * window partition); batch ids are bucket-scoped so the layout is
+    * deterministic and engine-replayable.
+    *
+    * Returns per-batch rows: (bucket, batch_id, n_docs, max_len,
+    * sum_len, padding) with padding = n_docs·max_len − sum_len. */
+  def lengthBucketBatches(docs: DataFrame, idCol: String,
+      lenCol: Column, binWidth: Long, batchSize: Int): DataFrame = {
+    require(binWidth > 0 && batchSize > 0)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("len").asc, col("id").asc)
+    docs.select(col(idCol).as("id"), lenCol.cast("long").as("len"))
+      .withColumn("bucket", (col("len") / binWidth).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", ((col("rn") - 1) / batchSize).cast("long"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("padding",
+        col("n_docs") * col("max_len") - col("sum_len"))
+  }
 }

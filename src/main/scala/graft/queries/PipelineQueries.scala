@@ -805,6 +805,15 @@ object PipelineQueries {
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     docs(s, d).withColumn("n_toks", TF.tokenCount(col("norm_text")))
 
+  /** Length-bucketed padded batching ([[graft.operators.Packing
+    * .lengthBucketBatches]]): similar-length docs batch together so
+    * per-batch padding (pay max−len per doc) shrinks — the PADDED
+    * counterpart of the packed-sequence lanes. */
+  def lengthBatches: Q = (s, d) =>
+    graft.operators.Packing.lengthBucketBatches(
+      docsWithTokens(s, d), "doc_id", col("n_toks"),
+      binWidth = 16L, batchSize = 8)
+
   /** Concat-and-chunk sequence packing: every document placed into the
     * fixed-256-token sequence grid of its hash shard (GPT-style packing,
     * documents may straddle boundaries). Pure window arithmetic. */
@@ -1188,6 +1197,7 @@ object PipelineQueries {
     "ann_lsh_oracle" -> annLshOracle,
     "ann_hard_negatives" -> annHardNegatives,
     "pack_chunk" -> packChunk,
+    "length_batches" -> lengthBatches,
     "pack_sliding" -> packSliding,
     "pack_nextfit" -> packNextFit,
     "pack_report" -> packReport,
@@ -2477,6 +2487,20 @@ object PipelineQueries {
         |  ON c.vec_id <> p.vec_id AND c.label <> p.label
         | WHERE p.vec_id < 5)
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "length_batches" ->
+      s"""WITH d AS (SELECT doc_id,
+         |   CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT)
+         |     AS len
+         |  FROM documents),
+         | b AS (SELECT doc_id, len, len // 16 AS bucket,
+         |   CAST(row_number() OVER (PARTITION BY (len // 16)
+         |     ORDER BY len, doc_id) AS BIGINT) AS rn
+         |  FROM d)
+         |SELECT bucket, (rn - 1) // 8 AS batch_id,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | max(len) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len,
+         | CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "pack_chunk" ->
       s"""WITH d AS (SELECT doc_id,
          |   CAST(len(regexp_extract_all($norm, '\\S+')) AS BIGINT) AS tok,

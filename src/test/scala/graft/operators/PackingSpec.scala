@@ -15,6 +15,34 @@ class PackingSpec extends SparkSpec {
     (6L, 99L), (7L, 1L), (8L, 60L), (9L, 0L), (10L, 100L),
   ).toDF("id", "tok")
 
+  test("lengthBucketBatches: every doc batched once, batches bounded, " +
+    "padding beats random batching") {
+    val got = Packing.lengthBucketBatches(docs, "id", col("tok"),
+      binWidth = 32L, batchSize = 3)
+    assert(got.agg(sum(col("n_docs"))).head().getLong(0) == 10L)
+    assert(got.filter(col("n_docs") > 3).count() == 0L)
+    // padding identity per batch
+    assert(got.filter(
+      col("padding") =!= col("n_docs") * col("max_len") - col("sum_len"))
+      .count() == 0L)
+    val bucketedWaste = got.agg(sum(col("padding"))).head().getLong(0)
+    // control: batch in id order, ignoring length — same batch size
+    val wId = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val naive = docs
+      .withColumn("rn", row_number().over(wId).cast("long"))
+      .withColumn("batch_id", ((col("rn") - 1) / 3).cast("long"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n"), max(col("tok")).as("mx"),
+        sum(col("tok")).as("sm"))
+      .agg(sum(col("n") * col("mx") - col("sm"))).head().getLong(0)
+    assert(bucketedWaste <= naive,
+      s"bucketed $bucketedWaste > naive $naive")
+    // length buckets are honest: a doc's len sits in its bucket's bin
+    val flat = Packing.lengthBucketBatches(docs, "id", col("tok"),
+      binWidth = 1000L, batchSize = 100)
+    assert(flat.count() == 1L) // one bucket, one batch at these bounds
+  }
+
   test("chunkPack: per-shard token intervals tile without gaps") {
     val out = Packing.chunkPack(docs, "id", "tok", budget = 100,
       shards = 2).collect()
