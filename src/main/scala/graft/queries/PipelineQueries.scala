@@ -942,6 +942,20 @@ object PipelineQueries {
       "vec_id", "embedding", subDim = 4, k = 10)
   }
 
+  /** [[graft.operators.AnnEval]] applied across methods: recall@5 of
+    * the int8-scalar-quantized search against the exact cosine
+    * baseline — quantifies what 8-bit compression costs on THIS corpus
+    * (vs ann_recall's PQ-vs-L2 measurement). */
+  def annRecallQuantized: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 5)
+    val approx = SimilaritySearch.quantizedTopK(
+      emb, probes, "vec_id", "embedding", k = 5)
+    val exact = SimilaritySearch.bruteForceTopK(
+      emb, probes, "vec_id", "embedding", k = 5)
+    graft.operators.AnnEval.recallAtK(approx, exact)
+  }
+
   /** In-engine ANN quality eval ([[graft.operators.AnnEval]]): recall@10
     * of the PQ/ADC result against the exact integer-micro L2 reference —
     * the measurement that tunes code budgets before a 100 TB index
@@ -1193,6 +1207,7 @@ object PipelineQueries {
     "pq_encode" -> pqEncode,
     "ann_pq" -> annPq,
     "ann_recall" -> annRecall,
+    "ann_recall_quantized" -> annRecallQuantized,
     "ann_quantized" -> annQuantized,
     "ann_lsh_oracle" -> annLshOracle,
     "ann_hard_negatives" -> annHardNegatives,
@@ -2427,6 +2442,46 @@ object PipelineQueries {
       "SELECT vec_id, m, code FROM codes"),
     "ann_pq" -> pqOracleSql(
       "SELECT probe_id, rk, cand_id, adist FROM topk WHERE rk <= 10"),
+    // recall@5 of the int8 path vs exact cosine — the two existing
+    // replays merged, recall join on top
+    "ann_recall_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        | q AS (SELECT vec_id,
+        |   list_transform(v, x -> CAST(round(
+        |     x * (127.0 / greatest(list_max(list_transform(v,
+        |       y -> abs(y))), 1e-30))) AS BIGINT)) AS qv
+        |  FROM e),
+        | s AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |   CAST(list_sum(list_transform(generate_series(1, len(p.qv)),
+        |     i -> p.qv[i] * c.qv[i])) AS BIGINT) AS dot,
+        |   CAST(list_sum(list_transform(p.qv, x -> x * x)) AS BIGINT) *
+        |   CAST(list_sum(list_transform(c.qv, x -> x * x)) AS BIGINT) AS n2
+        |  FROM q p JOIN q c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 5),
+        | r AS (SELECT probe_id, cand_id,
+        |   CASE WHEN n2 = 0 THEN 0.0
+        |        ELSE round(dot / sqrt(CAST(n2 AS DOUBLE)), 4) END AS qcos
+        |  FROM s),
+        | aq AS (SELECT probe_id, cand_id FROM (
+        |   SELECT probe_id, cand_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY qcos DESC, cand_id ASC) AS rk
+        |   FROM r) WHERE rk <= 5),
+        | ex AS (SELECT probe_id, cand_id FROM (
+        |   SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY round(list_cosine_similarity(p.v, c.v), 4) DESC,
+        |               c.vec_id ASC) AS rk
+        |   FROM e p JOIN e c ON c.vec_id <> p.vec_id
+        |   WHERE p.vec_id < 5) WHERE rk <= 5)
+        |SELECT ex.probe_id,
+        | CAST(count(aq.cand_id) AS BIGINT) AS n_hits,
+        | CAST(count(*) AS BIGINT) AS n_exact,
+        | round(CAST(count(aq.cand_id) AS DOUBLE)/count(*), 4) AS recall
+        |FROM ex LEFT JOIN aq
+        |  ON ex.probe_id = aq.probe_id AND ex.cand_id = aq.cand_id
+        |GROUP BY ex.probe_id""".stripMargin,
     // recall@10 of the ADC result vs exact integer-micro L2 — both
     // sides are CTEs of the same chain, so the recall itself replays
     "ann_recall" -> pqOracleSql(
