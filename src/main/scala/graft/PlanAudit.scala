@@ -296,6 +296,14 @@ object PlanAudit {
         !gs.contains("trip_id"),
       "3 of 5 generated columns reach the scan")
 
+    // V2 filter pushdown: the trip_id range conjuncts must be absorbed
+    // into the generator range (visible in the scan description) with
+    // no residual Filter node above the scan.
+    val gp = plan("gen_source_pruned")
+    check("gen_source_pruned: range absorbed, no residual Filter",
+      gp.contains("range=[90000,95000)") && !gp.contains("Filter ("),
+      "trip_id conjuncts prune partitions at plan time")
+
     // proximity-join rewrite: the NAIVE |Δt| <= tol join (no equi
     // conjunct — nested-loop territory without the optimizer rule) must
     // come out as a bucketized hash join with the marker columns in the

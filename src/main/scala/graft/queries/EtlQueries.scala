@@ -132,6 +132,22 @@ object EtlQueries {
           .as("avg_passengers"))
       .orderBy("cab_type")
 
+  /** The V2 FILTER pushdown under the gate: trip_id range conjuncts are
+    * absorbed into the generator's [lo, hi) BEFORE partition planning,
+    * so 5k of 100k rows are ever generated and the Filter node is gone
+    * from the plan (TripsGenSourceSpec + PlanAudit assert both); min/max
+    * trip_id in the output prove the absorbed range semantics exactly.
+    * passenger_count/pickup_ts additionally stay out of the scan. */
+  def genSourcePruned: Q = (s, _) =>
+    s.read.format("graft.sources.TripsGenProvider")
+      .option("rows", 100000L).option("slices", 8).load()
+      .filter(col("trip_id") >= 90000L && col("trip_id") < 95000L)
+      .groupBy(col("cab_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("trip_id")).as("min_id"), max(col("trip_id")).as("max_id"),
+        sum(col("fare_cents")).as("total_fare_cents"))
+      .orderBy("cab_type")
+
   /** Schema evolution across table generations: generation 1 was
     * written before the `o_orderpriority` column existed; generation 2
     * carries it. `mergeSchema` unifies the footers at read time (old
@@ -242,6 +258,7 @@ object EtlQueries {
     "bucketed_join" -> bucketedJoin,
     "zorder_roundtrip" -> zorderRoundtrip,
     "gen_source_agg" -> genSourceAgg,
+    "gen_source_pruned" -> genSourcePruned,
   )
 
   /** 32 shift/mask terms of the 16-bit interleave, as DuckDB SQL. */
@@ -290,6 +307,17 @@ object EtlQueries {
         |SELECT cab_type, count(*) AS n,
         | CAST(sum(fare_cents) AS BIGINT) AS total_fare_cents,
         | round(avg(CAST(passenger_count AS DOUBLE)), 6) AS avg_passengers
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "gen_source_pruned" ->
+      """WITH g AS (SELECT unnest(generate_series(90000, 94999)) AS i),
+        | t AS (SELECT i AS trip_id,
+        |   ['yellow', 'green', 'uber'][CAST(i % 3 AS INT) + 1] AS cab_type,
+        |   250 + (i * 131) % 4750 AS fare_cents
+        |  FROM g)
+        |SELECT cab_type, count(*) AS n,
+        | CAST(min(trip_id) AS BIGINT) AS min_id,
+        | CAST(max(trip_id) AS BIGINT) AS max_id,
+        | CAST(sum(fare_cents) AS BIGINT) AS total_fare_cents
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_csv_roundtrip" ->
       """SELECT count(*) AS cnt,

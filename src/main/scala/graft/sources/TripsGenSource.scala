@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,7 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     executors);
   *   - column pruning (`SupportsPushDownRequiredColumns`): a query that
   *     needs 3 of 5 columns generates 3 of 5 columns — visible in the
-  *     BatchScan's output attributes, asserted by PlanAudit.
+  *     BatchScan's output attributes, asserted by PlanAudit;
+  *   - filter pushdown (`SupportsPushDownFilters`): trip_id IS the row
+  *     index, so comparison/equality conjuncts on it tighten the
+  *     generated [lo, hi) range BEFORE partition planning — the
+  *     file-source partition-pruning shape (a predicate that survives
+  *     to the scan prunes whole InputPartitions, not rows). Honored
+  *     conjuncts are fully absorbed: the Filter node disappears from
+  *     the plan, and a contradiction (trip_id < 0) plans ZERO
+  *     partitions. Everything else stays post-scan;
+  *   - statistics (`SupportsReportStatistics`): row count and byte size
+  *     of the PRUNED range, so join planning sees a post-pushdown
+  *     estimate (a trip_id slice of a huge generated table broadcasts).
   *
   * Every column is PURE integer arithmetic on the row index, so any
   * engine can replay the table (`generate_series` in the DuckDB
@@ -80,31 +92,85 @@ class TripsGenTable extends Table with SupportsRead {
 }
 
 class TripsGenScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = TripsGenSource.schema
+  private var lo: Long = 0L   // inclusive generation start
+  private var hi: Long = rows // exclusive generation end
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve generator-schema field order regardless of request order
     required = StructType(TripsGenSource.schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new TripsGenScan(rows, slices, required)
+
+  /** Absorb trip_id comparisons into the generated range. trip_id = i
+    * exactly, so an absorbed conjunct is FULLY honored (no residual
+    * re-evaluation — return only the rejects). Spark hands conjuncts
+    * pre-split; literals arrive as the column's resolved numeric type. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def lv(a: Any): Option[Long] = a match {
+      case n: Number => Some(n.longValue())
+      case _ => None
+    }
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("trip_id", v) => lv(v).isDefined
+      case GreaterThan("trip_id", v) => lv(v).isDefined
+      case GreaterThanOrEqual("trip_id", v) => lv(v).isDefined
+      case LessThan("trip_id", v) => lv(v).isDefined
+      case LessThanOrEqual("trip_id", v) => lv(v).isDefined
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v) =>
+        lo = math.max(lo, lv(v).get); hi = math.min(hi, lv(v).get + 1)
+      case GreaterThan(_, v) => lo = math.max(lo, lv(v).get + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, lv(v).get)
+      case LessThan(_, v) => hi = math.min(hi, lv(v).get)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, lv(v).get + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new TripsGenScan(rows, slices, required, lo, math.max(lo, hi), pushed)
 }
 
 case class TripsGenRange(start: Long, end: Long) extends InputPartition
 
-class TripsGenScan(rows: Long, slices: Int, required: StructType)
-    extends Scan with Batch {
+class TripsGenScan(rows: Long, slices: Int, required: StructType,
+    lo: Long, hi: Long, pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-trips-gen rows=$rows slices=$slices " +
-      s"columns=[${required.fieldNames.mkString(",")}]"
+    s"graft-trips-gen rows=$rows slices=$slices range=[$lo,$hi) " +
+      s"columns=[${required.fieldNames.mkString(",")}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    // Split granularity comes from the UNPRUNED table (rows/slices),
+    // file-source style: pushdown drops whole partitions instead of
+    // re-slicing the survivor range into `slices` micro-partitions.
     val per = math.max(1L, (rows + slices - 1) / slices)
-    (0L until rows by per)
-      .map(s => TripsGenRange(s, math.min(s + per, rows))).toArray
+    (lo until hi by per)
+      .map(s => TripsGenRange(s, math.min(s + per, hi))).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TripsGenReaderFactory(required.fieldNames)
+
+  /** Post-pushdown estimate: exact row count of the pruned range; bytes
+    * from fixed per-column widths (8B numerics/ts, ~8B cab strings). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def sizeInBytes: java.util.OptionalLong =
+      java.util.OptionalLong.of(n * math.max(8, required.size * 8).toLong)
+    override def numRows: java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
 }
 
 class TripsGenReaderFactory(fields: Array[String])
