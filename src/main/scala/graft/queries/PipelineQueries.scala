@@ -994,6 +994,29 @@ object PipelineQueries {
     PQ.encode(emb, "vec_id", "embedding", cb, m = 16, subDim = 4)
   }
 
+  /** Whole-vector distributed KMeans — the m=1 degenerate case of the
+    * PQ trainer (one "subspace" spanning all 64 dims), which IS Lloyd's
+    * algorithm: md5-bucket init, two unrolled iterations of exact
+    * integer-micro centroid means (floor division) and argmin
+    * assignment, every stage a DataFrame op. The oracle-replayable
+    * counterpart of the MLlib-seeded KMeans inside [[IvfIndex.build]]:
+    * same iteration structure, but every centroid component and every
+    * cluster size hash-checks cross-engine. Output: 8 centroids × 64
+    * components, each with its cluster's member count. */
+  def kmeansTrain: Q = (s, d) => {
+    val PQ = graft.operators.ProductQuantizer
+    val emb = Tables.embeddings(s, d)
+    val cb = PQ.trainCodebooks(emb, "vec_id", "embedding",
+      m = 1, k = 8, subDim = 64, salt = "km")
+    val codes = PQ.encode(emb, "vec_id", "embedding", cb, m = 1,
+      subDim = 64)
+    val sizes = codes.groupBy(col("code").cast("int").as("g"))
+      .agg(count(lit(1)).as("n_members"))
+    cb.join(sizes, Seq("g"))
+      .select(col("g").cast("long").as("cluster"),
+        col("j").cast("long").as("j"), col("cm"), col("n_members"))
+  }
+
   /** ADC search over the PQ index: each probe prices every candidate
     * with M integer table lookups — no per-candidate float math. */
   def annPq: Q = (s, d) => {
@@ -1270,6 +1293,7 @@ object PipelineQueries {
     "text_pii_scrub" -> textPiiScrub,
     "ann_bruteforce" -> annBruteForce,
     "pq_encode" -> pqEncode,
+    "kmeans_train" -> kmeansTrain,
     "ann_pq" -> annPq,
     "ann_recall" -> annRecall,
     "ann_recall_quantized" -> annRecallQuantized,
@@ -1380,7 +1404,8 @@ object PipelineQueries {
     * the Spark side uses), same exact integer distances with
     * (dist, code)/(adist, cand) tie order. `select` runs over the
     * final CTEs (`codes` for the index, `cb2`+probe CTEs for ADC). */
-  private def pqOracleSql(select: String): String = {
+  private def pqOracleSql(select: String, subDim: Int = 4, k: Int = 64,
+      salt: String = "pq"): String = {
     def cbOf(name: String, assign: String): String =
       s"""$name AS (SELECT m, g, j, CAST(CASE WHEN s >= 0 THEN s // n
          |    ELSE -((-s + n - 1) // n) END AS BIGINT) AS cm
@@ -1396,15 +1421,15 @@ object PipelineQueries {
          |    FROM sub s JOIN $cb c ON s.m = c.m AND s.j = c.j
          |    GROUP BY s.id, s.m, c.g)) WHERE rk = 1)""".stripMargin
     s"""WITH sub AS (SELECT vec_id AS id,
-       |    CAST((dim - 1) // 4 AS INT) AS m,
-       |    CAST((dim - 1) % 4 AS INT) AS j,
+       |    CAST((dim - 1) // $subDim AS INT) AS m,
+       |    CAST((dim - 1) % $subDim AS INT) AS j,
        |    CAST(floor(v * 1000000) AS BIGINT) AS vm
        |  FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    unnest(generate_series(1, len(embedding))) AS dim
        |   FROM embeddings)),
        |init AS (SELECT DISTINCT id, m,
        |  CAST(CAST(concat('0x', substring(md5(concat(CAST(id AS VARCHAR),
-       |    ':pq')), 1, 15)) AS BIGINT) % 64 AS INT) AS g FROM sub),
+       |    ':$salt')), 1, 15)) AS BIGINT) % $k AS INT) AS g FROM sub),
        |${cbOf("cb0", "init")},
        |${assignOf("a1", "cb0")},
        |${cbOf("cb1", "a1")},
@@ -2543,6 +2568,15 @@ object PipelineQueries {
         |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     "pq_encode" -> pqOracleSql(
       "SELECT vec_id, m, code FROM codes"),
+    // whole-vector KMeans = the same chain at subDim=64/k=8/salt km;
+    // final codebook joined with final-assignment cluster sizes
+    "kmeans_train" -> pqOracleSql(
+      """,sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM af GROUP BY 1)
+        |SELECT CAST(c.g AS BIGINT) AS cluster, CAST(c.j AS BIGINT) AS j,
+        |  c.cm, s.n_members
+        |FROM cb2 c JOIN sizes s USING (g)""".stripMargin,
+      subDim = 64, k = 8, salt = "km"),
     "ann_pq" -> pqOracleSql(
       "SELECT probe_id, rk, cand_id, adist FROM topk WHERE rk <= 10"),
     // recall@5 of the int8 path vs exact cosine — the two existing

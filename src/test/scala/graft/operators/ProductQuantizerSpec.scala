@@ -120,4 +120,48 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(hits.toDouble / total >= 0.3,
       s"recall@10 ${hits.toDouble / total} < 0.3")
   }
+
+  test("m=1 is whole-vector KMeans: Lloyd's separates planted clusters") {
+    import spark.implicits._
+    // two tight planted clusters around (0,0,0,0) and (10,10,10,10):
+    // whatever the md5 init scatters, two Lloyd iterations must land
+    // every vector with its own cluster — and centroids on the means
+    val vecs = ((0L until 12L).map(i =>
+      (i, Array(0.01 * i, 0.01 * i, 0.0, 0.0))) ++
+      (12L until 24L).map(i =>
+        (i, Array(10.0 + 0.01 * i, 10.0, 10.0, 0.01 * i))))
+      .toDF("vec_id", "embedding")
+    val cbk = ProductQuantizer.trainCodebooks(vecs, "vec_id", "embedding",
+      m = 1, k = 2, subDim = 4, lloydIters = 3, salt = "km")
+    val assign = ProductQuantizer.encode(vecs, "vec_id", "embedding",
+      cbk, m = 1, subDim = 4)
+      .select(col("vec_id"), col("code")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loCodes = (0L until 12L).map(assign).toSet
+    val hiCodes = (12L until 24L).map(assign).toSet
+    assert(loCodes.size === 1 && hiCodes.size === 1 && loCodes != hiCodes,
+      s"lo=$loCodes hi=$hiCodes")
+    // centroid components are the exact integer-micro floor-div means
+    val cmap = cbk.collect().map(r => (r.getAs[Int]("g"),
+      r.getAs[Int]("j")) -> r.getAs[Long]("cm")).toMap
+    val loG = loCodes.head.toInt
+    val expected = (0 until 4).map { j =>
+      val vals = (0L until 12L).map(i =>
+        math.floor(Array(0.01 * i, 0.01 * i, 0.0, 0.0)(j) * 1e6).toLong)
+      Math.floorDiv(vals.sum, vals.length.toLong)
+    }
+    (0 until 4).foreach(j => assert(cmap((loG, j)) === expected(j), s"j=$j"))
+  }
+
+  test("kmeans_train lane: sizes cover the corpus, 64 components each") {
+    val rows = graft.queries.PipelineQueries.kmeansTrain(spark, sf())
+      .collect()
+    val n = emb.count()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.length === 64, s"cluster $c has ${rs.length} components")
+      assert(rs.map(_.getAs[Long]("n_members")).distinct.length === 1)
+    }
+    assert(byCluster.map(_._2.head.getAs[Long]("n_members")).sum === n)
+  }
 }
