@@ -132,6 +132,36 @@ object EtlQueries {
           .as("avg_passengers"))
       .orderBy("cab_type")
 
+  /** Gzip-sharded JSONL round-trip — the LLM-corpus interchange format
+    * (one JSON object per line, the shape every public text dataset
+    * ships in). Documents are hash-repartitioned into 4 shards, written
+    * as gzip JSONL, and read back under an EXPLICIT schema (schema-on-
+    * read discipline: inference costs a second pass at 100 TB and can
+    * drift per shard). The per-language aggregate carries a content
+    * checksum — sum of the modular rolling hash over the round-tripped
+    * text — so the lane proves byte-level text survival (incl. escaped
+    * multi-byte zh/es text), not just row counts; the oracle computes
+    * the same aggregate straight from the parquet source, which only
+    * matches if the JSONL path is lossless. */
+  def jsonlRoundtrip: Q = (s, d) => {
+    val out = tmp("jsonl", d)
+    Tables.documents(s, d).repartition(4, col("doc_id"))
+      .write.mode("overwrite").option("compression", "gzip").json(out)
+    val back = s.read.schema(StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))).json(out)
+    back.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(graft.functions.TextFunctions.rollingHash(col("text")))
+          .as("content_sum"))
+      .orderBy("lang")
+  }
+
   /** The V2 FILTER pushdown under the gate: trip_id range conjuncts are
     * absorbed into the generator's [lo, hi) BEFORE partition planning,
     * so 5k of 100k rows are ever generated and the Filter node is gone
@@ -259,6 +289,7 @@ object EtlQueries {
     "zorder_roundtrip" -> zorderRoundtrip,
     "gen_source_agg" -> genSourceAgg,
     "gen_source_pruned" -> genSourcePruned,
+    "etl_jsonl_roundtrip" -> jsonlRoundtrip,
   )
 
   /** 32 shift/mask terms of the 16-bit interleave, as DuckDB SQL. */
@@ -308,6 +339,28 @@ object EtlQueries {
         | CAST(sum(fare_cents) AS BIGINT) AS total_fare_cents,
         | round(avg(CAST(passenger_count AS DOUBLE)), 6) AS avg_passengers
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_jsonl_roundtrip" -> {
+      // the rolling-hash content checksum over NORMALIZED text — the
+      // same replay text_stats pins per doc, summed per language here;
+      // computed from the parquet source, so it matches only if the
+      // JSONL round-trip preserved every character
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH h AS (SELECT lang, doc_id, n_chars,
+         |  CAST(CASE WHEN length($norm) = 0 THEN 0
+         |   ELSE list_reduce(list_transform(
+         |     generate_series(1, length($norm)),
+         |     i -> CAST(ascii($norm[i]) AS BIGINT)),
+         |     (acc, c) -> (acc * 31 + c) % 1000000007)
+         |   END AS BIGINT) AS rfp
+         | FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         | CAST(min(doc_id) AS BIGINT) AS min_id,
+         | CAST(max(doc_id) AS BIGINT) AS max_id,
+         | CAST(sum(rfp) AS BIGINT) AS content_sum
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "gen_source_pruned" ->
       """WITH g AS (SELECT unnest(generate_series(90000, 94999)) AS i),
         | t AS (SELECT i AS trip_id,
