@@ -89,4 +89,56 @@ object RelevanceScoring {
           log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4)
           .as("tfidf"))
   }
+
+  /** All-pairs LEXICAL cosine similarity over df-pruned TF-IDF vectors
+    * — the sparse-vector document-similarity path (the classic
+    * all-pairs-similarity-search shape) beside the MinHash (set),
+    * SimHash (bit), and embedding (dense) near-dup families. The
+    * inverted index IS the join: pairs are generated per shared term,
+    * so the fan-out is Σ_term df² — which is why the df cap is not a
+    * quality nicety but THE scale bound (a stopword-grade term at
+    * 100 TB would alone emit ~N² pairs; capped, every term's
+    * contribution is bounded and the term-keyed shuffle stays skew-
+    * free). Weights are the 4-dp-rounded TF-IDF values — engine-exact
+    * doubles — so pair dot products and squared norms accumulate as
+    * exact decimals (order-independent), with one double
+    * divide+sqrt+round at the end: the whole pair list hash-checks.
+    * Cosine is over the PRUNED vector space (norms from surviving
+    * terms), the standard all-pairs formulation. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFrac: Double = 0.8, minCos: Double = 0.9): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol).localCheckpoint(true)
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // surviving (doc, term, weight) postings feed the norm aggregate
+    // AND both sides of the pair join — checkpoint once (vocab-keyed
+    // df join deliberately not broadcast: vocabulary grows with data)
+    val w = tf.join(dfs, Seq("term"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
+      .select(col("doc_id"), col("term"),
+        round((lit(1.0) + log(col("tf"))) *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4)
+          .as("wt"))
+      .localCheckpoint(true)
+    val norms = w.groupBy("doc_id")
+      .agg(sum((col("wt") * col("wt")).cast("decimal(38,12)")).as("n2"))
+    val pairs = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.wt") * col("b.wt")).cast("decimal(38,12)").as("p"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"), sum(col("p")).as("d"))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("d").cast("double") /
+          (sqrt(col("n2a").cast("double")) *
+            sqrt(col("n2b").cast("double"))), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 }

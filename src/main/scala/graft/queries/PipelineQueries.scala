@@ -840,6 +840,17 @@ object PipelineQueries {
   private val bm25Terms = Seq("join", "stream", "filter")
   private val (bm25K1, bm25B) = (1.2, 0.75)
 
+  /** All-pairs lexical cosine over df-pruned TF-IDF vectors
+    * ([[RelevanceScoring.sparseCosinePairs]]): every surviving doc pair
+    * with cos ≥ 0.9 plus its shared-term count — the sparse-vector
+    * near-dup family member beside MinHash/SimHash/embedding. On this
+    * corpus the 0.8·N df cap keeps the mid-frequency vocabulary
+    * (at 0.7·N only the planted duplicates' rare terms survive and
+    * every pair scores 1.0 — the cap IS the recall/cost dial). */
+  def sparseCosine: Q = (s, d) =>
+    RelevanceScoring.sparseCosinePairs(docs(s, d), "doc_id", "norm_text",
+      maxDfFrac = 0.8, minCos = 0.9)
+
   /** Keyword extraction: top-3 terms per document by smoothed TF-IDF
     * (rounded-then-ranked with a term tiebreak, so the cut is
     * engine-exact). The full-vocabulary df table shuffles on term —
@@ -1259,6 +1270,7 @@ object PipelineQueries {
     "sample_group_quota" -> sampleGroupQuota,
     "text_bm25" -> textBm25,
     "text_tfidf" -> textTfidf,
+    "sparse_cosine_pairs" -> sparseCosine,
     "text_repetition" -> textRepetition,
     "text_length_hist" -> textLengthHist,
     "gopher_rules" -> gopherRules,
@@ -2665,6 +2677,33 @@ object PipelineQueries {
          | SELECT *, row_number() OVER (PARTITION BY doc_id
          |   ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
          |WHERE rk <= 3""".stripMargin,
+    "sparse_cosine_pairs" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id,
+         |     unnest(regexp_extract_all($norm, '\\S+')) AS term
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         | dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         | n AS (SELECT count(*) AS n_docs FROM documents),
+         | w AS (SELECT tf.doc_id, tf.term,
+         |   round((1.0 + ln(tf.tf)) *
+         |     ln((n.n_docs + 1.0) / (dfs.df + 1.0)), 4) AS wt
+         |  FROM tf JOIN dfs USING (term) CROSS JOIN n
+         |  WHERE dfs.df <= 0.8 * n.n_docs),
+         | norms AS (SELECT doc_id,
+         |   sum(CAST(wt*wt AS DECIMAL(38,12))) AS n2 FROM w GROUP BY 1),
+         | dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared,
+         |    sum(CAST(a.wt*b.wt AS DECIMAL(38,12))) AS d
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, cos FROM (
+         | SELECT doc_a, doc_b, n_shared,
+         |  round(CAST(d AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) *
+         |    sqrt(CAST(nb.n2 AS DOUBLE))), 4) AS cos
+         | FROM dot JOIN norms na ON na.doc_id = doc_a
+         |   JOIN norms nb ON nb.doc_id = doc_b)
+         |WHERE cos >= 0.9""".stripMargin,
     "ann_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
