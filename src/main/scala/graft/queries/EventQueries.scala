@@ -218,6 +218,36 @@ object EventQueries {
         round(graft.functions.HllFunctions.hllEstimate(col("regs"), 8), 2)
           .as("hll_est"))
 
+  /** Sketch MERGEABILITY under the gate — the property the sketch
+    * family exists for at 100 TB (per-partition/per-source sketches
+    * roll up without touching rows again): per-type HLL register
+    * arrays merged by element-wise max into the union sketch, beside
+    * each scope's exact distinct. Because register merge is exact, the
+    * union row's estimate is bit-identical to running one global HLL —
+    * HllSpec pins that identity; here both tiers replay in DuckDB. */
+  def hllUnion: Q = (s, d) => {
+    val HF = graft.functions.HllFunctions
+    val ev = Tables.events(s, d)
+    // tiny (one row per type) but feeds two consumers — pin once
+    val perType = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        HF.hll(col("user_id"), 8).as("regs"))
+      .localCheckpoint(true)
+    val unionRegs = perType
+      .select(posexplode(col("regs")).as(Seq("idx", "mj")))
+      .groupBy("idx").agg(max(col("mj")).as("mj"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("idx"), col("mj")))),
+        x => x.getField("mj")).as("regs"))
+    val exactAll = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    val unionRow = unionRegs.crossJoin(broadcast(exactAll))
+      .select(lit("__all").as("event_type"), col("n_exact"),
+        round(HF.hllEstimate(col("regs"), 8), 2).as("hll_est"))
+    perType.select(col("event_type"), col("n_exact"),
+        round(HF.hllEstimate(col("regs"), 8), 2).as("hll_est"))
+      .unionByName(unionRow)
+  }
+
   /** Range join: same-user event pairs within 30 minutes — the
     * bucketized proximity join, oracled against a plain inequality
     * join in DuckDB. */
@@ -337,6 +367,7 @@ object EventQueries {
     "resample_interp" -> eventsResampleInterp,
     "cohort_retention" -> cohortRetention,
     "hll_distinct" -> hllDistinct,
+    "hll_union" -> hllUnion,
     "stream_hll" ->
       ((s, d) => EventsStream.streamingHllDistinct(s, d)),
     "stream_quantile_hist" ->
@@ -520,6 +551,49 @@ object EventQueries {
         |     * 9007199254740992.0 / CAST(a.s AS DOUBLE) END, 2)
         |  AS hll_est
         |FROM ex JOIN agg a USING (event_type)""".stripMargin,
+    // per-type registers + element-wise-max union registers, both
+    // estimated with the same replayed formula — sketch mergeability
+    "hll_union" -> {
+      def est(s: String, v: String) =
+        s"""round(CASE WHEN (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0)
+           |     * 256.0) * 9007199254740992.0 / CAST($s AS DOUBLE)
+           |     <= 640.0 AND $v > 0
+           |   THEN 256.0 * ln(256.0 / CAST($v AS DOUBLE))
+           |   ELSE (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0)
+           |     * 9007199254740992.0 / CAST($s AS DOUBLE) END, 2)"""
+          .stripMargin
+      s"""WITH h AS (SELECT event_type,
+         |  CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+         |    1, 15)) AS BIGINT) AS hv
+         | FROM events),
+         | r AS (SELECT event_type, hv % 256 AS bucket,
+         |   52 - length(ltrim(bin(hv // 256), '0')) + 1 AS rho FROM h),
+         | regs AS (SELECT event_type, bucket, MAX(rho) AS mj
+         |  FROM r GROUP BY 1, 2),
+         | agg AS (SELECT event_type,
+         |   CAST(SUM(CAST(pow(2.0, 53 - mj) AS BIGINT)) AS BIGINT)
+         |     + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s,
+         |   256 - CAST(count(*) AS BIGINT) AS v
+         |  FROM regs GROUP BY 1),
+         | ex AS (SELECT event_type,
+         |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1),
+         | uregs AS (SELECT bucket, MAX(mj) AS mj FROM regs GROUP BY 1),
+         | uagg AS (SELECT
+         |   CAST(SUM(CAST(pow(2.0, 53 - mj) AS BIGINT)) AS BIGINT)
+         |     + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s,
+         |   256 - CAST(count(*) AS BIGINT) AS v
+         |  FROM uregs),
+         | uex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+         |   AS n_exact FROM events)
+         |SELECT ex.event_type, ex.n_exact,
+         | ${est("a.s", "a.v")} AS hll_est
+         |FROM ex JOIN agg a USING (event_type)
+         |UNION ALL
+         |SELECT '__all' AS event_type, uex.n_exact,
+         | ${est("uagg.s", "uagg.v")} AS hll_est
+         |FROM uex CROSS JOIN uagg""".stripMargin
+    },
     // two native ASOF joins (backward + forward) and the same
     // fixed-order lerp; endpoint policy back-fill/forward-fill/null
     "resample_interp" ->

@@ -64,6 +64,29 @@ class HllSpec extends SparkSpec {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("merged per-group registers equal one global sketch exactly") {
+    // the mergeability identity the hll_union lane rests on: element-
+    // wise max of per-type register arrays == the registers of a
+    // single HLL over all rows, bit for bit — so the union ESTIMATE
+    // is exactly the global estimate, not an approximation of it
+    val ev = graft.Tables.events(spark, sf())
+    val merged = ev.groupBy("event_type")
+      .agg(HllFunctions.hll(col("user_id"), b).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("idx", "mj")))
+      .groupBy("idx").agg(max(col("mj")).as("mj"))
+      .orderBy("idx").collect().map(_.getAs[Int]("mj")).toSeq
+    val global = ev.agg(HllFunctions.hll(col("user_id"), b))
+      .collect().head.getSeq[Int](0)
+    assert(merged === global)
+    val lane = graft.queries.EventQueries.hllUnion(spark, sf()).collect()
+    val unionRow = lane.filter(_.getString(0) == "__all")
+    assert(unionRow.length === 1)
+    val directEst = ev.agg(round(HllFunctions.hllEstimate(
+      HllFunctions.hll(col("user_id"), b), b), 2))
+      .collect().head.getDouble(0)
+    assert(unionRow.head.getAs[Double]("hll_est") === directEst)
+  }
+
   test("SQL registration: hll over a non-string key") {
     withExtensionSession("hll-sql") { s2 =>
       s2.range(100).createOrReplaceTempView("t")
