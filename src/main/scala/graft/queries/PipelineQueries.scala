@@ -764,69 +764,11 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         min(col("tc")).as("min_tokens"), max(col("tc")).as("max_tokens"))
 
-  /** The Gopher required-stopword list (Rae et al. 2021 §A1.1): a doc
-    * must contain at least 2 of these 8 English function words. */
-  private[queries] val gopherStopwords =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
-
-  /** Gopher-style quality rule battery over a (doc_id, text, norm_text)
-    * frame — the published LLM-corpus filter set (Rae et al. 2021
-    * §A1.1; the bullet/ellipsis line rules are shared with C4). Every
-    * metric is an exact integer count and every threshold an integer
-    * cross-multiplication (10·symbols ≤ words rather than
-    * symbols/words ≤ 0.1), so the flags — not just the counts — are
-    * engine-exact with no float at any cut line. Map-only: one
-    * codegen'd regex projection over the scan, zero exchanges; at
-    * 100 TB this runs at read speed and the pass flag is the
-    * partition-local filter every downstream stage reuses. Line rules
-    * use (?m) anchors over the raw text — one regex pass per rule, no
-    * per-line explode, no interpreted lambda filter. */
-  private[queries] def gopherMetrics(df: DataFrame): DataFrame = {
-    val m = df.select(
-      col("doc_id"),
-      TF.tokenCount(col("text")).as("n_words"),
-      // Σ word lengths ≡ count of non-whitespace chars (words are the
-      // \s+-split runs) — one regex strip, no per-token fold
-      length(regexp_replace(col("text"), "\\s+", "")).cast("long")
-        .as("n_word_chars"),
-      (length(col("text")) - length(regexp_replace(col("text"), "#", ""))
-        + size(regexp_extract_all(col("text"), lit("(\\.\\.\\.|…)"),
-          lit(0)))).cast("long").as("n_symbols"),
-      size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
-      size(regexp_extract_all(col("text"), lit("(?m)^[ \\t]*[-*•]"),
-        lit(0))).cast("long").as("n_bullet_lines"),
-      size(regexp_extract_all(col("text"),
-        lit("(?m)(\\.\\.\\.|…)[ \\t]*$"), lit(0))).cast("long")
-        .as("n_ellipsis_lines"),
-      // a \S+ token matches (\S*[A-Za-z]\S*) exactly once iff it
-      // contains a letter — matches cannot cross whitespace
-      size(regexp_extract_all(col("text"), lit("\\S*[A-Za-z]\\S*"),
-        lit(0))).cast("long").as("n_alpha_words"),
-      size(array_intersect(array_distinct(TF.tokens(col("norm_text"))),
-        array(gopherStopwords.map(lit(_)): _*))).cast("long")
-        .as("n_req_stopwords"))
-    m.select(col("*"),
-      (col("n_words") >= 50L && col("n_words") <= 100000L)
-        .as("r_word_count"),
-      (col("n_word_chars") >= lit(3L) * col("n_words") &&
-        col("n_word_chars") <= lit(10L) * col("n_words"))
-        .as("r_mean_word_len"),
-      (lit(10L) * col("n_symbols") <= col("n_words")).as("r_symbol_ratio"),
-      (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
-        .as("r_bullet"),
-      (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
-        .as("r_ellipsis"),
-      (lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
-        .as("r_alpha_words"),
-      (col("n_req_stopwords") >= 2L).as("r_stopwords"))
-      .withColumn("gopher_pass",
-        col("r_word_count") && col("r_mean_word_len") &&
-          col("r_symbol_ratio") && col("r_bullet") && col("r_ellipsis") &&
-          col("r_alpha_words") && col("r_stopwords"))
-  }
-
-  /** The rule battery as a driver lane over the documents corpus. */
-  def gopherRules: Q = (s, d) => gopherMetrics(docs(s, d))
+  /** The [[graft.operators.QualityRules]] Gopher battery as a driver
+    * lane over the documents corpus (see the operator for the
+    * integer-exact threshold design). */
+  def gopherRules: Q = (s, d) =>
+    graft.operators.QualityRules.gopherMetrics(docs(s, d))
 
   /** Okapi BM25 relevance of every document against a fixed query bag —
     * the corpus-filtering signal ("keep docs relevant to X"). Exact
@@ -1274,6 +1216,8 @@ object PipelineQueries {
     "text_repetition" -> textRepetition,
     "text_length_hist" -> textLengthHist,
     "gopher_rules" -> gopherRules,
+    "stream_quality_gate" -> ((s, d) =>
+      graft.streaming.DocsStream.streamingQualityGate(s, d)),
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "quality_model_score" -> qualityModelScore,
@@ -1326,6 +1270,45 @@ object PipelineQueries {
 
   private val norm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Gopher metric CTE (all integer counts, per doc, with lang for the
+    * streaming gate's grouping) — shared by the gopher_rules and
+    * stream_quality_gate oracles. */
+  private def gopherCteSql: String = {
+    val stops = graft.operators.QualityRules.gopherStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""gm AS (SELECT doc_id, lang,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+       |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+       |    AS n_word_chars,
+       |  CAST(length(text) - length(replace(text, '#', ''))
+       |    + len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS BIGINT)
+       |    AS n_symbols,
+       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]'))
+       |    AS BIGINT) AS n_bullet_lines,
+       |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$$'))
+       |    AS BIGINT) AS n_ellipsis_lines,
+       |  CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+       |    AS BIGINT) AS n_alpha_words,
+       |  CAST(len(list_intersect(
+       |    list_distinct(regexp_extract_all($norm, '\\S+')),
+       |    [$stops])) AS BIGINT) AS n_req_stopwords
+       | FROM documents)""".stripMargin
+  }
+
+  private val gopherFlags: Seq[(String, String)] = Seq(
+    "r_word_count" -> "(n_words >= 50 AND n_words <= 100000)",
+    "r_mean_word_len" ->
+      "(n_word_chars >= 3*n_words AND n_word_chars <= 10*n_words)",
+    "r_symbol_ratio" -> "(10*n_symbols <= n_words)",
+    "r_bullet" -> "(10*n_bullet_lines <= 9*n_lines)",
+    "r_ellipsis" -> "(10*n_ellipsis_lines <= 3*n_lines)",
+    "r_alpha_words" -> "(5*n_alpha_words >= 4*n_words)",
+    "r_stopwords" -> "(n_req_stopwords >= 2)")
+
+  private def gopherPassSql: String =
+    gopherFlags.map(_._2).mkString(" AND ")
 
   /** Full GD training trajectory of [[graft.operators.GradientTrainer]]
     * as a recursive CTE: integer feature counts → exact-sum
@@ -2430,44 +2413,22 @@ object PipelineQueries {
          | CAST(min(tc) AS BIGINT) AS min_tokens,
          | CAST(max(tc) AS BIGINT) AS max_tokens
          |FROM t GROUP BY 1""".stripMargin,
-    "gopher_rules" -> {
-      val stops = gopherStopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH m AS (SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
-         |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
-         |    AS n_word_chars,
-         |  CAST(length(text) - length(replace(text, '#', ''))
-         |    + len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS BIGINT)
-         |    AS n_symbols,
-         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-         |  CAST(len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•]'))
-         |    AS BIGINT) AS n_bullet_lines,
-         |  CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$$'))
-         |    AS BIGINT) AS n_ellipsis_lines,
-         |  CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
-         |    AS BIGINT) AS n_alpha_words,
-         |  CAST(len(list_intersect(
-         |    list_distinct(regexp_extract_all($norm, '\\S+')),
-         |    [$stops])) AS BIGINT) AS n_req_stopwords
-         | FROM documents)
-         |SELECT *,
-         | (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-         | (n_word_chars >= 3*n_words AND n_word_chars <= 10*n_words)
-         |   AS r_mean_word_len,
-         | (10*n_symbols <= n_words) AS r_symbol_ratio,
-         | (10*n_bullet_lines <= 9*n_lines) AS r_bullet,
-         | (10*n_ellipsis_lines <= 3*n_lines) AS r_ellipsis,
-         | (5*n_alpha_words >= 4*n_words) AS r_alpha_words,
-         | (n_req_stopwords >= 2) AS r_stopwords,
-         | (n_words >= 50 AND n_words <= 100000
-         |   AND n_word_chars >= 3*n_words AND n_word_chars <= 10*n_words
-         |   AND 10*n_symbols <= n_words
-         |   AND 10*n_bullet_lines <= 9*n_lines
-         |   AND 10*n_ellipsis_lines <= 3*n_lines
-         |   AND 5*n_alpha_words >= 4*n_words
-         |   AND n_req_stopwords >= 2) AS gopher_pass
-         |FROM m""".stripMargin
-    },
+    "gopher_rules" ->
+      s"""WITH $gopherCteSql
+         |SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+         | n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+         | n_req_stopwords,
+         | ${gopherFlags.map { case (n, e) => s"$e AS $n" }
+            .mkString(",\n ")},
+         | ($gopherPassSql) AS gopher_pass
+         |FROM gm""".stripMargin,
+    // the same metric CTE aggregated the way the streaming gate
+    // aggregates — the drained stream must equal this row for row
+    "stream_quality_gate" ->
+      s"""WITH $gopherCteSql
+         |SELECT lang, ($gopherPassSql) AS gopher_pass,
+         | count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_words
+         |FROM gm GROUP BY 1, 2""".stripMargin,
     "text_bm25" -> {
       val terms = bm25Terms.map(t => s"'$t'").mkString(", ")
       val (a, k, c, bb) =

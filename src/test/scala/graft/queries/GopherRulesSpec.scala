@@ -14,7 +14,7 @@ class GopherRulesSpec extends SparkSpec {
     import spark.implicits._
     val df = docs.toDF("doc_id", "text")
       .withColumn("norm_text", TF.normalize(col("text")))
-    PipelineQueries.gopherMetrics(df).collect()
+    graft.operators.QualityRules.gopherMetrics(df).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
   }
 
@@ -100,5 +100,26 @@ class GopherRulesSpec extends SparkSpec {
     assert(passWc > 0 && passWc < rows.length)
     assert(rows.map(_.getAs[Long]("n_req_stopwords")).distinct.sorted
       .toSeq === Seq(0L, 1L))
+  }
+
+  test("streaming quality gate equals the batch aggregation") {
+    val streamed = graft.streaming.DocsStream
+      .streamingQualityGate(spark, sf(), queryName = "gopher_gate_spec")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Boolean]("gopher_pass"))
+        -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"))).toMap
+    val batch = graft.operators.QualityRules.gopherMetrics(
+      graft.Tables.documents(spark, sf())
+        .withColumn("norm_text", TF.normalize(col("text"))),
+      keep = Seq("lang"))
+      .groupBy("lang", "gopher_pass")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Boolean]("gopher_pass"))
+        -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"))).toMap
+    assert(streamed === batch && streamed.nonEmpty)
+    // every doc accounted for exactly once across (lang, pass) cells
+    val total = graft.Tables.documents(spark, sf()).count()
+    assert(streamed.values.map(_._1).sum === total)
   }
 }
