@@ -91,7 +91,13 @@ object Bench {
     // a checkpointed standardized-feature frame (the model-in-the-loop
     // trainer behind quality_model_score's weights) — and PQ ADC search
     // (train fan-out against broadcast codebooks + table-lookup pricing)
-    "lr_train", "ann_pq")
+    "lr_train", "ann_pq",
+    // round-6 second wave: the Gopher regex battery (pure map — tracks
+    // scan-stage regex throughput), the df-capped sparse-cosine pair
+    // join (term-keyed self-join, the all-pairs fan-out under its
+    // bound), and whole-vector KMeans (iterative trainer: per-iteration
+    // assignment fan-out + pinned codebook chain)
+    "gopher_rules", "sparse_cosine_pairs", "kmeans_train")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -97,16 +97,22 @@ object RelevanceScoring {
     * inverted index IS the join: pairs are generated per shared term,
     * so the fan-out is Σ_term df² — which is why the df cap is not a
     * quality nicety but THE scale bound (a stopword-grade term at
-    * 100 TB would alone emit ~N² pairs; capped, every term's
-    * contribution is bounded and the term-keyed shuffle stays skew-
-    * free). Weights are the 4-dp-rounded TF-IDF values — engine-exact
+    * 100 TB would alone emit ~N² pairs). The cap is ABSOLUTE, not a
+    * corpus fraction, and that is load-bearing: Σ_term df² ≤
+    * |vocab|·maxDf² no matter how big the corpus grows, and no term
+    * group exceeds maxDf rows so the term-keyed shuffle is skew-free
+    * by construction. (A fractional cap keeps terms whose df scales
+    * with N — quadratic at EVERY scale factor; measured: the 0.8·N
+    * form ran 560M join rows at sf0.1 on this fixed-vocabulary
+    * corpus.) Weights are the 4-dp-rounded TF-IDF values — engine-exact
     * doubles — so pair dot products and squared norms accumulate as
     * exact decimals (order-independent), with one double
     * divide+sqrt+round at the end: the whole pair list hash-checks.
     * Cosine is over the PRUNED vector space (norms from surviving
     * terms), the standard all-pairs formulation. */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDfFrac: Double = 0.8, minCos: Double = 0.9): DataFrame = {
+      maxDf: Long = 400L, minCos: Double = 0.9): DataFrame = {
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
     val tf = termFreqs(docs, idCol, textCol).localCheckpoint(true)
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -115,7 +121,7 @@ object RelevanceScoring {
     // df join deliberately not broadcast: vocabulary grows with data)
     val w = tf.join(dfs, Seq("term"))
       .crossJoin(broadcast(n))
-      .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
+      .filter(col("df") <= lit(maxDf))
       .select(col("doc_id"), col("term"),
         round((lit(1.0) + log(col("tf"))) *
           log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 4)

@@ -785,13 +785,16 @@ object PipelineQueries {
   /** All-pairs lexical cosine over df-pruned TF-IDF vectors
     * ([[RelevanceScoring.sparseCosinePairs]]): every surviving doc pair
     * with cos ≥ 0.9 plus its shared-term count — the sparse-vector
-    * near-dup family member beside MinHash/SimHash/embedding. On this
-    * corpus the 0.8·N df cap keeps the mid-frequency vocabulary
-    * (at 0.7·N only the planted duplicates' rare terms survive and
-    * every pair scores 1.0 — the cap IS the recall/cost dial). */
+    * near-dup family member beside MinHash/SimHash/embedding. The
+    * ABSOLUTE df cap of 400 keeps the mid-frequency vocabulary at
+    * sf0.01 (500 docs) and degrades gracefully to rare-term-only pairs
+    * as the corpus grows — per-term fan-out stays ≤ 400² at any scale
+    * (at cap 350 on this corpus only the planted duplicates' rare
+    * terms survive and every pair scores 1.0 — the cap IS the
+    * recall/cost dial). */
   def sparseCosine: Q = (s, d) =>
     RelevanceScoring.sparseCosinePairs(docs(s, d), "doc_id", "norm_text",
-      maxDfFrac = 0.8, minCos = 0.9)
+      maxDf = 400L, minCos = 0.9)
 
   /** Keyword extraction: top-3 terms per document by smoothed TF-IDF
     * (rounded-then-ranked with a term tiebreak, so the cut is
@@ -2650,7 +2653,7 @@ object PipelineQueries {
          |   round((1.0 + ln(tf.tf)) *
          |     ln((n.n_docs + 1.0) / (dfs.df + 1.0)), 4) AS wt
          |  FROM tf JOIN dfs USING (term) CROSS JOIN n
-         |  WHERE dfs.df <= 0.8 * n.n_docs),
+         |  WHERE dfs.df <= 400),
          | norms AS (SELECT doc_id,
          |   sum(CAST(wt*wt AS DECIMAL(38,12))) AS n2 FROM w GROUP BY 1),
          | dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

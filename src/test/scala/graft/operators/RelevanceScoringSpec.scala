@@ -44,14 +44,14 @@ class RelevanceScoringSpec extends SparkSpec {
   }
 
   test("sparse cosine pairs: hand arithmetic, df cap, threshold") {
-    // 4 docs; 'common' is in all 4 (df cap 0.8·4 = 3.2 drops it);
+    // 4 docs; 'common' is in all 4 (absolute df cap 3 drops it);
     // docs 1/2 share {alpha beta}, doc 3 shares nothing surviving
     val docs4 = Seq(
       (1L, "alpha beta common"), (2L, "alpha beta common"),
       (3L, "gamma delta common"), (4L, "epsilon common zeta"))
       .toDF("doc_id", "text")
     val got = RelevanceScoring.sparseCosinePairs(
-      docs4, "doc_id", "text", maxDfFrac = 0.8, minCos = 0.0)
+      docs4, "doc_id", "text", maxDf = 3L, minCos = 0.0)
       .collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
         (r.getAs[Long]("n_shared"), r.getAs[Double]("cos"))).toMap
@@ -61,25 +61,25 @@ class RelevanceScoringSpec extends SparkSpec {
     assert(got((1L, 2L))._2 === 1.0)
     // with the cap lifted, 'common' links every pair
     val all = RelevanceScoring.sparseCosinePairs(
-      docs4, "doc_id", "text", maxDfFrac = 1.0, minCos = 0.0)
+      docs4, "doc_id", "text", maxDf = 4L, minCos = 0.0)
     assert(all.count() === 6L)
-    // hand check one non-trivial cosine at maxDfFrac=1.0: docs 1 and 3
+    // hand check one non-trivial cosine at cap 4: docs 1 and 3
     // share only 'common'; wt(common) = (1+ln 1)·ln(5/5) = 0 → cos 0
     val c13 = all.filter(col("doc_a") === 1L && col("doc_b") === 3L)
       .collect().head.getAs[Double]("cos")
     assert(c13 === 0.0)
     // threshold actually cuts
     assert(RelevanceScoring.sparseCosinePairs(
-      docs4, "doc_id", "text", maxDfFrac = 1.0, minCos = 0.5)
+      docs4, "doc_id", "text", maxDf = 4L, minCos = 0.5)
       .count() < 6L)
   }
 
-  test("sparse cosine at 0.7 df cap isolates the planted duplicates") {
+  test("sparse cosine at df cap 350 isolates the planted duplicates") {
     val real = graft.Tables.documents(spark, sf())
       .withColumn("norm_text",
         graft.functions.TextFunctions.normalize(col("text")))
     val pairs = RelevanceScoring.sparseCosinePairs(
-      real, "doc_id", "norm_text", maxDfFrac = 0.7, minCos = 0.0)
+      real, "doc_id", "norm_text", maxDf = 350L, minCos = 0.0)
       .collect()
     // only rare (planted-duplicate) terms survive the cap: every
     // surviving pair is an exact lexical duplicate, cos = 1.0
