@@ -304,6 +304,22 @@ object PlanAudit {
       gp.contains("range=[90000,95000)") && !gp.contains("Filter ("),
       "trip_id conjuncts prune partitions at plan time")
 
+    // Gopher battery: a pure scan-stage projection — regexes must not
+    // introduce any exchange, and the plan must stay codegen'd.
+    val gr = plan("gopher_rules")
+    check("gopher_rules: map-only, zero exchanges",
+      occurrences(gr, "Exchange") == 0 && gr.contains("*("),
+      "quality flags compute at read speed")
+
+    // Sparse cosine: the df table joins on term (vocab-keyed — must
+    // NOT be a broadcast of the full posting table) and no cartesian
+    // shape anywhere in the pair join.
+    val sc = plan("sparse_cosine_pairs")
+    check("sparse_cosine: no nested-loop/cartesian pair generation",
+      !sc.contains("BroadcastNestedLoopJoin") &&
+        !sc.contains("CartesianProduct"),
+      "pairs come from the term-keyed equi-join only")
+
     // proximity-join rewrite: the NAIVE |Δt| <= tol join (no equi
     // conjunct — nested-loop territory without the optimizer rule) must
     // come out as a bucketized hash join with the marker columns in the

@@ -82,7 +82,19 @@ object ScaleSmoke {
     // top-k), and DSIR resampling (K identical copies leave the
     // vocabulary fixed; bigram counts and scoring rows grow K×,
     // selection stays top-100)
-    "lr_train", "ann_pq", "importance_resample")
+    "lr_train", "ann_pq", "importance_resample",
+    // round-6 second wave: the Gopher battery (pure map — regex
+    // throughput should scale exactly with rows) and whole-vector
+    // KMeans (K× assignment fan-out per iteration against a
+    // constant-size codebook, like ann_pq's train stage).
+    // sparse_cosine_pairs stays EXCLUDED like the other pair-emitting
+    // dedup lanes: disjoint-id copies multiply every under-cap rare
+    // term's df by K, manufacturing K²/2 pairs per planted-dup group —
+    // a quadratic OUTPUT the harness would misread. (Its scale bound —
+    // common terms crossing the ABSOLUTE cap as the corpus grows — is
+    // exactly what the enlargement does show: the 0.8·N fractional
+    // form measured 560M join rows at sf0.1, the absolute form 1.04 s.)
+    "gopher_rules", "kmeans_train")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
