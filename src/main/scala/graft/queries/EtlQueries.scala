@@ -132,27 +132,18 @@ object EtlQueries {
           .as("avg_passengers"))
       .orderBy("cab_type")
 
-  /** Gzip-sharded JSONL round-trip — the LLM-corpus interchange format
-    * (one JSON object per line, the shape every public text dataset
-    * ships in). Documents are hash-repartitioned into 4 shards, written
-    * as gzip JSONL, and read back under an EXPLICIT schema (schema-on-
-    * read discipline: inference costs a second pass at 100 TB and can
-    * drift per shard). The per-language aggregate carries a content
-    * checksum — sum of the modular rolling hash over the round-tripped
-    * text — so the lane proves byte-level text survival (incl. escaped
-    * multi-byte zh/es text), not just row counts; the oracle computes
-    * the same aggregate straight from the parquet source, which only
-    * matches if the JSONL path is lossless. */
-  def jsonlRoundtrip: Q = (s, d) => {
-    val out = tmp("jsonl", d)
-    Tables.documents(s, d).repartition(4, col("doc_id"))
-      .write.mode("overwrite").option("compression", "gzip").json(out)
-    val back = s.read.schema(StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))).json(out)
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Per-language aggregate with a rolling-hash content checksum — the
+    * lossless-round-trip gate shared by the JSONL and ORC lanes (the
+    * oracle computes the identical aggregate straight from parquet, so
+    * a format path passes only if it preserved every character). */
+  private def contentChecksumAgg(back: DataFrame): DataFrame =
     back.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
@@ -160,6 +151,29 @@ object EtlQueries {
         sum(graft.functions.TextFunctions.rollingHash(col("text")))
           .as("content_sum"))
       .orderBy("lang")
+
+  /** Gzip-sharded JSONL round-trip — the LLM-corpus interchange format
+    * (one JSON object per line, the shape every public text dataset
+    * ships in). Documents are hash-repartitioned into 4 shards, written
+    * as gzip JSONL, and read back under an EXPLICIT schema (schema-on-
+    * read discipline: inference costs a second pass at 100 TB and can
+    * drift per shard); the [[contentChecksumAgg]] gate proves
+    * byte-level text survival incl. escaped multi-byte zh/es text. */
+  def jsonlRoundtrip: Q = (s, d) => {
+    val out = tmp("jsonl", d)
+    Tables.documents(s, d).repartition(4, col("doc_id"))
+      .write.mode("overwrite").option("compression", "gzip").json(out)
+    contentChecksumAgg(s.read.schema(docsSchema).json(out))
+  }
+
+  /** ORC round-trip under the same content-checksum gate — the second
+    * columnar format tier beside parquet (zlib-compressed, 4 shards;
+    * ORC carries its own schema, so the read declares none). */
+  def orcRoundtrip: Q = (s, d) => {
+    val out = tmp("orc", d)
+    Tables.documents(s, d).repartition(4, col("doc_id"))
+      .write.mode("overwrite").option("compression", "zlib").orc(out)
+    contentChecksumAgg(s.read.orc(out))
   }
 
   /** The V2 FILTER pushdown under the gate: trip_id range conjuncts are
@@ -290,6 +304,7 @@ object EtlQueries {
     "gen_source_agg" -> genSourceAgg,
     "gen_source_pruned" -> genSourcePruned,
     "etl_jsonl_roundtrip" -> jsonlRoundtrip,
+    "etl_orc_roundtrip" -> orcRoundtrip,
   )
 
   /** 32 shift/mask terms of the 16-bit interleave, as DuckDB SQL. */
@@ -297,6 +312,29 @@ object EtlQueries {
     (0 until bits).flatMap(i => Seq(
       s"((($a >> $i) & 1) << ${2 * i})",
       s"((($b >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  /** The rolling-hash content checksum over NORMALIZED text — the same
+    * replay text_stats pins per doc, summed per language; computed from
+    * the parquet source, so a format lane matches only if its
+    * round-trip preserved every character. Shared by JSONL and ORC. */
+  private val contentChecksumSql: String = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"""WITH h AS (SELECT lang, doc_id, n_chars,
+       |  CAST(CASE WHEN length($norm) = 0 THEN 0
+       |   ELSE list_reduce(list_transform(
+       |     generate_series(1, length($norm)),
+       |     i -> CAST(ascii($norm[i]) AS BIGINT)),
+       |     (acc, c) -> (acc * 31 + c) % 1000000007)
+       |   END AS BIGINT) AS rfp
+       | FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       | CAST(min(doc_id) AS BIGINT) AS min_id,
+       | CAST(max(doc_id) AS BIGINT) AS max_id,
+       | CAST(sum(rfp) AS BIGINT) AS content_sum
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // replay the dim semantics directly: 1996-Q2 = months 04..06
@@ -339,28 +377,8 @@ object EtlQueries {
         | CAST(sum(fare_cents) AS BIGINT) AS total_fare_cents,
         | round(avg(CAST(passenger_count AS DOUBLE)), 6) AS avg_passengers
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
-    "etl_jsonl_roundtrip" -> {
-      // the rolling-hash content checksum over NORMALIZED text — the
-      // same replay text_stats pins per doc, summed per language here;
-      // computed from the parquet source, so it matches only if the
-      // JSONL round-trip preserved every character
-      val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
-        "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
-      s"""WITH h AS (SELECT lang, doc_id, n_chars,
-         |  CAST(CASE WHEN length($norm) = 0 THEN 0
-         |   ELSE list_reduce(list_transform(
-         |     generate_series(1, length($norm)),
-         |     i -> CAST(ascii($norm[i]) AS BIGINT)),
-         |     (acc, c) -> (acc * 31 + c) % 1000000007)
-         |   END AS BIGINT) AS rfp
-         | FROM documents)
-         |SELECT lang, count(*) AS n_docs,
-         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         | CAST(min(doc_id) AS BIGINT) AS min_id,
-         | CAST(max(doc_id) AS BIGINT) AS max_id,
-         | CAST(sum(rfp) AS BIGINT) AS content_sum
-         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "etl_jsonl_roundtrip" -> contentChecksumSql,
+    "etl_orc_roundtrip" -> contentChecksumSql,
     "gen_source_pruned" ->
       """WITH g AS (SELECT unnest(generate_series(90000, 94999)) AS i),
         | t AS (SELECT i AS trip_id,

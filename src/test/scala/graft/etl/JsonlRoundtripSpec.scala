@@ -35,6 +35,20 @@ class JsonlRoundtripSpec extends SparkSpec {
     assert(zh > 0L)
   }
 
+  test("ORC round-trip is lossless and lane-equal to JSONL") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_orc_spec"
+    val src = Tables.documents(spark, sf())
+    src.repartition(4, col("doc_id"))
+      .write.mode("overwrite").option("compression", "zlib").orc(out)
+    val back = spark.read.orc(out).select(src.columns.map(col).toSeq: _*)
+    assert(back.exceptAll(src).count() === 0L)
+    assert(src.exceptAll(back).count() === 0L)
+    // both format lanes compute the same aggregate of the same data
+    val viaOrc = EtlQueries.orcRoundtrip(spark, sf()).collect().toSeq
+    val viaJsonl = EtlQueries.jsonlRoundtrip(spark, sf()).collect().toSeq
+    assert(viaOrc === viaJsonl)
+  }
+
   test("lane aggregate matches the same aggregate on the parquet source") {
     val lane = EtlQueries.jsonlRoundtrip(spark, sf()).collect()
     val direct = Tables.documents(spark, sf())
