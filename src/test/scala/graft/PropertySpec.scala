@@ -390,4 +390,81 @@ class PropertySpec extends SparkSpec {
       assert(joined.filter(col("adist") =!= col("ddist")).count() == 0L)
     }
   }
+
+  test("sparse cosine pairs == brute-force cosine for arbitrary corpora") {
+    import graft.operators.RelevanceScoring
+    val genDoc = Gen.listOfN(6,
+      Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx")).map(_.mkString(" "))
+    samples(Gen.listOfN(8, genDoc), n = 3, seed = 7L).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = RelevanceScoring.sparseCosinePairs(
+        df, "doc_id", "text", maxDf = 100L, minCos = 0.0)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Double]("cos")).toMap
+      // Scala-side brute force over the same 4-dp tf-idf weights
+      val n = texts.length
+      val tf = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\\s+").groupBy(identity)
+          .map { case (w, g) => w -> g.length }
+      }.toMap
+      val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+        .map { case (w, g) => w -> g.size }
+      def w(tfv: Int, dfv: Int): Double = {
+        val raw = (1.0 + math.log(tfv)) *
+          math.log((n + 1.0) / (dfv + 1.0))
+        BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+      val vecs = tf.map { case (id, m) =>
+        id -> m.map { case (t, c) => t -> w(c, dfreq(t)) }
+      }
+      for (a <- 0L until n.toLong; b <- a + 1 until n.toLong) {
+        val (va, vb) = (vecs(a), vecs(b))
+        val shared = va.keySet & vb.keySet
+        val dot = shared.toSeq.map(t => va(t) * vb(t)).sorted.sum
+        val expected =
+          if (shared.isEmpty) None
+          else {
+            val na = math.sqrt(va.values.map(x => x * x).sum)
+            val nb = math.sqrt(vb.values.map(x => x * x).sum)
+            Some(BigDecimal(dot / (na * nb))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        (got.get((a, b)), expected) match {
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g - e) <= 1e-4, s"pair ($a,$b): $g vs $e")
+          case (None, None) => ()
+          case other => fail(s"pair ($a,$b) presence mismatch: $other")
+        }
+      }
+    }
+  }
+
+  test("whole-vector KMeans assignment is the true argmin for random input") {
+    import graft.operators.ProductQuantizer
+    val genVec = Gen.listOfN(4, Gen.choose(-3.0f, 3.0f))
+    samples(Gen.listOfN(10, genVec), n = 3, seed = 13L).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val cb = ProductQuantizer.trainCodebooks(df, "vec_id", "embedding",
+        m = 1, k = 3, subDim = 4, lloydIters = 2, salt = "km")
+      val cents = cb.collect()
+        .groupBy(_.getAs[Int]("g"))
+        .map { case (g, rows) =>
+          g -> rows.sortBy(_.getAs[Int]("j")).map(_.getAs[Long]("cm"))
+        }
+      val assign = ProductQuantizer.encode(df, "vec_id", "embedding",
+        cb, m = 1, subDim = 4).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("code")).toMap
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val micro = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+        val best = cents.toSeq.map { case (g, c) =>
+          (micro.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, g)
+        }.min // (dist, g) — ties to lowest cluster id
+        assert(assign(i.toLong) === best._2.toLong, s"vec $i")
+      }
+    }
+  }
 }
