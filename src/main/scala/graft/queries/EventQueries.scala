@@ -368,6 +368,8 @@ object EventQueries {
     "cohort_retention" -> cohortRetention,
     "hll_distinct" -> hllDistinct,
     "hll_union" -> hllUnion,
+    "stream_windowed_hll" -> ((s, d) =>
+      graft.streaming.EventsStream.streamingWindowedHll(s, d)),
     "stream_hll" ->
       ((s, d) => EventsStream.streamingHllDistinct(s, d)),
     "stream_quantile_hist" ->
@@ -551,6 +553,35 @@ object EventQueries {
         |     * 9007199254740992.0 / CAST(a.s AS DOUBLE) END, 2)
         |  AS hll_est
         |FROM ex JOIN agg a USING (event_type)""".stripMargin,
+    // the windowed streaming HLL: same register replay bucketed by
+    // epoch-aligned 6-hour windows (integer epoch division)
+    "stream_windowed_hll" -> {
+      def est(s: String, v: String) =
+        s"""round(CASE WHEN (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0)
+           |     * 256.0) * 9007199254740992.0 / CAST($s AS DOUBLE)
+           |     <= 640.0 AND $v > 0
+           |   THEN 256.0 * ln(256.0 / CAST($v AS DOUBLE))
+           |   ELSE (((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0)
+           |     * 9007199254740992.0 / CAST($s AS DOUBLE) END, 2)"""
+          .stripMargin
+      s"""WITH h AS (SELECT event_type,
+         |  to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+         |    * 21600)::TIMESTAMP AS win_start,
+         |  CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+         |    1, 15)) AS BIGINT) AS hv
+         | FROM events),
+         | r AS (SELECT event_type, win_start, hv % 256 AS bucket,
+         |   52 - length(ltrim(bin(hv // 256), '0')) + 1 AS rho FROM h),
+         | regs AS (SELECT event_type, win_start, bucket, MAX(rho) AS mj
+         |  FROM r GROUP BY 1, 2, 3),
+         | agg AS (SELECT event_type, win_start,
+         |   CAST(SUM(CAST(pow(2.0, 53 - mj) AS BIGINT)) AS BIGINT)
+         |     + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s,
+         |   256 - CAST(count(*) AS BIGINT) AS v
+         |  FROM regs GROUP BY 1, 2)
+         |SELECT win_start, event_type, ${est("s", "v")} AS hll_est
+         |FROM agg""".stripMargin
+    },
     // per-type registers + element-wise-max union registers, both
     // estimated with the same replayed formula — sketch mergeability
     "hll_union" -> {

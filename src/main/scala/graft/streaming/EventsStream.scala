@@ -442,6 +442,33 @@ object EventsStream {
         round(col("value"), 4).as("last_value"))
   }
 
+  /** Windowed streaming HLL — the always-on "distinct users per 6-hour
+    * window per type" monitor, closing the sketch×streaming matrix
+    * (stream_hll = global complete-mode registers; this = EVENT-TIME
+    * windowed registers under a watermark). Register element-wise max
+    * is micro-batch-cut invariant per (window, type) group, so the
+    * drained stream's estimates equal the batch windowed aggregation
+    * exactly — the oracle. Window starts are epoch-aligned (Spark
+    * `window()` semantics), replayed as integer epoch division. */
+  def streamingWindowedHll(spark: SparkSession, sfDir: String,
+      queryName: String = "events_windowed_hll"): DataFrame = {
+    val HF = graft.functions.HllFunctions
+    val stream = eventsRawStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(HF.hll(col("user_id"), 8).as("regs"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        round(HF.hllEstimate(col("regs"), 8), 2).as("hll_est"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   def hourlyStats(spark: SparkSession, sfDir: String,
       queryName: String = "events_hourly"): DataFrame = {
     spark.conf.set("spark.sql.streaming.schemaInference", "false")

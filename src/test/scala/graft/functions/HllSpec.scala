@@ -87,6 +87,24 @@ class HllSpec extends SparkSpec {
     assert(unionRow.head.getAs[Double]("hll_est") === directEst)
   }
 
+  test("windowed streaming HLL equals the batch windowed aggregation") {
+    val streamed = graft.streaming.EventsStream
+      .streamingWindowedHll(spark, sf(), queryName = "hll_win_spec")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val batch = graft.Tables.events(spark, sf())
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(HllFunctions.hll(col("user_id"), b).as("regs"))
+      .select(col("window.start"), col("event_type"),
+        round(HllFunctions.hllEstimate(col("regs"), b), 2))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(streamed === batch && streamed.size > batch.keySet.map(_._2).size,
+      "multiple windows per type expected")
+  }
+
   test("SQL registration: hll over a non-string key") {
     withExtensionSession("hll-sql") { s2 =>
       s2.range(100).createOrReplaceTempView("t")
