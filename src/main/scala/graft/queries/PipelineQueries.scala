@@ -770,6 +770,38 @@ object PipelineQueries {
   def gopherRules: Q = (s, d) =>
     graft.operators.QualityRules.gopherMetrics(docs(s, d))
 
+  /** Dataset card — the one-stop corpus summary every release ships
+    * (counts, language/source cardinality, token totals, exact-dup
+    * rate, Gopher pass count, length extremes), melted to (stat,
+    * value) rows with `stack`. ONE pass over the corpus: every input
+    * is a column of the same scan, the dup rate rides the fingerprint
+    * distinct, and all values are exact integers widened to long —
+    * nothing here costs more than the aggregations it summarizes. */
+  def corpusCard: Q = (s, d) => {
+    val m = graft.operators.QualityRules.gopherMetrics(docs(s, d)
+      .withColumn("fp", TF.fingerprint(col("text"))),
+      keep = Seq("lang", "source", "fp"))
+    val agg = m.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_words")).as("n_words"),
+      (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dup_docs"),
+      sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+      min(col("n_words")).as("min_words"),
+      max(col("n_words")).as("max_words"))
+    agg.select(expr(
+      """stack(8,
+        | 'n_docs', n_docs,
+        | 'n_langs', n_langs,
+        | 'n_sources', n_sources,
+        | 'n_words', n_words,
+        | 'n_exact_dup_docs', n_exact_dup_docs,
+        | 'n_gopher_pass', n_gopher_pass,
+        | 'min_words', min_words,
+        | 'max_words', max_words) AS (stat, value)""".stripMargin))
+  }
+
   /** Okapi BM25 relevance of every document against a fixed query bag —
     * the corpus-filtering signal ("keep docs relevant to X"). Exact
     * decimal summation makes the score order-independent; the oracle
@@ -1219,6 +1251,7 @@ object PipelineQueries {
     "text_repetition" -> textRepetition,
     "text_length_hist" -> textLengthHist,
     "gopher_rules" -> gopherRules,
+    "corpus_card" -> corpusCard,
     "stream_quality_gate" -> ((s, d) =>
       graft.streaming.DocsStream.streamingQualityGate(s, d)),
     "decontaminate" -> decontaminate,
@@ -1280,7 +1313,7 @@ object PipelineQueries {
   private def gopherCteSql: String = {
     val stops = graft.operators.QualityRules.gopherStopwords
       .map(w => s"'$w'").mkString(", ")
-    s"""gm AS (SELECT doc_id, lang,
+    s"""gm AS (SELECT doc_id, lang, source, md5($norm) AS fp,
        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
        |  CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
        |    AS n_word_chars,
@@ -2425,6 +2458,24 @@ object PipelineQueries {
             .mkString(",\n ")},
          | ($gopherPassSql) AS gopher_pass
          |FROM gm""".stripMargin,
+    // the card: scalar aggregates over the same gopher CTE, one row
+    // per stat like the stack-melted Spark side
+    "corpus_card" ->
+      s"""WITH $gopherCteSql
+         |SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value
+         |  FROM gm
+         |UNION ALL SELECT 'n_langs',
+         |  CAST(count(DISTINCT lang) AS BIGINT) FROM gm
+         |UNION ALL SELECT 'n_sources',
+         |  CAST(count(DISTINCT source) AS BIGINT) FROM gm
+         |UNION ALL SELECT 'n_words', CAST(sum(n_words) AS BIGINT) FROM gm
+         |UNION ALL SELECT 'n_exact_dup_docs',
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) FROM gm
+         |UNION ALL SELECT 'n_gopher_pass',
+         |  CAST(count(*) FILTER (WHERE $gopherPassSql) AS BIGINT) FROM gm
+         |UNION ALL SELECT 'min_words', CAST(min(n_words) AS BIGINT) FROM gm
+         |UNION ALL SELECT 'max_words', CAST(max(n_words) AS BIGINT)
+         |  FROM gm""".stripMargin,
     // the same metric CTE aggregated the way the streaming gate
     // aggregates — the drained stream must equal this row for row
     "stream_quality_gate" ->

@@ -102,6 +102,19 @@ class GopherRulesSpec extends SparkSpec {
       .toSeq === Seq(0L, 1L))
   }
 
+  test("corpus card stats reconcile with direct computation") {
+    val card = PipelineQueries.corpusCard(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src = graft.Tables.documents(spark, sf())
+    assert(card("n_docs") === src.count())
+    assert(card("n_langs") === src.select("lang").distinct().count())
+    assert(card("n_sources") === src.select("source").distinct().count())
+    val fps = src.select(TF.fingerprint(col("text"))).distinct().count()
+    assert(card("n_exact_dup_docs") === src.count() - fps)
+    assert(card("min_words") <= card("max_words"))
+    assert(card("n_gopher_pass") <= card("n_docs"))
+  }
+
   test("streaming quality gate equals the batch aggregation") {
     val streamed = graft.streaming.DocsStream
       .streamingQualityGate(spark, sf(), queryName = "gopher_gate_spec")
