@@ -355,6 +355,10 @@ object EventQueries {
       ((s, d) => EventsStream.streamingDedupBoundedCounts(s, d)),
     "stream_interval_join" ->
       ((s, d) => EventsStream.viewPurchaseJoinCounts(s, d)),
+    "stream_interval_join_lo" ->
+      ((s, d) => EventsStream.viewPurchaseLeftOuterCounts(s, d)),
+    "stream_tws_totals" ->
+      ((s, d) => graft.streaming.StatefulCounters.runningTotals(s, d)),
     "stream_heavy_hitters" ->
       ((s, d) => EventsStream.streamingHeavyHitters(s, d)),
     "stream_export_manifest" ->
@@ -699,6 +703,36 @@ object EventQueries {
         | AND epoch_us(p.ts) >= epoch_us(v.ts)
         | AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
         |GROUP BY 1""".stripMargin,
+    // matched pairs = the batch interval join; unmatched views emit
+    // null-extended iff the final watermark — min(max view ts, max
+    // purchase ts), zero delay — passed their 30-min window close
+    "stream_interval_join_lo" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |   WHERE event_type = 'view'),
+        | p AS (SELECT event_id, user_id, ts FROM events
+        |   WHERE event_type = 'purchase'),
+        | w AS (SELECT least((SELECT max(ts) FROM v),
+        |   (SELECT max(ts) FROM p)) AS wm),
+        | m AS (SELECT v.user_id, v.event_id AS v_id
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |   AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |   AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000),
+        | unm AS (SELECT v.user_id FROM v, w
+        |  WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.v_id = v.event_id)
+        |   AND epoch_us(v.ts) + 1800000000 < epoch_us(w.wm)),
+        | a AS (SELECT user_id, count(*) AS n_pairs FROM m GROUP BY 1),
+        | b AS (SELECT user_id, count(*) AS n_expired FROM unm GROUP BY 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        | coalesce(a.n_pairs, 0) AS n_pairs,
+        | coalesce(b.n_expired, 0) AS n_expired
+        |FROM a FULL JOIN b ON a.user_id = b.user_id""".stripMargin,
+    // the drained running totals equal the batch GROUP BY: snapshots
+    // are monotone (value >= 0), so per-key max is the final state
+    "stream_tws_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // the sketch's md5 bucketing is replayed cell-for-cell: per-key row
     // buckets, cell counts summed over colliding keys, est = min cell
     "sketch_cms" ->

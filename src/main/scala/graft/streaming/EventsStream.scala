@@ -149,6 +149,48 @@ object EventsStream {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution query of
+    * [[viewPurchaseJoinCounts]] extended with the semantic only a
+    * watermark can provide: views with NO purchase inside their
+    * 30-minute window are ALSO emitted (null-extended), but only once
+    * the watermark proves no matching purchase can still arrive. That
+    * eviction-driven outer emission is the production pattern for
+    * "flag unconverted impressions without waiting forever": join
+    * state for a view is dropped — and its outer row released — when
+    * the global watermark (min across both inputs, zero delay here)
+    * passes view_ts + 30 min.
+    *
+    * Determinism on the drained source: matched pairs emit on match
+    * (the full batch join set); unmatched views emit iff
+    * v_ts + 30 min < min(max view ts, max purchase ts) — the final
+    * watermark. The oracle applies exactly that cut; views whose
+    * window is still open at the final watermark are withheld, exactly
+    * as a live deployment would withhold them. */
+  def viewPurchaseLeftOuterCounts(spark: SparkSession, sfDir: String,
+      queryName: String = "events_ssjoin_lo"): DataFrame = {
+    def side(tp: String, a: String): DataFrame = eventsRawStream(spark, sfDir)
+      .filter(col("event_type") === tp)
+      .select(col("event_id").as(s"${a}_id"), col("user_id").as(s"${a}_user"),
+        col("ts").as(s"${a}_ts"))
+      .withWatermark(s"${a}_ts", "0 seconds")
+    val joined = side("view", "v").join(side("purchase", "p"),
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(col("p_id")).as("n_pairs"),
+        count(when(col("p_id").isNull, 1)).as("n_expired"))
+  }
+
   /** Streaming heavy hitters: the custom Misra-Gries
     * `TypedImperativeAggregate` running INSIDE a streaming aggregation —
     * partial sketch buffers merge across micro-batches through the

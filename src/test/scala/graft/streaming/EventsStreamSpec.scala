@@ -137,6 +137,57 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-stream LEFT OUTER interval join applies the watermark cut") {
+    val streamed = EventsStream.viewPurchaseLeftOuterCounts(
+      spark, sf(), "spec_ssjoin_lo")
+    val e = Tables.events(spark, sf())
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val matched = v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+    // final watermark = min(max view ts, max purchase ts), zero delay
+    val wm = v.agg(max(col("v_ts"))).head().getTimestamp(0).getTime.min(
+      p.agg(max(col("p_ts"))).head().getTimestamp(0).getTime)
+    val expired = v.join(matched.select(col("v_id").as("m_id")).distinct(),
+        col("v_id") === col("m_id"), "left_anti")
+      .filter(col("v_ts") + expr("INTERVAL 30 MINUTES") <
+        lit(new java.sql.Timestamp(wm)))
+    val batch = matched.groupBy(col("v_user"))
+      .agg(count(lit(1)).as("n_pairs"), lit(0L).as("n_expired"))
+      .unionByName(expired.groupBy(col("v_user"))
+        .agg(lit(0L).as("n_pairs"), count(lit(1)).as("n_expired")))
+      .groupBy(col("v_user").as("user_id"))
+      .agg(sum(col("n_pairs")).as("n_pairs"),
+        sum(col("n_expired")).as("n_expired"))
+    assert(streamed.agg(sum(col("n_expired"))).head().getLong(0) > 0,
+      "the outer (eviction-emitted) path must actually fire")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("transformWithState running totals equal the batch GROUP BY") {
+    val streamed = graft.streaming.StatefulCounters.runningTotals(
+      spark, sf(), nChunks = 4, queryName = "spec_tws")
+    val batch = Tables.events(spark, sf())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // the RocksDB provider override must not leak into the session
+    // (getOption surfaces the conf DEFAULT after unset — assert the
+    // override itself is gone, not literal emptiness)
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("sessionize: single user with one gap splits into two sessions") {
     val out = graft.queries.EventQueries.sessionize(spark, sf())
     assert(out.count() > 0)
