@@ -97,7 +97,11 @@ object Bench {
     // join (term-keyed self-join, the all-pairs fan-out under its
     // bound), and whole-vector KMeans (iterative trainer: per-iteration
     // assignment fan-out + pinned codebook chain)
-    "gopher_rules", "sparse_cosine_pairs", "kmeans_train")
+    "gopher_rules", "sparse_cosine_pairs", "kmeans_train",
+    // round-6 third wave: per-row zlib in the scan stage — the
+    // compression-ratio quality signal's cost is one native deflate
+    // per document, the whole-doc redundancy probe
+    "quality_compress")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

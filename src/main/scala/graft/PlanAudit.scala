@@ -538,6 +538,19 @@ object PlanAudit {
       occurrences(apq, "HashAggregate") >= 2,
       "per-(probe,cand) sums combine map-side")
 
+    // round-6 third wave: the deflate quality signal must stay a
+    // single-scan map + one aggregate exchange, with the custom
+    // expression inside a codegen span (defineCodeGen, not fallback)
+    val qc = plan("quality_compress")
+    check("quality_compress: one exchange, codegen'd scan stage",
+      occurrences(qc, "Exchange") <= 2 && qc.contains("*(") &&
+        occurrences(qc, "HashAggregate") >= 2,
+      "deflate_len runs in the scan stage; partial+final agg")
+    check("quality_compress: scan prunes to lang+text",
+      qc.contains("ReadSchema: struct<text:string,lang:string>") ||
+        qc.contains("ReadSchema: struct<lang:string,text:string>"),
+      "only the two used columns leave parquet")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

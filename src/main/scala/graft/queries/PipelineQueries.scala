@@ -770,6 +770,24 @@ object PipelineQueries {
   def gopherRules: Q = (s, d) =>
     graft.operators.QualityRules.gopherMetrics(docs(s, d))
 
+  /** Compression-ratio quality sweep ([[graft.functions.DeflateLen]]):
+    * per-language deflate-ratio profile of the corpus — doc counts per
+    * ratio band (repetitive < 0.35 ≤ prose < 0.75 ≤ near-random) plus
+    * the mean ratio. One scan, ratio computed inside the scan stage's
+    * codegen span, one small aggregate — the whole-document redundancy
+    * signal at corpus-streaming cost. Spec-pinned + bench-only: no SQL
+    * deflate exists for a DuckDB replay. */
+  def qualityCompress: Q = (s, d) =>
+    docs(s, d)
+      .select(col("lang"),
+        graft.functions.CompressFunctions.compressRatio(col("text"))
+          .as("ratio"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ratio") < 0.35, 1)).as("n_repetitive"),
+        count(when(col("ratio") >= 0.75, 1)).as("n_incompressible"),
+        round(avg(col("ratio")), 4).as("mean_ratio"))
+
   /** Dataset card — the one-stop corpus summary every release ships
     * (counts, language/source cardinality, token totals, exact-dup
     * rate, Gopher pass count, length extremes), melted to (stat,
@@ -1221,6 +1239,7 @@ object PipelineQueries {
     "ann_lsh" -> annLsh,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "quality_compress" -> qualityCompress,
   )
 
   val queries: Map[String, Q] = Map(
