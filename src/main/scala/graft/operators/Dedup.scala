@@ -202,6 +202,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Portable per-shingle base hashes (60-bit md5 prefix mod
+    * p = 2^31−1) as a ROW-LOCAL array column — the same family as
+    * [[minhashPairsPortable]] but computed without any aggregation: a
+    * document's signature is a pure function of its own shingle set.
+    * That row-locality is what lets the LSH index probe run on a
+    * STREAM projection (no groupBy, no state) — see
+    * [[graft.streaming.DocsStream.streamingNearDupGate]]. */
+  def portableShingleHashes(shingles: Column): Column =
+    transform(shingles, s =>
+      (conv(substring(md5(s), 1, 15), 16, 10).cast("long") %
+        lit(2147483647L)))
+
+  /** Row-local portable LSH band keys from [[portableShingleHashes]]
+    * output: k permutation minima (h_i(x) = (a_i·x + b_i) mod p,
+    * exact in int64), grouped into `bands` comma-joined keys —
+    * value-identical to the groupBy-min form in
+    * [[minhashPairsPortable]], replayed by the same DuckDB CTE.
+    * Callers must filter empty shingle sets first (array_min over an
+    * empty array is null → degenerate "" keys would cross-match every
+    * tokenless doc). */
+  def portableBandKeysFromHashes(h0: Column, k: Int = 32,
+      bands: Int = 8): Column = {
+    require(bands > 0 && k % bands == 0,
+      s"bands must divide k: k=$k bands=$bands")
+    val P = 2147483647L
+    val r = k / bands
+    val slots = (0 until k).map { i =>
+      val a = ((i + 1).toLong * 2654435761L) % P
+      val b = ((i + 1).toLong * 2245399549L) % P
+      array_min(transform(h0, h => (lit(a) * h + lit(b)) % P))
+    }
+    array((0 until bands).map { b =>
+      concat_ws(",", slots.slice(b * r, (b + 1) * r): _*)
+    }: _*)
+  }
+
   // --------------------------------------------------- incremental dedup
 
   /** Incremental dedup: which documents of a NEW batch survive against

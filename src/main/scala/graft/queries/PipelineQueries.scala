@@ -1273,6 +1273,8 @@ object PipelineQueries {
     "corpus_card" -> corpusCard,
     "stream_quality_gate" -> ((s, d) =>
       graft.streaming.DocsStream.streamingQualityGate(s, d)),
+    "stream_neardup_gate" -> ((s, d) =>
+      graft.streaming.DocsStream.streamingNearDupGate(s, d)),
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "quality_model_score" -> qualityModelScore,
@@ -1835,6 +1837,47 @@ object PipelineQueries {
          |   / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
          |FROM cand c JOIN sh0 x ON c.id_a = x.doc_id
          | JOIN sh0 y ON c.id_b = y.doc_id""".stripMargin,
+    // the streaming gate's band keys replay with the same portable
+    // CTE as dedup_minhash_oracle; the id split (mod 5) carves the
+    // static corpus index from the streamed increment
+    "stream_neardup_gate" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |   regexp_extract_all($norm, '[a-z0-9]+') AS toks
+         |  FROM documents),
+         | sh0 AS (SELECT doc_id, source,
+         |   list_distinct(CASE WHEN len(toks) <= 3
+         |     THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(generate_series(1, len(toks) - 2),
+         |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+         |    END) AS sh
+         |  FROM d WHERE len(toks) > 0),
+         | hv AS (SELECT doc_id, source, list_transform(sh,
+         |     s -> CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT)
+         |       % 2147483647) AS h0
+         |  FROM sh0),
+         | sig AS (SELECT doc_id, source, list_transform(range(0, 32),
+         |     i -> list_min(list_transform(h0,
+         |       h -> (((i + 1) * 2654435761 % 2147483647) * h
+         |             + ((i + 1) * 2245399549 % 2147483647))
+         |            % 2147483647))) AS sg
+         |  FROM hv),
+         | bnd AS (SELECT doc_id, source, b.i AS band,
+         |     array_to_string(list_slice(sg, b.i * 4 + 1, b.i * 4 + 4),
+         |       ',') AS bkey
+         |  FROM sig, (SELECT unnest(range(0, 8)) AS i) b),
+         | cb AS (SELECT DISTINCT band, bkey FROM bnd
+         |  WHERE doc_id % 5 != 0),
+         | m AS (SELECT DISTINCT sb.doc_id, sb.source
+         |  FROM bnd sb JOIN cb USING (band, bkey)
+         |  WHERE sb.doc_id % 5 = 0),
+         | f AS (SELECT source, count(*) AS n_flagged FROM m GROUP BY 1),
+         | t AS (SELECT source, count(*) AS n_stream FROM documents
+         |  WHERE doc_id % 5 = 0 GROUP BY 1)
+         |SELECT t.source, CAST(t.n_stream AS BIGINT) AS n_stream,
+         | CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+         | CAST(t.n_stream - coalesce(f.n_flagged, 0) AS BIGINT)
+         |   AS n_pass
+         |FROM t LEFT JOIN f ON t.source = f.source""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH d AS (SELECT doc_id, lang, source,
          |   regexp_extract_all($norm, '[a-z0-9]+') AS toks
