@@ -359,6 +359,8 @@ object EventQueries {
       ((s, d) => EventsStream.viewPurchaseLeftOuterCounts(s, d)),
     "stream_tws_totals" ->
       ((s, d) => graft.streaming.StatefulCounters.runningTotals(s, d)),
+    "stream_timer_sessions" ->
+      ((s, d) => graft.streaming.StatefulSessionizer.sessions(s, d)),
     "stream_heavy_hitters" ->
       ((s, d) => EventsStream.streamingHeavyHitters(s, d)),
     "stream_export_manifest" ->
@@ -381,6 +383,31 @@ object EventQueries {
     "stream_typed_moments" ->
       ((s, d) => EventsStream.streamingTypedMoments(s, d)),
   )
+
+  /** Watermark-closed session set (lag/cumsum replay + the
+    * end ≤ max(ts) cut) — shared by the native session_window stream
+    * lane and the transformWithState timer sessionizer, which must be
+    * value-identical by construction. */
+  private val sessionWindowCutSql: String =
+    """WITH o AS (SELECT user_id, ts, value, event_id,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |   THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | s AS (SELECT user_id, ts, value,
+      |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      | g AS (SELECT user_id, min(ts)::TIMESTAMP AS session_start,
+      |  (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
+      |    AS sum_value
+      | FROM s GROUP BY user_id, sid)
+      |SELECT * FROM g
+      |WHERE session_end <= (SELECT max(ts)::TIMESTAMP FROM events)"""
+      .stripMargin
 
   val oracle: Map[String, String] = Map(
     // the mapGroups streak fold's declarative twin: a new run starts
@@ -831,26 +858,10 @@ object EventQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // the append-mode stream emits exactly the sessions the zero-delay
     // watermark closed: session_end <= global max event time
-    "stream_session_window" ->
-      """WITH o AS (SELECT user_id, ts, value, event_id,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |   THEN 1 ELSE 0 END AS ns
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        | s AS (SELECT user_id, ts, value,
-        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM o),
-        | g AS (SELECT user_id, min(ts)::TIMESTAMP AS session_start,
-        |  (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
-        |  count(*) AS n_events,
-        |  round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
-        |    AS sum_value
-        | FROM s GROUP BY user_id, sid)
-        |SELECT * FROM g
-        |WHERE session_end <= (SELECT max(ts)::TIMESTAMP FROM events)"""
-        .stripMargin,
+    "stream_session_window" -> sessionWindowCutSql,
+    // identical semantics via transformWithState event-time timers —
+    // two implementations, one oracle (the asof_join precedent)
+    "stream_timer_sessions" -> sessionWindowCutSql,
     "session_window_agg" ->
       """WITH o AS (SELECT user_id, ts, value, event_id,
         |  CASE WHEN lag(ts) OVER w IS NULL

@@ -188,6 +188,20 @@ class EventsStreamSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("timer sessionizer equals the native session_window stream") {
+    val timed = graft.streaming.StatefulSessionizer.sessions(
+      spark, sf(), nChunks = 4, queryName = "spec_timer_sess")
+    val native = EventsStream.streamingSessionWindows(
+      spark, sf(), "spec_swin_vs_timer")
+    assert(timed.count() > 0)
+    assert(timed.exceptAll(native).count() === 0)
+    assert(native.exceptAll(timed).count() === 0)
+    // the watermark cut must actually withhold each user's open tail
+    val allSessions = graft.queries.EventQueries
+      .sessionWindowAgg(spark, sf()).count()
+    assert(timed.count() < allSessions)
+  }
+
   test("sessionize: single user with one gap splits into two sessions") {
     val out = graft.queries.EventQueries.sessionize(spark, sf())
     assert(out.count() > 0)
