@@ -292,6 +292,39 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** Sketch-based equi-join SIZE estimation (the AMS/CMS inner-product
+    * estimator): |A ⋈ B| on a key is upper-bounded by
+    * min over sketch rows r of Σ_b cmsA[r][b]·cmsB[r][b] — colliding
+    * keys only ADD cross products, and the min over independent rows
+    * tightens the bound. This is the planning primitive that prices a
+    * join WITHOUT scanning either side twice: at 100 TB each side's
+    * sketch is one pass (already maintained by the ingest monitors),
+    * the estimate is a 4×256 dot product on the driver, and the
+    * decision it feeds — shuffle strategy, broadcast eligibility, skew
+    * pre-salting — is exactly what `q34_table_stats`' ANALYZE covers
+    * for static tables but can't for a live stream. Both sketches and
+    * the exact control replay in DuckDB (same md5 bucket family as
+    * `sketch_cms`), so estimate AND ground truth are hash-checked. */
+  def joinSizeEstimate: Q = (s, d) => {
+    import graft.functions.CountMinFunctions._
+    val depth = 4; val width = 4096
+    val ev = Tables.events(s, d)
+      .select(col("user_id").cast("string").as("k"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").cast("string").as("k"))
+    val sk = ev.agg(countMin(col("k"), depth, width).as("ska"))
+      .crossJoin(cust.agg(countMin(col("k"), depth, width).as("skb")))
+    val est = sk.select(least((0 until depth).map { r =>
+      aggregate(
+        zip_with(element_at(col("ska"), r + 1),
+          element_at(col("skb"), r + 1), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }: _*).as("est_rows"))
+    val exact = ev.join(cust, Seq("k"))
+      .agg(count(lit(1)).as("exact_rows"))
+    est.crossJoin(exact)
+  }
+
   /** Ordered funnel: users who VIEWed, then CLICKed after their first
     * view, then PURCHASEd after that click — the product-analytics
     * staple. Min-time chaining (first qualifying timestamp per stage)
@@ -340,6 +373,7 @@ object EventQueries {
     "stream_hourly_stats" -> streamHourlyStats,
     "range_rewrite" -> rangeRewritePairs,
     "sketch_cms" -> sketchCms,
+    "join_size_estimate" -> joinSizeEstimate,
     "sessionize" -> sessionize,
     "session_window_agg" -> sessionWindowAgg,
     "stream_session_window" ->
@@ -760,6 +794,29 @@ object EventQueries {
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
         |   AS sum_cents
         |FROM events GROUP BY 1""".stripMargin,
+    // both sides' CMS buckets replayed cell-for-cell; the estimate is
+    // the min-over-rows inner product, the control the exact join count
+    "join_size_estimate" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 3)) AS rw),
+        | ea AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        | ca AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+        | ab AS (SELECT r.rw,
+        |   CAST(concat('0x', substring(md5(concat(k, ':',
+        |     CAST(r.rw AS VARCHAR))), 1, 8)) AS BIGINT) % 4096 AS b,
+        |   count(*) AS c
+        |  FROM ea CROSS JOIN r GROUP BY 1, 2),
+        | bb AS (SELECT r.rw,
+        |   CAST(concat('0x', substring(md5(concat(k, ':',
+        |     CAST(r.rw AS VARCHAR))), 1, 8)) AS BIGINT) % 4096 AS b,
+        |   count(*) AS c
+        |  FROM ca CROSS JOIN r GROUP BY 1, 2),
+        | ip AS (SELECT ab.rw, sum(ab.c * bb.c) AS p
+        |  FROM ab JOIN bb ON ab.rw = bb.rw AND ab.b = bb.b GROUP BY 1),
+        | est AS (SELECT min(p) AS e FROM ip),
+        | ex AS (SELECT count(*) AS x FROM ea JOIN ca ON ea.k = ca.k)
+        |SELECT CAST(est.e AS BIGINT) AS est_rows,
+        | CAST(ex.x AS BIGINT) AS exact_rows
+        |FROM est, ex""".stripMargin,
     // the sketch's md5 bucketing is replayed cell-for-cell: per-key row
     // buckets, cell counts summed over colliding keys, est = min cell
     "sketch_cms" ->
