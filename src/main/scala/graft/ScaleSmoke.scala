@@ -94,7 +94,10 @@ object ScaleSmoke {
     // common terms crossing the ABSOLUTE cap as the corpus grows — is
     // exactly what the enlargement does show: the 0.8·N fractional
     // form measured 560M join rows at sf0.1, the absolute form 1.04 s.)
-    "gopher_rules", "kmeans_train")
+    "gopher_rules", "kmeans_train",
+    // round-6 third wave: per-row zlib in the scan stage — pure map,
+    // cost strictly per-document, should scale exactly with rows
+    "quality_compress")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
