@@ -325,6 +325,69 @@ object EventQueries {
     est.crossJoin(exact)
   }
 
+  /** Per-user ordered event SEQUENCES, truncated to the last 50 events
+    * — the behavioral-sequence construction step of a training
+    * pipeline (a sequence model consumes each entity's recent history
+    * as one ordered example; the cap is the model's context window).
+    * One shuffle on user_id; the within-group sort is bounded by user
+    * activity, and `array_sort` over (ts, event_id, type) structs
+    * keeps tie order deterministic on both engines. The sequence is
+    * emitted as a joined STRING (the tokenized form a trainer would
+    * hash/embed), which also keeps the cross-engine compare exact. */
+  def userSequences: Q = (s, d) => {
+    val sorted = array_sort(collect_list(
+      struct(col("ts"), col("event_id"), col("event_type"))))
+    val lastK = when(size(sorted) <= 50, sorted)
+      .otherwise(slice(sorted, -50, 50))
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws(">", transform(lastK, x => x.getField("event_type")))
+          .as("seq"))
+      .select(col("user_id"), col("n_events"),
+        least(col("n_events"), lit(50L)).as("n_kept"), col("seq"))
+  }
+
+  /** Streaming CMS join-size monitor — the sketch×streaming matrix
+    * entry for [[joinSizeEstimate]]: the event side's Count-Min sketch
+    * is MAINTAINED BY THE STREAM (complete-mode aggregation — partial
+    * sketch buffers merge across micro-batches through the state store
+    * exactly as across partitions), then priced post-drain against the
+    * static dimension's sketch. The always-on shape: a live join-size
+    * estimate for planning, refreshed every micro-batch, one 4×4096
+    * register array of state. Cell merge is exact, so the drained
+    * sketch ≡ the batch sketch bit for bit and the lane shares the
+    * batch estimator's oracle. */
+  def streamJoinSize: Q = (s, d) => {
+    import graft.functions.CountMinFunctions._
+    val depth = 4; val width = 4096
+    val agg = EventsStream.eventsRawStream(s, d)
+      .select(col("user_id").cast("string").as("k"))
+      .agg(countMin(col("k"), depth, width).as("ska"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("events_cms_monitor")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").cast("string").as("k"))
+    val sk = s.table("events_cms_monitor")
+      .crossJoin(cust.agg(countMin(col("k"), depth, width).as("skb")))
+    val est = sk.select(least((0 until depth).map { r =>
+      aggregate(
+        zip_with(element_at(col("ska"), r + 1),
+          element_at(col("skb"), r + 1), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+    }: _*).as("est_rows"))
+    val exact = Tables.events(s, d)
+      .select(col("user_id").cast("string").as("k"))
+      .join(cust, Seq("k"))
+      .agg(count(lit(1)).as("exact_rows"))
+    est.crossJoin(exact)
+  }
+
   /** Ordered funnel: users who VIEWed, then CLICKed after their first
     * view, then PURCHASEd after that click — the product-analytics
     * staple. Min-time chaining (first qualifying timestamp per stage)
@@ -374,6 +437,8 @@ object EventQueries {
     "range_rewrite" -> rangeRewritePairs,
     "sketch_cms" -> sketchCms,
     "join_size_estimate" -> joinSizeEstimate,
+    "stream_join_size" -> streamJoinSize,
+    "user_sequences" -> userSequences,
     "sessionize" -> sessionize,
     "session_window_agg" -> sessionWindowAgg,
     "stream_session_window" ->
@@ -442,6 +507,32 @@ object EventQueries {
       |SELECT * FROM g
       |WHERE session_end <= (SELECT max(ts)::TIMESTAMP FROM events)"""
       .stripMargin
+
+  /** CMS inner-product join-size replay (both sides' cells, the
+    * min-over-rows product, and the exact control) — shared by the
+    * batch estimator and the streaming sketch monitor, whose drained
+    * registers are cell-identical by exact merge. */
+  private val cmsJoinSizeSql: String =
+    """WITH r AS (SELECT unnest(generate_series(0, 3)) AS rw),
+        | ea AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+        | ca AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+        | ab AS (SELECT r.rw,
+        |   CAST(concat('0x', substring(md5(concat(k, ':',
+        |     CAST(r.rw AS VARCHAR))), 1, 8)) AS BIGINT) % 4096 AS b,
+        |   count(*) AS c
+        |  FROM ea CROSS JOIN r GROUP BY 1, 2),
+        | bb AS (SELECT r.rw,
+        |   CAST(concat('0x', substring(md5(concat(k, ':',
+        |     CAST(r.rw AS VARCHAR))), 1, 8)) AS BIGINT) % 4096 AS b,
+        |   count(*) AS c
+        |  FROM ca CROSS JOIN r GROUP BY 1, 2),
+        | ip AS (SELECT ab.rw, sum(ab.c * bb.c) AS p
+        |  FROM ab JOIN bb ON ab.rw = bb.rw AND ab.b = bb.b GROUP BY 1),
+        | est AS (SELECT min(p) AS e FROM ip),
+        | ex AS (SELECT count(*) AS x FROM ea JOIN ca ON ea.k = ca.k)
+        |SELECT CAST(est.e AS BIGINT) AS est_rows,
+        | CAST(ex.x AS BIGINT) AS exact_rows
+        |FROM est, ex""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the mapGroups streak fold's declarative twin: a new run starts
@@ -796,27 +887,26 @@ object EventQueries {
         |FROM events GROUP BY 1""".stripMargin,
     // both sides' CMS buckets replayed cell-for-cell; the estimate is
     // the min-over-rows inner product, the control the exact join count
-    "join_size_estimate" ->
-      """WITH r AS (SELECT unnest(generate_series(0, 3)) AS rw),
-        | ea AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
-        | ca AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
-        | ab AS (SELECT r.rw,
-        |   CAST(concat('0x', substring(md5(concat(k, ':',
-        |     CAST(r.rw AS VARCHAR))), 1, 8)) AS BIGINT) % 4096 AS b,
-        |   count(*) AS c
-        |  FROM ea CROSS JOIN r GROUP BY 1, 2),
-        | bb AS (SELECT r.rw,
-        |   CAST(concat('0x', substring(md5(concat(k, ':',
-        |     CAST(r.rw AS VARCHAR))), 1, 8)) AS BIGINT) % 4096 AS b,
-        |   count(*) AS c
-        |  FROM ca CROSS JOIN r GROUP BY 1, 2),
-        | ip AS (SELECT ab.rw, sum(ab.c * bb.c) AS p
-        |  FROM ab JOIN bb ON ab.rw = bb.rw AND ab.b = bb.b GROUP BY 1),
-        | est AS (SELECT min(p) AS e FROM ip),
-        | ex AS (SELECT count(*) AS x FROM ea JOIN ca ON ea.k = ca.k)
-        |SELECT CAST(est.e AS BIGINT) AS est_rows,
-        | CAST(ex.x AS BIGINT) AS exact_rows
-        |FROM est, ex""".stripMargin,
+    "join_size_estimate" -> cmsJoinSizeSql,
+    // the drained complete-mode stream sketch merges cell-exactly, so
+    // the streaming monitor shares the batch estimator's oracle
+    "stream_join_size" -> cmsJoinSizeSql,
+    // deterministic tie order (ts, event_id) on both engines; the
+    // last-50 cap is the trainer's context window
+    "user_sequences" ->
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        | FROM events),
+        | t AS (SELECT user_id, count(*) AS n_events FROM events
+        |  GROUP BY 1)
+        |SELECT t.user_id, t.n_events,
+        | CAST(count(*) AS BIGINT) AS n_kept,
+        | string_agg(r.event_type, '>' ORDER BY r.ts, r.event_id)
+        |   AS seq
+        |FROM r JOIN t ON r.user_id = t.user_id
+        |WHERE r.rk <= 50
+        |GROUP BY t.user_id, t.n_events""".stripMargin,
     // the sketch's md5 bucketing is replayed cell-for-cell: per-key row
     // buckets, cell counts summed over colliding keys, est = min cell
     "sketch_cms" ->
