@@ -439,6 +439,8 @@ object EventQueries {
     "join_size_estimate" -> joinSizeEstimate,
     "stream_join_size" -> streamJoinSize,
     "user_sequences" -> userSequences,
+    "stream_pit_enrich" ->
+      ((s, d) => EventsStream.streamingPitEnrich(s, d)),
     "sessionize" -> sessionize,
     "session_window_agg" -> sessionWindowAgg,
     "stream_session_window" ->
@@ -891,6 +893,37 @@ object EventQueries {
     // the drained complete-mode stream sketch merges cell-exactly, so
     // the streaming monitor shares the batch estimator's oracle
     "stream_join_size" -> cmsJoinSizeSql,
+    // the SCD2 interval replay joined by date containment — each
+    // event matches at most one regime (intervals tile; zero-length
+    // intervals contain no date); 'NONE' = before first interval
+    "stream_pit_enrich" ->
+      """WITH seqd AS (SELECT o_custkey, o_orderkey,
+        |   CAST(o_orderdate AS DATE) AS odate, o_orderpriority AS prio,
+        |   CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |     OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |     THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey)),
+        | runs AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |   ORDER BY odate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM seqd),
+        | iv AS (SELECT o_custkey AS custkey, run_id, prio,
+        |   min(odate) AS valid_from
+        |  FROM runs GROUP BY 1, 2, 3),
+        | iv2 AS (SELECT custkey, prio, valid_from,
+        |   coalesce(lead(valid_from) OVER (PARTITION BY custkey
+        |     ORDER BY run_id), DATE '9999-12-31') AS valid_to
+        |  FROM iv),
+        | e AS (SELECT user_id, CAST(ts AS DATE) AS d, value FROM events)
+        |SELECT coalesce(iv2.prio, 'NONE') AS regime,
+        | count(*) AS n_events,
+        | round(CAST(sum(CAST(e.value AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_value
+        |FROM e LEFT JOIN iv2 ON e.user_id = iv2.custkey
+        | AND iv2.valid_from <= e.d AND e.d < iv2.valid_to
+        |GROUP BY 1""".stripMargin,
     // deterministic tie order (ts, event_id) on both engines; the
     // last-50 cap is the trainer's context window
     "user_sequences" ->

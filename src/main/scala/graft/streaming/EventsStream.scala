@@ -191,6 +191,46 @@ object EventsStream {
         count(when(col("p_id").isNull, 1)).as("n_expired"))
   }
 
+  /** Streaming POINT-IN-TIME enrichment — the feature-store lookup on
+    * a live stream: each arriving event picks up the dimension REGIME
+    * in force at its event date (the SCD-2 priority intervals built
+    * from orders — [[graft.queries.RelationalQueries.q28Scd2]]), never
+    * the current version — the leakage-free join, now at ingest time.
+    * Stream-static with a broadcast dim: the equi key (user = custkey)
+    * drives a hash join, the validity window is a post-join filter,
+    * and the whole probe is STATELESS — re-planned per micro-batch, so
+    * a refreshed dim snapshot takes effect on the next batch, which is
+    * exactly how a production feature store rolls forward. Events
+    * before their user's first interval (or with no dim row) keep
+    * regime 'NONE' via the left join. Intervals tile contiguously and
+    * zero-length intervals can contain no date, so each event matches
+    * at most one regime — the drained complete-mode aggregate equals
+    * the batch join, the oracle. */
+  def streamingPitEnrich(spark: SparkSession, sfDir: String,
+      queryName: String = "events_pit"): DataFrame = {
+    val iv = graft.queries.RelationalQueries.q28Scd2(spark, sfDir)
+      .select(col("custkey"), col("prio"),
+        col("valid_from"), col("valid_to"))
+    val enriched = eventsRawStream(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .join(broadcast(iv),
+        col("user_id") === col("custkey") &&
+          col("valid_from") <= col("d") && col("d") < col("valid_to"),
+        "left")
+      .groupBy(coalesce(col("prio"), lit("NONE")).as("regime"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+    val q = enriched.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming heavy hitters: the custom Misra-Gries
     * `TypedImperativeAggregate` running INSIDE a streaming aggregation —
     * partial sketch buffers merge across micro-batches through the

@@ -188,6 +188,56 @@ class EventsStreamSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("streaming PIT enrichment equals the batch interval join") {
+    val streamed = EventsStream.streamingPitEnrich(
+      spark, sf(), "spec_pit")
+    val iv = graft.queries.RelationalQueries.q28Scd2(spark, sf())
+      .select(col("custkey"), col("prio"),
+        col("valid_from"), col("valid_to"))
+    val batch = Tables.events(spark, sf())
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+      .join(iv, col("user_id") === col("custkey") &&
+        col("valid_from") <= col("d") && col("d") < col("valid_to"),
+        "left")
+      .groupBy(coalesce(col("prio"), lit("NONE")).as("regime"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // every event lands in exactly one regime (intervals tile)
+    assert(streamed.agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sf()).count())
+  }
+
+  test("PIT containment join: pre-first-interval probes keep NONE") {
+    import spark.implicits._
+    val iv = Seq(
+      (7L, "A", java.sql.Date.valueOf("2024-02-01"),
+        java.sql.Date.valueOf("2024-03-01")),
+      (7L, "B", java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Date.valueOf("9999-12-31")))
+      .toDF("custkey", "prio", "valid_from", "valid_to")
+    val probes = Seq(
+      (7L, java.sql.Date.valueOf("2024-01-15")), // before first → NONE
+      (7L, java.sql.Date.valueOf("2024-02-15")), // inside A
+      (7L, java.sql.Date.valueOf("2024-03-01")), // boundary → B
+      (9L, java.sql.Date.valueOf("2024-02-15"))) // unknown key → NONE
+      .toDF("user_id", "d")
+    val out = probes.join(iv,
+        col("user_id") === col("custkey") &&
+          col("valid_from") <= col("d") && col("d") < col("valid_to"),
+        "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("prio"), lit("NONE")).as("regime"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getString(2))).toSet
+    assert(out === Set(
+      (7L, "2024-01-15", "NONE"), (7L, "2024-02-15", "A"),
+      (7L, "2024-03-01", "B"), (9L, "2024-02-15", "NONE")))
+  }
+
   test("timer sessionizer equals the native session_window stream") {
     val timed = graft.streaming.StatefulSessionizer.sessions(
       spark, sf(), nChunks = 4, queryName = "spec_timer_sess")
