@@ -101,7 +101,13 @@ object Bench {
     // round-6 third wave: per-row zlib in the scan stage — the
     // compression-ratio quality signal's cost is one native deflate
     // per document, the whole-doc redundancy probe
-    "quality_compress")
+    "quality_compress",
+    // the codegen'd row-local MinHash band stage (the streaming gate's
+    // hot path: n string hashes + n·k long mixes per doc, no HOF
+    // dispatch) and a full streaming drain (file source → watermark →
+    // windowed agg → memory sink at sf0.1 — micro-batch overhead is
+    // the dominant term, the engine cost a live deployment pays)
+    "neardup_bands", "stream_hourly_stats")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

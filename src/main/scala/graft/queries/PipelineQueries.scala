@@ -777,6 +777,26 @@ object PipelineQueries {
     * codegen span, one small aggregate — the whole-document redundancy
     * signal at corpus-streaming cost. Spec-pinned + bench-only: no SQL
     * deflate exists for a DuckDB replay. */
+  /** Row-local xxhash64 MinHash band keys over the corpus — the
+    * production-tier signature stage of the streaming near-dup gate
+    * ([[graft.functions.MinHashBands]]: one codegen'd pass, n string
+    * hashes + n·k long mixes per doc, no HOF lambda dispatch), rolled
+    * up to bucket statistics. The md5 portable family stays the
+    * oracle-replayable tier; this lane benches the hot path.
+    * Spec-pinned + bench-only (no DuckDB xxhash64). */
+  def neardupBands: Q = (s, d) =>
+    docs(s, d)
+      .select(graft.functions.MinHashBandFunctions.minhashBands(
+        graft.functions.ShingleFunctions.distinctShingles(
+          TF.tokens(col("norm_text")), 3)).as("bk"))
+      .filter(size(col("bk")) > 0)
+      .select(posexplode(col("bk")).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("n") > 1, 1)).as("n_collision_buckets"),
+        sum(when(col("n") > 1, col("n"))).as("n_colliding_docs"))
+
   def qualityCompress: Q = (s, d) =>
     docs(s, d)
       .select(col("lang"),
@@ -1240,6 +1260,7 @@ object PipelineQueries {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "quality_compress" -> qualityCompress,
+    "neardup_bands" -> neardupBands,
   )
 
   val queries: Map[String, Q] = Map(
