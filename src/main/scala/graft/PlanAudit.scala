@@ -551,6 +551,26 @@ object PlanAudit {
         qc.contains("ReadSchema: struct<lang:string,text:string>"),
       "only the two used columns leave parquet")
 
+    // round-6 fourth wave: the sliding-window lane must be the Expand
+    // (6× window fan-out) → partial agg → ONE exchange → final agg
+    // pipeline, never a self-join of time-shifted copies; the anomaly
+    // lane is one count shuffle + one window sort — RANGE frames add a
+    // sort inside the partition, not another exchange.
+    val sw = plan("sliding_window_stats")
+    check("sliding_window_stats: expand + partial/final agg, one exchange",
+      sw.contains("Expand") && occurrences(sw, "Exchange") <= 2 &&
+        occurrences(sw, "HashAggregate") >= 2,
+      "window fan-out via Expand; no self-join")
+    check("sliding_window_stats: scan prunes to ts+type+value",
+      sw.contains("ReadSchema: struct<ts:") &&
+        !sw.contains("props") && !sw.contains("event_id"),
+      "only the three used columns leave parquet")
+    val az = plan("anomaly_zscore")
+    check("anomaly_zscore: one agg + one window exchange, no join",
+      occurrences(az, "Exchange") <= 2 && az.contains("Window") &&
+        !az.contains("Join"),
+      "hourly count shuffle then in-partition RANGE-frame sort")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
@@ -31,18 +31,44 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** Epoch-scale disambiguation for a LongType event-time column. A
+    * bare INT64 `ts` reaches Spark as LongType in two ways — parquet
+    * TIMESTAMP(NANOS) under `nanosAsLong`, or a plain INT64 with no
+    * logical type at all, whose unit (s / ms / µs / ns) only the
+    * magnitude reveals. The r5 driver data shipped one of these shapes
+    * mis-assumed as nanos and silently collapsed every event into a few
+    * near-epoch hours (stream lanes red with rows 10/0/150 vs oracle).
+    * Per-row CASE on |ts| — codegen'd, no probe job, correct for any
+    * epoch between 1985 and ~2100 at each scale:
+    *   |ts| ≥ 5e17 → nanoseconds;  ≥ 5e14 → microseconds;
+    *   ≥ 5e11 → milliseconds;  else seconds. */
+  def epochLongToMicros(c: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge.{catalystExpression, column}
+    // exact integer division (a double `/` loses precision above 2^53,
+    // which 1.7e18 nanos exceeds)
+    val nsToUs = column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        catalystExpression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(1000L)))
+    when(abs(c) >= lit(500000000000000000L), nsToUs)
+      .when(abs(c) >= lit(500000000000000L), c)
+      .when(abs(c) >= lit(500000000000L), c * lit(1000L))
+      .otherwise(c * lit(1000000L))
+  }
+
   /** The driver generator has shipped `events.ts` under several parquet
     * encodings across rounds; normalize all of them to session-TZ micros
     * TimestampType so every downstream operator sees one column type:
     *   - INT64 TIMESTAMP(NANOS) → LongType under `nanosAsLong` (nanos
-    *     since epoch), converted to micros here;
+    *     since epoch) — or a bare INT64 of any epoch unit — converted
+    *     to micros here via [[epochLongToMicros]];
     *   - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZ,
     *     cast (UTC session timezone, so the instant is unchanged);
     *   - INT64 TIMESTAMP(MICROS, UTC) → already TimestampType. */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn("ts", timestamp_micros(epochLongToMicros(col("ts"))))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))

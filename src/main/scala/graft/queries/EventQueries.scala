@@ -20,6 +20,71 @@ object EventQueries {
   def streamHourlyStats: Q = (s, d) =>
     EventsStream.hourlyStats(s, d)
 
+  /** SLIDING-window stats — the 3-arg `window(ts, size, slide)` form:
+    * "events in the trailing 6 hours, refreshed hourly". Each event
+    * belongs to size/slide = 6 epoch-aligned windows; Spark expands the
+    * windows THEN aggregates, so the shape is a 6× row fan-out into one
+    * (window, type) shuffle — linear in input at any scale, never a
+    * self-join of the table against its own time-shifted copy (the
+    * naive formulation, quadratic in window count). The oracle replays
+    * the same expansion as events × range(0..5). */
+  def slidingWindowStats: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Streaming twin of [[slidingWindowStats]] — same window expression
+    * inside a watermarked streaming aggregation; drained ≡ batch, one
+    * oracle for both. */
+  def streamSlidingStats: Q = (s, d) =>
+    EventsStream.streamingSlidingStats(s, d)
+
+  /** Rolling z-score ANOMALY detection over hourly event-type counts —
+    * the pipeline-health monitor: each hour's count is scored against
+    * the trailing 24-hour baseline (RANGE frame, current hour excluded
+    * so a spike can't suppress itself). All rolling statistics are
+    * exact integer sums (n, Σc, Σc²) over the frame; the spike flag is
+    * decided in integer arithmetic — (n·c − S1)² > 9·(n·S2 − S1²) with
+    * n·c − S1 > 0 — so both engines agree bit-for-bit with no floating
+    * threshold (the [[graft.operators.QualityRules]] discipline).
+    * z itself is emitted as a rounded double for humans. RANGE (not
+    * ROWS) keeps the baseline honest across gap hours. Integer bound:
+    * |n·c| ≤ 24·max hourly count — overflow-safe below ~4e17 events per
+    * hour. One shuffle on event_type; the frame is a sort within the
+    * partition — at 100 TB event_type is low-cardinality, so the
+    * production form would pre-bucket by (type, day) and merge frames;
+    * at the test scale the direct window is the right plan. */
+  def anomalyZscore: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('HOUR', ts)) div 1000000")
+          .as("h_epoch"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h_epoch"))
+      .rangeBetween(-86400L, -3600L)
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col("cnt")).over(w)
+    val s2 = sum(col("cnt") * col("cnt")).over(w)
+    hourly
+      .withColumn("n_prior", n)
+      .withColumn("num", col("n_prior") * col("cnt") - s1)
+      .withColumn("den2", col("n_prior") * s2 - s1 * s1)
+      .filter(col("n_prior") >= 12)
+      .select(col("event_type"),
+        to_timestamp(col("h_epoch")).as("hour_start"),
+        col("cnt"), col("n_prior"),
+        when(col("den2") > 0,
+          round(col("num").cast("double") /
+            sqrt(col("den2").cast("double")), 4)).as("z_score"),
+        (col("num") > 0 &&
+          col("num") * col("num") > lit(9L) * col("den2"))
+          .as("is_spike"))
+  }
+
   /** Sessionization: 30-minute-gap sessions per user, summarized per
     * user. The gap indicator + running sum over an event-time window is
     * the classic scale-out shape: one shuffle on user_id, sessions never
@@ -434,6 +499,9 @@ object EventQueries {
     "typed_moments" -> typedMoments,
     "funnel_steps" -> funnelSteps,
     "stream_hourly_stats" -> streamHourlyStats,
+    "sliding_window_stats" -> slidingWindowStats,
+    "stream_sliding_stats" -> streamSlidingStats,
+    "anomaly_zscore" -> anomalyZscore,
     "range_rewrite" -> rangeRewritePairs,
     "sketch_cms" -> sketchCms,
     "join_size_estimate" -> joinSizeEstimate,
@@ -509,6 +577,20 @@ object EventQueries {
       |SELECT * FROM g
       |WHERE session_end <= (SELECT max(ts)::TIMESTAMP FROM events)"""
       .stripMargin
+
+  /** Sliding-window expansion replay: each event joined to its 6
+    * hour-aligned window starts (hour floor minus k hours, k = 0..5 —
+    * exactly the epoch-aligned starts s with s ≤ ts < s + 6h that
+    * Spark's window(ts, '6 hours', '1 hour') assigns). Shared by the
+    * batch lane and its drained streaming twin. */
+  private val slidingWindowSql: String =
+    """SELECT (date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR)::TIMESTAMP
+      |   AS win_start,
+      | event_type, count(*) AS cnt,
+      | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
+      |   AS sum_value
+      |FROM events CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5)) k(k)
+      |GROUP BY 1, 2""".stripMargin
 
   /** CMS inner-product join-size replay (both sides' cells, the
     * min-over-rows product, and the exact control) — shared by the
@@ -1036,6 +1118,34 @@ object EventQueries {
         | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event replayed into its 6 hour-aligned sliding windows —
+    // the batch expansion of Spark's window(ts, '6 hours', '1 hour')
+    "sliding_window_stats" -> slidingWindowSql,
+    "stream_sliding_stats" -> slidingWindowSql,
+    "anomaly_zscore" ->
+      """WITH hourly AS (
+        | SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) // 1000000 AS h_epoch,
+        |  count(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        | rolled AS (
+        | SELECT event_type, h_epoch, cnt,
+        |  count(*) OVER w AS n_prior,
+        |  sum(cnt) OVER w AS s1,
+        |  sum(cnt * cnt) OVER w AS s2
+        | FROM hourly
+        | WINDOW w AS (PARTITION BY event_type ORDER BY h_epoch
+        |   RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT event_type, to_timestamp(h_epoch)::TIMESTAMP AS hour_start,
+        | cnt, n_prior,
+        | CASE WHEN n_prior * s2 - s1 * s1 > 0 THEN
+        |   round(CAST(n_prior * cnt - s1 AS DOUBLE)
+        |     / sqrt(CAST(n_prior * s2 - s1 * s1 AS DOUBLE)), 4)
+        | END AS z_score,
+        | (n_prior * cnt - s1 > 0 AND
+        |  (n_prior * cnt - s1) * (n_prior * cnt - s1)
+        |    > 9 * (n_prior * s2 - s1 * s1)) AS is_spike
+        |FROM rolled WHERE n_prior >= 12""".stripMargin,
     // the append-mode stream emits exactly the sessions the zero-delay
     // watermark closed: session_end <= global max event time
     "stream_session_window" -> sessionWindowCutSql,

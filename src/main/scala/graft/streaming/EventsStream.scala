@@ -57,7 +57,11 @@ object EventsStream {
       .parquet(sfDir)
     tsPhysical match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // epoch unit disambiguated by magnitude (nanos under
+        // `nanosAsLong`, or a bare INT64 of any unit) — shared with the
+        // batch loader so stream and batch can never diverge on ts
+        raw.withColumn("ts",
+          timestamp_micros(graft.Tables.epochLongToMicros(col("ts"))))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
@@ -541,6 +545,37 @@ object EventsStream {
       .agg(HF.hll(col("user_id"), 8).as("regs"))
       .select(col("window.start").as("win_start"), col("event_type"),
         round(HF.hllEstimate(col("regs"), 8), 2).as("hll_est"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** SLIDING-window streaming stats — the 3-arg `window(ts, size,
+    * slide)` form the tumbling lanes don't exercise: every event lands
+    * in size/slide = 6 overlapping windows, so the aggregation fans out
+    * 6× before the (window, type) shuffle — the always-on "last 6 hours,
+    * refreshed hourly" monitor. State per group is one partial aggregate
+    * exactly as in the tumbling case; the watermark bounds how many
+    * open windows exist per key (6 + late horizon). Window starts are
+    * epoch-aligned, so the drained stream equals the batch cross-join
+    * replay (each event × its 6 hour-aligned starts) — the oracle
+    * shared with the batch twin [[graft.queries.EventQueries
+    * .slidingWindowStats]]. */
+  def streamingSlidingStats(spark: SparkSession, sfDir: String,
+      queryName: String = "events_sliding"): DataFrame = {
+    val stream = eventsRawStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(38,8)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory")

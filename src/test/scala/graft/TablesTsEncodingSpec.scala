@@ -51,10 +51,56 @@ class TablesTsEncodingSpec extends SparkSpec {
     writeDir("ntz")(timestamp_micros(col("ts_us")).cast(TimestampNTZType))
   private lazy val dirLtzMicros =
     writeDir("ltz")(timestamp_micros(col("ts_us")))
+  // Bare INT64 of OTHER epoch units — no logical type tells the reader
+  // the scale, so only the magnitude disambiguation
+  // (Tables.epochLongToMicros) keeps these from being misread as nanos
+  // and collapsing every event to 1970 (the r5 failure mode: stream
+  // lanes red with 10/0/150 rows vs oracle). Millis/seconds round the
+  // fixture instants down to their unit, so expectations truncate too.
+  private lazy val dirLongMicros =
+    writeDir("lus")(col("ts_us"))
+  private lazy val dirLongMillis =
+    writeDir("lms")(expr("ts_us div 1000"))
+  private lazy val dirLongSeconds =
+    writeDir("lsec")(expr("ts_us div 1000000"))
 
   private val allDirs =
     Seq("long-nanos" -> dirLongNanos, "ntz-micros" -> dirNtzMicros,
       "ltz-micros" -> dirLtzMicros)
+
+  private def truncUs(label: String, us: Long): Long = label match {
+    case "long-millis" => us / 1000L * 1000L
+    case "long-seconds" => us / 1000000L * 1000000L
+    case _ => us
+  }
+
+  private val bareLongDirs =
+    Seq("long-micros" -> dirLongMicros, "long-millis" -> dirLongMillis,
+      "long-seconds" -> dirLongSeconds)
+
+  test("bare INT64 ts of any epoch unit is disambiguated by magnitude") {
+    for ((label, dir) <- bareLongDirs) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$label: expected TimestampType, got ${ev.schema("ts").dataType}")
+      val got = ev.select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val want = rows.map(r => (r._1, truncUs(label, r._2)))
+      assert(got == want, s"$label: instants drifted: $got vs $want")
+      // streaming twin reads the identical instants
+      val st = graft.streaming.EventsStream.eventsRawStream(spark, dir)
+      val name = s"tsenc_${label.replace('-', '_')}"
+      val q = st.select(col("event_id"), col("ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val gotSt = spark.table(name)
+        .select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(gotSt == want, s"$label: streamed instants drifted: $gotSt")
+    }
+  }
 
   test("batch loader normalizes every ts encoding to TimestampType") {
     for ((label, dir) <- allDirs) {
