@@ -107,7 +107,12 @@ object Bench {
     // dispatch) and a full streaming drain (file source → watermark →
     // windowed agg → memory sink at sf0.1 — micro-batch overhead is
     // the dominant term, the engine cost a live deployment pays)
-    "neardup_bands", "stream_hourly_stats")
+    "neardup_bands", "stream_hourly_stats",
+    // round-6 fourth wave: the Expand-based 6× sliding-window fan-out
+    // (tracks the pre-shuffle row-expansion cost the tumbling lanes
+    // never pay) and the RANGE-frame rolling z-score monitor (one
+    // count shuffle + one in-partition window sort)
+    "sliding_window_stats", "anomaly_zscore")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -157,6 +157,48 @@ object TaxiPipelineQueries {
       .groupBy("cab_type").agg(count(lit(1)).as("cnt"))
   }
 
+  /** The reference's benchmark queries as SQL TEXT through `spark.sql`
+    * over a `trips_mergetree` temp view — the literal user experience
+    * of the reference (clickhouse-client --query=..., README.md:612),
+    * not a DSL re-expression. Dialect normalization is confined to:
+    * `toYear(d)` → `year(d)` (the one ClickHouse-ism), plus output
+    * aliases/casts so the SQL lanes share the DSL lanes' oracles
+    * column-for-column (the driver hashes by column name). Each SQL
+    * lane must hash-match the same oracle as its DSL twin — two
+    * front-ends, one plan contract. */
+  private def sqlOnTrips(text: String): Q = (s, d) => {
+    trips(s, d).createOrReplaceTempView("trips_mergetree")
+    s.sql(text)
+  }
+
+  /** README.md:606 verbatim modulo the output alias. */
+  def sqlQ1: Q = sqlOnTrips(
+    "SELECT cab_type, count(*) AS cnt FROM trips_mergetree GROUP BY cab_type")
+
+  /** README.md:626; avg expanded to the exact-integer-sum ÷ count form
+    * the DSL lane uses (total_amount is whole-valued by construction,
+    * so this IS avg(total_amount), bit-exact across engines). */
+  def sqlQ2: Q = sqlOnTrips(
+    """SELECT CAST(passenger_count AS BIGINT) AS pax,
+      | CAST(SUM(CAST(total_amount AS BIGINT)) AS DOUBLE) / count(*)
+      |   AS avg_amount
+      |FROM trips_mergetree GROUP BY passenger_count""".stripMargin)
+
+  /** README.md:646-648; toYear → year. */
+  def sqlQ3: Q = sqlOnTrips(
+    """SELECT CAST(passenger_count AS BIGINT) AS pax,
+      | CAST(year(pickup_date) AS BIGINT) AS yr, count(*) AS cnt
+      |FROM trips_mergetree GROUP BY passenger_count, yr""".stripMargin)
+
+  /** README.md:670-674; toYear → year, ORDER BY year, count(*) DESC. */
+  def sqlQ4: Q = sqlOnTrips(
+    """SELECT CAST(passenger_count AS BIGINT) AS pax,
+      | CAST(year(pickup_date) AS BIGINT) AS yr,
+      | round(trip_distance) AS dist, count(*) AS cnt
+      |FROM trips_mergetree
+      |GROUP BY passenger_count, yr, dist
+      |ORDER BY yr, cnt DESC""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "taxi_e2e_q1" -> q1,
     "taxi_e2e_q2" -> q2,
@@ -165,6 +207,10 @@ object TaxiPipelineQueries {
     "taxi_e2e_canon" -> canon,
     "taxi_stream_ingest" -> q1Streamed,
     "taxi_compacted_q1" -> q1Compacted,
+    "taxi_sql_q1" -> sqlQ1,
+    "taxi_sql_q2" -> sqlQ2,
+    "taxi_sql_q3" -> sqlQ3,
+    "taxi_sql_q4" -> sqlQ4,
   )
 
   /** DuckDB replay of TaxiGen + TripsTransform for the oracled columns:
@@ -213,6 +259,22 @@ object TaxiPipelineQueries {
   val oracle: Map[String, String] = Map(
     "taxi_e2e_q1" -> (derive +
       "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
+    // SQL-text front-end lanes share the DSL lanes' oracles verbatim:
+    // two front-ends, one result contract
+    "taxi_sql_q1" -> (derive +
+      "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
+    "taxi_sql_q2" -> (derive +
+      """SELECT pax,
+        | CAST(CAST(sum(CAST(total_amount AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |   / count(*) AS avg_amount
+        |FROM trips GROUP BY 1""".stripMargin),
+    "taxi_sql_q3" -> (derive +
+      """SELECT pax, year(pickup_date) AS yr, count(*) AS cnt
+        |FROM trips GROUP BY 1, 2""".stripMargin),
+    "taxi_sql_q4" -> (derive +
+      """SELECT pax, year(pickup_date) AS yr, round(trip_distance) AS dist,
+        | count(*) AS cnt
+        |FROM trips GROUP BY 1, 2, 3 ORDER BY yr, cnt DESC""".stripMargin),
     "taxi_stream_ingest" -> (derive +
       "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
     "taxi_compacted_q1" -> (derive +
