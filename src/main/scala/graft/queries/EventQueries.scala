@@ -499,6 +499,8 @@ object EventQueries {
     "typed_moments" -> typedMoments,
     "funnel_steps" -> funnelSteps,
     "stream_hourly_stats" -> streamHourlyStats,
+    "stream_restart_recovery" -> ((s, d) =>
+      graft.streaming.RestartRecovery.hourlyStatsWithRestart(s, d)._2),
     "sliding_window_stats" -> slidingWindowStats,
     "stream_sliding_stats" -> streamSlidingStats,
     "anomaly_zscore" -> anomalyZscore,
@@ -1113,6 +1115,14 @@ object EventQueries {
         |FROM events e ASOF LEFT JOIN rd
         |  ON e.user_id = rd.o_custkey AND e.ts <= rd.o_orderdate""".stripMargin,
     "stream_hourly_stats" ->
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start,
+        | event_type, count(*) AS cnt,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // restart-recovery replay: two query incarnations over one
+    // checkpoint must still equal the one-shot batch aggregation
+    "stream_restart_recovery" ->
       """SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start,
         | event_type, count(*) AS cnt,
         | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
