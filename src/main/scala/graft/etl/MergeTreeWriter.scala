@@ -38,6 +38,38 @@ object MergeTreeWriter {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Idempotent partition backfill — the Spark analogue of the
+    * MergeTree operational pattern the reference's monthly ETL relies
+    * on (re-load a month = DROP PARTITION + re-INSERT, README.md:563):
+    * `partitionOverwriteMode=dynamic` replaces EXACTLY the partitions
+    * present in `df` and leaves every other month's files untouched —
+    * no read-modify-write of the whole table, no window where other
+    * months are missing. At 100 TB this is the difference between
+    * rewriting one month and rewriting the archive: the job's cost is
+    * proportional to the restated data only. Static overwrite mode
+    * (the default) would drop ALL partitions first — the spec pins
+    * that distinction as a negative control. Conf change is scoped and
+    * restored so no other lane inherits it. */
+  def overwritePartitions(df: DataFrame, path: String,
+      monthCol: String = "pickup_month",
+      sortCol: String = "pickup_datetime"): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try
+      df.repartition(col(monthCol))
+        .sortWithinPartitions(col(monthCol), col(sortCol))
+        .write
+        .mode("overwrite")
+        .partitionBy(monthCol)
+        .parquet(path)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Periodic compaction for append-heavy tables (the streaming ingest
     * sink accumulates one small file per drained shard per month):
     * rewrite `src` into the canonical layout at `dst` — month

@@ -293,7 +293,38 @@ object EtlQueries {
           .cast("double"), 2).as("sum_qty"))
   }
 
+  /** Idempotent month backfill via dynamic partition overwrite — the
+    * reference's operational replay (DROP PARTITION + re-INSERT of a
+    * corrected month, README.md:563) without touching any other month:
+    * full load, then a RESTATED version of the latest month lands
+    * (late dedup removed every 10th order, a 5.00 adjustment applied),
+    * and `MergeTreeWriter.overwritePartitions` replaces exactly that
+    * partition. The final per-month aggregate must show the corrected
+    * month restated and every other month byte-identical to the
+    * original load — which is precisely what the DuckDB oracle
+    * replays. Job cost is proportional to the restated month only. */
+  def backfillOverwrite: Q = (s, d) => {
+    val out = tmp("backfill", d)
+    val orders = Tables.orders(s, d)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    MergeTreeWriter.write(orders, out, monthCol = "order_month",
+      sortCol = "o_orderdate")
+    val lastMonth = orders.agg(max(col("order_month"))).head().getString(0)
+    val corrected = orders
+      .filter(col("order_month") === lastMonth)
+      .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+    MergeTreeWriter.overwritePartitions(corrected, out,
+      monthCol = "order_month", sortCol = "o_orderdate")
+    MergeTreeWriter.read(s, out)
+      .groupBy("order_month")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_backfill_overwrite" -> backfillOverwrite,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
     "schema_evolution" -> schemaEvolution,
@@ -337,6 +368,23 @@ object EtlQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // replay the backfill: latest month restated (every 10th order
+    // dropped, +5.00 adjustment), all other months as loaded
+    "etl_backfill_overwrite" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | lm AS (SELECT max(order_month) AS m FROM o),
+        | fin AS (
+        |  SELECT order_month, o_totalprice FROM o
+        |  WHERE order_month <> (SELECT m FROM lm)
+        |  UNION ALL
+        |  SELECT order_month, o_totalprice + 5.0 FROM o
+        |  WHERE order_month = (SELECT m FROM lm)
+        |    AND o_orderkey % 10 <> 0)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
     // replay the dim semantics directly: 1996-Q2 = months 04..06
     "dpp_join" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
