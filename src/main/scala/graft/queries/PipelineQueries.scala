@@ -1263,7 +1263,18 @@ object PipelineQueries {
     "neardup_bands" -> neardupBands,
   )
 
+  /** Scalable global contiguous row index ([[graft.operators
+    * .GlobalIndex]]): every document's 0-based position in doc_id
+    * order via range repartitioning + per-range offsets — the shape
+    * that survives 100 TB, vs the single-partition window the oracle
+    * (safely, at DuckDB scale) uses. */
+  def globalRowIndex: Q = (s, d) =>
+    graft.operators.GlobalIndex.withGlobalIndex(
+      Tables.documents(s, d).select(col("doc_id")),
+      orderCol = "doc_id", nRanges = 8)
+
   val queries: Map[String, Q] = Map(
+    "global_row_index" -> globalRowIndex,
     "ann_ivf_oracle" -> annIvfOracle,
     "salted_agg" -> saltedAgg,
     "salted_join" -> saltedJoin,
@@ -1647,6 +1658,10 @@ object PipelineQueries {
        |GROUP BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "global_row_index" ->
+      """SELECT doc_id,
+        | row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
+        |FROM documents""".stripMargin,
     "salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
         | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 4)
