@@ -501,6 +501,8 @@ object EventQueries {
     "stream_hourly_stats" -> streamHourlyStats,
     "stream_restart_recovery" -> ((s, d) =>
       graft.streaming.RestartRecovery.hourlyStatsWithRestart(s, d)._2),
+    "stream_late_quarantine" -> ((s, d) =>
+      graft.streaming.LateDataGate.quarantineCounts(s, d)),
     "sliding_window_stats" -> slidingWindowStats,
     "stream_sliding_stats" -> streamSlidingStats,
     "anomaly_zscore" -> anomalyZscore,
@@ -1120,6 +1122,28 @@ object EventQueries {
         | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // late-quarantine replay: per-(type, chunk) maxima give the
+    // gate's pre-batch high-water marks; a row is late iff more than
+    // 1h behind the mark committed by earlier chunks of its key
+    "stream_late_quarantine" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |  event_id % 4 AS chunk FROM events),
+        | km AS (SELECT event_type, chunk, max(ts_ms) AS mx
+        |  FROM e GROUP BY 1, 2),
+        | pm AS (SELECT k.event_type, k.chunk, max(p.mx) AS prev_mx
+        |  FROM km k LEFT JOIN km p
+        |   ON p.event_type = k.event_type AND p.chunk < k.chunk
+        |  GROUP BY 1, 2)
+        |SELECT e.event_type,
+        | CAST(sum(CASE WHEN pm.prev_mx IS NOT NULL
+        |   AND e.ts_ms < pm.prev_mx - 3600000 THEN 0 ELSE 1 END)
+        |   AS BIGINT) AS n_ontime,
+        | CAST(sum(CASE WHEN pm.prev_mx IS NOT NULL
+        |   AND e.ts_ms < pm.prev_mx - 3600000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_late
+        |FROM e JOIN pm ON e.event_type = pm.event_type
+        |  AND e.chunk = pm.chunk
+        |GROUP BY 1""".stripMargin,
     // restart-recovery replay: two query incarnations over one
     // checkpoint must still equal the one-shot batch aggregation
     "stream_restart_recovery" ->
