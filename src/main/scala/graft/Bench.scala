@@ -112,7 +112,11 @@ object Bench {
     // (tracks the pre-shuffle row-expansion cost the tumbling lanes
     // never pay) and the RANGE-frame rolling z-score monitor (one
     // count shuffle + one in-partition window sort)
-    "sliding_window_stats", "anomaly_zscore")
+    "sliding_window_stats", "anomaly_zscore",
+    // round-6 fifth wave: global contiguous row index at fact-table
+    // volume (range shuffle + in-partition sort + offset lift — the
+    // no-single-partition-window total order)
+    "global_index_big")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -97,7 +97,11 @@ object ScaleSmoke {
     "gopher_rules", "kmeans_train",
     // round-6 third wave: per-row zlib in the scan stage — pure map,
     // cost strictly per-document, should scale exactly with rows
-    "quality_compress")
+    "quality_compress",
+    // round-6 fifth wave: the global row index at K× lineitem — range
+    // shuffle + in-partition sort + bounded offset collect; both real
+    // stages grow linearly, the offset table stays nRanges rows
+    "global_index_big")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

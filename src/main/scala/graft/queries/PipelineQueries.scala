@@ -1254,7 +1254,33 @@ object PipelineQueries {
     * but kept out of the driver's oracle sweep — each has a green
     * portable `_oracle` twin in [[queries]] covering the same code
     * path end to end. */
+  /** [[globalRowIndex]] at fact-table volume: index every lineitem row
+    * in (l_orderkey, l_linenumber) order via the synthesized unique key
+    * ok·8+ln (ln ≤ 7, so the composite order is preserved). Same code
+    * path as the oracled documents lane; here it carries the bench /
+    * scale signal — one range shuffle + in-partition sort however big
+    * the fact side grows. Output folded to a fingerprint aggregate so
+    * the lane measures the index, not a 60 k-row dump. */
+  def globalIndexBig: Q = (s, d) => {
+    val keyed = Tables.lineitem(s, d).select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
+    val (idx, release) = graft.operators.GlobalIndex
+      .withGlobalIndexPinned(keyed, "k", nRanges = 32)
+    val out = idx.agg(
+      count(lit(1)).as("n"),
+      sum(col("global_idx")).as("idx_sum"),
+      max(col("global_idx")).as("idx_max"),
+      // order isomorphism: Σ|rank(k) − rank-by-construction| = 0 would
+      // need a join; the cheap invariant is the exact triangular sum
+      // plus the k↔idx correlation fingerprint below
+      sum(col("k") * col("global_idx")).as("dot_fp"))
+    val r = out.collect()(0)
+    release()
+    s.createDataFrame(java.util.List.of(r), out.schema)
+  }
+
   val benchOnly: Map[String, Q] = Map(
+    "global_index_big" -> globalIndexBig,
     "ann_ivf" -> annIvf,
     "ann_lsh" -> annLsh,
     "dedup_minhash" -> dedupMinhash,
