@@ -503,6 +503,8 @@ object EventQueries {
       graft.streaming.RestartRecovery.hourlyStatsWithRestart(s, d)._2),
     "stream_late_quarantine" -> ((s, d) =>
       graft.streaming.LateDataGate.quarantineCounts(s, d)),
+    "stream_observe_quality" -> ((s, d) =>
+      EventsStream.streamingObservedQuality(s, d)),
     "sliding_window_stats" -> slidingWindowStats,
     "stream_sliding_stats" -> streamSlidingStats,
     "anomaly_zscore" -> anomalyZscore,
@@ -1122,6 +1124,15 @@ object EventQueries {
         | round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // streaming observe totals are additive exact integers — batch
+    // replay is a plain aggregate whatever the micro-batch cuts were
+    "stream_observe_quality" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_null_value,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents
+        |FROM events""".stripMargin,
     // late-quarantine replay: per-(type, chunk) maxima give the
     // gate's pre-batch high-water marks; a row is late iff more than
     // 1h behind the mark committed by earlier chunks of its key

@@ -74,6 +74,44 @@ object EventsStream {
     * watermark bounds dedup state (dropDuplicatesWithinWatermark); on a
     * drained file source the unbounded form is deterministic and equals
     * the batch DISTINCT — which is the oracle. */
+  /** Streaming `Dataset.observe` — the zero-extra-scan data-quality
+    * counters of [[graft.queries.RelationalQueries.q41Observe]], on a
+    * live stream: named exact aggregates (row count, null count, value
+    * cents) are collected ON THE FLOW of the ingest query and surface
+    * per micro-batch in `StreamingQueryProgress.observedMetrics`; the
+    * monitor's totals are the SUM over batches, so every metric chosen
+    * here is additive (no min/max/distinct). This is how a 100 TB
+    * always-on ingest reports volume and quality without a second read
+    * — the main query (an hourly count the sink consumes) is untouched.
+    * Totals are exact integers, so the lane oracles like any batch
+    * aggregate whatever the micro-batch cuts were. */
+  def streamingObservedQuality(spark: SparkSession, sfDir: String,
+      queryName: String = "events_observe"): DataFrame = {
+    val stream = eventsRawStream(spark, sfDir)
+      .observe("ingest_quality",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L))
+          .as("n_null_value"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val totals = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest_quality")))
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_null_value"),
+        r.getAs[Long]("sum_cents")))
+    import spark.implicits._
+    Seq(totals.foldLeft((0L, 0L, 0L)) { case ((a, b, c), (x, y, z)) =>
+      (a + x, b + y, c + z)
+    }).toDF("n_rows", "n_null_value", "sum_cents")
+  }
+
   def streamingDedupCounts(spark: SparkSession, sfDir: String,
       queryName: String = "events_dedup"): DataFrame = {
     val deduped = eventsRawStream(spark, sfDir)
