@@ -571,6 +571,26 @@ object PlanAudit {
         !az.contains("Join"),
       "hourly count shuffle then in-partition RANGE-frame sort")
 
+    // round-6 wave 1: funnel fold = ONE user shuffle (collect_list →
+    // object-hash agg), no window over the full table, no per-stage
+    // self-joins; entropy = pure projection inside the scan stage.
+    val fc = plan("funnel_conversion")
+    check("funnel_conversion: one user-keyed exchange, no join",
+      occurrences(fc, "Exchange") <= 1 && !fc.contains("Join") &&
+        !fc.contains("Window"),
+      "sorted-fold funnel shuffles once for any depth")
+    val ce = plan("char_entropy")
+    check("char_entropy: zero exchanges, codegen'd scan projection",
+      occurrences(ce, "Exchange") == 0 && ce.contains("*(1) Project"),
+      "entropy computed row-locally at read speed")
+    check("char_entropy: scan prunes to doc_id+text",
+      ce.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "no lang/source/n_chars off parquet")
+    val tc = plan("triangle_count")
+    check("triangle_count: equi-joins only (1-row stat cross-join aside)",
+      !tc.contains("CartesianProduct"),
+      "wedge + closing joins are hash equi-joins; orientation caps fan-out")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

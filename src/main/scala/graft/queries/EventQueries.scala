@@ -480,6 +480,82 @@ object EventQueries {
         .select(lit("3_purchase").as("step"), col("n_users")))
   }
 
+  /** WINDOWED funnel — the ClickHouse `windowFunnel(window)(ts, …)`
+    * semantics the unwindowed [[funnelSteps]] doesn't cover (reference
+    * family: ClickHouse aggregate-function surface): per user, the
+    * deepest step of view → click → purchase completed by the EARLIEST
+    * chain, where the whole chain must fit inside 24 h of its first
+    * step. Greedy earliest-chain is the deterministic, oracle-friendly
+    * reading: l1 = first view; l2 = first click strictly after l1
+    * within l1+24 h; l3 = first purchase strictly after l2 within
+    * l1+24 h.
+    *
+    * Shape: ONE shuffle on user_id, then a per-user `array_sort` +
+    * `aggregate` fold over (ts, event_id, type) structs — in-group
+    * work bounded by per-user activity, the same scale envelope as
+    * [[userSequences]]; no window function over the full table and no
+    * repeated self-joins (the three-join formulation re-shuffles the
+    * event table once PER STAGE — this folds once for any funnel
+    * depth). The fold is a codegen'd higher-order function, state is
+    * three longs. */
+  def funnelConversion: Q = (s, d) => {
+    val winUs = 24L * 3600L * 1000000L
+    val ev = Tables.events(s, d).select(col("user_id"),
+      struct(unix_micros(col("ts")).as("t"), col("event_id").as("id"),
+        col("event_type").as("et")).as("e"))
+    val folded = ev.groupBy("user_id")
+      .agg(array_sort(collect_list(col("e"))).as("seq"))
+      .select(col("user_id"),
+        aggregate(col("seq"),
+          struct(lit(-1L).as("l1"), lit(-1L).as("l2"), lit(-1L).as("l3")),
+          (st, e) => {
+            val t = e("t")
+            when(st("l1") === -1L && e("et") === "view",
+              struct(t.as("l1"), st("l2").as("l2"), st("l3").as("l3")))
+              .when(st("l1") =!= -1L && st("l2") === -1L &&
+                e("et") === "click" && t > st("l1") &&
+                t <= st("l1") + winUs,
+                struct(st("l1").as("l1"), t.as("l2"), st("l3").as("l3")))
+              .when(st("l2") =!= -1L && st("l3") === -1L &&
+                e("et") === "purchase" && t > st("l2") &&
+                t <= st("l1") + winUs,
+                struct(st("l1").as("l1"), st("l2").as("l2"), t.as("l3")))
+              .otherwise(st)
+          }).as("st"))
+    folded.select(col("user_id"),
+      when(col("st.l3") =!= -1L, 3)
+        .when(col("st.l2") =!= -1L, 2)
+        .when(col("st.l1") =!= -1L, 1)
+        .otherwise(0).as("funnel_level"))
+  }
+
+  /** Non-overlapping sequence occurrences — the ClickHouse
+    * `sequenceCount('(?1).*(?2)')(ts, A, B)` analogue: per user, how
+    * many times a view is EVENTUALLY followed by a purchase, matches
+    * consumed greedily (a purchase closes the open view; the next
+    * occurrence needs a fresh view). Greedy A…B counting collapses to
+    * a declarative form — restrict to A/B events in (ts, event_id)
+    * order and count the B events whose predecessor in that restricted
+    * sequence is an A (run-boundary counting) — so the operator is a
+    * filter + one user-keyed window lag + conditional count, and the
+    * oracle replays it verbatim. Zero-match users are kept via a
+    * user-keyed right join (co-partitioned with the lag's shuffle). */
+  def sequenceCount: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val ab = ev.filter(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val counted = ab
+      .withColumn("prev_et", lag(col("event_type"), 1).over(w))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase" &&
+        col("prev_et") === "view", 1L).otherwise(0L)).as("n_seq"))
+    ev.select("user_id").distinct()
+      .join(counted, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_seq"), lit(0L)).as("n_sequences"))
+  }
+
   /** Typed `Dataset[T]` tier ([[graft.operators.TypedOps]]): longest
     * strictly-increasing value streak per user via groupByKey +
     * mapGroups. The oracle is the declarative twin — lag-compare →
@@ -498,6 +574,8 @@ object EventQueries {
     "typed_streak" -> typedStreak,
     "typed_moments" -> typedMoments,
     "funnel_steps" -> funnelSteps,
+    "funnel_conversion" -> funnelConversion,
+    "sequence_count" -> sequenceCount,
     "stream_hourly_stats" -> streamHourlyStats,
     "stream_restart_recovery" -> ((s, d) =>
       graft.streaming.RestartRecovery.hourlyStatsWithRestart(s, d)._2),
@@ -625,6 +703,43 @@ object EventQueries {
         |FROM est, ex""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // windowed funnel: greedy earliest-chain replay — first view, first
+    // qualifying click, first qualifying purchase, all inside first
+    // view + 24 h; strict > at each hop, µs arithmetic on both engines
+    "funnel_conversion" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |l1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |l2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN l1 ON e.user_id = l1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > l1.t1
+        |    AND epoch_us(e.ts) <= l1.t1 + 86400000000 GROUP BY 1),
+        |l3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN l2 ON e.user_id = l2.user_id
+        |  JOIN l1 ON e.user_id = l1.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > l2.t2
+        |    AND epoch_us(e.ts) <= l1.t1 + 86400000000 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN l3.t3 IS NOT NULL THEN 3
+        |       WHEN l2.t2 IS NOT NULL THEN 2
+        |       WHEN l1.t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
+        |FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
+        |  LEFT JOIN l2 ON u.user_id = l2.user_id
+        |  LEFT JOIN l3 ON u.user_id = l3.user_id""".stripMargin,
+    // greedy non-overlapping view…purchase count = run-boundary count
+    // over the A/B-restricted per-user sequence; zero users kept
+    "sequence_count" ->
+      """WITH ab AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_et
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |c AS (SELECT user_id, sum(CASE WHEN event_type = 'purchase'
+        |    AND prev_et = 'view' THEN 1 ELSE 0 END) AS n_seq
+        |  FROM ab GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(COALESCE(c.n_seq, 0) AS BIGINT) AS n_sequences
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN c ON u.user_id = c.user_id""".stripMargin,
     // the mapGroups streak fold's declarative twin: a new run starts
     // wherever value fails to increase; run lengths per (user, run_id),
     // then the per-user max (event order = (µs time, event id), same

@@ -36,6 +36,21 @@ object PipelineQueries {
       TF.fingerprint(col("text")).as("fp"),
       TF.rollingHash(col("text")).as("rolling_fp"))
 
+  /** Character-entropy quality signal ([[graft.functions.CharEntropy]]
+    * — the distributional redundancy axis next to n-gram repetition
+    * and deflate ratio): per-doc Shannon entropy in bits, computed by a
+    * codegen'd native expression INSIDE the scan stage — the
+    * declarative alternative (split → explode → two groupBys) shuffles
+    * every character in the corpus, this shuffles nothing. Oracle
+    * replays the identical H = log2(n) − Σ c·log2 c / n over a DuckDB
+    * unnest histogram; both engines round to 4 decimals. */
+  def charEntropyStats: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      round(graft.functions.EntropyFunctions.charEntropy(col("text")), 4)
+        .as("entropy_bits"))
+
   def textQuality: Q = (s, d) =>
     docs(s, d).select(
       col("doc_id"),
@@ -1307,6 +1322,7 @@ object PipelineQueries {
     "pagerank" -> pageRank,
     "text_stats" -> textStats,
     "text_quality" -> textQuality,
+    "char_entropy" -> charEntropyStats,
     "text_langid" -> textLangId,
     "array_funcs" -> arrayFuncs,
     "pipeline_e2e" -> pipelineFunnel,
@@ -1731,6 +1747,18 @@ object PipelineQueries {
         |   AS DOUBLE), 4) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
+    // per-char unnest histogram → the same exact entropy formula the
+    // codegen'd expression computes row-locally
+    "char_entropy" ->
+      """WITH cc AS (SELECT doc_id, ch, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |        FROM documents) GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS ent
+        |  FROM cc GROUP BY 1)
+        |SELECT d.doc_id, length(d.text) AS n_chars_text,
+        |  COALESCE(h.ent, 0.0) AS entropy_bits
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,

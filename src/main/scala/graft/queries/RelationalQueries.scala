@@ -840,7 +840,25 @@ object RelationalQueries {
           .cast("decimal(38,8)")).cast("double"), 2).as("revenue"))
   }
 
+  /** Triangle count over the co-purchase graph (parts linked when some
+    * order contains both): the per-order pair expansion is bounded by
+    * the 7-line TPC-H order cap (≤21 pairs/order), then
+    * [[graft.operators.TriangleCount]] counts by degree orientation —
+    * the O(√m)-out-degree formulation whose wedge volume survives hub
+    * skew at web scale. Oracle: the x<y<z three-way edge join (same
+    * count, any orientation). */
+  def q44TriangleCount: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("x").join(li.as("y"), Seq("ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    graft.operators.TriangleCount.triangles(edges)
+  }
+
   val queries: Map[String, Q] = Map(
+    "triangle_count" -> q44TriangleCount,
     "q42_bloom_join" -> q42BloomJoin,
     "q43_bloom_rewrite" -> q43BloomRewrite,
     "merge_upsert" -> qMergeUpsert,
@@ -900,6 +918,20 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // co-purchase edges (canonical a<b), triangles as the x<y<z
+    // three-way join — orientation-free, same count as the degree-
+    // oriented engine path
+    "triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |v AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+        |SELECT (SELECT count(*) FROM v) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |     JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
     // ANALYZE replay: one stats row per column; min/max stringified
     // only for engine-identical renderings (ints, strings, timestamps)
     "q34_table_stats" -> Seq("l_orderkey", "l_suppkey", "l_linenumber",
