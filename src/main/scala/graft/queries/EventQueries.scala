@@ -575,6 +575,8 @@ object EventQueries {
     "typed_moments" -> typedMoments,
     "funnel_steps" -> funnelSteps,
     "funnel_conversion" -> funnelConversion,
+    "stream_funnel" -> ((s, d) =>
+      graft.streaming.StatefulFunnel.funnelLevels(s, d)),
     "sequence_count" -> sequenceCount,
     "stream_hourly_stats" -> streamHourlyStats,
     "stream_restart_recovery" -> ((s, d) =>
@@ -702,11 +704,12 @@ object EventQueries {
         | CAST(ex.x AS BIGINT) AS exact_rows
         |FROM est, ex""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    // windowed funnel: greedy earliest-chain replay — first view, first
-    // qualifying click, first qualifying purchase, all inside first
-    // view + 24 h; strict > at each hop, µs arithmetic on both engines
-    "funnel_conversion" ->
+  // windowed funnel: greedy earliest-chain replay — first view, first
+  // qualifying click, first qualifying purchase, all inside first
+  // view + 24 h; strict > at each hop, µs arithmetic on both engines.
+  // Shared by the batch lane and the drained stateful-stream twin
+  // (prefix-stable greedy chain over chronological replay).
+  private val funnelOracleSql: String =
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |l1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY 1),
@@ -725,7 +728,11 @@ object EventQueries {
         |       WHEN l1.t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level
         |FROM u LEFT JOIN l1 ON u.user_id = l1.user_id
         |  LEFT JOIN l2 ON u.user_id = l2.user_id
-        |  LEFT JOIN l3 ON u.user_id = l3.user_id""".stripMargin,
+        |  LEFT JOIN l3 ON u.user_id = l3.user_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "funnel_conversion" -> funnelOracleSql,
+    "stream_funnel" -> funnelOracleSql,
     // greedy non-overlapping view…purchase count = run-boundary count
     // over the A/B-restricted per-user sequence; zero users kept
     "sequence_count" ->

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, Trigger, TimerValues, ValueState}
+
+/** Streaming twin of the windowed funnel
+  * ([[graft.queries.EventQueries.funnelConversion]]) — the always-on
+  * form of ClickHouse `windowFunnel`: per-user funnel progress
+  * maintained incrementally in `transformWithState`, three longs of
+  * state per user (the greedy chain's level timestamps), O(1) update
+  * per event.
+  *
+  * Why the drained stream equals the batch fold: the greedy
+  * earliest-chain fold is PREFIX-STABLE — folding events in event-time
+  * order with persisted state is identical to one fold over the fully
+  * sorted history, whatever the micro-batch cuts, as long as within-user
+  * arrival respects event time. The source stages the table into
+  * chronological chunks (cut at event-time quantiles, replayed
+  * oldest-first), and each batch's rows fold in (ts, event_id) order —
+  * the same total order as the batch lane.
+  *
+  * Funnel level is MONOTONE NON-DECREASING over a user's history, so
+  * the processor emits the current level after each update and the
+  * reader takes max(level) per user — append-mode output with no
+  * final-flush hook needed, and the max is cut-invariant. State is
+  * bounded by user cardinality (TTL would bound it further in a
+  * production deployment where funnels expire).
+  */
+object StatefulFunnel {
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String)
+  case class Chain(l1: Long, l2: Long, l3: Long)
+  case class LevelOut(user_id: Long, level: Int)
+
+  val WindowUs: Long = 24L * 3600L * 1000000L
+
+  private def micros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  class FunnelProcessor
+      extends StatefulProcessor[Long, Ev, LevelOut] {
+    @transient private var chain: ValueState[Chain] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      chain = getHandle.getValueState[Chain]("chain",
+        Encoders.product[Chain], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[LevelOut] = {
+      var s = if (chain.exists()) chain.get() else Chain(-1L, -1L, -1L)
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        s = e.event_type match {
+          case "view" if s.l1 == -1L => Chain(t, s.l2, s.l3)
+          case "click" if s.l1 != -1L && s.l2 == -1L &&
+            t > s.l1 && t <= s.l1 + WindowUs => Chain(s.l1, t, s.l3)
+          case "purchase" if s.l2 != -1L && s.l3 == -1L &&
+            t > s.l2 && t <= s.l1 + WindowUs => Chain(s.l1, s.l2, t)
+          case _ => s
+        }
+      }
+      chain.update(s)
+      val level = if (s.l3 != -1L) 3 else if (s.l2 != -1L) 2
+        else if (s.l1 != -1L) 1 else 0
+      Iterator.single(LevelOut(key, level))
+    }
+  }
+
+  /** Drain the staged chronological stream and reduce the per-batch
+    * level emissions to max(level) per user — the final funnel level,
+    * shared oracle with the batch lane. */
+  def funnelLevels(spark: SparkSession, sfDir: String, nChunks: Int = 4,
+      queryName: String = "events_tws_funnel"): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_tws_funnel").toString
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    // chronological chunks: cut at event-time quantiles, oldest first
+    // (same staging discipline as StatefulSessionizer — equal-ts rows
+    // can't straddle a cut, so per-user replay order is event time)
+    val bounds = ev.selectExpr(
+      (1 until nChunks).map(i =>
+        s"percentile(CAST(ts AS DOUBLE), ${i.toDouble / nChunks})"): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val lo = Double.MinValue +: bounds
+    val hi = bounds :+ Double.MaxValue
+    (0 until nChunks).foreach { c =>
+      ev.filter(col("ts").cast("double") >= lo(c) &&
+          col("ts").cast("double") < hi(c))
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/src/chunk_$c")
+      Thread.sleep(5)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val out = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$work/src/chunk_*")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new FunnelProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(max(col("level")).as("funnel_level"))
+  }
+}

@@ -83,6 +83,24 @@ class FunnelSequenceSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("streaming funnel: drained stream ≡ batch fold, cut-invariant") {
+    val batch = EventQueries.funnelConversion(spark, sf()).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_level"))
+      .toMap
+    val s4 = graft.streaming.StatefulFunnel
+      .funnelLevels(spark, sf(), nChunks = 4, queryName = "tws_f4")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_level"))
+      .toMap
+    val s1 = graft.streaming.StatefulFunnel
+      .funnelLevels(spark, sf(), nChunks = 1, queryName = "tws_f1")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_level"))
+      .toMap
+    assert(s4 === batch, "4-chunk drain equals batch")
+    assert(s1 === batch, "single-batch drain equals batch")
+  }
+
   test("fixture replay: fold ≡ staged min-chaining on sf0.001") {
     // independent implementation of the same greedy semantics: the
     // three-stage conditional-min chain (one agg+join per stage)
