@@ -857,7 +857,30 @@ object RelationalQueries {
     graft.operators.TriangleCount.triangles(edges)
   }
 
+  /** Data-quality constraint battery ([[graft.operators.DataQuality]]):
+    * completeness, range, set-membership, non-negativity, composite-key
+    * uniqueness — ALL in one conditional-aggregate pass — plus
+    * referential integrity lineitem→orders as one distinct+anti-join.
+    * The composite key is encoded arithmetically (orderkey·10 +
+    * linenumber, linenumber ≤ 7) so both engines distinct-count
+    * identical longs. */
+  def qDqConstraints: Q = (s, d) => {
+    val DQ = graft.operators.DataQuality
+    DQ.validate(Tables.lineitem(s, d),
+      rows = Seq(
+        DQ.notNull("shipdate_not_null", col("l_shipdate")),
+        DQ.inRange("quantity_1_50", col("l_quantity"), 1.0, 50.0),
+        DQ.inSet("returnflag_enum", col("l_returnflag"),
+          Seq("A", "N", "R")),
+        DQ.nonNegative("price_nonneg", col("l_extendedprice"))),
+      uniqueKey = Some(("pk_unique",
+        col("l_orderkey") * 10L + col("l_linenumber"))),
+      fk = Some(("fk_orders", col("l_orderkey"),
+        Tables.orders(s, d).select("o_orderkey"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_constraints" -> qDqConstraints,
     "triangle_count" -> q44TriangleCount,
     "q42_bloom_join" -> q42BloomJoin,
     "q43_bloom_rewrite" -> q43BloomRewrite,
@@ -918,6 +941,38 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // one conditional-aggregate pass + one orphan anti-join, unrolled
+    // as UNION ALL constraint rows; composite key distinct-counted on
+    // the same arithmetic encoding
+    "dq_constraints" ->
+      """WITH m AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v_ship,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL
+        |    OR (l_quantity >= 1.0 AND l_quantity <= 50.0)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS v_range,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL
+        |    OR l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS v_set,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL
+        |    OR l_extendedprice >= 0 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS v_nonneg,
+        |  count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber)
+        |    AS v_pk
+        | FROM lineitem),
+        |f AS (SELECT count(*) AS v_fk
+        | FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_orderkey = c.l_orderkey))
+        |SELECT u.constraint_name, m.n_rows, u.nv AS n_violations,
+        |  u.nv = 0 AS passed
+        |FROM m, f, LATERAL (
+        |  SELECT 'shipdate_not_null' AS constraint_name, m.v_ship AS nv
+        |  UNION ALL SELECT 'quantity_1_50', m.v_range
+        |  UNION ALL SELECT 'returnflag_enum', m.v_set
+        |  UNION ALL SELECT 'price_nonneg', m.v_nonneg
+        |  UNION ALL SELECT 'pk_unique', m.v_pk
+        |  UNION ALL SELECT 'fk_orders', f.v_fk) u""".stripMargin,
     // co-purchase edges (canonical a<b), triangles as the x<y<z
     // three-way join — orientation-free, same count as the degree-
     // oriented engine path
