@@ -116,7 +116,15 @@ object Bench {
     // round-6 fifth wave: global contiguous row index at fact-table
     // volume (range shuffle + in-partition sort + offset lift — the
     // no-single-partition-window total order)
-    "global_index_big")
+    "global_index_big",
+    // round-6 sixth wave: the sorted-fold windowed funnel (one user
+    // shuffle + per-user HOF fold — funnel depth adds zero shuffles),
+    // degree-oriented triangle counting (wedge join volume capped at
+    // m^1.5 by orientation), the codegen'd char-entropy scan
+    // projection, and the one-pass DQ constraint battery + FK
+    // anti-join
+    "funnel_conversion", "triangle_count", "char_entropy",
+    "dq_constraints")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
