@@ -556,6 +556,26 @@ object EventQueries {
         coalesce(col("n_seq"), lit(0L)).as("n_sequences"))
   }
 
+  /** argMax / argMin — the ClickHouse aggregate pair every monitoring
+    * query leans on ("which event had the peak value", "who was first
+    * in"): Spark's `max_by`/`min_by` with a STRUCT ordering key so ties
+    * break deterministically on both engines (bare max_by(x, value) is
+    * free to pick any row attaining the max — a cross-engine hash
+    * mismatch by construction). One partial+final aggregation, no
+    * window, no sort — at 100 TB this is one shuffle of 5 rows per
+    * partition. Oracle replays via window row_number (same composite
+    * order), proving the tie-break is the semantics and not an
+    * implementation accident. */
+  def argMinMax: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("value")), 4).as("max_value"),
+        max_by(col("event_id"),
+          struct(col("value"), col("event_id"))).as("peak_event_id"),
+        min_by(col("user_id"),
+          struct(col("ts"), col("event_id"))).as("first_user_id"))
+
   /** Typed `Dataset[T]` tier ([[graft.operators.TypedOps]]): longest
     * strictly-increasing value streak per user via groupByKey +
     * mapGroups. The oracle is the declarative twin — lag-compare →
@@ -578,6 +598,7 @@ object EventQueries {
     "stream_funnel" -> ((s, d) =>
       graft.streaming.StatefulFunnel.funnelLevels(s, d)),
     "sequence_count" -> sequenceCount,
+    "argminmax" -> argMinMax,
     "stream_hourly_stats" -> streamHourlyStats,
     "stream_restart_recovery" -> ((s, d) =>
       graft.streaming.RestartRecovery.hourlyStatsWithRestart(s, d)._2),
@@ -733,6 +754,23 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "funnel_conversion" -> funnelOracleSql,
     "stream_funnel" -> funnelOracleSql,
+    // argMax/argMin with composite tie-break replayed as window
+    // row_number over the same (value, event_id) / (ts, event_id) order
+    "argminmax" ->
+      """WITH pk AS (SELECT event_type, event_id, row_number() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY value DESC, event_id DESC) AS rn FROM events),
+        |fu AS (SELECT event_type, user_id, row_number() OVER (
+        |    PARTITION BY event_type
+        |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn FROM events)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  round(max(e.value), 4) AS max_value,
+        |  min(pk.event_id) AS peak_event_id,
+        |  min(fu.user_id) AS first_user_id
+        |FROM events e
+        |JOIN pk ON pk.event_type = e.event_type AND pk.rn = 1
+        |JOIN fu ON fu.event_type = e.event_type AND fu.rn = 1
+        |GROUP BY 1""".stripMargin,
     // greedy non-overlapping view…purchase count = run-boundary count
     // over the A/B-restricted per-user sequence; zero users kept
     "sequence_count" ->
