@@ -101,7 +101,17 @@ object ScaleSmoke {
     // round-6 fifth wave: the global row index at K× lineitem — range
     // shuffle + in-partition sort + bounded offset collect; both real
     // stages grow linearly, the offset table stays nRanges rows
-    "global_index_big")
+    "global_index_big",
+    // round-6 sixth wave: funnel + sequence count scale on the K×
+    // events table (disjoint user copies → K× users, per-user work
+    // unchanged — one user shuffle each); char_entropy is a pure map
+    // over K× documents; dq_constraints is one aggregate pass over K×
+    // lineitem + the FK anti-join against 1× orders; triangle_count's
+    // K× identical lineitem copies leave baskets, edges and triangles
+    // UNCHANGED (collect_set dedups) — only the scan grows, so its
+    // ratio should sit well under K (the downstream is constant-size)
+    "funnel_conversion", "sequence_count", "char_entropy",
+    "dq_constraints", "triangle_count")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
@@ -181,6 +191,19 @@ object ScaleSmoke {
       Tables.orders(spark, base)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$big/orders.parquet")
+    }
+    if (!new java.io.File(s"$big/events.parquet").exists()) {
+      // K copies with disjoint user_ids AND event_ids: per-user
+      // histories replicate exactly, so user-keyed lanes (funnel,
+      // sequence count) produce K× identical-per-copy outputs — the
+      // honest linear-scaling shape for per-entity operators
+      val ev = Tables.events(spark, base)
+      (0 until k).map(i => ev
+          .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionAll _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$big/events.parquet")
     }
     // q7's dimension tables ride along at 1× (the fact side is what
     // the harness enlarges; dims join un-hinted and AQE handles them
