@@ -894,7 +894,43 @@ object RelationalQueries {
         Tables.orders(s, d).select("o_orderkey"))))
   }
 
+  /** Exact WEIGHTED quantiles — ClickHouse `quantileExactWeighted`
+    * (each value counts with its frequency weight; here: price
+    * quantiles weighted by quantity, "what price level does the median
+    * UNIT ship at" — a different question from the median line): one
+    * in-partition window sort builds the cumulative weight, the
+    * quantile is the first value whose cumulative weight crosses
+    * q·total — the exact lower-bound rule, decided in INTEGER
+    * cross-multiplication (4·cumw ≥ q4·total) so the cut line carries
+    * no float. One shuffle on the group key; the window sorts within
+    * partitions only (never a single-partition global sort). */
+  def qWeightedQuantile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val ord = Window.partitionBy(col("flag"))
+      .orderBy(col("v").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val tot = Window.partitionBy(col("flag"))
+    val cum = li
+      .withColumn("cumw", sum(col("w")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("w")).over(tot))
+    cum.groupBy("flag")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("totw")).as("total_weight"),
+        round(min(when(col("cumw") * 4 >= col("totw"), col("v"))), 4)
+          .as("wq25"),
+        round(min(when(col("cumw") * 2 >= col("totw"), col("v"))), 4)
+          .as("wq50"),
+        round(min(when(col("cumw") * 4 >= col("totw") * 3, col("v"))), 4)
+          .as("wq75"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "weighted_quantile" -> qWeightedQuantile,
     "dq_constraints" -> qDqConstraints,
     "triangle_count" -> q44TriangleCount,
     "q42_bloom_join" -> q42BloomJoin,
@@ -956,6 +992,25 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // cumulative-weight window + integer cross-multiplied cut lines —
+    // the identical exact-lower-bound rule
+    "weighted_quantile" ->
+      """WITH c AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |  CAST(l_quantity AS BIGINT) AS w,
+        |  sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS cumw,
+        |  sum(CAST(l_quantity AS BIGINT)) OVER (
+        |    PARTITION BY l_returnflag) AS totw
+        | FROM lineitem)
+        |SELECT flag, count(*) AS n_rows,
+        |  CAST(max(totw) AS BIGINT) AS total_weight,
+        |  round(min(CASE WHEN cumw * 4 >= totw THEN v END), 4) AS wq25,
+        |  round(min(CASE WHEN cumw * 2 >= totw THEN v END), 4) AS wq50,
+        |  round(min(CASE WHEN cumw * 4 >= totw * 3 THEN v END), 4)
+        |    AS wq75
+        |FROM c GROUP BY 1""".stripMargin,
     // one conditional-aggregate pass + one orphan anti-join, unrolled
     // as UNION ALL constraint rows; composite key distinct-counted on
     // the same arithmetic encoding
