@@ -590,6 +590,17 @@ object PlanAudit {
     check("triangle_count: equi-joins only (1-row stat cross-join aside)",
       !tc.contains("CartesianProduct"),
       "wedge + closing joins are hash equi-joins; orientation caps fan-out")
+    // struct-ordered max_by/min_by plans as SortAggregate (partial +
+    // final, in-partition pre-sorts only — `Sort [...], false`)
+    val am = plan("argminmax")
+    check("argminmax: one partial+final aggregation, no window",
+      occurrences(am, "Exchange") <= 1 && !am.contains("Window") &&
+        occurrences(am, "Aggregate") >= 2 && !am.contains("], true, 0"),
+      "max_by/min_by fold in the aggregate, never a global sort")
+    val wq = plan("weighted_quantile")
+    check("weighted_quantile: group-keyed window, no SinglePartition",
+      wq.contains("Window") && !wq.contains("SinglePartition"),
+      "cumulative weight sorts within flag partitions only")
 
     println(s"\n$failures failures")
     spark.stop()
