@@ -1281,14 +1281,21 @@ object PipelineQueries {
       (col("l_orderkey") * 8 + col("l_linenumber")).as("k"))
     val (idx, release) = graft.operators.GlobalIndex
       .withGlobalIndexPinned(keyed, "k", nRanges = 32)
+    // fingerprint sums accumulate in decimal(38,0): Σ idx is n²/2 and
+    // Σ k·idx is ~k̄·n²/2 — both blow past Long.MaxValue once n reaches
+    // a few million rows (the 16× ScaleSmoke sweep found exactly this:
+    // ANSI ARITHMETIC_OVERFLOW at 9.6 M rows). The per-row product is
+    // computed in decimal too, so no intermediate ever overflows.
+    val dk = col("k").cast("decimal(38,0)")
+    val di = col("global_idx").cast("decimal(38,0)")
     val out = idx.agg(
       count(lit(1)).as("n"),
-      sum(col("global_idx")).as("idx_sum"),
+      sum(di).as("idx_sum"),
       max(col("global_idx")).as("idx_max"),
       // order isomorphism: Σ|rank(k) − rank-by-construction| = 0 would
       // need a join; the cheap invariant is the exact triangular sum
       // plus the k↔idx correlation fingerprint below
-      sum(col("k") * col("global_idx")).as("dot_fp"))
+      sum(dk * di).as("dot_fp"))
     val r = out.collect()(0)
     release()
     s.createDataFrame(java.util.List.of(r), out.schema)
