@@ -76,15 +76,25 @@ object GradientTrainer {
         label.cast("double").as("y"): _*)
 
     // Pass 1: exact integer sums -> means/sds (rounded like the oracle).
+    // Moments accumulate in decimal(38,0): Σx² of a long feature (a
+    // 100 KB doc's n_chars is 1e5 → x² = 1e10) crosses Long.MaxValue
+    // near 1e9 rows — the overflow class the 16× ScaleSmoke sweep
+    // caught in global_index_big. Decimal keeps the sums exact at any
+    // corpus size; the double conversion happens once, at the same
+    // place the long form converted.
     val statAggs = features.flatMap { case (n, _) =>
-      Seq(sum(col(n)).as(s"s_$n"), sum(col(n) * col(n)).as(s"q_$n"))
+      Seq(sum(col(n).cast("decimal(38,0)")).as(s"s_$n"),
+        sum(col(n).cast("decimal(38,0)") * col(n).cast("decimal(38,0)"))
+          .as(s"q_$n"))
     } :+ count(lit(1)).as("n")
     val st = raw.agg(statAggs.head, statAggs.tail: _*).head()
     val n = st.getAs[Long]("n")
     require(n > 0, "empty training frame")
+    def dec(name: String): Double =
+      st.getAs[java.math.BigDecimal](name).doubleValue()
     val meanSd: Seq[(Double, Double)] = features.map { case (nm, _) =>
-      val mean = round12(st.getAs[Long](s"s_$nm").toDouble / n)
-      val varr = round12(st.getAs[Long](s"q_$nm").toDouble / n - mean * mean)
+      val mean = round12(dec(s"s_$nm") / n)
+      val varr = round12(dec(s"q_$nm") / n - mean * mean)
       (mean, if (varr > 0) round12(math.sqrt(varr)) else 1.0)
     }
 

@@ -66,13 +66,22 @@ object EventQueries {
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("h_epoch"))
       .rangeBetween(-86400L, -3600L)
+    // rolling moments accumulate in decimal(38,0): at production event
+    // rates an hourly count reaches ~1e9, so Σcnt² ≈ 2.4e19 and s1²
+    // ≈ 6e20 both blow past Long.MaxValue (the overflow class the 16×
+    // ScaleSmoke sweep caught in global_index_big) — decimal keeps the
+    // arithmetic EXACT, which is the lane's whole contract (the spike
+    // flag is decided in integer arithmetic, never a float threshold)
+    val cntD = col("cnt").cast("decimal(38,0)")
     val n = count(lit(1)).over(w)
-    val s1 = sum(col("cnt")).over(w)
-    val s2 = sum(col("cnt") * col("cnt")).over(w)
+    val s1 = sum(cntD).over(w)
+    val s2 = sum(cntD * cntD).over(w)
     hourly
       .withColumn("n_prior", n)
-      .withColumn("num", col("n_prior") * col("cnt") - s1)
-      .withColumn("den2", col("n_prior") * s2 - s1 * s1)
+      .withColumn("num",
+        col("n_prior").cast("decimal(38,0)") * cntD - s1)
+      .withColumn("den2",
+        col("n_prior").cast("decimal(38,0)") * s2 - s1 * s1)
       .filter(col("n_prior") >= 12)
       .select(col("event_type"),
         to_timestamp(col("h_epoch")).as("hour_start"),
