@@ -606,6 +606,8 @@ object EventQueries {
     "funnel_conversion" -> funnelConversion,
     "stream_funnel" -> ((s, d) =>
       graft.streaming.StatefulFunnel.funnelLevels(s, d)),
+    "stream_funnel_ooo" -> ((s, d) =>
+      graft.streaming.StatefulFunnel.funnelLevelsOutOfOrder(s, d)),
     "sequence_count" -> sequenceCount,
     "argminmax" -> argMinMax,
     "stream_hourly_stats" -> streamHourlyStats,
@@ -763,6 +765,7 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "funnel_conversion" -> funnelOracleSql,
     "stream_funnel" -> funnelOracleSql,
+    "stream_funnel_ooo" -> funnelOracleSql,
     // argMax/argMin with composite tie-break replayed as window
     // row_number over the same (value, event_id) / (ts, event_id) order
     "argminmax" ->

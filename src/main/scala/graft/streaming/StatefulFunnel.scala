@@ -35,6 +35,8 @@ object StatefulFunnel {
       event_type: String)
   case class Chain(l1: Long, l2: Long, l3: Long)
   case class LevelOut(user_id: Long, level: Int)
+  case class BufEv(tsUs: Long, eventId: Long, eventType: String)
+  case class SeqLevelOut(user_id: Long, seq: Long, level: Int)
 
   val WindowUs: Long = 24L * 3600L * 1000000L
 
@@ -70,6 +72,113 @@ object StatefulFunnel {
         else if (s.l1 != -1L) 1 else 0
       Iterator.single(LevelOut(key, level))
     }
+  }
+
+  /** OUT-OF-ORDER-safe funnel processor: per-user event buffer in
+    * `ListState`, re-folded (sorted) on every batch that touches the
+    * user, emitting (seq, level) — the LAST emission per user is the
+    * fold of the COMPLETE history, identical whatever order chunks
+    * arrived in. This is the robustness claim [[FunnelProcessor]]
+    * cannot make (its O(1) state is correct only under event-time
+    * arrival); the price is state linear in per-user history and a
+    * re-fold per touched batch. A production deployment bounds both
+    * with the retention horizon (TTL on the buffer) or flushes by
+    * event-time timer once the watermark passes the funnel window —
+    * the demonstration here keeps TimeMode.None so NO row is ever
+    * watermark-dropped, which is the point: correctness under
+    * arbitrary arrival. */
+  class BufferedFunnelProcessor
+      extends StatefulProcessor[Long, Ev, SeqLevelOut] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.ListState[BufEv] = _
+    @transient private var seq: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[BufEv]("buf",
+        Encoders.product[BufEv], TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[SeqLevelOut] = {
+      rows.foreach(e =>
+        buf.appendValue(BufEv(micros(e.ts), e.event_id, e.event_type)))
+      val all = buf.get().toSeq.sortBy(e => (e.tsUs, e.eventId))
+      var s = Chain(-1L, -1L, -1L)
+      all.foreach { e =>
+        s = e.eventType match {
+          case "view" if s.l1 == -1L => Chain(e.tsUs, s.l2, s.l3)
+          case "click" if s.l1 != -1L && s.l2 == -1L &&
+            e.tsUs > s.l1 && e.tsUs <= s.l1 + WindowUs =>
+            Chain(s.l1, e.tsUs, s.l3)
+          case "purchase" if s.l2 != -1L && s.l3 == -1L &&
+            e.tsUs > s.l2 && e.tsUs <= s.l1 + WindowUs =>
+            Chain(s.l1, s.l2, e.tsUs)
+          case _ => s
+        }
+      }
+      val n = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(n)
+      val level = if (s.l3 != -1L) 3 else if (s.l2 != -1L) 2
+        else if (s.l1 != -1L) 1 else 0
+      Iterator.single(SeqLevelOut(key, n, level))
+    }
+  }
+
+  /** Hash-chunked staging + buffered processor: chunks cut by
+    * event_id hash arrive in ARBITRARY event-time order (each chunk
+    * spans the whole timeline), and the drained result still equals
+    * the batch fold — the last emission per user folds the complete
+    * history. Shares the batch lane's oracle. */
+  def funnelLevelsOutOfOrder(spark: SparkSession, sfDir: String,
+      nChunks: Int = 4, queryName: String = "events_tws_funnel_ooo")
+      : DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_tws_funnel_ooo").toString
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    (0 until nChunks).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/src/chunk_$c")
+      Thread.sleep(5)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val out = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$work/src/chunk_*")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new BufferedFunnelProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    // last emission per user = fold of the complete buffer
+    val t = spark.table(queryName)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("seq").desc)
+    t.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("level").as("funnel_level"))
   }
 
   /** Drain the staged chronological stream and reduce the per-batch

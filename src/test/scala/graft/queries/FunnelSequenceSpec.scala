@@ -101,6 +101,39 @@ class FunnelSequenceSpec extends SparkSpec {
     assert(s1 === batch, "single-batch drain equals batch")
   }
 
+  test("out-of-order streaming funnel: hash-chunked arrival ≡ batch") {
+    val batch = EventQueries.funnelConversion(spark, sf()).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_level"))
+      .toMap
+    val ooo = graft.streaming.StatefulFunnel
+      .funnelLevelsOutOfOrder(spark, sf(), nChunks = 5,
+        queryName = "tws_ooo5").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_level"))
+      .toMap
+    assert(ooo === batch)
+  }
+
+  test("out-of-order funnel: chain steps arriving in REVERSE batch " +
+    "order still complete") {
+    // event_ids chosen so hash chunking (id % 4) delivers purchase in
+    // batch 0, click in batch 1, view in batch 2 — the arrival order
+    // the chronological processor cannot handle
+    val rows = Seq(
+      (0L, 2 * HOUR, 1L, "purchase"),
+      (1L, 1 * HOUR, 1L, "click"),
+      (2L, 0L, 1L, "view"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("funnel_rev").toString
+    eventsDf(rows).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val got = graft.streaming.StatefulFunnel
+      .funnelLevelsOutOfOrder(spark, dir, nChunks = 4,
+        queryName = "tws_ooo_rev").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_level"))
+      .toMap
+    assert(got === Map(1L -> 3))
+  }
+
   test("fixture replay: fold ≡ staged min-chaining on sf0.001") {
     // independent implementation of the same greedy semantics: the
     // three-stage conditional-min chain (one agg+join per stage)
