@@ -64,7 +64,14 @@ object Tables {
     *     to micros here via [[epochLongToMicros]];
     *   - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZ,
     *     cast (UTC session timezone, so the instant is unchanged);
-    *   - INT64 TIMESTAMP(MICROS, UTC) → already TimestampType. */
+    *   - INT64 TIMESTAMP(MICROS, UTC) → already TimestampType;
+    *   - INT32 → epoch seconds (the only epoch unit 32 bits can carry);
+    *   - DOUBLE → fractional epoch seconds (µs-rounded);
+    *   - STRING → ISO-8601, parsed with optional fractional seconds.
+    * The last three have not shipped yet — they are the remaining
+    * encodings a generator plausibly flips to (the r5 flip cost 11 red
+    * lanes; insurance here is one pattern-match arm each, pinned by
+    * TablesTsEncodingSpec). */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -72,6 +79,14 @@ object Tables {
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.IntegerType =>
+        df.withColumn("ts",
+          timestamp_seconds(col("ts").cast("long")))
+      case org.apache.spark.sql.types.DoubleType =>
+        df.withColumn("ts",
+          timestamp_micros(round(col("ts") * 1000000.0).cast("long")))
+      case org.apache.spark.sql.types.StringType =>
+        df.withColumn("ts", to_timestamp(col("ts")))
       case _ => df
     }
 

@@ -64,6 +64,15 @@ object EventsStream {
           timestamp_micros(graft.Tables.epochLongToMicros(col("ts"))))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
+      // not-yet-shipped encodings, same insurance arms as the batch
+      // loader (Tables.normalizeEventTs) — one source of truth per arm
+      case IntegerType =>
+        raw.withColumn("ts", timestamp_seconds(col("ts").cast("long")))
+      case DoubleType =>
+        raw.withColumn("ts",
+          timestamp_micros(round(col("ts") * 1000000.0).cast("long")))
+      case StringType =>
+        raw.withColumn("ts", to_timestamp(col("ts")))
       case _ => raw
     }
   }

@@ -78,6 +78,47 @@ class TablesTsEncodingSpec extends SparkSpec {
     Seq("long-micros" -> dirLongMicros, "long-millis" -> dirLongMillis,
       "long-seconds" -> dirLongSeconds)
 
+  // not-yet-shipped encodings a generator plausibly flips to next:
+  // INT32 epoch seconds, DOUBLE fractional seconds (µs survive — a
+  // double near 1.6e9 s resolves ~0.24 µs, under the 0.5 µs round
+  // threshold), and an ISO-8601 string with fractional seconds
+  private lazy val dirIntSeconds =
+    writeDir("i32")(expr("ts_us div 1000000").cast(IntegerType))
+  private lazy val dirDoubleSeconds =
+    writeDir("dbl")(col("ts_us").cast(DoubleType) / 1000000.0)
+  private lazy val dirIsoString =
+    writeDir("str")(date_format(timestamp_micros(col("ts_us")),
+      "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+  private val insuranceDirs =
+    Seq("int-seconds" -> dirIntSeconds,
+      "double-seconds" -> dirDoubleSeconds,
+      "iso-string" -> dirIsoString)
+
+  test("insurance encodings (int32/double/string) normalize exactly") {
+    for ((label, dir) <- insuranceDirs) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$label: expected TimestampType, got ${ev.schema("ts").dataType}")
+      val got = ev.select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val want = rows.map(r => (r._1,
+        if (label == "int-seconds") r._2 / 1000000L * 1000000L else r._2))
+      assert(got == want, s"$label: instants drifted: $got vs $want")
+      val st = graft.streaming.EventsStream.eventsRawStream(spark, dir)
+      val name = s"tsenc_${label.replace('-', '_')}"
+      val q = st.select(col("event_id"), col("ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val gotSt = spark.table(name)
+        .select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(gotSt == want, s"$label: streamed instants drifted: $gotSt")
+    }
+  }
+
   test("bare INT64 ts of any epoch unit is disambiguated by magnitude") {
     for ((label, dir) <- bareLongDirs) {
       val ev = Tables.events(spark, dir)
