@@ -52,10 +52,22 @@ object DataQuality {
     *                  single deterministic column expression (encode
     *                  composite keys arithmetically so every engine
     *                  distinct-counts the same values)
-    * @param fk (constraintName, childKey, parentKeys) */
+    * @param fk (constraintName, childKey, parentKeys) — parentKeys
+    *           must be a SINGLE-column frame holding exactly the key
+    *           domain (enforced; a wider frame would silently compare
+    *           against whatever its first column happens to be) */
   def validate(df: DataFrame, rows: Seq[RowConstraint],
       uniqueKey: Option[(String, Column)] = None,
       fk: Option[(String, Column, DataFrame)] = None): DataFrame = {
+    require(rows.nonEmpty || uniqueKey.nonEmpty || fk.nonEmpty,
+      "validate: empty constraint battery — declare at least one " +
+        "row constraint, a uniqueKey, or an fk")
+    fk.foreach { case (n, _, parent) =>
+      require(parent.columns.length == 1,
+        s"validate: fk '$n' parent frame must have exactly one (key) " +
+          s"column, got ${parent.columns.mkString(", ")} — select the " +
+          "key column explicitly")
+    }
     val aggs =
       (count(lit(1)).as("n_rows") +:
         rows.map(rc => sum(rc.violation).as(s"v_${rc.name}"))) ++

@@ -47,14 +47,16 @@ object EventQueries {
     * the pipeline-health monitor: each hour's count is scored against
     * the trailing 24-hour baseline (RANGE frame, current hour excluded
     * so a spike can't suppress itself). All rolling statistics are
-    * exact integer sums (n, Σc, Σc²) over the frame; the spike flag is
-    * decided in integer arithmetic — (n·c − S1)² > 9·(n·S2 − S1²) with
-    * n·c − S1 > 0 — so both engines agree bit-for-bit with no floating
-    * threshold (the [[graft.operators.QualityRules]] discipline).
-    * z itself is emitted as a rounded double for humans. RANGE (not
-    * ROWS) keeps the baseline honest across gap hours. Integer bound:
-    * |n·c| ≤ 24·max hourly count — overflow-safe below ~4e17 events per
-    * hour. One shuffle on event_type; the frame is a sort within the
+    * EXACT sums (n, Σc, Σc²) accumulated in decimal(38,0) — Σc² and
+    * S1² cross Long.MaxValue near 1e9 events/hour, the overflow class
+    * the 16× ScaleSmoke sweep caught, and decimal keeps the arithmetic
+    * exact at any volume; the spike flag is decided in that exact
+    * arithmetic — (n·c − S1)² > 9·(n·S2 − S1²) with n·c − S1 > 0 — so
+    * both engines agree bit-for-bit with no floating threshold (the
+    * [[graft.operators.QualityRules]] discipline). z itself is emitted
+    * as a rounded double for humans. RANGE (not ROWS) keeps the
+    * baseline honest across gap hours.
+    * One shuffle on event_type; the frame is a sort within the
     * partition — at 100 TB event_type is low-cardinality, so the
     * production form would pre-bucket by (type, day) and merge frames;
     * at the test scale the direct window is the right plan. */

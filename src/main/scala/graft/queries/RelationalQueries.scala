@@ -860,12 +860,22 @@ object RelationalQueries {
     val basket = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
-    val pairs = basket.select(explode(flatten(
-      transform(col("pks"), (x, i) =>
-        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
-          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+    // two chained explodes (anchor index, then the tail slice) — the
+    // nested transform-in-transform HOF form is doubly interpreted
+    // (CodegenFallback; the Cooccurrence.skipgrams lesson), while
+    // Generate+element_at stays inside codegen on this hot path
+    val pairs = basket
+      // singleton baskets emit no pairs — and must be filtered BEFORE
+      // the sequence: sequence(1, 0) DESCENDS and yields index 0,
+      // which element_at rejects (1-based)
+      .filter(size(col("pks")) >= 2)
+      .select(col("pks"),
+        explode(sequence(lit(1), size(col("pks")) - 1)).as("i"))
+      .select(element_at(col("pks"), col("i")).as("src"),
+        explode(slice(col("pks"), col("i") + 1,
+          size(col("pks")) - col("i"))).as("dst"))
     val edges = pairs
-      .groupBy(col("p.src").as("src"), col("p.dst").as("dst"))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("src", "dst")

@@ -55,26 +55,11 @@ object EventsStream {
       // file-stream sources require a directory; glob-filter to the table
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    tsPhysical match {
-      case LongType =>
-        // epoch unit disambiguated by magnitude (nanos under
-        // `nanosAsLong`, or a bare INT64 of any unit) — shared with the
-        // batch loader so stream and batch can never diverge on ts
-        raw.withColumn("ts",
-          timestamp_micros(graft.Tables.epochLongToMicros(col("ts"))))
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      // not-yet-shipped encodings, same insurance arms as the batch
-      // loader (Tables.normalizeEventTs) — one source of truth per arm
-      case IntegerType =>
-        raw.withColumn("ts", timestamp_seconds(col("ts").cast("long")))
-      case DoubleType =>
-        raw.withColumn("ts",
-          timestamp_micros(round(col("ts") * 1000000.0).cast("long")))
-      case StringType =>
-        raw.withColumn("ts", to_timestamp(col("ts")))
-      case _ => raw
-    }
+    // ONE normalizer for batch and stream — Tables.normalizeEventTs
+    // dispatches on the frame's ts type using only stream-compatible
+    // column ops, so the streaming source can never diverge from the
+    // batch loader on event time (the r5 red-lane class)
+    graft.Tables.normalizeEventTs(raw)
   }
 
   /** Streaming deduplication — the streaming twin of exact dedup: state

@@ -126,25 +126,25 @@ object StatefulFunnel {
     }
   }
 
-  /** Hash-chunked staging + buffered processor: chunks cut by
-    * event_id hash arrive in ARBITRARY event-time order (each chunk
-    * spans the whole timeline), and the drained result still equals
-    * the batch fold — the last emission per user folds the complete
-    * history. Shares the batch lane's oracle. */
-  def funnelLevelsOutOfOrder(spark: SparkSession, sfDir: String,
-      nChunks: Int = 4, queryName: String = "events_tws_funnel_ooo")
-      : DataFrame = {
+  /** Shared drain harness for both funnel stream lanes: stage the
+    * events table into `nChunks` files (the caller's `stage` decides
+    * the cut — chronological quantiles or event-id hash), replay them
+    * one file per micro-batch through `processor` over RocksDB state,
+    * and return the drained memory table. Conf set/restore and the
+    * checkpointed AvailableNow drain live HERE once, so a fix to the
+    * drain path cannot diverge the two lanes that share one oracle. */
+  private def drainWithProcessor[O](spark: SparkSession, sfDir: String,
+      prefix: String, queryName: String, nChunks: Int,
+      stage: (DataFrame, String, Int) => Unit,
+      processor: StatefulProcessor[Long, Ev, O])(
+      implicit enc: org.apache.spark.sql.Encoder[O]): DataFrame = {
     import spark.implicits._
     val work = java.nio.file.Files
-      .createTempDirectory("graft_tws_funnel_ooo").toString
+      .createTempDirectory(prefix).toString
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
-    (0 until nChunks).foreach { c =>
-      ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
-        .coalesce(1).write.mode("overwrite").parquet(s"$work/src/chunk_$c")
-      Thread.sleep(5)
-    }
+    stage(ev, s"$work/src", nChunks)
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
@@ -157,70 +157,7 @@ object StatefulFunnel {
         .parquet(s"$work/src/chunk_*")
         .as[Ev]
         .groupByKey(_.user_id)
-        .transformWithState(new BufferedFunnelProcessor,
-          TimeMode.None(), OutputMode.Append())
-      val q = out.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(queryName)
-        .option("checkpointLocation", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-    // last emission per user = fold of the complete buffer
-    val t = spark.table(queryName)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("seq").desc)
-    t.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("user_id"), col("level").as("funnel_level"))
-  }
-
-  /** Drain the staged chronological stream and reduce the per-batch
-    * level emissions to max(level) per user — the final funnel level,
-    * shared oracle with the batch lane. */
-  def funnelLevels(spark: SparkSession, sfDir: String, nChunks: Int = 4,
-      queryName: String = "events_tws_funnel"): DataFrame = {
-    import spark.implicits._
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_tws_funnel").toString
-    val ev = graft.Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        col("event_type"))
-    // chronological chunks: cut at event-time quantiles, oldest first
-    // (same staging discipline as StatefulSessionizer — equal-ts rows
-    // can't straddle a cut, so per-user replay order is event time)
-    val bounds = ev.selectExpr(
-      (1 until nChunks).map(i =>
-        s"percentile(CAST(ts AS DOUBLE), ${i.toDouble / nChunks})"): _*)
-      .head().toSeq.map(_.asInstanceOf[Double])
-    val lo = Double.MinValue +: bounds
-    val hi = bounds :+ Double.MaxValue
-    (0 until nChunks).foreach { c =>
-      ev.filter(col("ts").cast("double") >= lo(c) &&
-          col("ts").cast("double") < hi(c))
-        .coalesce(1).write.mode("overwrite").parquet(s"$work/src/chunk_$c")
-      Thread.sleep(5)
-    }
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try {
-      val out = spark.readStream
-        .schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(s"$work/src/chunk_*")
-        .as[Ev]
-        .groupByKey(_.user_id)
-        .transformWithState(new FunnelProcessor,
-          TimeMode.None(), OutputMode.Append())
+        .transformWithState(processor, TimeMode.None(), OutputMode.Append())
       val q = out.writeStream
         .outputMode("append")
         .format("memory")
@@ -235,6 +172,64 @@ object StatefulFunnel {
       case None => spark.conf.unset(key)
     }
     spark.table(queryName)
+  }
+
+  /** Chronological staging: chunks cut at event-time quantiles, written
+    * oldest first (equal-ts rows can't straddle a cut, so per-user
+    * replay order is event time — the FunnelProcessor requirement). */
+  private def stageChronological(ev: DataFrame, dir: String,
+      nChunks: Int): Unit = {
+    val bounds = ev.selectExpr(
+      (1 until nChunks).map(i =>
+        s"percentile(CAST(ts AS DOUBLE), ${i.toDouble / nChunks})"): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val lo = Double.MinValue +: bounds
+    val hi = bounds :+ Double.MaxValue
+    (0 until nChunks).foreach { c =>
+      ev.filter(col("ts").cast("double") >= lo(c) &&
+          col("ts").cast("double") < hi(c))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/chunk_$c")
+      Thread.sleep(5)
+    }
+  }
+
+  /** Hash staging: chunks cut by event_id hash — each chunk spans the
+    * whole timeline, so arrival order is ARBITRARY in event time (the
+    * BufferedFunnelProcessor stress shape). */
+  private def stageHashed(ev: DataFrame, dir: String,
+      nChunks: Int): Unit =
+    (0 until nChunks).foreach { c =>
+      ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/chunk_$c")
+      Thread.sleep(5)
+    }
+
+  /** Hash-chunked staging + buffered processor: chunks arrive in
+    * ARBITRARY event-time order and the drained result still equals
+    * the batch fold — the last emission per user folds the complete
+    * history. Shares the batch lane's oracle. */
+  def funnelLevelsOutOfOrder(spark: SparkSession, sfDir: String,
+      nChunks: Int = 4, queryName: String = "events_tws_funnel_ooo")
+      : DataFrame = {
+    import spark.implicits._
+    val t = drainWithProcessor(spark, sfDir, "graft_tws_funnel_ooo",
+      queryName, nChunks, stageHashed, new BufferedFunnelProcessor)
+    // last emission per user = fold of the complete buffer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("seq").desc)
+    t.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("level").as("funnel_level"))
+  }
+
+  /** Drain the staged chronological stream and reduce the per-batch
+    * level emissions to max(level) per user — the final funnel level,
+    * shared oracle with the batch lane. */
+  def funnelLevels(spark: SparkSession, sfDir: String, nChunks: Int = 4,
+      queryName: String = "events_tws_funnel"): DataFrame = {
+    import spark.implicits._
+    drainWithProcessor(spark, sfDir, "graft_tws_funnel", queryName,
+      nChunks, stageChronological, new FunnelProcessor)
       .groupBy("user_id")
       .agg(max(col("level")).as("funnel_level"))
   }
