@@ -852,11 +852,14 @@ object RelationalQueries {
     * orientation — the O(√m)-out-degree formulation whose wedge volume
     * survives hub skew at web scale. Oracle: the x<y<z three-way edge
     * join (same count, any orientation). */
-  def q44TriangleCount: Q = (s, d) => {
-    // pairs per order via ONE orderkey shuffle + an in-row HOF pair
-    // expansion (collect_set → sorted array → upper-triangle pairs) —
-    // not a self-join of the fact table, which would shuffle lineitem
-    // twice and add a join exchange for the same 21-pairs/order output
+  /** Support-thresholded co-purchase edges (canonical src < dst, ≥2
+    * distinct orders): pairs per order via ONE orderkey shuffle + an
+    * in-row pair expansion (collect_set → sorted array → upper
+    * triangle) — not a self-join of the fact table, which would
+    * shuffle lineitem twice and add a join exchange for the same
+    * 21-pairs/order output. Shared by the triangle and reachability
+    * lanes. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val basket = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(array_sort(collect_set(col("l_partkey"))).as("pks"))
@@ -874,12 +877,55 @@ object RelationalQueries {
       .select(element_at(col("pks"), col("i")).as("src"),
         explode(slice(col("pks"), col("i") + 1,
           size(col("pks")) - col("i"))).as("dst"))
-    val edges = pairs
+    pairs
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("src", "dst")
-    graft.operators.TriangleCount.triangles(edges)
+  }
+
+  def q44TriangleCount: Q = (s, d) =>
+    graft.operators.TriangleCount.triangles(copurchaseEdges(s, d))
+
+  /** Bounded transitive reachability — the RECURSIVE-CTE query class
+    * Spark has no native surface for, re-expressed Spark-first as BFS
+    * frontier iteration (the PageRank/connected-components discipline:
+    * a bounded number of equi-join rounds, frontier minus visited via
+    * anti-join, nothing driver-side but the 1-row seed): all parts
+    * within 3 hops of the smallest part in the support-thresholded
+    * co-purchase graph, each with its MINIMUM hop depth — BFS order
+    * makes min-depth deterministic. Oracle: DuckDB's native
+    * WITH RECURSIVE, min(depth) per node — two entirely different
+    * evaluation strategies, one fixpoint. At scale each round is one
+    * hash join of the frontier against the edge list; depth bounds the
+    * rounds, the visited anti-join bounds re-expansion, and a frontier
+    * that empties early short-circuits the remaining rounds. */
+  def q46TransitiveReach: Q = (s, d) => {
+    import s.implicits._
+    val e = copurchaseEdges(s, d)
+    // bidirectional adjacency (undirected reachability), pinned once —
+    // three BFS rounds re-probe it, and an unpinned frame would re-run
+    // the basket expansion per round (the PageRank lesson)
+    val adj = e.unionAll(e.select(col("dst").as("src"),
+      col("src").as("dst"))).localCheckpoint(true)
+    // canonical src < dst ⇒ the global min endpoint always appears as
+    // src; one tiny agg seeds the BFS
+    val seed = e.agg(min(col("src"))).head().getLong(0)
+    var visited = Seq((seed, 0L)).toDF("part_id", "depth")
+    var frontier = Seq(seed).toDF("part_id")
+    var k = 1L
+    while (k <= 3L && !frontier.isEmpty) {
+      val fresh = frontier.join(adj,
+          frontier("part_id") === adj("src"))
+        .select(col("dst").as("part_id")).distinct()
+        .join(visited.select("part_id"), Seq("part_id"), "left_anti")
+        .localCheckpoint(true) // bounded: the round's frontier
+      visited = visited.unionAll(
+        fresh.select(col("part_id"), lit(k).as("depth")))
+      frontier = fresh
+      k += 1
+    }
+    visited
   }
 
   /** Data-quality constraint battery ([[graft.operators.DataQuality]]):
@@ -940,6 +986,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "transitive_reach" -> q46TransitiveReach,
     "weighted_quantile" -> qWeightedQuantile,
     "dq_constraints" -> qDqConstraints,
     "triangle_count" -> q44TriangleCount,
@@ -1002,6 +1049,23 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the recursive-CTE twin of the BFS frontier iteration: DuckDB
+    // enumerates ≤3-hop paths natively, min(depth) per node = BFS depth
+    "transitive_reach" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem),
+        |ce AS (SELECT x.pk AS a, y.pk AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+        |r(node, depth) AS (
+        |  SELECT (SELECT min(a) FROM ce), 0
+        |  UNION ALL
+        |  SELECT adj.b, r.depth + 1 FROM r JOIN adj ON adj.a = r.node
+        |  WHERE r.depth < 3)
+        |SELECT node AS part_id,
+        |  CAST(min(depth) AS BIGINT) AS depth
+        |FROM r GROUP BY 1""".stripMargin,
     // cumulative-weight window + integer cross-multiplied cut lines —
     // the identical exact-lower-bound rule
     "weighted_quantile" ->
