@@ -881,11 +881,11 @@ object RelationalQueries {
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
-      .select("src", "dst")
   }
 
   def q44TriangleCount: Q = (s, d) =>
-    graft.operators.TriangleCount.triangles(copurchaseEdges(s, d))
+    graft.operators.TriangleCount.triangles(
+      copurchaseEdges(s, d).select("src", "dst"))
 
   /** Bounded transitive reachability — the RECURSIVE-CTE query class
     * Spark has no native surface for, re-expressed Spark-first as BFS
@@ -902,7 +902,7 @@ object RelationalQueries {
     * that empties early short-circuits the remaining rounds. */
   def q46TransitiveReach: Q = (s, d) => {
     import s.implicits._
-    val e = copurchaseEdges(s, d)
+    val e = copurchaseEdges(s, d).select("src", "dst")
     // bidirectional adjacency (undirected reachability), pinned once —
     // three BFS rounds re-probe it, and an unpinned frame would re-run
     // the basket expansion per round (the PageRank lesson)
@@ -985,7 +985,40 @@ object RelationalQueries {
           .as("wq75"))
   }
 
+  /** Bounded-hop single-source shortest path — the MIN-PLUS semiring
+    * fixpoint (a different algebra from [[q46TransitiveReach]]'s
+    * reachability: costs ADD along a path and MIN across paths, so a
+    * longer-hop route can beat a direct edge): Bellman-Ford relax
+    * rounds as pure DataFrame ops — each round joins the tentative
+    * distance frame against the adjacency list, adds edge weights, and
+    * folds with a groupBy-min; 4 rounds = exact minimum cost over
+    * paths of ≤4 edges, the bounded form that replays as a recursive
+    * CTE. Edge weight = 11 − min(support, 10): heavily co-purchased
+    * pairs are CHEAP hops (integer, ≥1 — costs sum exactly, no float
+    * on any path). At scale each round is one frontier-sized hash join
+    * + one min shuffle; the distance frame is pinned per round (the
+    * PageRank lineage discipline). */
+  def q47ShortestPath: Q = (s, d) => {
+    import s.implicits._
+    val weighted = copurchaseEdges(s, d)
+      .select(col("src"), col("dst"),
+        (lit(11L) - least(col("support"), lit(10L))).as("w"))
+    val adj = weighted.unionAll(weighted.select(col("dst").as("src"),
+      col("src").as("dst"), col("w"))).localCheckpoint(true)
+    val seed = weighted.agg(min(col("src"))).head().getLong(0)
+    var dist = Seq((seed, 0L)).toDF("part_id", "cost")
+    for (_ <- 1 to 4) {
+      val relaxed = dist.join(adj, dist("part_id") === adj("src"))
+        .select(col("dst").as("part_id"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("part_id").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   val queries: Map[String, Q] = Map(
+    "shortest_path" -> q47ShortestPath,
     "transitive_reach" -> q46TransitiveReach,
     "weighted_quantile" -> qWeightedQuantile,
     "dq_constraints" -> qDqConstraints,
@@ -1049,6 +1082,24 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // min-plus fixpoint replay: enumerate ≤4-edge paths recursively,
+    // min(cost) per node — integer edge weights sum exactly
+    "shortest_path" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem),
+        |ce AS (SELECT x.pk AS a, y.pk AS b,
+        |    11 - least(count(*), 10) AS w
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT a, b, w FROM ce
+        |  UNION ALL SELECT b, a, w FROM ce),
+        |r(node, cost, depth) AS (
+        |  SELECT (SELECT min(a) FROM ce), 0, 0
+        |  UNION ALL
+        |  SELECT adj.b, r.cost + adj.w, r.depth + 1
+        |  FROM r JOIN adj ON adj.a = r.node WHERE r.depth < 4)
+        |SELECT node AS part_id, CAST(min(cost) AS BIGINT) AS cost
+        |FROM r GROUP BY 1""".stripMargin,
     // the recursive-CTE twin of the BFS frontier iteration: DuckDB
     // enumerates ≤3-hop paths natively, min(depth) per node = BFS depth
     "transitive_reach" ->
