@@ -1017,7 +1017,60 @@ object RelationalQueries {
     dist
   }
 
+  /** Geo surface on the taxi coordinate distribution (the reference's
+    * data IS lat/lon trips; ClickHouse ships greatCircleDistance /
+    * geohash — this is that family Spark-first): coordinates derive
+    * from lineitem by the same arithmetic [[graft.etl.TaxiGen]] plants
+    * (pickup box −74..−72 × 40.5..41.5), distance is the haversine
+    * great-circle in pure built-in trig columns — codegen'd end to
+    * end, no UDF. Per-row km rounds to 6 dp and sums in
+    * decimal(38,8) so the per-group mean is partition-order-free;
+    * min/max are order-free by nature. One aggregation, one shuffle
+    * of 3 rows per partition. */
+  def q48GeoDistance: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      (lit(-74.0) + pmod(col("l_partkey"), lit(2000L)) / 1000.0)
+        .as("plon"),
+      (lit(40.5) + pmod(col("l_suppkey"), lit(1000L)) / 1000.0)
+        .as("plat"),
+      (lit(-74.0) + pmod(col("l_suppkey"), lit(2000L)) / 1000.0)
+        .as("dlon"),
+      (lit(40.5) + pmod(col("l_partkey"), lit(1000L)) / 1000.0)
+        .as("dlat"))
+    val dphi = radians(col("dlat") - col("plat")) / 2.0
+    val dlam = radians(col("dlon") - col("plon")) / 2.0
+    val a = sin(dphi) * sin(dphi) +
+      cos(radians(col("plat"))) * cos(radians(col("dlat"))) *
+        sin(dlam) * sin(dlam)
+    val km = lit(2.0 * 6371.0088) * asin(sqrt(a))
+    li.withColumn("km", round(km, 6))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n_trips"),
+        round(sum(col("km").cast("decimal(38,8)")).cast("double") /
+          count(lit(1)), 4).as("avg_km"),
+        round(min(col("km")), 4).as("min_km"),
+        round(max(col("km")), 4).as("max_km"))
+  }
+
+  /** Taxi-heatmap grid binning (the geohash-lite aggregation every
+    * lat/lon dataset is asked for): pickup coordinates quantized to a
+    * 0.01° grid by integer floor — the bin is exact integer arithmetic
+    * on the same IEEE doubles both engines compute, so cell membership
+    * is engine-identical; one (cell_lat, cell_lon) shuffle bounded by
+    * grid cardinality, not rows. */
+  def q49GeoGridCells: Q = (s, d) =>
+    Tables.lineitem(s, d).select(
+      floor((lit(40.5) + pmod(col("l_suppkey"), lit(1000L)) / 1000.0)
+        * 100.0).as("cell_lat"),
+      floor((lit(-74.0) + pmod(col("l_partkey"), lit(2000L)) / 1000.0)
+        * 100.0).as("cell_lon"))
+      .groupBy("cell_lat", "cell_lon")
+      .agg(count(lit(1)).as("n_pickups"))
+
   val queries: Map[String, Q] = Map(
+    "geo_distance" -> q48GeoDistance,
+    "geo_gridcells" -> q49GeoGridCells,
     "shortest_path" -> q47ShortestPath,
     "transitive_reach" -> q46TransitiveReach,
     "weighted_quantile" -> qWeightedQuantile,
@@ -1082,6 +1135,34 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // identical haversine in DuckDB trig; per-row 6-dp round + exact
+    // decimal sum makes the mean order-free on both engines
+    "geo_distance" ->
+      """WITH c AS (SELECT l_returnflag AS flag,
+        |  -74.0 + (l_partkey % 2000) / 1000.0 AS plon,
+        |  40.5 + (l_suppkey % 1000) / 1000.0 AS plat,
+        |  -74.0 + (l_suppkey % 2000) / 1000.0 AS dlon,
+        |  40.5 + (l_partkey % 1000) / 1000.0 AS dlat
+        | FROM lineitem),
+        |k AS (SELECT flag, round(2.0 * 6371.0088 * asin(sqrt(
+        |    sin(radians(dlat - plat) / 2.0) ^ 2
+        |    + cos(radians(plat)) * cos(radians(dlat))
+        |      * sin(radians(dlon - plon) / 2.0) ^ 2)), 6) AS km
+        | FROM c)
+        |SELECT flag, count(*) AS n_trips,
+        |  round(CAST(sum(CAST(km AS DECIMAL(38,8))) AS DOUBLE)
+        |    / count(*), 4) AS avg_km,
+        |  round(min(km), 4) AS min_km,
+        |  round(max(km), 4) AS max_km
+        |FROM k GROUP BY 1""".stripMargin,
+    // exact integer floor binning on the same IEEE doubles
+    "geo_gridcells" ->
+      """SELECT CAST(floor((40.5 + (l_suppkey % 1000) / 1000.0) * 100.0)
+        |    AS BIGINT) AS cell_lat,
+        |  CAST(floor((-74.0 + (l_partkey % 2000) / 1000.0) * 100.0)
+        |    AS BIGINT) AS cell_lon,
+        |  count(*) AS n_pickups
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     // min-plus fixpoint replay: enumerate ≤4-edge paths recursively,
     // min(cost) per node — integer edge weights sum exactly
     "shortest_path" ->
