@@ -134,6 +134,34 @@ object TaxiPipelineQueries {
           to_timestamp(lit("1970-01-01 00:00:00")), 1L).otherwise(0L))
           .as("n_epoch_dropoff"))
 
+  /** Trip quality control — the data-cleaning query every taxi analysis
+    * starts with (impossible durations, physically impossible speeds):
+    * per cab type, the trip count, trips whose dropoff does not follow
+    * their pickup (the epoch-0 default rows land here — a QC view of
+    * the toDateTime(0) semantics), trips over 80 mph, and the mean
+    * speed of the valid rest. Speed is distance·3600/duration in the
+    * same IEEE doubles on both engines (duration is exact integer
+    * seconds by construction), per-row speeds round to 6 dp and sum in
+    * decimal so the mean is partition-order-free. One scan, one
+    * 3-row-per-partition shuffle. */
+  def speedQc: Q = (s, d) => {
+    val t = trips(s, d).select(col("cab_type"),
+      ((unix_micros(col("dropoff_datetime")) -
+        unix_micros(col("pickup_datetime"))) / 1000000L).as("dur_s"),
+      col("trip_distance"))
+    val speed = col("trip_distance") * lit(3600.0) / col("dur_s")
+    t.groupBy("cab_type").agg(
+      count(lit(1)).as("n_trips"),
+      sum(when(col("dur_s") <= 0, 1L).otherwise(0L)).as("n_invalid"),
+      sum(when(col("dur_s") > 0 && speed > 80.0, 1L).otherwise(0L))
+        .as("n_speeding"),
+      round(sum(when(col("dur_s") > 0,
+        round(speed, 6).cast("decimal(38,8)"))
+        .otherwise(lit(0).cast("decimal(38,8)"))).cast("double") /
+        sum(when(col("dur_s") > 0, 1L).otherwise(0L)), 4)
+        .as("avg_speed_mph"))
+  }
+
   /** Reference Q1 over the STREAM-ingested table: the incremental
     * two-drop ingest must agree with the batch derivation exactly, so
     * it shares taxi_e2e_q1's oracle. */
@@ -211,6 +239,7 @@ object TaxiPipelineQueries {
     "taxi_sql_q2" -> sqlQ2,
     "taxi_sql_q3" -> sqlQ3,
     "taxi_sql_q4" -> sqlQ4,
+    "taxi_speed_qc" -> speedQc,
   )
 
   /** DuckDB replay of TaxiGen + TripsTransform for the oracled columns:
@@ -257,6 +286,27 @@ object TaxiPipelineQueries {
       |""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // QC replay on the raw derivation: duration = exact integer
+    // seconds (epoch-0 defaults go negative → invalid), speed in the
+    // same IEEE doubles, 6-dp per-row rounding + decimal sum
+    "taxi_speed_qc" -> (derive +
+      """, qc AS (SELECT cab_type,
+        |  date_diff('second', pickup_datetime,
+        |    coalesce(dropoff_datetime, TIMESTAMP '1970-01-01 00:00:00'))
+        |    AS dur_s,
+        |  coalesce(trip_distance, 0.0) AS dist
+        | FROM raw)
+        |SELECT cab_type, count(*) AS n_trips,
+        | CAST(sum(CASE WHEN dur_s <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_invalid,
+        | CAST(sum(CASE WHEN dur_s > 0 AND dist * 3600.0 / dur_s > 80.0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_speeding,
+        | round(CAST(sum(CASE WHEN dur_s > 0
+        |     THEN CAST(round(dist * 3600.0 / dur_s, 6) AS DECIMAL(38,8))
+        |     ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+        |   / sum(CASE WHEN dur_s > 0 THEN 1 ELSE 0 END), 4)
+        |   AS avg_speed_mph
+        |FROM qc GROUP BY 1""".stripMargin),
     "taxi_e2e_q1" -> (derive +
       "SELECT cab_type, count(*) AS cnt FROM trips GROUP BY 1"),
     // SQL-text front-end lanes share the DSL lanes' oracles verbatim:
