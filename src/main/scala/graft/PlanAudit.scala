@@ -601,6 +601,19 @@ object PlanAudit {
     check("weighted_quantile: group-keyed window, no SinglePartition",
       wq.contains("Window") && !wq.contains("SinglePartition"),
       "cumulative weight sorts within flag partitions only")
+    val gd = plan("geo_distance")
+    check("geo_distance: one exchange, haversine inside codegen",
+      occurrences(gd, "Exchange") <= 1 && !gd.contains("Window") &&
+        gd.contains("*(1)"),
+      "trig projection fused with the scan; 3-row shuffle")
+    val gc = plan("geo_gridcells")
+    check("geo_gridcells: one cell-keyed exchange",
+      occurrences(gc, "Exchange") <= 1 && !gc.contains("Join"),
+      "grid shuffle bounded by cell cardinality")
+    val sp = plan("shortest_path")
+    check("shortest_path: equi-joins only across relax rounds",
+      !sp.contains("CartesianProduct") && !sp.contains("NestedLoop"),
+      "frontier x adjacency hash joins; min fold per round")
 
     println(s"\n$failures failures")
     spark.stop()
