@@ -124,7 +124,11 @@ object Bench {
     // projection, and the one-pass DQ constraint battery + FK
     // anti-join
     "funnel_conversion", "triangle_count", "char_entropy",
-    "dq_constraints")
+    "dq_constraints",
+    // round-6 seventh wave: the geo surface — haversine trig fused in
+    // the scan stage (pure-map throughput) and the 0.01° grid heatmap
+    // (one cell-keyed shuffle bounded by grid cardinality)
+    "geo_distance", "geo_gridcells")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -111,7 +111,11 @@ object ScaleSmoke {
     // UNCHANGED (collect_set dedups) — only the scan grows, so its
     // ratio should sit well under K (the downstream is constant-size)
     "funnel_conversion", "sequence_count", "char_entropy",
-    "dq_constraints", "triangle_count")
+    "dq_constraints", "triangle_count",
+    // round-6 seventh wave: haversine is a pure map over K× lineitem
+    // (scan-bound linear); the grid lane's shuffle is bounded by the
+    // 2000-cell grid whatever K is — rows grow, groups don't
+    "geo_distance", "geo_gridcells")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
