@@ -1068,7 +1068,35 @@ object RelationalQueries {
       .groupBy("cell_lat", "cell_lon")
       .agg(count(lit(1)).as("n_pickups"))
 
+  /** Origin–destination flow matrix with top-3 flows per origin — the
+    * OD product every trip dataset ships (where do pickups from cell X
+    * go?): pickup AND dropoff quantized to the 0.01° grid, one
+    * PAIR-keyed count shuffle (the heavy-key shape — |cells|² possible
+    * keys vs the heatmap's |cells|, still bounded by grid² not rows),
+    * then a per-origin window rank keeps the 3 strongest flows with a
+    * deterministic (count DESC, cell) tie order. At 100 TB the pair
+    * count is the only row-volume stage; the rank runs over
+    * ≤|cells|-sized origin groups. */
+  def q50GeoOdFlows: Q = (s, d) => {
+    val cells = Tables.lineitem(s, d).select(
+      floor((lit(40.5) + pmod(col("l_suppkey"), lit(1000L)) / 1000.0)
+        * 100.0).as("o_lat"),
+      floor((lit(-74.0) + pmod(col("l_partkey"), lit(2000L)) / 1000.0)
+        * 100.0).as("o_lon"),
+      floor((lit(40.5) + pmod(col("l_partkey"), lit(1000L)) / 1000.0)
+        * 100.0).as("d_lat"),
+      floor((lit(-74.0) + pmod(col("l_suppkey"), lit(2000L)) / 1000.0)
+        * 100.0).as("d_lon"))
+    val flows = cells.groupBy("o_lat", "o_lon", "d_lat", "d_lon")
+      .agg(count(lit(1)).as("n_trips"))
+    val w = Window.partitionBy(col("o_lat"), col("o_lon"))
+      .orderBy(col("n_trips").desc, col("d_lat").asc, col("d_lon").asc)
+    flows.withColumn("flow_rank", row_number().over(w).cast("long"))
+      .filter(col("flow_rank") <= 3)
+  }
+
   val queries: Map[String, Q] = Map(
+    "geo_od_flows" -> q50GeoOdFlows,
     "geo_distance" -> q48GeoDistance,
     "geo_gridcells" -> q49GeoGridCells,
     "shortest_path" -> q47ShortestPath,
@@ -1135,6 +1163,26 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // pair-keyed counts + the same deterministic (count DESC, cell)
+    // rank — top-3 flows per origin
+    "geo_od_flows" ->
+      """WITH c AS (SELECT
+        |  CAST(floor((40.5 + (l_suppkey % 1000) / 1000.0) * 100.0)
+        |    AS BIGINT) AS o_lat,
+        |  CAST(floor((-74.0 + (l_partkey % 2000) / 1000.0) * 100.0)
+        |    AS BIGINT) AS o_lon,
+        |  CAST(floor((40.5 + (l_partkey % 1000) / 1000.0) * 100.0)
+        |    AS BIGINT) AS d_lat,
+        |  CAST(floor((-74.0 + (l_suppkey % 2000) / 1000.0) * 100.0)
+        |    AS BIGINT) AS d_lon
+        | FROM lineitem),
+        |f AS (SELECT o_lat, o_lon, d_lat, d_lon, count(*) AS n_trips
+        | FROM c GROUP BY 1, 2, 3, 4)
+        |SELECT * FROM (SELECT o_lat, o_lon, d_lat, d_lon, n_trips,
+        |  CAST(row_number() OVER (PARTITION BY o_lat, o_lon
+        |    ORDER BY n_trips DESC, d_lat, d_lon) AS BIGINT)
+        |    AS flow_rank
+        | FROM f) WHERE flow_rank <= 3""".stripMargin,
     // identical haversine in DuckDB trig; per-row 6-dp round + exact
     // decimal sum makes the mean order-free on both engines
     "geo_distance" ->

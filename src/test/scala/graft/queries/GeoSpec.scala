@@ -47,6 +47,22 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("OD flows: at most 3 flows per origin, rank follows count then " +
+    "cell order") {
+    val rows = RelationalQueries.q50GeoOdFlows(spark, sf()).collect()
+    val byOrigin = rows.groupBy(r =>
+      (r.getAs[Long]("o_lat"), r.getAs[Long]("o_lon")))
+    assert(byOrigin.values.forall(_.length <= 3))
+    byOrigin.values.foreach { fs =>
+      val sorted = fs.sortBy(_.getAs[Long]("flow_rank"))
+      assert(sorted.map(_.getAs[Long]("flow_rank")).toSeq ===
+        (1L to sorted.length).toSeq, "ranks are 1..k dense")
+      // counts non-increasing along the rank
+      val counts = sorted.map(_.getAs[Long]("n_trips")).toSeq
+      assert(counts === counts.sorted.reverse, "count order")
+    }
+  }
+
   test("grid lane: cells cover exactly the planted coordinate box") {
     val cells = RelationalQueries.q49GeoGridCells(spark, sf()).collect()
     val lats = cells.map(_.getAs[Long]("cell_lat"))
