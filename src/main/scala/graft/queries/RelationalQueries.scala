@@ -1095,7 +1095,52 @@ object RelationalQueries {
       .filter(col("flow_rank") <= 3)
   }
 
+  /** Point-in-polygon zone assignment — the PostGIS step the reference
+    * pipeline consumes from upstream (its trips carry nyct2010 gids
+    * that `ST_Contains` assigned before export; reference README.md:55
+    * Postgis-2.4, :345-374 the nyct2010 join): here the assignment
+    * itself runs Spark-first. Containment for convex zones is a
+    * conjunction of half-plane cross-product predicates — pure double
+    * arithmetic, identical on both engines, fused into the scan stage
+    * (no UDF, no spatial lib); the zone battery mixes a triangle (3
+    * half-planes), an L1 diamond, a circle, and a rectangle, with
+    * first-match priority as the deterministic tie rule on shared
+    * borders. At NYC's 263 tracts the same test runs after a grid-cell
+    * prefilter against a broadcast polygon table — the candidate set
+    * per cell is tiny and the per-candidate test is THIS arithmetic. */
+  def q51GeoZoneAssign: Q = (s, d) => {
+    // lon from partkey, lat from ORDERKEY — partkey and suppkey are
+    // correlated in TPC-H (suppkey derives from partkey), which would
+    // confine the points to a few diagonal lines and leave whole zones
+    // empty; orderkey is independent of partkey, so the box fills
+    val pts = Tables.lineitem(s, d).select(
+      (lit(-74.0) + pmod(col("l_partkey"), lit(2000L)) / 1000.0)
+        .as("lon"),
+      (lit(40.5) + pmod(col("l_orderkey"), lit(1000L)) / 1000.0)
+        .as("lat"))
+    val lon = col("lon"); val lat = col("lat")
+    // triangle (-74.0,40.5) (-73.0,40.5) (-73.5,41.0), CCW half-planes
+    val tri = (lat >= 40.5) &&
+      (lit(-0.5) * (lat - 40.5) - lit(0.5) * (lon + 73.0) >= 0.0) &&
+      (lit(-0.5) * (lat - 41.0) + lit(0.5) * (lon + 73.5) >= 0.0)
+    // L1 diamond centred (-73.0, 41.0), radius 0.4
+    val diamond = abs(lon + 73.0) + abs(lat - 41.0) <= 0.4
+    // circle centred (-72.5, 40.8), r² = 0.09
+    val circle = (lon + 72.5) * (lon + 72.5) +
+      (lat - 40.8) * (lat - 40.8) <= 0.09
+    // rectangle
+    val rect = lon >= -73.9 && lon <= -73.4 &&
+      lat >= 41.2 && lat <= 41.45
+    pts.select(
+      when(tri, "tri_south").when(diamond, "diamond_mid")
+        .when(circle, "circle_east").when(rect, "rect_north")
+        .otherwise("NONE").as("zone"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_pickups"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "geo_zone_assign" -> q51GeoZoneAssign,
     "geo_od_flows" -> q50GeoOdFlows,
     "geo_distance" -> q48GeoDistance,
     "geo_gridcells" -> q49GeoGridCells,
@@ -1163,6 +1208,27 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same half-plane / L1 / circle / box predicates in the same
+    // IEEE doubles, first-match priority
+    "geo_zone_assign" ->
+      """WITH p AS (SELECT
+        |  -74.0 + (l_partkey % 2000) / 1000.0 AS lon,
+        |  40.5 + (l_orderkey % 1000) / 1000.0 AS lat
+        | FROM lineitem)
+        |SELECT CASE
+        |  WHEN lat >= 40.5
+        |    AND -0.5 * (lat - 40.5) - 0.5 * (lon + 73.0) >= 0.0
+        |    AND -0.5 * (lat - 41.0) + 0.5 * (lon + 73.5) >= 0.0
+        |    THEN 'tri_south'
+        |  WHEN abs(lon + 73.0) + abs(lat - 41.0) <= 0.4
+        |    THEN 'diamond_mid'
+        |  WHEN (lon + 72.5) * (lon + 72.5)
+        |    + (lat - 40.8) * (lat - 40.8) <= 0.09 THEN 'circle_east'
+        |  WHEN lon >= -73.9 AND lon <= -73.4
+        |    AND lat >= 41.2 AND lat <= 41.45 THEN 'rect_north'
+        |  ELSE 'NONE' END AS zone,
+        | count(*) AS n_pickups
+        |FROM p GROUP BY 1""".stripMargin,
     // pair-keyed counts + the same deterministic (count DESC, cell)
     // rank — top-3 flows per origin
     "geo_od_flows" ->

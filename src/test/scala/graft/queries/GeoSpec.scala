@@ -63,6 +63,17 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("zone assignment: every zone non-empty, counts conserve rows") {
+    val z = RelationalQueries.q51GeoZoneAssign(spark, sf()).collect()
+      .map(r => r.getAs[String]("zone") -> r.getAs[Long]("n_pickups"))
+      .toMap
+    assert(z.keySet === Set("tri_south", "diamond_mid", "circle_east",
+      "rect_north", "NONE"), s"zones: ${z.keySet}")
+    assert(z.values.forall(_ > 0))
+    assert(z.values.sum ==
+      graft.Tables.lineitem(spark, sf()).count())
+  }
+
   test("grid lane: cells cover exactly the planted coordinate box") {
     val cells = RelationalQueries.q49GeoGridCells(spark, sf()).collect()
     val lats = cells.map(_.getAs[Long]("cell_lat"))
