@@ -1112,11 +1112,15 @@ object RelationalQueries {
     // lon from partkey, lat from ORDERKEY — partkey and suppkey are
     // correlated in TPC-H (suppkey derives from partkey), which would
     // confine the points to a few diagonal lines and leave whole zones
-    // empty; orderkey is independent of partkey, so the box fills
+    // empty. Each key is spread by a prime coprime to its modulus
+    // (7919): a bijection on residues, so coverage of the box does not
+    // depend on the key RANGE at a given scale factor (at sf0.001
+    // partkey only reaches 200 — unspread, the whole corpus sat in a
+    // 0.2°-wide stripe and two zones were empty).
     val pts = Tables.lineitem(s, d).select(
-      (lit(-74.0) + pmod(col("l_partkey"), lit(2000L)) / 1000.0)
+      (lit(-74.0) + pmod(col("l_partkey") * 7919L, lit(2000L)) / 1000.0)
         .as("lon"),
-      (lit(40.5) + pmod(col("l_orderkey"), lit(1000L)) / 1000.0)
+      (lit(40.5) + pmod(col("l_orderkey") * 7919L, lit(1000L)) / 1000.0)
         .as("lat"))
     val lon = col("lon"); val lat = col("lat")
     // triangle (-74.0,40.5) (-73.0,40.5) (-73.5,41.0), CCW half-planes
@@ -1212,8 +1216,8 @@ object RelationalQueries {
     // IEEE doubles, first-match priority
     "geo_zone_assign" ->
       """WITH p AS (SELECT
-        |  -74.0 + (l_partkey % 2000) / 1000.0 AS lon,
-        |  40.5 + (l_orderkey % 1000) / 1000.0 AS lat
+        |  -74.0 + ((l_partkey * 7919) % 2000) / 1000.0 AS lon,
+        |  40.5 + ((l_orderkey * 7919) % 1000) / 1000.0 AS lat
         | FROM lineitem)
         |SELECT CASE
         |  WHEN lat >= 40.5
