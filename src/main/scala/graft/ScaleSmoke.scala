@@ -114,8 +114,12 @@ object ScaleSmoke {
     "dq_constraints", "triangle_count",
     // round-6 seventh wave: haversine is a pure map over K× lineitem
     // (scan-bound linear); the grid lane's shuffle is bounded by the
-    // 2000-cell grid whatever K is — rows grow, groups don't
-    "geo_distance", "geo_gridcells")
+    // 2000-cell grid whatever K is — rows grow, groups don't; the OD
+    // matrix shuffles on grid² pairs (bounded groups again, bigger
+    // constant) and ranks inside ≤|cells| origin groups; zone
+    // assignment is a pure predicate map
+    "geo_distance", "geo_gridcells", "geo_od_flows",
+    "geo_zone_assign")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
