@@ -1755,7 +1755,10 @@ object PipelineQueries {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
     // per-char unnest histogram → the same exact entropy formula the
-    // codegen'd expression computes row-locally
+    // codegen'd expression computes row-locally. Null semantics pinned
+    // to the Spark expression's (nullSafeEval): NULL text → NULL,
+    // empty text → 0.0 — the bare COALESCE would silently map a NULL
+    // doc to 0.0 and diverge from the engine.
     "char_entropy" ->
       """WITH cc AS (SELECT doc_id, ch, count(*) AS c
         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
@@ -1764,7 +1767,8 @@ object PipelineQueries {
         |    round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS ent
         |  FROM cc GROUP BY 1)
         |SELECT d.doc_id, length(d.text) AS n_chars_text,
-        |  COALESCE(h.ent, 0.0) AS entropy_bits
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE COALESCE(h.ent, 0.0) END AS entropy_bits
         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,

@@ -909,23 +909,30 @@ object RelationalQueries {
     val adj = e.unionAll(e.select(col("dst").as("src"),
       col("src").as("dst"))).localCheckpoint(true)
     // canonical src < dst ⇒ the global min endpoint always appears as
-    // src; one tiny agg seeds the BFS
-    val seed = e.agg(min(col("src"))).head().getLong(0)
-    var visited = Seq((seed, 0L)).toDF("part_id", "depth")
-    var frontier = Seq(seed).toDF("part_id")
-    var k = 1L
-    while (k <= 3L && !frontier.isEmpty) {
-      val fresh = frontier.join(adj,
-          frontier("part_id") === adj("src"))
-        .select(col("dst").as("part_id")).distinct()
-        .join(visited.select("part_id"), Seq("part_id"), "left_anti")
-        .localCheckpoint(true) // bounded: the round's frontier
-      visited = visited.unionAll(
-        fresh.select(col("part_id"), lit(k).as("depth")))
-      frontier = fresh
-      k += 1
+    // src; one tiny agg seeds the BFS. An empty edge set (no pair
+    // reaches support ≥ 2) yields a NULL min — emit the empty result
+    // rather than NPE on getLong.
+    val seedRow = e.agg(min(col("src"))).head()
+    if (seedRow.isNullAt(0))
+      Seq.empty[(Long, Long)].toDF("part_id", "depth")
+    else {
+      val seed = seedRow.getLong(0)
+      var visited = Seq((seed, 0L)).toDF("part_id", "depth")
+      var frontier = Seq(seed).toDF("part_id")
+      var k = 1L
+      while (k <= 3L && !frontier.isEmpty) {
+        val fresh = frontier.join(adj,
+            frontier("part_id") === adj("src"))
+          .select(col("dst").as("part_id")).distinct()
+          .join(visited.select("part_id"), Seq("part_id"), "left_anti")
+          .localCheckpoint(true) // bounded: the round's frontier
+        visited = visited.unionAll(
+          fresh.select(col("part_id"), lit(k).as("depth")))
+        frontier = fresh
+        k += 1
+      }
+      visited
     }
-    visited
   }
 
   /** Data-quality constraint battery ([[graft.operators.DataQuality]]):
@@ -1005,16 +1012,23 @@ object RelationalQueries {
         (lit(11L) - least(col("support"), lit(10L))).as("w"))
     val adj = weighted.unionAll(weighted.select(col("dst").as("src"),
       col("src").as("dst"), col("w"))).localCheckpoint(true)
-    val seed = weighted.agg(min(col("src"))).head().getLong(0)
-    var dist = Seq((seed, 0L)).toDF("part_id", "cost")
-    for (_ <- 1 to 4) {
-      val relaxed = dist.join(adj, dist("part_id") === adj("src"))
-        .select(col("dst").as("part_id"), (col("cost") + col("w")).as("cost"))
-      dist = dist.unionAll(relaxed)
-        .groupBy("part_id").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+    // same empty-edge-set guard as q46: NULL min ⇒ empty result
+    val seedRow = weighted.agg(min(col("src"))).head()
+    if (seedRow.isNullAt(0))
+      Seq.empty[(Long, Long)].toDF("part_id", "cost")
+    else {
+      val seed = seedRow.getLong(0)
+      var dist = Seq((seed, 0L)).toDF("part_id", "cost")
+      for (_ <- 1 to 4) {
+        val relaxed = dist.join(adj, dist("part_id") === adj("src"))
+          .select(col("dst").as("part_id"),
+            (col("cost") + col("w")).as("cost"))
+        dist = dist.unionAll(relaxed)
+          .groupBy("part_id").agg(min(col("cost")).as("cost"))
+          .localCheckpoint(true)
+      }
+      dist
     }
-    dist
   }
 
   /** Geo surface on the taxi coordinate distribution (the reference's

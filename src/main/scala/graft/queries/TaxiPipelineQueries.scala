@@ -145,9 +145,19 @@ object TaxiPipelineQueries {
     * decimal so the mean is partition-order-free. One scan, one
     * 3-row-per-partition shuffle. */
   def speedQc: Q = (s, d) => {
+    // dur_s is WHOLE seconds by construction — each timestamp floors
+    // to its second before subtracting, the exact semantics of the
+    // oracle's date_diff('second', …) (date_trunc both ends, then
+    // diff). The former single double-division of the micros delta
+    // agreed only because the fixture emits whole-second timestamps;
+    // this form agrees at any timestamp precision. (floor of
+    // micros/1e6 is exact in doubles: micros < 2^53 and the quotient
+    // is ≥ 1e-6 below the next integer, outside half-ulp.)
+    def wholeSecs(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / lit(1000000L)).cast("long")
     val t = trips(s, d).select(col("cab_type"),
-      ((unix_micros(col("dropoff_datetime")) -
-        unix_micros(col("pickup_datetime"))) / 1000000L).as("dur_s"),
+      (wholeSecs(col("dropoff_datetime")) -
+        wholeSecs(col("pickup_datetime"))).as("dur_s"),
       col("trip_distance"))
     val speed = col("trip_distance") * lit(3600.0) / col("dur_s")
     t.groupBy("cab_type").agg(

@@ -174,6 +174,22 @@ object StatefulFunnel {
     spark.table(queryName)
   }
 
+  /** FileStreamSource replays input ordered by file MTIME; relying on
+    * wall-clock write order (the former 5 ms sleep between chunks)
+    * breaks on filesystems with coarse mtime granularity — tied stamps
+    * replay in arbitrary order and silently violate the chronological
+    * processor's precondition. Instead every file under chunk c is
+    * stamped base + c seconds explicitly: strictly increasing by
+    * construction on any filesystem. */
+  private def stampChunk(dir: String, c: Int, baseMs: Long): Unit = {
+    def walk(f: java.io.File): Unit = {
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(baseMs + c * 1000L))
+      if (f.isDirectory) f.listFiles().foreach(walk)
+    }
+    walk(new java.io.File(s"$dir/chunk_$c"))
+  }
+
   /** Chronological staging: chunks cut at event-time quantiles, written
     * oldest first (equal-ts rows can't straddle a cut, so per-user
     * replay order is event time — the FunnelProcessor requirement). */
@@ -185,11 +201,12 @@ object StatefulFunnel {
       .head().toSeq.map(_.asInstanceOf[Double])
     val lo = Double.MinValue +: bounds
     val hi = bounds :+ Double.MaxValue
+    val baseMs = System.currentTimeMillis()
     (0 until nChunks).foreach { c =>
       ev.filter(col("ts").cast("double") >= lo(c) &&
           col("ts").cast("double") < hi(c))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/chunk_$c")
-      Thread.sleep(5)
+      stampChunk(dir, c, baseMs)
     }
   }
 
@@ -197,12 +214,14 @@ object StatefulFunnel {
     * whole timeline, so arrival order is ARBITRARY in event time (the
     * BufferedFunnelProcessor stress shape). */
   private def stageHashed(ev: DataFrame, dir: String,
-      nChunks: Int): Unit =
+      nChunks: Int): Unit = {
+    val baseMs = System.currentTimeMillis()
     (0 until nChunks).foreach { c =>
       ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/chunk_$c")
-      Thread.sleep(5)
+      stampChunk(dir, c, baseMs)
     }
+  }
 
   /** Hash-chunked staging + buffered processor: chunks arrive in
     * ARBITRARY event-time order and the drained result still equals

@@ -56,6 +56,17 @@ class CharEntropySpec extends SparkSpec {
     assert(ent(hex) > 3.5) // 16 symbols near-uniform → close to 4
   }
 
+  test("supplementary-plane text counts UTF-16 code units (documented)") {
+    // U+1D11E (musical G clef) is the surrogate pair D834 DD1E. "𝄞𝄞"
+    // is 4 code units over 2 distinct symbols → H = 1.0 exactly. A
+    // per-CHARACTER count (DuckDB's string_split) would see one char
+    // repeated → 0.0. This pins the expression's documented unit —
+    // the oracle fixture is ASCII, where the two definitions coincide.
+    val clef = "𝄞"
+    assert(math.abs(ent(clef + clef) - 1.0) < 1e-12)
+    assert(math.abs(ent(clef) - 1.0) < 1e-12) // 2 units, each once
+  }
+
   test("null row stays null") {
     import spark.implicits._
     val r = Seq(Some("ab"), None).toDF("t")
