@@ -615,6 +615,24 @@ object PlanAudit {
       !sp.contains("CartesianProduct") && !sp.contains("NestedLoop"),
       "frontier x adjacency hash joins; min fold per round")
 
+    // snapshot store: a time-travel read plans ONLY the dirs its
+    // manifest lists — later snapshots' data must be invisible to it,
+    // and the read is one multi-root scan + partial/final agg, no join
+    val ttDf = SparkEntry.allQueries("snapshot_timetravel")(spark, sfDir)
+    val ttFiles = ttDf.inputFiles
+    check("snapshot_timetravel: scan limited to the as-of manifest",
+      ttFiles.nonEmpty && ttFiles.forall(_.contains("/snap-1/")),
+      s"${ttFiles.length} files, all under snap-1")
+    val tt = planOf(ttDf)
+    check("snapshot_timetravel: one agg exchange over the manifest scan",
+      occurrences(tt, "Exchange") <= 1 && !tt.contains("Join") &&
+        occurrences(tt, "HashAggregate") >= 2, "")
+    val sbDf = SparkEntry.allQueries("snapshot_backfill")(spark, sfDir)
+    check("snapshot_backfill: current read mixes carried + restated dirs",
+      sbDf.inputFiles.exists(_.contains("/snap-1/")) &&
+        sbDf.inputFiles.exists(_.contains("/snap-2/")),
+      "partition-level reuse: backfill wrote only the restated month")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -1,0 +1,280 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Atomic multi-file snapshot commits for the writer family — the one
+  * production gap the in-place writers share with the reference
+  * (ClickHouse `DROP PARTITION` + re-INSERT, reference README.md:563):
+  * [[MergeTreeWriter.overwritePartitions]] rewrites directory state in
+  * place, so a reader racing a backfill can list a half-written
+  * partition. Here a table is a MANIFEST POINTER, not a directory:
+  *
+  * {{{
+  * root/
+  *   MANIFEST                 <- the pointer readers resolve (one file,
+  *                               replaced by ATOMIC_MOVE — all-or-nothing)
+  *   manifests/manifest-<id>  <- retained history: time travel + diff
+  *   data/snap-<id>/__part=v/ <- immutable data dirs, never mutated
+  * }}}
+  *
+  * Invariants that make the isolation hold:
+  *   - data dirs are write-once: no commit ever mutates or appends to a
+  *     dir an earlier manifest references;
+  *   - a reader resolves the pointer ONCE, then plans only over the
+  *     dirs that manifest lists — it can never observe half of one
+  *     commit and half of another;
+  *   - the pointer swap is a single same-directory rename
+  *     (`ATOMIC_MOVE`), atomic on POSIX: concurrent readers see the old
+  *     manifest or the new one, never a torn file. The manifest is
+  *     fsync'd before the move so a crash can't publish a torn pointer.
+  *
+  * Partition-level reuse keeps backfill cost proportional to the
+  * restated data (the dynamic-overwrite property, now atomic): a new
+  * manifest lists NEW dirs for the restated partitions and the PRIOR
+  * manifest's dirs for every other partition — at 100 TB a one-month
+  * restatement writes one month and one ~KB manifest, and the swap cost
+  * is independent of table size. The partition column is duplicated
+  * into a `__part` directory key so the data files keep the real
+  * column: a manifest read is then `spark.read.parquet(dirs*)` with no
+  * per-partition reconstruction, and manifest-entry pruning
+  * ([[readWhere]]) is partition pruning without any file listing.
+  *
+  * Single-writer discipline (the usual table-format baseline): commits
+  * allocate ids above every retained manifest and last-writer-wins on
+  * the pointer; concurrent WRITERS need an external lock, concurrent
+  * READERS need nothing. [[expire]] bounds disk growth by dropping
+  * manifests beyond a retention horizon and deleting data dirs no
+  * retained manifest references — the current pointer is always
+  * retained, so it never pulls files out from under a live reader
+  * resolving within the horizon.
+  */
+object SnapshotStore {
+
+  /** One partition of one snapshot: partition VALUE (as written in the
+    * `__part=` dir name) → data dir RELATIVE to the table root. */
+  final case class Entry(value: String, dir: String)
+  final case class Manifest(id: Long, entries: Seq[Entry])
+
+  private val PartKey = "__part"
+
+  // ---- manifest encoding -------------------------------------------------
+
+  private def render(m: Manifest): String =
+    (s"id=${m.id}" +: m.entries.sortBy(_.value)
+      .map(e => s"${e.value}\t${e.dir}")).mkString("", "\n", "\n")
+
+  private def parse(p: Path): Manifest = {
+    val lines = Files.readString(p, StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val id = lines.head.stripPrefix("id=").toLong
+    Manifest(id, lines.tail.map { l =>
+      val Array(v, dir) = l.split("\t", 2)
+      Entry(v, dir)
+    })
+  }
+
+  /** Write manifest-<id> to the history dir, fsync it, then publish it
+    * as MANIFEST via a same-directory atomic rename. */
+  private def commitManifest(root: String, m: Manifest): Unit = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP.resolve("manifests"))
+    val bytes = render(m).getBytes(StandardCharsets.UTF_8)
+    def fsyncWrite(p: Path): Unit = {
+      val ch = java.nio.channels.FileChannel.open(p,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+      finally ch.close()
+    }
+    fsyncWrite(rootP.resolve(s"manifests/manifest-${m.id}"))
+    val tmp = rootP.resolve(s".MANIFEST.tmp-${m.id}")
+    fsyncWrite(tmp)
+    Files.move(tmp, rootP.resolve("MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The manifest the pointer currently names, if the table exists. */
+  def current(root: String): Option[Manifest] = {
+    val p = Paths.get(root, "MANIFEST")
+    if (Files.exists(p)) Some(parse(p)) else None
+  }
+
+  /** A retained historical manifest (time travel). */
+  def manifestAt(root: String, id: Long): Manifest =
+    parse(Paths.get(root, s"manifests/manifest-$id"))
+
+  // ---- data writes -------------------------------------------------------
+
+  /** One job writes every partition of `df` into the snapshot dir:
+    * `__part` duplicates the partition column as the directory key so
+    * the files keep the real column, `repartition(partCol)` co-locates
+    * each partition's rows, and the (partCol, sortCol) prefix sort
+    * survives the dynamic-partition writer verbatim (the
+    * [[MergeTreeWriter]] lesson). Returns the written entries, read
+    * back from the directory listing — no driver-side distinct. */
+  private def writeSnapData(df: DataFrame, root: String, snapId: Long,
+      partCol: String, sortCol: String): Seq[Entry] = {
+    val rel = s"data/snap-$snapId"
+    val dataDir = s"$root/$rel"
+    df.withColumn(PartKey, col(partCol).cast("string"))
+      // sort prefix must be the PARTITION KEY ATTRIBUTE itself — the
+      // dynamic-partition writer checks its required ordering by
+      // expression identity, and a sort on the source column (not
+      // expression-equal to the __part alias) would make it inject its
+      // own __part-only sort, destroying the time order (the
+      // MergeTreeWriter lesson).
+      .repartition(col(PartKey))
+      .sortWithinPartitions(col(PartKey), col(sortCol))
+      .write.mode("errorifexists").partitionBy(PartKey).parquet(dataDir)
+    listParts(dataDir).map(v => Entry(v, s"$rel/$PartKey=$v"))
+  }
+
+  private def listParts(dataDir: String): Seq[String] = {
+    val d = new java.io.File(dataDir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$PartKey="))
+      .map(_.getName.stripPrefix(s"$PartKey="))
+      .toSeq.sorted
+  }
+
+  /** All retained manifest ids, ascending. */
+  private def retainedIds(root: String): Seq[Long] = {
+    val dir = Paths.get(root, "manifests")
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("manifest-"))
+            buf += n.stripPrefix("manifest-").toLong
+        }
+        buf.toSeq.sorted
+      } finally s.close()
+    }
+  }
+
+  private def allocateId(root: String): Long =
+    (0L +: retainedIds(root)).max + 1
+
+  // ---- public writer API -------------------------------------------------
+
+  /** Full-table snapshot: every partition written fresh, committed as
+    * one atomic pointer swap. Returns the snapshot id. */
+  def write(df: DataFrame, root: String, partCol: String,
+      sortCol: String): Long = {
+    val id = allocateId(root)
+    val entries = writeSnapData(df, root, id, partCol, sortCol)
+    commitManifest(root, Manifest(id, entries))
+    id
+  }
+
+  /** Atomic partition backfill — the safe form of the reference's
+    * DROP PARTITION + re-INSERT: only `df`'s partitions are written;
+    * the new manifest carries every other partition's PRIOR dir
+    * forward by reference. Cost ∝ restated data; visibility flips for
+    * all restated partitions at once. */
+  def overwritePartitions(df: DataFrame, root: String, partCol: String,
+      sortCol: String): Long = {
+    val prior = current(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root to backfill"))
+    val id = allocateId(root)
+    val fresh = writeSnapData(df, root, id, partCol, sortCol)
+    val restated = fresh.map(_.value).toSet
+    val carried = prior.entries.filterNot(e => restated(e.value))
+    commitManifest(root, Manifest(id, carried ++ fresh))
+    id
+  }
+
+  /** Compaction as a snapshot commit: rewrite the CURRENT snapshot's
+    * content into fresh one-file-per-partition dirs and swap the
+    * pointer — in place at the table root, yet readers on the old
+    * manifest are untouched (old dirs are immutable; [[expire]] is the
+    * only deleter). This is the contract the in-place
+    * [[MergeTreeWriter.compact]] cannot offer. */
+  def compact(spark: SparkSession, root: String, partCol: String,
+      sortCol: String): Long =
+    write(read(spark, root), root, partCol, sortCol)
+
+  // ---- readers -----------------------------------------------------------
+
+  /** Read the current snapshot (or a retained one via `asOf`): resolve
+    * the pointer once, then plan one multi-root parquet scan over
+    * exactly the dirs that manifest lists. */
+  def read(spark: SparkSession, root: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val m = asOf.map(manifestAt(root, _)).orElse(current(root))
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    readManifest(spark, root, m)
+  }
+
+  /** Manifest-entry pruning: partition pruning decided on the ~KB
+    * manifest, before any file listing — at 100 TB a one-month read
+    * plans one directory. */
+  def readWhere(spark: SparkSession, root: String,
+      keep: String => Boolean): DataFrame = {
+    val m = current(root)
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    readManifest(spark, root, Manifest(m.id, m.entries.filter(e => keep(e.value))))
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+      m: Manifest): DataFrame = {
+    require(m.entries.nonEmpty, s"snapshot ${m.id} at $root lists no data")
+    spark.read.parquet(m.entries.map(e => s"$root/${e.dir}"): _*)
+  }
+
+  // ---- retention ---------------------------------------------------------
+
+  /** Drop all but the newest `keepLast` manifests (the current pointer
+    * is always among them) and delete every data dir no retained
+    * manifest references. Bounds disk growth; readers within the
+    * retention horizon are never invalidated. */
+  def expire(root: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val dir = Paths.get(root, "manifests")
+    if (!Files.exists(dir)) return
+    val ids = retainedIds(root)
+    val keep = ids.takeRight(keepLast).toSet
+    val referenced = keep.flatMap(id =>
+      manifestAt(root, id).entries.map(e =>
+        // a dir reference pins its whole snap dir
+        e.dir.split("/").take(2).mkString("/")))
+    // delete unreferenced snap dirs, then dropped manifests
+    val dataDir = new java.io.File(s"$root/data")
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !referenced(s"data/${f.getName}"))
+      .foreach(deleteRecursively)
+    ids.filterNot(keep).foreach(id =>
+      Files.deleteIfExists(dir.resolve(s"manifest-$id")))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  // ---- generic single-dir commits (export family) ------------------------
+
+  /** Manifest-pointer commit for sinks without a partition structure
+    * (the sharded-export family): `writeTo` produces the files in a
+    * fresh snap dir, then one atomic swap publishes it. A consumer
+    * polling the export location resolves [[currentDir]] and never
+    * sees a half-written shard set. */
+  def commitDir(root: String)(writeTo: String => Unit): Long = {
+    val id = allocateId(root)
+    val rel = s"data/snap-$id"
+    writeTo(s"$root/$rel")
+    commitManifest(root, Manifest(id, Seq(Entry("", rel))))
+    id
+  }
+
+  /** The current committed dir of a [[commitDir]]-managed location. */
+  def currentDir(root: String): Option[String] =
+    current(root).map(m => s"$root/${m.entries.head.dir}")
+}

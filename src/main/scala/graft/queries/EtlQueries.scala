@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.etl.{BucketedTables, CsvExport, MergeTreeWriter, RawCsvSource, ZOrderLayout}
+import graft.etl.{BucketedTables, CsvExport, MergeTreeWriter, RawCsvSource, SnapshotStore, ZOrderLayout}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -323,8 +323,70 @@ object EtlQueries {
           .cast("double"), 4).as("sum_price"))
   }
 
+  /** Snapshot-store lanes share one two-snapshot history per (JVM,
+    * sfDir): full load → atomic partition backfill of the latest
+    * month. Returns (root, firstSnapshotId). Rebuilt fresh per JVM so
+    * snapshot ids are deterministic whatever earlier runs left in tmp. */
+  private val snapPrepared = scala.collection.mutable.Map[String, Long]()
+  private def prepareSnapshotHistory(s: SparkSession, d: String)
+      : (String, Long) = {
+    val root = tmp("snaproot", d)
+    synchronized {
+      snapPrepared.get(root) match {
+        case Some(id1) => (root, id1)
+        case None =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(root))
+          val orders = Tables.orders(s, d).withColumn("order_month",
+            date_format(col("o_orderdate"), "yyyy-MM"))
+          val id1 = SnapshotStore.write(orders, root,
+            partCol = "order_month", sortCol = "o_orderdate")
+          val lastMonth =
+            orders.agg(max(col("order_month"))).head().getString(0)
+          val corrected = orders
+            .filter(col("order_month") === lastMonth)
+            .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+          SnapshotStore.overwritePartitions(corrected, root,
+            partCol = "order_month", sortCol = "o_orderdate")
+          snapPrepared(root) = id1
+          (root, id1)
+      }
+    }
+  }
+
+  private def monthAgg(df: DataFrame): DataFrame =
+    df.groupBy("order_month")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_price"))
+
+  /** The backfill of [[backfillOverwrite]], through the atomic
+    * manifest-pointer path ([[SnapshotStore]]): same restatement, same
+    * oracle — but the commit is one pointer swap, so a reader racing
+    * it sees the whole old or the whole new snapshot (the concurrency
+    * spec's claim; this lane checks the committed CONTENT). */
+  def snapshotBackfill: Q = (s, d) => {
+    val (root, _) = prepareSnapshotHistory(s, d)
+    monthAgg(SnapshotStore.read(s, root))
+  }
+
+  /** Time travel over the retained manifest history: reading AS OF the
+    * pre-backfill snapshot must replay the original load exactly —
+    * the restated month's old dirs are still referenced by manifest 1
+    * and are never mutated by later commits. */
+  def snapshotTimetravel: Q = (s, d) => {
+    val (root, id1) = prepareSnapshotHistory(s, d)
+    monthAgg(SnapshotStore.read(s, root, asOf = Some(id1)))
+  }
+
   val queries: Map[String, Q] = Map(
     "etl_backfill_overwrite" -> backfillOverwrite,
+    "snapshot_backfill" -> snapshotBackfill,
+    "snapshot_timetravel" -> snapshotTimetravel,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
     "schema_evolution" -> schemaEvolution,
@@ -385,6 +447,30 @@ object EtlQueries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
+    // identical restatement through the atomic manifest-pointer commit
+    "snapshot_backfill" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | lm AS (SELECT max(order_month) AS m FROM o),
+        | fin AS (
+        |  SELECT order_month, o_totalprice FROM o
+        |  WHERE order_month <> (SELECT m FROM lm)
+        |  UNION ALL
+        |  SELECT order_month, o_totalprice + 5.0 FROM o
+        |  WHERE order_month = (SELECT m FROM lm)
+        |    AND o_orderkey % 10 <> 0)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // AS OF the pre-backfill snapshot ⇒ the original load, untouched
+    // by the later commit
+    "snapshot_timetravel" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     // replay the dim semantics directly: 1996-Q2 = months 04..06
     "dpp_join" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

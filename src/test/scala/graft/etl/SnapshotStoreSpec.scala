@@ -1,0 +1,184 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotStoreSpec extends SparkSpec {
+
+  private def mkRows(febPrice: Double) = {
+    import spark.implicits._
+    Seq(
+      (1L, "2024-01", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 10.0),
+      (2L, "2024-01", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), 20.0),
+      (3L, "2024-02", java.sql.Timestamp.valueOf("2024-02-05 00:00:00"), febPrice),
+      (4L, "2024-02", java.sql.Timestamp.valueOf("2024-02-25 00:00:00"), febPrice))
+      .toDF("id", "m", "ts", "price")
+  }
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_snap_$tag").toString
+
+  private def state(root: String, asOf: Option[Long] = None)
+      : Map[String, Double] =
+    SnapshotStore.read(spark, root, asOf)
+      .groupBy("m").agg(sum("price").as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("write → read round trip; backfill restates one partition and " +
+      "carries the other forward by reference (same physical files)") {
+    val root = tmpRoot("bf")
+    val id1 = SnapshotStore.write(mkRows(30.0), root, "m", "ts")
+    assert(id1 === 1L)
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 60.0))
+    // schema round-trips without the internal __part key
+    assert(SnapshotStore.read(spark, root).columns.toSeq ===
+      Seq("id", "m", "ts", "price"))
+
+    val janDirBefore = SnapshotStore.current(root).get
+      .entries.find(_.value == "2024-01").get.dir
+    val corrected = mkRows(99.0).filter(col("m") === "2024-02")
+    val id2 = SnapshotStore.overwritePartitions(corrected, root, "m", "ts")
+    assert(id2 === 2L)
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 198.0))
+    // untouched partition: the SAME dir, carried by reference — cost
+    // of the backfill is proportional to the restated data only
+    val m2 = SnapshotStore.current(root).get
+    assert(m2.entries.find(_.value == "2024-01").get.dir === janDirBefore)
+    assert(m2.entries.find(_.value == "2024-02").get.dir
+      .startsWith("data/snap-2/"))
+    // the new snap dir holds ONLY the restated partition
+    assert(new java.io.File(s"$root/data/snap-2").listFiles()
+      .map(_.getName).filter(_.startsWith("__part=")).toSeq ===
+      Seq("__part=2024-02"))
+  }
+
+  test("time travel: a retained manifest replays the pre-backfill state") {
+    val root = tmpRoot("tt")
+    val id1 = SnapshotStore.write(mkRows(30.0), root, "m", "ts")
+    SnapshotStore.overwritePartitions(
+      mkRows(99.0).filter(col("m") === "2024-02"), root, "m", "ts")
+    assert(state(root, asOf = Some(id1)) ===
+      Map("2024-01" -> 30.0, "2024-02" -> 60.0))
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 198.0))
+  }
+
+  test("a reader concurrent with backfills sees exactly one committed " +
+      "snapshot per read — never a mix, never an error") {
+    val root = tmpRoot("conc")
+    SnapshotStore.write(mkRows(0.0), root, "m", "ts")
+    // every state the table ever commits: feb sum = 2k for backfill k
+    val nBackfills = 8
+    val valid = (0 to nBackfills)
+      .map(k => Map("2024-01" -> 30.0, "2024-02" -> 2.0 * k)).toSet
+
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Map[String, Double], java.lang.Boolean]())
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get() && bad.get() == null) {
+        try {
+          val s = state(root)
+          seen.add(s)
+          if (!valid(s)) bad.set(s"mixed/unknown state observed: $s")
+        } catch {
+          case e: Throwable => bad.set(s"reader threw: ${e.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    try
+      (1 to nBackfills).foreach { k =>
+        SnapshotStore.overwritePartitions(
+          mkRows(k.toDouble).filter(col("m") === "2024-02"), root, "m", "ts")
+      }
+    finally {
+      stop.set(true); reader.join(60000)
+    }
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    assert(seen.size >= 1) // the reader did observe committed states
+    // and the final read is the last commit
+    assert(state(root) ===
+      Map("2024-01" -> 30.0, "2024-02" -> 2.0 * nBackfills))
+  }
+
+  test("compact commits a fresh snapshot in place; the prior manifest " +
+      "still reads; expire then drops it and keeps the current") {
+    val root = tmpRoot("cmp")
+    SnapshotStore.write(mkRows(30.0), root, "m", "ts")
+    SnapshotStore.overwritePartitions(
+      mkRows(99.0).filter(col("m") === "2024-02"), root, "m", "ts")
+    val id3 = SnapshotStore.compact(spark, root, "m", "ts")
+    assert(id3 === 3L)
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 198.0))
+    // pre-compaction manifests are intact (old dirs never mutated)
+    assert(state(root, asOf = Some(2L)) ===
+      Map("2024-01" -> 30.0, "2024-02" -> 198.0))
+    assert(state(root, asOf = Some(1L)) ===
+      Map("2024-01" -> 30.0, "2024-02" -> 60.0))
+
+    SnapshotStore.expire(root, keepLast = 1)
+    // current unaffected; expired snapshots' dirs are gone
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 198.0))
+    val snapDirs = new java.io.File(s"$root/data").listFiles()
+      .map(_.getName).toSet
+    assert(snapDirs === Set("snap-3"))
+    intercept[Exception] { state(root, asOf = Some(1L)) }
+    // ids keep advancing past expired history (no reuse)
+    assert(SnapshotStore.write(mkRows(1.0), root, "m", "ts") === 4L)
+  }
+
+  test("manifest-entry pruning reads only the kept partition's dir") {
+    val root = tmpRoot("prune")
+    SnapshotStore.write(mkRows(30.0), root, "m", "ts")
+    val jan = SnapshotStore.readWhere(spark, root, _ == "2024-01")
+    assert(jan.select("m").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("2024-01"))
+    // the plan's scan lists exactly one root (decided on the manifest,
+    // before any file listing)
+    val scanFiles = jan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.toString().split("\n"))
+      .filter(_.contains("snap-1")).mkString
+    assert(scanFiles.contains("__part=2024-01") ||
+      jan.inputFiles.forall(_.contains("__part=2024-01")))
+  }
+
+  test("commitDir publishes an export dir atomically; currentDir flips " +
+      "only on commit") {
+    val root = tmpRoot("exp")
+    assert(SnapshotStore.currentDir(root).isEmpty)
+    SnapshotStore.commitDir(root) { dir =>
+      CsvExport.write(mkRows(30.0).select("id", "price"), dir, shards = 2)
+    }
+    val d1 = SnapshotStore.currentDir(root).get
+    assert(new java.io.File(d1).listFiles().exists(_.getName.endsWith(".gz")))
+    SnapshotStore.commitDir(root) { dir =>
+      CsvExport.write(mkRows(99.0).select("id", "price"), dir, shards = 2)
+    }
+    val d2 = SnapshotStore.currentDir(root).get
+    assert(d1 != d2 && d2.endsWith("data/snap-2"))
+    // the first export's files are untouched (a reader mid-poll on the
+    // old pointer still has a complete shard set)
+    assert(new java.io.File(d1).listFiles().exists(_.getName.endsWith(".gz")))
+  }
+
+  test("within-partition time order survives the dynamic-partition " +
+      "writer (the sort-prefix contract)") {
+    import spark.implicits._
+    val root = tmpRoot("sorted")
+    // enough rows that a destroyed secondary sort would be visible
+    val rows = (1 to 500).map(i =>
+      (i.toLong, if (i % 2 == 0) "2024-01" else "2024-02",
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${(i * 7) % 60}%02d:${(i * 13) % 60}%02d"),
+        i.toDouble))
+    SnapshotStore.write(
+      rows.toDF("id", "m", "ts", "price").repartition(7), root, "m", "ts")
+    val m = SnapshotStore.current(root).get
+    m.entries.foreach { e =>
+      val ts = spark.read.parquet(s"$root/${e.dir}")
+        .select("ts").collect().map(_.getTimestamp(0).getTime)
+      assert(ts.sameElements(ts.sorted),
+        s"partition ${e.value} lost its time order")
+    }
+  }
+}
