@@ -153,6 +153,27 @@ class ProductQuantizerSpec extends SparkSpec {
     (0 until 4).foreach(j => assert(cmap((loG, j)) === expected(j), s"j=$j"))
   }
 
+  test("shared train-once codebook is identical to a direct retrain " +
+      "(the pq_encode/ann_pq/ann_recall lanes may share safely)") {
+    // training is deterministic (md5 init, exact integer arithmetic),
+    // so the driver-side cache behind the lane family must reproduce
+    // trainCodebooks bit for bit — this is what lets the DuckDB
+    // oracles keep replaying the FULL training chain against lanes
+    // that only paid for it once.
+    val direct = ProductQuantizer.trainCodebooks(
+      emb, "vec_id", "embedding", m = 16, k = 64, subDim = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val viaLane1 = graft.queries.PipelineQueries.pqEncode(spark, sf())
+    val viaLane2 = graft.queries.PipelineQueries.annPq(spark, sf())
+    assert(viaLane1.count() > 0 && viaLane2.count() > 0)
+    val cached = graft.queries.PipelineQueries
+      .sharedPqCodebookForTest(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(cached === direct)
+  }
+
   test("kmeans_train lane: sizes cover the corpus, 64 components each") {
     val rows = graft.queries.PipelineQueries.kmeansTrain(spark, sf())
       .collect()
