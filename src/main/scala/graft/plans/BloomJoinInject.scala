@@ -34,7 +34,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * coarse file-size-derived estimate — a large un-analyzed build scan
   * correctly declines via `maxBuildBytes`, but the relative-size test
   * is only as good as the estimates; run `ANALYZE TABLE` where the
-  * rule's choice matters, as `q34_table_stats` does). Idempotence for
+  * rule's choice matters, as `q34_table_stats` does. The full recipe
+  * for making collected stats drive PHYSICAL decisions — and the proof
+  * they do in this session configuration — is `CboStatsSpec`:
+  * `spark.sql.cbo.enabled=true` (off by default) plus
+  * `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS <filter cols>`
+  * flips a filtered-fact join from sort-merge to broadcast at plan
+  * time, and `spark.sql.cbo.joinReorder.enabled=true` additionally
+  * reorders multi-join trees once every input has row counts).
+  * Idempotence for
   * the fixed-point batch `experimental.extraOptimizations` runs in is
   * scoped PER JOIN: a probe subtree already filtered by
   * `might_contain(..., xxhash64(<same key>))` declines — so one join
