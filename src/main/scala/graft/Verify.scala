@@ -6,9 +6,23 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg (local dev only): comma-separated query-name filter
+    // optional 3rd arg (local dev only): either a comma-separated
+    // query-name filter, or "shard=i/n" — run every i-th lane of the
+    // sorted registry. tools/verify_sharded.sh launches n isolated
+    // JVMs (own tmpdir + warehouse) so the full gate runs in parallel
+    // wall time; the driver's plain 2-arg invocation is unchanged.
+    val shardSpec = args.lift(2).filter(_.startsWith("shard="))
+      .map { s =>
+        val Array(i, n) = s.stripPrefix("shard=").split("/").map(_.toInt)
+        require(n > 0 && i >= 0 && i < n, s"bad shard spec $s"); (i, n)
+      }
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && shardSpec.isEmpty) Some(args(2).split(",").toSet)
+      else None
+    val errFileName = shardSpec match {
+      case Some((i, n)) => s"verify_errors_shard_${i}_of_$n.json"
+      case None => "verify_errors.json"
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,6 +45,10 @@ object Verify {
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .zipWithIndex
+      .filter { case (_, idx) =>
+        shardSpec.forall { case (i, n) => idx % n == i } }
+      .map(_._1)
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -57,7 +75,7 @@ object Verify {
     val errJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    Files.writeString(Paths.get(s"$outDir/$errFileName"), errJson)
     // rc stays 0 — the 159 dumped lanes must still reach the driver's
     // compare; the artifact + stderr line carry the failure signal.
     if (failed.nonEmpty)
