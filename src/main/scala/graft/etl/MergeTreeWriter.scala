@@ -76,9 +76,22 @@ object MergeTreeWriter {
     * partitions, time-sorted rows, one file per month — restoring the
     * row-group min/max data skipping appends dilute. The analogue of a
     * MergeTree background merge, run as a scheduled batch job off the
-    * hot append path. */
+    * hot append path.
+    *
+    * CONTRACT: `dst` must differ from `src` — this writer compacts to
+    * a NEW path (readers of `src` are untouched; the caller swaps
+    * consumers over when done). Compacting in place would overwrite
+    * the directory a concurrent reader is listing. Enforced, not just
+    * documented. For in-place-at-the-table-root compaction with
+    * snapshot isolation, use [[SnapshotStore.compact]] — its manifest
+    * pointer makes the swap atomic. */
   def compact(spark: SparkSession, src: String, dst: String,
       monthCol: String = "pickup_month",
-      sortCol: String = "pickup_datetime"): Unit =
+      sortCol: String = "pickup_datetime"): Unit = {
+    require(new java.io.File(dst).getCanonicalPath !=
+      new java.io.File(src).getCanonicalPath,
+      s"compact writes to a NEW path; in-place compaction of $src " +
+        "would race concurrent readers (use SnapshotStore.compact)")
     write(read(spark, src), dst, monthCol, sortCol)
+  }
 }

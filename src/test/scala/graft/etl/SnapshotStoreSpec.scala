@@ -128,6 +128,18 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.write(mkRows(1.0), root, "m", "ts") === 4L)
   }
 
+  test("MergeTreeWriter.compact refuses in-place compaction (its " +
+      "contract is compact-to-a-NEW-path; SnapshotStore owns in-place)") {
+    intercept[IllegalArgumentException] {
+      MergeTreeWriter.compact(spark, "/tmp/graft_same_dir",
+        "/tmp/graft_same_dir")
+    }
+    intercept[IllegalArgumentException] { // path-normalized, not string
+      MergeTreeWriter.compact(spark, "/tmp/graft_same_dir",
+        "/tmp/./graft_same_dir/")
+    }
+  }
+
   test("manifest-entry pruning reads only the kept partition's dir") {
     val root = tmpRoot("prune")
     SnapshotStore.write(mkRows(30.0), root, "m", "ts")
