@@ -159,8 +159,21 @@ object SnapshotStore {
     }
   }
 
-  private def allocateId(root: String): Long =
-    (0L +: retainedIds(root)).max + 1
+  /** Next id = 1 + max over BOTH retained manifests and existing snap
+    * dirs: a crash between the data write and the manifest publish
+    * leaves an orphaned `data/snap-N` with no manifest — if ids came
+    * from manifests alone, the next commit would reuse N and die on
+    * the writer's `errorifexists`, wedging the table permanently. The
+    * orphan itself is harmless (no manifest references it; [[expire]]
+    * removes it with the other unreferenced dirs). */
+  private def allocateId(root: String): Long = {
+    val dataDir = new java.io.File(s"$root/data")
+    val dirIds = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+      .flatMap(f => f.getName.stripPrefix("snap-").toLongOption)
+      .toSeq
+    (0L +: (retainedIds(root) ++ dirIds)).max + 1
+  }
 
   // ---- public writer API -------------------------------------------------
 
@@ -252,6 +265,11 @@ object SnapshotStore {
       .foreach(deleteRecursively)
     ids.filterNot(keep).foreach(id =>
       Files.deleteIfExists(dir.resolve(s"manifest-$id")))
+    // torn pointer staging files from a crash mid-publish are inert
+    // (the atomic move never happened) — sweep them here too
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".MANIFEST.tmp-"))
+      .foreach(_.delete())
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

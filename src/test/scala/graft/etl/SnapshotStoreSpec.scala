@@ -128,6 +128,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.write(mkRows(1.0), root, "m", "ts") === 4L)
   }
 
+  test("a crash between data write and manifest publish cannot wedge " +
+      "the table: orphaned snap dirs are skipped by id allocation, " +
+      "invisible to readers, and swept by expire") {
+    val root = tmpRoot("crash")
+    SnapshotStore.write(mkRows(30.0), root, "m", "ts")
+    // simulate the crash artifacts: a data dir with no manifest, and a
+    // torn pointer staging file
+    val orphan = new java.io.File(s"$root/data/snap-2/__part=2024-01")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/.MANIFEST.tmp-2"), "torn")
+    // readers are unaffected (no manifest references the orphan)
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 60.0))
+    // the next commit must NOT reuse id 2 (errorifexists would wedge)
+    val id = SnapshotStore.overwritePartitions(
+      mkRows(99.0).filter(col("m") === "2024-02"), root, "m", "ts")
+    assert(id === 3L)
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 198.0))
+    // expire sweeps the orphan and the torn staging file
+    SnapshotStore.expire(root, keepLast = 2)
+    assert(!new java.io.File(s"$root/data/snap-2").exists())
+    assert(!new java.io.File(s"$root/.MANIFEST.tmp-2").exists())
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 198.0))
+  }
+
   test("MergeTreeWriter.compact refuses in-place compaction (its " +
       "contract is compact-to-a-NEW-path; SnapshotStore owns in-place)") {
     intercept[IllegalArgumentException] {
