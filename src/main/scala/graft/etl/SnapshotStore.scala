@@ -54,26 +54,60 @@ import org.apache.spark.sql.functions._
 object SnapshotStore {
 
   /** One partition of one snapshot: partition VALUE (as written in the
-    * `__part=` dir name) → data dir RELATIVE to the table root. */
+    * `__part=` dir name) → data dir RELATIVE to the table root. The
+    * manifest also records the table SCHEMA as of its commit (schema
+    * evolution: a backfill adding a column merges it in; readers apply
+    * the manifest schema to every listed dir in O(1) — old files'
+    * missing columns read as null, no per-file footer merging). */
   final case class Entry(value: String, dir: String)
-  final case class Manifest(id: Long, entries: Seq[Entry])
+  final case class Manifest(id: Long, entries: Seq[Entry],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private val PartKey = "__part"
 
   // ---- manifest encoding -------------------------------------------------
 
   private def render(m: Manifest): String =
-    (s"id=${m.id}" +: m.entries.sortBy(_.value)
-      .map(e => s"${e.value}\t${e.dir}")).mkString("", "\n", "\n")
+    (Seq(s"id=${m.id}") ++
+      m.schema.map(s => s"schema=${s.json}") ++
+      m.entries.sortBy(_.value).map(e => s"${e.value}\t${e.dir}"))
+      .mkString("", "\n", "\n")
 
   private def parse(p: Path): Manifest = {
     val lines = Files.readString(p, StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
     val id = lines.head.stripPrefix("id=").toLong
-    Manifest(id, lines.tail.map { l =>
+    val (schemaLines, entryLines) =
+      lines.tail.partition(_.startsWith("schema="))
+    val schema = schemaLines.headOption.map(l =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(l.stripPrefix("schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    Manifest(id, entryLines.map { l =>
       val Array(v, dir) = l.split("\t", 2)
       Entry(v, dir)
-    })
+    }, schema)
+  }
+
+  /** Evolution merge: the prior schema's fields keep their order and
+    * types; fields new in `next` append. A same-name field must keep
+    * its exact type — silent widening/narrowing across a backfill is a
+    * data bug, so it fails the COMMIT, not some later read. */
+  private def mergeSchemas(
+      prior: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    prior.fields.foreach { pf =>
+      nextByName.get(pf.name).foreach { nf =>
+        require(nf.dataType == pf.dataType,
+          s"schema evolution cannot change column '${pf.name}' from " +
+            s"${pf.dataType.simpleString} to ${nf.dataType.simpleString}")
+      }
+    }
+    val priorNames = prior.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      prior.fields ++ next.fields.filterNot(f => priorNames(f.name)))
   }
 
   /** Write manifest-<id> to the history dir, fsync it, then publish it
@@ -183,7 +217,7 @@ object SnapshotStore {
       sortCol: String): Long = {
     val id = allocateId(root)
     val entries = writeSnapData(df, root, id, partCol, sortCol)
-    commitManifest(root, Manifest(id, entries))
+    commitManifest(root, Manifest(id, entries, Some(df.schema)))
     id
   }
 
@@ -196,11 +230,16 @@ object SnapshotStore {
       sortCol: String): Long = {
     val prior = current(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root to backfill"))
+    // schema evolution happens at the COMMIT boundary: a backfill
+    // adding columns appends them to the table schema; a type change
+    // fails here, before any pointer moves
+    val merged = prior.schema.map(mergeSchemas(_, df.schema))
+      .getOrElse(df.schema)
     val id = allocateId(root)
     val fresh = writeSnapData(df, root, id, partCol, sortCol)
     val restated = fresh.map(_.value).toSet
     val carried = prior.entries.filterNot(e => restated(e.value))
-    commitManifest(root, Manifest(id, carried ++ fresh))
+    commitManifest(root, Manifest(id, carried ++ fresh, Some(merged)))
     id
   }
 
@@ -239,7 +278,15 @@ object SnapshotStore {
   private def readManifest(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
     require(m.entries.nonEmpty, s"snapshot ${m.id} at $root lists no data")
-    spark.read.parquet(m.entries.map(e => s"$root/${e.dir}"): _*)
+    val paths = m.entries.map(e => s"$root/${e.dir}")
+    m.schema match {
+      // the manifest schema applies to every dir it lists: columns a
+      // pre-evolution dir's files lack read as null — O(1), decided on
+      // the manifest, no per-file footer merge (mergeSchema would read
+      // every footer; at 100 TB that is a listing-scale job of its own)
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   // ---- retention ---------------------------------------------------------

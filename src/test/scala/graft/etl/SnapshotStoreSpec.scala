@@ -128,6 +128,45 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.write(mkRows(1.0), root, "m", "ts") === 4L)
   }
 
+  test("schema evolution: a backfill adding a column merges it into " +
+      "the table schema; old dirs read null, type changes fail the " +
+      "commit, time travel keeps the old shape") {
+    import spark.implicits._
+    val root = tmpRoot("evolve")
+    val id1 = SnapshotStore.write(mkRows(30.0), root, "m", "ts")
+    // restate 2024-02 with a NEW column
+    val withNote = mkRows(99.0).filter(col("m") === "2024-02")
+      .withColumn("note", concat(lit("n"), col("id")))
+    SnapshotStore.overwritePartitions(withNote, root, "m", "ts")
+    val cur = SnapshotStore.read(spark, root)
+    assert(cur.columns.toSeq === Seq("id", "m", "ts", "price", "note"))
+    val notes = cur.select("m", "note").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toSet
+    // carried January dirs: null note; restated February: real values
+    assert(notes === Set("2024-01" -> None,
+      "2024-02" -> Some("n3"), "2024-02" -> Some("n4")))
+    // time travel replays the PRE-evolution schema
+    assert(SnapshotStore.read(spark, root, asOf = Some(id1))
+      .columns.toSeq === Seq("id", "m", "ts", "price"))
+    // a type change is refused at the commit boundary, pointer unmoved
+    val before = SnapshotStore.current(root).get.id
+    intercept[IllegalArgumentException] {
+      SnapshotStore.overwritePartitions(
+        mkRows(1.0).filter(col("m") === "2024-02")
+          .withColumn("price", col("price").cast("string")),
+        root, "m", "ts")
+    }
+    assert(SnapshotStore.current(root).get.id === before)
+    // a backfill MISSING an evolved column keeps it in the schema;
+    // the restated rows read it as null
+    SnapshotStore.overwritePartitions(
+      mkRows(7.0).filter(col("m") === "2024-02"), root, "m", "ts")
+    val after = SnapshotStore.read(spark, root)
+    assert(after.columns.contains("note"))
+    assert(after.filter(col("m") === "2024-02" && col("note").isNotNull)
+      .count() === 0)
+  }
+
   test("a crash between data write and manifest publish cannot wedge " +
       "the table: orphaned snap dirs are skipped by id allocation, " +
       "invisible to readers, and swept by expire") {
