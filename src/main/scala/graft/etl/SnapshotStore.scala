@@ -211,9 +211,38 @@ object SnapshotStore {
 
   // ---- public writer API -------------------------------------------------
 
+  /** Writer mutual exclusion: without it, two concurrent backfills of
+    * DIFFERENT partitions race — both read the same prior manifest, so
+    * the second publish silently carries a stale entry set that omits
+    * the first's restatement (a lost update; the id-allocation race is
+    * already loud via `errorifexists`, the manifest race is not). A
+    * per-root JVM monitor serializes threads in one process; a
+    * `FileLock` on `.commit.lock` serializes processes on one host.
+    * Cross-HOST writers need an external coordinator (the standard
+    * table-format story — a metastore lock or equivalent), documented
+    * not solved: readers never need any of this. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withCommitLock[T](root: String)(f: => T): T = {
+    val key = new java.io.File(root).getCanonicalPath
+    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(Paths.get(root))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, ".commit.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try f finally l.release() }
+      finally ch.close()
+    }
+  }
+
   /** Full-table snapshot: every partition written fresh, committed as
     * one atomic pointer swap. Returns the snapshot id. */
   def write(df: DataFrame, root: String, partCol: String,
+      sortCol: String): Long =
+    withCommitLock(root)(writeLocked(df, root, partCol, sortCol))
+
+  private def writeLocked(df: DataFrame, root: String, partCol: String,
       sortCol: String): Long = {
     val id = allocateId(root)
     val entries = writeSnapData(df, root, id, partCol, sortCol)
@@ -227,7 +256,7 @@ object SnapshotStore {
     * forward by reference. Cost ∝ restated data; visibility flips for
     * all restated partitions at once. */
   def overwritePartitions(df: DataFrame, root: String, partCol: String,
-      sortCol: String): Long = {
+      sortCol: String): Long = withCommitLock(root) {
     val prior = current(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root to backfill"))
     // schema evolution happens at the COMMIT boundary: a backfill
@@ -248,10 +277,13 @@ object SnapshotStore {
     * pointer — in place at the table root, yet readers on the old
     * manifest are untouched (old dirs are immutable; [[expire]] is the
     * only deleter). This is the contract the in-place
-    * [[MergeTreeWriter.compact]] cannot offer. */
+    * [[MergeTreeWriter.compact]] cannot offer. Holds the commit lock
+    * across read+rewrite so an interleaved backfill can't be reverted
+    * by a compaction of the snapshot that preceded it. */
   def compact(spark: SparkSession, root: String, partCol: String,
-      sortCol: String): Long =
-    write(read(spark, root), root, partCol, sortCol)
+      sortCol: String): Long = withCommitLock(root) {
+    writeLocked(read(spark, root), root, partCol, sortCol)
+  }
 
   // ---- readers -----------------------------------------------------------
 
@@ -295,7 +327,7 @@ object SnapshotStore {
     * is always among them) and delete every data dir no retained
     * manifest references. Bounds disk growth; readers within the
     * retention horizon are never invalidated. */
-  def expire(root: String, keepLast: Int): Unit = {
+  def expire(root: String, keepLast: Int): Unit = withCommitLock(root) {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val dir = Paths.get(root, "manifests")
     if (!Files.exists(dir)) return
@@ -331,13 +363,14 @@ object SnapshotStore {
     * fresh snap dir, then one atomic swap publishes it. A consumer
     * polling the export location resolves [[currentDir]] and never
     * sees a half-written shard set. */
-  def commitDir(root: String)(writeTo: String => Unit): Long = {
-    val id = allocateId(root)
-    val rel = s"data/snap-$id"
-    writeTo(s"$root/$rel")
-    commitManifest(root, Manifest(id, Seq(Entry("", rel))))
-    id
-  }
+  def commitDir(root: String)(writeTo: String => Unit): Long =
+    withCommitLock(root) {
+      val id = allocateId(root)
+      val rel = s"data/snap-$id"
+      writeTo(s"$root/$rel")
+      commitManifest(root, Manifest(id, Seq(Entry("", rel))))
+      id
+    }
 
   /** The current committed dir of a [[commitDir]]-managed location. */
   def currentDir(root: String): Option[String] =

@@ -128,6 +128,41 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.write(mkRows(1.0), root, "m", "ts") === 4L)
   }
 
+  test("two concurrent writers backfilling DIFFERENT partitions lose " +
+      "no update: the commit lock serializes read-prior → publish") {
+    import spark.implicits._
+    val root = tmpRoot("writers")
+    SnapshotStore.write(mkRows(0.0), root, "m", "ts")
+    // thread A restates 2024-01 k times; thread B restates 2024-02 k
+    // times; without the commit lock a publish can carry a prior
+    // manifest that predates the other thread's commit — silently
+    // reverting that month (the lost update)
+    val k = 6
+    def backfill(month: String, v: Double): Unit = {
+      val rows = Seq(
+        (10L, month, java.sql.Timestamp.valueOf(s"$month-05 00:00:00"), v),
+        (11L, month, java.sql.Timestamp.valueOf(s"$month-25 00:00:00"), v))
+        .toDF("id", "m", "ts", "price")
+      SnapshotStore.overwritePartitions(rows, root, "m", "ts")
+    }
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    def writer(month: String): Thread = {
+      val t = new Thread(() => {
+        try (1 to k).foreach(i => backfill(month, i.toDouble))
+        catch { case e: Throwable => err.compareAndSet(null, e) }
+      })
+      t.start(); t
+    }
+    val (a, b) = (writer("2024-01"), writer("2024-02"))
+    a.join(120000); b.join(120000)
+    assert(err.get() == null, String.valueOf(err.get()))
+    // BOTH months show their final restatement — neither was reverted
+    assert(state(root) ===
+      Map("2024-01" -> 2.0 * k, "2024-02" -> 2.0 * k))
+    // and the history is a strictly increasing id chain of 2k commits
+    assert(SnapshotStore.current(root).get.id === 1L + 2 * k)
+  }
+
   test("schema evolution: a backfill adding a column merges it into " +
       "the table schema; old dirs read null, type changes fail the " +
       "commit, time travel keeps the old shape") {
