@@ -65,12 +65,44 @@ object SnapshotStore {
 
   private val PartKey = "__part"
 
+  // ---- partition-value escaping ------------------------------------------
+
+  /** Spark's dynamic-partition writer escapes special characters in
+    * directory names as %XX (escapePathName: '/', ':', '=', '%', and
+    * control chars among others). `Entry.value` carries the REAL
+    * value — decoded when listing written dirs, re-encoded (only the
+    * characters that would break the line format: '%', tab, newline,
+    * CR) when rendering manifest lines — so `readWhere` predicates
+    * match what the user actually wrote, not the escaped dir token. */
+  private def unescapeToken(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def escapeValue(s: String): String =
+    s.flatMap {
+      case c @ ('%' | '\t' | '\n' | '\r') => f"%%${c.toInt}%02X"
+      case c => c.toString
+    }
+
   // ---- manifest encoding -------------------------------------------------
 
   private def render(m: Manifest): String =
     (Seq(s"id=${m.id}") ++
       m.schema.map(s => s"schema=${s.json}") ++
-      m.entries.sortBy(_.value).map(e => s"${e.value}\t${e.dir}"))
+      m.entries.sortBy(_.value)
+        .map(e => s"${escapeValue(e.value)}\t${e.dir}"))
       .mkString("", "\n", "\n")
 
   private def parse(p: Path): Manifest = {
@@ -85,7 +117,7 @@ object SnapshotStore {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     Manifest(id, entryLines.map { l =>
       val Array(v, dir) = l.split("\t", 2)
-      Entry(v, dir)
+      Entry(unescapeToken(v), dir)
     }, schema)
   }
 
@@ -163,7 +195,10 @@ object SnapshotStore {
       .repartition(col(PartKey))
       .sortWithinPartitions(col(PartKey), col(sortCol))
       .write.mode("errorifexists").partitionBy(PartKey).parquet(dataDir)
-    listParts(dataDir).map(v => Entry(v, s"$rel/$PartKey=$v"))
+    // dir tokens are Spark-escaped; the Entry keeps the escaped token
+    // in its PATH and the decoded value in its VALUE
+    listParts(dataDir).map(tok =>
+      Entry(unescapeToken(tok), s"$rel/$PartKey=$tok"))
   }
 
   private def listParts(dataDir: String): Seq[String] = {
@@ -299,12 +334,21 @@ object SnapshotStore {
 
   /** Manifest-entry pruning: partition pruning decided on the ~KB
     * manifest, before any file listing — at 100 TB a one-month read
-    * plans one directory. */
+    * plans one directory. The predicate sees the REAL partition value
+    * (unescaped); a prune keeping nothing returns an EMPTY frame with
+    * the table schema, like any other no-matching-partition query. */
   def readWhere(spark: SparkSession, root: String,
       keep: String => Boolean): DataFrame = {
     val m = current(root)
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
-    readManifest(spark, root, Manifest(m.id, m.entries.filter(e => keep(e.value))))
+    val kept = m.entries.filter(e => keep(e.value))
+    if (kept.isEmpty) {
+      val schema = m.schema.getOrElse(throw new IllegalStateException(
+        s"prune kept no partitions and snapshot ${m.id} at $root " +
+          "predates schema-carrying manifests — cannot type the empty result"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readManifest(spark, root, Manifest(m.id, kept, m.schema))
   }
 
   private def readManifest(spark: SparkSession, root: String,

@@ -303,24 +303,31 @@ object EtlQueries {
     * month restated and every other month byte-identical to the
     * original load — which is precisely what the DuckDB oracle
     * replays. Job cost is proportional to the restated month only. */
-  def backfillOverwrite: Q = (s, d) => {
-    val out = tmp("backfill", d)
-    val orders = Tables.orders(s, d)
+  /** orders + derived month, and the corrected restatement of its
+    * latest month (every 10th order dropped, +5.00 adjustment) — ONE
+    * definition shared by the in-place and snapshot backfill lanes, so
+    * a tweak here cannot desynchronize either lane from their shared
+    * oracle replay. */
+  private def ordersWithMonth(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
       .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
-    MergeTreeWriter.write(orders, out, monthCol = "order_month",
-      sortCol = "o_orderdate")
+
+  private def correctedLastMonth(orders: DataFrame): DataFrame = {
     val lastMonth = orders.agg(max(col("order_month"))).head().getString(0)
-    val corrected = orders
+    orders
       .filter(col("order_month") === lastMonth)
       .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
       .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
-    MergeTreeWriter.overwritePartitions(corrected, out,
+  }
+
+  def backfillOverwrite: Q = (s, d) => {
+    val out = tmp("backfill", d)
+    val orders = ordersWithMonth(s, d)
+    MergeTreeWriter.write(orders, out, monthCol = "order_month",
+      sortCol = "o_orderdate")
+    MergeTreeWriter.overwritePartitions(correctedLastMonth(orders), out,
       monthCol = "order_month", sortCol = "o_orderdate")
-    MergeTreeWriter.read(s, out)
-      .groupBy("order_month")
-      .agg(count(lit(1)).as("cnt"),
-        round(sum(col("o_totalprice").cast("decimal(38,8)"))
-          .cast("double"), 4).as("sum_price"))
+    monthAgg(MergeTreeWriter.read(s, out))
   }
 
   /** Snapshot-store lanes share one two-snapshot history per (JVM,
@@ -340,18 +347,11 @@ object EtlQueries {
             f.delete(); ()
           }
           rm(new java.io.File(root))
-          val orders = Tables.orders(s, d).withColumn("order_month",
-            date_format(col("o_orderdate"), "yyyy-MM"))
+          val orders = ordersWithMonth(s, d)
           val id1 = SnapshotStore.write(orders, root,
             partCol = "order_month", sortCol = "o_orderdate")
-          val lastMonth =
-            orders.agg(max(col("order_month"))).head().getString(0)
-          val corrected = orders
-            .filter(col("order_month") === lastMonth)
-            .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
-            .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
-          SnapshotStore.overwritePartitions(corrected, root,
-            partCol = "order_month", sortCol = "o_orderdate")
+          SnapshotStore.overwritePartitions(correctedLastMonth(orders),
+            root, partCol = "order_month", sortCol = "o_orderdate")
           snapPrepared(root) = id1
           (root, id1)
       }

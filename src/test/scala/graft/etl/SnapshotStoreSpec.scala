@@ -254,6 +254,41 @@ class SnapshotStoreSpec extends SparkSpec {
       jan.inputFiles.forall(_.contains("__part=2024-01")))
   }
 
+  test("readWhere carries the manifest schema (evolved columns survive " +
+      "a prune), returns a typed EMPTY frame for a no-match prune, and " +
+      "predicates see the real partition value, not the escaped token") {
+    import spark.implicits._
+    val root = tmpRoot("rw")
+    SnapshotStore.write(mkRows(30.0), root, "m", "ts")
+    SnapshotStore.overwritePartitions(
+      mkRows(99.0).filter(col("m") === "2024-02")
+        .withColumn("note", lit("x")), root, "m", "ts")
+    // pruned read of the CARRIED pre-evolution dir still has the
+    // evolved column (null-filled) — the manifest schema applies
+    val jan = SnapshotStore.readWhere(spark, root, _ == "2024-01")
+    assert(jan.columns.toSeq === Seq("id", "m", "ts", "price", "note"))
+    assert(jan.count() === 2 &&
+      jan.filter(col("note").isNotNull).count() === 0)
+    // a prune keeping nothing is a normal empty result, not a crash
+    val none = SnapshotStore.readWhere(spark, root, _ == "2025-12")
+    assert(none.columns.toSeq === Seq("id", "m", "ts", "price", "note"))
+    assert(none.count() === 0)
+
+    // partition values Spark must escape in dir names ('/', ':')
+    // round-trip: the manifest stores real values, readWhere matches
+    // them, and the dirs on disk are the escaped tokens
+    val root2 = tmpRoot("esc")
+    val odd = Seq(
+      (1L, "2024/01:a", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 1.0),
+      (2L, "2024/02:b", java.sql.Timestamp.valueOf("2024-02-03 00:00:00"), 2.0))
+      .toDF("id", "m", "ts", "price")
+    SnapshotStore.write(odd, root2, "m", "ts")
+    assert(SnapshotStore.current(root2).get.entries.map(_.value).sorted
+      === Seq("2024/01:a", "2024/02:b"))
+    val one = SnapshotStore.readWhere(spark, root2, _ == "2024/01:a")
+    assert(one.count() === 1 && one.head().getString(1) === "2024/01:a")
+  }
+
   test("commitDir publishes an export dir atomically; currentDir flips " +
       "only on commit") {
     val root = tmpRoot("exp")

@@ -21,7 +21,10 @@ cd "$(dirname "$0")/.."
 # (cached — sbt startup would otherwise serialize the shards again).
 sbt -batch compile >/dev/null
 CP_FILE=target/graft_runtime_classpath.txt
-if [ ! -s "$CP_FILE" ]; then
+# regenerate when missing OR when build.sbt changed since the cache was
+# written — a dependency bump must reach the shard JVMs, not only the
+# sbt-launched gate
+if [ ! -s "$CP_FILE" ] || [ build.sbt -nt "$CP_FILE" ]; then
   sbt -batch -error "export Runtime/fullClasspath" 2>/dev/null \
     | grep "target/scala-2.13/classes" | tail -1 > "$CP_FILE".tmp
   grep -q "classes:" "$CP_FILE".tmp  # refuse a mangled export
