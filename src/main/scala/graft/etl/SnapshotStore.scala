@@ -70,10 +70,18 @@ object SnapshotStore {
   /** Spark's dynamic-partition writer escapes special characters in
     * directory names as %XX (escapePathName: '/', ':', '=', '%', and
     * control chars among others). `Entry.value` carries the REAL
-    * value — decoded when listing written dirs, re-encoded (only the
-    * characters that would break the line format: '%', tab, newline,
-    * CR) when rendering manifest lines — so `readWhere` predicates
-    * match what the user actually wrote, not the escaped dir token. */
+    * value — decoded when listing written dirs with SPARK'S OWN
+    * inverse (so the pair can never drift across Spark upgrades) — so
+    * `readWhere` predicates match what the user actually wrote, not
+    * the escaped dir token. Manifest LINES use a separate pair below:
+    * escape '%', '=', tab, newline, CR — '=' because a raw value
+    * starting with "schema=" (or "id=") would otherwise collide with
+    * the header-line format and be mis-parsed as a header, silently
+    * dropping the partition from every future manifest. */
+  private def unescapeDirToken(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
+
   private def unescapeToken(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
@@ -92,7 +100,7 @@ object SnapshotStore {
 
   private def escapeValue(s: String): String =
     s.flatMap {
-      case c @ ('%' | '\t' | '\n' | '\r') => f"%%${c.toInt}%02X"
+      case c @ ('%' | '=' | '\t' | '\n' | '\r') => f"%%${c.toInt}%02X"
       case c => c.toString
     }
 
@@ -198,7 +206,7 @@ object SnapshotStore {
     // dir tokens are Spark-escaped; the Entry keeps the escaped token
     // in its PATH and the decoded value in its VALUE
     listParts(dataDir).map(tok =>
-      Entry(unescapeToken(tok), s"$rel/$PartKey=$tok"))
+      Entry(unescapeDirToken(tok), s"$rel/$PartKey=$tok"))
   }
 
   private def listParts(dataDir: String): Seq[String] = {
@@ -256,18 +264,38 @@ object SnapshotStore {
     * Cross-HOST writers need an external coordinator (the standard
     * table-format story — a metastore lock or equivalent), documented
     * not solved: readers never need any of this. */
+  /** Per-root lock state: the monitor serializes threads (reentrant),
+    * `depth` makes the FILE lock reentrant too — a nested acquisition
+    * on the same root in the same thread must compose (e.g. a caller
+    * running expire inside commitDir), not die on
+    * OverlappingFileLockException from a second channel. */
+  private final class RootLock {
+    var depth = 0
+    var ch: java.nio.channels.FileChannel = _
+    var fl: java.nio.channels.FileLock = _
+  }
   private val jvmLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    new java.util.concurrent.ConcurrentHashMap[String, RootLock]()
   private def withCommitLock[T](root: String)(f: => T): T = {
     val key = new java.io.File(root).getCanonicalPath
-    val monitor = jvmLocks.computeIfAbsent(key, _ => new Object)
-    monitor.synchronized {
-      Files.createDirectories(Paths.get(root))
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(root, ".commit.lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try { val l = ch.lock(); try f finally l.release() }
-      finally ch.close()
+    val rl = jvmLocks.computeIfAbsent(key, _ => new RootLock)
+    rl.synchronized {
+      if (rl.depth == 0) {
+        Files.createDirectories(Paths.get(root))
+        rl.ch = java.nio.channels.FileChannel.open(
+          Paths.get(root, ".commit.lock"),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try rl.fl = rl.ch.lock()
+        catch { case e: Throwable => rl.ch.close(); rl.ch = null; throw e }
+      }
+      rl.depth += 1
+      try f
+      finally {
+        rl.depth -= 1
+        if (rl.depth == 0) {
+          try rl.fl.release() finally { rl.ch.close(); rl.ch = null; rl.fl = null }
+        }
+      }
     }
   }
 
@@ -291,7 +319,17 @@ object SnapshotStore {
     * forward by reference. Cost ∝ restated data; visibility flips for
     * all restated partitions at once. */
   def overwritePartitions(df: DataFrame, root: String, partCol: String,
-      sortCol: String): Long = withCommitLock(root) {
+      sortCol: String): Long = {
+    // existence precheck BEFORE the lock: a typo'd root must throw
+    // without leaving a phantom directory + lock file behind. The
+    // authoritative read still happens under the lock.
+    if (current(root).isEmpty)
+      throw new IllegalStateException(s"no snapshot at $root to backfill")
+    withCommitLock(root)(overwritePartitionsLocked(df, root, partCol, sortCol))
+  }
+
+  private def overwritePartitionsLocked(df: DataFrame, root: String,
+      partCol: String, sortCol: String): Long = {
     val prior = current(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root to backfill"))
     // schema evolution happens at the COMMIT boundary: a backfill
@@ -371,28 +409,44 @@ object SnapshotStore {
     * is always among them) and delete every data dir no retained
     * manifest references. Bounds disk growth; readers within the
     * retention horizon are never invalidated. */
-  def expire(root: String, keepLast: Int): Unit = withCommitLock(root) {
+  def expire(root: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must retain at least the current snapshot")
-    val dir = Paths.get(root, "manifests")
-    if (!Files.exists(dir)) return
-    val ids = retainedIds(root)
-    val keep = ids.takeRight(keepLast).toSet
-    val referenced = keep.flatMap(id =>
-      manifestAt(root, id).entries.map(e =>
-        // a dir reference pins its whole snap dir
-        e.dir.split("/").take(2).mkString("/")))
-    // delete unreferenced snap dirs, then dropped manifests
-    val dataDir = new java.io.File(s"$root/data")
-    Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !referenced(s"data/${f.getName}"))
-      .foreach(deleteRecursively)
-    ids.filterNot(keep).foreach(id =>
-      Files.deleteIfExists(dir.resolve(s"manifest-$id")))
-    // torn pointer staging files from a crash mid-publish are inert
-    // (the atomic move never happened) — sweep them here too
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(".MANIFEST.tmp-"))
-      .foreach(_.delete())
+    // existence precheck BEFORE the lock: expire on a nonexistent root
+    // stays a pure no-op (no phantom dir + lock file)
+    if (!Files.exists(Paths.get(root, "manifests"))) return
+    withCommitLock(root) {
+      val dir = Paths.get(root, "manifests")
+      val ids = retainedIds(root)
+      // the LIVE POINTER is authoritative, not the history listing: a
+      // crash between the history write and the pointer swap leaves a
+      // manifest-N in history that MANIFEST never adopted — keeping
+      // only the newest history files would then delete dirs the live
+      // pointer still references (current-state data loss). Pin the
+      // pointer's manifest and dirs unconditionally.
+      val live = current(root)
+      val keep = ids.takeRight(keepLast).toSet ++ live.map(_.id)
+      val referenced =
+        (keep.flatMap { id =>
+          // the live pointer's entries are pinned via `live` below even
+          // if its history file is gone (lost to a pre-fix expire)
+          if (Files.exists(dir.resolve(s"manifest-$id")))
+            manifestAt(root, id).entries
+          else Seq.empty
+        } ++ live.toSeq.flatMap(_.entries))
+          .map(e => e.dir.split("/").take(2).mkString("/"))
+      // delete unreferenced snap dirs, then dropped manifests
+      val dataDir = new java.io.File(s"$root/data")
+      Option(dataDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !referenced(s"data/${f.getName}"))
+        .foreach(deleteRecursively)
+      ids.filterNot(keep).foreach(id =>
+        Files.deleteIfExists(dir.resolve(s"manifest-$id")))
+      // torn pointer staging files from a crash mid-publish are inert
+      // (the atomic move never happened) — sweep them here too
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".MANIFEST.tmp-"))
+        .foreach(_.delete())
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -289,6 +289,66 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(one.count() === 1 && one.head().getString(1) === "2024/01:a")
   }
 
+  test("hostile partition values survive the manifest format: a value " +
+      "spelled 'schema=x' cannot be mis-parsed as the header line") {
+    import spark.implicits._
+    val root = tmpRoot("hostile")
+    val rows = Seq(
+      (1L, "schema=x", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 1.0),
+      (2L, "id=9", java.sql.Timestamp.valueOf("2024-02-03 00:00:00"), 2.0))
+      .toDF("id", "m", "ts", "price")
+    SnapshotStore.write(rows, root, "m", "ts")
+    // both partitions survive the render→parse round trip AND the read
+    val m = SnapshotStore.current(root).get
+    assert(m.entries.map(_.value).sorted === Seq("id=9", "schema=x"))
+    assert(m.schema.isDefined) // the real header also survived
+    assert(SnapshotStore.read(spark, root).count() === 2)
+    assert(SnapshotStore.readWhere(spark, root, _ == "schema=x")
+      .count() === 1)
+  }
+
+  test("expire pins the LIVE pointer's dirs even when a crash left a " +
+      "newer unadopted manifest in history") {
+    val root = tmpRoot("expcrash")
+    SnapshotStore.write(mkRows(30.0), root, "m", "ts")
+    SnapshotStore.overwritePartitions(
+      mkRows(99.0).filter(col("m") === "2024-02"), root, "m", "ts")
+    // simulate a crash inside commitManifest: manifest-3 reached
+    // history but the pointer swap never happened — MANIFEST still
+    // names snapshot 2's dirs, and manifest-3 references a snap-3 dir
+    // that was never fully committed
+    val m3 = java.nio.file.Paths.get(root, "manifests/manifest-3")
+    java.nio.file.Files.writeString(m3, "id=3\nv\tdata/snap-3\n")
+    SnapshotStore.expire(root, keepLast = 1)
+    // the live pointer's table is intact — snap-1's carried January
+    // dir and snap-2's February dir were pinned by the POINTER, not
+    // the history listing
+    assert(state(root) === Map("2024-01" -> 30.0, "2024-02" -> 198.0))
+  }
+
+  test("the commit lock is reentrant on one root and does not create " +
+      "phantom table dirs for failing operations") {
+    // nested public-API composition under one lock must not die on
+    // OverlappingFileLockException
+    val root = tmpRoot("reent")
+    SnapshotStore.commitDir(root) { dir =>
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "f.txt"), "x")
+      SnapshotStore.expire(root, keepLast = 5) // nested acquisition
+    }
+    assert(SnapshotStore.currentDir(root).isDefined)
+
+    // a typo'd root fails WITHOUT leaving a directory behind
+    val ghost = s"${sys.props("java.io.tmpdir")}/graft_ghost_${System.nanoTime()}"
+    intercept[IllegalStateException] {
+      SnapshotStore.overwritePartitions(mkRows(1.0), ghost, "m", "ts")
+    }
+    assert(!new java.io.File(ghost).exists())
+    SnapshotStore.expire(ghost, keepLast = 1) // pure no-op
+    assert(!new java.io.File(ghost).exists())
+  }
+
   test("commitDir publishes an export dir atomically; currentDir flips " +
       "only on commit") {
     val root = tmpRoot("exp")

@@ -21,10 +21,19 @@ cd "$(dirname "$0")/.."
 # (cached — sbt startup would otherwise serialize the shards again).
 sbt -batch compile >/dev/null
 CP_FILE=target/graft_runtime_classpath.txt
-# regenerate when missing OR when build.sbt changed since the cache was
-# written — a dependency bump must reach the shard JVMs, not only the
-# sbt-launched gate
-if [ ! -s "$CP_FILE" ] || [ build.sbt -nt "$CP_FILE" ]; then
+# regenerate when missing OR when the build definition changed since
+# the cache was written (build.sbt OR anything under project/ — an sbt/
+# plugin bump must reach the shard JVMs, not only the sbt-launched gate)
+STALE=0
+if [ ! -s "$CP_FILE" ]; then STALE=1
+else
+  # project/target is sbt's own scratch (always fresh) — watch only the
+  # build definition files
+  for f in build.sbt project/*.sbt project/build.properties; do
+    [ -e "$f" ] && [ "$f" -nt "$CP_FILE" ] && STALE=1
+  done
+fi
+if [ "$STALE" = 1 ]; then
   sbt -batch -error "export Runtime/fullClasspath" 2>/dev/null \
     | grep "target/scala-2.13/classes" | tail -1 > "$CP_FILE".tmp
   grep -q "classes:" "$CP_FILE".tmp  # refuse a mangled export
