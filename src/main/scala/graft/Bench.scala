@@ -128,7 +128,13 @@ object Bench {
     // round-6 seventh wave: the geo surface — haversine trig fused in
     // the scan stage (pure-map throughput) and the 0.01° grid heatmap
     // (one cell-keyed shuffle bounded by grid cardinality)
-    "geo_distance", "geo_gridcells")
+    "geo_distance", "geo_gridcells",
+    // round-7: the manifest-pointer snapshot read — warmup builds the
+    // two-snapshot history once; measured runs price resolve-pointer →
+    // multi-root scan → aggregate, i.e. the read-side overhead the
+    // atomic-commit layer adds over a plain parquet read (the answer
+    // should be ≈ nothing: one ~KB file read before planning)
+    "snapshot_backfill")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
