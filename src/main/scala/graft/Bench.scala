@@ -245,7 +245,6 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stddev":$sds,"sf":"$sfDir"}"""
-    println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
@@ -254,6 +253,23 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // stdout carries a COMPACT summary line only: the full 57-lane line
+    // (~3.5 KB) outgrew the driver's bounded stdout-tail capture, so
+    // BENCH_r06/r07 recorded parsed:null even though the run was clean.
+    // The per-lane detail lives in the artifact file above (and on
+    // stderr per lane); this line stays well under any tail window. The
+    // four reference headline medians ride along so the driver record
+    // is self-contained for the numbers BASELINE.md gates on.
+    val headline4 = results.filter(r => Set("q1_count_by_flag",
+      "q2_avg_by_status", "q3_count_by_flag_year",
+      "q4_count_3key_sorted").contains(r._1))
+      .map { case (k, v, _) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n_lanes":${results.size},""" +
+        s""""n_failed":${results.count(_._2 < 0)},""" +
+        s""""queries":$headline4,"sf":"$sfDir","detail":"$outPath"}""")
     spark.stop()
   }
 }

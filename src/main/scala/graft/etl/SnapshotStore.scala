@@ -168,6 +168,15 @@ object SnapshotStore {
     fsyncWrite(tmp)
     Files.move(tmp, rootP.resolve("MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // the rename itself must be durable before commit returns: the
+    // manifest FILE is fsync'd above, but the directory entry that
+    // points MANIFEST at it lives in the root dir's metadata — without
+    // a directory fsync a power loss after "committed" can roll the
+    // pointer back to the prior snapshot (atomicity held, durability
+    // did not). POSIX durability of a rename = fsync the parent dir.
+    val dirCh = java.nio.channels.FileChannel.open(rootP,
+      StandardOpenOption.READ)
+    try dirCh.force(true) finally dirCh.close()
   }
 
   /** The manifest the pointer currently names, if the table exists. */
@@ -205,8 +214,27 @@ object SnapshotStore {
       .write.mode("errorifexists").partitionBy(PartKey).parquet(dataDir)
     // dir tokens are Spark-escaped; the Entry keeps the escaped token
     // in its PATH and the decoded value in its VALUE
-    listParts(dataDir).map(tok =>
-      Entry(unescapeDirToken(tok), s"$rel/$PartKey=$tok"))
+    val toks = listParts(dataDir)
+    // NULL partition values are rejected at the COMMIT boundary: Spark
+    // writes them as the __HIVE_DEFAULT_PARTITION__ sentinel dir, whose
+    // name is NOT escaped — so Entry.value would carry that literal
+    // string, a real string partition spelled the same would silently
+    // merge with the null partition, and readWhere predicates could
+    // never tell them apart. Detection here (after the data write,
+    // before any manifest exists) costs nothing and aborts with no
+    // pointer moved — the half-written snap dir is an inert orphan
+    // exactly like a crash mid-write, swept by expire(). The same
+    // check rejects the colliding literal string, which is equally
+    // unrepresentable.
+    val nullTok = toks.find(
+      _ == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME)
+    require(nullTok.isEmpty,
+      s"snapshot commit rejected: partition column '$partCol' has NULL " +
+        "(or the literal __HIVE_DEFAULT_PARTITION__ string) values — " +
+        "the directory sentinel is ambiguous with a real string value; " +
+        "filter or default the partition column before committing")
+    toks.map(tok => Entry(unescapeDirToken(tok), s"$rel/$PartKey=$tok"))
   }
 
   private def listParts(dataDir: String): Seq[String] = {

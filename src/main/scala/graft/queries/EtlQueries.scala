@@ -337,7 +337,14 @@ object EtlQueries {
   private val snapPrepared = scala.collection.mutable.Map[String, Long]()
   private def prepareSnapshotHistory(s: SparkSession, d: String)
       : (String, Long) = {
-    val root = tmp("snaproot", d)
+    // PID-suffixed root: the rm+rebuild below is guarded only by this
+    // JVM's monitor, so two JVMs sharing java.io.tmpdir (Bench + a
+    // plain Verify running concurrently) would otherwise rm the
+    // snaproot out from under each other's reads/commits — the commit
+    // lock does not cover a raw recursive delete. A per-process root
+    // makes the dir single-writer by construction; lanes within one
+    // JVM still share the one prepared history.
+    val root = tmp(s"snaproot_p${ProcessHandle.current().pid()}", d)
     synchronized {
       snapPrepared.get(root) match {
         case Some(id1) => (root, id1)

@@ -49,6 +49,11 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 
 mkdir -p "$OUTDIR"
+# sweep stale per-shard artifacts from previous runs FIRST: a shard JVM
+# that dies before writing its file would otherwise let an old artifact
+# (possibly from a different shard count) be merged into
+# verify_errors.json, misstating which lanes failed this run
+rm -f "$OUTDIR"/verify_errors_shard_*.json
 PIDS=()
 for i in $(seq 0 $((NSHARDS - 1))); do
   SHARD_TMP=$(mktemp -d -t "graft_verify_shard_${i}_XXXX")
