@@ -632,6 +632,20 @@ object PlanAudit {
       sbDf.inputFiles.exists(_.contains("/snap-1/")) &&
         sbDf.inputFiles.exists(_.contains("/snap-2/")),
       "partition-level reuse: backfill wrote only the restated month")
+    // MERGE commit: the copy-on-write rewrite is partition-pruned, so
+    // the post-merge read must mix base dirs (untouched months carried
+    // by reference from snap-1) with the merge's snap-2 dirs — a MERGE
+    // that rewrote every partition would show no snap-1 files at all
+    val smDf = SparkEntry.allQueries("snapshot_merge")(spark, sfDir)
+    check("snapshot_merge: untouched partitions carried by reference",
+      smDf.inputFiles.exists(_.contains("/snap-1/")) &&
+        smDf.inputFiles.exists(_.contains("/snap-2/")),
+      "copy-on-write rewrote only the touched months")
+    val sm = planOf(smDf)
+    check("snapshot_merge: read is one multi-root scan + agg, no join",
+      occurrences(sm, "Exchange") <= 1 && !sm.contains("Join") &&
+        occurrences(sm, "HashAggregate") >= 2,
+      "the merge resolve happened at COMMIT time, reads pay nothing")
 
     println(s"\n$failures failures")
     spark.stop()

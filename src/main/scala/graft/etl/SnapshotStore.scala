@@ -327,6 +327,14 @@ object SnapshotStore {
     }
   }
 
+  /** The commit lock, public: a multi-step table transaction (read →
+    * transform → commit, e.g. [[graft.operators.MergeInto.mergeCommit]])
+    * must hold the SAME lock across its read phase, or a concurrent
+    * writer between its read and its commit silently reverts that
+    * writer's work (classic lost update). Reentrant — nested
+    * write/backfill/expire calls on the same root compose. */
+  def withTableLock[T](root: String)(f: => T): T = withCommitLock(root)(f)
+
   /** Full-table snapshot: every partition written fresh, committed as
     * one atomic pointer swap. Returns the snapshot id. */
   def write(df: DataFrame, root: String, partCol: String,
@@ -372,6 +380,36 @@ object SnapshotStore {
     commitManifest(root, Manifest(id, carried ++ fresh, Some(merged)))
     id
   }
+
+  /** Restate an EXPLICIT partition set as one atomic commit — the
+    * primitive a copy-on-write MERGE needs and [[overwritePartitions]]
+    * cannot express: there the restated set is derived from the dirs
+    * the write actually produced, so a restatement that leaves a
+    * partition EMPTY (a MERGE whose deletes drain a whole month) would
+    * silently carry the old dir forward and the deleted rows would
+    * resurface. Here `dropValues` names every partition being
+    * restated; each is dropped from the manifest even when `restated`
+    * writes no rows for it, prior entries outside the set carry
+    * forward by reference, and `restated` rows landing in partitions
+    * outside `dropValues` are a caller bug (rejected — they would
+    * shadow a carried entry with a duplicate value). */
+  def restatePartitions(restated: DataFrame, root: String,
+      dropValues: Set[String], partCol: String, sortCol: String): Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to restate"))
+      val merged = prior.schema.map(mergeSchemas(_, restated.schema))
+        .getOrElse(restated.schema)
+      val id = allocateId(root)
+      val fresh = writeSnapData(restated, root, id, partCol, sortCol)
+      val stray = fresh.map(_.value).filterNot(dropValues)
+      require(stray.isEmpty,
+        s"restatePartitions: rows landed in partitions ${stray.mkString(", ")} " +
+          s"not named in dropValues — the commit would duplicate them")
+      val carried = prior.entries.filterNot(e => dropValues(e.value))
+      commitManifest(root, Manifest(id, carried ++ fresh, Some(merged)))
+      id
+    }
 
   /** Compaction as a snapshot commit: rewrite the CURRENT snapshot's
     * content into fresh one-file-per-partition dirs and swap the

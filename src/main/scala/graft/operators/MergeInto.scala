@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.etl.SnapshotStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch MERGE (the lakehouse upsert write path): apply a changeset of
@@ -63,5 +64,59 @@ object MergeInto {
         when(col(s"c.$presentCol").isNotNull, col(s"c.$n"))
           .otherwise(col(s"b.$n")).as(n)
       }: _*)
+  }
+
+  /** MERGE INTO a [[SnapshotStore]] table, committed atomically — the
+    * copy-on-write write path on top of [[merge]]'s resolve algebra.
+    * Only TOUCHED partitions are rewritten (the `dpp_join` move
+    * applied to the write side): touched = base partitions holding a
+    * matched change key ∪ target partitions of surviving change rows.
+    * Everything else carries forward by manifest reference, so at
+    * 100 TB a changeset confined to one month rewrites one month and
+    * commits one ~KB pointer swap. Readers racing the MERGE see the
+    * whole pre- or whole post-merge snapshot, never a mix.
+    *
+    * The discovery pass scans base (key, partCol) only — two columns
+    * reach the parquet scan — and the changeset sides of both the
+    * discovery semi-join and the resolve join are AQE-broadcast when
+    * small (the normal MERGE shape: changeset ≪ table). The whole
+    * read → resolve → commit sequence holds the table lock, so a
+    * concurrent backfill cannot be silently reverted (lost update);
+    * an update may MOVE a row across partitions — both the source and
+    * destination partitions land in the touched set, so the row
+    * appears exactly once after the commit — and a delete that drains
+    * a partition entirely DROPS its manifest entry
+    * ([[SnapshotStore.restatePartitions]]'s reason to exist).
+    *
+    * `changes` carries every base column plus boolean `deleteFlag`;
+    * partition values must be non-null (the snapshot commit guard).
+    * Returns the committed snapshot id (the current id unchanged when
+    * the changeset touches nothing). */
+  def mergeCommit(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, deleteFlag: String, partCol: String,
+      sortCol: String): Long = SnapshotStore.withTableLock(root) {
+    val base = SnapshotStore.read(spark, root)
+    val changeKeys = changes.filter(col(key).isNotNull)
+      .select(col(key)).distinct()
+    val touchedBase = base.select(col(key), col(partCol))
+      .join(changeKeys, Seq(key), "left_semi")
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val touchedNew = changes
+      .filter(!coalesce(col(deleteFlag), lit(false)))
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val touched = (touchedBase ++ touchedNew).toSet
+    if (touched.isEmpty) {
+      SnapshotStore.current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to merge into")
+      ).id
+    } else {
+      val resolved =
+        merge(SnapshotStore.readWhere(spark, root, touched), changes,
+          key, deleteFlag)
+      SnapshotStore.restatePartitions(resolved, root, touched, partCol,
+        sortCol)
+    }
   }
 }

@@ -365,6 +365,65 @@ object EtlQueries {
     }
   }
 
+  /** Deterministic MERGE changeset over orders (all three clauses, all
+    * DuckDB-replayable):
+    *   - DELETE every key ≡ 0 (mod 20);
+    *   - UPDATE every key ≡ 10 (mod 20): price +10.00 and the order
+    *     date shifted +40 days — most such rows MOVE to a different
+    *     month partition, exercising the cross-partition rewrite;
+    *   - INSERT a new row (key + 2e9, price +0.50) for every key
+    *     ≡ 7 (mod 100).
+    * Disjoint key classes keep the MERGE unique-key precondition. */
+  private def mergeChangeset(orders: DataFrame): DataFrame = {
+    val deletes = orders.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .withColumn("_delete", lit(true))
+    val updates = orders.filter(pmod(col("o_orderkey"), lit(20)) === 10)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      .withColumn("o_orderdate",
+        col("o_orderdate") + expr("INTERVAL 40 DAYS"))
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("_delete", lit(false))
+    val inserts = orders.filter(pmod(col("o_orderkey"), lit(100)) === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(0.5))
+      .withColumn("_delete", lit(false))
+    deletes.unionByName(updates).unionByName(inserts)
+  }
+
+  /** One MERGE-committed snapshot history per (JVM, sfDir):
+    * full load → [[MergeInto.mergeCommit]] of [[mergeChangeset]].
+    * PID-suffixed root for the same cross-JVM-isolation reason as
+    * [[prepareSnapshotHistory]]. */
+  private val snapMergePrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotMerge(s: SparkSession, d: String): String = {
+    val root = tmp(s"snapmerge_p${ProcessHandle.current().pid()}", d)
+    synchronized {
+      if (!snapMergePrepared.contains(root)) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(root))
+        val orders = ordersWithMonth(s, d)
+        SnapshotStore.write(orders, root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        graft.operators.MergeInto.mergeCommit(s, root,
+          mergeChangeset(orders), key = "o_orderkey",
+          deleteFlag = "_delete", partCol = "order_month",
+          sortCol = "o_orderdate")
+        snapMergePrepared += root
+      }
+    }
+    root
+  }
+
+  /** MERGE INTO as an atomic snapshot commit: deletes, updates (some
+    * moving rows across month partitions) and inserts applied in one
+    * copy-on-write commit; untouched months carry by reference. The
+    * oracle replays the same three clauses over the raw orders. */
+  def snapshotMerge: Q = (s, d) =>
+    monthAgg(SnapshotStore.read(s, prepareSnapshotMerge(s, d)))
+
   private def monthAgg(df: DataFrame): DataFrame =
     df.groupBy("order_month")
       .agg(count(lit(1)).as("cnt"),
@@ -394,6 +453,7 @@ object EtlQueries {
     "etl_backfill_overwrite" -> backfillOverwrite,
     "snapshot_backfill" -> snapshotBackfill,
     "snapshot_timetravel" -> snapshotTimetravel,
+    "snapshot_merge" -> snapshotMerge,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
     "schema_evolution" -> schemaEvolution,
@@ -467,6 +527,25 @@ object EtlQueries {
         |  WHERE order_month = (SELECT m FROM lm)
         |    AND o_orderkey % 10 <> 0)
         |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // replay the MERGE clauses over raw orders: keys ≡0 (mod 20)
+    // deleted, ≡10 (mod 20) updated (+10.00, date +40 days, month
+    // recomputed), ≡7 (mod 100) cloned as inserts (+2e9 key, +0.50)
+    "snapshot_merge" ->
+      """WITH o AS (SELECT * FROM orders),
+        | kept AS (SELECT o_orderdate, o_totalprice FROM o
+        |  WHERE o_orderkey % 20 <> 0 AND o_orderkey % 20 <> 10),
+        | upd AS (SELECT o_orderdate + INTERVAL 40 DAY AS o_orderdate,
+        |   o_totalprice + 10.0 AS o_totalprice FROM o
+        |  WHERE o_orderkey % 20 = 10),
+        | ins AS (SELECT o_orderdate, o_totalprice + 0.5 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 100 = 7),
+        | fin AS (SELECT * FROM kept UNION ALL
+        |  SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
