@@ -488,23 +488,61 @@ object EventsStream {
   /** Hourly tumbling-window stats per event_type, computed through a
     * real streaming query (file source → watermark → window agg →
     * memory sink), returned as a batch DataFrame. */
+  /** One micro-batch of the CDC upsert sink, committed through the
+    * snapshot layer: read the last COMMITTED state via the manifest
+    * pointer, union the batch in, keep the per-key argmax by
+    * (event time, event id), publish the result as a new atomic
+    * snapshot ([[graft.etl.SnapshotStore.commitDir]]), and bound disk
+    * with `expire(keepLast = 2)` — the previous state dir stays
+    * retained for any reader that resolved the old pointer.
+    *
+    * Exactly-once without a transaction log: the argmax fold is
+    * associative, commutative and IDEMPOTENT, so a batch re-delivered
+    * after a crash (committed snapshot, checkpoint not yet advanced)
+    * merges to byte-identical content — the re-run publishes a new
+    * snapshot equal to the one the crash orphaned. And a crash MID
+    * commit can never publish a torn state: the data dir is written
+    * in full before the one-rename pointer swap, so a recovering
+    * reader (or the retried batch itself) resolves the previous
+    * committed snapshot, never a half-written dir — the property the
+    * pre-snapshot versioned-dir scheme only held within one JVM (its
+    * `current` pointer was an in-memory var; this one is the durable
+    * MANIFEST, so recovery works across incarnations). */
+  def upsertCommitBatch(spark: SparkSession, snapRoot: String,
+      batch: DataFrame): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = graft.etl.SnapshotStore.currentDir(snapRoot) match {
+      case Some(p) => spark.read.parquet(p).unionByName(batch)
+      case None => batch
+    }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val resolved = merged.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val id = graft.etl.SnapshotStore.commitDir(snapRoot)(dir =>
+      resolved.write.parquet(dir))
+    graft.etl.SnapshotStore.expire(snapRoot, keepLast = 2)
+    id
+  }
+
+  /** The committed upsert state as the lane's result shape. */
+  def upsertState(spark: SparkSession, snapRoot: String): DataFrame =
+    spark.read.parquet(graft.etl.SnapshotStore.currentDir(snapRoot)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed upsert snapshot at $snapRoot")))
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 4).as("last_value"))
+
   /** CDC-style keyed UPSERT materialization — the sink-side pattern for
     * "maintain the latest row per key from a change stream"
     * (last-write-wins by (event time, event id)). Spark has no built-in
     * MERGE sink for plain parquet, so this is the canonical
-    * `foreachBatch` recipe: each micro-batch unions into the current
-    * snapshot, keeps the per-key argmax, and writes a NEW versioned
-    * snapshot directory. Snapshot names carry an attempt counter on top
-    * of the batch id, and `current` only advances after the write
-    * commits — so even a RETRIED batch (same batchId, new attempt)
-    * never overwrites the directory it is reading, which is what makes
-    * the sink effectively exactly-once; a table format's MERGE would
-    * replace the rewrite with a log append, same semantics.
-    *
-    * The merge is an argmax fold: associative, commutative, and
-    * idempotent over re-delivered batches, so the final state equals
-    * the global argmax regardless of micro-batch order/count — which
-    * is the oracle. The events table is staged into `nChunks` files so
+    * `foreachBatch` recipe, with the state published through the
+    * atomic snapshot layer per batch ([[upsertCommitBatch]]): a crash
+    * between batches recovers from the durable manifest pointer + the
+    * streaming checkpoint, and retention is `expire`, not ad-hoc dir
+    * management. The events table is staged into `nChunks` files so
     * the file source genuinely delivers multiple micro-batches
     * (`maxFilesPerTrigger = 1`), exercising the incremental path.
     *
@@ -512,7 +550,6 @@ object EventsStream {
     * upsert-on-immutable-files; the per-key state stays one row. */
   def streamingUpsertLatest(spark: SparkSession, sfDir: String,
       nChunks: Int = 4, workDir: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
     val work = workDir.getOrElse(java.nio.file.Files
       .createTempDirectory("graft_upsert").toString)
@@ -522,42 +559,22 @@ object EventsStream {
       ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
         .coalesce(1).write.mode("overwrite").parquet(s"$work/src/chunk_$c")
     }
-    val chunkSchema = ev.schema
-    var current: Option[String] = None
-    var attempt = 0L
+    val snapRoot = s"$work/state_snap"
     val stream = spark.readStream
-      .schema(chunkSchema)
+      .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "*.parquet")
       .parquet(s"$work/src/chunk_*")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val merged = current match {
-          case Some(p) => spark.read.parquet(p).unionByName(batch)
-          case None => batch
-        }
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)
-        // attempt-suffixed path: a retry of batchId N reads the last
-        // COMMITTED snapshot via `current` and writes a fresh dir —
-        // never the one it reads (`current` advances only post-write)
-        attempt += 1
-        val next = s"$work/state_${batchId}_a$attempt"
-        merged.withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1).drop("rk")
-          .write.mode("overwrite").parquet(next)
-        current = Some(next)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertCommitBatch(spark, snapRoot, batch)
         ()
       }
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(current.getOrElse(
-      throw new IllegalStateException("no micro-batch delivered")))
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"),
-        round(col("value"), 4).as("last_value"))
+    upsertState(spark, snapRoot)
   }
 
   /** Windowed streaming HLL — the always-on "distinct users per 6-hour
