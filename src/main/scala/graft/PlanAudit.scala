@@ -646,6 +646,20 @@ object PlanAudit {
       occurrences(sm, "Exchange") <= 1 && !sm.contains("Join") &&
         occurrences(sm, "HashAggregate") >= 2,
       "the merge resolve happened at COMMIT time, reads pay nothing")
+    // pure-SQL catalog path: the same committed history through
+    // spark.sql must plan Spark's own vectorized parquet DSV2 scan
+    // (BatchScan) over the manifest's carried + restated dirs — i.e.
+    // the catalog reuses the full pushdown machinery, not a fallback
+    val sqlDf = SparkEntry.allQueries("snapshot_sql")(spark, sfDir)
+    check("snapshot_sql: catalog read mixes carried + restated dirs",
+      sqlDf.inputFiles.exists(_.contains("/snap-1/")) &&
+        sqlDf.inputFiles.exists(_.contains("/snap-2/")),
+      "one pointer resolve fixed the dir list at table load")
+    val sq = planOf(sqlDf)
+    check("snapshot_sql: DSV2 BatchScan + one agg exchange, no join",
+      sq.contains("BatchScan") && occurrences(sq, "Exchange") <= 1 &&
+        !sq.contains("Join") && occurrences(sq, "HashAggregate") >= 2,
+      "spark.sql path rides the parquet vectorized reader")
 
     println(s"\n$failures failures")
     spark.stop()

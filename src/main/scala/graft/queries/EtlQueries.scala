@@ -449,11 +449,48 @@ object EtlQueries {
     monthAgg(SnapshotStore.read(s, root, asOf = Some(id1)))
   }
 
+  /** Register the snapshot history's parent tmp dir as a
+    * [[graft.sources.GraftSnapshotCatalog]] warehouse; returns the
+    * catalog-qualified table name. Same conf values every call in one
+    * JVM (the pid-suffixed root is fixed per JVM+sfDir), so re-setting
+    * is idempotent. */
+  private def registerSnapCatalog(s: SparkSession, root: String): String = {
+    val f = new java.io.File(root)
+    s.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.GraftSnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftsnap.warehouse", f.getParent)
+    s"graftsnap.`${f.getName}`"
+  }
+
+  private def sqlMonthAgg(s: SparkSession, table: String): DataFrame =
+    s.sql(s"""SELECT order_month, count(*) AS cnt,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8)))
+             |   AS DOUBLE), 4) AS sum_price
+             |FROM $table GROUP BY order_month""".stripMargin)
+
+  /** The pure-SQL read path over the same committed history
+    * ([[graft.sources.GraftSnapshotCatalog]]): `spark.sql` against a
+    * catalog-registered snapshot table must replay the backfilled
+    * state exactly — no Scala API in the query path. */
+  def snapshotSql: Q = (s, d) => {
+    val (root, _) = prepareSnapshotHistory(s, d)
+    sqlMonthAgg(s, registerSnapCatalog(s, root))
+  }
+
+  /** SQL time travel: `VERSION AS OF <first snapshot>` through the
+    * catalog equals the Scala `asOf` read — the original load. */
+  def snapshotSqlTimetravel: Q = (s, d) => {
+    val (root, id1) = prepareSnapshotHistory(s, d)
+    sqlMonthAgg(s, s"${registerSnapCatalog(s, root)} VERSION AS OF $id1")
+  }
+
   val queries: Map[String, Q] = Map(
     "etl_backfill_overwrite" -> backfillOverwrite,
     "snapshot_backfill" -> snapshotBackfill,
     "snapshot_timetravel" -> snapshotTimetravel,
     "snapshot_merge" -> snapshotMerge,
+    "snapshot_sql" -> snapshotSql,
+    "snapshot_sql_timetravel" -> snapshotSqlTimetravel,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
     "schema_evolution" -> schemaEvolution,
@@ -496,6 +533,25 @@ object EtlQueries {
        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The backfill restatement replay (latest month: every 10th order
+    * dropped, +5.00) — shared by the Scala-API and SQL-catalog read
+    * lanes over the same committed history. */
+  private val snapshotBackfillSql: String =
+    """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+      |   AS order_month FROM orders),
+      | lm AS (SELECT max(order_month) AS m FROM o),
+      | fin AS (
+      |  SELECT order_month, o_totalprice FROM o
+      |  WHERE order_month <> (SELECT m FROM lm)
+      |  UNION ALL
+      |  SELECT order_month, o_totalprice + 5.0 FROM o
+      |  WHERE order_month = (SELECT m FROM lm)
+      |    AND o_orderkey % 10 <> 0)
+      |SELECT order_month, count(*) AS cnt,
+      | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+      |   AS sum_price
+      |FROM fin GROUP BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // replay the backfill: latest month restated (every 10th order
     // dropped, +5.00 adjustment), all other months as loaded
@@ -515,21 +571,16 @@ object EtlQueries {
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
     // identical restatement through the atomic manifest-pointer commit
-    "snapshot_backfill" ->
-      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
-        |   AS order_month FROM orders),
-        | lm AS (SELECT max(order_month) AS m FROM o),
-        | fin AS (
-        |  SELECT order_month, o_totalprice FROM o
-        |  WHERE order_month <> (SELECT m FROM lm)
-        |  UNION ALL
-        |  SELECT order_month, o_totalprice + 5.0 FROM o
-        |  WHERE order_month = (SELECT m FROM lm)
-        |    AND o_orderkey % 10 <> 0)
-        |SELECT order_month, count(*) AS cnt,
+    "snapshot_backfill" -> snapshotBackfillSql,
+    // the SAME committed history read through the pure-SQL catalog
+    // path (GraftSnapshotCatalog) — one replay, two read APIs
+    "snapshot_sql" -> snapshotBackfillSql,
+    "snapshot_sql_timetravel" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
-        |FROM fin GROUP BY 1""".stripMargin,
+        |FROM orders GROUP BY 1""".stripMargin,
     // replay the MERGE clauses over raw orders: keys ≡0 (mod 20)
     // deleted, ≡10 (mod 20) updated (+10.00, date +40 days, month
     // recomputed), ≡7 (mod 100) cloned as inserts (+2e9 key, +0.50)
