@@ -102,6 +102,68 @@ class SnapshotStoreSpec extends SparkSpec {
       Map("2024-01" -> 30.0, "2024-02" -> 2.0 * nBackfills))
   }
 
+  test("retention UNDER LOAD: a background expire loop interleaved " +
+      "with racing backfills and a live reader loses nothing — no " +
+      "reader error, no lost partition, history still bounded") {
+    import spark.implicits._
+    val root = tmpRoot("expload")
+    SnapshotStore.write(mkRows(0.0), root, "m", "ts")
+    val nBackfills = 8
+    // reader validity: jan fixed at 30, feb walks 2k per backfill k —
+    // a torn mix or a partially-expired read would break the pairing
+    val valid = (0 to nBackfills)
+      .map(k => Map("2024-01" -> 30.0, "2024-02" -> 2.0 * k)).toSet
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get() && bad.get() == null) {
+        try {
+          val s = state(root)
+          if (!valid(s)) bad.set(s"mixed/unknown state observed: $s")
+        } catch {
+          case e: Throwable => bad.set(s"reader threw: ${e.getMessage}")
+        }
+      }
+    })
+    // the expire loop races the commits for the whole run; keepLast=3
+    // keeps the horizon comfortably ahead of one in-flight read (a
+    // reader slower than the retention horizon is out of contract by
+    // design — that is what the horizon MEANS)
+    val expirer = new Thread(() => {
+      while (!stop.get()) {
+        try SnapshotStore.expire(root, keepLast = 3)
+        catch { case e: Throwable => bad.set(s"expire threw: ${e.getMessage}") }
+        Thread.sleep(20)
+      }
+    })
+    reader.start(); expirer.start()
+    try
+      (1 to nBackfills).foreach { k =>
+        SnapshotStore.overwritePartitions(
+          mkRows(k.toDouble).filter(col("m") === "2024-02"), root, "m", "ts")
+      }
+    finally { stop.set(true); reader.join(60000); expirer.join(60000) }
+    assert(bad.get() == null, String.valueOf(bad.get()))
+    // no lost partition: the final state is the last commit, both months
+    assert(state(root) ===
+      Map("2024-01" -> 30.0, "2024-02" -> 2.0 * nBackfills))
+    // retention actually ran under load: one final pass bounds history
+    // to the horizon and the early snapshots' manifests are gone
+    SnapshotStore.expire(root, keepLast = 3)
+    val kept = new java.io.File(s"$root/manifests").listFiles()
+      .map(_.getName.stripPrefix("manifest-").toLong).sorted.toSeq
+    assert(kept.size <= 3 && kept.contains(SnapshotStore.current(root).get.id))
+    assert(!kept.contains(1L), "expire never dropped the initial snapshot")
+    // the jan partition expire must never have deleted: EVERY retained
+    // manifest still references a live jan dir (snap-1's, carried)
+    kept.foreach { id =>
+      val jan = SnapshotStore.manifestAt(root, id).entries
+        .find(_.value == "2024-01").get
+      assert(new java.io.File(s"$root/${jan.dir}").isDirectory,
+        s"manifest $id references an expired jan dir ${jan.dir}")
+    }
+  }
+
   test("compact commits a fresh snapshot in place; the prior manifest " +
       "still reads; expire then drops it and keeps the current") {
     val root = tmpRoot("cmp")
