@@ -60,8 +60,16 @@ object SnapshotStore {
     * the manifest schema to every listed dir in O(1) — old files'
     * missing columns read as null, no per-file footer merging). */
   final case class Entry(value: String, dir: String)
+  /** `props` is durable table metadata carried forward across every
+    * commit kind (append tokens must survive an interleaved backfill
+    * or compaction — see [[appendPartitions]]'s exactly-once note). A
+    * partition VALUE may appear in several entries: an append commit
+    * adds new dirs ("parts", MergeTree-style) without dropping prior
+    * ones; readers scan all of them, [[compact]] folds them back to
+    * one dir per partition. */
   final case class Manifest(id: Long, entries: Seq[Entry],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      props: Map[String, String] = Map.empty)
 
   private val PartKey = "__part"
 
@@ -109,6 +117,11 @@ object SnapshotStore {
   private def render(m: Manifest): String =
     (Seq(s"id=${m.id}") ++
       m.schema.map(s => s"schema=${s.json}") ++
+      // "prop=" can never collide with an entry line: escapeValue
+      // escapes '=' in partition values, so a value spelled "prop=x"
+      // renders as "prop%3Dx"
+      m.props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"prop=${escapeValue(k)}\t${escapeValue(v)}" } ++
       m.entries.sortBy(_.value)
         .map(e => s"${escapeValue(e.value)}\t${e.dir}"))
       .mkString("", "\n", "\n")
@@ -117,16 +130,21 @@ object SnapshotStore {
     val lines = Files.readString(p, StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
     val id = lines.head.stripPrefix("id=").toLong
-    val (schemaLines, entryLines) =
+    val (schemaLines, rest) =
       lines.tail.partition(_.startsWith("schema="))
+    val (propLines, entryLines) = rest.partition(_.startsWith("prop="))
     val schema = schemaLines.headOption.map(l =>
       org.apache.spark.sql.types.DataType
         .fromJson(l.stripPrefix("schema="))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val props = propLines.map { l =>
+      val Array(k, v) = l.stripPrefix("prop=").split("\t", 2)
+      unescapeToken(k) -> unescapeToken(v)
+    }.toMap
     Manifest(id, entryLines.map { l =>
       val Array(v, dir) = l.split("\t", 2)
       Entry(unescapeToken(v), dir)
-    }, schema)
+    }, schema, props)
   }
 
   /** Evolution merge: the prior schema's fields keep their order and
@@ -343,9 +361,10 @@ object SnapshotStore {
 
   private def writeLocked(df: DataFrame, root: String, partCol: String,
       sortCol: String): Long = {
+    val priorProps = current(root).map(_.props).getOrElse(Map.empty)
     val id = allocateId(root)
     val entries = writeSnapData(df, root, id, partCol, sortCol)
-    commitManifest(root, Manifest(id, entries, Some(df.schema)))
+    commitManifest(root, Manifest(id, entries, Some(df.schema), priorProps))
     id
   }
 
@@ -377,9 +396,52 @@ object SnapshotStore {
     val fresh = writeSnapData(df, root, id, partCol, sortCol)
     val restated = fresh.map(_.value).toSet
     val carried = prior.entries.filterNot(e => restated(e.value))
-    commitManifest(root, Manifest(id, carried ++ fresh, Some(merged)))
+    commitManifest(root,
+      Manifest(id, carried ++ fresh, Some(merged), prior.props))
     id
   }
+
+  /** Append `df` as NEW parts without dropping anything — the
+    * MergeTree-insert analogue and the streaming-ingest commit: fresh
+    * dirs are written for `df`'s partitions and ADDED to the prior
+    * manifest's entry list, so a partition accumulates parts (one per
+    * append) that readers scan together and [[compact]] later folds
+    * to one dir each. Cost ∝ appended data + one pointer swap; an
+    * append can never lose or revert concurrent restatements (it
+    * drops nothing and holds the commit lock).
+    *
+    * Exactly-once for at-least-once callers (a Structured Streaming
+    * `foreachBatch` retries a batch whose commit landed but whose
+    * checkpoint did not): pass the batch id as `idempotenceToken` —
+    * the token of the LAST append is recorded in the manifest props
+    * and a re-delivered token is skipped (returning the current id).
+    * One token suffices because streaming batch ids are monotonic per
+    * checkpoint: only the most recent batch can ever be re-delivered.
+    * The token is durable table metadata (props survive interleaved
+    * backfills and compactions), so the replay check holds even when
+    * other commit kinds ran between the append and its retry. */
+  def appendPartitions(df: DataFrame, root: String, partCol: String,
+      sortCol: String, idempotenceToken: Option[String] = None): Long =
+    withCommitLock(root) {
+      current(root) match {
+        case Some(prior) if idempotenceToken.isDefined &&
+            prior.props.get(AppendTokenKey) == idempotenceToken =>
+          prior.id // the batch already committed; retry is a no-op
+        case prior =>
+          val merged = prior.flatMap(_.schema)
+            .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
+          val props = prior.map(_.props).getOrElse(Map.empty) ++
+            idempotenceToken.map(AppendTokenKey -> _)
+          val id = allocateId(root)
+          val fresh = writeSnapData(df, root, id, partCol, sortCol)
+          commitManifest(root, Manifest(id,
+            prior.map(_.entries).getOrElse(Seq.empty) ++ fresh,
+            Some(merged), props))
+          id
+      }
+    }
+
+  private val AppendTokenKey = "append.lastToken"
 
   /** Restate an EXPLICIT partition set as one atomic commit — the
     * primitive a copy-on-write MERGE needs and [[overwritePartitions]]
@@ -407,7 +469,8 @@ object SnapshotStore {
         s"restatePartitions: rows landed in partitions ${stray.mkString(", ")} " +
           s"not named in dropValues — the commit would duplicate them")
       val carried = prior.entries.filterNot(e => dropValues(e.value))
-      commitManifest(root, Manifest(id, carried ++ fresh, Some(merged)))
+      commitManifest(root,
+        Manifest(id, carried ++ fresh, Some(merged), prior.props))
       id
     }
 
@@ -529,10 +592,11 @@ object SnapshotStore {
     * sees a half-written shard set. */
   def commitDir(root: String)(writeTo: String => Unit): Long =
     withCommitLock(root) {
+      val priorProps = current(root).map(_.props).getOrElse(Map.empty)
       val id = allocateId(root)
       val rel = s"data/snap-$id"
       writeTo(s"$root/$rel")
-      commitManifest(root, Manifest(id, Seq(Entry("", rel))))
+      commitManifest(root, Manifest(id, Seq(Entry("", rel)), None, priorProps))
       id
     }
 

@@ -176,7 +176,7 @@ object TaxiPipelineQueries {
     * two-drop ingest must agree with the batch derivation exactly, so
     * it shares taxi_e2e_q1's oracle. */
   def q1Streamed: Q = (s, d) =>
-    s.read.parquet(prepareStreamed(s, d))
+    graft.etl.SnapshotStore.read(s, prepareStreamed(s, d))
       .groupBy("cab_type").agg(count(lit(1)).as("cnt"))
 
   /** Reference Q1 over the COMPACTED stream-ingested table: compaction
@@ -184,14 +184,17 @@ object TaxiPipelineQueries {
     * it shares taxi_e2e_q1's oracle. */
   def q1Compacted: Q = (s, d) => {
     val src = prepareStreamed(s, d)
-    val dst = s"${src}_compacted"
+    // in-place snapshot compaction: per-batch parts fold to one sorted
+    // dir per month behind a pointer swap — readers on the pre-compact
+    // manifest are untouched, unlike a file-level rewrite
     synchronized {
-      if (!prepared.contains(dst)) {
-        MergeTreeWriter.compact(s, src, dst)
-        prepared += dst
+      if (!prepared.contains(s"$src#compacted")) {
+        graft.etl.SnapshotStore.compact(s, src,
+          partCol = "pickup_month", sortCol = "pickup_datetime")
+        prepared += s"$src#compacted"
       }
     }
-    MergeTreeWriter.read(s, dst)
+    graft.etl.SnapshotStore.read(s, src)
       .groupBy("cab_type").agg(count(lit(1)).as("cnt"))
   }
 

@@ -15,21 +15,26 @@ import org.apache.spark.sql.types.StructType
   *     log), so "load the next month" is just "copy its shards in";
   *   - the same [[TripsTransform]] expression table runs unchanged on
   *     the streaming frame (pure column algebra — no state);
-  *   - the file sink appends month-partitioned parquet with an atomic
-  *     `_spark_metadata` commit log: readers see each shard's rows
-  *     exactly once even across ingest crashes (no half-written files
-  *     become visible), which the reference's client-INSERT loop cannot
-  *     guarantee;
+  *   - each micro-batch lands as an atomic SNAPSHOT APPEND commit
+  *     ([[graft.etl.SnapshotStore.appendPartitions]]): new month parts
+  *     are added to the manifest by one pointer swap, so a reader —
+  *     Spark or not — resolves a committed part list and can never see
+  *     a half-written batch; the batch id rides along as the
+  *     idempotence token, so a batch retried after a crash (commit
+  *     landed, checkpoint didn't) is skipped, and the exactly-once
+  *     contract no longer depends on the Spark-only `_spark_metadata`
+  *     log the earlier file sink used — ingest now shares the table
+  *     format the backfill/MERGE paths commit through;
   *   - `Trigger.AvailableNow` drains everything currently staged and
   *     stops — the reference's batch-append semantics — while the same
   *     code with a continuous trigger is the 24/7 tail-ingest mode.
   *
   * At 100 TB: parallelism = staged shard count per trigger
   * (`maxFilesPerTrigger` bounds per-batch memory), the only shuffle is
-  * none (map-only), and the sink's partitioned layout matches
-  * [[graft.etl.MergeTreeWriter]] so downstream queries prune months
-  * identically. Within-partition time-sort happens in periodic batch
-  * compaction, not on the hot append path.
+  * the one month-repartition inside the snapshot write, and the
+  * part-per-append layout is the MergeTree insert shape — periodic
+  * [[graft.etl.SnapshotStore.compact]] folds parts off the hot path
+  * while readers stay on the old manifest.
   */
 object TaxiIngestStream {
 
@@ -52,17 +57,21 @@ object TaxiIngestStream {
       .csv(dir)
 
   /** Drain currently-staged shards through the transform into the
-    * month-partitioned analytic table, then stop. Idempotent: re-running
-    * with the same checkpoint skips already-ingested shards. */
+    * snapshot table at `tableRoot`, one atomic append commit per
+    * micro-batch, then stop. Idempotent twice over: the checkpoint
+    * skips already-ingested shards across runs, and the batch-id
+    * token skips a re-delivered batch whose commit already landed. */
   def ingestAvailable(spark: SparkSession, stagingDir: String,
-      tablePath: String, checkpointDir: String): StreamingQuery =
+      tableRoot: String, checkpointDir: String): StreamingQuery =
     TripsTransform(readStagingStream(spark, stagingDir))
       .writeStream
-      .format("parquet")
-      .option("path", tablePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.SnapshotStore.appendPartitions(batch, tableRoot,
+          partCol = "pickup_month", sortCol = "pickup_datetime",
+          idempotenceToken = Some(batchId.toString))
+        ()
+      }
       .option("checkpointLocation", checkpointDir)
-      .partitionBy("pickup_month")
-      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
 }

@@ -1,11 +1,13 @@
 package graft.streaming
 
 import graft.{SparkSpec, Tables}
-import graft.etl.{CsvExport, TaxiGen}
+import graft.etl.{CsvExport, SnapshotStore, TaxiGen}
 import org.apache.spark.sql.functions._
 
-/** Incremental staged-drop ingest: each drain processes exactly the
-  * newly staged shards, and the final table equals the batch chain. */
+/** Incremental staged-drop ingest through the snapshot layer: each
+  * drain processes exactly the newly staged shards, every micro-batch
+  * lands as an atomic append commit (a part per month per batch), and
+  * the final table equals the batch chain. */
 class TaxiIngestStreamSpec extends SparkSpec {
 
   private val root =
@@ -26,7 +28,10 @@ class TaxiIngestStreamSpec extends SparkSpec {
     TaxiIngestStream.ingestAvailable(spark, s"$root/staging",
       s"$root/table", s"$root/ckpt").awaitTermination()
 
-  test("two staged drops ingest incrementally and match the batch chain") {
+  private def table = SnapshotStore.read(spark, s"$root/table")
+
+  test("two staged drops ingest incrementally as append commits and " +
+      "match the batch chain") {
     val raw = TaxiGen.fromLineitem(Tables.lineitem(spark, sf()))
     val n = raw.count()
     val n1 = raw.filter(pmod(col("trip_id"), lit(2L)) === 0).count()
@@ -38,13 +43,20 @@ class TaxiIngestStreamSpec extends SparkSpec {
 
     stageFiles("drop1")
     drain()
-    assert(spark.read.parquet(s"$root/table").count() === n1,
-      "first drain must ingest exactly drop1")
+    assert(table.count() === n1, "first drain must ingest exactly drop1")
 
     stageFiles("drop2")
     drain()
-    val table = spark.read.parquet(s"$root/table")
     assert(table.count() === n, "second drain must add exactly drop2")
+
+    // the second drain APPENDED parts — months now hold one dir per
+    // batch (the MergeTree insert shape), nothing was dropped
+    val m = SnapshotStore.current(s"$root/table").get
+    val partsPerMonth = m.entries.groupBy(_.value).map(_._2.size)
+    assert(partsPerMonth.exists(_ >= 2),
+      s"expected multi-part months after two appends: ${m.entries}")
+    // the batch-id idempotence token is durable table metadata
+    assert(m.props.contains("append.lastToken"))
 
     // the appended table agrees with the batch chain per cab_type
     val got = table.groupBy("cab_type").count()
@@ -57,28 +69,41 @@ class TaxiIngestStreamSpec extends SparkSpec {
   }
 
   test("re-draining with nothing new staged is a no-op") {
-    val before = spark.read.parquet(s"$root/table").count()
+    val before = table.count()
     drain()
-    assert(spark.read.parquet(s"$root/table").count() === before)
+    assert(table.count() === before)
   }
 
-  test("compaction restores the sorted one-file-per-month layout") {
-    graft.etl.MergeTreeWriter.compact(spark, s"$root/table",
-      s"$root/compacted")
-    val src = spark.read.parquet(s"$root/table")
-    val dst = spark.read.parquet(s"$root/compacted")
-    assert(dst.count() === src.count())
-    val months = new java.io.File(s"$root/compacted").listFiles()
-      .filter(_.getName.startsWith("pickup_month="))
-    assert(months.nonEmpty)
-    months.foreach { m =>
-      val files = m.listFiles().filter(_.getName.endsWith(".parquet"))
-      assert(files.length === 1, s"${m.getName}: expected one file")
+  test("a re-delivered batch token is skipped: replaying the LAST " +
+      "append (the only batch a crashed checkpoint can re-deliver) " +
+      "adds no rows and no commit") {
+    val m = SnapshotStore.current(s"$root/table").get
+    val lastToken = m.props("append.lastToken")
+    val before = table.count()
+    val id = SnapshotStore.appendPartitions(
+      table.limit(50), s"$root/table",
+      partCol = "pickup_month", sortCol = "pickup_datetime",
+      idempotenceToken = Some(lastToken))
+    assert(id === m.id, "retry must not advance the snapshot")
+    assert(table.count() === before, "retry must not duplicate rows")
+  }
+
+  test("compaction folds the per-batch parts back to one sorted dir " +
+      "per month — in place, as a snapshot commit") {
+    SnapshotStore.compact(spark, s"$root/table",
+      partCol = "pickup_month", sortCol = "pickup_datetime")
+    val m = SnapshotStore.current(s"$root/table").get
+    val counts = m.entries.groupBy(_.value).map(_._2.size).toSet
+    assert(counts === Set(1), s"months still multi-part: ${m.entries}")
+    m.entries.foreach { e =>
+      val dir = new java.io.File(s"$root/table/${e.dir}")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${e.value}: expected one file")
       // rows inside the file are time-sorted (data skipping works)
       val ts = spark.read.parquet(files.head.getPath)
         .select("pickup_datetime").collect().map(_.getTimestamp(0))
       assert(ts.zip(ts.tail).forall { case (a, b) => !a.after(b) },
-        s"${m.getName} not sorted")
+        s"${e.value} not sorted")
     }
   }
 }
