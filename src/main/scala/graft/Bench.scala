@@ -134,7 +134,12 @@ object Bench {
     // multi-root scan → aggregate, i.e. the read-side overhead the
     // atomic-commit layer adds over a plain parquet read (the answer
     // should be ≈ nothing: one ~KB file read before planning)
-    "snapshot_backfill")
+    "snapshot_backfill",
+    // round-8: the same committed history through the pure-SQL catalog
+    // (GraftSnapshotCatalog → ParquetTable DSV2 BatchScan) — prices
+    // what the SQL front-end adds over the Scala read path above
+    // (the answer should again be ≈ nothing)
+    "snapshot_sql")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

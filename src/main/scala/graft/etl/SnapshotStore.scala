@@ -417,7 +417,12 @@ object SnapshotStore {
     * and a re-delivered token is skipped (returning the current id).
     * One token suffices because streaming batch ids are monotonic per
     * checkpoint: only the most recent batch can ever be re-delivered.
-    * The token is durable table metadata (props survive interleaved
+    * The token must therefore identify the WRITER as well as the
+    * batch (e.g. `"<checkpointDir>#<batchId>"`) — batch ids restart
+    * at 0 per checkpoint, so a bare id from a second pipeline
+    * appending to the same table could collide with the recorded one
+    * and have its first batch silently skipped as a "replay". The
+    * token is durable table metadata (props survive interleaved
     * backfills and compactions), so the replay check holds even when
     * other commit kinds ran between the append and its retry. */
   def appendPartitions(df: DataFrame, root: String, partCol: String,
@@ -567,7 +572,7 @@ object SnapshotStore {
       val dataDir = new java.io.File(s"$root/data")
       Option(dataDir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && !referenced(s"data/${f.getName}"))
-        .foreach(deleteRecursively)
+        .foreach(graft.util.Fs.deleteRecursively)
       ids.filterNot(keep).foreach(id =>
         Files.deleteIfExists(dir.resolve(s"manifest-$id")))
       // torn pointer staging files from a crash mid-publish are inert
@@ -576,11 +581,6 @@ object SnapshotStore {
         .filter(_.getName.startsWith(".MANIFEST.tmp-"))
         .foreach(_.delete())
     }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
   }
 
   // ---- generic single-dir commits (export family) ------------------------

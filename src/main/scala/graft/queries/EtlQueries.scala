@@ -349,11 +349,7 @@ object EtlQueries {
       snapPrepared.get(root) match {
         case Some(id1) => (root, id1)
         case None =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-            f.delete(); ()
-          }
-          rm(new java.io.File(root))
+          graft.util.Fs.deleteRecursively(new java.io.File(root))
           val orders = ordersWithMonth(s, d)
           val id1 = SnapshotStore.write(orders, root,
             partCol = "order_month", sortCol = "o_orderdate")
@@ -399,11 +395,7 @@ object EtlQueries {
     val root = tmp(s"snapmerge_p${ProcessHandle.current().pid()}", d)
     synchronized {
       if (!snapMergePrepared.contains(root)) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(root))
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
         val orders = ordersWithMonth(s, d)
         SnapshotStore.write(orders, root,
           partCol = "order_month", sortCol = "o_orderdate")

@@ -33,7 +33,12 @@ object TaxiPipelineQueries {
   /** Run the CSV→staging→transform→MergeTree chain once per JVM+sfDir;
     * returns the analytic-table path. */
   def prepare(s: SparkSession, d: String): String = synchronized {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_taxi_${d.hashCode.toHexString}"
+    // PID-suffixed like the snapshot scratch roots (EtlQueries): the
+    // rebuild below is guarded only by this JVM's `prepared` set, so
+    // two JVMs sharing java.io.tmpdir (Bench + a plain Verify) would
+    // otherwise rebuild/overwrite one root under each other's reads
+    val root = s"${sys.props("java.io.tmpdir")}/graft_taxi_" +
+      s"p${ProcessHandle.current().pid()}_${d.hashCode.toHexString}"
     if (!prepared.contains(root)) {
       val raw = TaxiGen.fromLineitem(Tables.lineitem(s, d))
       CsvExport.write(raw, s"$root/staging_csv", shards = 8)
@@ -53,17 +58,17 @@ object TaxiPipelineQueries {
     * with one checkpoint — the second drain must pick up only the new
     * shards. Returns the analytic-table path. */
   def prepareStreamed(s: SparkSession, d: String): String = synchronized {
-    val root =
-      s"${sys.props("java.io.tmpdir")}/graft_taxistream_${d.hashCode.toHexString}"
+    // PID-suffixed: beyond the rebuild race prepare() documents, this
+    // root holds a LIVE snapshot table — a concurrent JVM's wipe would
+    // delete MANIFEST and .commit.lock out from under an in-flight
+    // append commit
+    val root = s"${sys.props("java.io.tmpdir")}/graft_taxistream_" +
+      s"p${ProcessHandle.current().pid()}_${d.hashCode.toHexString}"
     if (!prepared.contains(root)) {
-      // a previous JVM's root would make this run APPEND onto its
-      // already-checkpointed table (each JVM regenerates shards under
+      // a previous run's root would make this APPEND onto its
+      // already-checkpointed table (each run regenerates shards under
       // fresh names) — start from nothing instead
-      def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
-        f.delete(): Unit
-      }
-      wipe(new java.io.File(root))
+      graft.util.Fs.deleteRecursively(new java.io.File(root))
       val raw = TaxiGen.fromLineitem(Tables.lineitem(s, d))
       CsvExport.write(raw.filter(pmod(col("trip_id"), lit(2L)) === 0),
         s"$root/drop1", shards = 4)

@@ -75,13 +75,30 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
-    val root = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-snapshot needs a table root: .load(root) or .option(\"path\", root)"))
-    val asOf = Option(options.get("asOf")).map(_.toLong)
-    GraftSnapshotTables.load(SparkSession.active, root, asOf, options)
-  }
+  /** One resolve per (provider instance, options): Spark calls
+    * inferSchema then getTable with the same option map on one
+    * instance — without the memo the manifest would be parsed twice,
+    * and a commit racing between the two calls could resolve two
+    * DIFFERENT snapshots for one load (the "pointer resolved once"
+    * contract). CaseInsensitiveStringMap equality is entry-set
+    * equality, so a same-options re-call reuses the table. */
+  private var cachedKey: CaseInsensitiveStringMap = _
+  private var cachedTable: ParquetTable = _
+
+  private def resolve(options: CaseInsensitiveStringMap): ParquetTable =
+    synchronized {
+      if (cachedKey == null || cachedKey != options) {
+        val root = Option(options.get("path")).getOrElse(
+          throw new IllegalArgumentException(
+            "graft-snapshot needs a table root: .load(root) or " +
+              ".option(\"path\", root)"))
+        val asOf = Option(options.get("asOf")).map(_.toLong)
+        cachedTable =
+          GraftSnapshotTables.load(SparkSession.active, root, asOf, options)
+        cachedKey = options
+      }
+      cachedTable
+    }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     resolve(options).schema

@@ -485,9 +485,6 @@ object EventsStream {
     spark.table(queryName)
   }
 
-  /** Hourly tumbling-window stats per event_type, computed through a
-    * real streaming query (file source → watermark → window agg →
-    * memory sink), returned as a batch DataFrame. */
   /** One micro-batch of the CDC upsert sink, committed through the
     * snapshot layer: read the last COMMITTED state via the manifest
     * pointer, union the batch in, keep the per-key argmax by
@@ -509,21 +506,27 @@ object EventsStream {
     * `current` pointer was an in-memory var; this one is the durable
     * MANIFEST, so recovery works across incarnations). */
   def upsertCommitBatch(spark: SparkSession, snapRoot: String,
-      batch: DataFrame): Long = {
-    import org.apache.spark.sql.expressions.Window
-    val merged = graft.etl.SnapshotStore.currentDir(snapRoot) match {
-      case Some(p) => spark.read.parquet(p).unionByName(batch)
-      case None => batch
+      batch: DataFrame): Long =
+    // the whole read-modify-write holds the table lock (reentrant with
+    // commitDir/expire inside): a second writer committing between our
+    // currentDir read and our publish would otherwise have its keys
+    // silently reverted by our stale fold — the lost update
+    // withTableLock exists to prevent
+    graft.etl.SnapshotStore.withTableLock(snapRoot) {
+      import org.apache.spark.sql.expressions.Window
+      val merged = graft.etl.SnapshotStore.currentDir(snapRoot) match {
+        case Some(p) => spark.read.parquet(p).unionByName(batch)
+        case None => batch
+      }
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val resolved = merged.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+      val id = graft.etl.SnapshotStore.commitDir(snapRoot)(dir =>
+        resolved.write.parquet(dir))
+      graft.etl.SnapshotStore.expire(snapRoot, keepLast = 2)
+      id
     }
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val resolved = merged.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1).drop("rk")
-    val id = graft.etl.SnapshotStore.commitDir(snapRoot)(dir =>
-      resolved.write.parquet(dir))
-    graft.etl.SnapshotStore.expire(snapRoot, keepLast = 2)
-    id
-  }
 
   /** The committed upsert state as the lane's result shape. */
   def upsertState(spark: SparkSession, snapRoot: String): DataFrame =

@@ -66,9 +66,13 @@ object TaxiIngestStream {
     TripsTransform(readStagingStream(spark, stagingDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // token = checkpoint identity + batch id: batch ids are only
+        // monotonic PER CHECKPOINT, so a bare id could collide with a
+        // different pipeline appending to the same table (its batch 0
+        // would be silently skipped as a "replay" of ours)
         graft.etl.SnapshotStore.appendPartitions(batch, tableRoot,
           partCol = "pickup_month", sortCol = "pickup_datetime",
-          idempotenceToken = Some(batchId.toString))
+          idempotenceToken = Some(s"$checkpointDir#$batchId"))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -73,7 +73,9 @@ class SnapshotMergeSpec extends SparkSpec {
     MergeInto.mergeCommit(spark, root, c1, "id", "_del", "m", "ts")
     val m2 = SnapshotStore.current(root).get
     assert(m2.entries.find(_.value == "2024-02").get.dir === febBefore)
-    assert(m2.entries.find(_.value == "2024-01").get.dir !== "data/snap-1")
+    assert(!m2.entries.find(_.value == "2024-01").get.dir
+      .startsWith("data/snap-1/"),
+      "touched partition was carried instead of restated")
 
     // drain 2024-03 entirely: move id=5 out, delete id=6
     MergeInto.mergeCommit(spark, root,
