@@ -43,6 +43,41 @@ class QuickstartSpec extends SparkSpec {
     assert(SnapshotStore.currentDir(s"$work/export").isDefined)
   }
 
+  test("quickstart 1b: MERGE commit + pure SQL with time travel over " +
+      "the committed snapshot table") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_quickstart_sql").toString
+    import graft.etl.SnapshotStore
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("order_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    SnapshotStore.write(orders, s"$work/orders_table",
+      partCol = "order_month", sortCol = "o_orderdate")
+    // a tiny changeset: delete one order, double another's price
+    val changes = orders.filter(col("o_orderkey").isin(1L, 2L))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === 2L, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .withColumn("_delete", col("o_orderkey") === 1L)
+    // --- README block 1b (adapted paths only) ---
+    import graft.operators.MergeInto
+    import graft.sources.GraftSnapshotCatalog
+    MergeInto.mergeCommit(spark, s"$work/orders_table", changes,
+      key = "o_orderkey", deleteFlag = "_delete",
+      partCol = "order_month", sortCol = "o_orderdate")
+    spark.conf.set("spark.sql.catalog.snap",
+      classOf[GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snap.warehouse", work)
+    val perMonth = spark.sql(
+      "SELECT order_month, count(*) FROM snap.orders_table GROUP BY 1")
+    val asOf1 = spark.sql(
+      "SELECT count(*) FROM snap.orders_table VERSION AS OF 1")
+    // --- end README block ---
+    assert(perMonth.count() > 0)
+    assert(asOf1.head().getLong(0) === orders.count()) // pre-merge state
+    assert(spark.sql("SELECT count(*) FROM snap.orders_table")
+      .head().getLong(0) === orders.count() - 1) // the delete landed
+  }
+
   test("quickstart 2: corpus pipeline — near-dup dedup, pack to " +
       "sequences, export") {
     // --- README block 2 ---
