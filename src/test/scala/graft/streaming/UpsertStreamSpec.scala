@@ -23,10 +23,13 @@ class UpsertStreamSpec extends SparkSpec {
           round(col("value"), 4).as("last_value"))
     }
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
-    // one versioned state snapshot per delivered micro-batch
-    val states = new java.io.File(work).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("state_"))
-    assert(states.length === 4)
+    // one atomic snapshot commit per delivered micro-batch (ids are
+    // allocated 1..n), with expire(keepLast=2) bounding on-disk state
+    val root = s"$work/state_snap"
+    assert(graft.etl.SnapshotStore.current(root).map(_.id) === Some(4L))
+    val snapDirs = new java.io.File(s"$root/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+    assert(snapDirs.length <= 2)
     // every user appears exactly once in the final snapshot
     assert(got.groupBy("user_id").count()
       .filter(col("count") > 1).count() === 0L)
