@@ -265,9 +265,12 @@ object Bench {
     // stderr per lane); this line stays well under any tail window. The
     // four reference headline medians ride along so the driver record
     // is self-contained for the numbers BASELINE.md gates on.
+    // a failed lane is ABSENT here, not -1: a gate comparing these
+    // medians against baseline thresholds would read -1 as
+    // faster-than-baseline and false-pass (n_failed flags the run)
     val headline4 = results.filter(r => Set("q1_count_by_flag",
       "q2_avg_by_status", "q3_count_by_flag_year",
-      "q4_count_3key_sorted").contains(r._1))
+      "q4_count_3key_sorted").contains(r._1) && r._2 >= 0)
       .map { case (k, v, _) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     println(

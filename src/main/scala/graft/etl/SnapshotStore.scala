@@ -412,31 +412,35 @@ object SnapshotStore {
     *
     * Exactly-once for at-least-once callers (a Structured Streaming
     * `foreachBatch` retries a batch whose commit landed but whose
-    * checkpoint did not): pass the batch id as `idempotenceToken` —
-    * the token of the LAST append is recorded in the manifest props
-    * and a re-delivered token is skipped (returning the current id).
-    * One token suffices because streaming batch ids are monotonic per
-    * checkpoint: only the most recent batch can ever be re-delivered.
-    * The token must therefore identify the WRITER as well as the
-    * batch (e.g. `"<checkpointDir>#<batchId>"`) — batch ids restart
-    * at 0 per checkpoint, so a bare id from a second pipeline
-    * appending to the same table could collide with the recorded one
-    * and have its first batch silently skipped as a "replay". The
-    * token is durable table metadata (props survive interleaved
-    * backfills and compactions), so the replay check holds even when
-    * other commit kinds ran between the append and its retry. */
+    * checkpoint did not): pass `idempotence = (writerId, batchToken)`
+    * — the token of each writer's LAST append is recorded in the
+    * manifest props under a PER-WRITER key, and a re-delivered token
+    * is skipped (returning the current id). One slot per writer
+    * suffices because streaming batch ids are monotonic per
+    * checkpoint: only a writer's most recent batch can ever be
+    * re-delivered. The slot must be per-writer, not global: with one
+    * shared slot, a second pipeline's commit would ERASE the first's
+    * recorded token, so the first pipeline's retried batch would no
+    * longer be recognized as a replay and its rows would append TWICE.
+    * The writer id is naturally the checkpoint dir (batch ids restart
+    * at 0 per checkpoint); props growth is one entry per pipeline
+    * that ever appended, which is operator-bounded. Tokens are
+    * durable table metadata (props survive interleaved backfills and
+    * compactions), so the replay check holds even when other commit
+    * kinds ran between the append and its retry. */
   def appendPartitions(df: DataFrame, root: String, partCol: String,
-      sortCol: String, idempotenceToken: Option[String] = None): Long =
+      sortCol: String, idempotence: Option[(String, String)] = None): Long =
     withCommitLock(root) {
+      val slot = idempotence.map { case (w, _) => AppendTokenPrefix + w }
       current(root) match {
-        case Some(prior) if idempotenceToken.isDefined &&
-            prior.props.get(AppendTokenKey) == idempotenceToken =>
+        case Some(prior) if idempotence.isDefined &&
+            slot.flatMap(prior.props.get) == idempotence.map(_._2) =>
           prior.id // the batch already committed; retry is a no-op
         case prior =>
           val merged = prior.flatMap(_.schema)
             .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
           val props = prior.map(_.props).getOrElse(Map.empty) ++
-            idempotenceToken.map(AppendTokenKey -> _)
+            idempotence.map { case (w, t) => (AppendTokenPrefix + w) -> t }
           val id = allocateId(root)
           val fresh = writeSnapData(df, root, id, partCol, sortCol)
           commitManifest(root, Manifest(id,
@@ -446,7 +450,7 @@ object SnapshotStore {
       }
     }
 
-  private val AppendTokenKey = "append.lastToken"
+  private[graft] val AppendTokenPrefix = "append.lastToken."
 
   /** Restate an EXPLICIT partition set as one atomic commit — the
     * primitive a copy-on-write MERGE needs and [[overwritePartitions]]
@@ -513,27 +517,33 @@ object SnapshotStore {
       keep: String => Boolean): DataFrame = {
     val m = current(root)
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
-    val kept = m.entries.filter(e => keep(e.value))
-    if (kept.isEmpty) {
-      val schema = m.schema.getOrElse(throw new IllegalStateException(
-        s"prune kept no partitions and snapshot ${m.id} at $root " +
-          "predates schema-carrying manifests — cannot type the empty result"))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readManifest(spark, root, Manifest(m.id, kept, m.schema))
+    readManifest(spark, root, Manifest(m.id, m.entries.filter(e => keep(e.value)), m.schema))
   }
 
   private def readManifest(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
-    require(m.entries.nonEmpty, s"snapshot ${m.id} at $root lists no data")
-    val paths = m.entries.map(e => s"$root/${e.dir}")
-    m.schema match {
-      // the manifest schema applies to every dir it lists: columns a
-      // pre-evolution dir's files lack read as null — O(1), decided on
-      // the manifest, no per-file footer merge (mergeSchema would read
-      // every footer; at 100 TB that is a listing-scale job of its own)
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+    // zero entries is a LEGAL table state, not an error: a prune can
+    // keep no partitions, and a MERGE whose deletes drain every
+    // remaining partition commits an entries-empty manifest (the
+    // alternative — refusing the commit — would wedge a legal DELETE;
+    // refusing the READ would wedge the table until a full rewrite).
+    // Both read as an empty frame under the manifest schema.
+    if (m.entries.isEmpty) {
+      val schema = m.schema.getOrElse(throw new IllegalStateException(
+        s"snapshot ${m.id} at $root lists no data and predates " +
+          "schema-carrying manifests — cannot type the empty result"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val paths = m.entries.map(e => s"$root/${e.dir}")
+      m.schema match {
+        // the manifest schema applies to every dir it lists: columns a
+        // pre-evolution dir's files lack read as null — O(1), decided on
+        // the manifest, no per-file footer merge (mergeSchema would read
+        // every footer; at 100 TB that is a listing-scale job of its own)
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
     }
   }
 

@@ -57,7 +57,13 @@ object GraftSnapshotTables {
     val m = asOf.map(SnapshotStore.manifestAt(root, _))
       .orElse(SnapshotStore.current(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
-    require(m.entries.nonEmpty, s"snapshot ${m.id} at $root lists no data")
+    // zero entries is legal (a MERGE whose deletes drained every
+    // partition): ParquetTable over an empty dir list plans an empty
+    // scan under the manifest schema — only a schema-less pre-evolution
+    // manifest cannot type it
+    require(m.entries.nonEmpty || m.schema.isDefined,
+      s"snapshot ${m.id} at $root lists no data and carries no schema " +
+        "— cannot type the empty table")
     ParquetTable(
       s"graft_snapshot_${new java.io.File(root).getName}@${m.id}",
       spark,

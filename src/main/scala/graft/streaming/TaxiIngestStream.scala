@@ -66,13 +66,14 @@ object TaxiIngestStream {
     TripsTransform(readStagingStream(spark, stagingDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // token = checkpoint identity + batch id: batch ids are only
-        // monotonic PER CHECKPOINT, so a bare id could collide with a
-        // different pipeline appending to the same table (its batch 0
-        // would be silently skipped as a "replay" of ours)
+        // writer id = checkpoint identity: batch ids are only
+        // monotonic PER CHECKPOINT, so each pipeline gets its own
+        // replay-token slot in the manifest props — a shared slot
+        // would let pipeline B's commit erase A's recorded token and
+        // A's retried batch would append twice
         graft.etl.SnapshotStore.appendPartitions(batch, tableRoot,
           partCol = "pickup_month", sortCol = "pickup_datetime",
-          idempotenceToken = Some(s"$checkpointDir#$batchId"))
+          idempotence = Some((checkpointDir, batchId.toString)))
         ()
       }
       .option("checkpointLocation", checkpointDir)

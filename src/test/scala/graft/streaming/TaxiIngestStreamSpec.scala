@@ -55,8 +55,10 @@ class TaxiIngestStreamSpec extends SparkSpec {
     val partsPerMonth = m.entries.groupBy(_.value).map(_._2.size)
     assert(partsPerMonth.exists(_ >= 2),
       s"expected multi-part months after two appends: ${m.entries}")
-    // the batch-id idempotence token is durable table metadata
-    assert(m.props.contains("append.lastToken"))
+    // the batch-id idempotence token is durable table metadata,
+    // slotted per writer (keyed by this pipeline's checkpoint dir)
+    assert(m.props.contains(
+      SnapshotStore.AppendTokenPrefix + s"$root/ckpt"))
 
     // the appended table agrees with the batch chain per cab_type
     val got = table.groupBy("cab_type").count()
@@ -78,14 +80,40 @@ class TaxiIngestStreamSpec extends SparkSpec {
       "append (the only batch a crashed checkpoint can re-deliver) " +
       "adds no rows and no commit") {
     val m = SnapshotStore.current(s"$root/table").get
-    val lastToken = m.props("append.lastToken")
+    val lastToken = m.props(SnapshotStore.AppendTokenPrefix + s"$root/ckpt")
     val before = table.count()
     val id = SnapshotStore.appendPartitions(
       table.limit(50), s"$root/table",
       partCol = "pickup_month", sortCol = "pickup_datetime",
-      idempotenceToken = Some(lastToken))
+      idempotence = Some((s"$root/ckpt", lastToken)))
     assert(id === m.id, "retry must not advance the snapshot")
     assert(table.count() === before, "retry must not duplicate rows")
+  }
+
+  test("a SECOND writer's commit does not erase the first writer's " +
+      "replay protection: with per-writer token slots, writer A's " +
+      "retried last batch is still skipped after writer B appends") {
+    val mA = SnapshotStore.current(s"$root/table").get
+    val tokenA = mA.props(SnapshotStore.AppendTokenPrefix + s"$root/ckpt")
+    // writer B (a different checkpoint) appends — its batch ids start
+    // at 0 again; under a single shared slot this commit would have
+    // overwritten A's recorded token
+    SnapshotStore.appendPartitions(
+      table.limit(20), s"$root/table",
+      partCol = "pickup_month", sortCol = "pickup_datetime",
+      idempotence = Some((s"$root/ckptB", "0")))
+    val afterB = table.count()
+    // writer A crashes post-commit pre-checkpoint and re-delivers its
+    // LAST batch: must still be recognized as a replay
+    val id = SnapshotStore.appendPartitions(
+      table.limit(50), s"$root/table",
+      partCol = "pickup_month", sortCol = "pickup_datetime",
+      idempotence = Some((s"$root/ckpt", tokenA)))
+    val mNow = SnapshotStore.current(s"$root/table").get
+    assert(id === mNow.id, "A's retry must not advance the snapshot")
+    assert(table.count() === afterB, "A's retry must not duplicate rows")
+    // and B's own replay slot is independently recorded
+    assert(mNow.props(SnapshotStore.AppendTokenPrefix + s"$root/ckptB") === "0")
   }
 
   test("compaction folds the per-batch parts back to one sorted dir " +
