@@ -192,9 +192,16 @@ object SnapshotStore {
     // a directory fsync a power loss after "committed" can roll the
     // pointer back to the prior snapshot (atomicity held, durability
     // did not). POSIX durability of a rename = fsync the parent dir.
-    val dirCh = java.nio.channels.FileChannel.open(rootP,
-      StandardOpenOption.READ)
-    try dirCh.force(true) finally dirCh.close()
+    // Best-effort (Lucene-style): the commit is already PUBLISHED by
+    // the atomic move above, so a platform that refuses directory fds
+    // (non-POSIX filesystems) must not turn a landed commit into a
+    // reported failure — degrade to rename-without-dir-durability
+    // rather than throw after the pointer moved.
+    try {
+      val dirCh = java.nio.channels.FileChannel.open(rootP,
+        StandardOpenOption.READ)
+      try dirCh.force(true) finally dirCh.close()
+    } catch { case _: java.io.IOException => }
   }
 
   /** The manifest the pointer currently names, if the table exists. */

@@ -342,9 +342,12 @@ object EtlQueries {
     // plain Verify running concurrently) would otherwise rm the
     // snaproot out from under each other's reads/commits — the commit
     // lock does not cover a raw recursive delete. A per-process root
-    // makes the dir single-writer by construction; lanes within one
-    // JVM still share the one prepared history.
-    val root = tmp(s"snaproot_p${ProcessHandle.current().pid()}", d)
+    // makes the dir single-writer by construction (and
+    // processScratchRoot sweeps dead-PID siblings, so repeated runs
+    // don't grow tmp unboundedly); lanes within one JVM still share
+    // the one prepared history.
+    val root = graft.util.Fs.processScratchRoot("snaproot",
+      s"_${d.hashCode.toHexString}")
     synchronized {
       snapPrepared.get(root) match {
         case Some(id1) => (root, id1)
@@ -392,7 +395,8 @@ object EtlQueries {
     * [[prepareSnapshotHistory]]. */
   private val snapMergePrepared = scala.collection.mutable.Set[String]()
   private def prepareSnapshotMerge(s: SparkSession, d: String): String = {
-    val root = tmp(s"snapmerge_p${ProcessHandle.current().pid()}", d)
+    val root = graft.util.Fs.processScratchRoot("snapmerge",
+      s"_${d.hashCode.toHexString}")
     synchronized {
       if (!snapMergePrepared.contains(root)) {
         graft.util.Fs.deleteRecursively(new java.io.File(root))

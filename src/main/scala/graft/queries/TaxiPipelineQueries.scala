@@ -36,9 +36,10 @@ object TaxiPipelineQueries {
     // PID-suffixed like the snapshot scratch roots (EtlQueries): the
     // rebuild below is guarded only by this JVM's `prepared` set, so
     // two JVMs sharing java.io.tmpdir (Bench + a plain Verify) would
-    // otherwise rebuild/overwrite one root under each other's reads
-    val root = s"${sys.props("java.io.tmpdir")}/graft_taxi_" +
-      s"p${ProcessHandle.current().pid()}_${d.hashCode.toHexString}"
+    // otherwise rebuild/overwrite one root under each other's reads.
+    // Built via Fs.processScratchRoot so dead-PID siblings get swept.
+    val root = graft.util.Fs.processScratchRoot("taxi",
+      s"_${d.hashCode.toHexString}")
     if (!prepared.contains(root)) {
       val raw = TaxiGen.fromLineitem(Tables.lineitem(s, d))
       CsvExport.write(raw, s"$root/staging_csv", shards = 8)
@@ -62,8 +63,8 @@ object TaxiPipelineQueries {
     // root holds a LIVE snapshot table — a concurrent JVM's wipe would
     // delete MANIFEST and .commit.lock out from under an in-flight
     // append commit
-    val root = s"${sys.props("java.io.tmpdir")}/graft_taxistream_" +
-      s"p${ProcessHandle.current().pid()}_${d.hashCode.toHexString}"
+    val root = graft.util.Fs.processScratchRoot("taxistream",
+      s"_${d.hashCode.toHexString}")
     if (!prepared.contains(root)) {
       // a previous run's root would make this APPEND onto its
       // already-checkpointed table (each run regenerates shards under

@@ -70,10 +70,16 @@ object TaxiIngestStream {
         // monotonic PER CHECKPOINT, so each pipeline gets its own
         // replay-token slot in the manifest props — a shared slot
         // would let pipeline B's commit erase A's recorded token and
-        // A's retried batch would append twice
+        // A's retried batch would append twice. CANONICALIZED: a
+        // restart spelling the same checkpoint differently (relative
+        // vs absolute, trailing slash) resumes the same Spark
+        // checkpoint, so it must land in the same token slot — a raw
+        // string would open a second slot and a batch retried after a
+        // commit-landed/checkpoint-lost crash would append twice.
+        val writerId = new java.io.File(checkpointDir).getCanonicalPath
         graft.etl.SnapshotStore.appendPartitions(batch, tableRoot,
           partCol = "pickup_month", sortCol = "pickup_datetime",
-          idempotence = Some((checkpointDir, batchId.toString)))
+          idempotence = Some((writerId, batchId.toString)))
         ()
       }
       .option("checkpointLocation", checkpointDir)
