@@ -53,13 +53,33 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotStore {
 
+  /** Per-column min/max of one manifest entry, as canonical strings
+    * ([[SnapshotStore.statString]] / compared by
+    * [[SnapshotStore.statCompare]] under the column's manifest type).
+    * All-null columns carry no ColStats. */
+  final case class ColStats(min: String, max: String)
+
+  /** Per-entry (per partition dir) statistics, captured at write time:
+    * row count + min/max for every supported-type column (capped at
+    * [[SnapshotStore.StatsColCap]]). This is the Iceberg-style manifest
+    * metadata that lets planning decisions happen on the ~KB manifest
+    * instead of a data scan: MERGE discovery prunes partitions whose
+    * key range cannot hold a change key
+    * ([[graft.operators.MergeInto.mergeCommit]]), and the DSV2 read
+    * path reports exact row counts to the optimizer. */
+  final case class EntryStats(rows: Long, cols: Map[String, ColStats])
+
   /** One partition of one snapshot: partition VALUE (as written in the
-    * `__part=` dir name) → data dir RELATIVE to the table root. The
-    * manifest also records the table SCHEMA as of its commit (schema
-    * evolution: a backfill adding a column merges it in; readers apply
-    * the manifest schema to every listed dir in O(1) — old files'
-    * missing columns read as null, no per-file footer merging). */
-  final case class Entry(value: String, dir: String)
+    * `__part=` dir name) → data dir RELATIVE to the table root, plus
+    * optional write-time [[EntryStats]] (None for entries committed
+    * before stats existed — every consumer treats a stats-less entry
+    * conservatively). The manifest also records the table SCHEMA as of
+    * its commit (schema evolution: a backfill adding a column merges
+    * it in; readers apply the manifest schema to every listed dir in
+    * O(1) — old files' missing columns read as null, no per-file
+    * footer merging). */
+  final case class Entry(value: String, dir: String,
+      stats: Option[EntryStats] = None)
   /** `props` is durable table metadata carried forward across every
     * commit kind (append tokens must survive an interleaved backfill
     * or compaction — see [[appendPartitions]]'s exactly-once note). A
@@ -114,6 +134,41 @@ object SnapshotStore {
 
   // ---- manifest encoding -------------------------------------------------
 
+  /** Entry stats as one compact JSON token (jackson string escaping
+    * keeps it free of raw tabs/newlines, so it is safe as the third
+    * tab-separated field of an entry line):
+    * `{"rows":N,"cols":{"name":["min","max"],…}}`. */
+  private def statsJson(s: EntryStats): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("rows" -> s.rows) ~
+          ("cols" -> org.json4s.JObject(s.cols.toList.sortBy(_._1).map {
+            case (n, cs) =>
+              n -> org.json4s.JArray(List(
+                org.json4s.JString(cs.min), org.json4s.JString(cs.max)))
+          }))))
+  }
+
+  private def parseStatsJson(j: String): EntryStats = {
+    import org.json4s._
+    val jv = jackson.JsonMethods.parse(j)
+    val rows = (jv \ "rows") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => sys.error(s"bad stats rows: $other")
+    }
+    val cols = (jv \ "cols") match {
+      case JObject(fields) => fields.map {
+        case (n, JArray(List(JString(mn), JString(mx)))) =>
+          n -> ColStats(mn, mx)
+        case other => sys.error(s"bad stats col: $other")
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    EntryStats(rows, cols)
+  }
+
   private def render(m: Manifest): String =
     (Seq(s"id=${m.id}") ++
       m.schema.map(s => s"schema=${s.json}") ++
@@ -122,8 +177,9 @@ object SnapshotStore {
       // renders as "prop%3Dx"
       m.props.toSeq.sortBy(_._1)
         .map { case (k, v) => s"prop=${escapeValue(k)}\t${escapeValue(v)}" } ++
-      m.entries.sortBy(_.value)
-        .map(e => s"${escapeValue(e.value)}\t${e.dir}"))
+      m.entries.sortBy(e => (e.value, e.dir))
+        .map(e => s"${escapeValue(e.value)}\t${e.dir}" +
+          e.stats.map(s => s"\t${statsJson(s)}").getOrElse("")))
       .mkString("", "\n", "\n")
 
   private def parse(p: Path): Manifest = {
@@ -142,8 +198,13 @@ object SnapshotStore {
       unescapeToken(k) -> unescapeToken(v)
     }.toMap
     Manifest(id, entryLines.map { l =>
-      val Array(v, dir) = l.split("\t", 2)
-      Entry(unescapeToken(v), dir)
+      // pre-stats manifests have two fields; stats-era three — the
+      // reader accepts both (stats are always optional metadata)
+      l.split("\t", 3) match {
+        case Array(v, dir) => Entry(unescapeToken(v), dir)
+        case Array(v, dir, stats) =>
+          Entry(unescapeToken(v), dir, Some(parseStatsJson(stats)))
+      }
     }, schema, props)
   }
 
@@ -214,6 +275,113 @@ object SnapshotStore {
   def manifestAt(root: String, id: Long): Manifest =
     parse(Paths.get(root, s"manifests/manifest-$id"))
 
+  // ---- entry statistics ----------------------------------------------------
+
+  /** Stats are captured for at most this many columns (schema order) —
+    * the Iceberg-style cap that keeps manifest size O(entries), not
+    * O(entries × arbitrary schema width). */
+  private[graft] val StatsColCap = 32
+
+  /** String min/max longer than this are dropped (that column simply
+    * has no stats for the entry): truncating would need upper-bound
+    * semantics (Iceberg's increment-last-char trick) to stay safe for
+    * max-pruning, and long free-text columns aren't useful prune keys. */
+  private val StatsMaxStringLen = 256
+
+  private[graft] def supportedStatType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType | TimestampType |
+           TimestampNTZType | BooleanType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Canonical string form of a collected min/max value. Timestamps go
+    * through ISO-8601 (instant for TZ timestamps, local for NTZ) so the
+    * string survives session-timezone changes between write and read. */
+  private[graft] def statString(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toInstant.toString
+    case i: java.time.Instant => i.toString
+    case d: java.time.LocalDateTime => d.toString
+    case x => x.toString // numerics, dates (yyyy-MM-dd), strings, booleans
+  }
+
+  /** Total order on canonical stat strings under the column's type —
+    * the driver-side mirror of Spark's own ordering for every
+    * [[supportedStatType]]. NaN sorts greatest (java.lang.Double
+    * semantics = Spark semantics). */
+  private[graft] def statCompare(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        java.lang.Long.compare(a.toLong, b.toLong)
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _: DecimalType => BigDecimal(a).compare(BigDecimal(b))
+      case StringType => a.compareTo(b)
+      case DateType => a.compareTo(b) // ISO dates compare lexically
+      case TimestampType =>
+        java.time.Instant.parse(a).compareTo(java.time.Instant.parse(b))
+      case TimestampNTZType =>
+        java.time.LocalDateTime.parse(a)
+          .compareTo(java.time.LocalDateTime.parse(b))
+      case BooleanType =>
+        java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+      case other =>
+        throw new IllegalArgumentException(s"no stat ordering for $other")
+    }
+  }
+
+  /** Capture per-partition row counts + column min/max by reading back
+    * the just-written snap dir (one map-side-combinable aggregate over
+    * data still warm in the page cache; the collect is bounded by the
+    * entry count, the same bound the manifest itself carries). The
+    * read uses an EXPLICIT schema with `__part` as string, so the
+    * partition token is never type-inferred — `EntryStats` keys match
+    * `Entry.value` exactly, leading zeros and all. At 100 TB this is
+    * one extra read of the data just written — ∝ commit size, never
+    * table size; the metadata-only refinement (harvesting parquet
+    * footer stats instead) slots in here without changing the manifest
+    * format. */
+  private def collectStats(spark: SparkSession, dataDir: String,
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : Map[String, EntryStats] = {
+    import org.apache.spark.sql.types._
+    val statCols = dataSchema.fields
+      .filter(f => supportedStatType(f.dataType)).take(StatsColCap)
+    val readSchema = StructType(
+      dataSchema.fields.filterNot(_.name == PartKey) :+
+        StructField(PartKey, StringType))
+    val aggs = statCols.flatMap(f => Seq(
+      min(col(f.name)).as(s"__mn_${f.name}"),
+      max(col(f.name)).as(s"__mx_${f.name}")))
+    val rows = spark.read.schema(readSchema).parquet(dataDir)
+      .groupBy(col(PartKey))
+      .agg(count(lit(1L)).as("__rows"), aggs.toIndexedSeq: _*)
+      .collect()
+    rows.map { r =>
+      val cols = statCols.flatMap { f =>
+        val mn = r.get(r.fieldIndex(s"__mn_${f.name}"))
+        val mx = r.get(r.fieldIndex(s"__mx_${f.name}"))
+        if (mn == null || mx == null) None // all-null column: no stats
+        else {
+          val (a, b) = (statString(mn), statString(mx))
+          if (f.dataType == StringType &&
+              (a.length > StatsMaxStringLen || b.length > StatsMaxStringLen))
+            None
+          else Some(f.name -> ColStats(a, b))
+        }
+      }.toMap
+      r.getString(r.fieldIndex(PartKey)) ->
+        EntryStats(r.getLong(r.fieldIndex("__rows")), cols)
+    }.toMap
+  }
+
   // ---- data writes -------------------------------------------------------
 
   /** One job writes every partition of `df` into the snapshot dir:
@@ -259,7 +427,11 @@ object SnapshotStore {
         "(or the literal __HIVE_DEFAULT_PARTITION__ string) values — " +
         "the directory sentinel is ambiguous with a real string value; " +
         "filter or default the partition column before committing")
-    toks.map(tok => Entry(unescapeDirToken(tok), s"$rel/$PartKey=$tok"))
+    val stats = collectStats(df.sparkSession, dataDir, df.schema)
+    toks.map { tok =>
+      val v = unescapeDirToken(tok)
+      Entry(v, s"$rel/$PartKey=$tok", stats.get(v))
+    }
   }
 
   private def listParts(dataDir: String): Seq[String] = {
@@ -304,6 +476,38 @@ object SnapshotStore {
       .toSeq
     (0L +: (retainedIds(root) ++ dirIds)).max + 1
   }
+
+  // ---- table layout props --------------------------------------------------
+
+  /** The partition/sort layout is durable table metadata: recorded in
+    * the manifest props by every commit, so name-only entry points (the
+    * SQL INSERT/MERGE paths in [[graft.sources.GraftSnapshotSource]])
+    * can commit without the caller re-stating the layout — and a caller
+    * RE-stating a DIFFERENT layout on an incremental commit is a loud
+    * error instead of a silently mixed-layout table. */
+  private[graft] val PartColProp = "table.partCol"
+  private[graft] val SortColProp = "table.sortCol"
+
+  /** The recorded (partCol, sortCol) of a committed table, if its
+    * manifests carry layout props (every commit since stats-era does). */
+  def tableLayout(m: Manifest): Option[(String, String)] =
+    for { p <- m.props.get(PartColProp); s <- m.props.get(SortColProp) }
+      yield (p, s)
+
+  /** Incremental commits must match the recorded layout; a full
+    * [[write]] redefines it (it rewrites every partition anyway). */
+  private def checkLayout(prior: Option[Manifest], partCol: String,
+      sortCol: String): Unit =
+    prior.flatMap(tableLayout).foreach { case (p, s) =>
+      require(p == partCol && s == sortCol,
+        s"commit layout ($partCol, $sortCol) does not match the table's " +
+          s"recorded layout ($p, $s) — a mixed-layout table cannot be " +
+          "read back; write a full snapshot to change the layout")
+    }
+
+  private def layoutProps(partCol: String, sortCol: String)
+      : Map[String, String] =
+    Map(PartColProp -> partCol, SortColProp -> sortCol)
 
   // ---- public writer API -------------------------------------------------
 
@@ -368,10 +572,12 @@ object SnapshotStore {
 
   private def writeLocked(df: DataFrame, root: String, partCol: String,
       sortCol: String): Long = {
+    // a full write rewrites everything, so it may REDEFINE the layout
     val priorProps = current(root).map(_.props).getOrElse(Map.empty)
     val id = allocateId(root)
     val entries = writeSnapData(df, root, id, partCol, sortCol)
-    commitManifest(root, Manifest(id, entries, Some(df.schema), priorProps))
+    commitManifest(root, Manifest(id, entries, Some(df.schema),
+      priorProps ++ layoutProps(partCol, sortCol)))
     id
   }
 
@@ -394,6 +600,7 @@ object SnapshotStore {
       partCol: String, sortCol: String): Long = {
     val prior = current(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root to backfill"))
+    checkLayout(Some(prior), partCol, sortCol)
     // schema evolution happens at the COMMIT boundary: a backfill
     // adding columns appends them to the table schema; a type change
     // fails here, before any pointer moves
@@ -403,8 +610,8 @@ object SnapshotStore {
     val fresh = writeSnapData(df, root, id, partCol, sortCol)
     val restated = fresh.map(_.value).toSet
     val carried = prior.entries.filterNot(e => restated(e.value))
-    commitManifest(root,
-      Manifest(id, carried ++ fresh, Some(merged), prior.props))
+    commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
+      prior.props ++ layoutProps(partCol, sortCol)))
     id
   }
 
@@ -444,10 +651,12 @@ object SnapshotStore {
             slot.flatMap(prior.props.get) == idempotence.map(_._2) =>
           prior.id // the batch already committed; retry is a no-op
         case prior =>
+          checkLayout(prior, partCol, sortCol)
           val merged = prior.flatMap(_.schema)
             .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
           val props = prior.map(_.props).getOrElse(Map.empty) ++
-            idempotence.map { case (w, t) => (AppendTokenPrefix + w) -> t }
+            idempotence.map { case (w, t) => (AppendTokenPrefix + w) -> t } ++
+            layoutProps(partCol, sortCol)
           val id = allocateId(root)
           val fresh = writeSnapData(df, root, id, partCol, sortCol)
           commitManifest(root, Manifest(id,
@@ -476,6 +685,7 @@ object SnapshotStore {
     withCommitLock(root) {
       val prior = current(root).getOrElse(
         throw new IllegalStateException(s"no snapshot at $root to restate"))
+      checkLayout(Some(prior), partCol, sortCol)
       val merged = prior.schema.map(mergeSchemas(_, restated.schema))
         .getOrElse(restated.schema)
       val id = allocateId(root)
@@ -485,8 +695,8 @@ object SnapshotStore {
         s"restatePartitions: rows landed in partitions ${stray.mkString(", ")} " +
           s"not named in dropValues — the commit would duplicate them")
       val carried = prior.entries.filterNot(e => dropValues(e.value))
-      commitManifest(root,
-        Manifest(id, carried ++ fresh, Some(merged), prior.props))
+      commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
+        prior.props ++ layoutProps(partCol, sortCol)))
       id
     }
 

@@ -95,28 +95,74 @@ object MergeInto {
   def mergeCommit(spark: SparkSession, root: String, changes: DataFrame,
       key: String, deleteFlag: String, partCol: String,
       sortCol: String): Long = SnapshotStore.withTableLock(root) {
-    val base = SnapshotStore.read(spark, root)
+    val m = SnapshotStore.current(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root to merge into"))
     val changeKeys = changes.filter(col(key).isNotNull)
       .select(col(key)).distinct()
-    val touchedBase = base.select(col(key), col(partCol))
-      .join(changeKeys, Seq(key), "left_semi")
-      .select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0))
+    val candidates = candidatePartitions(m, changes, key)
+    val touchedBase: Seq[String] = candidates match {
+      case Some(c) if c.isEmpty =>
+        Seq.empty // no base partition's key range can hold a change key
+      case other =>
+        // manifest-stats pruning: the discovery scan reads only the
+        // partitions whose key range intersects the changeset's — at
+        // fine partition granularity this replaces the full-base
+        // (key, partCol) scan with a scan of the touched neighborhood,
+        // decided on the ~KB manifest before any file listing
+        val src = other match {
+          case Some(c) if c != m.entries.map(_.value).toSet =>
+            SnapshotStore.readWhere(spark, root, c)
+          case _ => SnapshotStore.read(spark, root)
+        }
+        src.select(col(key), col(partCol))
+          .join(changeKeys, Seq(key), "left_semi")
+          .select(col(partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+    }
     val touchedNew = changes
       .filter(!coalesce(col(deleteFlag), lit(false)))
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0))
     val touched = (touchedBase ++ touchedNew).toSet
-    if (touched.isEmpty) {
-      SnapshotStore.current(root).getOrElse(
-        throw new IllegalStateException(s"no snapshot at $root to merge into")
-      ).id
-    } else {
+    if (touched.isEmpty) m.id
+    else {
       val resolved =
         merge(SnapshotStore.readWhere(spark, root, touched), changes,
           key, deleteFlag)
       SnapshotStore.restatePartitions(resolved, root, touched, partCol,
         sortCol)
     }
+  }
+
+  /** Partitions whose manifest key-range could hold a change key —
+    * the Iceberg-style min/max prune, decided entirely on the manifest:
+    *   - `None` = pruning unavailable (unordered key type, or no entry
+    *     carries stats for the key) → caller scans the full base;
+    *   - `Some(values)` = only these partitions can match; entries
+    *     WITHOUT key stats stay in conservatively (a pre-stats entry
+    *     must never be skipped);
+    *   - `Some(empty)` = the changeset has no non-null keys (or the
+    *     table no entries) — nothing in base can match.
+    * Cost: one min/max aggregate over the changeset (the small side of
+    * every MERGE) + an O(entries) driver loop. */
+  private[graft] def candidatePartitions(m: SnapshotStore.Manifest,
+      changes: DataFrame, key: String): Option[Set[String]] = {
+    val keyType = changes.schema(key).dataType
+    if (!SnapshotStore.supportedStatType(keyType)) return None
+    if (m.entries.isEmpty) return Some(Set.empty)
+    if (!m.entries.exists(_.stats.exists(_.cols.contains(key)))) return None
+    val b = changes.filter(col(key).isNotNull)
+      .agg(min(col(key)), max(col(key))).collect().head
+    if (b.isNullAt(0)) return Some(Set.empty)
+    val cmin = SnapshotStore.statString(b.get(0))
+    val cmax = SnapshotStore.statString(b.get(1))
+    Some(m.entries.filter { e =>
+      e.stats.flatMap(_.cols.get(key)) match {
+        case Some(cs) =>
+          SnapshotStore.statCompare(keyType, cs.max, cmin) >= 0 &&
+            SnapshotStore.statCompare(keyType, cs.min, cmax) <= 0
+        case None => true // stats-less entry: conservatively a candidate
+      }
+    }.map(_.value).toSet)
   }
 }

@@ -1,0 +1,146 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.etl.SnapshotStore.{ColStats, Entry, EntryStats, Manifest}
+import graft.operators.MergeInto
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Manifest entry statistics (Iceberg-style per-partition min/max +
+  * row counts) and the MERGE discovery pruning built on them. */
+class SnapshotStatsSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val r = s"${sys.props("java.io.tmpdir")}/graft_statspec_${name}_" +
+      s"p${ProcessHandle.current().pid()}"
+    graft.util.Fs.deleteRecursively(new java.io.File(r))
+    r
+  }
+
+  /** Key-correlated partitions: ids 1-100 → month 2024-01, 101-200 →
+    * 2024-02, 201-300 → 2024-03 — the auto-increment-id shape where
+    * key-range pruning identifies the touched month exactly. */
+  private def keyedTable: DataFrame = {
+    import spark.implicits._
+    (1 to 300).map { id =>
+      val month = f"2024-${(id - 1) / 100 + 1}%02d"
+      (id.toLong, month, s"payload-$id", id * 1.5)
+    }.toDF("id", "month", "note", "amount")
+  }
+
+  test("write captures per-entry row counts and column min/max") {
+    val root = freshRoot("capture")
+    SnapshotStore.write(keyedTable, root, partCol = "month", sortCol = "id")
+    val m = SnapshotStore.current(root).get
+    assert(m.entries.size === 3)
+    val feb = m.entries.find(_.value === "2024-02").get
+    val st = feb.stats.get
+    assert(st.rows === 100L)
+    assert(st.cols("id") === ColStats("101", "200"))
+    assert(st.cols("amount") === ColStats("151.5", "300.0"))
+    assert(st.cols("month") === ColStats("2024-02", "2024-02"))
+    // stats survive the manifest render/parse round trip (current()
+    // already parsed from disk) and layout props are recorded
+    assert(SnapshotStore.tableLayout(m) === Some(("month", "id")))
+  }
+
+  test("statCompare orders numerically, not lexically") {
+    assert(SnapshotStore.statCompare(LongType, "9", "10") < 0)
+    assert(SnapshotStore.statCompare(DoubleType, "9.5", "10.25") < 0)
+    assert(SnapshotStore.statCompare(StringType, "9", "10") > 0)
+    assert(SnapshotStore.statCompare(DateType, "2024-02-01", "2024-10-01") < 0)
+    assert(SnapshotStore.statCompare(TimestampType,
+      "2024-01-01T00:00:00Z", "2024-01-01T00:00:01Z") < 0)
+    // NaN sorts greatest, matching Spark's ordering
+    assert(SnapshotStore.statCompare(DoubleType, "NaN", "1.0E308") > 0)
+  }
+
+  test("candidatePartitions prunes to the key-touched month") {
+    import spark.implicits._
+    val root = freshRoot("prune")
+    SnapshotStore.write(keyedTable, root, partCol = "month", sortCol = "id")
+    val m = SnapshotStore.current(root).get
+    val changes = Seq((150L, "2024-02", "upd", 0.0, false))
+      .toDF("id", "month", "note", "amount", "_delete")
+    assert(MergeInto.candidatePartitions(m, changes, "id")
+      === Some(Set("2024-02")))
+    // a changeset with no non-null keys can match nothing in base
+    val nullKeys = Seq((Option.empty[Long], "2024-02", "x", 0.0, false))
+      .toDF("id", "month", "note", "amount", "_delete")
+    assert(MergeInto.candidatePartitions(m, nullKeys, "id")
+      === Some(Set.empty[String]))
+    // an unordered key type disables pruning (full scan, not wrong scan)
+    val arrayKey = Seq((Seq(1L), "2024-02")).toDF("id", "month")
+    assert(MergeInto.candidatePartitions(m, arrayKey, "id") === None)
+  }
+
+  test("stats-less entries stay candidates (conservative prune)") {
+    import spark.implicits._
+    val withStats = Entry("2024-01", "data/snap-1/__part=2024-01",
+      Some(EntryStats(10, Map("id" -> ColStats("1", "100")))))
+    val preStats = Entry("2024-02", "data/snap-1/__part=2024-02", None)
+    val m = Manifest(1, Seq(withStats, preStats))
+    val changes = Seq((500L, "x")).toDF("id", "month")
+    // key 500 is outside 2024-01's range, but 2024-02 has no stats —
+    // it must survive the prune
+    assert(MergeInto.candidatePartitions(m, changes, "id")
+      === Some(Set("2024-02")))
+  }
+
+  test("pruned discovery scan lists only the candidate month's files") {
+    val root = freshRoot("scan")
+    SnapshotStore.write(keyedTable, root, partCol = "month", sortCol = "id")
+    val pruned = SnapshotStore.readWhere(spark, root, Set("2024-02"))
+    val files = pruned.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("__part=2024-02")),
+      s"pruned scan leaked other partitions: ${files.mkString(", ")}")
+  }
+
+  test("single-month MERGE restates one month, carries the rest by reference") {
+    import spark.implicits._
+    val root = freshRoot("merge")
+    SnapshotStore.write(keyedTable, root, partCol = "month", sortCol = "id")
+    val before = SnapshotStore.current(root).get
+    val dirOf = (m: Manifest, v: String) => m.entries.find(_.value == v).get.dir
+    // keys 150 (update) and 160 (delete): both live in 2024-02 only
+    val changes = Seq(
+      (150L, "2024-02", "updated", 999.0, false),
+      (160L, "2024-02", "ignored", 0.0, true))
+      .toDF("id", "month", "note", "amount", "_delete")
+    MergeInto.mergeCommit(spark, root, changes, key = "id",
+      deleteFlag = "_delete", partCol = "month", sortCol = "id")
+    val after = SnapshotStore.current(root).get
+    // untouched months carried BY REFERENCE: same dir strings
+    assert(dirOf(after, "2024-01") === dirOf(before, "2024-01"))
+    assert(dirOf(after, "2024-03") === dirOf(before, "2024-03"))
+    assert(dirOf(after, "2024-02") !== dirOf(before, "2024-02"))
+    // and the merged content is right
+    val out = SnapshotStore.read(spark, root)
+    assert(out.count() === 299) // one delete
+    assert(out.filter(col("id") === 150L).select("amount")
+      .head().getDouble(0) === 999.0)
+    assert(out.filter(col("id") === 160L).count() === 0)
+    // the restated month's entry re-captured stats
+    val feb = after.entries.find(_.value == "2024-02").get.stats.get
+    assert(feb.rows === 99L)
+    assert(feb.cols("amount").max === "999.0")
+  }
+
+  test("incremental commits must match the recorded layout") {
+    import spark.implicits._
+    val root = freshRoot("layout")
+    SnapshotStore.write(keyedTable, root, partCol = "month", sortCol = "id")
+    val patch = Seq((5L, "2024-01", "x", 1.0)).toDF("id", "month", "note", "amount")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.appendPartitions(patch, root,
+        partCol = "note", sortCol = "id")
+    }
+    assert(e.getMessage.contains("recorded layout"))
+    // a full write may redefine the layout
+    SnapshotStore.write(keyedTable, root, partCol = "note", sortCol = "id")
+    assert(SnapshotStore.tableLayout(SnapshotStore.current(root).get)
+      === Some(("note", "id")))
+  }
+}
