@@ -420,6 +420,94 @@ object EtlQueries {
   def snapshotMerge: Q = (s, d) =>
     monthAgg(SnapshotStore.read(s, prepareSnapshotMerge(s, d)))
 
+  /** One SQL-INSERTed snapshot history per (JVM, sfDir): full load via
+    * the Scala API, then a PURE-SQL `INSERT INTO` through the catalog
+    * (routed into the locked [[SnapshotStore.appendPartitions]], layout
+    * resolved from the manifest props — the SQL writer never re-states
+    * it). The inserted batch: every key ≡ 3 (mod 50) cloned with
+    * key + 3e9 and price + 1.25, selected straight from the parquet
+    * source in SQL. */
+  private val snapSqlInsPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlInsert(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapins",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapSqlInsPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(
+          s"""INSERT INTO $table
+             |SELECT o_orderkey + 3000000000 AS o_orderkey, o_custkey,
+             |       o_orderstatus, o_totalprice + 1.25 AS o_totalprice,
+             |       o_orderdate, o_orderpriority,
+             |       date_format(o_orderdate, 'yyyy-MM') AS order_month
+             |FROM parquet.`$d/orders.parquet`
+             |WHERE o_orderkey % 50 = 3""".stripMargin)
+        snapSqlInsPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Pure-SQL WRITE path: `INSERT INTO` a snapshot table lands an
+    * atomic append commit; the SQL read must see original + inserted
+    * rows exactly (the oracle replays the insert over raw orders). */
+  def snapshotSqlInsert: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlInsert(s, d)))
+
+  /** One SQL-MERGEd snapshot history per (JVM, sfDir): full load, then
+    * the [[mergeChangeset]] clauses expressed as a pure-SQL temp view
+    * and applied via `CALL graftsnap.system.merge_into` — the
+    * procedure resolves the layout from the manifest and routes
+    * through the locked [[graft.operators.MergeInto.mergeCommit]]. */
+  private val snapSqlMergePrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlMerge(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapsqlmerge",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapSqlMergePrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        registerSnapCatalog(s, root)
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_sqlmerge_changes AS
+             |WITH o AS (SELECT *,
+             |    date_format(o_orderdate, 'yyyy-MM') AS order_month
+             |  FROM parquet.`$d/orders.parquet`)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |       o_orderdate, o_orderpriority, order_month,
+             |       true AS _delete
+             |  FROM o WHERE o_orderkey % 20 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       o_totalprice + 10.0, o_orderdate + INTERVAL 40 DAYS,
+             |       o_orderpriority,
+             |       date_format(o_orderdate + INTERVAL 40 DAYS, 'yyyy-MM'),
+             |       false
+             |  FROM o WHERE o_orderkey % 20 = 10
+             |UNION ALL
+             |SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus,
+             |       o_totalprice + 0.5, o_orderdate, o_orderpriority,
+             |       order_month, false
+             |  FROM o WHERE o_orderkey % 100 = 7""".stripMargin)
+        val name = new java.io.File(root).getName
+        s.sql(s"CALL graftsnap.system.merge_into('$name', " +
+          "'graft_sqlmerge_changes', 'o_orderkey', '_delete')")
+        snapSqlMergePrepared += root
+      }
+    }
+    root
+  }
+
+  /** Pure-SQL MERGE path: same three clauses as [[snapshotMerge]], but
+    * the changeset is a SQL view and the commit is a SQL CALL — the
+    * result must hash-match the Scala-API twin's oracle exactly. */
+  def snapshotSqlMerge: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlMerge(s, d)))
+
   private def monthAgg(df: DataFrame): DataFrame =
     df.groupBy("order_month")
       .agg(count(lit(1)).as("cnt"),
@@ -487,6 +575,8 @@ object EtlQueries {
     "snapshot_merge" -> snapshotMerge,
     "snapshot_sql" -> snapshotSql,
     "snapshot_sql_timetravel" -> snapshotSqlTimetravel,
+    "snapshot_sql_insert" -> snapshotSqlInsert,
+    "snapshot_sql_merge" -> snapshotSqlMerge,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
     "schema_evolution" -> schemaEvolution,
@@ -528,6 +618,26 @@ object EtlQueries {
        | CAST(sum(rfp) AS BIGINT) AS content_sum
        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** The MERGE-changeset replay over raw orders — shared by the
+    * Scala-API ([[snapshotMerge]]) and SQL-CALL ([[snapshotSqlMerge]])
+    * lanes: one oracle, two entry points into the same commit path. */
+  private val snapshotMergeOracleSql: String =
+    """WITH o AS (SELECT * FROM orders),
+      | kept AS (SELECT o_orderdate, o_totalprice FROM o
+      |  WHERE o_orderkey % 20 <> 0 AND o_orderkey % 20 <> 10),
+      | upd AS (SELECT o_orderdate + INTERVAL 40 DAY AS o_orderdate,
+      |   o_totalprice + 10.0 AS o_totalprice FROM o
+      |  WHERE o_orderkey % 20 = 10),
+      | ins AS (SELECT o_orderdate, o_totalprice + 0.5 AS o_totalprice
+      |  FROM o WHERE o_orderkey % 100 = 7),
+      | fin AS (SELECT * FROM kept UNION ALL
+      |  SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      | count(*) AS cnt,
+      | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+      |   AS sum_price
+      |FROM fin GROUP BY 1""".stripMargin
 
   /** The backfill restatement replay (latest month: every 10th order
     * dropped, +5.00) — shared by the Scala-API and SQL-catalog read
@@ -580,19 +690,20 @@ object EtlQueries {
     // replay the MERGE clauses over raw orders: keys ≡0 (mod 20)
     // deleted, ≡10 (mod 20) updated (+10.00, date +40 days, month
     // recomputed), ≡7 (mod 100) cloned as inserts (+2e9 key, +0.50)
-    "snapshot_merge" ->
-      """WITH o AS (SELECT * FROM orders),
-        | kept AS (SELECT o_orderdate, o_totalprice FROM o
-        |  WHERE o_orderkey % 20 <> 0 AND o_orderkey % 20 <> 10),
-        | upd AS (SELECT o_orderdate + INTERVAL 40 DAY AS o_orderdate,
-        |   o_totalprice + 10.0 AS o_totalprice FROM o
-        |  WHERE o_orderkey % 20 = 10),
-        | ins AS (SELECT o_orderdate, o_totalprice + 0.5 AS o_totalprice
-        |  FROM o WHERE o_orderkey % 100 = 7),
-        | fin AS (SELECT * FROM kept UNION ALL
-        |  SELECT * FROM upd UNION ALL SELECT * FROM ins)
-        |SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
-        | count(*) AS cnt,
+    "snapshot_merge" -> snapshotMergeOracleSql,
+    // the SQL CALL twin applies the SAME clauses through the same
+    // commit path — one oracle, two entry points
+    "snapshot_sql_merge" -> snapshotMergeOracleSql,
+    // replay the SQL INSERT: every key ≡3 (mod 50) cloned (+3e9 key,
+    // +1.25 price) on top of the original load
+    "snapshot_sql_insert" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | ins AS (SELECT order_month, o_totalprice + 1.25 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 50 = 3),
+        | fin AS (SELECT order_month, o_totalprice FROM o
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT order_month, count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,

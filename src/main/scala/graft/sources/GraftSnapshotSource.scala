@@ -1,59 +1,72 @@
 package graft.sources
 
 import java.util
+import java.util.OptionalLong
 
 import graft.etl.SnapshotStore
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Pure-SQL read path for [[SnapshotStore]] tables — the gap that made
-  * the table format Scala-API-only: a snapshot table was readable via
-  * `SnapshotStore.read` but invisible to `spark.sql`. Two entry points,
-  * both resolving the manifest POINTER once at table-load time and then
-  * handing Spark's own parquet DSV2 machinery ([[ParquetTable]]) the
-  * exact dir list + manifest schema — so predicate pushdown, column
-  * pruning, vectorized reads and AQE all apply unchanged, and the
-  * snapshot isolation contract is preserved (the planned scan can never
-  * mix two commits, because the dir list was fixed at a single pointer
-  * resolve):
+/** SQL surface for [[SnapshotStore]] tables — reads AND writes. Reads
+  * resolve the manifest POINTER once at table-load time and then hand
+  * Spark's own parquet DSV2 machinery ([[ParquetTable]]) the exact dir
+  * list + manifest schema — predicate pushdown, column pruning,
+  * vectorized reads and AQE all apply unchanged, and the snapshot
+  * isolation contract is preserved (the planned scan can never mix two
+  * commits, because the dir list was fixed at a single pointer
+  * resolve). Writes route through the LOCKED commit paths — SQL never
+  * bypasses the single-writer discipline:
   *
   * {{{
   * // 1. reader format (option-addressed, time-travel via asOf):
   * spark.read.format("graft-snapshot")
   *   .option("asOf", 1).load(root)
-  * // 2. catalog (name-addressed, SQL time travel):
+  * // 2. catalog (name-addressed SQL — reads, time travel, DML):
   * spark.conf.set("spark.sql.catalog.snap",
   *   classOf[GraftSnapshotCatalog].getName)
   * spark.conf.set("spark.sql.catalog.snap.warehouse", dir)
   * spark.sql("SELECT * FROM snap.my_table VERSION AS OF 1")
+  * spark.sql("INSERT INTO snap.my_table SELECT ...")   // atomic append
+  * spark.sql("CALL snap.system.merge_into('my_table', 'changes_view',
+  *            'key_col', 'delete_flag')")              // locked MERGE
   * }}}
+  *
+  * INSERT INTO is an atomic snapshot APPEND
+  * ([[SnapshotStore.appendPartitions]] under the table lock, partition/
+  * sort layout resolved from the manifest props every commit records);
+  * the `merge_into` procedure is
+  * [[graft.operators.MergeInto.mergeCommit]] — copy-on-write MERGE with
+  * manifest-stats partition pruning, also under the lock. Time-travel
+  * loads are read-only (writing to the past would fork history).
   *
   * 100 TB shape: table load cost is one ~KB manifest read; no file
   * listing happens until Spark plans the scan over exactly the listed
-  * dirs, and manifest-level partition pruning remains available on the
-  * Scala path ([[SnapshotStore.readWhere]]) while file-level pruning
-  * (pushed filters, row-group stats) applies on both.
-  *
-  * Writes stay on the transactional Scala API
-  * ([[SnapshotStore.write]]/[[graft.operators.MergeInto.mergeCommit]]);
-  * the catalog is deliberately read-only — an INSERT bypassing the
-  * commit lock would break the single-writer discipline.
+  * dirs. An unfiltered scan reports the manifest's EXACT row count
+  * through the DSV2 statistics API (the per-entry counts captured at
+  * write time), so broadcast decisions don't rely on file size alone.
   */
 object GraftSnapshotTables {
 
-  /** A loaded snapshot as Spark's own parquet DSV2 table: the manifest
-    * schema (if carried) becomes the user-specified schema, so
-    * pre-evolution dirs read evolved columns as null — same contract
-    * as [[SnapshotStore.read]]. */
+  /** A loaded snapshot table: Spark's parquet DSV2 table for scans
+    * (the manifest schema — if carried — becomes the user-specified
+    * schema, so pre-evolution dirs read evolved columns as null, the
+    * [[SnapshotStore.read]] contract), wrapped so unfiltered scans
+    * report manifest row counts and — for `writable` loads — INSERT
+    * appends through the locked commit path. */
   def load(spark: SparkSession, root: String, asOf: Option[Long],
-      options: CaseInsensitiveStringMap): ParquetTable = {
+      options: CaseInsensitiveStringMap,
+      writable: Boolean = false): GraftSnapshotTable = {
     val m = asOf.map(SnapshotStore.manifestAt(root, _))
       .orElse(SnapshotStore.current(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
@@ -64,19 +77,138 @@ object GraftSnapshotTables {
     require(m.entries.nonEmpty || m.schema.isDefined,
       s"snapshot ${m.id} at $root lists no data and carries no schema " +
         "— cannot type the empty table")
-    ParquetTable(
+    val inner = ParquetTable(
       s"graft_snapshot_${new java.io.File(root).getName}@${m.id}",
       spark,
       options,
       m.entries.map(e => s"$root/${e.dir}"),
       m.schema,
       classOf[ParquetFileFormat])
+    new GraftSnapshotTable(root, m, inner, writable)
+  }
+}
+
+/** The wrapper table. Reads delegate to the inner [[ParquetTable]]'s
+  * own ScanBuilder subclass (all pushdown mixins inherited, nothing
+  * lost); the only read-path change is that a scan with NO pushed
+  * filters/aggregates reports the manifest row count ([[Statistics
+  * .numRows]]) — with pushed filters the manifest count would be an
+  * overestimate, so the inner file-size estimate stands unchanged. */
+class GraftSnapshotTable(
+    val root: String,
+    val manifest: SnapshotStore.Manifest,
+    inner: ParquetTable,
+    writable: Boolean) extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def properties(): util.Map[String, String] = inner.properties()
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ)
+    // time-travel loads are read-only: an INSERT "into the past" would
+    // fork history — the capability is simply absent, so the analyzer
+    // rejects the statement before any write machinery runs
+    if (writable) caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
+
+  /** Manifest total row count — known only when every entry carries
+    * write-time stats (entries from pre-stats commits make the total
+    * a lie, so report nothing). */
+  private val manifestRows: Option[Long] = {
+    val stats = manifest.entries.flatMap(_.stats)
+    if (stats.size == manifest.entries.size) Some(stats.map(_.rows).sum)
+    else None
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    // the inner table builds its own (option-merged) builder; its case
+    // accessors hand over the exact constructor args for the subclass
+    new GraftSnapshotScanBuilder(inner.newScanBuilder(options), manifestRows)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val (partCol, sortCol) = SnapshotStore.tableLayout(manifest).getOrElse(
+      throw new UnsupportedOperationException(
+        s"snapshot table at $root predates layout-recording manifests " +
+          "(no table.partCol/table.sortCol props) — recommit with " +
+          "SnapshotStore.write to enable SQL INSERT"))
+    val tableSchema = schema()
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        // the V1 fallback hands the whole resolved DataFrame to the
+        // driver — exactly what a manifest commit needs (the commit IS
+        // a driver-side pointer swap after a normal distributed write),
+        // so no per-partition DataWriter machinery is involved
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              // only AppendData reaches a V1_BATCH_WRITE-only table
+              // (INSERT OVERWRITE needs TRUNCATE/OVERWRITE_BY_FILTER,
+              // which this table never declares), so overwrite here
+              // would mean a Spark contract change — fail loud
+              require(!overwrite,
+                "snapshot tables only support INSERT INTO (append); " +
+                  "use SnapshotStore.overwritePartitions for restatement")
+              // analyzer resolved the query BY POSITION against the
+              // table schema; re-alias so the commit path can address
+              // the partition/sort columns by NAME
+              SnapshotStore.appendPartitions(
+                data.toDF(tableSchema.fieldNames.toIndexedSeq: _*),
+                root, partCol, sortCol)
+              ()
+            }
+          }
+      }
+    }
+  }
+}
+
+/** The inner table's own builder subclassed — NOT a delegating proxy:
+  * every pushdown mixin (`SupportsPushDownCatalystFilters`,
+  * `SupportsPushDownRequiredColumns`, `SupportsPushDownAggregates`, …)
+  * is inherited, so `instanceof` checks in V2ScanRelationPushDown see
+  * the real thing and filter/column/aggregate pushdown is untouched. */
+private class GraftSnapshotScanBuilder(
+    template: ParquetScanBuilder,
+    manifestRows: Option[Long])
+  extends ParquetScanBuilder(template.sparkSession, template.fileIndex,
+    template.schema, template.dataSchema, template.options) {
+
+  override def build(): ParquetScan = {
+    val p = super.build()
+    if (manifestRows.isDefined && p.partitionFilters.isEmpty &&
+        p.dataFilters.isEmpty && p.pushedAggregate.isEmpty)
+      new ManifestStatsScan(p, manifestRows.get)
+    else p // filtered/aggregated: manifest count would overestimate
+  }
+}
+
+/** A real [[ParquetScan]] (every FileScan behavior inherited — input
+  * partition planning, vectorized batches, exchange-reuse equality)
+  * that additionally knows its exact cardinality from the manifest:
+  * size estimate unchanged (file bytes), row count exact. */
+private class ManifestStatsScan(p: ParquetScan, val rows: Long)
+    extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
+      p.dataSchema, p.readDataSchema, p.readPartitionSchema,
+      p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
+      p.dataFilters, p.pushedVariantExtractions) {
+  override def estimateStatistics(): Statistics = {
+    val base = super.estimateStatistics()
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = base.sizeInBytes()
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
   }
 }
 
 /** `spark.read.format("graft-snapshot")` — option-addressed reader.
   * `load(path)` (or `.option("path", …)`) names the table root;
-  * `.option("asOf", id)` time-travels to a retained manifest. */
+  * `.option("asOf", id)` time-travels to a retained manifest. Always
+  * read-only: SQL DML needs a catalog identity, so writes go through
+  * [[GraftSnapshotCatalog]]. */
 class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
@@ -89,9 +221,9 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
     * contract). CaseInsensitiveStringMap equality is entry-set
     * equality, so a same-options re-call reuses the table. */
   private var cachedKey: CaseInsensitiveStringMap = _
-  private var cachedTable: ParquetTable = _
+  private var cachedTable: GraftSnapshotTable = _
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable =
+  private def resolve(options: CaseInsensitiveStringMap): GraftSnapshotTable =
     synchronized {
       if (cachedKey == null || cachedKey != options) {
         val root = Option(options.get("path")).getOrElse(
@@ -107,18 +239,23 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
     }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+    resolve(options).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     resolve(new CaseInsensitiveStringMap(properties))
 }
 
-/** A read-only [[TableCatalog]] over a warehouse directory of snapshot
-  * roots: table `snap.t` resolves to `<warehouse>/t` (namespaces map to
-  * subdirectories), `VERSION AS OF n` loads retained manifest `n`.
-  * Mutations are rejected — commits go through the locked Scala API. */
-class GraftSnapshotCatalog extends TableCatalog {
+/** A [[TableCatalog]] over a warehouse directory of snapshot roots:
+  * table `snap.t` resolves to `<warehouse>/t` (namespaces map to
+  * subdirectories — a directory WITHOUT a MANIFEST is a namespace, one
+  * WITH a MANIFEST is a table), `VERSION AS OF n` loads retained
+  * manifest `n` read-only. DML goes through the locked commit paths:
+  * INSERT INTO appends, `CALL snap.system.merge_into(…)` merges. DDL
+  * (create/alter/drop) stays rejected — table lifecycle belongs to the
+  * Scala API that owns the directory layout. */
+class GraftSnapshotCatalog extends TableCatalog
+    with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -141,6 +278,8 @@ class GraftSnapshotCatalog extends TableCatalog {
     new java.io.File(s"$root/MANIFEST").isFile
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
     val dir = new java.io.File((warehouse +: namespace).mkString("/"))
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && tableExistsAt(f.toString))
@@ -151,10 +290,12 @@ class GraftSnapshotCatalog extends TableCatalog {
     val root = rootOf(ident)
     if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
     GraftSnapshotTables.load(SparkSession.active, root, None,
-      CaseInsensitiveStringMap.empty())
+      CaseInsensitiveStringMap.empty(), writable = true)
   }
 
-  /** SQL time travel: `VERSION AS OF n` arrives here as a string. */
+  /** SQL time travel: `VERSION AS OF n` arrives here as a string.
+    * Read-only — writing into a historical snapshot would fork the
+    * manifest history. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
@@ -162,15 +303,17 @@ class GraftSnapshotCatalog extends TableCatalog {
       throw new IllegalArgumentException(
         s"snapshot version must be a manifest id, got '$version'"))
     GraftSnapshotTables.load(SparkSession.active, root, Some(id),
-      CaseInsensitiveStringMap.empty())
+      CaseInsensitiveStringMap.empty(), writable = false)
   }
 
   override def tableExists(ident: Identifier): Boolean =
     tableExistsAt(rootOf(ident))
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graft snapshot catalog is read-only: write through " +
-      "SnapshotStore / MergeInto.mergeCommit (the locked commit path)")
+    "graft snapshot catalog supports DML (INSERT INTO, CALL " +
+      "system.merge_into) but not DDL: create/alter/drop tables and " +
+      "namespaces through the SnapshotStore Scala API that owns the " +
+      "directory layout")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -180,4 +323,121 @@ class GraftSnapshotCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = readOnly
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly
+
+  // ---- namespaces (SHOW NAMESPACES / SHOW TABLES IN ns) ------------------
+
+  private def namespaceDir(namespace: Array[String]): java.io.File =
+    new java.io.File((warehouse +: namespace).mkString("/"))
+
+  private def isNamespaceDir(f: java.io.File): Boolean =
+    f.isDirectory && !tableExistsAt(f.toString)
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(isNamespaceDir)
+      .map(f => Array(f.getName))
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = namespaceDir(namespace)
+    if (!isNamespaceDir(dir)) throw new NoSuchNamespaceException(namespace)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(isNamespaceDir)
+      .map(f => namespace :+ f.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespaceDir(namespaceDir(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = readOnly
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = readOnly
+
+  // ---- procedures (CALL snap.system.merge_into(…)) -----------------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "merge_into"))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    ident.name() match {
+      case "merge_into" => new MergeIntoProcedure(warehouse)
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure '$other' — this catalog provides " +
+          "system.merge_into(table, source, key, delete_flag)")
+    }
+}
+
+/** `CALL <catalog>.system.merge_into(table, source, key, delete_flag)`
+  * — the SQL entry to [[graft.operators.MergeInto.mergeCommit]]: apply
+  * the rows of temp view / table `source` (base columns + boolean
+  * `delete_flag`) to snapshot table `table` as one atomic copy-on-write
+  * commit under the table lock, with manifest-stats partition pruning.
+  * Partition/sort layout comes from the manifest props, so SQL callers
+  * never re-state it. Returns one row: the committed snapshot id.
+  *
+  * This is the documented CALL-style MERGE entry (the full
+  * SupportsRowLevelOperations surface — rewriting Spark's MERGE INTO
+  * plan — buys positional-clause syntax but routes through the exact
+  * same commit); reference analogue: the SQL INSERT loop the reference
+  * drives through ClickHouse (README.md:527-532). */
+class MergeIntoProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "merge_into"
+  override def description(): String =
+    "Atomic copy-on-write MERGE into a graft snapshot table"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "merge_into"
+      override def description(): String = MergeIntoProcedure.this.description()
+      override def isDeterministic: Boolean = false // commits a snapshot
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("source", StringType)
+          .comment("view/table holding the changeset: base columns + " +
+            "boolean delete flag").build(),
+        ProcedureParameter.in("key", StringType)
+          .comment("unique merge key column").build(),
+        ProcedureParameter.in("delete_flag", StringType)
+          .comment("boolean column marking delete rows").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val source = input.getUTF8String(1).toString
+        val key = input.getUTF8String(2).toString
+        val deleteFlag = input.getUTF8String(3).toString
+        val spark = SparkSession.active
+        val root = (warehouse +: table.split('.').toSeq).mkString("/")
+        val m = SnapshotStore.current(root).getOrElse(
+          throw new IllegalStateException(
+            s"no snapshot table '$table' under $warehouse"))
+        val (partCol, sortCol) = SnapshotStore.tableLayout(m).getOrElse(
+          throw new UnsupportedOperationException(
+            s"snapshot table '$table' predates layout-recording " +
+              "manifests — recommit with SnapshotStore.write to enable " +
+              "SQL MERGE"))
+        val id = graft.operators.MergeInto.mergeCommit(spark, root,
+          spark.table(source), key, deleteFlag, partCol, sortCol)
+        val resultSchema =
+          StructType(Seq(StructField("snapshot_id", LongType, false)))
+        util.Collections.singletonList[Scan](new LocalScan {
+          override def readSchema(): StructType = resultSchema
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow(id))
+        }).iterator()
+      }
+    }
 }

@@ -87,27 +87,18 @@ class GraftSnapshotSqlSpec extends SparkSpec {
       s"projection did not prune the scan:\n$plan")
   }
 
-  test("the catalog is read-only: INSERT is rejected, the commit path " +
-      "stays the locked Scala API") {
+  test("DDL stays rejected (table lifecycle is the Scala API's); a " +
+      "missing table is a proper NoSuchTableException") {
     val (wh, name, _) = mkTable("ro")
     spark.conf.set("spark.sql.catalog.snapro",
       classOf[GraftSnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.snapro.warehouse", wh)
     val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO snapro.$name VALUES " +
-        "(9, '2024-03', TIMESTAMP '2024-03-01 00:00:00', 1.0)")
+      spark.sql(s"DROP TABLE snapro.$name")
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
-    // rejection may come from our catalog guard OR from Spark's own
-    // multi-root write guard (the snapshot table plans several dirs,
-    // which no INSERT can target) — either way the write cannot land
-    assert(chain(e).exists(t =>
-      t.isInstanceOf[UnsupportedOperationException] || {
-        val m = String.valueOf(t.getMessage)
-        m.toLowerCase.contains("does not support") ||
-          m.contains("UNSUPPORTED_INSERT")
-      }),
+    assert(chain(e).exists(_.isInstanceOf[UnsupportedOperationException]),
       s"unexpected failure shape: $e")
     // a missing table is a proper NoSuchTableException, not a crash
     val missing = intercept[Exception] {
