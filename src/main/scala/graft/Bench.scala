@@ -139,7 +139,14 @@ object Bench {
     // (GraftSnapshotCatalog → ParquetTable DSV2 BatchScan) — prices
     // what the SQL front-end adds over the Scala read path above
     // (the answer should again be ≈ nothing)
-    "snapshot_sql")
+    "snapshot_sql",
+    // round-9: the full table-format write surface — warmup commits
+    // the copy-on-write MERGE (stats-pruned discovery) / SQL INSERT /
+    // SQL CALL merge once; measured runs price the read of the
+    // resulting multi-commit manifests (restated + carried-by-
+    // reference + appended entries), which must stay ≈ a plain
+    // multi-root parquet read
+    "snapshot_merge", "snapshot_sql_insert", "snapshot_sql_merge")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -191,6 +198,17 @@ object Bench {
       times :+= sample()
       extra += 1
     }
+    // sub-second lanes sit on the ~0.1-0.4 s scheduling floor, where a
+    // 5-sample median jitters 1.3-1.5× round-over-round from host noise
+    // alone (r8 trends flagged geo_gridcells/anomaly_zscore/char_entropy
+    // on exactly this). More samples, not wider tolerance: cheap lanes
+    // are cheap to re-run, so take 3× (under 0.2 s) or 2× (under 0.5 s)
+    // the usual count and let the median converge.
+    val target =
+      if (median(healthy) < 0.2) repeats * 3
+      else if (median(healthy) < 0.5) repeats * 2
+      else repeats
+    while (times.size < target) times :+= sample()
     val h = healthy
     (median(h), stddev(h), times)
   }

@@ -63,6 +63,26 @@ object TaxiIngestStream {
     * token skips a re-delivered batch whose commit already landed. */
   def ingestAvailable(spark: SparkSession, stagingDir: String,
       tableRoot: String, checkpointDir: String): StreamingQuery =
+    ingest(spark, stagingDir, tableRoot, checkpointDir,
+      Trigger.AvailableNow())
+
+  /** The 24/7 tail-ingest mode: the SAME pipeline under a processing-
+    * time trigger — the query stays up, polls the staging dir every
+    * `intervalMs`, and lands each discovered shard batch as its own
+    * atomic append commit. Readers resolve committed manifests only
+    * (reader isolation is the snapshot layer's, not the trigger's);
+    * stopping and re-starting from the same checkpoint resumes the
+    * shard log and the per-writer replay token exactly like the
+    * drain-and-stop mode. */
+  def ingestContinuous(spark: SparkSession, stagingDir: String,
+      tableRoot: String, checkpointDir: String,
+      intervalMs: Long = 500): StreamingQuery =
+    ingest(spark, stagingDir, tableRoot, checkpointDir,
+      Trigger.ProcessingTime(intervalMs))
+
+  private def ingest(spark: SparkSession, stagingDir: String,
+      tableRoot: String, checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
     TripsTransform(readStagingStream(spark, stagingDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -83,6 +103,6 @@ object TaxiIngestStream {
         ()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }
