@@ -204,11 +204,16 @@ object Bench {
     // on exactly this). More samples, not wider tolerance: cheap lanes
     // are cheap to re-run, so take 3× (under 0.2 s) or 2× (under 0.5 s)
     // the usual count and let the median converge.
+    // target counts HEALTHY samples (times.size would double-count the
+    // contaminated retries above and starve the exact noisy-cheap case
+    // this exists for); the hard cap bounds a pathologically stalling
+    // host
     val target =
       if (median(healthy) < 0.2) repeats * 3
       else if (median(healthy) < 0.5) repeats * 2
       else repeats
-    while (times.size < target) times :+= sample()
+    while (healthy.size < target && times.size < target + 2 * repeats)
+      times :+= sample()
     val h = healthy
     (median(h), stddev(h), times)
   }

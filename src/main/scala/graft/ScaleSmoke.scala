@@ -244,9 +244,13 @@ object ScaleSmoke {
           .write.mode("overwrite").parquet(s"$big/$t.parquet")
       }
     }
-    // the snapshot lanes' own enlargement: K× orders, disjoint keys
+    // the snapshot lanes' own enlargement: K× orders, disjoint keys —
+    // built only when a snapshot lane is actually selected
     val bigSnap = s"${sys.props("java.io.tmpdir")}/graft_scale_snap_${k}x_${base.hashCode.toHexString}"
-    if (!new java.io.File(s"$bigSnap/orders.parquet").exists()) {
+    val snapshotLaneSelected =
+      queries.exists(q => snapshotLanes(q) && only.forall(_.contains(q)))
+    if (snapshotLaneSelected &&
+        !new java.io.File(s"$bigSnap/orders.parquet").exists()) {
       val o = Tables.orders(spark, base)
       (0 until k).map(i => o.withColumn("o_orderkey",
           col("o_orderkey") + lit(i.toLong * 10000000000L)))

@@ -262,7 +262,17 @@ object SnapshotStore {
       val dirCh = java.nio.channels.FileChannel.open(rootP,
         StandardOpenOption.READ)
       try dirCh.force(true) finally dirCh.close()
-    } catch { case _: java.io.IOException => }
+    } catch {
+      case e: java.io.IOException =>
+        // loud, not silent: a refused dir fd (non-POSIX) and a genuine
+        // EIO look the same here — the operator deserves the evidence
+        // either way, even though the published commit must not fail
+        System.err.println(
+          s"[snapshot] WARN: directory fsync after publishing " +
+            s"manifest-${m.id} at $root failed (${e.getMessage}) — " +
+            "commit is visible but its durability depends on the " +
+            "filesystem flushing the rename on its own")
+    }
   }
 
   /** The manifest the pointer currently names, if the table exists. */
@@ -313,7 +323,12 @@ object SnapshotStore {
   /** Total order on canonical stat strings under the column's type —
     * the driver-side mirror of Spark's own ordering for every
     * [[supportedStatType]]. NaN sorts greatest (java.lang.Double
-    * semantics = Spark semantics). */
+    * semantics = Spark semantics). Strings compare as UNSIGNED UTF-8
+    * BYTES: Spark's min/max run on UTF8String's binary order
+    * (code-point order), and Java's String.compareTo (UTF-16 code
+    * units) disagrees with it for [U+E000, U+FFFF] vs supplementary
+    * characters — a pruning comparator on the wrong order would skip a
+    * partition that holds a matching key. */
   private[graft] def statCompare(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Int = {
     import org.apache.spark.sql.types._
@@ -323,7 +338,10 @@ object SnapshotStore {
       case FloatType | DoubleType =>
         java.lang.Double.compare(a.toDouble, b.toDouble)
       case _: DecimalType => BigDecimal(a).compare(BigDecimal(b))
-      case StringType => a.compareTo(b)
+      case StringType =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(StandardCharsets.UTF_8),
+          b.getBytes(StandardCharsets.UTF_8))
       case DateType => a.compareTo(b) // ISO dates compare lexically
       case TimestampType =>
         java.time.Instant.parse(a).compareTo(java.time.Instant.parse(b))
@@ -357,9 +375,13 @@ object SnapshotStore {
     val readSchema = StructType(
       dataSchema.fields.filterNot(_.name == PartKey) :+
         StructField(PartKey, StringType))
+    // backtick-quote: a column name containing a dot would otherwise
+    // parse as nested-field access and fail the commit of a table that
+    // committed fine before stats capture existed
+    def q(n: String) = s"`${n.replace("`", "``")}`"
     val aggs = statCols.flatMap(f => Seq(
-      min(col(f.name)).as(s"__mn_${f.name}"),
-      max(col(f.name)).as(s"__mx_${f.name}")))
+      min(col(q(f.name))).as(s"__mn_${f.name}"),
+      max(col(q(f.name))).as(s"__mx_${f.name}")))
     val rows = spark.read.schema(readSchema).parquet(dataDir)
       .groupBy(col(PartKey))
       .agg(count(lit(1L)).as("__rows"), aggs.toIndexedSeq: _*)

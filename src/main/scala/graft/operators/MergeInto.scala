@@ -147,7 +147,16 @@ object MergeInto {
     * every MERGE) + an O(entries) driver loop. */
   private[graft] def candidatePartitions(m: SnapshotStore.Manifest,
       changes: DataFrame, key: String): Option[Set[String]] = {
-    val keyType = changes.schema(key).dataType
+    // the comparison type must be the BASE column's — the type the
+    // stat strings were captured under. A changeset carrying the key
+    // as a different type (long base, string changes) would make the
+    // comparator read numeric stat strings lexically and mis-prune;
+    // the resolve join would still match via implicit casts, so the
+    // only safe answer for a type mismatch is "no pruning".
+    val keyType = m.schema.flatMap(_.fields.find(_.name == key))
+      .map(_.dataType).getOrElse(return None)
+    if (changes.schema.fields.find(_.name == key)
+        .exists(_.dataType != keyType)) return None
     if (!SnapshotStore.supportedStatType(keyType)) return None
     if (m.entries.isEmpty) return Some(Set.empty)
     if (!m.entries.exists(_.stats.exists(_.cols.contains(key)))) return None

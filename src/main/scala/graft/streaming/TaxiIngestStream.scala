@@ -96,7 +96,12 @@ object TaxiIngestStream {
         // checkpoint, so it must land in the same token slot — a raw
         // string would open a second slot and a batch retried after a
         // commit-landed/checkpoint-lost crash would append twice.
-        val writerId = new java.io.File(checkpointDir).getCanonicalPath
+        // Only LOCAL paths canonicalize: java.io.File would mangle a
+        // scheme-qualified URI (hdfs://… collapses its "//"), and a
+        // URI is already a stable spelling.
+        val writerId =
+          if (checkpointDir.contains("://")) checkpointDir
+          else new java.io.File(checkpointDir).getCanonicalPath
         graft.etl.SnapshotStore.appendPartitions(batch, tableRoot,
           partCol = "pickup_month", sortCol = "pickup_datetime",
           idempotence = Some((writerId, batchId.toString)))

@@ -14,8 +14,8 @@ class ManifestStressSpec extends SparkSpec {
   test("5k-partition table: commit, incremental append, pruned read, " +
       "time travel and expire all stay manifest-scale") {
     val n = 5000
-    val root = s"${sys.props("java.io.tmpdir")}/graft_manifeststress_" +
-      s"p${ProcessHandle.current().pid()}"
+    // processScratchRoot so dead-pid leftovers (5k tiny dirs) get swept
+    val root = graft.util.Fs.processScratchRoot("manifeststress", "")
     graft.util.Fs.deleteRecursively(new java.io.File(root))
     val df = spark.range(n).select(
       col("id"),
@@ -58,5 +58,9 @@ class ManifestStressSpec extends SparkSpec {
     SnapshotStore.expire(root, keepLast = 1)
     assert(SnapshotStore.read(spark, root).count() === (n + 1).toLong)
     assert(!new java.io.File(s"$root/manifests/manifest-$id1").exists())
+
+    // this run's 5k-dir tree is large for tmp — reclaim it eagerly
+    // rather than waiting for a future run's dead-pid sweep
+    graft.util.Fs.deleteRecursively(new java.io.File(root))
   }
 }

@@ -54,6 +54,13 @@ class SnapshotStatsSpec extends SparkSpec {
       "2024-01-01T00:00:00Z", "2024-01-01T00:00:01Z") < 0)
     // NaN sorts greatest, matching Spark's ordering
     assert(SnapshotStore.statCompare(DoubleType, "NaN", "1.0E308") > 0)
+    // strings order by UTF-8 BYTES (Spark's UTF8String binary order),
+    // not UTF-16 code units: U+10000 (surrogate pair, leads 0xF0 in
+    // UTF-8) sorts ABOVE U+E000 (leads 0xEE) — Java compareTo says the
+    // opposite, which would mis-prune
+    assert(SnapshotStore.statCompare(StringType,
+      new String(Character.toChars(0x10000)), "") > 0)
+    assert("𐀀".compareTo("") < 0) // the trap this avoids
   }
 
   test("candidatePartitions prunes to the key-touched month") {
@@ -73,6 +80,12 @@ class SnapshotStatsSpec extends SparkSpec {
     // an unordered key type disables pruning (full scan, not wrong scan)
     val arrayKey = Seq((Seq(1L), "2024-02")).toDF("id", "month")
     assert(MergeInto.candidatePartitions(m, arrayKey, "id") === None)
+    // a changeset carrying the key as a DIFFERENT type than the base
+    // column the stats were captured under also disables pruning —
+    // comparing long-typed stat strings under string order would skip
+    // partitions the resolve join (with its implicit casts) matches
+    val stringKey = Seq(("150", "2024-02")).toDF("id", "month")
+    assert(MergeInto.candidatePartitions(m, stringKey, "id") === None)
   }
 
   test("stats-less entries stay candidates (conservative prune)") {
@@ -80,12 +93,18 @@ class SnapshotStatsSpec extends SparkSpec {
     val withStats = Entry("2024-01", "data/snap-1/__part=2024-01",
       Some(EntryStats(10, Map("id" -> ColStats("1", "100")))))
     val preStats = Entry("2024-02", "data/snap-1/__part=2024-02", None)
-    val m = Manifest(1, Seq(withStats, preStats))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("month", StringType)))
+    val m = Manifest(1, Seq(withStats, preStats), Some(schema))
     val changes = Seq((500L, "x")).toDF("id", "month")
     // key 500 is outside 2024-01's range, but 2024-02 has no stats —
     // it must survive the prune
     assert(MergeInto.candidatePartitions(m, changes, "id")
       === Some(Set("2024-02")))
+    // a manifest that predates schema-carrying commits cannot type the
+    // key → pruning entirely disabled, never guessed
+    assert(MergeInto.candidatePartitions(
+      Manifest(1, Seq(withStats, preStats)), changes, "id") === None)
   }
 
   test("pruned discovery scan lists only the candidate month's files") {

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   * metadata). */
 class CompactIngestRaceSpec extends SparkSpec {
 
-  private val root =
-    s"${sys.props("java.io.tmpdir")}/graft_compactrace_${System.nanoTime}"
+  // processScratchRoot: pid-suffixed (cross-JVM safe) AND swept for
+  // dead pids, so repeated runs don't accumulate taxi-table copies
+  private val root = {
+    val r = graft.util.Fs.processScratchRoot("compactrace", "")
+    graft.util.Fs.deleteRecursively(new java.io.File(r))
+    r
+  }
   private def tableRoot = s"$root/table"
 
   private def stage(drop: String): Unit = {
