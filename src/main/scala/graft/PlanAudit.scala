@@ -34,6 +34,23 @@ object PlanAudit {
     case other => other.toString
   }
 
+  /** Files a DSV2 (catalog) read will scan. `Dataset.inputFiles` only
+    * collects from FileTable-backed relations, and the snapshot
+    * catalog's table is deliberately NOT a FileTable — a FileTable
+    * INSERT gets rewritten by Spark's `FallBackFileSourceV2` into the
+    * direct-file V1 write path, bypassing the snapshot commit (the
+    * same reason Iceberg/Delta tables aren't FileTables, and why
+    * `inputFiles` is empty on theirs too) — so the audit reads the
+    * file list off the planned scan itself. */
+  private def dsv2ScanFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.collect {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.fileIndex.inputFiles.toSeq
+    }.flatten
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -651,15 +668,42 @@ object PlanAudit {
     // (BatchScan) over the manifest's carried + restated dirs — i.e.
     // the catalog reuses the full pushdown machinery, not a fallback
     val sqlDf = SparkEntry.allQueries("snapshot_sql")(spark, sfDir)
+    val sqlFiles = dsv2ScanFiles(sqlDf)
     check("snapshot_sql: catalog read mixes carried + restated dirs",
-      sqlDf.inputFiles.exists(_.contains("/snap-1/")) &&
-        sqlDf.inputFiles.exists(_.contains("/snap-2/")),
+      sqlFiles.exists(_.contains("/snap-1/")) &&
+        sqlFiles.exists(_.contains("/snap-2/")),
       "one pointer resolve fixed the dir list at table load")
     val sq = planOf(sqlDf)
     check("snapshot_sql: DSV2 BatchScan + one agg exchange, no join",
       sq.contains("BatchScan") && occurrences(sq, "Exchange") <= 1 &&
         !sq.contains("Join") && occurrences(sq, "HashAggregate") >= 2,
       "spark.sql path rides the parquet vectorized reader")
+    // SQL INSERT (append commit): the post-insert read must mix the
+    // original snap-1 dirs with the appended snap-2 parts — an INSERT
+    // that restated anything would show no snap-1 files; and the read
+    // plan is the same vectorized DSV2 scan as every catalog read
+    val insDf = SparkEntry.allQueries("snapshot_sql_insert")(spark, sfDir)
+    val insFiles = dsv2ScanFiles(insDf)
+    check("snapshot_sql_insert: append adds parts, originals untouched",
+      insFiles.exists(_.contains("/snap-1/")) &&
+        insFiles.exists(_.contains("/snap-2/")),
+      "INSERT INTO = appendPartitions: nothing dropped, nothing restated")
+    val ins = planOf(insDf)
+    check("snapshot_sql_insert: DSV2 BatchScan + one agg exchange, no join",
+      ins.contains("BatchScan") && occurrences(ins, "Exchange") <= 1 &&
+        !ins.contains("Join") && occurrences(ins, "HashAggregate") >= 2, "")
+    // SQL CALL merge: same carried+restated shape as the Scala MERGE —
+    // the CALL routed through the identical commit path
+    val csmDf = SparkEntry.allQueries("snapshot_sql_merge")(spark, sfDir)
+    val csmFiles = dsv2ScanFiles(csmDf)
+    check("snapshot_sql_merge: untouched partitions carried by reference",
+      csmFiles.exists(_.contains("/snap-1/")) &&
+        csmFiles.exists(_.contains("/snap-2/")),
+      "CALL merge_into = mergeCommit: copy-on-write, touched months only")
+    val csm = planOf(csmDf)
+    check("snapshot_sql_merge: scan + agg, resolve paid at commit time",
+      csm.contains("BatchScan") && occurrences(csm, "Exchange") <= 1 &&
+        !csm.contains("Join") && occurrences(csm, "HashAggregate") >= 2, "")
 
     println(s"\n$failures failures")
     spark.stop()

@@ -93,7 +93,16 @@ object GraftSnapshotTables {
   * lost); the only read-path change is that a scan with NO pushed
   * filters/aggregates reports the manifest row count ([[Statistics
   * .numRows]]) — with pushed filters the manifest count would be an
-  * overestimate, so the inner file-size estimate stands unchanged. */
+  * overestimate, so the inner file-size estimate stands unchanged.
+  *
+  * Deliberately NOT a `FileTable` subclass, even though the inner
+  * table is one: Spark's `FallBackFileSourceV2` rule rewrites INSERT
+  * over any FileTable-backed relation into the V1 direct-file write
+  * path, which would bypass the locked snapshot commit entirely (the
+  * same reason Iceberg/Delta tables aren't FileTables). Known
+  * consequence, shared with those formats: `Dataset.inputFiles`
+  * returns empty for catalog reads — it only collects from FileTable
+  * relations; read the file list off the planned `FileScan` instead. */
 class GraftSnapshotTable(
     val root: String,
     val manifest: SnapshotStore.Manifest,

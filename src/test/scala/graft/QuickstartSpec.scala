@@ -71,11 +71,17 @@ class QuickstartSpec extends SparkSpec {
       "SELECT order_month, count(*) FROM snap.orders_table GROUP BY 1")
     val asOf1 = spark.sql(
       "SELECT count(*) FROM snap.orders_table VERSION AS OF 1")
+    // README's "INSERT INTO snap.orders_table SELECT ..." — a concrete
+    // SELECT here: re-insert order 1 (deleted by the MERGE above)
+    spark.sql(
+      "INSERT INTO snap.orders_table " +
+        "SELECT o.*, date_format(o.o_orderdate, 'yyyy-MM') AS order_month " +
+        s"FROM parquet.`$sfDir/orders.parquet` o WHERE o.o_orderkey = 1")
     // --- end README block ---
     assert(perMonth.count() > 0)
     assert(asOf1.head().getLong(0) === orders.count()) // pre-merge state
     assert(spark.sql("SELECT count(*) FROM snap.orders_table")
-      .head().getLong(0) === orders.count() - 1) // the delete landed
+      .head().getLong(0) === orders.count()) // delete landed, insert re-added
   }
 
   test("quickstart 2: corpus pipeline — near-dup dedup, pack to " +
