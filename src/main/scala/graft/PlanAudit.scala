@@ -667,43 +667,47 @@ object PlanAudit {
     // spark.sql must plan Spark's own vectorized parquet DSV2 scan
     // (BatchScan) over the manifest's carried + restated dirs — i.e.
     // the catalog reuses the full pushdown machinery, not a fallback
-    val sqlDf = SparkEntry.allQueries("snapshot_sql")(spark, sfDir)
-    val sqlFiles = dsv2ScanFiles(sqlDf)
-    check("snapshot_sql: catalog read mixes carried + restated dirs",
-      sqlFiles.exists(_.contains("/snap-1/")) &&
-        sqlFiles.exists(_.contains("/snap-2/")),
+    // (one shared shape check per catalog lane: the mix assertion says
+    // the manifest-resolved dir list spans both snapshots; the plan
+    // assertion says the read rides Spark's own vectorized parquet
+    // DSV2 machinery, with the commit resolve cost paid at COMMIT time)
+    def catalogLaneAudit(lane: String, mixName: String,
+        mixDetail: String): Seq[String] = {
+      val df = SparkEntry.allQueries(lane)(spark, sfDir)
+      val files = dsv2ScanFiles(df)
+      check(s"$lane: $mixName",
+        files.exists(_.contains("/snap-1/")) &&
+          files.exists(_.contains("/snap-2/")), mixDetail)
+      val p = planOf(df)
+      check(s"$lane: DSV2 BatchScan + one agg exchange, no join",
+        p.contains("BatchScan") && occurrences(p, "Exchange") <= 1 &&
+          !p.contains("Join") && occurrences(p, "HashAggregate") >= 2,
+        "spark.sql path rides the parquet vectorized reader")
+      files
+    }
+    catalogLaneAudit("snapshot_sql",
+      "catalog read mixes carried + restated dirs",
       "one pointer resolve fixed the dir list at table load")
-    val sq = planOf(sqlDf)
-    check("snapshot_sql: DSV2 BatchScan + one agg exchange, no join",
-      sq.contains("BatchScan") && occurrences(sq, "Exchange") <= 1 &&
-        !sq.contains("Join") && occurrences(sq, "HashAggregate") >= 2,
-      "spark.sql path rides the parquet vectorized reader")
-    // SQL INSERT (append commit): the post-insert read must mix the
-    // original snap-1 dirs with the appended snap-2 parts — an INSERT
-    // that restated anything would show no snap-1 files; and the read
-    // plan is the same vectorized DSV2 scan as every catalog read
-    val insDf = SparkEntry.allQueries("snapshot_sql_insert")(spark, sfDir)
-    val insFiles = dsv2ScanFiles(insDf)
-    check("snapshot_sql_insert: append adds parts, originals untouched",
-      insFiles.exists(_.contains("/snap-1/")) &&
-        insFiles.exists(_.contains("/snap-2/")),
+    val insFiles = catalogLaneAudit("snapshot_sql_insert",
+      "append adds parts alongside the originals",
       "INSERT INTO = appendPartitions: nothing dropped, nothing restated")
-    val ins = planOf(insDf)
-    check("snapshot_sql_insert: DSV2 BatchScan + one agg exchange, no join",
-      ins.contains("BatchScan") && occurrences(ins, "Exchange") <= 1 &&
-        !ins.contains("Join") && occurrences(ins, "HashAggregate") >= 2, "")
-    // SQL CALL merge: same carried+restated shape as the Scala MERGE —
-    // the CALL routed through the identical commit path
-    val csmDf = SparkEntry.allQueries("snapshot_sql_merge")(spark, sfDir)
-    val csmFiles = dsv2ScanFiles(csmDf)
-    check("snapshot_sql_merge: untouched partitions carried by reference",
-      csmFiles.exists(_.contains("/snap-1/")) &&
-        csmFiles.exists(_.contains("/snap-2/")),
+    // the append-vs-restate distinguisher: under APPEND, a month that
+    // received an inserted row KEEPS its original snap-1 dir and gains
+    // a snap-2 dir beside it — the same month reads from both
+    // snapshots. A restating write leaves every month in exactly one.
+    // (The snap-1+snap-2 mix alone can't tell: a partial restatement
+    // also leaves its untouched months on snap-1.)
+    def partMonths(files: Seq[String], snap: String): Set[String] =
+      files.flatMap(
+        s"/$snap/__part=([^/]+)/".r.findFirstMatchIn(_).map(_.group(1))
+      ).toSet
+    check("snapshot_sql_insert: a touched month reads BOTH snapshots",
+      (partMonths(insFiles, "snap-1")
+        intersect partMonths(insFiles, "snap-2")).nonEmpty,
+      "append keeps the original dir and adds a new one beside it")
+    catalogLaneAudit("snapshot_sql_merge",
+      "untouched partitions carried by reference",
       "CALL merge_into = mergeCommit: copy-on-write, touched months only")
-    val csm = planOf(csmDf)
-    check("snapshot_sql_merge: scan + agg, resolve paid at commit time",
-      csm.contains("BatchScan") && occurrences(csm, "Exchange") <= 1 &&
-        !csm.contains("Join") && occurrences(csm, "HashAggregate") >= 2, "")
 
     println(s"\n$failures failures")
     spark.stop()

@@ -80,8 +80,13 @@ class QuickstartSpec extends SparkSpec {
     // --- end README block ---
     assert(perMonth.count() > 0)
     assert(asOf1.head().getLong(0) === orders.count()) // pre-merge state
+    // post-merge / pre-insert snapshot: the delete must be visible on
+    // its own — without this, a no-op MERGE and a zero-row INSERT would
+    // cancel and the final net-count check below couldn't tell
+    assert(spark.sql("SELECT count(*) FROM snap.orders_table VERSION AS OF 2")
+      .head().getLong(0) === orders.count() - 1) // the delete landed
     assert(spark.sql("SELECT count(*) FROM snap.orders_table")
-      .head().getLong(0) === orders.count()) // delete landed, insert re-added
+      .head().getLong(0) === orders.count()) // insert re-added order 1
   }
 
   test("quickstart 2: corpus pipeline — near-dup dedup, pack to " +
