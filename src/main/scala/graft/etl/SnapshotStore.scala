@@ -42,10 +42,18 @@ import org.apache.spark.sql.functions._
   * per-partition reconstruction, and manifest-entry pruning
   * ([[readWhere]]) is partition pruning without any file listing.
   *
-  * Single-writer discipline (the usual table-format baseline): commits
-  * allocate ids above every retained manifest and last-writer-wins on
-  * the pointer; concurrent WRITERS need an external lock, concurrent
-  * READERS need nothing. [[expire]] bounds disk growth by dropping
+  * Writer coordination, three layers (readers need none of it): a
+  * per-root JVM monitor serializes threads, a `FileLock` on
+  * `.commit.lock` serializes processes on one host, and the COMMIT
+  * CHAIN serializes hosts — every commit atomically claims
+  * `manifests/commit-<base.seq+1>` via `link(2)` (exclusive create:
+  * the one filesystem primitive that is a cross-host test-and-set on
+  * a shared POSIX mount), so of two writers racing from the same base
+  * exactly one publishes and the other gets a loud
+  * [[ConcurrentCommitException]] instead of silently reverting the
+  * winner (the lost update a last-writer-wins pointer swap cannot
+  * detect). MANIFEST remains the read HINT; [[current]] repairs it
+  * forward along the chain. [[expire]] bounds disk growth by dropping
   * manifests beyond a retention horizon and deleting data dirs no
   * retained manifest references — the current pointer is always
   * retained, so it never pulls files out from under a live reader
@@ -229,9 +237,59 @@ object SnapshotStore {
       prior.fields ++ next.fields.filterNot(f => priorNames(f.name)))
   }
 
-  /** Write manifest-<id> to the history dir, fsync it, then publish it
-    * as MANIFEST via a same-directory atomic rename. */
-  private def commitManifest(root: String, m: Manifest): Unit = {
+  /** Thrown when a commit loses the publish race to a writer this
+    * process could not see (another HOST — same-host writers are
+    * serialized by [[withTableLock]] and can never hit this): the
+    * chain slot `seq` the commit claimed was already taken. The losing
+    * commit published NOTHING — its data dirs are orphans [[expire]]
+    * sweeps — and the table holds the winner's state. Callers re-read
+    * the table and re-run the transaction ([[appendPartitions]] does
+    * this automatically: an append is commutative, so only its
+    * manifest merge re-runs; read-modify-write transactions like
+    * MERGE must re-plan from the new base). */
+  final class ConcurrentCommitException(root: String, seq: Long)
+    extends RuntimeException(
+      s"concurrent commit at $root: chain slot commit-$seq was " +
+        "published by another writer between this commit's base read " +
+        "and its publish (cross-host writer race) — re-read the table " +
+        "and re-run the transaction")
+
+  /** Commit-chain sequence of a manifest. Every chain-era commit
+    * records base.seq+1 in its props; pre-chain manifests fall back to
+    * the manifest id (those commits were strictly serialized by the
+    * single-host lock and ids strictly increase, so id preserves their
+    * order — and the first chain-era commit on a legacy table claims
+    * slot id+1, keeping the chain dense from there on). */
+  private[graft] val SeqProp = "commit.seq"
+  private[graft] def seqOf(m: Manifest): Long =
+    m.props.get(SeqProp).map(_.toLong).getOrElse(m.id)
+
+  private def chainFile(root: String, seq: Long): Path =
+    Paths.get(root, "manifests", s"commit-$seq")
+
+  /** Test seam: runs after the manifest history file is written but
+    * before the chain-slot claim, i.e. exactly inside the window where
+    * a cross-host writer can win the race. Production no-op. */
+  private[graft] var onBeforePublish: () => Unit = () => ()
+
+  /** Write manifest-<id> to the history dir, fsync it, then PUBLISH by
+    * atomically claiming commit chain slot `baseSeq + 1` — a hard link
+    * to the fsync'd manifest file, so the claim and the content appear
+    * together (`link(2)` fails if the name exists: an atomic
+    * test-and-set even across hosts on a shared POSIX filesystem,
+    * which a rename cannot express). The MANIFEST pointer then becomes
+    * a HINT: renamed after the claim, and allowed to trail the chain
+    * by one commit (a crash between claim and rename) — [[current]]
+    * repairs by walking the chain forward from the hint. Losing the
+    * claim means a writer this host's locks could not see committed
+    * first: the manifest file is withdrawn and
+    * [[ConcurrentCommitException]] says so, loudly — the silent
+    * alternative is the last-writer-wins pointer swap that loses the
+    * other writer's commit. */
+  private def commitManifest(root: String, m0: Manifest,
+      baseSeq: Long): Unit = {
+    val seq = baseSeq + 1
+    val m = m0.copy(props = m0.props + (SeqProp -> seq.toString))
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("manifests"))
     val bytes = render(m).getBytes(StandardCharsets.UTF_8)
@@ -242,10 +300,52 @@ object SnapshotStore {
       try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
       finally ch.close()
     }
-    fsyncWrite(rootP.resolve(s"manifests/manifest-${m.id}"))
+    val mfile = rootP.resolve(s"manifests/manifest-${m.id}")
+    fsyncWrite(mfile)
+    onBeforePublish()
+    val chained =
+      try { Files.createLink(chainFile(root, seq), mfile); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the race: withdraw the unpublished history file so
+          // time travel can never resolve a manifest that no chain
+          // slot ever adopted (the data dirs stay as inert orphans
+          // until expire sweeps them, same as any crashed commit)
+          try Files.deleteIfExists(mfile)
+          catch { case _: java.io.IOException => () }
+          throw new ConcurrentCommitException(root, seq)
+        case _: UnsupportedOperationException =>
+          // no hard links on this filesystem: degrade to the locked
+          // single-host discipline (pointer-swap publish below), loud
+          System.err.println(
+            s"[snapshot] WARN: filesystem at $root does not support " +
+              "hard links — cross-host commit conflict detection is " +
+              "OFF; writers on other hosts need external coordination")
+          false
+      }
+    if (chained) {
+      // the chain entry must survive a crash: fsync the manifests dir
+      // (best-effort — the claim is already visible to racing writers)
+      try {
+        val dirCh = java.nio.channels.FileChannel.open(
+          rootP.resolve("manifests"), StandardOpenOption.READ)
+        try dirCh.force(true) finally dirCh.close()
+      } catch { case _: java.io.IOException => () }
+    }
     val tmp = rootP.resolve(s".MANIFEST.tmp-${m.id}")
     fsyncWrite(tmp)
-    Files.move(tmp, rootP.resolve("MANIFEST"),
+    if (chained) {
+      // the commit is PUBLISHED (chain slot claimed); a failed hint
+      // rename must not un-publish it — readers repair via the walk
+      try Files.move(tmp, rootP.resolve("MANIFEST"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case e: java.io.IOException => System.err.println(
+          s"[snapshot] WARN: MANIFEST hint rename after publishing " +
+            s"commit-$seq at $root failed (${e.getMessage}) — readers " +
+            "resolve the committed state through the chain walk")
+      }
+    } else Files.move(tmp, rootP.resolve("MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // the rename itself must be durable before commit returns: the
     // manifest FILE is fsync'd above, but the directory entry that
@@ -275,10 +375,25 @@ object SnapshotStore {
     }
   }
 
-  /** The manifest the pointer currently names, if the table exists. */
+  /** The current committed manifest, if the table exists: the MANIFEST
+    * hint, repaired forward along the commit chain. The hint can trail
+    * the chain by exactly the commits whose writer crashed (or lost an
+    * I/O race) between the chain claim and the hint rename — each walk
+    * step is one `Files.exists` probe, so the common case (hint
+    * current, probe misses) costs one stat. Chain files are hard links
+    * to fully-fsync'd manifests, so a visible chain entry is always a
+    * complete, parseable manifest. */
   def current(root: String): Option[Manifest] = {
     val p = Paths.get(root, "MANIFEST")
-    if (Files.exists(p)) Some(parse(p)) else None
+    var m = if (Files.exists(p)) Some(parse(p)) else None
+    var seq = m.map(seqOf).getOrElse(0L)
+    var next = chainFile(root, seq + 1)
+    while (Files.exists(next)) {
+      m = Some(parse(next))
+      seq += 1
+      next = chainFile(root, seq + 1)
+    }
+    m
   }
 
   /** A retained historical manifest (time travel). */
@@ -540,9 +655,13 @@ object SnapshotStore {
     * already loud via `errorifexists`, the manifest race is not). A
     * per-root JVM monitor serializes threads in one process; a
     * `FileLock` on `.commit.lock` serializes processes on one host.
-    * Cross-HOST writers need an external coordinator (the standard
-    * table-format story — a metastore lock or equivalent), documented
-    * not solved: readers never need any of this. */
+    * Cross-HOST writers are not blocked here (file locks are not
+    * reliable across network mounts) — they are caught at PUBLISH
+    * time by the commit-chain claim in [[commitManifest]], which
+    * turns the would-be lost update into a loud
+    * [[ConcurrentCommitException]]: optimistic concurrency (the
+    * Iceberg model) where this lock is the fast-path serializer.
+    * Readers never need any of this. */
   /** Per-root lock state: the monitor serializes threads (reentrant),
     * `depth` makes the FILE lock reentrant too — a nested acquisition
     * on the same root in the same thread must compose (e.g. a caller
@@ -595,11 +714,13 @@ object SnapshotStore {
   private def writeLocked(df: DataFrame, root: String, partCol: String,
       sortCol: String): Long = {
     // a full write rewrites everything, so it may REDEFINE the layout
-    val priorProps = current(root).map(_.props).getOrElse(Map.empty)
+    val prior = current(root)
     val id = allocateId(root)
     val entries = writeSnapData(df, root, id, partCol, sortCol)
     commitManifest(root, Manifest(id, entries, Some(df.schema),
-      priorProps ++ layoutProps(partCol, sortCol)))
+      prior.map(_.props).getOrElse(Map.empty) ++
+        layoutProps(partCol, sortCol)),
+      prior.map(seqOf).getOrElse(0L))
     id
   }
 
@@ -633,7 +754,7 @@ object SnapshotStore {
     val restated = fresh.map(_.value).toSet
     val carried = prior.entries.filterNot(e => restated(e.value))
     commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
-      prior.props ++ layoutProps(partCol, sortCol)))
+      prior.props ++ layoutProps(partCol, sortCol)), seqOf(prior))
     id
   }
 
@@ -668,7 +789,16 @@ object SnapshotStore {
       sortCol: String, idempotence: Option[(String, String)] = None): Long =
     withCommitLock(root) {
       val slot = idempotence.map { case (w, _) => AppendTokenPrefix + w }
-      current(root) match {
+      // an append is COMMUTATIVE over the base: its fresh dirs don't
+      // depend on base content, only the carried entry list does — so
+      // a cross-host publish conflict ([[ConcurrentCommitException]])
+      // re-runs just the manifest merge against the winner's state,
+      // reusing the data written on the first attempt. Bounded: a
+      // pathological commit storm surfaces the conflict to the caller
+      // rather than looping forever.
+      var fresh: Seq[Entry] = null
+      var id = 0L
+      def attempt(retriesLeft: Int): Long = current(root) match {
         case Some(prior) if idempotence.isDefined &&
             slot.flatMap(prior.props.get) == idempotence.map(_._2) =>
           prior.id // the batch already committed; retry is a no-op
@@ -679,16 +809,26 @@ object SnapshotStore {
           val props = prior.map(_.props).getOrElse(Map.empty) ++
             idempotence.map { case (w, t) => (AppendTokenPrefix + w) -> t } ++
             layoutProps(partCol, sortCol)
-          val id = allocateId(root)
-          val fresh = writeSnapData(df, root, id, partCol, sortCol)
-          commitManifest(root, Manifest(id,
-            prior.map(_.entries).getOrElse(Seq.empty) ++ fresh,
-            Some(merged), props))
-          id
+          if (fresh == null) { // written once; conflicts reuse the dirs
+            id = allocateId(root)
+            fresh = writeSnapData(df, root, id, partCol, sortCol)
+          }
+          try {
+            commitManifest(root, Manifest(id,
+              prior.map(_.entries).getOrElse(Seq.empty) ++ fresh,
+              Some(merged), props), prior.map(seqOf).getOrElse(0L))
+            id
+          } catch {
+            case e: ConcurrentCommitException =>
+              if (retriesLeft <= 0) throw e
+              attempt(retriesLeft - 1)
+          }
       }
+      attempt(AppendConflictRetries)
     }
 
   private[graft] val AppendTokenPrefix = "append.lastToken."
+  private val AppendConflictRetries = 5
 
   /** Restate an EXPLICIT partition set as one atomic commit — the
     * primitive a copy-on-write MERGE needs and [[overwritePartitions]]
@@ -718,7 +858,7 @@ object SnapshotStore {
           s"not named in dropValues — the commit would duplicate them")
       val carried = prior.entries.filterNot(e => dropValues(e.value))
       commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
-        prior.props ++ layoutProps(partCol, sortCol)))
+        prior.props ++ layoutProps(partCol, sortCol)), seqOf(prior))
       id
     }
 
@@ -824,6 +964,24 @@ object SnapshotStore {
         .foreach(graft.util.Fs.deleteRecursively)
       ids.filterNot(keep).foreach(id =>
         Files.deleteIfExists(dir.resolve(s"manifest-$id")))
+      // chain slots are hard links to manifest files — dropping the
+      // manifest alone leaves the bytes alive under the slot name, so
+      // drop the slots of dropped manifests too. Never a retained
+      // one: the live head's slot (and everything newer — nothing is)
+      // stays, so the forward walk from the hint keeps working.
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("commit-"))
+        .foreach { f =>
+          val headLine = scala.util.Try {
+            val src = scala.io.Source.fromFile(f, "UTF-8")
+            try src.getLines().next() finally src.close()
+          }.toOption
+          val mid = headLine.filter(_.startsWith("id="))
+            .flatMap(_.stripPrefix("id=").toLongOption)
+          // unparseable → keep (conservative: never break the chain
+          // on a read hiccup)
+          if (mid.exists(i => !keep(i))) f.delete()
+        }
       // torn pointer staging files from a crash mid-publish are inert
       // (the atomic move never happened) — sweep them here too
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
@@ -841,11 +999,14 @@ object SnapshotStore {
     * sees a half-written shard set. */
   def commitDir(root: String)(writeTo: String => Unit): Long =
     withCommitLock(root) {
-      val priorProps = current(root).map(_.props).getOrElse(Map.empty)
+      val prior = current(root)
       val id = allocateId(root)
       val rel = s"data/snap-$id"
       writeTo(s"$root/$rel")
-      commitManifest(root, Manifest(id, Seq(Entry("", rel)), None, priorProps))
+      commitManifest(root,
+        Manifest(id, Seq(Entry("", rel)), None,
+          prior.map(_.props).getOrElse(Map.empty)),
+        prior.map(seqOf).getOrElse(0L))
       id
     }
 

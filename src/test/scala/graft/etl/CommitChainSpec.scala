@@ -1,0 +1,168 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The cross-host commit chain: every publish atomically claims
+  * `manifests/commit-<base.seq+1>` (a hard link — exclusive create is
+  * the one POSIX primitive that is a test-and-set across hosts on a
+  * shared mount), so two writers racing from one base cannot both
+  * win. These specs drive the race deterministically through the
+  * `onBeforePublish` seam: a "foreign host" commits inside the exact
+  * window between a writer's base read and its chain claim — the
+  * window the same-host locks cannot close. */
+class CommitChainSpec extends SparkSpec {
+
+  private def mkRows(tag: Double) = {
+    import spark.implicits._
+    Seq(
+      (1L, "2024-01", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), tag),
+      (2L, "2024-02", java.sql.Timestamp.valueOf("2024-02-05 00:00:00"), tag))
+      .toDF("id", "m", "ts", "price")
+  }
+
+  private def extraRow(id: Long, month: String, tag: Double) = {
+    import spark.implicits._
+    Seq((id, month,
+      java.sql.Timestamp.valueOf(s"$month-10 00:00:00"), tag))
+      .toDF("id", "m", "ts", "price")
+  }
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_chain_$tag").toString
+
+  private def totals(root: String): Map[String, Double] =
+    SnapshotStore.read(spark, root)
+      .groupBy("m").agg(sum("price").as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  private def withSeam[T](seam: () => Unit)(f: => T): T = {
+    SnapshotStore.onBeforePublish = seam
+    try f finally SnapshotStore.onBeforePublish = () => ()
+  }
+
+  /** One-shot seam: fires on the NEXT publish only, so the foreign
+    * commit it performs doesn't recurse into itself. */
+  private def onceSeam(body: => Unit): () => Unit = {
+    var fired = false
+    () => if (!fired) { fired = true; body }
+  }
+
+  test("every commit claims the next chain slot; seq survives carries " +
+      "and is recorded in manifest props") {
+    val root = tmpRoot("seq")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 1L)
+    SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 1.0),
+      root, "m", "ts")
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 2L)
+    SnapshotStore.overwritePartitions(
+      mkRows(7.0).filter(col("m") === "2024-02"), root, "m", "ts")
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 3L)
+    for (s <- 1L to 3L)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "manifests", s"commit-$s")),
+        s"chain slot commit-$s must exist")
+  }
+
+  test("a restating commit racing a foreign writer loses LOUDLY — no " +
+      "silent lost update, the foreign commit survives intact") {
+    val root = tmpRoot("conflict")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    // the foreign host appends a row inside our commit's publish
+    // window (its own publish must not re-trigger the seam)
+    val seam = onceSeam {
+      SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 5.0),
+        root, "m", "ts")
+    }
+    val e = intercept[SnapshotStore.ConcurrentCommitException] {
+      withSeam(seam) {
+        SnapshotStore.overwritePartitions(
+          mkRows(99.0).filter(col("m") === "2024-02"), root, "m", "ts")
+      }
+    }
+    assert(e.getMessage.contains("re-run the transaction"))
+    // the winner's state is the table state: the foreign append is
+    // there, the losing restatement is not
+    assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 10.0))
+    // the loser published nothing a reader or time traveler can see:
+    // its withdrawn manifest resolves nowhere
+    val retained = SnapshotStore.current(root).get
+    assert(retained.entries.forall(e2 =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, e2.dir))))
+    // and a plain retry of the same restatement now succeeds cleanly
+    SnapshotStore.overwritePartitions(
+      mkRows(99.0).filter(col("m") === "2024-02"), root, "m", "ts")
+    assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 99.0))
+  }
+
+  test("appendPartitions retries a publish conflict automatically: " +
+      "both the foreign and the local append land, data written once") {
+    val root = tmpRoot("apretry")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    val dataDir = new java.io.File(s"$root/data")
+    val seam = onceSeam {
+      SnapshotStore.appendPartitions(extraRow(3L, "2024-02", 7.0),
+        root, "m", "ts")
+    }
+    withSeam(seam) {
+      SnapshotStore.appendPartitions(extraRow(4L, "2024-01", 3.0),
+        root, "m", "ts")
+    }
+    assert(totals(root) === Map("2024-01" -> 13.0, "2024-02" -> 17.0))
+    // the retry reused its first attempt's dirs: 1 full write + 2
+    // appends = 3 snap dirs, no fourth from the re-commit
+    val snapDirs = Option(dataDir.listFiles()).get
+      .count(f => f.isDirectory && f.getName.startsWith("snap-"))
+    assert(snapDirs === 3, "conflict retry must not rewrite data")
+    // idempotence tokens survived the conflict retry: replaying the
+    // local batch is a no-op
+    val id = SnapshotStore.appendPartitions(extraRow(4L, "2024-01", 3.0),
+      root, "m", "ts", idempotence = Some(("w1", "b7")))
+    assert(SnapshotStore.appendPartitions(extraRow(4L, "2024-01", 3.0),
+      root, "m", "ts", idempotence = Some(("w1", "b7"))) === id)
+    assert(totals(root)("2024-01") === 16.0) // appended once, not twice
+  }
+
+  test("a stale MANIFEST hint repairs forward along the chain: readers " +
+      "and the next commit both resolve the true head") {
+    val root = tmpRoot("hint")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 5.0),
+      root, "m", "ts")
+    // simulate a writer that crashed between its chain claim and its
+    // hint rename: roll MANIFEST back to the seq-1 manifest
+    val m1 = java.nio.file.Paths.get(root, "manifests", "commit-1")
+    java.nio.file.Files.copy(m1,
+      java.nio.file.Paths.get(root, "MANIFEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the walk resolves the committed head, not the stale hint
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 2L)
+    assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 10.0))
+    // and the next commit bases on the true head (claims slot 3,
+    // carrying the appended row — nothing reverted), repairing the hint
+    SnapshotStore.appendPartitions(extraRow(4L, "2024-02", 2.0),
+      root, "m", "ts")
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 3L)
+    assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 12.0))
+  }
+
+  test("expire drops the chain slots of dropped manifests and keeps " +
+      "the live head's; time travel within the horizon still works") {
+    val root = tmpRoot("expire")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 5.0),
+      root, "m", "ts")
+    val id3 = SnapshotStore.appendPartitions(extraRow(4L, "2024-02", 2.0),
+      root, "m", "ts")
+    SnapshotStore.expire(root, keepLast = 2)
+    val mdir = new java.io.File(s"$root/manifests")
+    val slots = Option(mdir.listFiles()).get
+      .map(_.getName).filter(_.startsWith("commit-")).sorted.toSeq
+    assert(slots === Seq("commit-2", "commit-3"))
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 3L)
+    assert(SnapshotStore.read(spark, root, asOf = Some(id3)).count() === 4L)
+    assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 12.0))
+  }
+}

@@ -151,7 +151,8 @@ class SnapshotStoreSpec extends SparkSpec {
     // to the horizon and the early snapshots' manifests are gone
     SnapshotStore.expire(root, keepLast = 3)
     val kept = new java.io.File(s"$root/manifests").listFiles()
-      .map(_.getName.stripPrefix("manifest-").toLong).sorted.toSeq
+      .map(_.getName).filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toLong).sorted.toSeq
     assert(kept.size <= 3 && kept.contains(SnapshotStore.current(root).get.id))
     assert(!kept.contains(1L), "expire never dropped the initial snapshot")
     // the jan partition expire must never have deleted: EVERY retained
