@@ -307,10 +307,12 @@ object SnapshotStore {
       try { Files.createLink(chainFile(root, seq), mfile); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // lost the race: withdraw the unpublished history file so
-          // time travel can never resolve a manifest that no chain
-          // slot ever adopted (the data dirs stay as inert orphans
-          // until expire sweeps them, same as any crashed commit)
+          // lost the race: withdraw the unpublished history file.
+          // BEST-EFFORT — manifest-<id> is exclusively ours (the id
+          // was claimed by allocateId's atomic mkdir), so a failed
+          // delete leaves an inert never-committed file: the chain
+          // walk can't resolve it, but read(asOf=id) could, and it
+          // occupies one retention slot until expire drops it
           try Files.deleteIfExists(mfile)
           catch { case _: java.io.IOException => () }
           throw new ConcurrentCommitException(root, seq)
@@ -326,54 +328,52 @@ object SnapshotStore {
     if (chained) {
       // the chain entry must survive a crash: fsync the manifests dir
       // (best-effort — the claim is already visible to racing writers)
-      try {
-        val dirCh = java.nio.channels.FileChannel.open(
-          rootP.resolve("manifests"), StandardOpenOption.READ)
-        try dirCh.force(true) finally dirCh.close()
-      } catch { case _: java.io.IOException => () }
+      fsyncDir(rootP.resolve("manifests"),
+        s"chain entry commit-$seq at $root")
     }
     val tmp = rootP.resolve(s".MANIFEST.tmp-${m.id}")
     fsyncWrite(tmp)
-    if (chained) {
-      // the commit is PUBLISHED (chain slot claimed); a failed hint
-      // rename must not un-publish it — readers repair via the walk
-      try Files.move(tmp, rootP.resolve("MANIFEST"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      catch {
-        case e: java.io.IOException => System.err.println(
-          s"[snapshot] WARN: MANIFEST hint rename after publishing " +
-            s"commit-$seq at $root failed (${e.getMessage}) — readers " +
-            "resolve the committed state through the chain walk")
-      }
-    } else Files.move(tmp, rootP.resolve("MANIFEST"),
+    // hint publish. When the chain claimed (`chained`), the commit is
+    // ALREADY published — a failed rename must not un-publish it
+    // (readers repair via the walk), so it degrades to a warning; on a
+    // no-hard-link filesystem this rename IS the publish and failures
+    // propagate.
+    try Files.move(tmp, rootP.resolve("MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case e: java.io.IOException if chained => System.err.println(
+        s"[snapshot] WARN: MANIFEST hint rename after publishing " +
+          s"commit-$seq at $root failed (${e.getMessage}) — readers " +
+          "resolve the committed state through the chain walk")
+    }
     // the rename itself must be durable before commit returns: the
     // manifest FILE is fsync'd above, but the directory entry that
     // points MANIFEST at it lives in the root dir's metadata — without
     // a directory fsync a power loss after "committed" can roll the
     // pointer back to the prior snapshot (atomicity held, durability
-    // did not). POSIX durability of a rename = fsync the parent dir.
-    // Best-effort (Lucene-style): the commit is already PUBLISHED by
-    // the atomic move above, so a platform that refuses directory fds
-    // (non-POSIX filesystems) must not turn a landed commit into a
-    // reported failure — degrade to rename-without-dir-durability
-    // rather than throw after the pointer moved.
+    // did not). POSIX durability of a rename = fsync the parent dir —
+    // best-effort (Lucene-style): the commit is already published, so
+    // a platform that refuses directory fds must not turn a landed
+    // commit into a reported failure.
+    fsyncDir(rootP, s"manifest-${m.id} at $root")
+  }
+
+  /** Best-effort directory fsync. Loud, not silent, on failure: a
+    * refused dir fd (non-POSIX filesystem) and a genuine EIO look the
+    * same here — the operator deserves the evidence either way, even
+    * though an already-published commit must not be failed for it. */
+  private def fsyncDir(dir: Path, what: String): Unit =
     try {
-      val dirCh = java.nio.channels.FileChannel.open(rootP,
+      val ch = java.nio.channels.FileChannel.open(dir,
         StandardOpenOption.READ)
-      try dirCh.force(true) finally dirCh.close()
+      try ch.force(true) finally ch.close()
     } catch {
       case e: java.io.IOException =>
-        // loud, not silent: a refused dir fd (non-POSIX) and a genuine
-        // EIO look the same here — the operator deserves the evidence
-        // either way, even though the published commit must not fail
         System.err.println(
-          s"[snapshot] WARN: directory fsync after publishing " +
-            s"manifest-${m.id} at $root failed (${e.getMessage}) — " +
-            "commit is visible but its durability depends on the " +
-            "filesystem flushing the rename on its own")
+          s"[snapshot] WARN: directory fsync after publishing $what " +
+            s"failed (${e.getMessage}) — the commit is visible but its " +
+            "durability depends on the filesystem flushing on its own")
     }
-  }
 
   /** The current committed manifest, if the table exists: the MANIFEST
     * hint, repaired forward along the commit chain. The hint can trail
@@ -385,15 +385,34 @@ object SnapshotStore {
     * complete, parseable manifest. */
   def current(root: String): Option[Manifest] = {
     val p = Paths.get(root, "MANIFEST")
-    var m = if (Files.exists(p)) Some(parse(p)) else None
-    var seq = m.map(seqOf).getOrElse(0L)
-    var next = chainFile(root, seq + 1)
-    while (Files.exists(next)) {
-      m = Some(parse(next))
-      seq += 1
-      next = chainFile(root, seq + 1)
+    def resolveOnce(): Option[Manifest] = {
+      val hint = if (Files.exists(p)) Some(parse(p)) else None
+      // probe forward to the dense chain head, then parse exactly one
+      // file — intermediate slots are never materialized (a 5k-entry
+      // manifest is ~MB-scale; k trailing commits must not cost k
+      // parses)
+      var seq = hint.map(seqOf).getOrElse(0L)
+      var head: Option[Path] = None
+      while (Files.exists(chainFile(root, seq + 1))) {
+        seq += 1
+        head = Some(chainFile(root, seq))
+      }
+      head.map(parse).orElse(hint)
     }
-    m
+    // a racing expire can delete a probed slot between the exists and
+    // the parse (readers take no lock — by design). Expire repairs the
+    // hint to the live head BEFORE dropping slots, so a fresh resolve
+    // converges; retry rather than crash the lock-free reader.
+    var attempts = 0
+    while (true) {
+      try return resolveOnce()
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** A retained historical manifest (time travel). */
@@ -541,7 +560,11 @@ object SnapshotStore {
       // MergeTreeWriter lesson).
       .repartition(col(PartKey))
       .sortWithinPartitions(col(PartKey), col(sortCol))
-      .write.mode("errorifexists").partitionBy(PartKey).parquet(dataDir)
+      // the snap dir was atomically CLAIMED (empty) by allocateId, so
+      // it exists and is exclusively ours: append into it — the old
+      // errorifexists would refuse our own claim, and its non-atomic
+      // check-then-write couldn't stop a cross-host id race anyway
+      .write.mode("append").partitionBy(PartKey).parquet(dataDir)
     // dir tokens are Spark-escaped; the Entry keeps the escaped token
     // in its PATH and the decoded value in its VALUE
     val toks = listParts(dataDir)
@@ -598,20 +621,34 @@ object SnapshotStore {
     }
   }
 
-  /** Next id = 1 + max over BOTH retained manifests and existing snap
-    * dirs: a crash between the data write and the manifest publish
-    * leaves an orphaned `data/snap-N` with no manifest — if ids came
-    * from manifests alone, the next commit would reuse N and die on
-    * the writer's `errorifexists`, wedging the table permanently. The
-    * orphan itself is harmless (no manifest references it; [[expire]]
-    * removes it with the other unreferenced dirs). */
+  /** Allocate a snapshot id by ATOMICALLY CLAIMING its data dir:
+    * `mkdir data/snap-<id>` fails with EEXIST if anyone — any host on
+    * a shared mount — got there first, so two writers can never share
+    * an id, which makes `manifests/manifest-<id>` single-writer by
+    * construction too (without the claim, two hosts racing from the
+    * same base could both pick max+1, mix files in one data dir, and
+    * clobber each other's manifest file through the chain hard link).
+    * The scan starts above BOTH retained manifests and existing dirs:
+    * a crash between claim and publish leaves an orphaned
+    * `data/snap-N` that later claims simply skip (no manifest
+    * references it; [[expire]] sweeps it past the orphan grace). */
   private def allocateId(root: String): Long = {
+    Files.createDirectories(Paths.get(root, "data"))
     val dataDir = new java.io.File(s"$root/data")
     val dirIds = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
       .flatMap(f => f.getName.stripPrefix("snap-").toLongOption)
       .toSeq
-    (0L +: (retainedIds(root) ++ dirIds)).max + 1
+    var id = (0L +: (retainedIds(root) ++ dirIds)).max + 1
+    while (true) {
+      try {
+        Files.createDirectory(Paths.get(root, "data", s"snap-$id"))
+        return id
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => id += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---- table layout props --------------------------------------------------
@@ -931,8 +968,18 @@ object SnapshotStore {
   /** Drop all but the newest `keepLast` manifests (the current pointer
     * is always among them) and delete every data dir no retained
     * manifest references. Bounds disk growth; readers within the
-    * retention horizon are never invalidated. */
-  def expire(root: String, keepLast: Int): Unit = {
+    * retention horizon are never invalidated.
+    *
+    * Cross-host contract: racing READERS and same-host writers are
+    * safe (the lock + the hint repair below). A commit IN FLIGHT on
+    * another host has data dirs no manifest references yet — to expire
+    * they look exactly like crash orphans, so `orphanGraceMs` must
+    * exceed the longest possible commit (data write → publish) before
+    * running expire alongside cross-host writers; the default 0 sweeps
+    * all orphans immediately and is only safe when this host's lock
+    * covers every writer. (The same trade-off as Iceberg's
+    * remove_orphan_files age threshold.) */
+  def expire(root: String, keepLast: Int, orphanGraceMs: Long = 0L): Unit = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     // existence precheck BEFORE the lock: expire on a nonexistent root
     // stays a pure no-op (no phantom dir + lock file)
@@ -940,13 +987,32 @@ object SnapshotStore {
     withCommitLock(root) {
       val dir = Paths.get(root, "manifests")
       val ids = retainedIds(root)
-      // the LIVE POINTER is authoritative, not the history listing: a
+      // the LIVE head is authoritative, not the history listing: a
       // crash between the history write and the pointer swap leaves a
-      // manifest-N in history that MANIFEST never adopted — keeping
-      // only the newest history files would then delete dirs the live
-      // pointer still references (current-state data loss). Pin the
-      // pointer's manifest and dirs unconditionally.
+      // manifest-N in history that no chain slot (or MANIFEST) ever
+      // adopted — keeping only the newest history files would then
+      // delete dirs the live head still references (current-state
+      // data loss). Pin the head's manifest and dirs unconditionally.
       val live = current(root)
+      val liveSeq = live.map(seqOf).getOrElse(0L)
+      // repair a trailing MANIFEST hint to the live head BEFORE any
+      // slot is dropped: a hint left behind crashed writers would,
+      // after its repair slots were deleted, resolve a STALE head —
+      // and the next commit could then re-claim a freed slot number,
+      // forking the chain. With the hint at the head, the walk needs
+      // no slot this pass deletes. (render is deterministic, so the
+      // repaired hint is byte-identical to the head's chain file.)
+      live.foreach { l =>
+        val hintP = Paths.get(root, "MANIFEST")
+        val hintSeq =
+          if (Files.exists(hintP)) seqOf(parse(hintP)) else 0L
+        if (hintSeq < seqOf(l)) {
+          val tmp = Paths.get(root, ".MANIFEST.tmp-repair")
+          Files.write(tmp, render(l).getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, hintP, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
       val keep = ids.takeRight(keepLast).toSet ++ live.map(_.id)
       val referenced =
         (keep.flatMap { id =>
@@ -957,21 +1023,28 @@ object SnapshotStore {
           else Seq.empty
         } ++ live.toSeq.flatMap(_.entries))
           .map(e => e.dir.split("/").take(2).mkString("/"))
-      // delete unreferenced snap dirs, then dropped manifests
+      // delete unreferenced snap dirs past the orphan grace (an
+      // in-flight cross-host commit's dirs are younger than it), then
+      // dropped manifests
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
       val dataDir = new java.io.File(s"$root/data")
       Option(dataDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !referenced(s"data/${f.getName}"))
+        .filter(f => f.isDirectory && !referenced(s"data/${f.getName}") &&
+          f.lastModified() <= cutoff)
         .foreach(graft.util.Fs.deleteRecursively)
       ids.filterNot(keep).foreach(id =>
         Files.deleteIfExists(dir.resolve(s"manifest-$id")))
       // chain slots are hard links to manifest files — dropping the
       // manifest alone leaves the bytes alive under the slot name, so
-      // drop the slots of dropped manifests too. Never a retained
-      // one: the live head's slot (and everything newer — nothing is)
-      // stays, so the forward walk from the hint keeps working.
+      // drop the slots of dropped manifests too. Only slots strictly
+      // BELOW the live head's sequence are candidates: the head's slot
+      // stays, and a slot above it can only be a commit another host
+      // published after `live` was read — never deletable on this
+      // host's stale view.
       Option(dir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("commit-"))
         .foreach { f =>
+          val slotSeq = f.getName.stripPrefix("commit-").toLongOption
           val headLine = scala.util.Try {
             val src = scala.io.Source.fromFile(f, "UTF-8")
             try src.getLines().next() finally src.close()
@@ -980,7 +1053,8 @@ object SnapshotStore {
             .flatMap(_.stripPrefix("id=").toLongOption)
           // unparseable → keep (conservative: never break the chain
           // on a read hiccup)
-          if (mid.exists(i => !keep(i))) f.delete()
+          if (slotSeq.exists(_ < liveSeq) && mid.exists(i => !keep(i)))
+            f.delete()
         }
       // torn pointer staging files from a crash mid-publish are inert
       // (the atomic move never happened) — sweep them here too
@@ -994,7 +1068,10 @@ object SnapshotStore {
 
   /** Manifest-pointer commit for sinks without a partition structure
     * (the sharded-export family): `writeTo` produces the files in a
-    * fresh snap dir, then one atomic swap publishes it. A consumer
+    * freshly CLAIMED snap dir — it already exists, empty and
+    * exclusively this commit's (the atomic id claim, see
+    * [[allocateId]]), so writers must use overwrite/append semantics,
+    * not errorifexists — then one atomic swap publishes it. A consumer
     * polling the export location resolves [[currentDir]] and never
     * sees a half-written shard set. */
   def commitDir(root: String)(writeTo: String => Unit): Long =

@@ -522,8 +522,10 @@ object EventsStream {
         .orderBy(col("ts").desc, col("event_id").desc)
       val resolved = merged.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1).drop("rk")
+      // the commit dir is pre-CLAIMED by commitDir (exists, empty,
+      // exclusively ours) — write overwrite into it, not errorifexists
       val id = graft.etl.SnapshotStore.commitDir(snapRoot)(dir =>
-        resolved.write.parquet(dir))
+        resolved.write.mode("overwrite").parquet(dir))
       graft.etl.SnapshotStore.expire(snapRoot, keepLast = 2)
       id
     }

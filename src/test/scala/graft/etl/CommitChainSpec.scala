@@ -148,6 +148,69 @@ class CommitChainSpec extends SparkSpec {
     assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 12.0))
   }
 
+  test("a foreign id claim is skipped, never shared: the next commit " +
+      "writes its own dir and nothing mixes") {
+    val root = tmpRoot("claim")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    // simulate another host's in-flight claim of the next id
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(root, "data", "snap-2"))
+    SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 5.0),
+      root, "m", "ts")
+    // our append claimed snap-3; the foreign claim dir stayed empty
+    val appended = SnapshotStore.current(root).get.entries
+      .filter(_.dir.startsWith("data/snap-3"))
+    assert(appended.nonEmpty, "append must skip the foreign claim")
+    assert(Option(new java.io.File(s"$root/data/snap-2").listFiles())
+      .getOrElse(Array.empty).isEmpty, "the foreign claim stays untouched")
+    assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 10.0))
+  }
+
+  test("expire repairs a trailing hint to the live head before " +
+      "dropping slots — no stale resolve, no chain fork") {
+    val root = tmpRoot("repair")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 5.0),
+      root, "m", "ts")
+    SnapshotStore.appendPartitions(extraRow(4L, "2024-02", 2.0),
+      root, "m", "ts")
+    // hint crashes back to seq 1 while slots 2 and 3 exist
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(root, "manifests", "commit-1"),
+      java.nio.file.Paths.get(root, "MANIFEST"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    SnapshotStore.expire(root, keepLast = 1)
+    // the hint itself now names the head — no walk needed, even though
+    // the head's repair slots were dropped by this very expire
+    val hintText = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "MANIFEST"))
+    assert(hintText.contains("prop=commit.seq\t3"),
+      s"hint must be repaired to seq 3, got:\n$hintText")
+    assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 12.0))
+    // and the next commit bases on the head, claiming slot 4 — the
+    // freed slot numbers are behind the hint, unreachable for a fork
+    SnapshotStore.appendPartitions(extraRow(5L, "2024-01", 1.0),
+      root, "m", "ts")
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 4L)
+    assert(totals(root) === Map("2024-01" -> 16.0, "2024-02" -> 12.0))
+  }
+
+  test("orphan grace: expire spares unreferenced dirs younger than the " +
+      "grace (an in-flight cross-host commit), sweeps them past it") {
+    val root = tmpRoot("grace")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    // an unreferenced dir — a crash orphan, or another host's commit
+    // still in its data-write phase
+    val orphan = java.nio.file.Paths.get(root, "data", "snap-7")
+    java.nio.file.Files.createDirectory(orphan)
+    SnapshotStore.expire(root, keepLast = 1, orphanGraceMs = 3600000L)
+    assert(java.nio.file.Files.exists(orphan),
+      "a young orphan inside the grace window must survive")
+    SnapshotStore.expire(root, keepLast = 1) // grace 0: sweep now
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(totals(root) === Map("2024-01" -> 10.0, "2024-02" -> 10.0))
+  }
+
   test("expire drops the chain slots of dropped manifests and keeps " +
       "the live head's; time travel within the horizon still works") {
     val root = tmpRoot("expire")
