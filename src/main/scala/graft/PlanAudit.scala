@@ -708,6 +708,19 @@ object PlanAudit {
     catalogLaneAudit("snapshot_sql_merge",
       "untouched partitions carried by reference",
       "CALL merge_into = mergeCommit: copy-on-write, touched months only")
+    // SQL partition DELETE (DROP PARTITION analogue): metadata-only —
+    // the survivors' files are all the ORIGINAL snap-1 dirs (nothing
+    // was rewritten; the dropped months are simply absent from the
+    // manifest), and the read is the same vectorized scan + agg
+    val delDf = SparkEntry.allQueries("snapshot_sql_delete")(spark, sfDir)
+    val delFiles = dsv2ScanFiles(delDf)
+    check("snapshot_sql_delete: survivors are the original dirs only",
+      delFiles.nonEmpty && delFiles.forall(_.contains("/snap-1/")),
+      "DELETE = one ~KB manifest commit, zero data IO at any table size")
+    val dl = planOf(delDf)
+    check("snapshot_sql_delete: DSV2 BatchScan + one agg exchange, no join",
+      dl.contains("BatchScan") && occurrences(dl, "Exchange") <= 1 &&
+        !dl.contains("Join") && occurrences(dl, "HashAggregate") >= 2, "")
 
     println(s"\n$failures failures")
     spark.stop()

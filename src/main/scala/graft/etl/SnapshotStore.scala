@@ -899,6 +899,42 @@ object SnapshotStore {
       id
     }
 
+  /** Drop whole partitions as one METADATA-ONLY commit — the atomic
+    * form of the reference's `ALTER TABLE … DROP PARTITION`
+    * (README.md:563): the new manifest simply omits the dropped
+    * values' entries and carries everything else by reference, so the
+    * cost is one ~KB manifest write + pointer swap REGARDLESS of how
+    * much data the partitions held (no file is touched; the dropped
+    * dirs stay on disk for time travel until [[expire]]). `values`
+    * of None drops EVERY partition (SQL `DELETE FROM t` / TRUNCATE):
+    * legal — the table reads as a typed empty frame. Unknown values
+    * are a no-op, matching DELETE semantics (deleting what isn't
+    * there deletes nothing). */
+  def dropPartitions(root: String,
+      values: Option[Set[String]]): Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to delete from"))
+      require(prior.schema.isDefined || values.isDefined,
+        s"cannot truncate $root: its manifests predate schema carrying, " +
+          "so the empty table could not be typed")
+      val kept = values match {
+        case Some(vs) => prior.entries.filterNot(e => vs(e.value))
+        case None => Seq.empty
+      }
+      // the id claim dir exists only to make manifest-<id>
+      // single-writer (a metadata-only commit writes no data into it);
+      // once the manifest is published, retainedIds covers the id and
+      // the empty claim can go — a crash before this delete just
+      // leaves an orphan for expire
+      val id = allocateId(root)
+      commitManifest(root, Manifest(id, kept, prior.schema, prior.props),
+        seqOf(prior))
+      try Files.deleteIfExists(Paths.get(root, "data", s"snap-$id"))
+      catch { case _: java.io.IOException => () }
+      id
+    }
+
   /** Compaction as a snapshot commit: rewrite the CURRENT snapshot's
     * content into fresh one-file-per-partition dirs and swap the
     * pointer — in place at the table root, yet readers on the old

@@ -508,6 +508,42 @@ object EtlQueries {
   def snapshotSqlMerge: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlMerge(s, d)))
 
+  /** One SQL-DELETEd snapshot history per (JVM, sfDir): full load, then
+    * a pure-SQL `DELETE FROM … WHERE order_month IN (min, max)` — the
+    * atomic DROP PARTITION (reference README.md:563): partition-value
+    * predicates resolve through [[graft.sources.GraftSnapshotTable]]'s
+    * SupportsDelete into the locked metadata-only
+    * [[SnapshotStore.dropPartitions]] commit (no data file touched). */
+  private val snapSqlDelPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlDelete(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapdel",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapSqlDelPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        val orders = ordersWithMonth(s, d)
+        SnapshotStore.write(orders, root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        // the deleted months come from the DATA (min and max), so the
+        // same statement replays at every scale factor; the literals
+        // are inlined exactly as a user would write them
+        val Array(lo, hi) = orders
+          .agg(min("order_month"), max("order_month"))
+          .head().toSeq.map(_.toString).toArray
+        s.sql(s"DELETE FROM $table WHERE order_month IN ('$lo', '$hi')")
+        snapSqlDelPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Pure-SQL partition DELETE: the table minus its first and last
+    * months, the drop itself a ~KB manifest commit (the oracle replays
+    * the same predicate over raw orders). */
+  def snapshotSqlDelete: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlDelete(s, d)))
+
   private def monthAgg(df: DataFrame): DataFrame =
     df.groupBy("order_month")
       .agg(count(lit(1)).as("cnt"),
@@ -577,6 +613,7 @@ object EtlQueries {
     "snapshot_sql_timetravel" -> snapshotSqlTimetravel,
     "snapshot_sql_insert" -> snapshotSqlInsert,
     "snapshot_sql_merge" -> snapshotSqlMerge,
+    "snapshot_sql_delete" -> snapshotSqlDelete,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
     "schema_evolution" -> schemaEvolution,
@@ -707,6 +744,18 @@ object EtlQueries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
+    // replay the partition DELETE: the first and last months dropped
+    // whole, everything between untouched
+    "snapshot_sql_delete" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM o
+        |WHERE order_month NOT IN ((SELECT min(order_month) FROM o),
+        |                          (SELECT max(order_month) FROM o))
+        |GROUP BY 1""".stripMargin,
     // AS OF the pre-backfill snapshot ⇒ the original load, untouched
     // by the later commit
     "snapshot_timetravel" ->

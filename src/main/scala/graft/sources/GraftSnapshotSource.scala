@@ -107,7 +107,8 @@ class GraftSnapshotTable(
     val root: String,
     val manifest: SnapshotStore.Manifest,
     inner: ParquetTable,
-    writable: Boolean) extends Table with SupportsRead with SupportsWrite {
+    writable: Boolean) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
@@ -137,6 +138,71 @@ class GraftSnapshotTable(
     // the inner table builds its own (option-merged) builder; its case
     // accessors hand over the exact constructor args for the subclass
     new GraftSnapshotScanBuilder(inner.newScanBuilder(options), manifestRows)
+
+  /** SQL `DELETE FROM snap.t WHERE <partition predicate>` — the atomic
+    * DROP PARTITION (reference README.md:563, `ALTER TABLE trips DROP
+    * PARTITION`): deletable iff every conjunct resolves to a set of
+    * partition VALUES (=, <=>, IN, OR-of-those on the partition
+    * column, or no predicate at all = truncate), in which case the
+    * delete is one METADATA-ONLY commit through the locked
+    * [[SnapshotStore.dropPartitions]] — no data file is read or
+    * written, whatever the partitions held. Row-level predicates
+    * return false here, so Spark rejects the statement at analysis
+    * (the honest answer for a format whose deletes are
+    * partition-granular; MERGE with a delete flag is the row-level
+    * path). */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable && deleteTargets(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(writable, "time-travel loads are read-only: deleting from " +
+      "a historical snapshot would fork the manifest history")
+    val targets = deleteTargets(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        "snapshot DELETE is partition-granular: the WHERE clause must " +
+          "resolve to partition values (=, IN, OR on the partition " +
+          "column) — use CALL merge_into with a delete flag for " +
+          "row-level deletes"))
+    SnapshotStore.dropPartitions(root, targets)
+    ()
+  }
+
+  /** AND-of-filters → Some(None)=every partition, Some(Some(vs))=this
+    * value set, None=not expressible partition-granularly. Partition
+    * values compare through the same cast-to-string the writer used
+    * for the directory key. */
+  private def deleteTargets(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Option[Set[String]]] = {
+    import org.apache.spark.sql.sources._
+    val partCol = SnapshotStore.tableLayout(manifest).map(_._1)
+    def one(f: Filter): Option[Option[Set[String]]] = f match {
+      case AlwaysTrue() => Some(None)
+      case EqualTo(a, v) if partCol.contains(a) && v != null =>
+        Some(Some(Set(v.toString)))
+      case EqualNullSafe(a, v) if partCol.contains(a) && v != null =>
+        Some(Some(Set(v.toString)))
+      case In(a, vs) if partCol.contains(a) && vs.forall(_ != null) =>
+        Some(Some(vs.map(_.toString).toSet))
+      case Or(l, r) =>
+        for (lv <- one(l); rv <- one(r)) yield (lv, rv) match {
+          case (None, _) | (_, None) => None // either side = all rows
+          case (Some(a), Some(b)) => Some(a union b)
+        }
+      case _ => scala.None
+    }
+    // the filter array is a conjunction; empty = unconditional DELETE
+    if (filters.isEmpty) Some(None)
+    else filters.map(one).reduce { (x, y) =>
+      for (xv <- x; yv <- y) yield (xv, yv) match {
+        case (None, o) => o
+        case (o, None) => o
+        case (Some(a), Some(b)) => Some(a intersect b)
+      }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val (partCol, sortCol) = SnapshotStore.tableLayout(manifest).getOrElse(
