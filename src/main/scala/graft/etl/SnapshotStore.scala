@@ -915,24 +915,31 @@ object SnapshotStore {
     withCommitLock(root) {
       val prior = current(root).getOrElse(
         throw new IllegalStateException(s"no snapshot at $root to delete from"))
-      require(prior.schema.isDefined || values.isDefined,
-        s"cannot truncate $root: its manifests predate schema carrying, " +
-          "so the empty table could not be typed")
       val kept = values match {
         case Some(vs) => prior.entries.filterNot(e => vs(e.value))
         case None => Seq.empty
       }
-      // the id claim dir exists only to make manifest-<id>
-      // single-writer (a metadata-only commit writes no data into it);
-      // once the manifest is published, retainedIds covers the id and
-      // the empty claim can go — a crash before this delete just
-      // leaves an orphan for expire
-      val id = allocateId(root)
-      commitManifest(root, Manifest(id, kept, prior.schema, prior.props),
-        seqOf(prior))
-      try Files.deleteIfExists(Paths.get(root, "data", s"snap-$id"))
-      catch { case _: java.io.IOException => () }
-      id
+      require(prior.schema.isDefined || kept.nonEmpty,
+        s"cannot drain $root: its manifests predate schema carrying, " +
+          "so the empty table could not be typed")
+      // deleting what isn't there must not burn a snapshot id or push
+      // real history out of the retention window — a no-op DELETE is
+      // answered from the current manifest, nothing committed
+      if (kept == prior.entries) prior.id
+      else {
+        // the id claim dir stays EMPTY (a metadata-only commit writes
+        // no data into it) and is deliberately NOT deleted here: an
+        // immediate post-publish delete would let a concurrent host's
+        // allocateId — which listed ids before our claim — reclaim the
+        // published id and clobber the committed chain slot through
+        // the shared hard-link inode. expire's grace-aware orphan
+        // sweep removes it once the id is protected by its retained
+        // manifest.
+        val id = allocateId(root)
+        commitManifest(root, Manifest(id, kept, prior.schema, prior.props),
+          seqOf(prior))
+        id
+      }
     }
 
   /** Compaction as a snapshot commit: rewrite the CURRENT snapshot's

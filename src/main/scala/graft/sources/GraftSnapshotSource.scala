@@ -170,21 +170,36 @@ class GraftSnapshotTable(
   }
 
   /** AND-of-filters → Some(None)=every partition, Some(Some(vs))=this
-    * value set, None=not expressible partition-granularly. Partition
-    * values compare through the same cast-to-string the writer used
-    * for the directory key. */
+    * value set, None=not expressible partition-granularly. Manifest
+    * values were rendered by the WRITER's cast-to-string, so literal
+    * comparison is only sound for types whose JVM `toString` agrees
+    * with Spark's cast — strings, integrals, dates, booleans. A
+    * timestamp/float/decimal partition column fails `canDeleteWhere`
+    * LOUDLY rather than string-compare two different renderings and
+    * silently drop nothing (java.sql.Timestamp.toString appends ".0";
+    * float formatting differs). */
   private def deleteTargets(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[Option[Set[String]]] = {
     import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
     val partCol = SnapshotStore.tableLayout(manifest).map(_._1)
+    val tokenExact = partCol.exists { c =>
+      schema().fields.find(_.name == c).map(_.dataType).exists {
+        case StringType | ByteType | ShortType | IntegerType |
+             LongType | DateType | BooleanType => true
+        case _ => false
+      }
+    }
     def one(f: Filter): Option[Option[Set[String]]] = f match {
       case AlwaysTrue() => Some(None)
-      case EqualTo(a, v) if partCol.contains(a) && v != null =>
+      case EqualTo(a, v) if tokenExact && partCol.contains(a) && v != null =>
         Some(Some(Set(v.toString)))
-      case EqualNullSafe(a, v) if partCol.contains(a) && v != null =>
+      case EqualNullSafe(a, v)
+          if tokenExact && partCol.contains(a) && v != null =>
         Some(Some(Set(v.toString)))
-      case In(a, vs) if partCol.contains(a) && vs.forall(_ != null) =>
+      case In(a, vs)
+          if tokenExact && partCol.contains(a) && vs.forall(_ != null) =>
         Some(Some(vs.map(_.toString).toSet))
       case Or(l, r) =>
         for (lv <- one(l); rv <- one(r)) yield (lv, rv) match {

@@ -44,10 +44,14 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
     // carried BY REFERENCE: identical dir strings, not rewrites
     assert(after.entries.toSet ===
       before.entries.filterNot(_.value == "2024-02").toSet)
-    // metadata-only: no new data dir appeared (the id claim is cleaned)
-    val dirsAfter = Option(new java.io.File(s"$root/data").listFiles())
-      .get.map(_.getName).toSet
-    assert(dirsAfter === dirsBefore, "a DELETE must write no data")
+    // metadata-only: the only new thing under data/ is the commit's
+    // EMPTY id-claim dir (deliberately left for expire's grace-aware
+    // sweep — deleting it immediately would reopen the id-reuse race)
+    val newDirs = Option(new java.io.File(s"$root/data").listFiles())
+      .get.map(_.getName).toSet -- dirsBefore
+    assert(newDirs === Set(s"snap-${after.id}"))
+    assert(Option(new java.io.File(s"$root/data/snap-${after.id}")
+      .listFiles()).get.isEmpty, "a DELETE must write no data")
     assert(spark.sql("SELECT sum(price) FROM snapd1.t")
       .head().getDouble(0) === 80.0)
     // the dropped month is still on disk and time-travel-visible
@@ -87,8 +91,36 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
     assert(spark.table("snapd3.t").columns.toSeq ===
       Seq("id", "m", "v", "price"))
     assert(SnapshotStore.read(spark, root, asOf = Some(id1)).count() === 5L)
-    // deleting whole partitions that don't exist is a no-op, not an error
+    // deleting what isn't there is a no-op that must not COMMIT: the
+    // manifest id stays, so repeated idempotent cleanups can't push
+    // real history out of the retention window
+    val idBefore = SnapshotStore.current(root).get.id
     spark.sql("DELETE FROM snapd3.t WHERE m = '2030-01'")
+    assert(SnapshotStore.current(root).get.id === idBefore,
+      "a no-op DELETE must not burn a snapshot")
     assert(spark.sql("SELECT count(*) FROM snapd3.t").head().getLong(0) === 0L)
+  }
+
+  test("a partition column whose toString disagrees with Spark's cast " +
+      "(timestamp) refuses DELETE loudly instead of dropping nothing") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_snapdel_ts").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 1),
+      (2L, java.sql.Timestamp.valueOf("2024-02-15 10:00:00"), 2))
+      .toDF("id", "ts", "v")
+    SnapshotStore.write(rows, s"$wh/t", partCol = "ts", sortCol = "v")
+    register("snapd4", wh)
+    // java.sql.Timestamp.toString renders "…10:00:00.0" while the
+    // writer's cast-to-string dir token has no ".0" — a literal
+    // comparison would silently delete nothing, so the statement must
+    // be rejected at analysis with nothing committed
+    val before = SnapshotStore.current(s"$wh/t").get.id
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "DELETE FROM snapd4.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+    }
+    assert(SnapshotStore.current(s"$wh/t").get.id === before)
+    assert(spark.sql("SELECT count(*) FROM snapd4.t").head().getLong(0) === 2L)
   }
 }
