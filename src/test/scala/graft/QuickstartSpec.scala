@@ -77,6 +77,19 @@ class QuickstartSpec extends SparkSpec {
       "INSERT INTO snap.orders_table " +
         "SELECT o.*, date_format(o.o_orderdate, 'yyyy-MM') AS order_month " +
         s"FROM parquet.`$sfDir/orders.parquet` o WHERE o.o_orderkey = 1")
+    // README's atomic DROP PARTITION: one metadata-only commit (the
+    // month comes from the TABLE — the MERGE's +40-day updates can
+    // push rows past the raw data's max month)
+    val lastMonth = spark
+      .sql("SELECT max(order_month) FROM snap.orders_table")
+      .head().getString(0)
+    val preDelete = spark.sql("SELECT count(*) FROM snap.orders_table")
+      .head().getLong(0)
+    val lastMonthRows = spark.sql("SELECT count(*) FROM " +
+      s"snap.orders_table WHERE order_month = '$lastMonth'")
+      .head().getLong(0)
+    spark.sql(
+      s"DELETE FROM snap.orders_table WHERE order_month = '$lastMonth'")
     // --- end README block ---
     assert(perMonth.count() > 0)
     assert(asOf1.head().getLong(0) === orders.count()) // pre-merge state
@@ -85,8 +98,14 @@ class QuickstartSpec extends SparkSpec {
     // cancel and the final net-count check below couldn't tell
     assert(spark.sql("SELECT count(*) FROM snap.orders_table VERSION AS OF 2")
       .head().getLong(0) === orders.count() - 1) // the delete landed
+    // post-insert snapshot: order 1 re-added, last month still present
+    assert(spark.sql("SELECT count(*) FROM snap.orders_table VERSION AS OF 3")
+      .head().getLong(0) === orders.count())
+    // after the partition DELETE: the whole last month gone in one
+    // pointer swap, everything else untouched
+    assert(lastMonthRows > 0)
     assert(spark.sql("SELECT count(*) FROM snap.orders_table")
-      .head().getLong(0) === orders.count()) // insert re-added order 1
+      .head().getLong(0) === preDelete - lastMonthRows)
   }
 
   test("quickstart 2: corpus pipeline — near-dup dedup, pack to " +
