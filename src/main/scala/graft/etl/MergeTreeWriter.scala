@@ -39,8 +39,10 @@ object MergeTreeWriter {
     spark.read.parquet(path)
 
   /** Idempotent partition backfill — the Spark analogue of the
-    * MergeTree operational pattern the reference's monthly ETL relies
-    * on (re-load a month = DROP PARTITION + re-INSERT, README.md:563):
+    * standard MergeTree operational pattern for restating a month
+    * (`ALTER TABLE … DROP PARTITION` + re-INSERT — ClickHouse
+    * practice, an EXTENSION: the reference's own replay is re-running
+    * its import loop, README.md:527-532):
     * `partitionOverwriteMode=dynamic` replaces EXACTLY the partitions
     * present in `df` and leaves every other month's files untouched —
     * no read-modify-write of the whole table, no window where other

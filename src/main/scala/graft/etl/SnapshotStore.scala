@@ -5,9 +5,12 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Atomic multi-file snapshot commits for the writer family — the one
-  * production gap the in-place writers share with the reference
-  * (ClickHouse `DROP PARTITION` + re-INSERT, reference README.md:563):
+/** Atomic multi-file snapshot commits for the writer family — closing
+  * the production gap every in-place restatement shares (an EXTENSION:
+  * the reference's only replay is re-running its import loop,
+  * README.md:527-532; partition replacement via `ALTER TABLE … DROP
+  * PARTITION` + re-INSERT is standard ClickHouse MergeTree operational
+  * practice, not shown in the reference):
   * [[MergeTreeWriter.overwritePartitions]] rewrites directory state in
   * place, so a reader racing a backfill can list a half-written
   * partition. Here a table is a MANIFEST POINTER, not a directory:
@@ -247,12 +250,12 @@ object SnapshotStore {
     * this automatically: an append is commutative, so only its
     * manifest merge re-runs; read-modify-write transactions like
     * MERGE must re-plan from the new base). */
-  final class ConcurrentCommitException(root: String, seq: Long)
+  final class ConcurrentCommitException(root: String, seq: Long,
+      detail: String = "was published by another writer between this " +
+        "commit's base read and its publish (cross-host writer race)")
     extends RuntimeException(
-      s"concurrent commit at $root: chain slot commit-$seq was " +
-        "published by another writer between this commit's base read " +
-        "and its publish (cross-host writer race) — re-read the table " +
-        "and re-run the transaction")
+      s"concurrent commit at $root: chain slot commit-$seq $detail — " +
+        "re-read the table and re-run the transaction")
 
   /** Commit-chain sequence of a manifest. Every chain-era commit
     * records base.seq+1 in its props; pre-chain manifests fall back to
@@ -293,37 +296,64 @@ object SnapshotStore {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("manifests"))
     val bytes = render(m).getBytes(StandardCharsets.UTF_8)
-    def fsyncWrite(p: Path): Unit = {
-      val ch = java.nio.channels.FileChannel.open(p,
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
-        StandardOpenOption.TRUNCATE_EXISTING)
-      try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
-      finally ch.close()
-    }
+    def fsyncWrite(p: Path): Unit = fsyncWriteBytes(p, bytes)
     val mfile = rootP.resolve(s"manifests/manifest-${m.id}")
     fsyncWrite(mfile)
     onBeforePublish()
+    // withdraw the unpublished history file on a lost race.
+    // BEST-EFFORT — manifest-<id> is exclusively ours (the id was
+    // claimed by allocateId's atomic mkdir), so a failed delete leaves
+    // an inert never-committed file: the chain walk can't resolve it,
+    // but read(asOf=id) could, and it occupies one retention slot
+    // until expire drops it
+    def withdraw(): Unit =
+      try Files.deleteIfExists(mfile)
+      catch { case _: java.io.IOException => () }
+    // SEQUENCE NUMBERS ARE NEVER REUSED: a claim at-or-below the hint's
+    // seq can only come from a writer whose base read predates commits
+    // the hint already names — on a table where expire freed old slot
+    // NAMES this claim could otherwise succeed and silently roll the
+    // table back below the head (the lost update the chain exists to
+    // prevent). Refuse before touching the chain. The hint may trail
+    // the true head, so this is conservative — the slot tombstones
+    // below catch what the hint cannot see.
+    val hintP = rootP.resolve("MANIFEST")
+    if (Files.exists(hintP) && seq <= seqOf(parse(hintP))) {
+      withdraw()
+      throw new ConcurrentCommitException(root, seq,
+        "is at or below the published head's sequence — this commit's " +
+          "base read is stale (it may predate the retention horizon)")
+    }
+    def degrade(): Boolean = {
+      // no hard links on this filesystem: degrade to the locked
+      // single-host discipline (pointer-swap publish below), loud
+      System.err.println(
+        s"[snapshot] WARN: filesystem at $root does not support " +
+          "hard links — cross-host commit conflict detection is " +
+          "OFF; writers on other hosts need external coordination")
+      false
+    }
     val chained =
       try { Files.createLink(chainFile(root, seq), mfile); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // lost the race: withdraw the unpublished history file.
-          // BEST-EFFORT — manifest-<id> is exclusively ours (the id
-          // was claimed by allocateId's atomic mkdir), so a failed
-          // delete leaves an inert never-committed file: the chain
-          // walk can't resolve it, but read(asOf=id) could, and it
-          // occupies one retention slot until expire drops it
-          try Files.deleteIfExists(mfile)
-          catch { case _: java.io.IOException => () }
+          // lost the race — a racing writer's claim, or a zero-length
+          // tombstone of an expired slot (a stale base the hint check
+          // above could not see)
+          withdraw()
           throw new ConcurrentCommitException(root, seq)
-        case _: UnsupportedOperationException =>
-          // no hard links on this filesystem: degrade to the locked
-          // single-host discipline (pointer-swap publish below), loud
-          System.err.println(
-            s"[snapshot] WARN: filesystem at $root does not support " +
-              "hard links — cross-host commit conflict detection is " +
-              "OFF; writers on other hosts need external coordination")
-          false
+        case _: UnsupportedOperationException => degrade()
+        case e: java.nio.file.FileSystemException
+            // Linux NIO implements link(2) everywhere, so a filesystem
+            // WITHOUT hard links (VFAT/exFAT, many NFS/SMB/FUSE mounts)
+            // surfaces EPERM/ENOTSUP as FileSystemException, not
+            // UnsupportedOperationException — same degrade, or every
+            // commit on such a mount fails outright. Genuine I/O errors
+            // (EIO, ENOSPC…) still propagate.
+            if Seq(Option(e.getReason), Option(e.getMessage)).flatten
+              .exists(r => r.toLowerCase.contains("not permitted") ||
+                r.toLowerCase.contains("not supported")) =>
+          degrade()
       }
     if (chained) {
       // the chain entry must survive a crash: fsync the manifests dir
@@ -337,14 +367,28 @@ object SnapshotStore {
     // ALREADY published — a failed rename must not un-publish it
     // (readers repair via the walk), so it degrades to a warning; on a
     // no-hard-link filesystem this rename IS the publish and failures
-    // propagate.
-    try Files.move(tmp, rootP.resolve("MANIFEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    catch {
-      case e: java.io.IOException if chained => System.err.println(
-        s"[snapshot] WARN: MANIFEST hint rename after publishing " +
-          s"commit-$seq at $root failed (${e.getMessage}) — readers " +
-          "resolve the committed state through the chain walk")
+    // propagate. THE HINT NEVER MOVES BACKWARDS: if a cross-host
+    // writer that based on THIS commit already advanced the hint past
+    // `seq` (its rename raced ahead of ours), renaming ours over it
+    // would point readers at a superseded head — skip instead (the
+    // chain walk covers our commit either way). Only applies when
+    // chained: on a no-hard-link filesystem the same-host lock
+    // serializes publishes, so the skip can never falsely trigger.
+    val superseded = chained && Files.exists(hintP) &&
+      (try seqOf(parse(hintP)) >= seq
+       catch { case _: Exception => false })
+    if (superseded) {
+      try Files.deleteIfExists(tmp)
+      catch { case _: java.io.IOException => () }
+    } else {
+      try Files.move(tmp, rootP.resolve("MANIFEST"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case e: java.io.IOException if chained => System.err.println(
+          s"[snapshot] WARN: MANIFEST hint rename after publishing " +
+            s"commit-$seq at $root failed (${e.getMessage}) — readers " +
+            "resolve the committed state through the chain walk")
+      }
     }
     // the rename itself must be durable before commit returns: the
     // manifest FILE is fsync'd above, but the directory entry that
@@ -356,6 +400,15 @@ object SnapshotStore {
     // a platform that refuses directory fds must not turn a landed
     // commit into a reported failure.
     fsyncDir(rootP, s"manifest-${m.id} at $root")
+  }
+
+  /** Write `bytes` to `p` (create/truncate) and fsync the file. */
+  private def fsyncWriteBytes(p: Path, bytes: Array[Byte]): Unit = {
+    val ch = java.nio.channels.FileChannel.open(p,
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+    finally ch.close()
   }
 
   /** Best-effort directory fsync. Loud, not silent, on failure: a
@@ -395,19 +448,28 @@ object SnapshotStore {
       var head: Option[Path] = None
       while (Files.exists(chainFile(root, seq + 1))) {
         seq += 1
-        head = Some(chainFile(root, seq))
+        val f = chainFile(root, seq)
+        // expired slots persist as zero-length TOMBSTONES (their names
+        // must stay claimed so a stale-based writer can never reuse
+        // the sequence number) — the walk steps over them and parses
+        // the newest slot that still has content
+        if ((try Files.size(f) catch {
+          case _: java.io.IOException => 0L
+        }) > 0L) head = Some(f)
       }
       head.map(parse).orElse(hint)
     }
-    // a racing expire can delete a probed slot between the exists and
-    // the parse (readers take no lock — by design). Expire repairs the
-    // hint to the live head BEFORE dropping slots, so a fresh resolve
+    // a racing expire can tombstone (truncate) a probed slot between
+    // the size check and the parse — the parse then sees an empty
+    // file (readers take no lock — by design). Expire repairs the
+    // hint to the live head BEFORE tombstoning, so a fresh resolve
     // converges; retry rather than crash the lock-free reader.
     var attempts = 0
     while (true) {
       try return resolveOnce()
       catch {
-        case e: java.nio.file.NoSuchFileException =>
+        case e @ (_: java.nio.file.NoSuchFileException |
+                  _: NoSuchElementException) =>
           attempts += 1
           if (attempts >= 5) throw e
       }
@@ -761,8 +823,11 @@ object SnapshotStore {
     id
   }
 
-  /** Atomic partition backfill — the safe form of the reference's
-    * DROP PARTITION + re-INSERT: only `df`'s partitions are written;
+  /** Atomic partition backfill — the safe form of the MergeTree
+    * operational replay (`DROP PARTITION` + re-INSERT; ClickHouse
+    * practice, an extension — not in the reference, whose replay
+    * re-runs the import loop, README.md:527-532): only `df`'s
+    * partitions are written;
     * the new manifest carries every other partition's PRIOR dir
     * forward by reference. Cost ∝ restated data; visibility flips for
     * all restated partitions at once. */
@@ -823,9 +888,17 @@ object SnapshotStore {
     * compactions), so the replay check holds even when other commit
     * kinds ran between the append and its retry. */
   def appendPartitions(df: DataFrame, root: String, partCol: String,
-      sortCol: String, idempotence: Option[(String, String)] = None): Long =
+      sortCol: String, idempotence: Option[(String, String)] = None,
+      idempotenceAliases: Seq[String] = Nil): Long =
     withCommitLock(root) {
       val slot = idempotence.map { case (w, _) => AppendTokenPrefix + w }
+      // alias slots: LEGACY writer-id spellings whose recorded token
+      // also counts as "this batch already committed" — a caller that
+      // canonicalized its writer id mid-deployment would otherwise open
+      // a fresh slot and the one batch re-delivered across the upgrade
+      // would append twice (new commits record under the canonical
+      // slot only, so aliases age out after one successful commit)
+      val aliasSlots = idempotenceAliases.map(AppendTokenPrefix + _)
       // an append is COMMUTATIVE over the base: its fresh dirs don't
       // depend on base content, only the carried entry list does — so
       // a cross-host publish conflict ([[ConcurrentCommitException]])
@@ -836,8 +909,9 @@ object SnapshotStore {
       var fresh: Seq[Entry] = null
       var id = 0L
       def attempt(retriesLeft: Int): Long = current(root) match {
-        case Some(prior) if idempotence.isDefined &&
-            slot.flatMap(prior.props.get) == idempotence.map(_._2) =>
+        case Some(prior) if idempotence.exists { case (_, tok) =>
+            (slot ++ aliasSlots).exists(s =>
+              prior.props.get(s).contains(tok)) } =>
           prior.id // the batch already committed; retry is a no-op
         case prior =>
           checkLayout(prior, partCol, sortCol)
@@ -900,8 +974,9 @@ object SnapshotStore {
     }
 
   /** Drop whole partitions as one METADATA-ONLY commit — the atomic
-    * form of the reference's `ALTER TABLE … DROP PARTITION`
-    * (README.md:563): the new manifest simply omits the dropped
+    * form of ClickHouse's `ALTER TABLE … DROP PARTITION` (an
+    * extension: standard MergeTree operational practice, not in the
+    * reference): the new manifest simply omits the dropped
     * values' entries and carries everything else by reference, so the
     * cost is one ~KB manifest write + pointer swap REGARDLESS of how
     * much data the partitions held (no file is touched; the dropped
@@ -1051,12 +1126,30 @@ object SnapshotStore {
           if (Files.exists(hintP)) seqOf(parse(hintP)) else 0L
         if (hintSeq < seqOf(l)) {
           val tmp = Paths.get(root, ".MANIFEST.tmp-repair")
-          Files.write(tmp, render(l).getBytes(StandardCharsets.UTF_8))
+          // the repaired hint must be DURABLE before any slot below it
+          // is tombstoned: a crash that persists the tombstones but
+          // not the repair would leave the stale hint walking over
+          // content-less slots — fsync the file, then the rename's
+          // directory entry
+          fsyncWriteBytes(tmp, render(l).getBytes(StandardCharsets.UTF_8))
           Files.move(tmp, hintP, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
+          fsyncDir(Paths.get(root), s"repaired MANIFEST hint at $root")
         }
       }
-      val keep = ids.takeRight(keepLast).toSet ++ live.map(_.id)
+      // retention ranks by COMMIT ORDER (chain seq), not manifest id:
+      // an append that lost a publish race retries with its original
+      // id, so a NEWER commit can carry a LOWER id — ranking by id
+      // would then expire the newer commit's manifest while retaining
+      // older higher-id ones, skewing asOf history. Pre-chain
+      // manifests fall back to id (seqOf), which preserves their
+      // serialized order; an unparseable manifest ranks by id too
+      // (conservative — never crash retention on one bad file).
+      val keep = ids
+        .map(id => (scala.util.Try(seqOf(manifestAt(root, id)))
+          .getOrElse(id), id))
+        .sortBy(identity).takeRight(keepLast).map(_._2).toSet ++
+        live.map(_.id)
       val referenced =
         (keep.flatMap { id =>
           // the live pointer's entries are pinned via `live` below even
@@ -1079,11 +1172,18 @@ object SnapshotStore {
         Files.deleteIfExists(dir.resolve(s"manifest-$id")))
       // chain slots are hard links to manifest files — dropping the
       // manifest alone leaves the bytes alive under the slot name, so
-      // drop the slots of dropped manifests too. Only slots strictly
-      // BELOW the live head's sequence are candidates: the head's slot
-      // stays, and a slot above it can only be a commit another host
-      // published after `live` was read — never deletable on this
-      // host's stale view.
+      // TOMBSTONE the slots of dropped manifests: truncate to zero
+      // length instead of deleting. The name must stay claimed
+      // forever — a freed slot number could be re-claimed by a writer
+      // whose base read predates this expire (its createLink would
+      // succeed, "publishing" BELOW the live head and silently rolling
+      // back every newer commit); against a tombstone the claim fails
+      // loudly with ConcurrentCommitException, exactly like losing a
+      // live race. Cost: one empty directory entry per expired commit.
+      // Only slots strictly BELOW the live head's sequence are
+      // candidates: the head's slot stays, and a slot above it can
+      // only be a commit another host published after `live` was
+      // read — never touchable on this host's stale view.
       Option(dir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith("commit-"))
         .foreach { f =>
@@ -1094,10 +1194,13 @@ object SnapshotStore {
           }.toOption
           val mid = headLine.filter(_.startsWith("id="))
             .flatMap(_.stripPrefix("id=").toLongOption)
-          // unparseable → keep (conservative: never break the chain
-          // on a read hiccup)
-          if (slotSeq.exists(_ < liveSeq) && mid.exists(i => !keep(i)))
-            f.delete()
+          // unparseable or already-empty → keep as-is (a tombstone
+          // stays a tombstone; never break the chain on a read hiccup)
+          if (slotSeq.exists(_ < liveSeq) && mid.exists(i => !keep(i))) {
+            val ch = java.nio.channels.FileChannel.open(f.toPath,
+              StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+            try ch.force(true) finally ch.close()
+          }
         }
       // torn pointer staging files from a crash mid-publish are inert
       // (the atomic move never happened) — sweep them here too

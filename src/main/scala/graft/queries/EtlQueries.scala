@@ -294,8 +294,10 @@ object EtlQueries {
   }
 
   /** Idempotent month backfill via dynamic partition overwrite — the
-    * reference's operational replay (DROP PARTITION + re-INSERT of a
-    * corrected month, README.md:563) without touching any other month:
+    * MergeTree operational replay (DROP PARTITION + re-INSERT of a
+    * corrected month; ClickHouse practice, an extension — the
+    * reference's own replay re-runs its import loop, README.md:527-532)
+    * without touching any other month:
     * full load, then a RESTATED version of the latest month lands
     * (late dedup removed every 10th order, a 5.00 adjustment applied),
     * and `MergeTreeWriter.overwritePartitions` replaces exactly that
@@ -510,7 +512,8 @@ object EtlQueries {
 
   /** One SQL-DELETEd snapshot history per (JVM, sfDir): full load, then
     * a pure-SQL `DELETE FROM … WHERE order_month IN (min, max)` — the
-    * atomic DROP PARTITION (reference README.md:563): partition-value
+    * atomic DROP PARTITION (ClickHouse operational practice; an
+    * extension, not in the reference): partition-value
     * predicates resolve through [[graft.sources.GraftSnapshotTable]]'s
     * SupportsDelete into the locked metadata-only
     * [[SnapshotStore.dropPartitions]] commit (no data file touched). */

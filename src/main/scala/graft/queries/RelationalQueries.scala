@@ -1110,10 +1110,12 @@ object RelationalQueries {
   }
 
   /** Point-in-polygon zone assignment — the PostGIS step the reference
-    * pipeline consumes from upstream (its trips carry nyct2010 gids
-    * that `ST_Contains` assigned before export; reference README.md:55
-    * Postgis-2.4, :345-374 the nyct2010 join): here the assignment
-    * itself runs Spark-first. Containment for convex zones is a
+    * pipeline consumes from upstream: its trips carry pre-assigned
+    * nyct2010 gid columns (the CTAS keeps them, reference
+    * README.md:345-374) and its software stack lists `Postgis-2.4`
+    * (README.md:55); the assigning function (PostGIS `ST_Contains`,
+    * public API) is never shown in the README itself. Here the
+    * assignment runs Spark-first. Containment for convex zones is a
     * conjunction of half-plane cross-product predicates — pure double
     * arithmetic, identical on both engines, fused into the scan stage
     * (no UDF, no spatial lib); the zone battery mixes a triangle (3

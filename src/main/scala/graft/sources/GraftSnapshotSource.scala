@@ -140,8 +140,9 @@ class GraftSnapshotTable(
     new GraftSnapshotScanBuilder(inner.newScanBuilder(options), manifestRows)
 
   /** SQL `DELETE FROM snap.t WHERE <partition predicate>` — the atomic
-    * DROP PARTITION (reference README.md:563, `ALTER TABLE trips DROP
-    * PARTITION`): deletable iff every conjunct resolves to a set of
+    * DROP PARTITION (`ALTER TABLE … DROP PARTITION` is standard
+    * ClickHouse MergeTree operational practice; an extension — not in
+    * the reference): deletable iff every conjunct resolves to a set of
     * partition VALUES (=, <=>, IN, OR-of-those on the partition
     * column, or no predicate at all = truncate), in which case the
     * delete is one METADATA-ONLY commit through the locked

@@ -102,9 +102,18 @@ object TaxiIngestStream {
         val writerId =
           if (checkpointDir.contains("://")) checkpointDir
           else new java.io.File(checkpointDir).getCanonicalPath
+        // migration: a checkpoint that recorded its token under the
+        // pre-canonicalization RAW spelling must still be recognized —
+        // otherwise the one batch re-delivered across the upgrade
+        // (commit landed, checkpoint didn't) would append twice before
+        // the canonical slot is first populated. New commits record
+        // only the canonical slot, so the alias ages out naturally.
+        val legacyIds =
+          if (writerId == checkpointDir) Nil else Seq(checkpointDir)
         graft.etl.SnapshotStore.appendPartitions(batch, tableRoot,
           partCol = "pickup_month", sortCol = "pickup_datetime",
-          idempotence = Some((writerId, batchId.toString)))
+          idempotence = Some((writerId, batchId.toString)),
+          idempotenceAliases = legacyIds)
         ()
       }
       .option("checkpointLocation", checkpointDir)

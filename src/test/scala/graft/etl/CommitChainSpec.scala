@@ -211,8 +211,9 @@ class CommitChainSpec extends SparkSpec {
     assert(totals(root) === Map("2024-01" -> 10.0, "2024-02" -> 10.0))
   }
 
-  test("expire drops the chain slots of dropped manifests and keeps " +
-      "the live head's; time travel within the horizon still works") {
+  test("expire TOMBSTONES the chain slots of dropped manifests (name " +
+      "claimed forever, content gone) and keeps the live head's; time " +
+      "travel within the horizon still works") {
     val root = tmpRoot("expire")
     SnapshotStore.write(mkRows(10.0), root, "m", "ts")
     SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 5.0),
@@ -220,12 +221,127 @@ class CommitChainSpec extends SparkSpec {
     val id3 = SnapshotStore.appendPartitions(extraRow(4L, "2024-02", 2.0),
       root, "m", "ts")
     SnapshotStore.expire(root, keepLast = 2)
-    val mdir = new java.io.File(s"$root/manifests")
-    val slots = Option(mdir.listFiles()).get
-      .map(_.getName).filter(_.startsWith("commit-")).sorted.toSeq
-    assert(slots === Seq("commit-2", "commit-3"))
+    val mdir = java.nio.file.Paths.get(root, "manifests")
+    // every slot name persists — sequence numbers are never reusable —
+    // but the expired slot is a zero-length tombstone while retained
+    // slots keep their manifest content
+    for (s <- 1L to 3L)
+      assert(java.nio.file.Files.exists(mdir.resolve(s"commit-$s")),
+        s"slot commit-$s must never be freed")
+    assert(java.nio.file.Files.size(mdir.resolve("commit-1")) === 0L,
+      "the expired slot must be a zero-length tombstone")
+    assert(java.nio.file.Files.size(mdir.resolve("commit-2")) > 0L)
+    assert(java.nio.file.Files.size(mdir.resolve("commit-3")) > 0L)
+    // the tombstone is a filesystem-level claim: a writer re-using the
+    // freed sequence number dies on the exclusive create, exactly like
+    // losing a live race
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      java.nio.file.Files.createLink(mdir.resolve("commit-1"),
+        mdir.resolve("manifest-3"))
+    }
+    // tombstones re-expire as no-ops, and the walk steps over them
+    SnapshotStore.expire(root, keepLast = 2)
     assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 3L)
     assert(SnapshotStore.read(spark, root, asOf = Some(id3)).count() === 4L)
     assert(totals(root) === Map("2024-01" -> 15.0, "2024-02" -> 12.0))
+  }
+
+  test("a writer whose base predates the retention horizon fails " +
+      "LOUDLY — expire can never hand its freed slot numbers to a " +
+      "stale commit (the silent-rollback hole)") {
+    val root = tmpRoot("stale")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    // inside the stale writer's publish window (base = seq 1): three
+    // foreign commits advance the head to seq 4, then expire drops the
+    // intermediate manifests — the stale writer's target slot
+    // commit-2 is now an expired, tombstoned sequence number
+    val seam = onceSeam {
+      SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 1.0),
+        root, "m", "ts")
+      SnapshotStore.appendPartitions(extraRow(4L, "2024-01", 1.0),
+        root, "m", "ts")
+      SnapshotStore.appendPartitions(extraRow(5L, "2024-01", 1.0),
+        root, "m", "ts")
+      SnapshotStore.expire(root, keepLast = 1)
+    }
+    intercept[SnapshotStore.ConcurrentCommitException] {
+      withSeam(seam) {
+        SnapshotStore.overwritePartitions(
+          mkRows(99.0).filter(col("m") === "2024-02"), root, "m", "ts")
+      }
+    }
+    // the head was NOT rolled back: all three foreign appends survive,
+    // the hint still names seq 4, and the stale restatement is absent
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 4L)
+    assert(totals(root) === Map("2024-01" -> 13.0, "2024-02" -> 10.0))
+    // a fresh retry (new base read) commits cleanly at seq 5
+    SnapshotStore.overwritePartitions(
+      mkRows(99.0).filter(col("m") === "2024-02"), root, "m", "ts")
+    assert(SnapshotStore.seqOf(SnapshotStore.current(root).get) === 5L)
+    assert(totals(root)("2024-02") === 99.0)
+  }
+
+  test("retention ranks by commit order (chain seq), not manifest id: " +
+      "a conflict-retried append's reused id cannot push a NEWER " +
+      "commit's manifest out of the horizon") {
+    val root = tmpRoot("seqrank")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts") // id 1, seq 1
+    // local append allocates id 2, then a foreign append wins the race
+    // with id 3 / seq 2; the local retry reuses id 2 and lands at
+    // seq 3 — id order (2 < 3) now INVERTS commit order (seq 3 > 2)
+    val seam = onceSeam {
+      SnapshotStore.appendPartitions(extraRow(3L, "2024-02", 7.0),
+        root, "m", "ts")
+    }
+    withSeam(seam) {
+      SnapshotStore.appendPartitions(extraRow(4L, "2024-01", 3.0),
+        root, "m", "ts")
+    }
+    val head = SnapshotStore.current(root).get
+    assert(head.id === 2L && SnapshotStore.seqOf(head) === 3L,
+      "precondition: the retried append must reuse id 2 at seq 3")
+    SnapshotStore.appendPartitions(extraRow(5L, "2024-01", 1.0),
+      root, "m", "ts") // id 4, seq 4
+    SnapshotStore.expire(root, keepLast = 2)
+    val mdir = java.nio.file.Paths.get(root, "manifests")
+    // the two NEWEST COMMITS survive: seq 3 (id 2) and seq 4 (id 4);
+    // id-ranked retention would have kept id 3 (seq 2, older) and
+    // dropped id 2 (seq 3, newer)
+    assert(java.nio.file.Files.exists(mdir.resolve("manifest-2")),
+      "the newer commit's manifest (lower id) must be retained")
+    assert(!java.nio.file.Files.exists(mdir.resolve("manifest-3")),
+      "the older commit's manifest (higher id) must expire")
+    assert(SnapshotStore.read(spark, root, asOf = Some(2L)).count() === 4L)
+    assert(totals(root) ===
+      Map("2024-01" -> 14.0, "2024-02" -> 17.0))
+  }
+
+  test("a replayed batch is recognized under a LEGACY writer-id alias " +
+      "slot, and new commits record only the canonical slot") {
+    val root = tmpRoot("alias")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    // the pre-upgrade pipeline recorded batch 5 under the raw spelling
+    SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 5.0),
+      root, "m", "ts", idempotence = Some(("./ckpt/", "5")))
+    // post-upgrade: canonical id, raw spelling passed as alias — the
+    // re-delivered batch 5 is a no-op, not a double append
+    val idReplay = SnapshotStore.appendPartitions(
+      extraRow(3L, "2024-01", 5.0), root, "m", "ts",
+      idempotence = Some(("/abs/ckpt", "5")),
+      idempotenceAliases = Seq("./ckpt/"))
+    assert(idReplay === SnapshotStore.current(root).get.id)
+    assert(totals(root)("2024-01") === 15.0, "replay must not re-append")
+    // the next batch commits normally and lands in the canonical slot
+    SnapshotStore.appendPartitions(extraRow(4L, "2024-01", 2.0),
+      root, "m", "ts", idempotence = Some(("/abs/ckpt", "6")),
+      idempotenceAliases = Seq("./ckpt/"))
+    assert(totals(root)("2024-01") === 17.0)
+    val props = SnapshotStore.current(root).get.props
+    assert(props.get(SnapshotStore.AppendTokenPrefix + "/abs/ckpt")
+      === Some("6"))
+    // the legacy slot still holds its last pre-upgrade token (ages out
+    // by irrelevance, never erased)
+    assert(props.get(SnapshotStore.AppendTokenPrefix + "./ckpt/")
+      === Some("5"))
   }
 }

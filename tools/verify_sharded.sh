@@ -89,4 +89,8 @@ if merged:
           % (len(merged), ", ".join(sorted(merged))), file=sys.stderr)
 PY
 
+# provenance gate: every README.md:<n> citation in src/ + SURVEY.md must
+# point at the construct it attributes (tools/check_citations.py)
+python3 "$(dirname "$0")/check_citations.py" || exit 1
+
 exit $FAIL
