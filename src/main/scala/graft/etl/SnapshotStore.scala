@@ -551,18 +551,18 @@ object SnapshotStore {
     }
   }
 
-  /** Capture per-partition row counts + column min/max by reading back
-    * the just-written snap dir (one map-side-combinable aggregate over
-    * data still warm in the page cache; the collect is bounded by the
-    * entry count, the same bound the manifest itself carries). The
-    * read uses an EXPLICIT schema with `__part` as string, so the
+  /** AGGREGATE-computed per-partition stats: one map-side-combinable
+    * aggregate re-reading the just-written snap dir. Superseded on the
+    * commit path by [[harvestStats]] (parquet footers already hold
+    * these values — harvesting them is metadata-only, ∝ file COUNT
+    * instead of data size); kept as the independent ground truth the
+    * footer harvest is spec-checked against
+    * ([[graft.etl.SnapshotStatsSpec]] asserts both agree on every
+    * fixture), and as the reference semantics for what a stat means.
+    * The read uses an EXPLICIT schema with `__part` as string, so the
     * partition token is never type-inferred — `EntryStats` keys match
-    * `Entry.value` exactly, leading zeros and all. At 100 TB this is
-    * one extra read of the data just written — ∝ commit size, never
-    * table size; the metadata-only refinement (harvesting parquet
-    * footer stats instead) slots in here without changing the manifest
-    * format. */
-  private def collectStats(spark: SparkSession, dataDir: String,
+    * `Entry.value` exactly, leading zeros and all. */
+  private[graft] def collectStats(spark: SparkSession, dataDir: String,
       dataSchema: org.apache.spark.sql.types.StructType)
       : Map[String, EntryStats] = {
     import org.apache.spark.sql.types._
@@ -600,6 +600,127 @@ object SnapshotStore {
     }.toMap
   }
 
+  /** FOOTER-harvested per-partition stats — the metadata-only capture
+    * on the commit path: the parquet footers of the just-written files
+    * already record per-chunk row counts and column min/max, so the
+    * commit reads a few KB of footer per file instead of re-scanning
+    * the data ([[collectStats]]' honest but ∝-commit-size aggregate).
+    * At 100 TB this turns stats capture from a second read of the
+    * commit into a driver-side loop over file COUNT.
+    *
+    * Semantics are pinned to the aggregate's (and spec-checked equal,
+    * [[graft.etl.SnapshotStatsSpec]]): same canonical strings
+    * ([[statString]]), compatible orderings — parquet's UTF8 chunk
+    * stats use the unsigned-byte-wise comparator, exactly
+    * UTF8String's; numerics are signed; MICROS timestamps map to the
+    * same ISO-8601 instants — same 256-char string cap, and an
+    * all-null column carries no stats. A column whose stats any chunk
+    * OMITS (INT96 writes none; parquet-mr drops >4 KB binary stats)
+    * or POISONS (float/double NaN propagates through parquet-mr's
+    * min/max fold) is dropped for the whole entry: consumers treat a
+    * stats-less column conservatively, so a drop can only cost
+    * pruning, never correctness. */
+  private[graft] def harvestStats(spark: SparkSession, dataDir: String,
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : Map[String, EntryStats] = {
+    import org.apache.spark.sql.types._
+    val statCols = dataSchema.fields
+      .filter(f => f.name != PartKey && supportedStatType(f.dataType))
+      .take(StatsColCap)
+    val types = statCols.map(f => f.name -> f.dataType).toMap
+    val conf = spark.sessionState.newHadoopConf()
+
+    def conv(dt: DataType, v: Any): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        v.asInstanceOf[Number].longValue.toString
+      case FloatType => v.asInstanceOf[java.lang.Float].toString
+      case DoubleType => v.asInstanceOf[java.lang.Double].toString
+      case StringType =>
+        v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+      case DateType => java.time.LocalDate
+        .ofEpochDay(v.asInstanceOf[Number].longValue).toString
+      case TimestampType =>
+        val us = v.asInstanceOf[java.lang.Long].longValue
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L).toString
+      case TimestampNTZType =>
+        val us = v.asInstanceOf[java.lang.Long].longValue
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString
+      case BooleanType => v.asInstanceOf[java.lang.Boolean].toString
+      case d: DecimalType =>
+        val unscaled = v match {
+          case b: org.apache.parquet.io.api.Binary =>
+            new java.math.BigInteger(b.getBytes)
+          case n: Number => java.math.BigInteger.valueOf(n.longValue)
+        }
+        new java.math.BigDecimal(unscaled, d.scale).toString
+      case other =>
+        throw new IllegalArgumentException(s"no stat harvest for $other")
+    }
+    def poisoned(dt: DataType, s: String): Boolean = dt match {
+      case FloatType | DoubleType => s == "NaN" || s == "-NaN"
+      case _ => false
+    }
+
+    listParts(dataDir).map { tok =>
+      val dirF = new java.io.File(s"$dataDir/$PartKey=$tok")
+      val files = Option(dirF.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      var rows = 0L
+      // fold state per column: None until a non-null chunk
+      // contributes; REMOVED once any chunk makes the column unknown
+      val acc = scala.collection.mutable.LinkedHashMap[String,
+        Option[(String, String)]](statCols.map(f => f.name -> None): _*)
+      files.foreach { file =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getPath), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.forEach { block =>
+            rows += block.getRowCount
+            val byName = new java.util.HashMap[String,
+              org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]()
+            block.getColumns.forEach(c => byName.put(c.getPath.toDotString, c))
+            acc.keys.toSeq.foreach { name =>
+              val chunk = byName.get(name)
+              val st = if (chunk == null) null else chunk.getStatistics
+              if (st == null) acc.remove(name) // no stats recorded
+              else if (st.hasNonNullValue) {
+                try {
+                  val mn = conv(types(name), st.genericGetMin)
+                  val mx = conv(types(name), st.genericGetMax)
+                  if (poisoned(types(name), mn) || poisoned(types(name), mx))
+                    acc.remove(name)
+                  else acc(name) match {
+                    case Some((m0, x0)) =>
+                      val dt = types(name)
+                      acc(name) = Some((
+                        if (statCompare(dt, mn, m0) < 0) mn else m0,
+                        if (statCompare(dt, mx, x0) > 0) mx else x0))
+                    case None => acc(name) = Some((mn, mx))
+                  }
+                } catch { case _: Exception => acc.remove(name) }
+              } else if (!(st.isNumNullsSet &&
+                  st.getNumNulls == chunk.getValueCount)) {
+                acc.remove(name) // stats present but unusable: unknown
+              } // else: all-null chunk, contributes nothing
+            }
+          }
+        } finally reader.close()
+      }
+      val cols = acc.toSeq.collect {
+        case (n, Some((mn, mx)))
+            if !(types(n) == StringType &&
+              (mn.length > StatsMaxStringLen ||
+               mx.length > StatsMaxStringLen)) =>
+          n -> ColStats(mn, mx)
+      }.toMap
+      unescapeDirToken(tok) -> EntryStats(rows, cols)
+    }.toMap
+  }
+
   // ---- data writes -------------------------------------------------------
 
   /** One job writes every partition of `df` into the snapshot dir:
@@ -613,7 +734,7 @@ object SnapshotStore {
       partCol: String, sortCol: String): Seq[Entry] = {
     val rel = s"data/snap-$snapId"
     val dataDir = s"$root/$rel"
-    df.withColumn(PartKey, col(partCol).cast("string"))
+    val prepared = df.withColumn(PartKey, col(partCol).cast("string"))
       // sort prefix must be the PARTITION KEY ATTRIBUTE itself — the
       // dynamic-partition writer checks its required ordering by
       // expression identity, and a sort on the source column (not
@@ -622,6 +743,14 @@ object SnapshotStore {
       // MergeTreeWriter lesson).
       .repartition(col(PartKey))
       .sortWithinPartitions(col(PartKey), col(sortCol))
+    // snapshot data is written TIMESTAMP_MICROS, not the session
+    // default INT96: INT96 is deprecated in parquet-format, records NO
+    // chunk statistics (the footer harvest would silently lose every
+    // timestamp column) and takes no filter pushdown. Scoped through a
+    // session CLONE — flipping the shared session's conf would leak to
+    // concurrent jobs in the window.
+    org.apache.spark.sql.GraftPlanBridge.withSessionConf(prepared,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
       // the snap dir was atomically CLAIMED (empty) by allocateId, so
       // it exists and is exclusively ours: append into it — the old
       // errorifexists would refuse our own claim, and its non-atomic
@@ -649,7 +778,7 @@ object SnapshotStore {
         "(or the literal __HIVE_DEFAULT_PARTITION__ string) values — " +
         "the directory sentinel is ambiguous with a real string value; " +
         "filter or default the partition column before committing")
-    val stats = collectStats(df.sparkSession, dataDir, df.schema)
+    val stats = harvestStats(df.sparkSession, dataDir, df.schema)
     toks.map { tok =>
       val v = unescapeDirToken(tok)
       Entry(v, s"$rel/$PartKey=$tok", stats.get(v))

@@ -107,7 +107,8 @@ class GraftSnapshotTable(
     val root: String,
     val manifest: SnapshotStore.Manifest,
     inner: ParquetTable,
-    writable: Boolean) extends Table with SupportsRead with SupportsWrite
+    private[graft] val writable: Boolean)
+    extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = inner.name
@@ -172,36 +173,51 @@ class GraftSnapshotTable(
 
   /** AND-of-filters → Some(None)=every partition, Some(Some(vs))=this
     * value set, None=not expressible partition-granularly. Manifest
-    * values were rendered by the WRITER's cast-to-string, so literal
-    * comparison is only sound for types whose JVM `toString` agrees
-    * with Spark's cast — strings, integrals, dates, booleans. A
-    * timestamp/float/decimal partition column fails `canDeleteWhere`
-    * LOUDLY rather than string-compare two different renderings and
-    * silently drop nothing (java.sql.Timestamp.toString appends ".0";
-    * float formatting differs). */
+    * values were rendered by the WRITER's `cast(partCol as string)`,
+    * so a DELETE literal must be rendered the same way: JVM `toString`
+    * agrees for strings, integrals, dates and booleans; timestamps go
+    * through Spark's OWN Catalyst `Cast` (java.sql.Timestamp.toString
+    * appends ".0" and would silently match nothing), which by
+    * construction cannot drift from the writer's rendering — with the
+    * session-timezone caveat that TZ timestamps must be deleted under
+    * the zone the table is written under (this engine pins UTC).
+    * Float/decimal partition columns still fail `canDeleteWhere`
+    * LOUDLY: their literal-vs-cast formatting is genuinely ambiguous
+    * (1.50 vs 1.5), and a mismatch would silently drop nothing. */
   private def deleteTargets(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[Option[Set[String]]] = {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.types._
     val partCol = SnapshotStore.tableLayout(manifest).map(_._1)
-    val tokenExact = partCol.exists { c =>
-      schema().fields.find(_.name == c).map(_.dataType).exists {
-        case StringType | ByteType | ShortType | IntegerType |
-             LongType | DateType | BooleanType => true
-        case _ => false
-      }
+    val partType = partCol.flatMap(c =>
+      schema().fields.find(_.name == c).map(_.dataType))
+    def render(v: Any): Option[String] = partType.flatMap {
+      case StringType | ByteType | ShortType | IntegerType |
+           LongType | BooleanType => Some(v.toString)
+      case DateType => Some(v.toString) // sql.Date/LocalDate: ISO = cast
+      case dt @ (TimestampType | TimestampNTZType) =>
+        try {
+          val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt),
+            StringType,
+            Some(SparkSession.active.sessionState.conf.sessionLocalTimeZone))
+          Option(cast.eval(null)).map(_.toString)
+        } catch { case _: Exception => scala.None }
+      case _ => scala.None // float/decimal: ambiguous → loud refusal
     }
     def one(f: Filter): Option[Option[Set[String]]] = f match {
       case AlwaysTrue() => Some(None)
-      case EqualTo(a, v) if tokenExact && partCol.contains(a) && v != null =>
-        Some(Some(Set(v.toString)))
+      case EqualTo(a, v) if partCol.contains(a) && v != null =>
+        render(v).map(t => Some(Set(t)): Option[Set[String]])
       case EqualNullSafe(a, v)
-          if tokenExact && partCol.contains(a) && v != null =>
-        Some(Some(Set(v.toString)))
+          if partCol.contains(a) && v != null =>
+        render(v).map(t => Some(Set(t)): Option[Set[String]])
       case In(a, vs)
-          if tokenExact && partCol.contains(a) && vs.forall(_ != null) =>
-        Some(Some(vs.map(_.toString).toSet))
+          if partCol.contains(a) && vs.forall(_ != null) =>
+        val ts = vs.toSeq.map(render)
+        if (ts.forall(_.isDefined)) Some(Some(ts.flatten.toSet))
+        else scala.None
       case Or(l, r) =>
         for (lv <- one(l); rv <- one(r)) yield (lv, rv) match {
           case (None, _) | (_, None) => None // either side = all rows

@@ -18,6 +18,20 @@ object GraftPlanBridge {
   def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-bind `df` to a CLONE of its session with `kvs` conf overrides
+    * applied — the race-free way to scope a write-time conf change to
+    * one job: setting the shared session's conf and restoring it would
+    * leak the change to every concurrent job in the window. The clone
+    * shares the SparkContext (and the cache); only its SQLConf and
+    * derived session state diverge, and it is dropped with the
+    * returned frame. */
+  def withSessionConf(df: DataFrame, kvs: (String, String)*): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val clone = cs.cloneSession()
+    kvs.foreach { case (k, v) => clone.conf.set(k, v) }
+    classic.Dataset.ofRows(clone, df.queryExecution.analyzed)
+  }
+
   /** Idempotently add a planner strategy to the session (the public
     * `experimental.extraStrategies` hook; cluster deployments would use
     * `SparkSessionExtensions.injectPlannerStrategy` instead). */

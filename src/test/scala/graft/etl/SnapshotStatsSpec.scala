@@ -147,6 +147,80 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(feb.cols("amount").max === "999.0")
   }
 
+  /** Wide-typed fixture for the footer-vs-aggregate equivalence: every
+    * supportedStatType family, nulls mixed in, one all-null column. */
+  private def wideTable: DataFrame = {
+    import spark.implicits._
+    (1 to 200).map { i =>
+      val month = f"2024-${(i - 1) / 100 + 1}%02d"
+      (i.toLong, month,
+        java.sql.Timestamp.valueOf(f"$month-${i % 28 + 1}%02d 07:3${i % 10}:05"),
+        java.time.LocalDateTime.parse(f"2024-03-0${i % 9 + 1}T12:00:${i % 60}%02d"),
+        java.sql.Date.valueOf(f"2024-0${i % 9 + 1}-15"),
+        i * 1.25f, i * 2.5, i % 3 == 0,
+        if (i % 7 == 0) None else Some(s"note-$i"),
+        Option.empty[String], i % 100)
+    }.toDF("id", "month", "ts", "ntz", "d", "f", "dbl", "b",
+        "note", "allnull", "small")
+      .withColumn("dec", (col("dbl") * 100).cast("decimal(20,2)"))
+  }
+
+  test("footer harvest ≡ aggregate stats on a wide-typed multi-file dir") {
+    val dir = freshRoot("harvest") + "/__data"
+    // hand-built layout (NOT the commit path): several files per
+    // partition dir so the harvest must FOLD chunk stats across files,
+    // including files where a nullable column happens to be all-null
+    val df = wideTable
+    org.apache.spark.sql.GraftPlanBridge.withSessionConf(
+        df.withColumn("__part", col("month")).repartition(4),
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+      .write.partitionBy("__part").parquet(dir)
+    val filesPerPart = Option(new java.io.File(s"$dir/__part=2024-01")
+      .listFiles()).get.count(_.getName.endsWith(".parquet"))
+    assert(filesPerPart > 1, "fixture must exercise the multi-file fold")
+    val harvested = SnapshotStore.harvestStats(spark, dir, df.schema)
+    val aggregated = SnapshotStore.collectStats(spark, dir, df.schema)
+    assert(harvested.keySet === Set("2024-01", "2024-02"))
+    for (part <- harvested.keySet) {
+      val h = harvested(part); val a = aggregated(part)
+      assert(h.rows === a.rows, s"row count for $part")
+      assert(h.cols === a.cols,
+        s"footer stats for $part diverge from the aggregate")
+      // the harvest actually covered the interesting types
+      for (c <- Seq("id", "ts", "ntz", "d", "f", "dbl", "b", "dec",
+          "note", "small"))
+        assert(h.cols.contains(c), s"missing harvested stats for $c")
+      assert(!h.cols.contains("allnull"), "all-null column carries no stats")
+    }
+  }
+
+  test("the commit path harvests timestamp stats (MICROS, not INT96) " +
+      "and drops NaN-poisoned float columns instead of guessing") {
+    import spark.implicits._
+    val root = freshRoot("micros")
+    val df = wideTable.withColumn("poison",
+      when(col("id") === 5L, lit(Double.NaN)).otherwise(col("dbl")))
+    SnapshotStore.write(df, root, partCol = "month", sortCol = "id")
+    val m = SnapshotStore.current(root).get
+    val jan = m.entries.find(_.value == "2024-01").get.stats.get
+    // INT96 records no chunk statistics — a ts entry here proves the
+    // snapshot writer switched the encoding to TIMESTAMP_MICROS
+    assert(jan.cols("ts").min.endsWith("Z"))
+    assert(jan.cols("ts").min < jan.cols("ts").max)
+    assert(jan.cols("ntz").min.startsWith("2024-03-0"))
+    // parquet-mr folds NaN through Math.min/max, poisoning the chunk
+    // stats — the harvest drops the column (conservative: consumers
+    // treat stats-less as always-candidate) rather than recording NaN
+    assert(!jan.cols.contains("poison"),
+      "NaN-poisoned column must carry no stats")
+    assert(jan.cols.contains("dbl"), "clean double still harvested")
+    // and the files really are MICROS: re-reading them yields the
+    // exact timestamps written (no NANOS truncation surprises)
+    val back = SnapshotStore.read(spark, root)
+      .filter(col("id") === 1L).select("ts").as[java.sql.Timestamp].head()
+    assert(back === java.sql.Timestamp.valueOf("2024-01-02 07:31:05"))
+  }
+
   test("incremental commits must match the recorded layout") {
     import spark.implicits._
     val root = freshRoot("layout")

@@ -101,8 +101,9 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM snapd3.t").head().getLong(0) === 0L)
   }
 
-  test("a partition column whose toString disagrees with Spark's cast " +
-      "(timestamp) refuses DELETE loudly instead of dropping nothing") {
+  test("timestamp- and date-partitioned DELETE render the literal with " +
+      "Spark's own cast (never Timestamp.toString's trailing .0) and " +
+      "drop exactly the named partition") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft_snapdel_ts").toString
     val rows = Seq(
@@ -110,17 +111,43 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
       (2L, java.sql.Timestamp.valueOf("2024-02-15 10:00:00"), 2))
       .toDF("id", "ts", "v")
     SnapshotStore.write(rows, s"$wh/t", partCol = "ts", sortCol = "v")
-    register("snapd4", wh)
     // java.sql.Timestamp.toString renders "…10:00:00.0" while the
-    // writer's cast-to-string dir token has no ".0" — a literal
-    // comparison would silently delete nothing, so the statement must
-    // be rejected at analysis with nothing committed
+    // writer's dir token (cast-to-string) has no ".0": the DELETE path
+    // renders through Catalyst's Cast, so the tokens can never drift
+    val dates = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-15"), 1),
+      (2L, java.sql.Date.valueOf("2024-02-15"), 2))
+      .toDF("id", "d", "v")
+    SnapshotStore.write(dates, s"$wh/td", partCol = "d", sortCol = "v")
+    register("snapd4", wh)
+    spark.sql(
+      "DELETE FROM snapd4.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+    assert(SnapshotStore.current(s"$wh/t").get.entries.map(_.value) ===
+      Seq("2024-02-15 10:00:00"))
+    assert(spark.sql("SELECT count(*) FROM snapd4.t").head().getLong(0) === 1L)
+    spark.sql("DELETE FROM snapd4.td WHERE d = DATE '2024-02-15'")
+    assert(SnapshotStore.current(s"$wh/td").get.entries.map(_.value) ===
+      Seq("2024-01-15"))
+    // a MISSING timestamp partition deletes nothing and burns no id
+    val before = SnapshotStore.current(s"$wh/t").get.id
+    spark.sql(
+      "DELETE FROM snapd4.t WHERE ts = TIMESTAMP '2030-01-01 00:00:00'")
+    assert(SnapshotStore.current(s"$wh/t").get.id === before)
+  }
+
+  test("a float partition column still refuses DELETE loudly — its " +
+      "literal-vs-cast formatting is ambiguous and a mismatch would " +
+      "silently drop nothing") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_snapdel_f").toString
+    val rows = Seq((1L, 1.5, 1), (2L, 2.5, 2)).toDF("id", "fp", "v")
+    SnapshotStore.write(rows, s"$wh/t", partCol = "fp", sortCol = "v")
+    register("snapd5", wh)
     val before = SnapshotStore.current(s"$wh/t").get.id
     intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(
-        "DELETE FROM snapd4.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+      spark.sql("DELETE FROM snapd5.t WHERE fp = 1.5")
     }
     assert(SnapshotStore.current(s"$wh/t").get.id === before)
-    assert(spark.sql("SELECT count(*) FROM snapd4.t").head().getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM snapd5.t").head().getLong(0) === 2L)
   }
 }
