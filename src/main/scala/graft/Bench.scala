@@ -146,7 +146,11 @@ object Bench {
     // resulting multi-commit manifests (restated + carried-by-
     // reference + appended entries), which must stay ≈ a plain
     // multi-root parquet read
-    "snapshot_merge", "snapshot_sql_insert", "snapshot_sql_merge")
+    "snapshot_merge", "snapshot_sql_insert", "snapshot_sql_merge",
+    // round-10: the statement-form write surface — native MERGE INTO
+    // and dynamic-partition INSERT OVERWRITE commit in warmup; the
+    // measured read must stay ≈ a plain multi-root parquet read
+    "snapshot_sql_merge_stmt", "snapshot_sql_overwrite")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
@@ -208,9 +212,13 @@ object Bench {
     // contaminated retries above and starve the exact noisy-cheap case
     // this exists for); the hard cap bounds a pathologically stalling
     // host
+    // r9 trends still flagged 1.3× host-noise drift on 0.7-2 s lanes
+    // (global_index_big, q2-class) at 5 samples — extend the ladder
+    // with a 1.5× tier up to 2 s medians
     val target =
       if (median(healthy) < 0.2) repeats * 3
       else if (median(healthy) < 0.5) repeats * 2
+      else if (median(healthy) < 2.0) math.ceil(repeats * 1.5).toInt
       else repeats
     while (healthy.size < target && times.size < target + 2 * repeats)
       times :+= sample()
@@ -229,6 +237,7 @@ object Bench {
       .map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

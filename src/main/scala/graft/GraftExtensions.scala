@@ -63,6 +63,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => catalystExpression(f(exprs.map(column)))))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // native SQL MERGE INTO over snapshot tables: intercepted after
+    // resolution (clauses and star-assignments already expanded) but
+    // before the analyzer's DML-rewrite batch would reject the table
+    // for not implementing SupportsRowLevelOperations — routed through
+    // the same locked, stats-pruned commit as CALL system.merge_into
+    ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotMergeRewrite)
+    // dynamic-partition INSERT OVERWRITE over snapshot tables — the
+    // OverwritePartitionsDynamic plan has no V1 fallback, so it is
+    // intercepted the same way and routed through the locked atomic
+    // partition restatement
+    ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotOverwriteRewrite)
     ext.injectFunction(
       (FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(

@@ -54,6 +54,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .appName("graft-plan-audit")
       .config("spark.sql.shuffle.partitions", "4")
@@ -708,6 +709,20 @@ object PlanAudit {
     catalogLaneAudit("snapshot_sql_merge",
       "untouched partitions carried by reference",
       "CALL merge_into = mergeCommit: copy-on-write, touched months only")
+    catalogLaneAudit("snapshot_sql_merge_stmt",
+      "untouched partitions carried by reference",
+      "native MERGE INTO statement = the same stats-pruned COW commit")
+    val owFiles = catalogLaneAudit("snapshot_sql_overwrite",
+      "dynamic INSERT OVERWRITE mixes carried + restated dirs",
+      "OverwritePartitionsDynamic routed through overwritePartitions")
+    // restate-vs-append distinguisher for the overwrite lane: every
+    // month reads from exactly ONE snapshot (the restated month moved
+    // wholesale to snap-2; untouched months stayed on snap-1) — an
+    // append would leave the touched month reading both
+    check("snapshot_sql_overwrite: each month reads exactly one snapshot",
+      (partMonths(owFiles, "snap-1")
+        intersect partMonths(owFiles, "snap-2")).isEmpty,
+      "dynamic overwrite REPLACES the restated month's dirs")
     // SQL partition DELETE (DROP PARTITION analogue): metadata-only —
     // the survivors' files are all the ORIGINAL snap-1 dirs (nothing
     // was rewritten; the dropped months are simply absent from the

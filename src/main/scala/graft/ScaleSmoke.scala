@@ -137,11 +137,16 @@ object ScaleSmoke {
     // the one-time snapshot build + MERGE/INSERT commit; measured runs
     // price the read of the committed multi-commit manifest — the scan
     // grows K× while the manifest/pointer cost stays O(entries)
-    "snapshot_merge", "snapshot_sql", "snapshot_sql_insert")
+    "snapshot_merge", "snapshot_sql", "snapshot_sql_insert",
+    // round-10: the statement-form write surface at K× — native MERGE
+    // INTO and dynamic INSERT OVERWRITE commit in warmup, measured
+    // runs price the committed-manifest read exactly like the rest
+    "snapshot_sql_merge_stmt", "snapshot_sql_overwrite")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
-    Set("snapshot_merge", "snapshot_sql", "snapshot_sql_insert")
+    Set("snapshot_merge", "snapshot_sql", "snapshot_sql_insert",
+      "snapshot_sql_merge_stmt", "snapshot_sql_overwrite")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
@@ -175,6 +180,7 @@ object ScaleSmoke {
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").toSet)
     val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft-scale-smoke")
       .config("spark.sql.shuffle.partitions", cpus)

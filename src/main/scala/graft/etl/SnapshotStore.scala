@@ -481,6 +481,31 @@ object SnapshotStore {
   def manifestAt(root: String, id: Long): Manifest =
     parse(Paths.get(root, s"manifests/manifest-$id"))
 
+  /** The manifest published at chain sequence `seq` — the streaming
+    * tail's addressing scheme (each commit = one chain slot). Seq 0 is
+    * the empty pre-table state. Throws loudly when the slot was
+    * tombstoned by [[expire]] (the consumer fell behind the retention
+    * horizon — Kafka's data-loss condition) or never existed. */
+  def manifestAtSeq(root: String, seq: Long): Manifest = {
+    if (seq == 0L) return Manifest(0L, Seq.empty)
+    val f = chainFile(root, seq)
+    if (!Files.exists(f))
+      throw new IllegalStateException(
+        s"no commit at chain seq $seq under $root — the table has no " +
+          "such commit (ahead of the head, or a pre-chain legacy table)")
+    if (Files.size(f) == 0L)
+      throw new IllegalStateException(
+        s"commit $seq at $root was expired: the consumer fell behind " +
+          "the retention horizon (raise expire's keepLast or restart " +
+          "the stream from the current state)")
+    parse(f)
+  }
+
+  /** Current chain head sequence (0 for an empty/nonexistent table) —
+    * one hint parse + forward probes, no manifest listing. */
+  def currentSeq(root: String): Long =
+    current(root).map(seqOf).getOrElse(0L)
+
   // ---- entry statistics ----------------------------------------------------
 
   /** Stats are captured for at most this many columns (schema order) —

@@ -134,6 +134,97 @@ object MergeInto {
     }
   }
 
+  /** Marker columns the CLAUSE-form merge rides in on: per-change-row
+    * booleans, evaluated over the SOURCE row before the join (the
+    * statement rewriter restricts clause conditions to source
+    * references, which is what makes this pre-evaluation sound). */
+  private[graft] val DelCol = "__graft_m_del"
+  private[graft] val UpdCol = "__graft_m_upd"
+  private[graft] val InsCol = "__graft_m_ins"
+
+  private val basePresentCol = "__graft_b_present"
+
+  /** Clause-form resolve — the general algebra under SQL
+    * `MERGE INTO … WHEN MATCHED [AND c] THEN DELETE/UPDATE SET * WHEN
+    * NOT MATCHED [AND c] THEN INSERT *`: `changes` carries the table
+    * columns plus the three marker booleans. Per joined row:
+    * matched ∧ del → dropped; matched ∧ ¬del ∧ upd → change values;
+    * matched, no clause applies → base row unchanged; unmatched change
+    * row → inserted iff ins; unmatched base row → kept. [[merge]] is
+    * the special case del=flag, upd=true, ins=¬flag (kept separate —
+    * its exact plan shape is oracle-pinned). Same one-shuffle
+    * full-outer shape, same unique-keys precondition. */
+  private[graft] def mergeClauses(base: DataFrame, changes: DataFrame,
+      key: String): DataFrame = {
+    val dataCols = base.columns
+    val joined = base.withColumn(basePresentCol, lit(true)).alias("b")
+      .join(changes.withColumn(presentCol, lit(true)).alias("c"),
+        col(s"b.$key") === col(s"c.$key"), "full_outer")
+    val matched = col(s"b.$basePresentCol").isNotNull &&
+      col(s"c.$presentCol").isNotNull
+    val changeOnly = col(s"b.$basePresentCol").isNull &&
+      col(s"c.$presentCol").isNotNull
+    val del = coalesce(col(s"c.$DelCol"), lit(false))
+    val upd = coalesce(col(s"c.$UpdCol"), lit(false))
+    val ins = coalesce(col(s"c.$InsCol"), lit(false))
+    joined
+      .filter(!(matched && del) && !(changeOnly && !ins))
+      .select(dataCols.toIndexedSeq.map { n =>
+        when((matched && !del && upd) || changeOnly, col(s"c.$n"))
+          .otherwise(col(s"b.$n")).as(n)
+      }: _*)
+  }
+
+  /** Clause-form [[mergeCommit]]: same locked read → resolve → commit
+    * sequence, same manifest-stats discovery pruning, with
+    * [[mergeClauses]] as the resolve. `changes` = table columns + the
+    * three marker booleans. Touched-partition discovery is a safe
+    * superset: all base partitions holding a matched change key (a
+    * matched row whose clauses all pass is restated unchanged —
+    * harmless) ∪ target partitions of non-delete change rows (an
+    * unmatched row whose insert condition fails restates its partition
+    * unchanged — harmless). Returns the committed snapshot id. */
+  def mergeClausesCommit(spark: SparkSession, root: String,
+      changes: DataFrame, key: String, partCol: String,
+      sortCol: String): Long = SnapshotStore.withTableLock(root) {
+    val m = SnapshotStore.current(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root to merge into"))
+    val changeKeys = changes.filter(col(key).isNotNull)
+      .select(col(key)).distinct()
+    val candidates = candidatePartitions(m, changes, key)
+    val touchedBase: Seq[String] = candidates match {
+      case Some(c) if c.isEmpty => Seq.empty
+      case other =>
+        val src = other match {
+          case Some(c) if c != m.entries.map(_.value).toSet =>
+            SnapshotStore.readWhere(spark, root, c)
+          case _ => SnapshotStore.read(spark, root)
+        }
+        src.select(col(key), col(partCol))
+          .join(changeKeys, Seq(key), "left_semi")
+          .select(col(partCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+    }
+    // a change row can LAND in its own partition iff it could insert
+    // (unmatched ∧ ins — and SQL's clauses allow ins on delete-flagged
+    // rows) or update (matched ∧ ¬del ∧ upd); matched-ness is unknown
+    // before the join, so take the per-row superset ins ∨ (upd ∧ ¬del)
+    val touchedNew = changes
+      .filter(coalesce(col(InsCol), lit(false)) ||
+        (coalesce(col(UpdCol), lit(false)) &&
+          !coalesce(col(DelCol), lit(false))))
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val touched = (touchedBase ++ touchedNew).toSet
+    if (touched.isEmpty) m.id
+    else {
+      val resolved = mergeClauses(
+        SnapshotStore.readWhere(spark, root, touched), changes, key)
+      SnapshotStore.restatePartitions(resolved, root, touched, partCol,
+        sortCol)
+    }
+  }
+
   /** Partitions whose manifest key-range could hold a change key —
     * the Iceberg-style min/max prune, decided entirely on the manifest:
     *   - `None` = pruning unavailable (unordered key type, or no entry

@@ -510,6 +510,139 @@ object EtlQueries {
   def snapshotSqlMerge: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlMerge(s, d)))
 
+  /** One statement-MERGEd history per (JVM, sfDir): full load, then
+    * the [[mergeChangeset]] clauses as a NATIVE `MERGE INTO` statement
+    * — the standard Delta/Iceberg syntax, intercepted by
+    * [[graft.plans.SnapshotMergeRewrite]] into the same locked,
+    * stats-pruned commit the CALL form uses. The `AND NOT s._delete`
+    * insert guard reproduces the changeset model's "a delete for an
+    * absent key is a no-op" exactly, so all three merge entry points
+    * (Scala API, CALL, statement) share one oracle. */
+  private val snapStmtMergePrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlMergeStmt(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapstmtmerge",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapStmtMergePrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_stmtmerge_changes AS
+             |WITH o AS (SELECT *,
+             |    date_format(o_orderdate, 'yyyy-MM') AS order_month
+             |  FROM parquet.`$d/orders.parquet`)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |       o_orderdate, o_orderpriority, order_month,
+             |       true AS _delete
+             |  FROM o WHERE o_orderkey % 20 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       o_totalprice + 10.0, o_orderdate + INTERVAL 40 DAYS,
+             |       o_orderpriority,
+             |       date_format(o_orderdate + INTERVAL 40 DAYS, 'yyyy-MM'),
+             |       false
+             |  FROM o WHERE o_orderkey % 20 = 10
+             |UNION ALL
+             |SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus,
+             |       o_totalprice + 0.5, o_orderdate, o_orderpriority,
+             |       order_month, false
+             |  FROM o WHERE o_orderkey % 100 = 7""".stripMargin)
+        s.sql(
+          s"""MERGE INTO $table AS t
+             |USING graft_stmtmerge_changes AS s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND s._delete THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED AND NOT s._delete THEN INSERT *""".stripMargin)
+        snapStmtMergePrepared += root
+      }
+    }
+    root
+  }
+
+  /** Native `MERGE INTO` statement path: identical clauses, identical
+    * oracle — the third entry point into the one merge commit. */
+  def snapshotSqlMergeStmt: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlMergeStmt(s, d)))
+
+  /** One SQL-OVERWRITTEN history per (JVM, sfDir): full load, then the
+    * corrected-last-month restatement (the [[snapshotBackfill]]
+    * replay) applied as a pure-SQL dynamic-partition
+    * `INSERT OVERWRITE` — [[graft.plans.SnapshotOverwriteRewrite]]
+    * routes the OverwritePartitionsDynamic plan through the locked
+    * atomic [[SnapshotStore.overwritePartitions]], so only the
+    * restated month is rewritten and every other month carries by
+    * manifest reference. Same oracle as `snapshot_backfill`: one
+    * restatement, three write APIs (Scala, in-place writer, SQL). */
+  private val snapSqlOwPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlOverwrite(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapsqlow",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapSqlOwPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        val prevMode =
+          s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          s.sql(
+            s"""INSERT OVERWRITE $table
+               |WITH o AS (SELECT *,
+               |    date_format(o_orderdate, 'yyyy-MM') AS order_month
+               |  FROM parquet.`$d/orders.parquet`),
+               | lm AS (SELECT max(order_month) AS m FROM o)
+               |SELECT o_orderkey, o_custkey, o_orderstatus,
+               |       o_totalprice + 5.0, o_orderdate, o_orderpriority,
+               |       order_month
+               |FROM o
+               |WHERE order_month = (SELECT m FROM lm)
+               |  AND o_orderkey % 10 <> 0""".stripMargin)
+        } finally
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        snapSqlOwPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Pure-SQL dynamic-partition INSERT OVERWRITE: must replay the
+    * backfilled state exactly (the `snapshot_backfill` oracle). */
+  def snapshotSqlOverwrite: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlOverwrite(s, d)))
+
+  /** Streaming TAIL of the commit chain
+    * (`readStream.format("graft-snapshot")`,
+    * [[graft.sources.GraftSnapshotMicroBatchStream]]): drain the
+    * SQL-INSERT history (two commits: full load + appended batch) from
+    * seq 0 with AvailableNow — every dir both commits listed arrives
+    * exactly once — and aggregate the drained rows. Must equal the
+    * batch read of the same table, i.e. the `snapshot_sql_insert`
+    * oracle: one committed history, batch and streaming read APIs.
+    * Fresh checkpoint + sink per invocation keeps the lane
+    * re-runnable within one JVM. */
+  private val tailRuns = new java.util.concurrent.atomic.AtomicInteger()
+  def snapshotStreamTail: Q = (s, d) => {
+    val root = prepareSnapshotSqlInsert(s, d)
+    val n = tailRuns.incrementAndGet()
+    val sinkName = s"graft_snapshot_tail_$n"
+    val ckpt = graft.util.Fs.processScratchRoot("snaptailck", s"_$n")
+    graft.util.Fs.deleteRecursively(new java.io.File(ckpt))
+    val q = s.readStream.format("graft-snapshot").load(root)
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    monthAgg(s.table(sinkName))
+  }
+
   /** One SQL-DELETEd snapshot history per (JVM, sfDir): full load, then
     * a pure-SQL `DELETE FROM … WHERE order_month IN (min, max)` — the
     * atomic DROP PARTITION (ClickHouse operational practice; an
@@ -616,6 +749,9 @@ object EtlQueries {
     "snapshot_sql_timetravel" -> snapshotSqlTimetravel,
     "snapshot_sql_insert" -> snapshotSqlInsert,
     "snapshot_sql_merge" -> snapshotSqlMerge,
+    "snapshot_sql_merge_stmt" -> snapshotSqlMergeStmt,
+    "snapshot_sql_overwrite" -> snapshotSqlOverwrite,
+    "snapshot_stream_tail" -> snapshotStreamTail,
     "snapshot_sql_delete" -> snapshotSqlDelete,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
@@ -734,6 +870,24 @@ object EtlQueries {
     // the SQL CALL twin applies the SAME clauses through the same
     // commit path — one oracle, two entry points
     "snapshot_sql_merge" -> snapshotMergeOracleSql,
+    // the native MERGE INTO statement: third entry point, same oracle
+    "snapshot_sql_merge_stmt" -> snapshotMergeOracleSql,
+    // pure-SQL dynamic-partition INSERT OVERWRITE replays the same
+    // restatement as the Scala backfill — one oracle, three write APIs
+    "snapshot_sql_overwrite" -> snapshotBackfillSql,
+    // the streaming tail drains the SQL-INSERT history dir-exactly-once
+    // — the drained aggregate must equal the batch read's oracle
+    "snapshot_stream_tail" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | ins AS (SELECT order_month, o_totalprice + 1.25 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 50 = 3),
+        | fin AS (SELECT order_month, o_totalprice FROM o
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
     // replay the SQL INSERT: every key ≡3 (mod 50) cloned (+3e9 key,
     // +1.25 price) on top of the original load
     "snapshot_sql_insert" ->

@@ -117,11 +117,24 @@ class GraftSnapshotTable(
   override def properties(): util.Map[String, String] = inner.properties()
 
   override def capabilities(): util.Set[TableCapability] = {
-    val caps = util.EnumSet.of(TableCapability.BATCH_READ)
+    // MICRO_BATCH_READ regardless of writability: tailing the commit
+    // chain is a read — `readStream.format("graft-snapshot")` follows
+    // commits as they land, each batch = one chain-slot diff
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
     // time-travel loads are read-only: an INSERT "into the past" would
-    // fork history — the capability is simply absent, so the analyzer
-    // rejects the statement before any write machinery runs
-    if (writable) caps.add(TableCapability.V1_BATCH_WRITE)
+    // fork history — the capabilities are simply absent, so the
+    // analyzer rejects the statement before any write machinery runs.
+    // OVERWRITE_BY_FILTER/TRUNCATE admit `INSERT OVERWRITE` through
+    // the V1 fallback (truncate-form only — the filter the fallback
+    // can express); the insert() below routes it through the locked
+    // restatement commits with file-source partitionOverwriteMode
+    // semantics.
+    if (writable) {
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.OVERWRITE_BY_FILTER)
+      caps.add(TableCapability.TRUNCATE)
+    }
     caps
   }
 
@@ -138,7 +151,8 @@ class GraftSnapshotTable(
       : ScanBuilder =
     // the inner table builds its own (option-merged) builder; its case
     // accessors hand over the exact constructor args for the subclass
-    new GraftSnapshotScanBuilder(inner.newScanBuilder(options), manifestRows)
+    new GraftSnapshotScanBuilder(inner.newScanBuilder(options),
+      manifestRows, root, schema(), options)
 
   /** SQL `DELETE FROM snap.t WHERE <partition predicate>` — the atomic
     * DROP PARTITION (`ALTER TABLE … DROP PARTITION` is standard
@@ -243,7 +257,19 @@ class GraftSnapshotTable(
           "(no table.partCol/table.sortCol props) — recommit with " +
           "SnapshotStore.write to enable SQL INSERT"))
     val tableSchema = schema()
-    new WriteBuilder {
+    // SupportsTruncate admits the truncate-form OverwriteByExpression
+    // (static INSERT OVERWRITE) through V2Writes. The overwrite signal
+    // travels through THIS BUILDER, not the exec: Spark 4's V1
+    // fallback calls insert(df, overwrite = false) unconditionally
+    // (SupportsV1Write.writeWithV1), so the builder records whether
+    // truncate() was requested and the Write keys on that.
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate():
+          org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteAll = true; this
+      }
       override def build(): Write = new V1Write {
         // the V1 fallback hands the whole resolved DataFrame to the
         // driver — exactly what a manifest commit needs (the commit IS
@@ -252,19 +278,23 @@ class GraftSnapshotTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              // only AppendData reaches a V1_BATCH_WRITE-only table
-              // (INSERT OVERWRITE needs TRUNCATE/OVERWRITE_BY_FILTER,
-              // which this table never declares), so overwrite here
-              // would mean a Spark contract change — fail loud
-              require(!overwrite,
-                "snapshot tables only support INSERT INTO (append); " +
-                  "use SnapshotStore.overwritePartitions for restatement")
               // analyzer resolved the query BY POSITION against the
               // table schema; re-alias so the commit path can address
               // the partition/sort columns by NAME
-              SnapshotStore.appendPartitions(
-                data.toDF(tableSchema.fieldNames.toIndexedSeq: _*),
-                root, partCol, sortCol)
+              val aligned = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+              if (overwrite || overwriteAll)
+                // the analyzer routes INSERT OVERWRITE here only in
+                // STATIC partitionOverwriteMode (truncate-form
+                // OverwriteByExpression → V1 fallback): replace the
+                // whole table as one fresh snapshot — one commit,
+                // history stays time-travelable. DYNAMIC mode plans
+                // OverwritePartitionsDynamic instead, intercepted by
+                // [[graft.plans.SnapshotOverwriteRewrite]] into the
+                // locked partition-level restatement.
+                SnapshotStore.write(aligned, root, partCol, sortCol)
+              else
+                SnapshotStore.appendPartitions(aligned, root, partCol,
+                  sortCol)
               ()
             }
           }
@@ -280,35 +310,52 @@ class GraftSnapshotTable(
   * the real thing and filter/column/aggregate pushdown is untouched. */
 private class GraftSnapshotScanBuilder(
     template: ParquetScanBuilder,
-    manifestRows: Option[Long])
+    manifestRows: Option[Long],
+    root: String,
+    tableSchema: StructType,
+    tblOptions: CaseInsensitiveStringMap)
   extends ParquetScanBuilder(template.sparkSession, template.fileIndex,
     template.schema, template.dataSchema, template.options) {
 
   override def build(): ParquetScan = {
     val p = super.build()
-    if (manifestRows.isDefined && p.partitionFilters.isEmpty &&
-        p.dataFilters.isEmpty && p.pushedAggregate.isEmpty)
-      new ManifestStatsScan(p, manifestRows.get)
-    else p // filtered/aggregated: manifest count would overestimate
+    // filtered/aggregated: the manifest count would overestimate, so
+    // only an untouched scan reports it
+    val exactRows =
+      if (p.partitionFilters.isEmpty && p.dataFilters.isEmpty &&
+        p.pushedAggregate.isEmpty) manifestRows
+      else None
+    new ManifestStatsScan(p, exactRows, root, tableSchema, tblOptions)
   }
 }
 
 /** A real [[ParquetScan]] (every FileScan behavior inherited — input
   * partition planning, vectorized batches, exchange-reuse equality)
-  * that additionally knows its exact cardinality from the manifest:
-  * size estimate unchanged (file bytes), row count exact. */
-private class ManifestStatsScan(p: ParquetScan, val rows: Long)
+  * that additionally (a) knows its exact cardinality from the manifest
+  * when unfiltered — size estimate unchanged (file bytes), row count
+  * exact — and (b) answers `toMicroBatchStream` with the commit-chain
+  * tail ([[GraftSnapshotMicroBatchStream]]). */
+private class ManifestStatsScan(p: ParquetScan, rows: Option[Long],
+    root: String, tableSchema: StructType,
+    tblOptions: CaseInsensitiveStringMap)
     extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema,
       p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
       p.dataFilters, p.pushedVariantExtractions) {
   override def estimateStatistics(): Statistics = {
     val base = super.estimateStatistics()
-    new Statistics {
-      override def sizeInBytes(): OptionalLong = base.sizeInBytes()
-      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    rows match {
+      case Some(r) => new Statistics {
+        override def sizeInBytes(): OptionalLong = base.sizeInBytes()
+        override def numRows(): OptionalLong = OptionalLong.of(r)
+      }
+      case None => base
     }
   }
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftSnapshotMicroBatchStream(p.sparkSession, root, tableSchema,
+      tblOptions)
 }
 
 /** `spark.read.format("graft-snapshot")` — option-addressed reader.

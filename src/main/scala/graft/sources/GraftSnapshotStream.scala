@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.etl.SnapshotStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Stream offset = commit-chain sequence: every snapshot commit claims
+  * exactly one chain slot, so the chain IS the change log and an
+  * offset names a committed table state. */
+case class GraftSeqOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+/** Micro-batch tail of a snapshot table's COMMIT CHAIN — the streaming
+  * half of the CDC story (`spark.readStream.format("graft-snapshot")
+  * .load(root)`): each new commit publishes one chain slot, and batch
+  * (a, b] is the set of data dirs manifest@b lists that manifest@a did
+  * not — computed from the two ENDPOINT manifests only, so a consumer
+  * that fell behind gets one coalesced batch (intermediate commits are
+  * never re-parsed, and their expiry doesn't matter as long as the
+  * endpoints are retained; an expired ENDPOINT fails loudly — the
+  * Kafka data-loss condition).
+  *
+  * Emission semantics (document-level contract): appends arrive as the
+  * appended rows; a copy-on-write restatement (backfill / MERGE /
+  * dynamic overwrite) RE-EMITS the restated partitions wholesale (the
+  * new dirs are new — Delta's `ignoreChanges` behavior: consumers that
+  * need upsert semantics key on the partition/sort columns); partition
+  * DELETEs and [[SnapshotStore.expire]] emit nothing (metadata-only);
+  * [[SnapshotStore.compact]] rewrites every partition into fresh dirs
+  * and therefore re-emits the whole table — run compaction on tables
+  * with live tail consumers deliberately, or key downstream state.
+  *
+  * 100 TB shape: `latestOffset` is one hint parse + forward exists
+  * probes (no listing); batch planning is two ~KB manifest parses + a
+  * dir-set diff; the read itself is Spark's own vectorized parquet
+  * DSV2 over exactly the new dirs. Offsets/progress live in the normal
+  * Spark checkpoint, so restart resumes the tail exactly once per dir.
+  *
+  * `option("startingSeq", n)` starts the tail AFTER commit n (default
+  * 0 = emit the whole current table as the first batch). */
+class GraftSnapshotMicroBatchStream(
+    spark: SparkSession,
+    root: String,
+    pinnedSchema: StructType,
+    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+
+  private val startingSeq: Long =
+    Option(options.get("startingSeq")).map(_.toLong).getOrElse(0L)
+
+  override def initialOffset(): Offset = GraftSeqOffset(startingSeq)
+
+  override def latestOffset(): Offset =
+    GraftSeqOffset(math.max(startingSeq, SnapshotStore.currentSeq(root)))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftSeqOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = () // checkpoint-managed
+
+  override def stop(): Unit = ()
+
+  private def dirsBetween(a: Long, b: Long): Seq[String] = {
+    if (a >= b) return Seq.empty
+    val before = SnapshotStore.manifestAtSeq(root, a).entries
+      .map(_.dir).toSet
+    SnapshotStore.manifestAtSeq(root, b).entries
+      .map(_.dir).filterNot(before).distinct.sorted
+  }
+
+  /** One inner parquet DSV2 scan per micro-batch over exactly the new
+    * dirs, pinned to the STREAM's schema (files from later schema
+    * evolution read the pinned subset; earlier files read missing
+    * columns as null — same contract as the batch reader). */
+  private def parquetBatch(dirs: Seq[String]): Batch = {
+    val tbl = ParquetTable(
+      s"graft_snapshot_stream_${new java.io.File(root).getName}",
+      spark, options, dirs.map(d => s"$root/$d"), Some(pinnedSchema),
+      classOf[ParquetFileFormat])
+    tbl.newScanBuilder(options).build().toBatch
+  }
+
+  // MicroBatchScanExec calls planInputPartitions(start, end) then
+  // createReaderFactory() on a fresh exec node each trigger — the
+  // factory must come from the scan that planned those partitions
+  private var lastBatch: Batch = _
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val dirs = dirsBetween(start.asInstanceOf[GraftSeqOffset].seq,
+      end.asInstanceOf[GraftSeqOffset].seq)
+    lastBatch = parquetBatch(dirs)
+    if (dirs.isEmpty) Array.empty else lastBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    lastBatch.createReaderFactory()
+}

@@ -3,11 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local SparkSession for suites (one per suite, lazy). */
+/** Shared local SparkSession for suites (one per suite, lazy). Built
+  * WITH [[graft.GraftExtensions]], exactly like the production
+  * Verify/Bench sessions — the MERGE INTO statement rewrite and the
+  * SQL function registrations are part of the engine's session
+  * contract, so specs must run under them. (Extensions apply at
+  * CREATION; every suite shares one builder, so the first suite in
+  * the JVM fixes them for all.) */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName(getClass.getSimpleName)
+    .withExtensions(new graft.GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

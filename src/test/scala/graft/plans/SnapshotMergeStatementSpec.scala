@@ -1,0 +1,202 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.etl.SnapshotStore
+import org.apache.spark.sql.functions._
+
+/** Native SQL `MERGE INTO` over snapshot tables: the standard
+  * statement routed (post-hoc resolution rewrite) through the same
+  * locked, stats-pruned commit as `CALL system.merge_into`. */
+class SnapshotMergeStatementSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def base() = Seq(
+    (1L, "2024-01", 10.0), (2L, "2024-01", 20.0),
+    (3L, "2024-02", 30.0), (4L, "2024-02", 40.0),
+    (5L, "2024-03", 50.0))
+    .toDF("id", "m", "price")
+
+  private var n = 0
+  private def mkTable(): (String, String, String) = synchronized {
+    n += 1
+    val wh = java.nio.file.Files
+      .createTempDirectory(s"graft_mergestmt_$n").toString
+    SnapshotStore.write(base(), s"$wh/t", "m", "id")
+    val cat = s"mstmt$n"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh, s"$wh/t")
+  }
+
+  private def changesView(name: String): Unit =
+    Seq(
+      (2L, "2024-01", 0.0, true),    // matched delete
+      (3L, "2024-03", 333.0, false), // matched update, MOVES month
+      (9L, "2024-02", 90.0, false),  // unmatched insert
+      (99L, "2024-09", 0.0, true))   // unmatched delete: must no-op
+      .toDF("id", "m", "price", "del")
+      .createOrReplaceTempView(name)
+
+  private def state(root: String): Map[Long, (String, Double)] =
+    SnapshotStore.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  test("three-clause MERGE INTO ≡ the CALL procedure: same rows, " +
+      "untouched partitions carried by reference, id row returned") {
+    val (cat, _, root) = mkTable()
+    val (catRef, _, rootRef) = mkTable()
+    changesView("stmt_changes")
+    val before = SnapshotStore.current(root).get
+    val out = spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND NOT s.del THEN INSERT *""".stripMargin)
+      .collect()
+    // the CALL twin on the identical second table
+    spark.sql(s"CALL $catRef.system.merge_into('t', 'stmt_changes', " +
+      "'id', 'del')")
+    assert(state(root) === state(rootRef),
+      "statement and procedure must commit identical tables")
+    assert(state(root) === Map(
+      1L -> ("2024-01", 10.0), 3L -> ("2024-03", 333.0),
+      4L -> ("2024-02", 40.0), 5L -> ("2024-03", 50.0),
+      9L -> ("2024-02", 90.0)))
+    // returns the committed snapshot id, like CALL
+    assert(out.map(_.getLong(0)).toSeq ===
+      Seq(SnapshotStore.current(root).get.id))
+    // untouched month 2024-01 was restated? NO — 2024-01 held a
+    // matched delete (id 2), so it restates; no month is untouched in
+    // this changeset except... verify carry on a second, disjoint run
+    val after = SnapshotStore.current(root).get
+    assert(SnapshotStore.seqOf(after) === SnapshotStore.seqOf(before) + 1,
+      "one atomic commit")
+    Seq((9L, "2024-02", 91.0, false)).toDF("id", "m", "price", "del")
+      .createOrReplaceTempView("stmt_changes2")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes2 AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val fin = SnapshotStore.current(root).get
+    def dirOf(m: SnapshotStore.Manifest, v: String) =
+      m.entries.find(_.value == v).map(_.dir)
+    assert(dirOf(fin, "2024-01") === dirOf(after, "2024-01"),
+      "a month the changeset never touches carries by dir reference")
+    assert(dirOf(fin, "2024-03") === dirOf(after, "2024-03"))
+    assert(dirOf(fin, "2024-02") !== dirOf(after, "2024-02"))
+    assert(state(root)(9L) === (("2024-02", 91.0)))
+  }
+
+  test("SQL clause semantics hold: an unconditional INSERT * inserts " +
+      "even delete-flagged unmatched rows (unlike the procedure's " +
+      "changeset model), and clause order is first-match-wins") {
+    val (cat, _, root) = mkTable()
+    changesView("stmt_changes_u")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_u AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // id 99 (unmatched, del=true) now INSERTS — the statement's
+    // clauses say so; the NOT s.del guard is what reproduces the
+    // procedure semantics
+    assert(state(root).contains(99L))
+    // first-match-wins: UPDATE listed before DELETE wins on rows
+    // matching both conditions
+    val (cat2, _, root2) = mkTable()
+    Seq((1L, "2024-01", 111.0, true)).toDF("id", "m", "price", "del")
+      .createOrReplaceTempView("stmt_changes_o")
+    spark.sql(
+      s"""MERGE INTO $cat2.t AS t USING stmt_changes_o AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.price > 0 THEN UPDATE SET *
+         |WHEN MATCHED AND s.del THEN DELETE""".stripMargin)
+    assert(state(root2)(1L) === (("2024-01", 111.0)),
+      "the earlier UPDATE clause must win over the later DELETE")
+  }
+
+  test("delete-only MERGE and a no-op changeset") {
+    val (cat, _, root) = mkTable()
+    Seq((3L, true), (77L, true)).toDF("id", "del")
+      .createOrReplaceTempView("stmt_del_only")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_del_only AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.del THEN DELETE""".stripMargin)
+    assert(state(root).keySet === Set(1L, 2L, 4L, 5L))
+    // nothing matches, nothing inserts → no commit burned
+    val id = SnapshotStore.current(root).get.id
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_del_only AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.del THEN DELETE""".stripMargin)
+    assert(SnapshotStore.current(root).get.id === id,
+      "a MERGE that touches nothing must not commit")
+  }
+
+  test("unsupported shapes fail LOUDLY at analysis with nothing " +
+      "committed: BY SOURCE clauses, target-referencing conditions, " +
+      "partial SET, diverging UPDATE/INSERT values") {
+    val (cat, _, root) = mkTable()
+    changesView("stmt_changes_e")
+    val id = SnapshotStore.current(root).get.id
+    def rejected(sql: String, needle: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(sql))
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    rejected(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+      "NOT MATCHED BY SOURCE")
+    rejected(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.price > 15 THEN DELETE""".stripMargin,
+      "SOURCE columns only")
+    rejected(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = s.price""".stripMargin,
+      "no assignment covers") // partial SET keeps target values
+    rejected(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN
+         |  INSERT (id, m, price) VALUES (s.id, s.m, s.price + 1)""".stripMargin,
+      "same source values")
+    rejected(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
+         |ON t.id = s.id AND t.m = s.m
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+      "single")
+    assert(SnapshotStore.current(root).get.id === id,
+      "rejected statements must not commit")
+  }
+
+  test("MERGE INTO a NON-snapshot v2 table is untouched by the rule " +
+      "(Spark's own row-level path / error applies)") {
+    changesView("stmt_changes_n")
+    // a parquet-path table is not a snapshot table: Spark itself must
+    // reject (no SupportsRowLevelOperations), proving the rewrite
+    // didn't grab a table it doesn't own
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mergestmt_plain").toString
+    base().write.mode("overwrite").parquet(s"$dir/p")
+    intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO parquet.`$dir/p` AS t USING stmt_changes_n AS s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.etl.SnapshotStore
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming tail of a snapshot table's commit chain:
+  * `readStream.format("graft-snapshot")` — each commit = one batch of
+  * newly-listed dirs, offsets = chain sequences in the checkpoint. */
+class SnapshotTailStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows(tag: Double, months: String*) =
+    months.zipWithIndex.map { case (m, i) =>
+      (i.toLong + (tag * 100).toLong, m,
+        java.sql.Timestamp.valueOf(s"$m-05 00:00:00"), tag)
+    }.toDF("id", "m", "ts", "price")
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_tail_$tag").toString
+
+  /** Drain everything currently committed through a fresh AvailableNow
+    * run over `checkpoint`, collecting (batchId → rows) into `sink`. */
+  private def drain(root: String, checkpoint: String,
+      sink: scala.collection.mutable.ArrayBuffer[(Long, Seq[Row])])
+      : Unit = {
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        sink.synchronized { sink += ((id, df.collect().toSeq)) }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("the tail emits the whole current table first, then ONLY what " +
+      "each later commit added; restart resumes from the checkpoint") {
+    val root = tmpDir("basic") + "/t"
+    val ckpt = tmpDir("basic_ck")
+    SnapshotStore.write(rows(1.0, "2024-01", "2024-02"), root, "m", "ts")
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Seq[Row])]()
+    drain(root, ckpt, sink)
+    assert(sink.map(_._2.size).sum === 2, "initial batch = whole table")
+    // two appends while no stream is running
+    SnapshotStore.appendPartitions(rows(2.0, "2024-03"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(3.0, "2024-01"), root, "m", "ts")
+    val before = sink.size
+    drain(root, ckpt, sink)
+    val newRows = sink.drop(before).flatMap(_._2)
+    assert(newRows.size === 2, "restart emits ONLY the appended rows")
+    assert(newRows.map(_.getDouble(3)).toSet === Set(2.0, 3.0))
+    // nothing new → nothing emitted (an empty batch at most)
+    val before2 = sink.size
+    drain(root, ckpt, sink)
+    assert(sink.drop(before2).flatMap(_._2).isEmpty)
+    // total drained ≡ the batch read
+    assert(sink.flatMap(_._2).size ===
+      SnapshotStore.read(spark, root).count())
+  }
+
+  test("a copy-on-write restatement re-emits the restated partition " +
+      "wholesale (ignoreChanges semantics); a partition DELETE emits " +
+      "nothing") {
+    val root = tmpDir("restate") + "/t"
+    val ckpt = tmpDir("restate_ck")
+    SnapshotStore.write(rows(1.0, "2024-01", "2024-02"), root, "m", "ts")
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Seq[Row])]()
+    drain(root, ckpt, sink)
+    SnapshotStore.overwritePartitions(rows(9.0, "2024-02"), root, "m", "ts")
+    val before = sink.size
+    drain(root, ckpt, sink)
+    val re = sink.drop(before).flatMap(_._2)
+    assert(re.map(r => (r.getString(1), r.getDouble(3))) ===
+      Seq(("2024-02", 9.0)),
+      "exactly the restated partition's new content, nothing else")
+    SnapshotStore.dropPartitions(root, Some(Set("2024-01")))
+    val before2 = sink.size
+    drain(root, ckpt, sink)
+    assert(sink.drop(before2).flatMap(_._2).isEmpty,
+      "a metadata-only DELETE emits nothing")
+  }
+
+  test("a consumer that fell behind gets ONE coalesced batch from the " +
+      "endpoint manifests; falling past the retention horizon fails " +
+      "LOUDLY") {
+    val root = tmpDir("behind") + "/t"
+    val ckpt = tmpDir("behind_ck")
+    SnapshotStore.write(rows(1.0, "2024-01"), root, "m", "ts")
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Seq[Row])]()
+    drain(root, ckpt, sink) // checkpoint now at seq 1
+    // three commits land while the consumer is away
+    SnapshotStore.appendPartitions(rows(2.0, "2024-02"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(3.0, "2024-03"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(4.0, "2024-04"), root, "m", "ts")
+    val before = sink.size
+    drain(root, ckpt, sink)
+    val caught = sink.drop(before)
+    assert(caught.flatMap(_._2).size === 3, "all three commits arrive")
+    assert(caught.count(_._2.nonEmpty) === 1,
+      "coalesced into ONE catch-up batch (endpoint-diff, not per-commit)")
+    // now expire the consumer's endpoint out from under it
+    SnapshotStore.appendPartitions(rows(5.0, "2024-05"), root, "m", "ts")
+    SnapshotStore.expire(root, keepLast = 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, ckpt, sink)
+    }
+    assert(String.valueOf(e.getCause).contains("retention horizon"),
+      s"expected the loud data-loss error, got: ${e.getCause}")
+  }
+
+  test("startingSeq skips history: a tail started at the current head " +
+      "sees only future commits") {
+    val root = tmpDir("head") + "/t"
+    val ckpt = tmpDir("head_ck")
+    SnapshotStore.write(rows(1.0, "2024-01", "2024-02"), root, "m", "ts")
+    val head = SnapshotStore.currentSeq(root)
+    SnapshotStore.appendPartitions(rows(2.0, "2024-03"), root, "m", "ts")
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Seq[Row])]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingSeq", head).load(root)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        sink.synchronized { sink += ((id, df.collect().toSeq)) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(sink.flatMap(_._2).map(_.getDouble(3)).toSet === Set(2.0),
+      "only the post-head append arrives")
+  }
+}
