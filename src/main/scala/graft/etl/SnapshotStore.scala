@@ -270,6 +270,28 @@ object SnapshotStore {
   private def chainFile(root: String, seq: Long): Path =
     Paths.get(root, "manifests", s"commit-$seq")
 
+  /** commit.seq of a manifest FILE from its HEADER lines only (id=,
+    * schema=, prop= — all precede the first entry line, and props sort
+    * by key): O(header bytes), never parses entries. None when the
+    * file is unreadable or carries no seq prop (pre-chain manifest). */
+  private def seqOfHeader(p: Path): Option[Long] =
+    scala.util.Try {
+      val br = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+      try {
+        val prefix = s"prop=$SeqProp\t"
+        var line = br.readLine()
+        var out: Option[Long] = None
+        while (line != null && out.isEmpty &&
+            (line.startsWith("id=") || line.startsWith("schema=") ||
+              line.startsWith("prop="))) {
+          if (line.startsWith(prefix))
+            out = line.substring(prefix.length).toLongOption
+          line = br.readLine()
+        }
+        out
+      } finally br.close()
+    }.toOption.flatten
+
   /** Test seam: runs after the manifest history file is written but
     * before the chain-slot claim, i.e. exactly inside the window where
     * a cross-host writer can win the race. Production no-op. */
@@ -492,7 +514,11 @@ object SnapshotStore {
     if (!Files.exists(f))
       throw new IllegalStateException(
         s"no commit at chain seq $seq under $root — the table has no " +
-          "such commit (ahead of the head, or a pre-chain legacy table)")
+          "such chain slot (ahead of the head; a pre-chain legacy " +
+          "table; or a table committed on a no-hard-link filesystem " +
+          "in the degraded single-host mode, which records sequences " +
+          "but cannot publish chain slots — such tables cannot be " +
+          "tailed as a stream)")
     if (Files.size(f) == 0L)
       throw new IllegalStateException(
         s"commit $seq at $root was expired: the consumer fell behind " +
@@ -1295,12 +1321,15 @@ object SnapshotStore {
       // an append that lost a publish race retries with its original
       // id, so a NEWER commit can carry a LOWER id — ranking by id
       // would then expire the newer commit's manifest while retaining
-      // older higher-id ones, skewing asOf history. Pre-chain
-      // manifests fall back to id (seqOf), which preserves their
-      // serialized order; an unparseable manifest ranks by id too
+      // older higher-id ones, skewing asOf history. The seq comes from
+      // a bounded HEADER scan (id=/schema=/prop= lines precede every
+      // entry line), never a full parse — a table with hundreds of
+      // ~MB manifests must not pay O(total manifest bytes) per expire.
+      // Pre-chain manifests fall back to id, which preserves their
+      // serialized order; an unreadable manifest ranks by id too
       // (conservative — never crash retention on one bad file).
       val keep = ids
-        .map(id => (scala.util.Try(seqOf(manifestAt(root, id)))
+        .map(id => (seqOfHeader(dir.resolve(s"manifest-$id"))
           .getOrElse(id), id))
         .sortBy(identity).takeRight(keepLast).map(_._2).toSet ++
         live.map(_.id)

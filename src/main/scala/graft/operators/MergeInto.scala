@@ -94,45 +94,69 @@ object MergeInto {
     * the changeset touches nothing). */
   def mergeCommit(spark: SparkSession, root: String, changes: DataFrame,
       key: String, deleteFlag: String, partCol: String,
-      sortCol: String): Long = SnapshotStore.withTableLock(root) {
-    val m = SnapshotStore.current(root).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root to merge into"))
-    val changeKeys = changes.filter(col(key).isNotNull)
-      .select(col(key)).distinct()
-    val candidates = candidatePartitions(m, changes, key)
-    val touchedBase: Seq[String] = candidates match {
-      case Some(c) if c.isEmpty =>
-        Seq.empty // no base partition's key range can hold a change key
-      case other =>
-        // manifest-stats pruning: the discovery scan reads only the
-        // partitions whose key range intersects the changeset's — at
-        // fine partition granularity this replaces the full-base
-        // (key, partCol) scan with a scan of the touched neighborhood,
-        // decided on the ~KB manifest before any file listing
-        val src = other match {
-          case Some(c) if c != m.entries.map(_.value).toSet =>
-            SnapshotStore.readWhere(spark, root, c)
-          case _ => SnapshotStore.read(spark, root)
+      sortCol: String): Long =
+    mergeCommitImpl(spark, root, changes, key, partCol, sortCol,
+      landable = !coalesce(col(deleteFlag), lit(false)),
+      resolve = (base, chg) => merge(base, chg, key, deleteFlag))
+
+  /** Shared locked read → discover → resolve → commit sequence under
+    * both MERGE entry forms. `landable` marks change rows that can
+    * LAND in their own partition (insert or update — a superset is
+    * safe: restating an untouched partition rewrites it unchanged);
+    * `resolve` computes the post-merge content of the touched
+    * partitions. The changeset is MATERIALIZED once (localCheckpoint)
+    * before any of the four passes that read it (key-range stats,
+    * matched-key discovery, landing partitions, the resolve join): a
+    * non-deterministic source (rand()/uuid()/now()-derived keys or
+    * partitions) re-evaluated per pass would let discovery and resolve
+    * disagree — rows landing outside dropValues, or matched base rows
+    * escaping the rewrite. Delta/Iceberg materialize their MERGE
+    * source for exactly this reason. */
+  private def mergeCommitImpl(spark: SparkSession, root: String,
+      changes0: DataFrame, key: String, partCol: String, sortCol: String,
+      landable: org.apache.spark.sql.Column,
+      resolve: (DataFrame, DataFrame) => DataFrame): Long =
+    SnapshotStore.withTableLock(root) {
+      val m = SnapshotStore.current(root).getOrElse(
+        throw new IllegalStateException(
+          s"no snapshot at $root to merge into"))
+      val changes = changes0.localCheckpoint(true)
+      try {
+        val changeKeys = changes.filter(col(key).isNotNull)
+          .select(col(key)).distinct()
+        val candidates = candidatePartitions(m, changes, key)
+        val touchedBase: Seq[String] = candidates match {
+          case Some(c) if c.isEmpty =>
+            Seq.empty // no base partition's key range can hold a change key
+          case other =>
+            // manifest-stats pruning: the discovery scan reads only the
+            // partitions whose key range intersects the changeset's — at
+            // fine partition granularity this replaces the full-base
+            // (key, partCol) scan with a scan of the touched neighborhood,
+            // decided on the ~KB manifest before any file listing
+            val src = other match {
+              case Some(c) if c != m.entries.map(_.value).toSet =>
+                SnapshotStore.readWhere(spark, root, c)
+              case _ => SnapshotStore.read(spark, root)
+            }
+            src.select(col(key), col(partCol))
+              .join(changeKeys, Seq(key), "left_semi")
+              .select(col(partCol).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSeq
         }
-        src.select(col(key), col(partCol))
-          .join(changeKeys, Seq(key), "left_semi")
+        val touchedNew = changes.filter(landable)
           .select(col(partCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
+          .collect().map(_.getString(0))
+        val touched = (touchedBase ++ touchedNew).toSet
+        if (touched.isEmpty) m.id
+        else {
+          val resolved =
+            resolve(SnapshotStore.readWhere(spark, root, touched), changes)
+          SnapshotStore.restatePartitions(resolved, root, touched, partCol,
+            sortCol)
+        }
+      } finally changes.unpersist()
     }
-    val touchedNew = changes
-      .filter(!coalesce(col(deleteFlag), lit(false)))
-      .select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0))
-    val touched = (touchedBase ++ touchedNew).toSet
-    if (touched.isEmpty) m.id
-    else {
-      val resolved =
-        merge(SnapshotStore.readWhere(spark, root, touched), changes,
-          key, deleteFlag)
-      SnapshotStore.restatePartitions(resolved, root, touched, partCol,
-        sortCol)
-    }
-  }
 
   /** Marker columns the CLAUSE-form merge rides in on: per-change-row
     * booleans, evaluated over the SOURCE row before the join (the
@@ -186,44 +210,16 @@ object MergeInto {
     * unchanged — harmless). Returns the committed snapshot id. */
   def mergeClausesCommit(spark: SparkSession, root: String,
       changes: DataFrame, key: String, partCol: String,
-      sortCol: String): Long = SnapshotStore.withTableLock(root) {
-    val m = SnapshotStore.current(root).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root to merge into"))
-    val changeKeys = changes.filter(col(key).isNotNull)
-      .select(col(key)).distinct()
-    val candidates = candidatePartitions(m, changes, key)
-    val touchedBase: Seq[String] = candidates match {
-      case Some(c) if c.isEmpty => Seq.empty
-      case other =>
-        val src = other match {
-          case Some(c) if c != m.entries.map(_.value).toSet =>
-            SnapshotStore.readWhere(spark, root, c)
-          case _ => SnapshotStore.read(spark, root)
-        }
-        src.select(col(key), col(partCol))
-          .join(changeKeys, Seq(key), "left_semi")
-          .select(col(partCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
-    }
-    // a change row can LAND in its own partition iff it could insert
-    // (unmatched ∧ ins — and SQL's clauses allow ins on delete-flagged
-    // rows) or update (matched ∧ ¬del ∧ upd); matched-ness is unknown
-    // before the join, so take the per-row superset ins ∨ (upd ∧ ¬del)
-    val touchedNew = changes
-      .filter(coalesce(col(InsCol), lit(false)) ||
+      sortCol: String): Long =
+    mergeCommitImpl(spark, root, changes, key, partCol, sortCol,
+      // a change row can LAND in its own partition iff it could insert
+      // (unmatched ∧ ins — and SQL's clauses allow ins on delete-flagged
+      // rows) or update (matched ∧ ¬del ∧ upd); matched-ness is unknown
+      // before the join, so take the per-row superset ins ∨ (upd ∧ ¬del)
+      landable = coalesce(col(InsCol), lit(false)) ||
         (coalesce(col(UpdCol), lit(false)) &&
-          !coalesce(col(DelCol), lit(false))))
-      .select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0))
-    val touched = (touchedBase ++ touchedNew).toSet
-    if (touched.isEmpty) m.id
-    else {
-      val resolved = mergeClauses(
-        SnapshotStore.readWhere(spark, root, touched), changes, key)
-      SnapshotStore.restatePartitions(resolved, root, touched, partCol,
-        sortCol)
-    }
-  }
+          !coalesce(col(DelCol), lit(false))),
+      resolve = (base, chg) => mergeClauses(base, chg, key))
 
   /** Partitions whose manifest key-range could hold a change key —
     * the Iceberg-style min/max prune, decided entirely on the manifest:

@@ -109,21 +109,27 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
 
     // matched clauses fold in statement order: SQL takes the FIRST
     // clause whose condition passes, so each accumulated condition is
-    // guarded by the negation of every earlier one
+    // guarded by the negation of every earlier one. Each condition is
+    // NULL-COALESCED to false BEFORE entering the fold: SQL treats a
+    // NULL condition as "clause not satisfied, fall through" — a raw
+    // Not(NULL) would poison `noEarlier` to NULL and silently suppress
+    // every LATER clause instead of evaluating it.
+    def satisfied(c: Option[Expression], what: String): Expression =
+      org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        sourceOnly(what, c.getOrElse(Literal.TrueLiteral)),
+        Literal.FalseLiteral))
     var delCond: Expression = Literal.FalseLiteral
     var updCond: Expression = Literal.FalseLiteral
     var updAssigns: Option[Seq[Assignment]] = None
     var noEarlier: Expression = Literal.TrueLiteral
     m.matchedActions.foreach {
       case DeleteAction(c) =>
-        val cc = sourceOnly("a WHEN MATCHED condition",
-          c.getOrElse(Literal.TrueLiteral))
+        val cc = satisfied(c, "a WHEN MATCHED condition")
         delCond = Or(delCond, And(noEarlier, cc))
         noEarlier = And(noEarlier, Not(cc))
       case UpdateAction(c, assigns, _) =>
         if (updAssigns.isDefined) fail("at most one UPDATE clause")
-        val cc = sourceOnly("a WHEN MATCHED condition",
-          c.getOrElse(Literal.TrueLiteral))
+        val cc = satisfied(c, "a WHEN MATCHED condition")
         updCond = Or(updCond, And(noEarlier, cc))
         updAssigns = Some(assigns)
         noEarlier = And(noEarlier, Not(cc))
@@ -135,8 +141,7 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
     m.notMatchedActions.foreach {
       case InsertAction(c, assigns) =>
         if (insAssigns.isDefined) fail("at most one INSERT clause")
-        insCond = sourceOnly("a WHEN NOT MATCHED condition",
-          c.getOrElse(Literal.TrueLiteral))
+        insCond = satisfied(c, "a WHEN NOT MATCHED condition")
         insAssigns = Some(assigns)
       case other =>
         fail(s"unsupported WHEN NOT MATCHED action: $other")

@@ -588,11 +588,13 @@ object EtlQueries {
         SnapshotStore.write(ordersWithMonth(s, d), root,
           partCol = "order_month", sortCol = "o_orderdate")
         val table = registerSnapCatalog(s, root)
-        val prevMode =
-          s.conf.get("spark.sql.sources.partitionOverwriteMode")
-        try {
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          s.sql(
+        // dynamic mode scoped to a SESSION CLONE — mutating the shared
+        // session's conf (set/restore) would leak dynamic mode to any
+        // concurrent INSERT OVERWRITE in the window
+        locally {
+          val dyn = org.apache.spark.sql.GraftPlanBridge.sessionWithConf(
+            s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic")
+          dyn.sql(
             s"""INSERT OVERWRITE $table
                |WITH o AS (SELECT *,
                |    date_format(o_orderdate, 'yyyy-MM') AS order_month
@@ -604,8 +606,7 @@ object EtlQueries {
                |FROM o
                |WHERE order_month = (SELECT m FROM lm)
                |  AND o_orderkey % 10 <> 0""".stripMargin)
-        } finally
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        }
         snapSqlOwPrepared += root
       }
     }

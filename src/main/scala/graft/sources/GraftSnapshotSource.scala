@@ -70,6 +70,7 @@ object GraftSnapshotTables {
     val m = asOf.map(SnapshotStore.manifestAt(root, _))
       .orElse(SnapshotStore.current(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    val pinned = asOf.isDefined
     // zero entries is legal (a MERGE whose deletes drained every
     // partition): ParquetTable over an empty dir list plans an empty
     // scan under the manifest schema — only a schema-less pre-evolution
@@ -84,7 +85,7 @@ object GraftSnapshotTables {
       m.entries.map(e => s"$root/${e.dir}"),
       m.schema,
       classOf[ParquetFileFormat])
-    new GraftSnapshotTable(root, m, inner, writable)
+    new GraftSnapshotTable(root, m, inner, writable, pinned)
   }
 }
 
@@ -107,7 +108,8 @@ class GraftSnapshotTable(
     val root: String,
     val manifest: SnapshotStore.Manifest,
     inner: ParquetTable,
-    private[graft] val writable: Boolean)
+    private[graft] val writable: Boolean,
+    pinned: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -117,22 +119,22 @@ class GraftSnapshotTable(
   override def properties(): util.Map[String, String] = inner.properties()
 
   override def capabilities(): util.Set[TableCapability] = {
-    // MICRO_BATCH_READ regardless of writability: tailing the commit
-    // chain is a read — `readStream.format("graft-snapshot")` follows
-    // commits as they land, each batch = one chain-slot diff
-    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ)
+    // the streaming tail follows the LIVE commit chain — a time-travel
+    // (asOf-pinned) load must not advertise it, or the pin would be
+    // silently ignored and the consumer tailed the current table; the
+    // capability is absent, so the analyzer rejects readStream+asOf
+    if (!pinned) caps.add(TableCapability.MICRO_BATCH_READ)
     // time-travel loads are read-only: an INSERT "into the past" would
     // fork history — the capabilities are simply absent, so the
     // analyzer rejects the statement before any write machinery runs.
-    // OVERWRITE_BY_FILTER/TRUNCATE admit `INSERT OVERWRITE` through
-    // the V1 fallback (truncate-form only — the filter the fallback
-    // can express); the insert() below routes it through the locked
-    // restatement commits with file-source partitionOverwriteMode
-    // semantics.
+    // TRUNCATE admits the truncate-form `INSERT OVERWRITE` through the
+    // V1 fallback; OVERWRITE_BY_FILTER is deliberately NOT declared —
+    // the builder implements no SupportsOverwrite, so declaring it
+    // would turn a clean capability-check AnalysisException (partition-
+    // spec'd static overwrite) into a misleading post-analysis error.
     if (writable) {
       caps.add(TableCapability.V1_BATCH_WRITE)
-      caps.add(TableCapability.OVERWRITE_BY_FILTER)
       caps.add(TableCapability.TRUNCATE)
     }
     caps

@@ -53,6 +53,15 @@ class GraftSnapshotMicroBatchStream(
   private val startingSeq: Long =
     Option(options.get("startingSeq")).map(_.toLong).getOrElse(0L)
 
+  // fail at STREAM START, not first batch, when the table cannot be
+  // tailed: a table committed in the no-hard-link degraded mode (or a
+  // pre-chain legacy table) records sequences in props but has no
+  // chain slots to diff — manifestAtSeq names the cause loudly
+  locally {
+    val head = SnapshotStore.currentSeq(root)
+    if (head > 0) SnapshotStore.manifestAtSeq(root, head)
+  }
+
   override def initialOffset(): Offset = GraftSeqOffset(startingSeq)
 
   override def latestOffset(): Offset =

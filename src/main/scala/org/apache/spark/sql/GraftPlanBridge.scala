@@ -26,10 +26,21 @@ object GraftPlanBridge {
     * derived session state diverge, and it is dropped with the
     * returned frame. */
   def withSessionConf(df: DataFrame, kvs: (String, String)*): DataFrame = {
-    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
-    val clone = cs.cloneSession()
+    val clone = sessionWithConf(df.sparkSession, kvs: _*)
+    classic.Dataset.ofRows(clone.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
+  }
+
+  /** A session CLONE with `kvs` conf overrides — for running one SQL
+    * statement under a scoped conf (e.g. partitionOverwriteMode)
+    * without mutating the shared session out from under concurrent
+    * jobs. The clone shares the SparkContext, cache, and (by
+    * inheritance) catalog/temp-view registrations. */
+  def sessionWithConf(spark: SparkSession,
+      kvs: (String, String)*): SparkSession = {
+    val clone = spark.asInstanceOf[classic.SparkSession].cloneSession()
     kvs.foreach { case (k, v) => clone.conf.set(k, v) }
-    classic.Dataset.ofRows(clone, df.queryExecution.analyzed)
+    clone
   }
 
   /** Idempotently add a planner strategy to the session (the public

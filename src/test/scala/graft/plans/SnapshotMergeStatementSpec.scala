@@ -120,6 +120,27 @@ class SnapshotMergeStatementSpec extends SparkSpec {
       "the earlier UPDATE clause must win over the later DELETE")
   }
 
+  test("a NULL clause condition is 'not satisfied': the row FALLS " +
+      "THROUGH to the next clause instead of being suppressed") {
+    val (cat, _, root) = mkTable()
+    // id 1 matches with del = NULL: SQL semantics say the DELETE
+    // clause is not satisfied and the unconditional UPDATE fires — a
+    // raw Not(NULL) in the first-match-wins fold would poison every
+    // later clause and silently leave the base row unchanged
+    Seq((1L, "2024-01", 111.0, Option.empty[Boolean]),
+        (3L, "2024-02", 333.0, Some(true)))
+      .toDF("id", "m", "price", "del")
+      .createOrReplaceTempView("stmt_changes_nullc")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_nullc AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(state(root)(1L) === (("2024-01", 111.0)),
+      "NULL delete condition must fall through to the UPDATE")
+    assert(!state(root).contains(3L), "true delete condition deletes")
+  }
+
   test("delete-only MERGE and a no-op changeset") {
     val (cat, _, root) = mkTable()
     Seq((3L, true), (77L, true)).toDF("id", "del")

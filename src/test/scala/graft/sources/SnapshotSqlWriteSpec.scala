@@ -56,38 +56,38 @@ class SnapshotSqlWriteSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM snapw.$name").count() ===
       SnapshotStore.read(spark, s"$wh/$name").count())
     // INSERT OVERWRITE, dynamic mode: restates EXACTLY the partitions
-    // present in the query — other months carry by dir reference
-    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      val preOw = SnapshotStore.current(s"$wh/$name").get
-      spark.sql(s"INSERT OVERWRITE snapw.$name VALUES " +
-        "(99, '2024-03', TIMESTAMP '2024-09-01 00:00:00', 1.0)")
-      val postOw = SnapshotStore.current(s"$wh/$name").get
-      def dirs(m: SnapshotStore.Manifest, v: String) =
-        m.entries.filter(_.value == v).map(_.dir).toSet
-      assert(dirs(postOw, "2024-01") === dirs(preOw, "2024-01"),
-        "dynamic overwrite must carry untouched months by reference")
-      assert(dirs(postOw, "2024-02") === dirs(preOw, "2024-02"))
-      assert(dirs(postOw, "2024-03") !== dirs(preOw, "2024-03"))
-      assert(spark.sql(
-        s"SELECT count(*), sum(price) FROM snapw.$name WHERE m = '2024-03'")
-        .head() === org.apache.spark.sql.Row(1L, 1.0))
-      assert(spark.sql(s"SELECT count(*) FROM snapw.$name")
-        .head().getLong(0) === 6L)
-      // STATIC mode (the Spark default): the whole table is replaced
-      // by the query result, as one fresh snapshot — history intact
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-      spark.sql(s"INSERT OVERWRITE snapw.$name VALUES " +
-        "(7, '2024-05', TIMESTAMP '2024-05-01 00:00:00', 2.0)")
-      assert(spark.sql(s"SELECT m, count(*) FROM snapw.$name GROUP BY m")
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
-        Set(("2024-05", 1L)))
-      assert(SnapshotStore.read(spark, s"$wh/$name",
-        asOf = Some(postOw.id)).count() === 6L,
-        "pre-overwrite snapshots stay time-travelable")
-    } finally
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // present in the query — other months carry by dir reference.
+    // Mode scoped through a SESSION CLONE, never by mutating the
+    // shared session's conf (set/restore leaks to concurrent jobs).
+    val dyn = org.apache.spark.sql.GraftPlanBridge.sessionWithConf(
+      spark, "spark.sql.sources.partitionOverwriteMode" -> "dynamic")
+    val preOw = SnapshotStore.current(s"$wh/$name").get
+    dyn.sql(s"INSERT OVERWRITE snapw.$name VALUES " +
+      "(99, '2024-03', TIMESTAMP '2024-09-01 00:00:00', 1.0)")
+    val postOw = SnapshotStore.current(s"$wh/$name").get
+    def dirs(m: SnapshotStore.Manifest, v: String) =
+      m.entries.filter(_.value == v).map(_.dir).toSet
+    assert(dirs(postOw, "2024-01") === dirs(preOw, "2024-01"),
+      "dynamic overwrite must carry untouched months by reference")
+    assert(dirs(postOw, "2024-02") === dirs(preOw, "2024-02"))
+    assert(dirs(postOw, "2024-03") !== dirs(preOw, "2024-03"))
+    assert(spark.sql(
+      s"SELECT count(*), sum(price) FROM snapw.$name WHERE m = '2024-03'")
+      .head() === org.apache.spark.sql.Row(1L, 1.0))
+    assert(spark.sql(s"SELECT count(*) FROM snapw.$name")
+      .head().getLong(0) === 6L)
+    // STATIC mode (the Spark default): the whole table is replaced
+    // by the query result, as one fresh snapshot — history intact
+    val sta = org.apache.spark.sql.GraftPlanBridge.sessionWithConf(
+      spark, "spark.sql.sources.partitionOverwriteMode" -> "static")
+    sta.sql(s"INSERT OVERWRITE snapw.$name VALUES " +
+      "(7, '2024-05', TIMESTAMP '2024-05-01 00:00:00', 2.0)")
+    assert(spark.sql(s"SELECT m, count(*) FROM snapw.$name GROUP BY m")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("2024-05", 1L)))
+    assert(SnapshotStore.read(spark, s"$wh/$name",
+      asOf = Some(postOw.id)).count() === 6L,
+      "pre-overwrite snapshots stay time-travelable")
   }
 
   test("a time-travel load is read-only: INSERT into VERSION AS OF " +

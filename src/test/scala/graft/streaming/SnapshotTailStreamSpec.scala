@@ -114,6 +114,23 @@ class SnapshotTailStreamSpec extends SparkSpec {
       s"expected the loud data-loss error, got: ${e.getCause}")
   }
 
+  test("a time-travel (asOf) load cannot be tailed: the pin would be " +
+      "silently ignored, so the capability is absent and the stream " +
+      "is rejected at analysis") {
+    val root = tmpDir("asof") + "/t"
+    val id1 = SnapshotStore.write(rows(1.0, "2024-01"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(2.0, "2024-02"), root, "m", "ts")
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshot")
+        .option("asOf", id1).load(root)
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    assert(String.valueOf(e.getMessage).toLowerCase
+      .contains("does not support streamed reading"),
+      s"unexpected rejection shape: ${e.getMessage}")
+  }
+
   test("startingSeq skips history: a tail started at the current head " +
       "sees only future commits") {
     val root = tmpDir("head") + "/t"
