@@ -30,7 +30,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 REF = Path("/root/reference/README.md")
 
-CITE = re.compile(r"README\.md:(\d+)(?:-(\d+))?")
+CITE = re.compile(r"README(?:\.md)?:(\d+)(?:-(\d+))?")
 ANCHOR = re.compile(r"`([^`]+)`|'([^']{3,80})'")
 TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_]{2,}")
 # anchors that are OUR code/API/lane names, never reference constructs
@@ -50,6 +50,7 @@ def main() -> int:
     nref = len(ref_lines)
     files = sorted((REPO / "src/main/scala").rglob("*.scala"))
     files.append(REPO / "SURVEY.md")
+    files.append(REPO / "MIGRATION.md")
     fails, weak, strong = [], 0, 0
     for f in files:
         for lineno, line in enumerate(
