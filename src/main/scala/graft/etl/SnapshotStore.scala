@@ -1261,6 +1261,39 @@ object SnapshotStore {
     }
   }
 
+  /** Batch CHANGE FEED between two committed chain sequences — the
+    * table-format CDF read (Delta `table_changes` analogue, built on
+    * the same endpoint-diff the streaming tail uses): rows in dirs
+    * manifest@to lists that @from did not, tagged
+    * `_change_type = 'insert'`, unioned with rows in dirs @from lists
+    * that @to dropped, tagged `'delete'`. A copy-on-write restatement
+    * (backfill / MERGE / dynamic overwrite) therefore reads as
+    * delete(old partition content) + insert(new content) — apply as
+    * retract-then-upsert; a pure append is inserts only; a partition
+    * DELETE is deletes only. Cost: two ~KB manifest parses + one
+    * multi-root scan over exactly the changed dirs; both endpoints
+    * must be within the retention horizon ([[manifestAtSeq]] fails
+    * loudly otherwise — and retention keeping a manifest keeps its
+    * dirs, so the delete side is always readable when the endpoint
+    * is). Rows read under the TO endpoint's schema (evolution: dropped
+    * rows' missing columns read as null). */
+  def changeFeed(spark: SparkSession, root: String, fromSeq: Long,
+      toSeq: Long): DataFrame = {
+    require(fromSeq <= toSeq,
+      s"changeFeed range is inverted: fromSeq=$fromSeq > toSeq=$toSeq")
+    val a = manifestAtSeq(root, fromSeq)
+    val b = manifestAtSeq(root, toSeq)
+    val schema = b.schema.orElse(a.schema)
+    val aDirs = a.entries.map(_.dir).toSet
+    val bDirs = b.entries.map(_.dir).toSet
+    def side(dirs: Set[String], tag: String): DataFrame =
+      readManifest(spark, root,
+        Manifest(0L, dirs.toSeq.sorted.map(d => Entry("", d)), schema))
+        .withColumn("_change_type", lit(tag))
+    side(bDirs -- aDirs, "insert")
+      .unionByName(side(aDirs -- bDirs, "delete"))
+  }
+
   // ---- retention ---------------------------------------------------------
 
   /** Drop all but the newest `keepLast` manifests (the current pointer

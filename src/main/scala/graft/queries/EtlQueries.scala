@@ -628,6 +628,22 @@ object EtlQueries {
     * oracle: one committed history, batch and streaming read APIs.
     * Fresh checkpoint + sink per invocation keeps the lane
     * re-runnable within one JVM. */
+  /** Batch CHANGE FEED ([[SnapshotStore.changeFeed]], the Delta
+    * `table_changes` analogue) over the backfill history: between the
+    * full load (seq 1) and the corrected-month restatement (seq 2) the
+    * copy-on-write shows as delete(the old last month, every row) +
+    * insert(the corrected content) — exactly what DuckDB replays from
+    * raw orders. */
+  def snapshotChangeFeed: Q = (s, d) => {
+    val (root, _) = prepareSnapshotHistory(s, d)
+    SnapshotStore.changeFeed(s, root, fromSeq = 1L, toSeq = 2L)
+      .groupBy(col("order_month"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_price"))
+  }
+
   private val tailRuns = new java.util.concurrent.atomic.AtomicInteger()
   def snapshotStreamTail: Q = (s, d) => {
     val root = prepareSnapshotSqlInsert(s, d)
@@ -753,6 +769,7 @@ object EtlQueries {
     "snapshot_sql_merge_stmt" -> snapshotSqlMergeStmt,
     "snapshot_sql_overwrite" -> snapshotSqlOverwrite,
     "snapshot_stream_tail" -> snapshotStreamTail,
+    "snapshot_changefeed" -> snapshotChangeFeed,
     "snapshot_sql_delete" -> snapshotSqlDelete,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
@@ -902,6 +919,23 @@ object EtlQueries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
+    // replay the change feed of the backfill: the restated last month
+    // reads as delete(every original row) + insert(corrected content)
+    "snapshot_changefeed" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | lm AS (SELECT max(order_month) AS m FROM o),
+        | ch AS (
+        |  SELECT order_month, 'delete' AS change_type, o_totalprice
+        |  FROM o WHERE order_month = (SELECT m FROM lm)
+        |  UNION ALL
+        |  SELECT order_month, 'insert', o_totalprice + 5.0
+        |  FROM o WHERE order_month = (SELECT m FROM lm)
+        |    AND o_orderkey % 10 <> 0)
+        |SELECT order_month, change_type, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM ch GROUP BY 1, 2""".stripMargin,
     // replay the partition DELETE: the first and last months dropped
     // whole, everything between untouched
     "snapshot_sql_delete" ->

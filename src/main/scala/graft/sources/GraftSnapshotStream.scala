@@ -3,7 +3,7 @@ package graft.sources
 import graft.etl.SnapshotStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -43,12 +43,18 @@ case class GraftSeqOffset(seq: Long) extends Offset {
   * Spark checkpoint, so restart resumes the tail exactly once per dir.
   *
   * `option("startingSeq", n)` starts the tail AFTER commit n (default
-  * 0 = emit the whole current table as the first batch). */
+  * 0 = emit the whole current table as the first batch);
+  * `option("maxCommitsPerTrigger", k)` bounds admission per batch to
+  * k commits (default: all available) — a consumer catching up over a
+  * long commit history processes it as bounded increments instead of
+  * one giant coalesced batch. */
 class GraftSnapshotMicroBatchStream(
     spark: SparkSession,
     root: String,
     pinnedSchema: StructType,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   private val startingSeq: Long =
     Option(options.get("startingSeq")).map(_.toLong).getOrElse(0L)
@@ -62,9 +68,39 @@ class GraftSnapshotMicroBatchStream(
     if (head > 0) SnapshotStore.manifestAtSeq(root, head)
   }
 
+  private val maxCommitsPerTrigger: Option[Long] =
+    Option(options.get("maxCommitsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxCommitsPerTrigger must be positive, got $n")
+      n
+    }
+
   override def initialOffset(): Offset = GraftSeqOffset(startingSeq)
 
   override def latestOffset(): Offset =
+    GraftSeqOffset(math.max(startingSeq, SnapshotStore.currentSeq(root)))
+
+  // Trigger.AvailableNow: the head is CAPTURED once at query start and
+  // the run drains up to it in (admission-bounded) batches, then stops
+  // — without this a capped first batch would end the run early
+  private var availableNowBound: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound =
+      Some(math.max(startingSeq, SnapshotStore.currentSeq(root)))
+
+  // admission control: advance at most maxCommitsPerTrigger chain
+  // slots per batch (the head probe is the same one-hint-parse walk)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftSeqOffset].seq
+    val live = math.max(startingSeq, SnapshotStore.currentSeq(root))
+    val head = availableNowBound.fold(live)(math.min(live, _))
+    GraftSeqOffset(maxCommitsPerTrigger
+      .map(k => math.min(head, from + k)).getOrElse(head))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
     GraftSeqOffset(math.max(startingSeq, SnapshotStore.currentSeq(root)))
 
   override def deserializeOffset(json: String): Offset =

@@ -131,6 +131,56 @@ class SnapshotTailStreamSpec extends SparkSpec {
       s"unexpected rejection shape: ${e.getMessage}")
   }
 
+  test("batch changeFeed: append = inserts; restatement = delete(old " +
+      "content) + insert(new); partition DELETE = deletes only") {
+    val root = tmpDir("cdf") + "/t"
+    SnapshotStore.write(rows(1.0, "2024-01", "2024-02"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(2.0, "2024-03"), root, "m", "ts")
+    def feed(a: Long, b: Long) =
+      SnapshotStore.changeFeed(spark, root, a, b).collect()
+        .map(r => (r.getString(1), r.getDouble(3),
+          r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(feed(1, 2) === Set(("2024-03", 2.0, "insert")))
+    SnapshotStore.overwritePartitions(rows(9.0, "2024-02"), root, "m", "ts")
+    assert(feed(2, 3) === Set(
+      ("2024-02", 1.0, "delete"), ("2024-02", 9.0, "insert")))
+    SnapshotStore.dropPartitions(root, Some(Set("2024-01")))
+    assert(feed(3, 4) === Set(("2024-01", 1.0, "delete")))
+    // from table start: the NET current state arrives as inserts only
+    // (the 2024-02 restatement and the 2024-03 append; 2024-01's dirs
+    // were never in the empty FROM endpoint, so no deletes)
+    assert(feed(0, 4) ===
+      Set(("2024-02", 9.0, "insert"), ("2024-03", 2.0, "insert")))
+    val e = intercept[IllegalArgumentException](feed(3, 2))
+    assert(e.getMessage.contains("inverted"))
+  }
+
+  test("maxCommitsPerTrigger bounds admission: a catch-up over three " +
+      "commits arrives as three single-commit batches") {
+    val root = tmpDir("adm") + "/t"
+    val ckpt = tmpDir("adm_ck")
+    SnapshotStore.write(rows(1.0, "2024-01"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(2.0, "2024-02"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(3.0, "2024-03"), root, "m", "ts")
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, Seq[Row])]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxCommitsPerTrigger", 1).load(root)
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        sink.synchronized { sink += ((id, df.collect().toSeq)) }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(sink.count(_._2.nonEmpty) === 3,
+      s"one batch per commit, got ${sink.map(_._2.size)}")
+    assert(sink.flatMap(_._2).size === 3)
+    assert(sink.flatMap(_._2).map(_.getDouble(3)).toSet ===
+      Set(1.0, 2.0, 3.0))
+  }
+
   test("startingSeq skips history: a tail started at the current head " +
       "sees only future commits") {
     val root = tmpDir("head") + "/t"
