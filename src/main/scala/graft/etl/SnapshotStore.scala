@@ -532,6 +532,29 @@ object SnapshotStore {
   def currentSeq(root: String): Long =
     current(root).map(seqOf).getOrElse(0L)
 
+  /** One retained commit, as table history reports it: chain seq,
+    * manifest id, partition-entry count, and the total row count when
+    * every entry carries write-time stats. */
+  final case class HistoryEntry(seq: Long, id: Long, entries: Int,
+      rows: Option[Long])
+
+  /** The RETAINED commit history, commit order ascending — the
+    * DESCRIBE HISTORY analogue (SQL entry:
+    * `CALL <catalog>.system.history('t')`). Reads each retained
+    * manifest once; cost is bounded by the retention policy, never by
+    * table size. Commits expired past the horizon are simply absent
+    * (their manifests are gone), exactly like time travel. */
+  def history(root: String): Seq[HistoryEntry] =
+    retainedIds(root).flatMap { id =>
+      scala.util.Try(manifestAt(root, id)).toOption.map { m =>
+        val stats = m.entries.flatMap(_.stats)
+        HistoryEntry(seqOf(m), m.id, m.entries.size,
+          if (stats.size == m.entries.size && m.entries.nonEmpty)
+            Some(stats.map(_.rows).sum)
+          else None)
+      }
+    }.sortBy(h => (h.seq, h.id))
+
   // ---- entry statistics ----------------------------------------------------
 
   /** Stats are captured for at most this many columns (schema order) —

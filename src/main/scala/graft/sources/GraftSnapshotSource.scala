@@ -523,14 +523,160 @@ class GraftSnapshotCatalog extends TableCatalog
   // ---- procedures (CALL snap.system.merge_into(…)) -----------------------
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array("system"), "merge_into"))
+    Array(Identifier.of(Array("system"), "merge_into"),
+      Identifier.of(Array("system"), "history"),
+      Identifier.of(Array("system"), "expire"),
+      Identifier.of(Array("system"), "compact"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name() match {
       case "merge_into" => new MergeIntoProcedure(warehouse)
+      case "history" => new HistoryProcedure(warehouse)
+      case "expire" => new ExpireProcedure(warehouse)
+      case "compact" => new CompactProcedure(warehouse)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — this catalog provides " +
-          "system.merge_into(table, source, key, delete_flag)")
+          "system.merge_into(table, source, key, delete_flag), " +
+          "system.history(table), system.expire(table, keep_last) and " +
+          "system.compact(table)")
+    }
+}
+
+/** `CALL <catalog>.system.expire(table, keep_last)` — retention from
+  * SQL: drop all but the newest `keep_last` commits and the data dirs
+  * no retained manifest references, through the same locked
+  * [[SnapshotStore.expire]] (hint repaired and fsync'd first, expired
+  * chain slots tombstoned, the live head always retained). Returns the
+  * retained commit count. */
+class ExpireProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "expire"
+  override def description(): String =
+    "Expire a graft snapshot table's history to the newest keep_last commits"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "expire"
+      override def description(): String = ExpireProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("keep_last",
+          org.apache.spark.sql.types.IntegerType)
+          .comment("how many newest commits to retain (>= 1)").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val keepLast = input.getInt(1)
+        val root = (warehouse +: table.split('.').toSeq).mkString("/")
+        if (SnapshotStore.current(root).isEmpty)
+          throw new IllegalStateException(
+            s"no snapshot table '$table' under $warehouse")
+        SnapshotStore.expire(root, keepLast)
+        val retained = SnapshotStore.history(root).size.toLong
+        val resultSchema =
+          StructType(Seq(StructField("retained_commits", LongType, false)))
+        util.Collections.singletonList[Scan](new LocalScan {
+          override def readSchema(): StructType = resultSchema
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow(retained))
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.system.compact(table)` — compaction from SQL: fold
+  * a table's accumulated append parts back to one dir per partition as
+  * a normal snapshot commit ([[SnapshotStore.compact]], layout from
+  * the manifest props) — readers on the old manifest untouched.
+  * Returns the committed snapshot id. */
+class CompactProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "Compact a graft snapshot table to one dir per partition"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "compact"
+      override def description(): String = CompactProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val spark = SparkSession.active
+        val root = (warehouse +: table.split('.').toSeq).mkString("/")
+        val m = SnapshotStore.current(root).getOrElse(
+          throw new IllegalStateException(
+            s"no snapshot table '$table' under $warehouse"))
+        val (partCol, sortCol) = SnapshotStore.tableLayout(m).getOrElse(
+          throw new UnsupportedOperationException(
+            s"snapshot table '$table' predates layout-recording " +
+              "manifests — recommit with SnapshotStore.write to enable " +
+              "SQL compaction"))
+        val id = SnapshotStore.compact(spark, root, partCol, sortCol)
+        val resultSchema =
+          StructType(Seq(StructField("snapshot_id", LongType, false)))
+        util.Collections.singletonList[Scan](new LocalScan {
+          override def readSchema(): StructType = resultSchema
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow(id))
+        }).iterator()
+      }
+    }
+}
+
+/** `CALL <catalog>.system.history(table)` — the DESCRIBE HISTORY
+  * analogue: one row per RETAINED commit (chain seq, manifest id,
+  * partition-entry count, total rows when every entry carries
+  * write-time stats), commit order ascending. Expired commits are
+  * absent, exactly like time travel. */
+class HistoryProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "history"
+  override def description(): String =
+    "Retained commit history of a graft snapshot table"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "history"
+      override def description(): String = HistoryProcedure.this.description()
+      override def isDeterministic: Boolean = false // reads live state
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val root = (warehouse +: table.split('.').toSeq).mkString("/")
+        if (SnapshotStore.current(root).isEmpty)
+          throw new IllegalStateException(
+            s"no snapshot table '$table' under $warehouse")
+        val resultSchema = StructType(Seq(
+          StructField("seq", LongType, false),
+          StructField("snapshot_id", LongType, false),
+          StructField("entries", org.apache.spark.sql.types.IntegerType,
+            false),
+          StructField("total_rows", LongType, true)))
+        // NOT named `rows`: inside the anonymous LocalScan that name
+        // resolves to the override itself — a self-tail-call scalac
+        // compiles into an infinite loop
+        val historyRows = SnapshotStore.history(root).map { h =>
+          InternalRow(h.seq, h.id, h.entries,
+            h.rows.map(Long.box).orNull)
+        }.toArray
+        util.Collections.singletonList[Scan](new LocalScan {
+          override def readSchema(): StructType = resultSchema
+          override def rows(): Array[InternalRow] = historyRows
+        }).iterator()
+      }
     }
 }
 

@@ -90,6 +90,90 @@ class SnapshotSqlWriteSpec extends SparkSpec {
       "pre-overwrite snapshots stay time-travelable")
   }
 
+  test("CALL system.history lists the retained commits ascending with " +
+      "entry counts and stats-backed row totals") {
+    val (wh, name) = mkTable("hist")
+    register("snaph", wh)
+    val root = s"$wh/$name"
+    spark.sql(s"INSERT INTO snaph.$name VALUES " +
+      "(9, '2024-03', TIMESTAMP '2024-03-01 00:00:00', 5.5)")
+    spark.sql(s"DELETE FROM snaph.$name WHERE m = '2024-01'")
+    val rows = spark.sql(s"CALL snaph.system.history('$name')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L), s"got ${rows.toSeq}")
+    // write: 2 months; insert: +1 part; delete: -the 2024-01 entries
+    assert(rows(0)._3 === 2 && rows(1)._3 === 3 && rows(2)._3 === 2)
+    // every entry carries write-time stats → exact totals
+    assert(rows.map(_._4).toSeq === Seq(4L, 5L, 3L))
+    // ids match the Scala history API
+    assert(SnapshotStore.history(root).map(_.id) ===
+      rows.map(_._2).toSeq)
+    intercept[Exception] {
+      spark.sql("CALL snaph.system.history('no_such_table')")
+    }
+  }
+
+  test("readStream.table through the catalog tails the commit chain " +
+      "like the path-addressed reader") {
+    val (wh, name) = mkTable("ct")
+    register("snapst", wh)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ct_ck").toString
+    val sink = scala.collection.mutable.ArrayBuffer[Long]()
+    def drainOnce(): Unit = {
+      val q = spark.readStream.table(s"snapst.$name")
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            sink.synchronized { sink ++= df.collect().map(_.getLong(0)) }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    assert(sink.sorted === Seq(1L, 2L, 3L, 4L))
+    spark.sql(s"INSERT INTO snapst.$name VALUES " +
+      "(9, '2024-03', TIMESTAMP '2024-03-01 00:00:00', 5.5)")
+    drainOnce()
+    assert(sink.sorted === Seq(1L, 2L, 3L, 4L, 9L),
+      "only the SQL-INSERTed commit arrives on restart")
+  }
+
+  test("CALL system.compact folds parts to one dir per partition and " +
+      "CALL system.expire bounds the history — the full operational " +
+      "surface from SQL") {
+    val (wh, name) = mkTable("ops")
+    register("snapo", wh)
+    val root = s"$wh/$name"
+    spark.sql(s"INSERT INTO snapo.$name VALUES " +
+      "(9, '2024-01', TIMESTAMP '2024-01-09 00:00:00', 5.5)")
+    assert(SnapshotStore.current(root).get.entries.size === 3,
+      "the append accumulates a second part for 2024-01")
+    val sumBefore = spark.sql(s"SELECT sum(price) FROM snapo.$name")
+      .head().getDouble(0)
+    val cid = spark.sql(s"CALL snapo.system.compact('$name')")
+      .head().getLong(0)
+    val afterCompact = SnapshotStore.current(root).get
+    assert(afterCompact.id === cid)
+    assert(afterCompact.entries.size === 2,
+      "compaction folds to one dir per partition")
+    assert(spark.sql(s"SELECT sum(price) FROM snapo.$name")
+      .head().getDouble(0) === sumBefore, "content unchanged")
+    val retained = spark.sql(s"CALL snapo.system.expire('$name', 1)")
+      .head().getLong(0)
+    assert(retained === 1L)
+    assert(SnapshotStore.history(root).map(_.id) === Seq(cid))
+    assert(spark.sql(s"SELECT count(*) FROM snapo.$name")
+      .head().getLong(0) === 5L, "the live head survives expire")
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CALL snapo.system.expire('$name', 0)")
+    }
+  }
+
   test("a time-travel load is read-only: INSERT into VERSION AS OF " +
       "cannot resolve a writable table") {
     val (wh, name) = mkTable("tt")
