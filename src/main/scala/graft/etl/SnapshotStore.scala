@@ -1307,6 +1307,9 @@ object SnapshotStore {
     val a = manifestAtSeq(root, fromSeq)
     val b = manifestAtSeq(root, toSeq)
     val schema = b.schema.orElse(a.schema)
+    require(!schema.exists(_.fieldNames.contains("_change_type")),
+      "changeFeed cannot tag a table that already has a _change_type " +
+        "column — the tag would silently overwrite it")
     val aDirs = a.entries.map(_.dir).toSet
     val bDirs = b.entries.map(_.dir).toSet
     def side(dirs: Set[String], tag: String): DataFrame =

@@ -466,10 +466,11 @@ class GraftSnapshotCatalog extends TableCatalog
     tableExistsAt(rootOf(ident))
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graft snapshot catalog supports DML (INSERT INTO, CALL " +
-      "system.merge_into) but not DDL: create/alter/drop tables and " +
-      "namespaces through the SnapshotStore Scala API that owns the " +
-      "directory layout")
+    "graft snapshot catalog supports DML (INSERT INTO / OVERWRITE, " +
+      "MERGE INTO, DELETE) and operations (CALL system.merge_into / " +
+      "history / expire / compact) but not DDL: create/alter/drop " +
+      "tables and namespaces through the SnapshotStore Scala API that " +
+      "owns the directory layout")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
