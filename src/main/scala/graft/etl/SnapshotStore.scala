@@ -538,22 +538,51 @@ object SnapshotStore {
   final case class HistoryEntry(seq: Long, id: Long, entries: Int,
       rows: Option[Long])
 
+  /** Sequences of the retained (non-tombstoned) COMMIT CHAIN slots,
+    * ascending — read from the slot names alone, no file contents.
+    * The chain is the source of truth for "what committed": the
+    * manifests/ listing also holds inert never-committed files (a
+    * crash between the history write and the slot claim, or a failed
+    * lost-race withdraw), which must not surface as commits. */
+  def retainedSeqs(root: String): Seq[Long] = {
+    val dir = Paths.get(root, "manifests")
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[Long]()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("commit-") &&
+            (try Files.size(p) > 0L
+             catch { case _: java.io.IOException => false }))
+          n.stripPrefix("commit-").toLongOption.foreach(buf += _)
+      }
+      buf.toSeq.sorted
+    } finally s.close()
+  }
+
   /** The RETAINED commit history, commit order ascending — the
     * DESCRIBE HISTORY analogue (SQL entry:
-    * `CALL <catalog>.system.history('t')`). Reads each retained
-    * manifest once; cost is bounded by the retention policy, never by
-    * table size. Commits expired past the horizon are simply absent
-    * (their manifests are gone), exactly like time travel. */
+    * `CALL <catalog>.system.history('t')`). Walks the retained COMMIT
+    * CHAIN slots (never the raw manifests listing — see
+    * [[retainedSeqs]]) and parses each once; cost is bounded by the
+    * retention policy, never by table size. Commits expired past the
+    * horizon are simply absent, exactly like time travel. An
+    * entries-empty commit (a DELETE that drained the table) reports
+    * rows = Some(0) — exactly known, not unknown. */
   def history(root: String): Seq[HistoryEntry] =
-    retainedIds(root).flatMap { id =>
-      scala.util.Try(manifestAt(root, id)).toOption.map { m =>
+    retainedSeqs(root).flatMap { seq =>
+      scala.util.Try(manifestAtSeq(root, seq)).toOption.map { m =>
         val stats = m.entries.flatMap(_.stats)
-        HistoryEntry(seqOf(m), m.id, m.entries.size,
-          if (stats.size == m.entries.size && m.entries.nonEmpty)
+        HistoryEntry(seq, m.id, m.entries.size,
+          if (m.entries.isEmpty) Some(0L)
+          else if (stats.size == m.entries.size)
             Some(stats.map(_.rows).sum)
           else None)
       }
-    }.sortBy(h => (h.seq, h.id))
+    }
 
   // ---- entry statistics ----------------------------------------------------
 
@@ -1306,7 +1335,17 @@ object SnapshotStore {
       s"changeFeed range is inverted: fromSeq=$fromSeq > toSeq=$toSeq")
     val a = manifestAtSeq(root, fromSeq)
     val b = manifestAtSeq(root, toSeq)
+    // typing an EMPTY side (or an empty range, e.g. a poller calling
+    // changeFeed(0, 0) before the first commit) needs a schema: the TO
+    // endpoint's, else FROM's, else the live table's — only a
+    // pre-schema legacy table can fail, and it fails with the cause
     val schema = b.schema.orElse(a.schema)
+      .orElse(current(root).flatMap(_.schema))
+    if (schema.isEmpty)
+      throw new IllegalStateException(
+        s"changeFeed at $root: no endpoint (nor the live table) " +
+          "carries a schema — manifests predate schema-carrying " +
+          "commits, so an empty side cannot be typed")
     require(!schema.exists(_.fieldNames.contains("_change_type")),
       "changeFeed cannot tag a table that already has a _change_type " +
         "column — the tag would silently overwrite it")

@@ -618,16 +618,6 @@ object EtlQueries {
   def snapshotSqlOverwrite: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlOverwrite(s, d)))
 
-  /** Streaming TAIL of the commit chain
-    * (`readStream.format("graft-snapshot")`,
-    * [[graft.sources.GraftSnapshotMicroBatchStream]]): drain the
-    * SQL-INSERT history (two commits: full load + appended batch) from
-    * seq 0 with AvailableNow — every dir both commits listed arrives
-    * exactly once — and aggregate the drained rows. Must equal the
-    * batch read of the same table, i.e. the `snapshot_sql_insert`
-    * oracle: one committed history, batch and streaming read APIs.
-    * Fresh checkpoint + sink per invocation keeps the lane
-    * re-runnable within one JVM. */
   /** Batch CHANGE FEED ([[SnapshotStore.changeFeed]], the Delta
     * `table_changes` analogue) over the backfill history: between the
     * full load (seq 1) and the corrected-month restatement (seq 2) the
@@ -644,6 +634,16 @@ object EtlQueries {
           .cast("double"), 4).as("sum_price"))
   }
 
+  /** Streaming TAIL of the commit chain
+    * (`readStream.format("graft-snapshot")`,
+    * [[graft.sources.GraftSnapshotMicroBatchStream]]): drain the
+    * SQL-INSERT history (two commits: full load + appended batch) from
+    * seq 0 with AvailableNow — every dir both commits listed arrives
+    * exactly once — and aggregate the drained rows. Must equal the
+    * batch read of the same table, i.e. the `snapshot_sql_insert`
+    * oracle: one committed history, batch and streaming read APIs.
+    * Fresh checkpoint + sink per invocation keeps the lane
+    * re-runnable within one JVM. */
   private val tailRuns = new java.util.concurrent.atomic.AtomicInteger()
   def snapshotStreamTail: Q = (s, d) => {
     val root = prepareSnapshotSqlInsert(s, d)

@@ -547,9 +547,18 @@ class GraftSnapshotCatalog extends TableCatalog
   * SQL: drop all but the newest `keep_last` commits and the data dirs
   * no retained manifest references, through the same locked
   * [[SnapshotStore.expire]] (hint repaired and fsync'd first, expired
-  * chain slots tombstoned, the live head always retained). Returns the
-  * retained commit count. */
+  * chain slots tombstoned, the live head always retained). The orphan
+  * grace is pinned CONSERVATIVELY to one hour — a SQL caller cannot
+  * see whether another HOST has a commit in flight (its data dirs look
+  * exactly like crash orphans until it publishes), and the Scala API's
+  * grace-0 default is only safe when this host's lock covers every
+  * writer; an operator who knows that holds can call
+  * `SnapshotStore.expire(root, keepLast, 0)` directly. Returns the
+  * retained commit count (chain slots, no parsing). */
 class ExpireProcedure(warehouse: String) extends UnboundProcedure {
+
+  /** See the class doc: longer than any sane commit's write→publish. */
+  private val SqlOrphanGraceMs = 3600000L
 
   override def name(): String = "expire"
   override def description(): String =
@@ -571,19 +580,11 @@ class ExpireProcedure(warehouse: String) extends UnboundProcedure {
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val keepLast = input.getInt(1)
-        val root = (warehouse +: table.split('.').toSeq).mkString("/")
-        if (SnapshotStore.current(root).isEmpty)
-          throw new IllegalStateException(
-            s"no snapshot table '$table' under $warehouse")
-        SnapshotStore.expire(root, keepLast)
-        val retained = SnapshotStore.history(root).size.toLong
-        val resultSchema =
-          StructType(Seq(StructField("retained_commits", LongType, false)))
-        util.Collections.singletonList[Scan](new LocalScan {
-          override def readSchema(): StructType = resultSchema
-          override def rows(): Array[InternalRow] =
-            Array(InternalRow(retained))
-        }).iterator()
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapshotStore.expire(root, keepLast,
+          orphanGraceMs = SqlOrphanGraceMs)
+        SnapProcedures.singleLongResult("retained_commits",
+          SnapshotStore.retainedSeqs(root).size.toLong)
       }
     }
 }
@@ -612,23 +613,11 @@ class CompactProcedure(warehouse: String) extends UnboundProcedure {
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val spark = SparkSession.active
-        val root = (warehouse +: table.split('.').toSeq).mkString("/")
-        val m = SnapshotStore.current(root).getOrElse(
-          throw new IllegalStateException(
-            s"no snapshot table '$table' under $warehouse"))
-        val (partCol, sortCol) = SnapshotStore.tableLayout(m).getOrElse(
-          throw new UnsupportedOperationException(
-            s"snapshot table '$table' predates layout-recording " +
-              "manifests — recommit with SnapshotStore.write to enable " +
-              "SQL compaction"))
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        val (partCol, sortCol) =
+          SnapProcedures.layoutOf(root, table, "SQL compaction")
         val id = SnapshotStore.compact(spark, root, partCol, sortCol)
-        val resultSchema =
-          StructType(Seq(StructField("snapshot_id", LongType, false)))
-        util.Collections.singletonList[Scan](new LocalScan {
-          override def readSchema(): StructType = resultSchema
-          override def rows(): Array[InternalRow] =
-            Array(InternalRow(id))
-        }).iterator()
+        SnapProcedures.singleLongResult("snapshot_id", id)
       }
     }
 }
@@ -656,10 +645,7 @@ class HistoryProcedure(warehouse: String) extends UnboundProcedure {
 
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
-        val root = (warehouse +: table.split('.').toSeq).mkString("/")
-        if (SnapshotStore.current(root).isEmpty)
-          throw new IllegalStateException(
-            s"no snapshot table '$table' under $warehouse")
+        val root = SnapProcedures.existingRoot(warehouse, table)
         val resultSchema = StructType(Seq(
           StructField("seq", LongType, false),
           StructField("snapshot_id", LongType, false),
@@ -679,6 +665,39 @@ class HistoryProcedure(warehouse: String) extends UnboundProcedure {
         }).iterator()
       }
     }
+}
+
+/** Shared plumbing for the catalog's CALL procedures: table-name →
+  * root resolution (ONE definition — quoting/namespace changes must
+  * not silently diverge across procedures), existence/layout checks,
+  * and the single-row result scan. */
+private[sources] object SnapProcedures {
+  def root(warehouse: String, table: String): String =
+    (warehouse +: table.split('.').toSeq).mkString("/")
+
+  def existingRoot(warehouse: String, table: String): String = {
+    val r = root(warehouse, table)
+    if (SnapshotStore.current(r).isEmpty)
+      throw new IllegalStateException(
+        s"no snapshot table '$table' under $warehouse")
+    r
+  }
+
+  def layoutOf(r: String, table: String,
+      what: String): (String, String) =
+    SnapshotStore.current(r).flatMap(SnapshotStore.tableLayout).getOrElse(
+      throw new UnsupportedOperationException(
+        s"snapshot table '$table' predates layout-recording manifests " +
+          s"— recommit with SnapshotStore.write to enable $what"))
+
+  def singleLongResult(name: String, value: Long): util.Iterator[Scan] = {
+    val resultSchema =
+      StructType(Seq(StructField(name, LongType, false)))
+    util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = resultSchema
+      override def rows(): Array[InternalRow] = Array(InternalRow(value))
+    }).iterator()
+  }
 }
 
 /** `CALL <catalog>.system.merge_into(table, source, key, delete_flag)`
@@ -723,24 +742,12 @@ class MergeIntoProcedure(warehouse: String) extends UnboundProcedure {
         val key = input.getUTF8String(2).toString
         val deleteFlag = input.getUTF8String(3).toString
         val spark = SparkSession.active
-        val root = (warehouse +: table.split('.').toSeq).mkString("/")
-        val m = SnapshotStore.current(root).getOrElse(
-          throw new IllegalStateException(
-            s"no snapshot table '$table' under $warehouse"))
-        val (partCol, sortCol) = SnapshotStore.tableLayout(m).getOrElse(
-          throw new UnsupportedOperationException(
-            s"snapshot table '$table' predates layout-recording " +
-              "manifests — recommit with SnapshotStore.write to enable " +
-              "SQL MERGE"))
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        val (partCol, sortCol) =
+          SnapProcedures.layoutOf(root, table, "SQL MERGE")
         val id = graft.operators.MergeInto.mergeCommit(spark, root,
           spark.table(source), key, deleteFlag, partCol, sortCol)
-        val resultSchema =
-          StructType(Seq(StructField("snapshot_id", LongType, false)))
-        util.Collections.singletonList[Scan](new LocalScan {
-          override def readSchema(): StructType = resultSchema
-          override def rows(): Array[InternalRow] =
-            Array(InternalRow(id))
-        }).iterator()
+        SnapProcedures.singleLongResult("snapshot_id", id)
       }
     }
 }
