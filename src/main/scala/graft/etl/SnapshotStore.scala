@@ -270,6 +270,50 @@ object SnapshotStore {
   private def chainFile(root: String, seq: Long): Path =
     Paths.get(root, "manifests", s"commit-$seq")
 
+  /** Any commit chain slot present (live or tombstoned)? A slot can
+    * only be created by a successful `link(2)` (tombstones replace
+    * slots that were once links), so its existence PROVES this table's
+    * filesystem supports hard links. */
+  private def hasChainSlots(root: String): Boolean = {
+    val dir = Paths.get(root, "manifests")
+    Files.exists(dir) && {
+      val s = Files.list(dir)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("commit-"))
+      finally s.close()
+    }
+  }
+
+  /** Cached per root: the probe runs once per JVM per table. */
+  private val linkProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** One-time scratch probe: can `root`'s filesystem create hard
+    * links? Links a throwaway file inside manifests/ (same mount as
+    * the real claims) and cleans both names up. IOException from the
+    * probe's own infrastructure (cannot even create the scratch file)
+    * propagates — the caller must not degrade on unknown evidence. */
+  private[graft] def supportsHardLinks(root: String): Boolean =
+    linkProbeCache.computeIfAbsent(root, { r =>
+      val dir = Paths.get(r, "manifests")
+      Files.createDirectories(dir)
+      val tag = s"${ProcessHandle.current.pid}-${System.nanoTime}"
+      val src = dir.resolve(s".linkprobe-src-$tag")
+      val dst = dir.resolve(s".linkprobe-dst-$tag")
+      try {
+        Files.createFile(src)
+        try { Files.createLink(dst, src); java.lang.Boolean.TRUE }
+        catch {
+          case _: UnsupportedOperationException => java.lang.Boolean.FALSE
+          case _: java.nio.file.FileSystemException => java.lang.Boolean.FALSE
+        }
+      } finally {
+        try Files.deleteIfExists(dst)
+        catch { case _: java.io.IOException => () }
+        try Files.deleteIfExists(src)
+        catch { case _: java.io.IOException => () }
+      }
+    })
+
   /** commit.seq of a manifest FILE from its HEADER lines only (id=,
     * schema=, prop= — all precede the first entry line, and props sort
     * by key): O(header bytes), never parses entries. None when the
@@ -346,13 +390,44 @@ object SnapshotStore {
         "is at or below the published head's sequence — this commit's " +
           "base read is stale (it may predate the retention horizon)")
     }
-    def degrade(): Boolean = {
-      // no hard links on this filesystem: degrade to the locked
-      // single-host discipline (pointer-swap publish below), loud
+    // Degrading on a link failure must distinguish "this filesystem
+    // has no hard links" (VFAT/exFAT, many NFS/SMB/FUSE mounts — where
+    // NIO surfaces EPERM/ENOTSUP as FileSystemException, not
+    // UnsupportedOperationException) from a GENUINE error on a
+    // link-capable mount (ACL misconfiguration, seccomp blocking
+    // link(2), protected_hardlinks). Classifying the real claim's
+    // error message is locale-dependent and conflates the two: a
+    // silent degrade on a capable filesystem publishes WITHOUT a chain
+    // slot — a gap other writers' conflict detection can't see.
+    // Instead: (a) if the table already has chain slots, other writers
+    // demonstrably link here, so this error is NOT a capability gap —
+    // fail loudly; (b) otherwise ask a one-time scratch probe
+    // ([[supportsHardLinks]]); only a probe-confirmed no-link
+    // filesystem degrades to the locked single-host discipline.
+    def degradeOrFail(e: Throwable): Boolean = {
+      if (hasChainSlots(root)) {
+        withdraw()
+        throw new java.io.IOException(
+          s"hard-link claim of commit-$seq at $root failed " +
+            s"(${e.getMessage}) but this table already has chain " +
+            "slots — other writers link here successfully, so this " +
+            "is not a filesystem capability gap; refusing to degrade " +
+            "to pointer-swap publish (it would disable cross-host " +
+            "conflict detection for this commit)", e)
+      }
+      val capable =
+        try supportsHardLinks(root)
+        catch { case _: java.io.IOException =>
+          // the probe itself could not run — treat as capable
+          // (degrading on unknown evidence is the unsafe direction)
+          true
+        }
+      if (capable) { withdraw(); throw e }
       System.err.println(
         s"[snapshot] WARN: filesystem at $root does not support " +
-          "hard links — cross-host commit conflict detection is " +
-          "OFF; writers on other hosts need external coordination")
+          "hard links (probe-confirmed) — cross-host commit conflict " +
+          "detection is OFF; writers on other hosts need external " +
+          "coordination")
       false
     }
     val chained =
@@ -364,18 +439,8 @@ object SnapshotStore {
           // above could not see)
           withdraw()
           throw new ConcurrentCommitException(root, seq)
-        case _: UnsupportedOperationException => degrade()
-        case e: java.nio.file.FileSystemException
-            // Linux NIO implements link(2) everywhere, so a filesystem
-            // WITHOUT hard links (VFAT/exFAT, many NFS/SMB/FUSE mounts)
-            // surfaces EPERM/ENOTSUP as FileSystemException, not
-            // UnsupportedOperationException — same degrade, or every
-            // commit on such a mount fails outright. Genuine I/O errors
-            // (EIO, ENOSPC…) still propagate.
-            if Seq(Option(e.getReason), Option(e.getMessage)).flatten
-              .exists(r => r.toLowerCase.contains("not permitted") ||
-                r.toLowerCase.contains("not supported")) =>
-          degrade()
+        case e: UnsupportedOperationException => degradeOrFail(e)
+        case e: java.nio.file.FileSystemException => degradeOrFail(e)
       }
     if (chained) {
       // the chain entry must survive a crash: fsync the manifests dir
@@ -571,18 +636,37 @@ object SnapshotStore {
     * retention policy, never by table size. Commits expired past the
     * horizon are simply absent, exactly like time travel. An
     * entries-empty commit (a DELETE that drained the table) reports
-    * rows = Some(0) — exactly known, not unknown. */
-  def history(root: String): Seq[HistoryEntry] =
-    retainedSeqs(root).flatMap { seq =>
-      scala.util.Try(manifestAtSeq(root, seq)).toOption.map { m =>
-        val stats = m.entries.flatMap(_.stats)
-        HistoryEntry(seq, m.id, m.entries.size,
-          if (m.entries.isEmpty) Some(0L)
-          else if (stats.size == m.entries.size)
-            Some(stats.map(_.rows).sum)
-          else None)
-      }
+    * rows = Some(0) — exactly known, not unknown.
+    *
+    * Tables with NO chain slots at all — committed in the degraded
+    * no-hard-link mode, or pre-chain legacy manifests — would report
+    * an empty history for a table that plainly exists; for those the
+    * raw manifests listing (seq order) is returned instead,
+    * BEST-EFFORT: without a chain, a crash-orphaned never-committed
+    * manifest is indistinguishable from a commit (distinguishing them
+    * is exactly the capability the chain adds). The fallback never
+    * fires on a chained table: a dense chain has a slot for every
+    * retained commit. */
+  def history(root: String): Seq[HistoryEntry] = {
+    def entryOf(seq: Long, m: Manifest): HistoryEntry = {
+      val stats = m.entries.flatMap(_.stats)
+      HistoryEntry(seq, m.id, m.entries.size,
+        if (m.entries.isEmpty) Some(0L)
+        else if (stats.size == m.entries.size)
+          Some(stats.map(_.rows).sum)
+        else None)
     }
+    val viaChain = retainedSeqs(root).flatMap { seq =>
+      scala.util.Try(manifestAtSeq(root, seq)).toOption
+        .map(m => entryOf(seq, m))
+    }
+    if (viaChain.nonEmpty) viaChain
+    else retainedIds(root).flatMap { id =>
+      scala.util.Try(
+        parse(Paths.get(root, s"manifests/manifest-$id"))).toOption
+        .map(m => entryOf(seqOf(m), m))
+    }.sortBy(_.seq)
+  }
 
   // ---- entry statistics ----------------------------------------------------
 
@@ -956,6 +1040,19 @@ object SnapshotStore {
   private[graft] val PartColProp = "table.partCol"
   private[graft] val SortColProp = "table.sortCol"
 
+  /** The writer session's `spark.sql.session.timeZone`, recorded at
+    * every commit: partition dir tokens of a TZ-timestamp partition
+    * column are rendered by `cast(partCol as string)` UNDER THAT ZONE,
+    * so any later value-addressed partition op (DELETE literals, MERGE
+    * discovery pruning) must render under the same zone or it silently
+    * matches nothing. Readers don't depend on tokens; this prop exists
+    * for the write/delete paths to compare against. */
+  private[graft] val TzProp = "table.tz"
+
+  private def sessionTz: Option[String] =
+    scala.util.Try(
+      SparkSession.active.sessionState.conf.sessionLocalTimeZone).toOption
+
   /** The recorded (partCol, sortCol) of a committed table, if its
     * manifests carry layout props (every commit since stats-era does). */
   def tableLayout(m: Manifest): Option[(String, String)] =
@@ -965,17 +1062,36 @@ object SnapshotStore {
   /** Incremental commits must match the recorded layout; a full
     * [[write]] redefines it (it rewrites every partition anyway). */
   private def checkLayout(prior: Option[Manifest], partCol: String,
-      sortCol: String): Unit =
+      sortCol: String): Unit = {
     prior.flatMap(tableLayout).foreach { case (p, s) =>
       require(p == partCol && s == sortCol,
         s"commit layout ($partCol, $sortCol) does not match the table's " +
           s"recorded layout ($p, $s) — a mixed-layout table cannot be " +
           "read back; write a full snapshot to change the layout")
     }
+    // A TZ-timestamp partition column's dir tokens are rendered under
+    // the WRITER session's timezone ([[TzProp]]): an append under a
+    // different zone would split the same instant across two tokens —
+    // reads stay correct (they never address by token) but DELETE and
+    // MERGE pruning would silently miss rows. Refuse loudly instead.
+    for {
+      pm <- prior
+      wtz <- pm.props.get(TzProp)
+      tz <- sessionTz
+      if pm.schema.exists(_.fields.exists(f =>
+        f.name == partCol &&
+          f.dataType == org.apache.spark.sql.types.TimestampType))
+    } require(tz == wtz,
+      s"this table's TZ-timestamp partition tokens were rendered under " +
+        s"session timezone '$wtz' but this session uses '$tz' — set " +
+        "spark.sql.session.timeZone to match, or rewrite the table " +
+        "with a full snapshot")
+  }
 
   private def layoutProps(partCol: String, sortCol: String)
       : Map[String, String] =
-    Map(PartColProp -> partCol, SortColProp -> sortCol)
+    Map(PartColProp -> partCol, SortColProp -> sortCol) ++
+      sessionTz.map(TzProp -> _)
 
   // ---- public writer API -------------------------------------------------
 
@@ -1346,7 +1462,11 @@ object SnapshotStore {
         s"changeFeed at $root: no endpoint (nor the live table) " +
           "carries a schema — manifests predate schema-carrying " +
           "commits, so an empty side cannot be typed")
-    require(!schema.exists(_.fieldNames.contains("_change_type")),
+    // case-INSENSITIVE: Spark resolution is case-insensitive by
+    // default, so withColumn("_change_type", …) would replace a
+    // pre-existing _CHANGE_TYPE column too
+    require(!schema.exists(_.fieldNames.exists(
+        _.equalsIgnoreCase("_change_type"))),
       "changeFeed cannot tag a table that already has a _change_type " +
         "column — the tag would silently overwrite it")
     val aDirs = a.entries.map(_.dir).toSet

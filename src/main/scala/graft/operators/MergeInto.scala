@@ -111,7 +111,19 @@ object MergeInto {
     * partitions) re-evaluated per pass would let discovery and resolve
     * disagree — rows landing outside dropValues, or matched base rows
     * escaping the rewrite. Delta/Iceberg materialize their MERGE
-    * source for exactly this reason. */
+    * source for exactly this reason.
+    *
+    * Materialization durability: the default `localCheckpoint(true)`
+    * stores blocks on executor local storage with NO lineage — on a
+    * multi-executor cluster, losing one executor mid-MERGE fails the
+    * whole statement (nothing to recompute from). Acceptable on this
+    * single-host engine; for cluster deployments set
+    * `graft.merge.materialize=reliable` to use
+    * `persist(MEMORY_AND_DISK_2)` with a count() barrier instead:
+    * blocks are replicated 2×, so one lost executor degrades to
+    * reading the replica, and only losing BOTH replicas falls back to
+    * lineage recomputation (where a non-deterministic source could in
+    * principle diverge — the Delta trade-off). */
   private def mergeCommitImpl(spark: SparkSession, root: String,
       changes0: DataFrame, key: String, partCol: String, sortCol: String,
       landable: org.apache.spark.sql.Column,
@@ -120,7 +132,15 @@ object MergeInto {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(
           s"no snapshot at $root to merge into"))
-      val changes = changes0.localCheckpoint(true)
+      val reliable = spark.conf.getOption("graft.merge.materialize")
+        .contains("reliable")
+      val changes =
+        if (reliable) {
+          val c = changes0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+          c.count() // barrier: materialize before any pass reads it
+          c
+        } else changes0.localCheckpoint(true)
       try {
         val changeKeys = changes.filter(col(key).isNotNull)
           .select(col(key)).distinct()

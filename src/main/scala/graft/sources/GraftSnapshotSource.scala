@@ -194,9 +194,10 @@ class GraftSnapshotTable(
     * agrees for strings, integrals, dates and booleans; timestamps go
     * through Spark's OWN Catalyst `Cast` (java.sql.Timestamp.toString
     * appends ".0" and would silently match nothing), which by
-    * construction cannot drift from the writer's rendering — with the
-    * session-timezone caveat that TZ timestamps must be deleted under
-    * the zone the table is written under (this engine pins UTC).
+    * construction cannot drift from the writer's rendering — and for
+    * TZ timestamps the session timezone is ENFORCED against the
+    * table.tz manifest prop recorded at commit (a zone mismatch throws
+    * instead of silently matching zero tokens).
     * Float/decimal partition columns still fail `canDeleteWhere`
     * LOUDLY: their literal-vs-cast formatting is genuinely ambiguous
     * (1.50 vs 1.5), and a mismatch would silently drop nothing. */
@@ -213,6 +214,31 @@ class GraftSnapshotTable(
            LongType | BooleanType => Some(v.toString)
       case DateType => Some(v.toString) // sql.Date/LocalDate: ISO = cast
       case dt @ (TimestampType | TimestampNTZType) =>
+        if (dt == TimestampType) {
+          // TZ timestamps: manifest tokens were rendered under the
+          // WRITER session's timezone (recorded as the table.tz prop
+          // at commit). Rendering this DELETE's literal under a
+          // different current zone would match zero tokens — the
+          // DELETE would report success and silently remove nothing.
+          // Refuse loudly instead of relying on convention.
+          val sess = SparkSession.active.sessionState.conf
+            .sessionLocalTimeZone
+          val wtz = manifest.props.get(graft.etl.SnapshotStore.TzProp)
+          if (!wtz.contains(sess)) throw new UnsupportedOperationException(
+            wtz match {
+              case scala.Some(w) =>
+                s"snapshot DELETE on the TZ-timestamp partition column " +
+                  s"refused: the table's partition tokens were rendered " +
+                  s"under session timezone '$w' but this session uses " +
+                  s"'$sess' — set spark.sql.session.timeZone to '$w'"
+              case scala.None =>
+                "snapshot DELETE on the TZ-timestamp partition column " +
+                  "refused: this table predates timezone-recording " +
+                  "manifests (no table.tz prop), so the literal's " +
+                  "rendering cannot be proven to match the writer's — " +
+                  "recommit to record the zone, or use CALL merge_into"
+            })
+        }
         try {
           val cast = org.apache.spark.sql.catalyst.expressions.Cast(
             org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt),
@@ -583,8 +609,17 @@ class ExpireProcedure(warehouse: String) extends UnboundProcedure {
         val root = SnapProcedures.existingRoot(warehouse, table)
         SnapshotStore.expire(root, keepLast,
           orphanGraceMs = SqlOrphanGraceMs)
+        // Degraded no-hard-link / pre-chain tables have no commit-*
+        // slots at all: reporting retained_commits = 0 for a table
+        // whose manifests WERE retained misreads as "expire destroyed
+        // everything". Count via history (which falls back to the
+        // manifests listing for exactly those tables).
+        val retained = SnapshotStore.retainedSeqs(root).size match {
+          case 0 => SnapshotStore.history(root).size
+          case n => n
+        }
         SnapProcedures.singleLongResult("retained_commits",
-          SnapshotStore.retainedSeqs(root).size.toLong)
+          retained.toLong)
       }
     }
 }

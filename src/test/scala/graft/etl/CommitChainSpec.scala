@@ -344,4 +344,88 @@ class CommitChainSpec extends SparkSpec {
     assert(props.get(SnapshotStore.AppendTokenPrefix + "./ckpt/")
       === Some("5"))
   }
+
+  test("hard-link capability probe: confirms support on this " +
+      "filesystem and leaves no scratch files behind") {
+    val root = tmpRoot("probe")
+    SnapshotStore.write(mkRows(1.0), root, "m", "ts")
+    assert(SnapshotStore.supportsHardLinks(root),
+      "this test filesystem supports link(2); the probe must agree")
+    val s = java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "manifests"))
+    val leftovers =
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) buf += it.next().getFileName.toString
+        buf.filter(_.startsWith(".linkprobe"))
+      } finally s.close()
+    assert(leftovers.isEmpty, s"probe scratch files leaked: $leftovers")
+  }
+
+  test("history falls back to the manifests listing for a table with " +
+      "no chain slots (degraded no-hard-link / pre-chain legacy)") {
+    val root = tmpRoot("legacyhist")
+    SnapshotStore.write(mkRows(10.0), root, "m", "ts")
+    SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 1.0),
+      root, "m", "ts")
+    val chained = SnapshotStore.history(root)
+    assert(chained.size === 2)
+    // simulate a degraded/legacy table: no commit-* slots at all
+    val dir = java.nio.file.Paths.get(root, "manifests")
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("commit-"))
+          java.nio.file.Files.delete(p)
+      }
+    } finally s.close()
+    assert(SnapshotStore.retainedSeqs(root).isEmpty)
+    val fallback = SnapshotStore.history(root)
+    assert(fallback.map(h => (h.seq, h.id, h.entries, h.rows)) ===
+      chained.map(h => (h.seq, h.id, h.entries, h.rows)),
+      "the manifests-listing fallback must reproduce the chain view")
+    // reads still resolve through the hint
+    assert(totals(root)("2024-01") === 11.0)
+  }
+
+  test("an append under a different session timezone on a " +
+      "TZ-timestamp-partitioned table refuses loudly; a string " +
+      "partition column is indifferent to the zone") {
+    import spark.implicits._
+    val root = tmpRoot("tzguard")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 1),
+      (2L, java.sql.Timestamp.valueOf("2024-02-15 10:00:00"), 2))
+      .toDF("id", "ts", "v")
+    SnapshotStore.write(rows, root, partCol = "ts", sortCol = "v")
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    assert(SnapshotStore.current(root).get.props
+      .get(SnapshotStore.TzProp) === Some(tz0),
+      "every commit must record the writer session's timezone")
+    val other =
+      if (tz0 == "Asia/Tokyo") "America/New_York" else "Asia/Tokyo"
+    spark.conf.set("spark.sql.session.timeZone", other)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SnapshotStore.appendPartitions(
+          Seq((3L, java.sql.Timestamp.valueOf("2024-03-15 10:00:00"), 3))
+            .toDF("id", "ts", "v"), root, "ts", "v")
+      }
+      assert(e.getMessage.contains("timezone"))
+      // a string-partitioned table appends fine under any zone
+      val sroot = tmpRoot("tzstring")
+      SnapshotStore.write(mkRows(10.0), sroot, "m", "ts")
+      SnapshotStore.appendPartitions(extraRow(3L, "2024-01", 1.0),
+        sroot, "m", "ts")
+      assert(totals(sroot)("2024-01") === 11.0)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    // back under the writer zone the append goes through
+    SnapshotStore.appendPartitions(
+      Seq((3L, java.sql.Timestamp.valueOf("2024-03-15 10:00:00"), 3))
+        .toDF("id", "ts", "v"), root, "ts", "v")
+    assert(SnapshotStore.read(spark, root).count() === 3L)
+  }
 }

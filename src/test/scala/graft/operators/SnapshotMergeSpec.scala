@@ -144,4 +144,16 @@ class SnapshotMergeSpec extends SparkSpec {
       .agg(sum("price")).collect()(0).getDouble(0) ===
       baseSum - 30.0 + 100.0 * nMerges)
   }
+
+  test("graft.merge.materialize=reliable swaps the changeset pin to a " +
+      "replicated persist and produces the identical result") {
+    val root = tmpRoot("reliable")
+    SnapshotStore.write(baseRows, root, "m", "ts")
+    spark.conf.set("graft.merge.materialize", "reliable")
+    try {
+      MergeInto.mergeCommit(spark, root, changeRows, "id", "_del",
+        "m", "ts")
+    } finally spark.conf.unset("graft.merge.materialize")
+    assert(rows(SnapshotStore.read(spark, root)) === expectedAfter)
+  }
 }

@@ -135,6 +135,43 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
     assert(SnapshotStore.current(s"$wh/t").get.id === before)
   }
 
+  test("a TZ-timestamp DELETE under a session timezone differing from " +
+      "the table's recorded writer zone refuses loudly instead of " +
+      "silently matching zero partition tokens") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_snapdel_tzmm").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 1),
+      (2L, java.sql.Timestamp.valueOf("2024-02-15 10:00:00"), 2))
+      .toDF("id", "ts", "v")
+    SnapshotStore.write(rows, s"$wh/t", partCol = "ts", sortCol = "v")
+    register("snapd6", wh)
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    val other =
+      if (tz0 == "Asia/Tokyo") "America/New_York" else "Asia/Tokyo"
+    spark.conf.set("spark.sql.session.timeZone", other)
+    try {
+      val e = intercept[Exception] {
+        spark.sql(
+          "DELETE FROM snapd6.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("timezone")),
+        s"expected the timezone refusal, got: ${messages(e)}")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    // the table is untouched — the refusal happened before any commit
+    assert(spark.sql("SELECT count(*) FROM snapd6.t").head()
+      .getLong(0) === 2L)
+    // and under the writer's own zone the DELETE still works
+    spark.sql(
+      "DELETE FROM snapd6.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+    assert(spark.sql("SELECT count(*) FROM snapd6.t").head()
+      .getLong(0) === 1L)
+  }
+
   test("a float partition column still refuses DELETE loudly — its " +
       "literal-vs-cast formatting is ambiguous and a mismatch would " +
       "silently drop nothing") {

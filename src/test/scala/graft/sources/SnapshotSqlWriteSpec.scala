@@ -174,6 +174,38 @@ class SnapshotSqlWriteSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.history and system.expire report the manifests " +
+      "listing for a table with no chain slots (degraded/legacy) " +
+      "instead of an empty history / retained_commits = 0") {
+    val (wh, name) = mkTable("deg")
+    register("snapdeg", wh)
+    val root = s"$wh/$name"
+    spark.sql(s"INSERT INTO snapdeg.$name VALUES " +
+      "(9, '2024-03', TIMESTAMP '2024-03-01 00:00:00', 5.5)")
+    // simulate a degraded no-hard-link / pre-chain table
+    val dir = java.nio.file.Paths.get(root, "manifests")
+    val s = java.nio.file.Files.list(dir)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("commit-"))
+          java.nio.file.Files.delete(p)
+      }
+    } finally s.close()
+    assert(SnapshotStore.retainedSeqs(root).isEmpty)
+    val hist = spark.sql(s"CALL snapdeg.system.history('$name')")
+      .collect()
+    assert(hist.length === 2,
+      "both commits surface through the manifests-listing fallback")
+    val retained = spark.sql(s"CALL snapdeg.system.expire('$name', 1)")
+      .head().getLong(0)
+    assert(retained === 1L,
+      "expire reports the retained manifest count, not 0")
+    assert(spark.sql(s"SELECT count(*) FROM snapdeg.$name")
+      .head().getLong(0) === 5L, "the live head survives")
+  }
+
   test("a time-travel load is read-only: INSERT into VERSION AS OF " +
       "cannot resolve a writable table") {
     val (wh, name) = mkTable("tt")

@@ -155,6 +155,22 @@ class SnapshotTailStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("inverted"))
   }
 
+  test("changeFeed refuses a pre-existing change-type column in ANY " +
+      "case — Spark resolution is case-insensitive, so _CHANGE_TYPE " +
+      "would be silently replaced too") {
+    import spark.implicits._
+    val root = tmpDir("cdfcase") + "/t"
+    val df = Seq((1L, "2024-01", "x"), (2L, "2024-02", "y"))
+      .toDF("id", "m", "_CHANGE_TYPE")
+    SnapshotStore.write(df, root, "m", "id")
+    SnapshotStore.appendPartitions(
+      Seq((3L, "2024-03", "z")).toDF("id", "m", "_CHANGE_TYPE"),
+      root, "m", "id")
+    val e = intercept[IllegalArgumentException](
+      SnapshotStore.changeFeed(spark, root, 1, 2))
+    assert(e.getMessage.contains("_change_type"))
+  }
+
   test("maxCommitsPerTrigger bounds admission: a catch-up over three " +
       "commits arrives as three single-commit batches") {
     val root = tmpDir("adm") + "/t"
