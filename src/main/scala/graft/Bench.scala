@@ -150,7 +150,11 @@ object Bench {
     // round-10: the statement-form write surface — native MERGE INTO
     // and dynamic-partition INSERT OVERWRITE commit in warmup; the
     // measured read must stay ≈ a plain multi-root parquet read
-    "snapshot_sql_merge_stmt", "snapshot_sql_overwrite")
+    "snapshot_sql_merge_stmt", "snapshot_sql_overwrite",
+    // round-11: row-level copy-on-write DML — native UPDATE and
+    // row-granular DELETE commit in warmup; measured reads price the
+    // carried + restated manifest exactly like the other DML lanes
+    "snapshot_sql_update", "snapshot_sql_delete_rows")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

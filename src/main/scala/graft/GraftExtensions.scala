@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // intercepted the same way and routed through the locked atomic
     // partition restatement
     ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotOverwriteRewrite)
+    // native SQL UPDATE and row-level DELETE over snapshot tables —
+    // copy-on-write restatement of only the touched partitions;
+    // partition-value DELETEs keep the metadata-only SupportsDelete
+    // fast path (the rewrite mirrors the planner's filter translation
+    // to decide which path serves the predicate)
+    ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotUpdateRewrite)
+    ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotRowDeleteRewrite)
     ext.injectFunction(
       (FunctionIdentifier("cosine_similarity"),
         new ExpressionInfo(

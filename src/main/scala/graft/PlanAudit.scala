@@ -736,6 +736,25 @@ object PlanAudit {
     check("snapshot_sql_delete: DSV2 BatchScan + one agg exchange, no join",
       dl.contains("BatchScan") && occurrences(dl, "Exchange") <= 1 &&
         !dl.contains("Join") && occurrences(dl, "HashAggregate") >= 2, "")
+    // native UPDATE (row-level copy-on-write): only the date-bounded
+    // months restate onto snap-2, every other month carries its snap-1
+    // dir by reference — and a touched month moves WHOLESALE (restate
+    // replaces the partition; an append would leave it reading both)
+    val updFiles = catalogLaneAudit("snapshot_sql_update",
+      "UPDATE mixes carried + restated dirs",
+      "row-level UPDATE restates only the partitions holding matches")
+    check("snapshot_sql_update: a touched month moves wholesale",
+      (partMonths(updFiles, "snap-1")
+        intersect partMonths(updFiles, "snap-2")).isEmpty,
+      "copy-on-write restatement REPLACES a touched month's dirs")
+    // row-level DELETE: same restatement shape as UPDATE
+    val delrFiles = catalogLaneAudit("snapshot_sql_delete_rows",
+      "row-level DELETE mixes carried + restated dirs",
+      "only the partitions holding deleted rows are rewritten")
+    check("snapshot_sql_delete_rows: a touched month moves wholesale",
+      (partMonths(delrFiles, "snap-1")
+        intersect partMonths(delrFiles, "snap-2")).isEmpty,
+      "survivors of a touched month rewrite; untouched months carry")
 
     println(s"\n$failures failures")
     spark.stop()

@@ -141,12 +141,17 @@ object ScaleSmoke {
     // round-10: the statement-form write surface at K× — native MERGE
     // INTO and dynamic INSERT OVERWRITE commit in warmup, measured
     // runs price the committed-manifest read exactly like the rest
-    "snapshot_sql_merge_stmt", "snapshot_sql_overwrite")
+    "snapshot_sql_merge_stmt", "snapshot_sql_overwrite",
+    // round-11: row-level copy-on-write DML at K× — the UPDATE/DELETE
+    // discovery scan and partition restatement grow with the touched
+    // data; the measured read prices the committed manifest
+    "snapshot_sql_update", "snapshot_sql_delete_rows")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
     Set("snapshot_merge", "snapshot_sql", "snapshot_sql_insert",
-      "snapshot_sql_merge_stmt", "snapshot_sql_overwrite")
+      "snapshot_sql_merge_stmt", "snapshot_sql_overwrite",
+      "snapshot_sql_update", "snapshot_sql_delete_rows")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

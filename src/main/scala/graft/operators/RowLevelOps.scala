@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.etl.SnapshotStore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level copy-on-write UPDATE and DELETE over snapshot tables —
+  * the general-predicate complement to the metadata-only partition
+  * DROP ([[SnapshotStore.dropPartitions]]) and the key-addressed MERGE
+  * ([[MergeInto]]). Row mutations are ClickHouse operational practice
+  * (`ALTER TABLE … UPDATE/DELETE`) — an extension here, not in the
+  * reference's query set; the mutation is an atomic snapshot commit in
+  * the standard Delta/Iceberg copy-on-write model, restating ONLY the
+  * partitions containing affected rows:
+  *
+  *   1. discovery — scan `WHERE cond` (filter pushed into the parquet
+  *      scan) and collect the distinct partition values holding
+  *      matches; zero matches commits NOTHING (ids aren't burned by
+  *      no-op statements, matching partition-DELETE semantics);
+  *   2. rewrite — read exactly the touched partitions back
+  *      (manifest-entry pruned, never a directory listing), apply the
+  *      transform, and commit through the locked
+  *      [[SnapshotStore.restatePartitions]]: untouched partitions
+  *      carry by manifest reference, drained partitions drop, and the
+  *      old snapshot stays time-travel-visible.
+  *
+  * At 100 TB the cost is proportional to the TOUCHED partitions (one
+  * pushed-filter scan + a rewrite of affected months), never to table
+  * size — the same shape Delta/Iceberg copy-on-write produces.
+  *
+  * CONTRACT: `cond` and every SET value must be DETERMINISTIC — they
+  * are evaluated once for discovery and once for the rewrite, and a
+  * `rand()`-dependent predicate would let the two passes disagree
+  * (rows updated in partitions the discovery never claimed). The SQL
+  * entry points ([[graft.plans.SnapshotUpdateRewrite]]) enforce this
+  * at analysis; Scala callers own it. SQL NULL semantics: a NULL
+  * condition row is NOT matched (`WHERE NULL` selects nothing), so the
+  * condition is null-coalesced to false on both passes. */
+object RowLevelOps {
+
+  /** `UPDATE t SET col = v, … WHERE cond` as one atomic copy-on-write
+    * commit. `sets` values see the OLD row (standard SQL UPDATE: all
+    * assignments evaluate against pre-update values). Assigning the
+    * partition column moves rows across partitions: the landing
+    * partitions are restated together with the source partitions, so
+    * a moved row lands exactly once. Returns the committed snapshot id
+    * (the prior id when nothing matched — no commit). */
+  def updateCommit(spark: SparkSession, root: String, cond: Column,
+      sets: Seq[(String, Column)], partCol: String, sortCol: String)
+      : Long =
+    SnapshotStore.withTableLock(root) {
+      val m = SnapshotStore.current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to update"))
+      val matchedCond = coalesce(cond, lit(false))
+      val base = SnapshotStore.read(spark, root)
+      val setMap = sets.toMap
+      require(sets.size == setMap.size,
+        s"duplicate SET column: ${sets.map(_._1).diff(setMap.keys.toSeq)}")
+      val unknown = setMap.keySet.diff(base.columns.toSet)
+      require(unknown.isEmpty, s"SET of unknown column(s): $unknown")
+      val matched = base.filter(matchedCond)
+      val srcParts = matched.select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      if (srcParts.isEmpty) m.id
+      else {
+        // rows MOVE when SET assigns the partition column: their
+        // landing partitions are restated too (their untouched prior
+        // content must carry into the rewrite, or the move would
+        // shadow it)
+        val landing: Set[String] = setMap.get(partCol) match {
+          case Some(v) => matched.select(v.cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          case None => Set.empty
+        }
+        val touched = srcParts ++ landing
+        val content = SnapshotStore.readWhere(spark, root, touched)
+        val resolved = content.select(content.columns.toSeq.map { n =>
+          setMap.get(n) match {
+            case Some(v) => when(matchedCond, v).otherwise(col(n)).as(n)
+            case None => col(n)
+          }
+        }: _*)
+        SnapshotStore.restatePartitions(resolved, root, touched,
+          partCol, sortCol)
+      }
+    }
+
+  /** `DELETE FROM t WHERE cond` for predicates the metadata-only
+    * partition drop cannot express: restates the partitions containing
+    * matching rows with those rows filtered out; a drained partition's
+    * entry drops (deleted rows can never resurface). Returns the
+    * committed snapshot id (the prior id when nothing matched). */
+  def deleteRowsCommit(spark: SparkSession, root: String, cond: Column,
+      partCol: String, sortCol: String): Long =
+    SnapshotStore.withTableLock(root) {
+      val m = SnapshotStore.current(root).getOrElse(
+        throw new IllegalStateException(
+          s"no snapshot at $root to delete from"))
+      val matchedCond = coalesce(cond, lit(false))
+      val base = SnapshotStore.read(spark, root)
+      val srcParts = base.filter(matchedCond)
+        .select(col(partCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      if (srcParts.isEmpty) m.id
+      else {
+        val content = SnapshotStore.readWhere(spark, root, srcParts)
+        val resolved = content.filter(!matchedCond)
+        SnapshotStore.restatePartitions(resolved, root, srcParts,
+          partCol, sortCol)
+      }
+    }
+}

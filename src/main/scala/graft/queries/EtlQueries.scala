@@ -618,6 +618,67 @@ object EtlQueries {
   def snapshotSqlOverwrite: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlOverwrite(s, d)))
 
+  /** One SQL-UPDATEd history per (JVM, sfDir): full load, then a
+    * native `UPDATE` statement with a row-granular predicate —
+    * [[graft.plans.SnapshotUpdateRewrite]] routes it through the
+    * copy-on-write [[graft.operators.RowLevelOps.updateCommit]]: only
+    * partitions holding keys ≡ 4 (mod 10) restate, the rest carry by
+    * manifest reference (the predicate's date bound keeps most months
+    * untouched — PlanAudit checks the carried/restated dir mix). */
+  private val snapSqlUpdPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlUpdate(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapsqlupd",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapSqlUpdPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"UPDATE $table SET o_totalprice = o_totalprice + 7.5 " +
+          "WHERE o_orderkey % 10 = 4 AND o_orderdate >= DATE '1998-03-01'")
+        snapSqlUpdPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Native SQL `UPDATE` path: keys ≡ 4 (mod 10) get +7.50, replayed
+    * by the oracle as a CASE over raw orders. */
+  def snapshotSqlUpdate: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlUpdate(s, d)))
+
+  /** One row-level-DELETEd history per (JVM, sfDir): full load, then a
+    * native `DELETE` whose predicate no partition drop can express
+    * (keys ≡ 6 (mod 10)) — [[graft.plans.SnapshotRowDeleteRewrite]]
+    * routes it through the copy-on-write
+    * [[graft.operators.RowLevelOps.deleteRowsCommit]]. */
+  private val snapSqlDelRowsPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlDeleteRows(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapsqldelr",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapSqlDelRowsPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"DELETE FROM $table WHERE o_orderkey % 10 = 6 " +
+          "AND o_orderdate >= DATE '1998-03-01'")
+        snapSqlDelRowsPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Native row-level SQL `DELETE` path: keys ≡ 6 (mod 10) removed,
+    * replayed by the oracle as a NOT filter over raw orders. */
+  def snapshotSqlDeleteRows: Q = (s, d) =>
+    sqlMonthAgg(s,
+      registerSnapCatalog(s, prepareSnapshotSqlDeleteRows(s, d)))
+
   /** Batch CHANGE FEED ([[SnapshotStore.changeFeed]], the Delta
     * `table_changes` analogue) over the backfill history: between the
     * full load (seq 1) and the corrected-month restatement (seq 2) the
@@ -768,6 +829,8 @@ object EtlQueries {
     "snapshot_sql_merge" -> snapshotSqlMerge,
     "snapshot_sql_merge_stmt" -> snapshotSqlMergeStmt,
     "snapshot_sql_overwrite" -> snapshotSqlOverwrite,
+    "snapshot_sql_update" -> snapshotSqlUpdate,
+    "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
     "snapshot_stream_tail" -> snapshotStreamTail,
     "snapshot_changefeed" -> snapshotChangeFeed,
     "snapshot_sql_delete" -> snapshotSqlDelete,
@@ -893,6 +956,28 @@ object EtlQueries {
     // pure-SQL dynamic-partition INSERT OVERWRITE replays the same
     // restatement as the Scala backfill — one oracle, three write APIs
     "snapshot_sql_overwrite" -> snapshotBackfillSql,
+    // replay the native UPDATE: keys ≡4 (mod 10) get +7.50
+    "snapshot_sql_update" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | fin AS (SELECT order_month,
+        |   CASE WHEN o_orderkey % 10 = 4 AND o_orderdate >= DATE '1998-03-01'
+        |        THEN o_totalprice + 7.5
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM o)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // replay the row-level DELETE: keys ≡6 (mod 10) removed
+    "snapshot_sql_delete_rows" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM o WHERE NOT (o_orderkey % 10 = 6 AND o_orderdate >= DATE '1998-03-01')
+        |GROUP BY 1""".stripMargin,
     // the streaming tail drains the SQL-INSERT history dir-exactly-once
     // — the drained aggregate must equal the batch read's oracle
     "snapshot_stream_tail" ->

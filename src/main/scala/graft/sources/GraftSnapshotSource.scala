@@ -201,6 +201,20 @@ class GraftSnapshotTable(
     * Float/decimal partition columns still fail `canDeleteWhere`
     * LOUDLY: their literal-vs-cast formatting is genuinely ambiguous
     * (1.50 vs 1.5), and a mismatch would silently drop nothing. */
+  /** Can [[deleteWhere]] serve these filters as a metadata-only
+    * partition drop? Used by [[graft.plans.SnapshotRowDeleteRewrite]]
+    * to decide partition-drop vs row-level copy-on-write at analysis.
+    * A refusal thrown by the token-rendering path (the TZ-timestamp
+    * zone check) counts as "not partition-granular": the row-level
+    * rewrite evaluates the predicate on data values, which is
+    * zone-correct, and its commit re-checks the layout loudly. */
+  private[graft] def partitionGranularDelete(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable &&
+      (try deleteTargets(filters)
+       catch { case _: UnsupportedOperationException => scala.None })
+        .isDefined
+
   private def deleteTargets(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Option[Option[Set[String]]] = {

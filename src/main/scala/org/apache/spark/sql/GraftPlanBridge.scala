@@ -18,6 +18,17 @@ object GraftPlanBridge {
   def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Catalyst predicate → V1 `sources.Filter`, exactly the planner's
+    * own translation (`DataSourceStrategy.translateFilter`, which is
+    * `protected[sql]`): lets an analysis rule predict whether a
+    * predicate will reach `SupportsDelete.canDeleteWhere` translated,
+    * so its partition-drop-vs-row-level routing can never disagree
+    * with the planner. */
+  def translateFilter(predicate: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = true)
+
   /** Re-bind `df` to a CLONE of its session with `kvs` conf overrides
     * applied — the race-free way to scope a write-time conf change to
     * one job: setting the shared session's conf and restoring it would

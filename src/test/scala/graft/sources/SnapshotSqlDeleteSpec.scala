@@ -59,25 +59,27 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
       .count() === 5L)
   }
 
-  test("IN-list and OR predicates translate; AND with a non-partition " +
-      "conjunct (or any row-level predicate) is rejected at analysis") {
+  test("IN-list and OR predicates translate to the metadata-only drop; " +
+      "row-granular predicates route to the copy-on-write path " +
+      "(SnapshotSqlUpdateSpec pins its semantics)") {
     val (wh, root) = mkTable("pred")
     register("snapd2", wh)
     spark.sql(
       "DELETE FROM snapd2.t WHERE m IN ('2024-01') OR m = '2024-03'")
     assert(SnapshotStore.current(root).get.entries.map(_.value) ===
       Seq("2024-02"))
-    // row-granular predicates cannot be partition drops — loud, with
-    // nothing committed
-    val before = SnapshotStore.current(root).get.id
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("DELETE FROM snapd2.t WHERE price > 25.0")
-    }
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("DELETE FROM snapd2.t WHERE m = '2024-02' AND id = 3")
-    }
-    assert(SnapshotStore.current(root).get.id === before,
-      "a rejected DELETE must not commit")
+    // a row-granular predicate is served by the row-level rewrite: it
+    // RESTATES the touched partition (writes data), never drops it
+    val dirsBefore = Option(new java.io.File(s"$root/data").listFiles())
+      .get.map(_.getName).toSet
+    spark.sql("DELETE FROM snapd2.t WHERE m = '2024-02' AND id = 3")
+    assert(spark.sql("SELECT id FROM snapd2.t").collect()
+      .map(_.getLong(0)).toSet === Set(4L))
+    val after = SnapshotStore.current(root).get
+    assert(Option(new java.io.File(s"$root/data/snap-${after.id}")
+      .listFiles()).get.nonEmpty,
+      "the row-level path restates (writes) the touched partition")
+    assert(!dirsBefore.contains(s"snap-${after.id}"))
   }
 
   test("unconditional DELETE truncates to a typed empty table; the " +
@@ -136,8 +138,9 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
   }
 
   test("a TZ-timestamp DELETE under a session timezone differing from " +
-      "the table's recorded writer zone refuses loudly instead of " +
-      "silently matching zero partition tokens") {
+      "the table's recorded writer zone can never silently corrupt: " +
+      "the row-level path evaluates instants correctly, and a " +
+      "restatement under the wrong zone refuses loudly") {
     import spark.implicits._
     val wh = java.nio.file.Files
       .createTempDirectory("graft_snapdel_tzmm").toString
@@ -152,39 +155,43 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
       if (tz0 == "Asia/Tokyo") "America/New_York" else "Asia/Tokyo"
     spark.conf.set("spark.sql.session.timeZone", other)
     try {
-      val e = intercept[Exception] {
-        spark.sql(
-          "DELETE FROM snapd6.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+      // the mismatch diverts this predicate OFF the token-rendered
+      // partition drop (which would compare wall-clock strings across
+      // zones) onto the row-level path, where the literal denotes a
+      // DIFFERENT instant than the stored rows — correct timestamp
+      // semantics: nothing matches, nothing commits
+      val id = SnapshotStore.current(s"$wh/t").get.id
+      spark.sql(
+        "DELETE FROM snapd6.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+      assert(spark.sql("SELECT count(*) FROM snapd6.t").head()
+        .getLong(0) === 2L)
+      assert(SnapshotStore.current(s"$wh/t").get.id === id)
+      // a MATCHING row-level delete would have to restate a partition
+      // whose tokens belong to the writer's zone: the commit refuses
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("DELETE FROM snapd6.t WHERE id = 1")
       }
-      def messages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x =>
-          Option(x.getMessage).toSeq ++ messages(x.getCause))
-      assert(messages(e).exists(_.contains("timezone")),
-        s"expected the timezone refusal, got: ${messages(e)}")
+      assert(e.getMessage.contains("timezone"))
+      assert(spark.sql("SELECT count(*) FROM snapd6.t").head()
+        .getLong(0) === 2L, "nothing committed")
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
-    // the table is untouched — the refusal happened before any commit
-    assert(spark.sql("SELECT count(*) FROM snapd6.t").head()
-      .getLong(0) === 2L)
-    // and under the writer's own zone the DELETE still works
+    // under the writer's own zone the metadata-only drop still serves
     spark.sql(
       "DELETE FROM snapd6.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
     assert(spark.sql("SELECT count(*) FROM snapd6.t").head()
       .getLong(0) === 1L)
   }
 
-  test("a float partition column still refuses DELETE loudly — its " +
-      "literal-vs-cast formatting is ambiguous and a mismatch would " +
-      "silently drop nothing") {
+  test("a float partition column never takes the metadata-only drop — " +
+      "its literal-vs-cast token formatting is ambiguous — but the " +
+      "row-level path serves it through data-value evaluation") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft_snapdel_f").toString
     val rows = Seq((1L, 1.5, 1), (2L, 2.5, 2)).toDF("id", "fp", "v")
     SnapshotStore.write(rows, s"$wh/t", partCol = "fp", sortCol = "v")
     register("snapd5", wh)
-    val before = SnapshotStore.current(s"$wh/t").get.id
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("DELETE FROM snapd5.t WHERE fp = 1.5")
-    }
-    assert(SnapshotStore.current(s"$wh/t").get.id === before)
-    assert(spark.sql("SELECT count(*) FROM snapd5.t").head().getLong(0) === 2L)
+    spark.sql("DELETE FROM snapd5.t WHERE fp = 1.5")
+    assert(spark.sql("SELECT id FROM snapd5.t").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
   }
 }
