@@ -755,6 +755,14 @@ object PlanAudit {
       (partMonths(delrFiles, "snap-1")
         intersect partMonths(delrFiles, "snap-2")).isEmpty,
       "survivors of a touched month rewrite; untouched months carry")
+    // rollback (Delta RESTORE analogue): publishing the restored head
+    // is a ~KB manifest commit — the read after rolling back two bad
+    // DML commits scans the ORIGINAL snap-1 dirs only, nothing copied
+    val rbDf = SparkEntry.allQueries("snapshot_rollback")(spark, sfDir)
+    val rbFiles = dsv2ScanFiles(rbDf)
+    check("snapshot_rollback: the restore is metadata-only",
+      rbFiles.nonEmpty && rbFiles.forall(_.contains("/snap-1/")),
+      "the restored head carries the original dirs by reference")
 
     println(s"\n$failures failures")
     spark.stop()

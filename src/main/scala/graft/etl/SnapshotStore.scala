@@ -1479,6 +1479,42 @@ object SnapshotStore {
       .unionByName(side(aDirs -- bDirs, "delete"))
   }
 
+  /** ROLL the table BACK to its state at chain sequence `toSeq`, as a
+    * NEW commit (the Delta `RESTORE` / Iceberg `rollback_to_snapshot`
+    * analogue; ClickHouse operational practice via backup restore — an
+    * extension, not in the reference). Never rewinds the chain: the
+    * restored state publishes at head+1, so history stays append-only,
+    * readers between the bad commits and the rollback stay coherent,
+    * and the rolled-back commits remain time-travel-visible until
+    * [[expire]]. The restored manifest carries the TARGET's entries,
+    * schema and layout props (its partition tokens belong to that
+    * layout), but keeps the HEAD's streaming idempotence tokens — a
+    * rolled-back stream batch re-delivered after the rollback must
+    * stay a no-op (the operator rolled those rows back deliberately;
+    * re-appending them behind their back would undo the restore).
+    * Rolling back TO the current head is a no-op that commits nothing;
+    * a `toSeq` past the retention horizon fails loudly
+    * ([[manifestAtSeq]]'s tombstone error). Cross-host safe: the
+    * publish claims head+1 through the chain CAS like any commit. */
+  def rollback(root: String, toSeq: Long): Long = withCommitLock(root) {
+    val prior = current(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root to roll back"))
+    val headSeq = seqOf(prior)
+    require(toSeq >= 1 && toSeq <= headSeq,
+      s"rollback target seq $toSeq is outside this table's history " +
+        s"(head is seq $headSeq)")
+    if (toSeq == headSeq) prior.id
+    else {
+      val target = manifestAtSeq(root, toSeq)
+      val id = allocateId(root)
+      val tokens = prior.props.filter(_._1.startsWith(AppendTokenPrefix))
+      commitManifest(root,
+        Manifest(id, target.entries, target.schema, target.props ++ tokens),
+        headSeq)
+      id
+    }
+  }
+
   // ---- retention ---------------------------------------------------------
 
   /** Drop all but the newest `keepLast` manifests (the current pointer

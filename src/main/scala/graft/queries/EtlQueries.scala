@@ -679,6 +679,41 @@ object EtlQueries {
     sqlMonthAgg(s,
       registerSnapCatalog(s, prepareSnapshotSqlDeleteRows(s, d)))
 
+  /** One rolled-back history per (JVM, sfDir): full load (seq 1), a
+    * "bad" batch of mutations — an UPDATE inflating prices and a
+    * DELETE removing a key band (seqs 2-3) — then
+    * `CALL system.rollback(t, 1)` restores seq 1 as a NEW head
+    * ([[SnapshotStore.rollback]]): the read must hash-equal the plain
+    * orders aggregate, proving the restore is bit-exact, while the
+    * rolled-back commits stay time-travel-visible until expire. */
+  private val snapRollbackPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotRollback(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snaprollb",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapRollbackPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"UPDATE $table SET o_totalprice = o_totalprice * 100.0 " +
+          "WHERE o_orderdate >= DATE '1998-03-01'")
+        s.sql(s"DELETE FROM $table WHERE o_orderkey % 3 = 0 " +
+          "AND o_orderdate >= DATE '1998-03-01'")
+        val name = new java.io.File(root).getName
+        s.sql(s"CALL graftsnap.system.rollback('$name', 1)")
+        snapRollbackPrepared += root
+      }
+    }
+    root
+  }
+
+  /** SQL rollback path: the restored head must read as the ORIGINAL
+    * load, bit-exact (plain orders oracle). */
+  def snapshotRollback: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotRollback(s, d)))
+
   /** Batch CHANGE FEED ([[SnapshotStore.changeFeed]], the Delta
     * `table_changes` analogue) over the backfill history: between the
     * full load (seq 1) and the corrected-month restatement (seq 2) the
@@ -831,6 +866,7 @@ object EtlQueries {
     "snapshot_sql_overwrite" -> snapshotSqlOverwrite,
     "snapshot_sql_update" -> snapshotSqlUpdate,
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
+    "snapshot_rollback" -> snapshotRollback,
     "snapshot_stream_tail" -> snapshotStreamTail,
     "snapshot_changefeed" -> snapshotChangeFeed,
     "snapshot_sql_delete" -> snapshotSqlDelete,
@@ -1036,6 +1072,13 @@ object EtlQueries {
     // AS OF the pre-backfill snapshot ⇒ the original load, untouched
     // by the later commit
     "snapshot_timetravel" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    // rollback restored seq 1 bit-exact: the read IS the original load
+    "snapshot_rollback" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         | count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)

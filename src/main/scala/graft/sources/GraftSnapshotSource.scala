@@ -575,11 +575,12 @@ class GraftSnapshotCatalog extends TableCatalog
       case "history" => new HistoryProcedure(warehouse)
       case "expire" => new ExpireProcedure(warehouse)
       case "compact" => new CompactProcedure(warehouse)
+      case "rollback" => new RollbackProcedure(warehouse)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — this catalog provides " +
           "system.merge_into(table, source, key, delete_flag), " +
-          "system.history(table), system.expire(table, keep_last) and " +
-          "system.compact(table)")
+          "system.history(table), system.expire(table, keep_last), " +
+          "system.compact(table) and system.rollback(table, to_seq)")
     }
 }
 
@@ -634,6 +635,42 @@ class ExpireProcedure(warehouse: String) extends UnboundProcedure {
         }
         SnapProcedures.singleLongResult("retained_commits",
           retained.toLong)
+      }
+    }
+}
+
+/** `CALL <catalog>.system.rollback(table, to_seq)` — the Delta
+  * `RESTORE` analogue from SQL: publish the table's state at retained
+  * chain seq `to_seq` as a NEW head commit through the locked
+  * [[SnapshotStore.rollback]] (history stays append-only; the
+  * rolled-back commits remain time-travel-visible until expire; a
+  * target past the retention horizon fails loudly). Returns the
+  * committed snapshot id. */
+class RollbackProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "rollback"
+  override def description(): String =
+    "Roll a graft snapshot table back to a retained commit (new head)"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rollback"
+      override def description(): String =
+        RollbackProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("to_seq", LongType)
+          .comment("retained chain sequence to restore").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val toSeq = input.getLong(1)
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapProcedures.singleLongResult("snapshot_id",
+          SnapshotStore.rollback(root, toSeq))
       }
     }
 }

@@ -174,6 +174,60 @@ class SnapshotSqlWriteSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.rollback restores a retained commit as a NEW head: " +
+      "content reverts, history stays append-only, rolled-back commits " +
+      "stay time-travel-visible, no-op at head, loud past the horizon, " +
+      "and a rolled-back stream batch re-delivered stays a no-op") {
+    import spark.implicits._
+    val (wh, name) = mkTable("rb")
+    register("snaprb", wh)
+    val root = s"$wh/$name"
+    val sum0 = spark.sql(s"SELECT sum(price) FROM snaprb.$name")
+      .head().getDouble(0)
+    // seq 2: an idempotent streaming-style append; seq 3: a DELETE
+    SnapshotStore.appendPartitions(
+      Seq((9L, "2024-03", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+        5.5)).toDF("id", "m", "ts", "price"),
+      root, "m", "ts", idempotence = Some(("ckpt_rb", "5")))
+    spark.sql(s"DELETE FROM snaprb.$name WHERE m = '2024-01'")
+    val badHead = SnapshotStore.current(root).get
+    assert(SnapshotStore.currentSeq(root) === 3L)
+    // restore seq 1 as a NEW commit (seq 4)
+    val rid = spark.sql(s"CALL snaprb.system.rollback('$name', 1)")
+      .head().getLong(0)
+    assert(SnapshotStore.currentSeq(root) === 4L,
+      "rollback publishes a new head, never rewinds the chain")
+    assert(SnapshotStore.current(root).get.id === rid)
+    assert(spark.sql(s"SELECT sum(price) FROM snaprb.$name")
+      .head().getDouble(0) === sum0, "content reverted to seq 1")
+    assert(SnapshotStore.history(root).map(_.seq) === Seq(1L, 2L, 3L, 4L))
+    // the rolled-back state is still time-travel-visible
+    assert(SnapshotStore.read(spark, root, asOf = Some(badHead.id))
+      .count() === 3L)
+    // a re-delivered copy of the rolled-back stream batch is STILL a
+    // replay: the restore keeps the head's idempotence tokens
+    val idAfter = SnapshotStore.appendPartitions(
+      Seq((9L, "2024-03", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+        5.5)).toDF("id", "m", "ts", "price"),
+      root, "m", "ts", idempotence = Some(("ckpt_rb", "5")))
+    assert(idAfter === rid, "the replay must not re-append")
+    assert(spark.sql(s"SELECT sum(price) FROM snaprb.$name")
+      .head().getDouble(0) === sum0)
+    // no-op: rolling back to the current head commits nothing
+    spark.sql(s"CALL snaprb.system.rollback('$name', 4)")
+    assert(SnapshotStore.currentSeq(root) === 4L)
+    assert(SnapshotStore.current(root).get.id === rid)
+    // out of range / expired targets fail loudly
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CALL snaprb.system.rollback('$name', 99)")
+    }
+    SnapshotStore.expire(root, keepLast = 1)
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"CALL snaprb.system.rollback('$name', 2)")
+    }
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("CALL system.history and system.expire report the manifests " +
       "listing for a table with no chain slots (degraded/legacy) " +
       "instead of an empty history / retained_commits = 0") {
