@@ -756,6 +756,38 @@ object EtlQueries {
     monthAgg(s.table(sinkName))
   }
 
+  /** Streaming CHANGE FEED
+    * (`readStream.format("graft-snapshot").option("readChangeFeed",
+    * "true")`, [[graft.sources.GraftSnapshotCdfMicroBatchStream]]):
+    * tail the backfill history from seq 1 — batch (1, 2] is the
+    * corrected-month restatement as delete(old content) + insert(new),
+    * every row `_change_type`-tagged — and aggregate the drained
+    * change rows. Must hash-equal the BATCH change feed of the same
+    * history (the `snapshot_changefeed` oracle): one history, batch
+    * and streaming CDC read APIs. */
+  private val cdfRuns = new java.util.concurrent.atomic.AtomicInteger()
+  def snapshotStreamCdf: Q = (s, d) => {
+    val (root, _) = prepareSnapshotHistory(s, d)
+    val n = cdfRuns.incrementAndGet()
+    val sinkName = s"graft_snapshot_cdf_$n"
+    val ckpt = graft.util.Fs.processScratchRoot("snapcdfck", s"_$n")
+    graft.util.Fs.deleteRecursively(new java.io.File(ckpt))
+    val q = s.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingSeq", 1L)
+      .load(root)
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sinkName)
+      .groupBy(col("order_month"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_price"))
+  }
+
   /** One SQL-DELETEd snapshot history per (JVM, sfDir): full load, then
     * a pure-SQL `DELETE FROM … WHERE order_month IN (min, max)` — the
     * atomic DROP PARTITION (ClickHouse operational practice; an
@@ -869,6 +901,7 @@ object EtlQueries {
     "snapshot_rollback" -> snapshotRollback,
     "snapshot_stream_tail" -> snapshotStreamTail,
     "snapshot_changefeed" -> snapshotChangeFeed,
+    "snapshot_stream_cdf" -> snapshotStreamCdf,
     "snapshot_sql_delete" -> snapshotSqlDelete,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
@@ -915,6 +948,25 @@ object EtlQueries {
   /** The MERGE-changeset replay over raw orders — shared by the
     * Scala-API ([[snapshotMerge]]) and SQL-CALL ([[snapshotSqlMerge]])
     * lanes: one oracle, two entry points into the same commit path. */
+  /** Shared by the batch and streaming change-feed lanes: the restated
+    * last month reads as delete(every original row) + insert(the
+    * corrected content). */
+  private val snapshotChangeFeedSql: String =
+    """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+      |   AS order_month FROM orders),
+      | lm AS (SELECT max(order_month) AS m FROM o),
+      | ch AS (
+      |  SELECT order_month, 'delete' AS change_type, o_totalprice
+      |  FROM o WHERE order_month = (SELECT m FROM lm)
+      |  UNION ALL
+      |  SELECT order_month, 'insert', o_totalprice + 5.0
+      |  FROM o WHERE order_month = (SELECT m FROM lm)
+      |    AND o_orderkey % 10 <> 0)
+      |SELECT order_month, change_type, count(*) AS cnt,
+      | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+      |   AS sum_price
+      |FROM ch GROUP BY 1, 2""".stripMargin
+
   private val snapshotMergeOracleSql: String =
     """WITH o AS (SELECT * FROM orders),
       | kept AS (SELECT o_orderdate, o_totalprice FROM o
@@ -1042,21 +1094,10 @@ object EtlQueries {
         |FROM fin GROUP BY 1""".stripMargin,
     // replay the change feed of the backfill: the restated last month
     // reads as delete(every original row) + insert(corrected content)
-    "snapshot_changefeed" ->
-      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
-        |   AS order_month FROM orders),
-        | lm AS (SELECT max(order_month) AS m FROM o),
-        | ch AS (
-        |  SELECT order_month, 'delete' AS change_type, o_totalprice
-        |  FROM o WHERE order_month = (SELECT m FROM lm)
-        |  UNION ALL
-        |  SELECT order_month, 'insert', o_totalprice + 5.0
-        |  FROM o WHERE order_month = (SELECT m FROM lm)
-        |    AND o_orderkey % 10 <> 0)
-        |SELECT order_month, change_type, count(*) AS cnt,
-        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
-        |   AS sum_price
-        |FROM ch GROUP BY 1, 2""".stripMargin,
+    "snapshot_changefeed" -> snapshotChangeFeedSql,
+    // the STREAMING change feed drains the same (1, 2] diff — one
+    // history, batch and streaming CDC APIs, one oracle
+    "snapshot_stream_cdf" -> snapshotChangeFeedSql,
     // replay the partition DELETE: the first and last months dropped
     // whole, everything between untouched
     "snapshot_sql_delete" ->

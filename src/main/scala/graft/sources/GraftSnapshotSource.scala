@@ -400,9 +400,48 @@ private class ManifestStatsScan(p: ParquetScan, rows: Option[Long],
       tblOptions)
 }
 
+/** The CHANGE-FEED view of a snapshot table — schema = data schema +
+  * `_change_type` (string), micro-batch streaming only (the batch form
+  * is [[SnapshotStore.changeFeed]]). Loaded by the provider when
+  * `option("readChangeFeed", "true")` is set. */
+class GraftSnapshotCdfTable(spark: SparkSession, root: String,
+    dataSchema: StructType, tblOptions: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+
+  require(!dataSchema.fieldNames.exists(_.equalsIgnoreCase("_change_type")),
+    "readChangeFeed cannot tag a table that already has a " +
+      "_change_type column — the tag would shadow it")
+
+  private val cdfSchema = StructType(dataSchema.fields :+
+    StructField("_change_type", StringType, nullable = false))
+
+  override def name(): String =
+    s"graft_snapshot_cdf_${new java.io.File(root).getName}"
+
+  override def schema(): StructType = cdfSchema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability]()
+    caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new Scan {
+    override def readSchema(): StructType = cdfSchema
+    override def description(): String = s"graft-snapshot-cdf $root"
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new GraftSnapshotCdfMicroBatchStream(spark, root, dataSchema,
+        tblOptions)
+  }
+}
+
 /** `spark.read.format("graft-snapshot")` — option-addressed reader.
   * `load(path)` (or `.option("path", …)`) names the table root;
-  * `.option("asOf", id)` time-travels to a retained manifest. Always
+  * `.option("asOf", id)` time-travels to a retained manifest;
+  * `readStream` with `.option("readChangeFeed", "true")` tails the
+  * commit chain as `_change_type`-tagged change rows. Always
   * read-only: SQL DML needs a catalog identity, so writes go through
   * [[GraftSnapshotCatalog]]. */
 class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
@@ -417,9 +456,9 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
     * contract). CaseInsensitiveStringMap equality is entry-set
     * equality, so a same-options re-call reuses the table. */
   private var cachedKey: CaseInsensitiveStringMap = _
-  private var cachedTable: GraftSnapshotTable = _
+  private var cachedTable: Table = _
 
-  private def resolve(options: CaseInsensitiveStringMap): GraftSnapshotTable =
+  private def resolve(options: CaseInsensitiveStringMap): Table =
     synchronized {
       if (cachedKey == null || cachedKey != options) {
         val root = Option(options.get("path")).getOrElse(
@@ -427,8 +466,24 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
             "graft-snapshot needs a table root: .load(root) or " +
               ".option(\"path\", root)"))
         val asOf = Option(options.get("asOf")).map(_.toLong)
+        val cdf = Option(options.get("readChangeFeed"))
+          .exists(_.equalsIgnoreCase("true"))
         cachedTable =
-          GraftSnapshotTables.load(SparkSession.active, root, asOf, options)
+          if (cdf) {
+            require(asOf.isEmpty, "readChangeFeed cannot combine with " +
+              "asOf: a pinned historical snapshot has no future changes " +
+              "to tail")
+            val spark = SparkSession.active
+            val schema = SnapshotStore.current(root)
+              .getOrElse(throw new IllegalStateException(
+                s"no snapshot at $root"))
+              .schema.getOrElse(throw new IllegalStateException(
+                s"readChangeFeed at $root: the manifest predates " +
+                  "schema-carrying commits — the change rows cannot " +
+                  "be typed"))
+            new GraftSnapshotCdfTable(spark, root, schema, options)
+          } else GraftSnapshotTables.load(SparkSession.active, root, asOf,
+            options)
         cachedKey = options
       }
       cachedTable

@@ -110,19 +110,20 @@ class GraftSnapshotMicroBatchStream(
 
   override def stop(): Unit = ()
 
+  protected def manifestDirs(seq: Long): Set[String] =
+    SnapshotStore.manifestAtSeq(root, seq).entries.map(_.dir).toSet
+
   private def dirsBetween(a: Long, b: Long): Seq[String] = {
     if (a >= b) return Seq.empty
-    val before = SnapshotStore.manifestAtSeq(root, a).entries
-      .map(_.dir).toSet
-    SnapshotStore.manifestAtSeq(root, b).entries
-      .map(_.dir).filterNot(before).distinct.sorted
+    val before = manifestDirs(a)
+    manifestDirs(b).filterNot(before).toSeq.distinct.sorted
   }
 
   /** One inner parquet DSV2 scan per micro-batch over exactly the new
     * dirs, pinned to the STREAM's schema (files from later schema
     * evolution read the pinned subset; earlier files read missing
     * columns as null — same contract as the batch reader). */
-  private def parquetBatch(dirs: Seq[String]): Batch = {
+  protected def parquetBatch(dirs: Seq[String]): Batch = {
     val tbl = ParquetTable(
       s"graft_snapshot_stream_${new java.io.File(root).getName}",
       spark, options, dirs.map(d => s"$root/$d"), Some(pinnedSchema),
@@ -145,4 +146,103 @@ class GraftSnapshotMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     lastBatch.createReaderFactory()
+}
+
+/** The CHANGE-FEED tail (`readStream.format("graft-snapshot")
+  * .option("readChangeFeed", "true")`) — the streaming form of
+  * [[SnapshotStore.changeFeed]] (Delta's CDF `readChangeFeed` option):
+  * every row carries an appended `_change_type` column. Batch (a, b]
+  * emits the ENDPOINT dir diff both directions — manifest@b's new dirs
+  * as `insert` rows, manifest@a's removed dirs as `delete` rows — so a
+  * copy-on-write restatement reads as delete(old content) +
+  * insert(new), a partition DELETE as deletes, an append as inserts:
+  * the same contract the batch change feed's oracle pins, now
+  * incremental. Offsets, admission control, retention failure modes
+  * and the 100 TB shape (two ~KB endpoint parses per batch, vectorized
+  * parquet underneath) are inherited from the plain tail; deleted
+  * dirs are readable within the retention horizon because both
+  * endpoints are retained manifests, whose dirs expire pins. */
+class GraftSnapshotCdfMicroBatchStream(
+    spark: SparkSession,
+    root: String,
+    dataSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends GraftSnapshotMicroBatchStream(spark, root, dataSchema, options) {
+
+  private var insertBatch: Batch = _
+  private var deleteBatch: Batch = _
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[GraftSeqOffset].seq
+    val b = end.asInstanceOf[GraftSeqOffset].seq
+    val (ins, del) =
+      if (a >= b) (Seq.empty[String], Seq.empty[String])
+      else {
+        val before = manifestDirs(a)
+        val after = manifestDirs(b)
+        ((after -- before).toSeq.sorted, (before -- after).toSeq.sorted)
+      }
+    insertBatch = parquetBatch(ins)
+    deleteBatch = parquetBatch(del)
+    val ip = if (ins.isEmpty) Array.empty[InputPartition]
+      else insertBatch.planInputPartitions()
+        .map(p => CdfTaggedPartition(p, insert = true): InputPartition)
+    val dp = if (del.isEmpty) Array.empty[InputPartition]
+      else deleteBatch.planInputPartitions()
+        .map(p => CdfTaggedPartition(p, insert = false): InputPartition)
+    ip ++ dp
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CdfTagReaderFactory(insertBatch.createReaderFactory(),
+      deleteBatch.createReaderFactory(), dataSchema)
+}
+
+/** A parquet input partition tagged with the side of the dir diff it
+  * came from (shipped to executors — keep it a flat case class). */
+case class CdfTaggedPartition(inner: InputPartition, insert: Boolean)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Appends the constant `_change_type` value to every row of the
+  * wrapped parquet reader. Row-based on purpose: the tag is one
+  * constant column, and forcing the row path keeps the append a
+  * JoinedRow + UnsafeProjection instead of a per-batch column splice —
+  * CDF consumers process change rows, not scan-bound analytics. */
+case class CdfTagReaderFactory(insertFactory: PartitionReaderFactory,
+    deleteFactory: PartitionReaderFactory, dataSchema: StructType)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = partition match {
+    case CdfTaggedPartition(inner, isInsert) =>
+      val r = (if (isInsert) insertFactory else deleteFactory)
+        .createReader(inner)
+      val tagRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            if (isInsert) "insert" else "delete")))
+      val out = StructType(dataSchema.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+      new org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] {
+        private val joined =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        private val proj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(out)
+        override def next(): Boolean = r.next()
+        override def get(): org.apache.spark.sql.catalyst.InternalRow =
+          proj(joined(r.get(), tagRow))
+        override def close(): Unit = r.close()
+      }
+    case other => throw new IllegalStateException(
+      s"CDF reader factory got an untagged partition: $other")
+  }
 }

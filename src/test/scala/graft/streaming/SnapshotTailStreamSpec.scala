@@ -155,6 +155,62 @@ class SnapshotTailStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("inverted"))
   }
 
+  test("streaming CHANGE FEED (readChangeFeed=true): per-commit batches " +
+      "carry _change_type — append = inserts, restatement = delete(old) " +
+      "+ insert(new), partition DELETE = deletes only; a coalesced " +
+      "catch-up emits the NET diff") {
+    val root = tmpDir("cdfstream") + "/t"
+    SnapshotStore.write(rows(1.0, "2024-01", "2024-02"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(2.0, "2024-03"), root, "m", "ts")
+    SnapshotStore.overwritePartitions(rows(9.0, "2024-02"), root, "m", "ts")
+    SnapshotStore.dropPartitions(root, Some(Set("2024-01")))
+    def drainCdf(ckpt: String, cap: Option[Int])
+        : Seq[Set[(String, Double, String)]] = {
+      val sink = scala.collection.mutable.ArrayBuffer[(Long, Seq[Row])]()
+      var r = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true")
+      cap.foreach(k => r = r.option("maxCommitsPerTrigger", k))
+      val q = r.load(root).writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          sink.synchronized { sink += ((id, df.collect().toSeq)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.sortBy(_._1).map(_._2.map(row => (row.getString(1),
+        row.getDouble(3),
+        row.getString(row.fieldIndex("_change_type")))).toSet).toSeq
+        .filter(_.nonEmpty)
+    }
+    // per-commit: one batch per chain slot
+    val perCommit = drainCdf(tmpDir("cdfstream_ck1"), cap = Some(1))
+    assert(perCommit === Seq(
+      Set(("2024-01", 1.0, "insert"), ("2024-02", 1.0, "insert")),
+      Set(("2024-03", 2.0, "insert")),
+      Set(("2024-02", 1.0, "delete"), ("2024-02", 9.0, "insert")),
+      Set(("2024-01", 1.0, "delete"))))
+    // coalesced: the NET endpoint diff, exactly the batch changeFeed
+    val coalesced = drainCdf(tmpDir("cdfstream_ck2"), cap = None)
+    assert(coalesced === Seq(
+      Set(("2024-02", 9.0, "insert"), ("2024-03", 2.0, "insert"))))
+    // refusals: asOf + CDF is contradictory; so is a shadowed tag column
+    intercept[Exception] {
+      spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").option("asOf", "1")
+        .load(root).schema
+    }
+    val shadowRoot = tmpDir("cdfshadow") + "/t"
+    SnapshotStore.write(
+      Seq((1L, "2024-01", "x")).toDF("id", "m", "_CHANGE_TYPE"),
+      shadowRoot, "m", "id")
+    intercept[Exception] {
+      spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(shadowRoot).schema
+    }
+  }
+
   test("changeFeed refuses a pre-existing change-type column in ANY " +
       "case — Spark resolution is case-insensitive, so _CHANGE_TYPE " +
       "would be silently replaced too") {
