@@ -1049,9 +1049,60 @@ object SnapshotStore {
     * for the write/delete paths to compare against. */
   private[graft] val TzProp = "table.tz"
 
-  private def sessionTz: Option[String] =
+  /** The zone that actually RENDERS this frame's partition tokens:
+    * `writeSnapData` casts through the frame's own session (which may
+    * be a conf-scoped clone — the `withSessionConf` pattern), so the
+    * recorded prop must come from `df.sparkSession`, never the
+    * thread's active session. */
+  private def renderTz(df: DataFrame): Option[String] =
     scala.util.Try(
-      SparkSession.active.sessionState.conf.sessionLocalTimeZone).toOption
+      df.sparkSession.sessionState.conf.sessionLocalTimeZone).toOption
+
+  /** Do two session-timezone settings render TZ timestamps to the SAME
+    * strings? Zone-ID string equality would falsely refuse aliased
+    * zones (UTC vs Etc/UTC vs +00:00, Asia/Kolkata vs Asia/Calcutta) —
+    * compare the zone RULES, which define the rendering. Unparseable
+    * ids fall back to string equality (never throw from a guard). */
+  private[graft] def sameRendering(a: String, b: String): Boolean =
+    a == b || (try
+      java.time.ZoneId.of(a).getRules == java.time.ZoneId.of(b).getRules
+    catch { case _: Exception => false })
+
+  /** Guard for any operation that must match RENDERED partition tokens
+    * against manifest entry values on a TZ-timestamp partition column
+    * (row-level DML discovery, MERGE discovery): the tokens were
+    * rendered under the writer's zone ([[TzProp]]); rendering under a
+    * session whose zone differs would match zero entries — the op
+    * would commit "success" while changing nothing (or duplicate a
+    * partition under two spellings). Refuses loudly when the zones
+    * differ OR the table predates zone recording (no way to prove
+    * agreement). Non-timestamp partition columns pass untouched; a
+    * schema-less legacy manifest cannot be typed and passes
+    * conservatively (pre-schema tables predate TZ-ts partitioning
+    * support). */
+  private[graft] def checkTokenRenderZone(spark: SparkSession,
+      m: Manifest, partCol: String, what: String): Unit = {
+    val isTzTs = m.schema.exists(_.fields.exists(f =>
+      f.name == partCol &&
+        f.dataType == org.apache.spark.sql.types.TimestampType))
+    if (!isTzTs) return
+    val sess = spark.sessionState.conf.sessionLocalTimeZone
+    val wtz = m.props.get(TzProp)
+    require(wtz.exists(sameRendering(_, sess)),
+      wtz match {
+        case Some(w) =>
+          s"$what on a TZ-timestamp-partitioned table refused: " +
+            s"partition tokens were rendered under session timezone " +
+            s"'$w' but this session uses '$sess' — matching tokens " +
+            "under a different zone would silently miss every " +
+            "partition; set spark.sql.session.timeZone to match"
+        case None =>
+          s"$what on a TZ-timestamp-partitioned table refused: the " +
+            "table predates timezone-recording manifests (no table.tz " +
+            "prop), so token rendering cannot be proven to match the " +
+            "writer's — recommit (full write) to record the zone"
+      })
+  }
 
   /** The recorded (partCol, sortCol) of a committed table, if its
     * manifests carry layout props (every commit since stats-era does). */
@@ -1062,7 +1113,7 @@ object SnapshotStore {
   /** Incremental commits must match the recorded layout; a full
     * [[write]] redefines it (it rewrites every partition anyway). */
   private def checkLayout(prior: Option[Manifest], partCol: String,
-      sortCol: String): Unit = {
+      sortCol: String, df: DataFrame): Unit = {
     prior.flatMap(tableLayout).foreach { case (p, s) =>
       require(p == partCol && s == sortCol,
         s"commit layout ($partCol, $sortCol) does not match the table's " +
@@ -1071,27 +1122,28 @@ object SnapshotStore {
     }
     // A TZ-timestamp partition column's dir tokens are rendered under
     // the WRITER session's timezone ([[TzProp]]): an append under a
-    // different zone would split the same instant across two tokens —
-    // reads stay correct (they never address by token) but DELETE and
-    // MERGE pruning would silently miss rows. Refuse loudly instead.
+    // differently-RENDERING zone would split the same instant across
+    // two tokens — reads stay correct (they never address by token)
+    // but DELETE and MERGE pruning would silently miss rows. Refuse
+    // loudly instead; equivalently-rendering zone aliases pass.
     for {
       pm <- prior
       wtz <- pm.props.get(TzProp)
-      tz <- sessionTz
+      tz <- renderTz(df)
       if pm.schema.exists(_.fields.exists(f =>
         f.name == partCol &&
           f.dataType == org.apache.spark.sql.types.TimestampType))
-    } require(tz == wtz,
+    } require(sameRendering(tz, wtz),
       s"this table's TZ-timestamp partition tokens were rendered under " +
         s"session timezone '$wtz' but this session uses '$tz' — set " +
         "spark.sql.session.timeZone to match, or rewrite the table " +
         "with a full snapshot")
   }
 
-  private def layoutProps(partCol: String, sortCol: String)
-      : Map[String, String] =
+  private def layoutProps(partCol: String, sortCol: String,
+      df: DataFrame): Map[String, String] =
     Map(PartColProp -> partCol, SortColProp -> sortCol) ++
-      sessionTz.map(TzProp -> _)
+      renderTz(df).map(TzProp -> _)
 
   // ---- public writer API -------------------------------------------------
 
@@ -1166,7 +1218,7 @@ object SnapshotStore {
     val entries = writeSnapData(df, root, id, partCol, sortCol)
     commitManifest(root, Manifest(id, entries, Some(df.schema),
       prior.map(_.props).getOrElse(Map.empty) ++
-        layoutProps(partCol, sortCol)),
+        layoutProps(partCol, sortCol, df)),
       prior.map(seqOf).getOrElse(0L))
     id
   }
@@ -1193,7 +1245,7 @@ object SnapshotStore {
       partCol: String, sortCol: String): Long = {
     val prior = current(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root to backfill"))
-    checkLayout(Some(prior), partCol, sortCol)
+    checkLayout(Some(prior), partCol, sortCol, df)
     // schema evolution happens at the COMMIT boundary: a backfill
     // adding columns appends them to the table schema; a type change
     // fails here, before any pointer moves
@@ -1204,7 +1256,7 @@ object SnapshotStore {
     val restated = fresh.map(_.value).toSet
     val carried = prior.entries.filterNot(e => restated(e.value))
     commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
-      prior.props ++ layoutProps(partCol, sortCol)), seqOf(prior))
+      prior.props ++ layoutProps(partCol, sortCol, df)), seqOf(prior))
     id
   }
 
@@ -1262,12 +1314,12 @@ object SnapshotStore {
               prior.props.get(s).contains(tok)) } =>
           prior.id // the batch already committed; retry is a no-op
         case prior =>
-          checkLayout(prior, partCol, sortCol)
+          checkLayout(prior, partCol, sortCol, df)
           val merged = prior.flatMap(_.schema)
             .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
           val props = prior.map(_.props).getOrElse(Map.empty) ++
             idempotence.map { case (w, t) => (AppendTokenPrefix + w) -> t } ++
-            layoutProps(partCol, sortCol)
+            layoutProps(partCol, sortCol, df)
           if (fresh == null) { // written once; conflicts reuse the dirs
             id = allocateId(root)
             fresh = writeSnapData(df, root, id, partCol, sortCol)
@@ -1306,7 +1358,7 @@ object SnapshotStore {
     withCommitLock(root) {
       val prior = current(root).getOrElse(
         throw new IllegalStateException(s"no snapshot at $root to restate"))
-      checkLayout(Some(prior), partCol, sortCol)
+      checkLayout(Some(prior), partCol, sortCol, restated)
       val merged = prior.schema.map(mergeSchemas(_, restated.schema))
         .getOrElse(restated.schema)
       val id = allocateId(root)
@@ -1317,7 +1369,8 @@ object SnapshotStore {
           s"not named in dropValues — the commit would duplicate them")
       val carried = prior.entries.filterNot(e => dropValues(e.value))
       commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
-        prior.props ++ layoutProps(partCol, sortCol)), seqOf(prior))
+        prior.props ++ layoutProps(partCol, sortCol, restated)),
+        seqOf(prior))
       id
     }
 

@@ -132,6 +132,12 @@ object MergeInto {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(
           s"no snapshot at $root to merge into"))
+      // discovery and restatement match RENDERED partition tokens
+      // against manifest entry values — on a TZ-timestamp partition
+      // column that is only sound when this session renders like the
+      // writer's (else touched partitions silently miss, or a carried
+      // entry gets duplicated under a second spelling)
+      SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
       val reliable = spark.conf.getOption("graft.merge.materialize")
         .contains("reliable")
       val changes =

@@ -51,6 +51,12 @@ object RowLevelOps {
     SnapshotStore.withTableLock(root) {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(s"no snapshot at $root to update"))
+      // discovery matches RENDERED partition tokens against manifest
+      // entry values — on a TZ-timestamp partition column that is only
+      // sound when this session renders like the writer's (else the op
+      // would "succeed" while restating nothing)
+      SnapshotStore.checkTokenRenderZone(spark, m, partCol,
+        "row-level UPDATE")
       val matchedCond = coalesce(cond, lit(false))
       val base = SnapshotStore.read(spark, root)
       val setMap = sets.toMap
@@ -96,6 +102,8 @@ object RowLevelOps {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(
           s"no snapshot at $root to delete from"))
+      SnapshotStore.checkTokenRenderZone(spark, m, partCol,
+        "row-level DELETE")
       val matchedCond = coalesce(cond, lit(false))
       val base = SnapshotStore.read(spark, root)
       val srcParts = base.filter(matchedCond)

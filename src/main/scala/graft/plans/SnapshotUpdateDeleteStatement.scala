@@ -139,8 +139,15 @@ private[plans] object RowLevelStatements {
 
   /** The copy-on-write commit evaluates predicates/assignments once
     * for discovery and once for the rewrite — anything whose two
-    * evaluations can differ is refused at analysis, loudly. */
+    * evaluations can differ is refused at analysis, loudly. That
+    * includes the current-time family: `now()`/`current_date()` report
+    * `deterministic = true` (they are constant WITHIN one query via
+    * ComputeCurrentTime) but the discovery and rewrite are two
+    * separately-optimized jobs, each stamping its own time — Delta
+    * freezes the timestamp for exactly this reason; here the loud
+    * fallback is binding the time to a literal first. */
   def checkPredicate(stmt: String, what: String, e: Expression): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate, CurrentTimestamp, CurrentTimeZone, LocalTimestamp, Now}
     if (SubqueryExpression.hasSubquery(e))
       fail(stmt, s"$what contains a subquery — the discovery and " +
         "rewrite passes could observe different subquery results; " +
@@ -149,6 +156,16 @@ private[plans] object RowLevelStatements {
       fail(stmt, s"$what is non-deterministic (${e.sql}) — the " +
         "discovery and rewrite passes would disagree on which rows " +
         "match")
+    val timey = e.exists {
+      case _: CurrentTimestamp | _: Now | _: CurrentDate |
+           _: LocalTimestamp | _: CurrentTimeZone => true
+      case _ => false
+    }
+    if (timey)
+      fail(stmt, s"$what references the current time (${e.sql}) — " +
+        "each of the discovery and rewrite passes would stamp its own " +
+        "now(); bind the time to a literal (e.g. a session variable " +
+        "or an inlined timestamp) first")
   }
 
   /** Resolved attribute references are re-bound BY NAME against the

@@ -238,7 +238,9 @@ class GraftSnapshotTable(
           val sess = SparkSession.active.sessionState.conf
             .sessionLocalTimeZone
           val wtz = manifest.props.get(graft.etl.SnapshotStore.TzProp)
-          if (!wtz.contains(sess)) throw new UnsupportedOperationException(
+          if (!wtz.exists(
+              graft.etl.SnapshotStore.sameRendering(_, sess)))
+            throw new UnsupportedOperationException(
             wtz match {
               case scala.Some(w) =>
                 s"snapshot DELETE on the TZ-timestamp partition column " +

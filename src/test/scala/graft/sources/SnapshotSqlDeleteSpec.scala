@@ -155,25 +155,24 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
       if (tz0 == "Asia/Tokyo") "America/New_York" else "Asia/Tokyo"
     spark.conf.set("spark.sql.session.timeZone", other)
     try {
-      // the mismatch diverts this predicate OFF the token-rendered
-      // partition drop (which would compare wall-clock strings across
-      // zones) onto the row-level path, where the literal denotes a
-      // DIFFERENT instant than the stored rows — correct timestamp
-      // semantics: nothing matches, nothing commits
+      // the mismatch diverts the token-rendered partition drop (which
+      // would compare wall-clock strings across zones) onto the
+      // row-level path — whose own discovery matches rendered tokens
+      // against manifest values, so it refuses BEFORE any work rather
+      // than committing a silent no-op restatement
       val id = SnapshotStore.current(s"$wh/t").get.id
-      spark.sql(
-        "DELETE FROM snapd6.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
-      assert(spark.sql("SELECT count(*) FROM snapd6.t").head()
-        .getLong(0) === 2L)
-      assert(SnapshotStore.current(s"$wh/t").get.id === id)
-      // a MATCHING row-level delete would have to restate a partition
-      // whose tokens belong to the writer's zone: the commit refuses
-      val e = intercept[IllegalArgumentException] {
+      val e1 = intercept[IllegalArgumentException] {
+        spark.sql(
+          "DELETE FROM snapd6.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+      }
+      assert(e1.getMessage.contains("timezone"))
+      val e2 = intercept[IllegalArgumentException] {
         spark.sql("DELETE FROM snapd6.t WHERE id = 1")
       }
-      assert(e.getMessage.contains("timezone"))
+      assert(e2.getMessage.contains("timezone"))
       assert(spark.sql("SELECT count(*) FROM snapd6.t").head()
         .getLong(0) === 2L, "nothing committed")
+      assert(SnapshotStore.current(s"$wh/t").get.id === id)
     } finally spark.conf.set("spark.sql.session.timeZone", tz0)
     // under the writer's own zone the metadata-only drop still serves
     spark.sql(

@@ -157,6 +157,85 @@ class SnapshotSqlUpdateSpec extends SparkSpec {
       .listFiles()).get.isEmpty)
   }
 
+  test("current-time predicates refuse loudly: discovery and rewrite " +
+      "are two separately-optimized jobs, each stamping its own now()") {
+    val (wh, root) = mkTable("timey")
+    register("snapu7", wh)
+    val id = SnapshotStore.current(root).get.id
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("UPDATE snapu7.t SET price = 0.0 " +
+        "WHERE current_date() > DATE '2000-01-01' AND id = 1")
+    }
+    assert(e1.getMessage.contains("current time"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM snapu7.t " +
+        "WHERE id = 1 AND now() > TIMESTAMP '2000-01-01 00:00:00'")
+    }
+    assert(e2.getMessage.contains("current time"))
+    assert(SnapshotStore.current(root).get.id === id)
+  }
+
+  test("equivalently-RENDERING zone aliases pass every tz guard " +
+      "(UTC vs Etc/UTC): append, partition DELETE and row-level DML " +
+      "all work across the alias") {
+    import spark.implicits._
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_snapupd_alias").toString
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val rows = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 1),
+        (2L, java.sql.Timestamp.valueOf("2024-02-15 10:00:00"), 2),
+        (3L, java.sql.Timestamp.valueOf("2024-02-15 10:00:00"), 3))
+        .toDF("id", "ts", "v")
+      SnapshotStore.write(rows, s"$wh/t", partCol = "ts", sortCol = "v")
+      register("snapu8", wh)
+      spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+      // append under the alias
+      SnapshotStore.appendPartitions(
+        Seq((4L, java.sql.Timestamp.valueOf("2024-03-15 10:00:00"), 4))
+          .toDF("id", "ts", "v"), s"$wh/t", "ts", "v")
+      // row-level DELETE under the alias
+      spark.sql("DELETE FROM snapu8.t WHERE id = 3")
+      // metadata-only partition DELETE under the alias
+      spark.sql(
+        "DELETE FROM snapu8.t WHERE ts = TIMESTAMP '2024-01-15 10:00:00'")
+      assert(spark.sql("SELECT id FROM snapu8.t").collect()
+        .map(_.getLong(0)).toSet === Set(2L, 4L))
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
+
+  test("a legacy TZ-timestamp-partitioned table without a recorded " +
+      "table.tz refuses row-level DML loudly — its token rendering " +
+      "cannot be proven, and a silent no-op restatement would poison " +
+      "the table with the wrong zone") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_snapupd_legacy").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 1),
+      (2L, java.sql.Timestamp.valueOf("2024-02-15 10:00:00"), 2))
+      .toDF("id", "ts", "v")
+    SnapshotStore.write(rows, s"$wh/t", partCol = "ts", sortCol = "v")
+    // simulate a pre-round-11 table: strip the table.tz prop from the
+    // manifest (the chain slot shares the inode; the hint is a copy)
+    for (f <- Seq(
+        java.nio.file.Paths.get(s"$wh/t/MANIFEST"),
+        java.nio.file.Paths.get(s"$wh/t/manifests/manifest-1"))) {
+      val kept = java.nio.file.Files.readString(f).split("\n")
+        .filterNot(_.startsWith("prop=table.tz\t")).mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(f, kept)
+    }
+    register("snapu9", wh)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE snapu9.t SET v = 0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("predates timezone-recording"))
+    assert(spark.sql("SELECT count(*) FROM snapu9.t WHERE v = 0")
+      .head().getLong(0) === 0L, "nothing committed")
+  }
+
   test("a float-partitioned row-level DELETE works through data-value " +
       "evaluation (the token-rendering ambiguity that blocks the " +
       "partition-drop path does not apply)") {
