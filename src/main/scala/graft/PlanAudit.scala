@@ -755,6 +755,17 @@ object PlanAudit {
       (partMonths(delrFiles, "snap-1")
         intersect partMonths(delrFiles, "snap-2")).isEmpty,
       "survivors of a touched month rewrite; untouched months carry")
+    // CTAS-created table: the read rides the same vectorized DSV2
+    // machinery as every other entry point — lifecycle via SQL DDL
+    // must not degrade the scan
+    val ctasDf = SparkEntry.allQueries("snapshot_sql_ctas")(spark, sfDir)
+    val ctasPlan = planOf(ctasDf)
+    check("snapshot_sql_ctas: DSV2 BatchScan + one agg exchange, no join",
+      ctasPlan.contains("BatchScan") &&
+        occurrences(ctasPlan, "Exchange") <= 1 &&
+        !ctasPlan.contains("Join") &&
+        occurrences(ctasPlan, "HashAggregate") >= 2,
+      "a DDL-created table reads like a Scala-created one")
     // rollback (Delta RESTORE analogue): publishing the restored head
     // is a ~KB manifest commit — the read after rolling back two bad
     // DML commits scans the ORIGINAL snap-1 dirs only, nothing copied

@@ -1204,6 +1204,34 @@ object SnapshotStore {
     * write/backfill/expire calls on the same root compose. */
   def withTableLock[T](root: String)(f: => T): T = withCommitLock(root)(f)
 
+  /** Create an EMPTY snapshot table: schema + layout recorded, zero
+    * entries — the `CREATE TABLE` primitive (the catalog's SQL DDL
+    * entry). Reads type from the manifest schema; the first INSERT
+    * appends into the recorded layout. Fails loudly if a table already
+    * exists at `root` (CREATE is not idempotent — `IF NOT EXISTS` is
+    * the caller's check). */
+  def createEmpty(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCol: String, sortCol: String): Long = {
+    require(schema.fieldNames.contains(partCol),
+      s"partition column '$partCol' is not in the schema: " +
+        schema.fieldNames.mkString(", "))
+    require(schema.fieldNames.contains(sortCol),
+      s"sort column '$sortCol' is not in the schema: " +
+        schema.fieldNames.mkString(", "))
+    withCommitLock(root) {
+      require(current(root).isEmpty,
+        s"a snapshot table already exists at $root")
+      val id = allocateId(root)
+      val tz = scala.util.Try(
+        spark.sessionState.conf.sessionLocalTimeZone).toOption
+      commitManifest(root, Manifest(id, Seq.empty, Some(schema),
+        Map(PartColProp -> partCol, SortColProp -> sortCol) ++
+          tz.map(TzProp -> _)), 0L)
+      id
+    }
+  }
+
   /** Full-table snapshot: every partition written fresh, committed as
     * one atomic pointer swap. Returns the snapshot id. */
   def write(df: DataFrame, root: String, partCol: String,

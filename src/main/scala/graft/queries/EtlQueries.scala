@@ -714,6 +714,39 @@ object EtlQueries {
   def snapshotRollback: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotRollback(s, d)))
 
+  /** One CTAS-created table per (JVM, sfDir): the FULL SQL lifecycle —
+    * `CREATE TABLE … PARTITIONED BY (order_month) TBLPROPERTIES
+    * ('sort_col'='o_orderdate') AS SELECT …` creates the empty
+    * layout-recording manifest and appends the SELECT through the
+    * locked commit in one statement ([[GraftSnapshotCatalog
+    * .createTable]]); the read must hash-equal the plain orders
+    * aggregate. */
+  private val snapCtasPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotCtas(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapctas",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapCtasPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        val table = registerSnapCatalog(s, root)
+        s.sql(
+          s"""CREATE TABLE $table
+             |PARTITIONED BY (order_month)
+             |TBLPROPERTIES ('sort_col' = 'o_orderdate')
+             |AS SELECT *, date_format(o_orderdate, 'yyyy-MM')
+             |     AS order_month
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+        snapCtasPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Pure-SQL CREATE TABLE AS SELECT: lifecycle + load in one
+    * statement, plain orders oracle. */
+  def snapshotSqlCtas: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotCtas(s, d)))
+
   /** Batch CHANGE FEED ([[SnapshotStore.changeFeed]], the Delta
     * `table_changes` analogue) over the backfill history: between the
     * full load (seq 1) and the corrected-month restatement (seq 2) the
@@ -899,6 +932,7 @@ object EtlQueries {
     "snapshot_sql_update" -> snapshotSqlUpdate,
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
     "snapshot_rollback" -> snapshotRollback,
+    "snapshot_sql_ctas" -> snapshotSqlCtas,
     "snapshot_stream_tail" -> snapshotStreamTail,
     "snapshot_changefeed" -> snapshotChangeFeed,
     "snapshot_stream_cdf" -> snapshotStreamCdf,
@@ -1113,6 +1147,13 @@ object EtlQueries {
     // AS OF the pre-backfill snapshot ⇒ the original load, untouched
     // by the later commit
     "snapshot_timetravel" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    // CTAS: lifecycle + load in one statement — the read IS the source
+    "snapshot_sql_ctas" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         | count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)

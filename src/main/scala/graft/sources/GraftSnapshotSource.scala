@@ -563,18 +563,64 @@ class GraftSnapshotCatalog extends TableCatalog
     tableExistsAt(rootOf(ident))
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graft snapshot catalog supports DML (INSERT INTO / OVERWRITE, " +
-      "MERGE INTO, DELETE) and operations (CALL system.merge_into / " +
-      "history / expire / compact) but not DDL: create/alter/drop " +
-      "tables and namespaces through the SnapshotStore Scala API that " +
-      "owns the directory layout")
+    "graft snapshot catalog supports table DDL (CREATE TABLE [AS " +
+      "SELECT] ... PARTITIONED BY (col) TBLPROPERTIES " +
+      "('sort_col'='col'), DROP TABLE), DML (INSERT INTO / OVERWRITE, " +
+      "MERGE INTO, UPDATE, DELETE) and operations (CALL " +
+      "system.merge_into / history / expire / compact / rollback) — " +
+      "but not ALTER/RENAME: schema evolution happens at the snapshot " +
+      "commit boundary (a backfill adding columns), and a rename would " +
+      "invalidate every reader's resolved root")
 
+  /** `CREATE TABLE snap.t (cols…) PARTITIONED BY (m) TBLPROPERTIES
+    * ('sort_col'='ts')` — and the CTAS form, where Spark calls this
+    * then appends the SELECT through the table's own WriteBuilder
+    * (the locked [[SnapshotStore.appendPartitions]] commit). The
+    * layout is the engine's month-grain shape: exactly ONE identity
+    * partition column plus a required within-partition sort column —
+    * both become durable manifest props, so later name-only entry
+    * points never re-state them. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly
+      properties: util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (tableExistsAt(root))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.asInstanceOf[Identifier])
+    val partCol = partitions.toSeq match {
+      case Seq(t) if t.name == "identity" && t.references().length == 1 =>
+        t.references()(0).fieldNames().mkString(".")
+      case other => throw new UnsupportedOperationException(
+        "graft snapshot CREATE TABLE needs exactly one identity " +
+          "PARTITIONED BY column (the manifest's partition grain), " +
+          s"got: [${other.mkString(", ")}]")
+    }
+    val sortCol = Option(properties.get("sort_col")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft snapshot CREATE TABLE requires TBLPROPERTIES " +
+          "('sort_col'='<column>') — the within-partition storage " +
+          "sort (the MergeTree ORDER BY analogue)"))
+    SnapshotStore.createEmpty(SparkSession.active, root, schema,
+      partCol, sortCol)
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
+
+  /** `DROP TABLE snap.t` — removes the root (manifest history, chain
+    * slots and data dirs). The operator's prerogative: time travel
+    * into a dropped table is gone with it. Concurrent writers on other
+    * hosts are not fenced (same as dropping any shared directory). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (!tableExistsAt(root)) false
+    else {
+      graft.util.Fs.deleteRecursively(new java.io.File(root))
+      true
+    }
+  }
+
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly
 

@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.SnapshotStore
+
+/** SQL table lifecycle through the catalog: `CREATE TABLE` (empty +
+  * CTAS) records the layout as durable manifest props and commits an
+  * empty schema-carrying manifest; every DML/ops entry point then
+  * works on the created table; `DROP TABLE` removes the root. ALTER
+  * and RENAME stay rejected, loudly. */
+class SnapshotSqlDdlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkWh(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_snapddl_$tag").toString
+
+  private def register(cat: String, wh: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftSnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+  }
+
+  test("CREATE TABLE commits an empty schema-carrying manifest with " +
+      "the layout as props; INSERT, UPDATE, DELETE and CALL ops all " +
+      "work on it; DROP TABLE removes it") {
+    val wh = mkWh("create")
+    register("snapddl1", wh)
+    spark.sql(
+      """CREATE TABLE snapddl1.t
+        |  (id BIGINT, m STRING, v INT, price DOUBLE)
+        |PARTITIONED BY (m)
+        |TBLPROPERTIES ('sort_col' = 'v')""".stripMargin)
+    // empty but typed, layout recorded
+    assert(spark.sql("SELECT * FROM snapddl1.t").columns.toSeq ===
+      Seq("id", "m", "v", "price"))
+    assert(spark.sql("SELECT count(*) FROM snapddl1.t")
+      .head().getLong(0) === 0L)
+    val m = SnapshotStore.current(s"$wh/t").get
+    assert(SnapshotStore.tableLayout(m) === Some(("m", "v")))
+    assert(m.entries.isEmpty)
+    // first INSERT appends into the recorded layout
+    spark.sql("INSERT INTO snapddl1.t VALUES " +
+      "(1, '2024-01', 1, 10.0), (2, '2024-02', 2, 20.0)")
+    assert(spark.sql("SELECT sum(price) FROM snapddl1.t")
+      .head().getDouble(0) === 30.0)
+    // the full DML surface works on a DDL-created table
+    spark.sql("UPDATE snapddl1.t SET price = price + 1.0 WHERE id = 1")
+    spark.sql("DELETE FROM snapddl1.t WHERE m = '2024-02'")
+    assert(spark.sql("SELECT sum(price) FROM snapddl1.t")
+      .head().getDouble(0) === 11.0)
+    assert(spark.sql("CALL snapddl1.system.history('t')").count() >= 3L)
+    // IF NOT EXISTS is a no-op on the existing table; bare CREATE fails
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS snapddl1.t (x INT)
+        |PARTITIONED BY (x) TBLPROPERTIES ('sort_col' = 'x')"""
+        .stripMargin)
+    assert(spark.sql("SELECT * FROM snapddl1.t").columns.length === 4)
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE snapddl1.t (x INT)
+          |PARTITIONED BY (x) TBLPROPERTIES ('sort_col' = 'x')"""
+          .stripMargin)
+    }
+    // DROP removes the root; the name is free again
+    spark.sql("DROP TABLE snapddl1.t")
+    assert(!new java.io.File(s"$wh/t").exists())
+    intercept[Exception] { spark.sql("SELECT * FROM snapddl1.t") }
+  }
+
+  test("CTAS: CREATE TABLE ... AS SELECT creates then appends the " +
+      "query through the locked commit path — content and layout both " +
+      "land in one statement") {
+    val wh = mkWh("ctas")
+    register("snapddl2", wh)
+    Seq((1L, "2024-01", 1, 10.0), (2L, "2024-01", 2, 20.0),
+      (3L, "2024-02", 3, 30.0))
+      .toDF("id", "m", "v", "price")
+      .createOrReplaceTempView("graft_ddl_src")
+    spark.sql(
+      """CREATE TABLE snapddl2.t
+        |PARTITIONED BY (m)
+        |TBLPROPERTIES ('sort_col' = 'v')
+        |AS SELECT * FROM graft_ddl_src""".stripMargin)
+    assert(spark.sql("SELECT sum(price) FROM snapddl2.t")
+      .head().getDouble(0) === 60.0)
+    val m = SnapshotStore.current(s"$wh/t").get
+    assert(SnapshotStore.tableLayout(m) === Some(("m", "v")))
+    assert(m.entries.map(_.value).toSet === Set("2024-01", "2024-02"))
+  }
+
+  test("CREATE TABLE refusals are loud and leave nothing behind: " +
+      "missing sort_col, non-identity or multi-column partitioning, " +
+      "partition column absent from the schema; ALTER/RENAME rejected") {
+    val wh = mkWh("refuse")
+    register("snapddl3", wh)
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE snapddl3.a (id BIGINT, m STRING) " +
+        "PARTITIONED BY (m)")
+    }
+    assert(e1.getMessage.contains("sort_col"))
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE snapddl3.b (id BIGINT, m STRING) " +
+        "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('sort_col'='id')")
+    }
+    assert(e2.getMessage.contains("identity"))
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE snapddl3.c (id BIGINT, m STRING) " +
+        "PARTITIONED BY (m, id) TBLPROPERTIES ('sort_col'='id')")
+    }
+    assert(e3.getMessage.contains("exactly one"))
+    intercept[Exception] {
+      spark.sql("CREATE TABLE snapddl3.d (id BIGINT, m STRING) " +
+        "PARTITIONED BY (zz) TBLPROPERTIES ('sort_col'='id')")
+    }
+    for (n <- Seq("a", "b", "c", "d"))
+      assert(!new java.io.File(s"$wh/$n/MANIFEST").exists(),
+        s"a refused CREATE must not leave table $n behind")
+    // ALTER / RENAME stay rejected
+    spark.sql("CREATE TABLE snapddl3.t (id BIGINT, m STRING) " +
+      "PARTITIONED BY (m) TBLPROPERTIES ('sort_col'='id')")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapddl3.t ADD COLUMN extra INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapddl3.t RENAME TO t2")
+    }
+    // dropping a nonexistent table is false, not an error, under
+    // IF EXISTS; bare DROP of a missing table errors
+    spark.sql("DROP TABLE IF EXISTS snapddl3.nope")
+    intercept[Exception] { spark.sql("DROP TABLE snapddl3.nope") }
+  }
+}
