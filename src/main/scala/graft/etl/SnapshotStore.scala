@@ -1596,6 +1596,90 @@ object SnapshotStore {
     }
   }
 
+  // ---- tags (named retained commits) ---------------------------------------
+
+  /** A tag: an IMMUTABLE name for a committed table state (Iceberg
+    * tags / Delta named snapshots; ClickHouse pins states via backups
+    * — an extension, not in the reference). `seq` addresses the chain,
+    * `id` the manifest file — both recorded so resolution survives
+    * either view. */
+  final case class TagRef(seq: Long, id: Long)
+
+  private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  private def tagFile(root: String, name: String): Path =
+    Paths.get(root, "refs", s"tag-$name")
+
+  /** Name commit `seq` — exclusive create (a tag never moves; re-tag =
+    * untag + tag, deliberately two operator actions). The tagged
+    * commit's manifest, chain slot and data dirs are all PINNED by
+    * [[expire]] until the tag is removed, so `VERSION AS OF '<name>'`
+    * keeps resolving at any retention policy. */
+  def tag(root: String, name: String, seq: Long): Unit = {
+    require(TagNameRe.matches(name),
+      s"tag name '$name' must match ${TagNameRe.regex}")
+    withCommitLock(root) {
+      val m = manifestAtSeq(root, seq) // loud on gaps / expired slots
+      Files.createDirectories(Paths.get(root, "refs"))
+      val f = tagFile(root, name)
+      try Files.write(f,
+        s"seq=$seq\nid=${m.id}\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"tag '$name' already exists at $root — tags are " +
+              "immutable; untag first to move it")
+      }
+      fsyncDir(Paths.get(root, "refs"), s"tag $name at $root")
+    }
+  }
+
+  /** Remove a tag; the commit it named ages out via [[expire]] like
+    * any other. Returns whether the tag existed. */
+  def untag(root: String, name: String): Boolean =
+    withCommitLock(root) {
+      val existed = Files.deleteIfExists(tagFile(root, name))
+      if (existed)
+        fsyncDir(Paths.get(root, "refs"), s"untag $name at $root")
+      existed
+    }
+
+  /** All tags, name-sorted. Unreadable/corrupt ref files are skipped
+    * (never fail a listing on one bad file). */
+  def tags(root: String): Map[String, TagRef] = {
+    val dir = Paths.get(root, "refs")
+    if (!Files.exists(dir)) return Map.empty
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.Map[String, TagRef]()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("tag-")) scala.util.Try {
+          val kv = Files.readString(p, StandardCharsets.UTF_8)
+            .split("\n").filter(_.contains("="))
+            .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+          buf(n.stripPrefix("tag-")) =
+            TagRef(kv("seq").toLong, kv("id").toLong)
+        }
+      }
+      buf.toMap
+    } finally s.close()
+  }
+
+  /** Resolve a tag to its manifest (the `VERSION AS OF '<name>'`
+    * path): by manifest id — pinned by expire, so this works at any
+    * retention policy while the tag lives. */
+  def resolveTag(root: String, name: String): Manifest =
+    tags(root).get(name) match {
+      case Some(ref) => manifestAt(root, ref.id)
+      case None => throw new IllegalArgumentException(
+        s"no tag '$name' at $root — tags: " +
+          tags(root).keys.toSeq.sorted.mkString(", "))
+    }
+
   // ---- retention ---------------------------------------------------------
 
   /** Drop all but the newest `keepLast` manifests (the current pointer
@@ -1667,7 +1751,12 @@ object SnapshotStore {
         .map(id => (seqOfHeader(dir.resolve(s"manifest-$id"))
           .getOrElse(id), id))
         .sortBy(identity).takeRight(keepLast).map(_._2).toSet ++
-        live.map(_.id)
+        live.map(_.id) ++
+        // TAGGED commits are pinned unconditionally: a tag is the
+        // operator's "this state matters" (release snapshots, audit
+        // points) — their manifests, chain slots and data dirs all
+        // survive retention until the tag is removed
+        tags(root).values.map(_.id)
       val referenced =
         (keep.flatMap { id =>
           // the live pointer's entries are pinned via `live` below even

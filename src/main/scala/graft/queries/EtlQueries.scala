@@ -747,6 +747,46 @@ object EtlQueries {
   def snapshotSqlCtas: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotCtas(s, d)))
 
+  /** One tagged-and-expired history per (JVM, sfDir): full load
+    * (seq 1) tagged 'v1', a mutating INSERT (seq 2), then
+    * `expire(keepLast = 1)` — WITHOUT the tag's pin, seq 1 would be
+    * past the horizon; `VERSION AS OF 'v1'` must still hash-equal the
+    * plain orders aggregate, proving tag resolution reads the pinned
+    * manifest, not the live head. */
+  private val snapTagPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotTag(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snaptagtt",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapTagPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        val name = new java.io.File(root).getName
+        s.sql(s"CALL graftsnap.system.tag('$name', 'v1', 1)")
+        s.sql(s"INSERT INTO $table SELECT o_orderkey + 4000000000, " +
+          "o_custkey, o_orderstatus, o_totalprice, o_orderdate, " +
+          s"o_orderpriority, order_month FROM $table " +
+          "WHERE o_orderkey % 100 = 1")
+        SnapshotStore.expire(root, keepLast = 1)
+        snapTagPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Tag-addressed time travel THROUGH aggressive retention: the
+    * pinned seq-1 state, by name. */
+  def snapshotTagTimetravel: Q = (s, d) => {
+    val table = registerSnapCatalog(s, prepareSnapshotTag(s, d))
+    s.sql(s"""SELECT order_month, count(*) AS cnt,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8)))
+             |   AS DOUBLE), 4) AS sum_price
+             |FROM $table VERSION AS OF 'v1' GROUP BY order_month"""
+      .stripMargin)
+  }
+
   /** Batch CHANGE FEED ([[SnapshotStore.changeFeed]], the Delta
     * `table_changes` analogue) over the backfill history: between the
     * full load (seq 1) and the corrected-month restatement (seq 2) the
@@ -933,6 +973,7 @@ object EtlQueries {
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
     "snapshot_rollback" -> snapshotRollback,
     "snapshot_sql_ctas" -> snapshotSqlCtas,
+    "snapshot_tag_timetravel" -> snapshotTagTimetravel,
     "snapshot_stream_tail" -> snapshotStreamTail,
     "snapshot_changefeed" -> snapshotChangeFeed,
     "snapshot_stream_cdf" -> snapshotStreamCdf,
@@ -1154,6 +1195,13 @@ object EtlQueries {
         |FROM orders GROUP BY 1""".stripMargin,
     // CTAS: lifecycle + load in one statement — the read IS the source
     "snapshot_sql_ctas" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    // tag-addressed time travel through expire: the pinned seq-1 state
+    "snapshot_tag_timetravel" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         | count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)

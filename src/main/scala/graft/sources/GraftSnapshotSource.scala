@@ -546,15 +546,15 @@ class GraftSnapshotCatalog extends TableCatalog
       CaseInsensitiveStringMap.empty(), writable = true)
   }
 
-  /** SQL time travel: `VERSION AS OF n` arrives here as a string.
-    * Read-only — writing into a historical snapshot would fork the
-    * manifest history. */
+  /** SQL time travel: `VERSION AS OF n` arrives here as a string — a
+    * manifest id, or a TAG name (`VERSION AS OF 'release-1'`) resolved
+    * through the expire-pinned refs. Read-only — writing into a
+    * historical snapshot would fork the manifest history. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = rootOf(ident)
     if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
     val id = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"snapshot version must be a manifest id, got '$version'"))
+      SnapshotStore.resolveTag(root, version).id)
     GraftSnapshotTables.load(SparkSession.active, root, Some(id),
       CaseInsensitiveStringMap.empty(), writable = false)
   }
@@ -679,11 +679,14 @@ class GraftSnapshotCatalog extends TableCatalog
       case "expire" => new ExpireProcedure(warehouse)
       case "compact" => new CompactProcedure(warehouse)
       case "rollback" => new RollbackProcedure(warehouse)
+      case "tag" => new TagProcedure(warehouse)
+      case "untag" => new UntagProcedure(warehouse)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — this catalog provides " +
           "system.merge_into(table, source, key, delete_flag), " +
           "system.history(table), system.expire(table, keep_last), " +
-          "system.compact(table) and system.rollback(table, to_seq)")
+          "system.compact(table), system.rollback(table, to_seq), " +
+          "system.tag(table, name, seq) and system.untag(table, name)")
     }
 }
 
@@ -774,6 +777,76 @@ class RollbackProcedure(warehouse: String) extends UnboundProcedure {
         val root = SnapProcedures.existingRoot(warehouse, table)
         SnapProcedures.singleLongResult("snapshot_id",
           SnapshotStore.rollback(root, toSeq))
+      }
+    }
+}
+
+/** `CALL <catalog>.system.tag(table, name, seq)` — name a committed
+  * state (the Iceberg tag): the tagged commit's manifest, chain slot
+  * and data dirs are pinned through every later
+  * `CALL system.expire`, and `VERSION AS OF '<name>'` resolves it.
+  * Tags are immutable — re-tagging a live name fails loudly. Returns
+  * the tagged snapshot id. */
+class TagProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "tag"
+  override def description(): String =
+    "Pin and name a retained commit of a graft snapshot table"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "tag"
+      override def description(): String = TagProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("name", StringType)
+          .comment("immutable tag name").build(),
+        ProcedureParameter.in("seq", LongType)
+          .comment("retained chain sequence to pin").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val tagName = input.getUTF8String(1).toString
+        val seq = input.getLong(2)
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapshotStore.tag(root, tagName, seq)
+        SnapProcedures.singleLongResult("snapshot_id",
+          SnapshotStore.resolveTag(root, tagName).id)
+      }
+    }
+}
+
+/** `CALL <catalog>.system.untag(table, name)` — drop a tag; the
+  * commit it named ages out via expire like any other. Returns whether
+  * the tag existed (0/1). */
+class UntagProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "untag"
+  override def description(): String =
+    "Remove a tag from a graft snapshot table"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "untag"
+      override def description(): String =
+        UntagProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("name", StringType)
+          .comment("tag name to remove").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val tagName = input.getUTF8String(1).toString
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapProcedures.singleLongResult("existed",
+          if (SnapshotStore.untag(root, tagName)) 1L else 0L)
       }
     }
 }

@@ -87,14 +87,16 @@ class GraftSnapshotSqlSpec extends SparkSpec {
       s"projection did not prune the scan:\n$plan")
   }
 
-  test("DDL stays rejected (table lifecycle is the Scala API's); a " +
-      "missing table is a proper NoSuchTableException") {
+  test("ALTER/RENAME stay rejected (schema evolution is the commit " +
+      "boundary's; DROP/CREATE are supported since round 11 — " +
+      "SnapshotSqlDdlSpec); a missing table is a proper " +
+      "NoSuchTableException") {
     val (wh, name, _) = mkTable("ro")
     spark.conf.set("spark.sql.catalog.snapro",
       classOf[GraftSnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.snapro.warehouse", wh)
     val e = intercept[Exception] {
-      spark.sql(s"DROP TABLE snapro.$name")
+      spark.sql(s"ALTER TABLE snapro.$name ADD COLUMN extra INT")
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)
