@@ -1232,6 +1232,39 @@ object SnapshotStore {
     }
   }
 
+  /** Append columns to the table schema as a METADATA-ONLY commit —
+    * explicit schema evolution (`ALTER TABLE … ADD COLUMN`), the same
+    * merge a column-adding backfill performs at its commit boundary,
+    * minus the data: entries carry by reference, every existing dir
+    * reads the new columns as null (the manifest schema is applied to
+    * all listed dirs), time travel keeps each snapshot's own shape.
+    * New columns must be NULLABLE (there is no data to back a NOT NULL
+    * promise) and must not collide with existing names. Cost: one ~KB
+    * manifest write at any table size. */
+  def addColumns(root: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to alter"))
+      val schema = prior.schema.getOrElse(
+        throw new IllegalStateException(
+          s"table at $root predates schema-carrying manifests — " +
+            "recommit with a full write before altering"))
+      newFields.foreach { f =>
+        require(f.nullable,
+          s"ADD COLUMN ${f.name}: new columns must be nullable — " +
+            "existing rows have no value to back a NOT NULL promise")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"ADD COLUMN ${f.name}: a column of that name already exists")
+      }
+      val id = allocateId(root)
+      commitManifest(root, Manifest(id, prior.entries,
+        Some(org.apache.spark.sql.types.StructType(
+          schema.fields ++ newFields)),
+        prior.props), seqOf(prior))
+      id
+    }
+
   /** Full-table snapshot: every partition written fresh, committed as
     * one atomic pointer swap. Returns the snapshot id. */
   def write(df: DataFrame, root: String, partCol: String,

@@ -566,11 +566,12 @@ class GraftSnapshotCatalog extends TableCatalog
     "graft snapshot catalog supports table DDL (CREATE TABLE [AS " +
       "SELECT] ... PARTITIONED BY (col) TBLPROPERTIES " +
       "('sort_col'='col'), DROP TABLE), DML (INSERT INTO / OVERWRITE, " +
-      "MERGE INTO, UPDATE, DELETE) and operations (CALL " +
-      "system.merge_into / history / expire / compact / rollback) — " +
-      "but not ALTER/RENAME: schema evolution happens at the snapshot " +
-      "commit boundary (a backfill adding columns), and a rename would " +
-      "invalidate every reader's resolved root")
+      "MERGE INTO, UPDATE, DELETE), ALTER TABLE ADD COLUMN (a " +
+      "metadata-only schema-evolution commit) and operations (CALL " +
+      "system.merge_into / history / expire / compact / rollback / " +
+      "tag) — but not RENAME (it would invalidate every reader's " +
+      "resolved root) nor other ALTERs (drop/retype would rewrite " +
+      "history readers depend on)")
 
   /** `CREATE TABLE snap.t (cols…) PARTITIONED BY (m) TBLPROPERTIES
     * ('sort_col'='ts')` — and the CTAS form, where Spark calls this
@@ -605,8 +606,33 @@ class GraftSnapshotCatalog extends TableCatalog
     loadTable(ident)
   }
 
+  /** `ALTER TABLE snap.t ADD COLUMN(S) …` — explicit schema evolution
+    * as a metadata-only commit ([[SnapshotStore.addColumns]]): every
+    * existing dir reads the new column as null, time travel keeps each
+    * snapshot's own shape. Everything else (drop/rename/retype/
+    * reorder/comment) stays rejected: type changes are refused at
+    * every commit boundary by design, and the rest would rewrite
+    * history readers depend on. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly
+      changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "graft snapshot ALTER TABLE adds TOP-LEVEL columns only, " +
+              s"got nested: ${a.fieldNames().mkString(".")}")
+        StructField(a.fieldNames()(0), a.dataType(),
+          nullable = a.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"graft snapshot ALTER TABLE supports ADD COLUMN only, got: " +
+          s"$other — drop/rename/retype would rewrite history that " +
+          "readers depend on")
+    }
+    SnapshotStore.addColumns(root, fields)
+    loadTable(ident)
+  }
 
   /** `DROP TABLE snap.t` — removes the root (manifest history, chain
     * slots and data dirs). The operator's prerogative: time travel

@@ -87,16 +87,15 @@ class GraftSnapshotSqlSpec extends SparkSpec {
       s"projection did not prune the scan:\n$plan")
   }
 
-  test("ALTER/RENAME stay rejected (schema evolution is the commit " +
-      "boundary's; DROP/CREATE are supported since round 11 — " +
-      "SnapshotSqlDdlSpec); a missing table is a proper " +
-      "NoSuchTableException") {
+  test("RENAME and non-add ALTERs stay rejected (DROP/CREATE/ADD " +
+      "COLUMN are supported since round 11 — SnapshotSqlDdlSpec); a " +
+      "missing table is a proper NoSuchTableException") {
     val (wh, name, _) = mkTable("ro")
     spark.conf.set("spark.sql.catalog.snapro",
       classOf[GraftSnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.snapro.warehouse", wh)
     val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE snapro.$name ADD COLUMN extra INT")
+      spark.sql(s"ALTER TABLE snapro.$name DROP COLUMN price")
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)

@@ -6,8 +6,9 @@ import graft.etl.SnapshotStore
 /** SQL table lifecycle through the catalog: `CREATE TABLE` (empty +
   * CTAS) records the layout as durable manifest props and commits an
   * empty schema-carrying manifest; every DML/ops entry point then
-  * works on the created table; `DROP TABLE` removes the root. ALTER
-  * and RENAME stay rejected, loudly. */
+  * works on the created table; `DROP TABLE` removes the root. `ALTER
+  * TABLE ADD COLUMN` evolves the schema as a metadata-only commit;
+  * other ALTERs and RENAME stay rejected, loudly. */
 class SnapshotSqlDdlSpec extends SparkSpec {
 
   import spark.implicits._
@@ -116,11 +117,35 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     for (n <- Seq("a", "b", "c", "d"))
       assert(!new java.io.File(s"$wh/$n/MANIFEST").exists(),
         s"a refused CREATE must not leave table $n behind")
-    // ALTER / RENAME stay rejected
+    // ADD COLUMN is a metadata-only schema-evolution commit; other
+    // ALTERs and RENAME stay rejected
     spark.sql("CREATE TABLE snapddl3.t (id BIGINT, m STRING) " +
       "PARTITIONED BY (m) TBLPROPERTIES ('sort_col'='id')")
+    spark.sql("INSERT INTO snapddl3.t VALUES (1, '2024-01')")
+    val preAlter = SnapshotStore.current(s"$wh/t").get
+    spark.sql("ALTER TABLE snapddl3.t ADD COLUMN extra INT")
+    assert(spark.sql("SELECT extra FROM snapddl3.t").head().isNullAt(0),
+      "existing rows read the added column as null")
+    val postAlter = SnapshotStore.current(s"$wh/t").get
+    assert(postAlter.entries === preAlter.entries,
+      "ADD COLUMN carries every entry by reference (metadata-only)")
+    // time travel keeps the pre-alter shape
+    assert(!spark.read.format("graft-snapshot")
+      .option("asOf", preAlter.id).load(s"$wh/t")
+      .columns.contains("extra"))
+    // INSERT with the new column works; refusals stay loud
+    spark.sql("INSERT INTO snapddl3.t VALUES (2, '2024-02', 7)")
+    assert(spark.sql(
+      "SELECT sum(coalesce(extra, 0)) FROM snapddl3.t")
+      .head().getLong(0) === 7L)
     intercept[Exception] {
-      spark.sql("ALTER TABLE snapddl3.t ADD COLUMN extra INT")
+      spark.sql("ALTER TABLE snapddl3.t ADD COLUMN extra2 INT NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapddl3.t ADD COLUMN id STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapddl3.t DROP COLUMN extra")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE snapddl3.t RENAME TO t2")
