@@ -1212,13 +1212,17 @@ object SnapshotStore {
     * the caller's check). */
   def createEmpty(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
-      partCol: String, sortCol: String): Long = {
-    require(schema.fieldNames.contains(partCol),
-      s"partition column '$partCol' is not in the schema: " +
-        schema.fieldNames.mkString(", "))
-    require(schema.fieldNames.contains(sortCol),
-      s"sort column '$sortCol' is not in the schema: " +
-        schema.fieldNames.mkString(", "))
+      partCol0: String, sortCol0: String): Long = {
+    // resolve case-insensitively (Spark's default resolver) and
+    // NORMALIZE to the schema's casing before storing the props —
+    // partition-token rendering downstream uses the stored string
+    def resolve(what: String, c: String): String =
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what column '$c' is not in the schema: " +
+            schema.fieldNames.mkString(", ")))
+    val partCol = resolve("partition", partCol0)
+    val sortCol = resolve("sort", sortCol0)
     withCommitLock(root) {
       require(current(root).isEmpty,
         s"a snapshot table already exists at $root")
@@ -1257,6 +1261,11 @@ object SnapshotStore {
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
           s"ADD COLUMN ${f.name}: a column of that name already exists")
       }
+      val dupInBatch = newFields.groupBy(_.name.toLowerCase)
+        .collect { case (_, fs) if fs.size > 1 => fs.head.name }
+      require(dupInBatch.isEmpty,
+        s"ADD COLUMN: duplicate new column name(s) in one statement: " +
+          dupInBatch.mkString(", "))
       val id = allocateId(root)
       commitManifest(root, Manifest(id, prior.entries,
         Some(org.apache.spark.sql.types.StructType(
@@ -1648,9 +1657,15 @@ object SnapshotStore {
     * commit's manifest, chain slot and data dirs are all PINNED by
     * [[expire]] until the tag is removed, so `VERSION AS OF '<name>'`
     * keeps resolving at any retention policy. */
-  def tag(root: String, name: String, seq: Long): Unit = {
+  def tag(root: String, name: String, seq: Long): Long = {
     require(TagNameRe.matches(name),
       s"tag name '$name' must match ${TagNameRe.regex}")
+    // an all-digit name could never be resolved: `VERSION AS OF '7'`
+    // reads as manifest id 7 first — reject at creation, not at the
+    // silent-wrong-snapshot read
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' is all digits — ambiguous with a manifest id " +
+        "in VERSION AS OF; include a letter")
     withCommitLock(root) {
       val m = manifestAtSeq(root, seq) // loud on gaps / expired slots
       Files.createDirectories(Paths.get(root, "refs"))
@@ -1665,6 +1680,7 @@ object SnapshotStore {
               "immutable; untag first to move it")
       }
       fsyncDir(Paths.get(root, "refs"), s"tag $name at $root")
+      m.id
     }
   }
 
@@ -1705,13 +1721,15 @@ object SnapshotStore {
   /** Resolve a tag to its manifest (the `VERSION AS OF '<name>'`
     * path): by manifest id — pinned by expire, so this works at any
     * retention policy while the tag lives. */
-  def resolveTag(root: String, name: String): Manifest =
-    tags(root).get(name) match {
+  def resolveTag(root: String, name: String): Manifest = {
+    val all = tags(root)
+    all.get(name) match {
       case Some(ref) => manifestAt(root, ref.id)
       case None => throw new IllegalArgumentException(
         s"no tag '$name' at $root — tags: " +
-          tags(root).keys.toSeq.sorted.mkString(", "))
+          all.keys.toSeq.sorted.mkString(", "))
     }
+  }
 
   // ---- retention ---------------------------------------------------------
 

@@ -587,7 +587,7 @@ class GraftSnapshotCatalog extends TableCatalog
     val root = rootOf(ident)
     if (tableExistsAt(root))
       throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(ident.asInstanceOf[Identifier])
+        .TableAlreadyExistsException(ident)
     val partCol = partitions.toSeq match {
       case Seq(t) if t.name == "identity" && t.references().length == 1 =>
         t.references()(0).fieldNames().mkString(".")
@@ -601,6 +601,26 @@ class GraftSnapshotCatalog extends TableCatalog
         "graft snapshot CREATE TABLE requires TBLPROPERTIES " +
           "('sort_col'='<column>') — the within-partition storage " +
           "sort (the MergeTree ORDER BY analogue)"))
+    // any OTHER user property would be silently dropped (createEmpty
+    // persists only the layout props) — refuse loudly instead; keys
+    // Spark itself injects on every CREATE pass through
+    val engineReserved = Set("sort_col", "provider", "owner", "location",
+      "comment", "external", "is_managed_location")
+    val unknown = {
+      val it = properties.keySet().iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val k = it.next()
+        if (!engineReserved(k.toLowerCase) && !k.startsWith("option."))
+          buf += k
+      }
+      buf.toSeq
+    }
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      "graft snapshot CREATE TABLE cannot honor TBLPROPERTIES " +
+        s"${unknown.sorted.mkString("(", ", ", ")")} — manifests " +
+        "persist only the layout (sort_col); remove them rather than " +
+        "lose them silently")
     SnapshotStore.createEmpty(SparkSession.active, root, schema,
       partCol, sortCol)
     loadTable(ident)
@@ -623,8 +643,16 @@ class GraftSnapshotCatalog extends TableCatalog
           throw new UnsupportedOperationException(
             "graft snapshot ALTER TABLE adds TOP-LEVEL columns only, " +
               s"got nested: ${a.fieldNames().mkString(".")}")
-        StructField(a.fieldNames()(0), a.dataType(),
+        // new columns APPEND (addColumns always puts them last): an
+        // explicit FIRST/AFTER would be silently ignored — refuse
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "graft snapshot ALTER TABLE appends new columns at the " +
+              "END of the schema — FIRST/AFTER placement is not " +
+              "honored, so it is refused rather than ignored")
+        val f = StructField(a.fieldNames()(0), a.dataType(),
           nullable = a.isNullable)
+        Option(a.comment()).map(f.withComment).getOrElse(f)
       case other => throw new UnsupportedOperationException(
         s"graft snapshot ALTER TABLE supports ADD COLUMN only, got: " +
           s"$other — drop/rename/retype would rewrite history that " +
@@ -641,9 +669,16 @@ class GraftSnapshotCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)
     if (!tableExistsAt(root)) false
-    else {
-      graft.util.Fs.deleteRecursively(new java.io.File(root))
-      true
+    else SnapshotStore.withTableLock(root) {
+      // under the lock: a same-host in-flight commit either finishes
+      // before the delete or starts after it (and then fails loudly on
+      // the missing manifest) — without it the recursive delete races
+      // the commit and a half-deleted table gets resurrected
+      if (!tableExistsAt(root)) false
+      else {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        true
+      }
     }
   }
 
@@ -838,9 +873,8 @@ class TagProcedure(warehouse: String) extends UnboundProcedure {
         val tagName = input.getUTF8String(1).toString
         val seq = input.getLong(2)
         val root = SnapProcedures.existingRoot(warehouse, table)
-        SnapshotStore.tag(root, tagName, seq)
         SnapProcedures.singleLongResult("snapshot_id",
-          SnapshotStore.resolveTag(root, tagName).id)
+          SnapshotStore.tag(root, tagName, seq))
       }
     }
 }

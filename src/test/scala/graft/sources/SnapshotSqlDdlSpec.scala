@@ -144,6 +144,26 @@ class SnapshotSqlDdlSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("ALTER TABLE snapddl3.t ADD COLUMN id STRING")
     }
+    // placement would be silently ignored (columns always append) —
+    // refused instead; a duplicate within one statement refused too
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapddl3.t ADD COLUMN z INT FIRST")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapddl3.t ADD COLUMNS (y INT, Y STRING)")
+    }
+    // a user TBLPROPERTY the manifest cannot persist refuses at CREATE
+    val e5 = intercept[Exception] {
+      spark.sql("CREATE TABLE snapddl3.p (id BIGINT, m STRING) " +
+        "PARTITIONED BY (m) " +
+        "TBLPROPERTIES ('sort_col'='id', 'owner_team'='etl')")
+    }
+    assert(e5.getMessage.contains("owner_team"))
+    // case-insensitive layout resolution, normalized to schema casing
+    spark.sql("CREATE TABLE snapddl3.ci (id BIGINT, Mn STRING) " +
+      "PARTITIONED BY (mn) TBLPROPERTIES ('sort_col'='ID')")
+    assert(SnapshotStore.tableLayout(
+      SnapshotStore.current(s"$wh/ci").get) === Some(("Mn", "id")))
     intercept[Exception] {
       spark.sql("ALTER TABLE snapddl3.t DROP COLUMN extra")
     }

@@ -44,6 +44,10 @@ class SnapshotTagSpec extends SparkSpec {
       spark.sql("CALL snaptag.system.tag('t', 'release-1', 2)")
     }
     intercept[IllegalArgumentException](SnapshotStore.tag(root, "a/b", 1))
+    // an all-digit name would be unreachable: VERSION AS OF '7' reads
+    // as a manifest id first — rejected at creation, not silently
+    // resolved to the wrong snapshot at read
+    intercept[IllegalArgumentException](SnapshotStore.tag(root, "7", 1))
     intercept[IllegalStateException](SnapshotStore.tag(root, "ok", 99))
     // retention: keep only the head — but the tag pins seq 1
     SnapshotStore.expire(root, keepLast = 1)
