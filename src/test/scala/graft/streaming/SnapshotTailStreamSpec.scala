@@ -211,6 +211,69 @@ class SnapshotTailStreamSpec extends SparkSpec {
     }
   }
 
+  test("the CDF stream survives a restart: a second incarnation over " +
+      "the same checkpoint resumes at the committed offset and emits " +
+      "ONLY later commits' changes, tags intact") {
+    val root = tmpDir("cdfrestart") + "/t"
+    val ckpt = tmpDir("cdfrestart_ck")
+    SnapshotStore.write(rows(1.0, "2024-01", "2024-02"), root, "m", "ts")
+    SnapshotStore.appendPartitions(rows(2.0, "2024-03"), root, "m", "ts")
+    def drainOnce(): Set[(String, Double, String)] = {
+      val sink = scala.collection.mutable.ArrayBuffer[Row]()
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          sink.synchronized { sink ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.map(r => (r.getString(1), r.getDouble(3),
+        r.getString(r.fieldIndex("_change_type")))).toSet
+    }
+    // incarnation 1: everything so far, as inserts
+    val first = drainOnce()
+    assert(first === Set(
+      ("2024-01", 1.0, "insert"), ("2024-02", 1.0, "insert"),
+      ("2024-03", 2.0, "insert")))
+    // between incarnations: a restatement (delete+insert) and a drop
+    SnapshotStore.overwritePartitions(rows(9.0, "2024-02"), root, "m", "ts")
+    SnapshotStore.dropPartitions(root, Some(Set("2024-01")))
+    // incarnation 2 over the SAME checkpoint: only the new commits
+    val second = drainOnce()
+    assert(second === Set(
+      ("2024-02", 1.0, "delete"), ("2024-02", 9.0, "insert"),
+      ("2024-01", 1.0, "delete")),
+      "the restart must resume at the committed offset, re-emit nothing")
+  }
+
+  test("a ROLLBACK reads through the change feed as delete(the bad " +
+      "content) + insert(the restored content) — downstream consumers " +
+      "converge on the restored state with no special casing") {
+    val root = tmpDir("cdfrollback") + "/t"
+    SnapshotStore.write(rows(1.0, "2024-01", "2024-02"), root, "m", "ts")
+    // the "bad" commit: a restatement that corrupts 2024-02
+    SnapshotStore.overwritePartitions(rows(666.0, "2024-02"),
+      root, "m", "ts")
+    assert(SnapshotStore.currentSeq(root) === 2L)
+    SnapshotStore.rollback(root, 1L) // seq 3 = the restored state
+    val feed = SnapshotStore.changeFeed(spark, root, 2L, 3L).collect()
+      .map(r => (r.getString(1), r.getDouble(3),
+        r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(feed === Set(
+      ("2024-02", 666.0, "delete"), ("2024-02", 1.0, "insert")),
+      "rollback = delete(bad) + insert(restored) through the feed")
+    // and the whole-history net view lands on the restored content
+    val net = SnapshotStore.changeFeed(spark, root, 0L, 3L).collect()
+      .map(r => (r.getString(1), r.getDouble(3),
+        r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(net === Set(
+      ("2024-01", 1.0, "insert"), ("2024-02", 1.0, "insert")))
+  }
+
   test("changeFeed refuses a pre-existing change-type column in ANY " +
       "case — Spark resolution is case-insensitive, so _CHANGE_TYPE " +
       "would be silently replaced too") {
