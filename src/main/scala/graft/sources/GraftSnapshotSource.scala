@@ -467,7 +467,17 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
           throw new IllegalArgumentException(
             "graft-snapshot needs a table root: .load(root) or " +
               ".option(\"path\", root)"))
-        val asOf = Option(options.get("asOf")).map(_.toLong)
+        // `tag` is the name-addressed form of `asOf` (the reader twin
+        // of `VERSION AS OF '<name>'`) — resolved through the
+        // expire-pinned refs to a manifest id; naming both is refused
+        // (they could disagree silently)
+        val tagOpt = Option(options.get("tag"))
+        val asOfOpt = Option(options.get("asOf")).map(_.toLong)
+        require(tagOpt.isEmpty || asOfOpt.isEmpty,
+          "graft-snapshot: options 'tag' and 'asOf' are mutually " +
+            "exclusive — they both pin the snapshot to read")
+        val asOf = asOfOpt.orElse(
+          tagOpt.map(SnapshotStore.resolveTag(root, _).id))
         val cdf = Option(options.get("readChangeFeed"))
           .exists(_.equalsIgnoreCase("true"))
         cachedTable =

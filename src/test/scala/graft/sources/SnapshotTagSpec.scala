@@ -81,4 +81,39 @@ class SnapshotTagSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM snaptag.t")
       .head().getLong(0) === 5L)
   }
+
+  test("the path-based reader resolves tags too: option(\"tag\") is " +
+      "the twin of VERSION AS OF '<name>'; combining it with asOf " +
+      "refuses") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_snaptag_rd").toString
+    val root = s"$wh/t"
+    SnapshotStore.write(mkRows(), root, "m", "v")
+    SnapshotStore.tag(root, "v1", 1)
+    SnapshotStore.dropPartitions(root, Some(Set("2024-01")))
+    assert(spark.read.format("graft-snapshot")
+      .option("tag", "v1").load(root).count() === 5L,
+      "the tag reads the pre-delete state")
+    assert(spark.read.format("graft-snapshot").load(root).count() === 3L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("tag", "v1").option("asOf", "1").load(root).schema
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("tag", "nope").load(root).schema
+    }
+    // a tag-pinned load is read-only time travel: tailing it refuses
+    // (no MICRO_BATCH_READ on pinned loads)
+    intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("tag", "v1").load(root)
+        .writeStream.format("memory").queryName("tag_tail_refuse")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_tagtail").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+  }
 }
