@@ -157,6 +157,28 @@ class SnapshotSqlUpdateSpec extends SparkSpec {
       .listFiles()).get.isEmpty)
   }
 
+  test("two concurrent row-level UPDATEs serialize through the table " +
+      "lock: both land, neither is lost, the chain advances twice") {
+    val (wh, root) = mkTable("race")
+    register("snapu10", wh)
+    val seq0 = SnapshotStore.currentSeq(root)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      Future(spark.sql(
+        "UPDATE snapu10.t SET price = price + 1.0 WHERE m = '2024-01'")),
+      Future(spark.sql(
+        "UPDATE snapu10.t SET price = price + 2.0 WHERE m = '2024-02'")))
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(state("snapu10") === Set(
+      (1L, "2024-01", 11.0), (2L, "2024-01", 21.0),
+      (3L, "2024-02", 32.0), (4L, "2024-02", 42.0),
+      (5L, "2024-03", 50.0)),
+      "both updates applied — no lost update under concurrency")
+    assert(SnapshotStore.currentSeq(root) === seq0 + 2)
+  }
+
   test("current-time predicates refuse loudly: discovery and rewrite " +
       "are two separately-optimized jobs, each stamping its own now()") {
     val (wh, root) = mkTable("timey")
