@@ -752,12 +752,14 @@ class GraftSnapshotCatalog extends TableCatalog
       case "rollback" => new RollbackProcedure(warehouse)
       case "tag" => new TagProcedure(warehouse)
       case "untag" => new UntagProcedure(warehouse)
+      case "tags" => new TagsProcedure(warehouse)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — this catalog provides " +
           "system.merge_into(table, source, key, delete_flag), " +
           "system.history(table), system.expire(table, keep_last), " +
           "system.compact(table), system.rollback(table, to_seq), " +
-          "system.tag(table, name, seq) and system.untag(table, name)")
+          "system.tag(table, name, seq), system.untag(table, name) " +
+          "and system.tags(table)")
     }
 }
 
@@ -885,6 +887,46 @@ class TagProcedure(warehouse: String) extends UnboundProcedure {
         val root = SnapProcedures.existingRoot(warehouse, table)
         SnapProcedures.singleLongResult("snapshot_id",
           SnapshotStore.tag(root, tagName, seq))
+      }
+    }
+}
+
+/** `CALL <catalog>.system.tags(table)` — list the tags: one row per
+  * tag (name, pinned chain seq, manifest id), name order. The read
+  * side of the tag story — `system.tag`/`untag` write it. */
+class TagsProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "tags"
+  override def description(): String =
+    "List a graft snapshot table's tags"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "tags"
+      override def description(): String =
+        TagsProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        val resultSchema = StructType(Seq(
+          StructField("name", StringType, false),
+          StructField("seq", LongType, false),
+          StructField("snapshot_id", LongType, false)))
+        val tagRows = SnapshotStore.tags(root).toSeq.sortBy(_._1)
+          .map { case (n, ref) => InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            ref.seq, ref.id)
+          }.toArray
+        util.Collections.singletonList[Scan](new LocalScan {
+          override def readSchema(): StructType = resultSchema
+          override def rows(): Array[InternalRow] = tagRows
+        }).iterator()
       }
     }
 }

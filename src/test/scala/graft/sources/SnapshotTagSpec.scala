@@ -39,6 +39,10 @@ class SnapshotTagSpec extends SparkSpec {
       .head().getLong(0)
     assert(SnapshotStore.tags(root) ===
       Map("release-1" -> SnapshotStore.TagRef(1L, tid)))
+    // the listing procedure is the read side of the same refs
+    assert(spark.sql("CALL snaptag.system.tags('t')").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("release-1", 1L, tid)))
     // tags are immutable; names and targets validate loudly
     intercept[IllegalStateException] {
       spark.sql("CALL snaptag.system.tag('t', 'release-1', 2)")
