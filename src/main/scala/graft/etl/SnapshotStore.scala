@@ -271,9 +271,13 @@ object SnapshotStore {
     Paths.get(root, "manifests", s"commit-$seq")
 
   /** Any commit chain slot present (live or tombstoned)? A slot can
-    * only be created by a successful `link(2)` (tombstones replace
-    * slots that were once links), so its existence PROVES this table's
-    * filesystem supports hard links. */
+    * only be CREATED by a successful `link(2)` (tombstones replace
+    * slots that were once links) — but slots prove only that the
+    * filesystem the table was created on supported links: a table
+    * RELOCATED wholesale (rsync, backup restore) carries its slots as
+    * plain file copies onto whatever mount it lands on, so capability
+    * decisions still run the scratch probe ([[supportsHardLinks]])
+    * and use this only to pick the right diagnosis. */
   private def hasChainSlots(root: String): Boolean = {
     val dir = Paths.get(root, "manifests")
     Files.exists(dir) && {
@@ -405,16 +409,6 @@ object SnapshotStore {
     // ([[supportsHardLinks]]); only a probe-confirmed no-link
     // filesystem degrades to the locked single-host discipline.
     def degradeOrFail(e: Throwable): Boolean = {
-      if (hasChainSlots(root)) {
-        withdraw()
-        throw new java.io.IOException(
-          s"hard-link claim of commit-$seq at $root failed " +
-            s"(${e.getMessage}) but this table already has chain " +
-            "slots — other writers link here successfully, so this " +
-            "is not a filesystem capability gap; refusing to degrade " +
-            "to pointer-swap publish (it would disable cross-host " +
-            "conflict detection for this commit)", e)
-      }
       val capable =
         try supportsHardLinks(root)
         catch { case _: java.io.IOException =>
@@ -422,6 +416,37 @@ object SnapshotStore {
           // (degrading on unknown evidence is the unsafe direction)
           true
         }
+      if (hasChainSlots(root)) {
+        withdraw()
+        // chain slots exist, so SOME filesystem once linked here — but
+        // a table relocated wholesale (rsync, backup restore) carries
+        // its slots as plain copies onto a mount that may not link.
+        // The probe distinguishes the two diagnoses; BOTH refuse to
+        // publish (silently degrading an already-chained table would
+        // disable the cross-host conflict detection its history
+        // promises).
+        if (capable)
+          throw new java.io.IOException(
+            s"hard-link claim of commit-$seq at $root failed " +
+              s"(${e.getMessage}) but this filesystem supports hard " +
+              "links (probe-confirmed) and the table has chain slots " +
+              "— this is a genuine error (permissions, seccomp, " +
+              "protected_hardlinks), not a capability gap; refusing " +
+              "to degrade to pointer-swap publish (it would disable " +
+              "cross-host conflict detection for this commit)", e)
+        else
+          throw new java.io.IOException(
+            s"hard-link claim of commit-$seq at $root failed " +
+              s"(${e.getMessage}): the table has chain slots but a " +
+              "scratch probe confirms this filesystem CANNOT create " +
+              "hard links — it was most likely relocated (rsync / " +
+              "backup restore) from a link-capable filesystem, so the " +
+              "slots are plain copies. Migrate: move the table back " +
+              "to a link-capable mount, or rewrite its current " +
+              "content to a fresh root on this mount with " +
+              "SnapshotStore.write (which starts a degraded " +
+              "single-host table)", e)
+      }
       if (capable) { withdraw(); throw e }
       System.err.println(
         s"[snapshot] WARN: filesystem at $root does not support " +
@@ -1280,12 +1305,18 @@ object SnapshotStore {
       sortCol: String): Long =
     withCommitLock(root)(writeLocked(df, root, partCol, sortCol))
 
+  /** `noRowChange = true` marks the commit as a pure REWRITE (same
+    * rows, new layout — compaction): an EMPTY CDC sidecar dir is
+    * created, so the change feed's per-commit replay emits NOTHING for
+    * it (Delta's `dataChange = false` analogue) instead of wholesale
+    * delete+insert churn for content that did not change. */
   private def writeLocked(df: DataFrame, root: String, partCol: String,
-      sortCol: String): Long = {
+      sortCol: String, noRowChange: Boolean = false): Long = {
     // a full write rewrites everything, so it may REDEFINE the layout
     val prior = current(root)
     val id = allocateId(root)
     val entries = writeSnapData(df, root, id, partCol, sortCol)
+    if (noRowChange) Files.createDirectories(cdcDirOf(root, id))
     commitManifest(root, Manifest(id, entries, Some(df.schema),
       prior.map(_.props).getOrElse(Map.empty) ++
         layoutProps(partCol, sortCol, df)),
@@ -1424,7 +1455,8 @@ object SnapshotStore {
     * outside `dropValues` are a caller bug (rejected — they would
     * shadow a carried entry with a duplicate value). */
   def restatePartitions(restated: DataFrame, root: String,
-      dropValues: Set[String], partCol: String, sortCol: String): Long =
+      dropValues: Set[String], partCol: String, sortCol: String,
+      cdc: Option[DataFrame] = None): Long =
     withCommitLock(root) {
       val prior = current(root).getOrElse(
         throw new IllegalStateException(s"no snapshot at $root to restate"))
@@ -1437,6 +1469,13 @@ object SnapshotStore {
       require(stray.isEmpty,
         s"restatePartitions: rows landed in partitions ${stray.mkString(", ")} " +
           s"not named in dropValues — the commit would duplicate them")
+      // the row-exact CDC sidecar (see [[changeFeed]]): written INSIDE
+      // the exclusively-claimed snap dir before the pointer moves, so
+      // a published commit either has its full sidecar or (crash
+      // mid-write) never published at all — readers can't see a torn
+      // changeset. A lost publish race orphans the sidecar together
+      // with its data dirs; expire sweeps both.
+      cdc.foreach(writeCdcSidecar(_, root, id, merged))
       val carried = prior.entries.filterNot(e => dropValues(e.value))
       commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
         prior.props ++ layoutProps(partCol, sortCol, restated)),
@@ -1498,7 +1537,12 @@ object SnapshotStore {
     * by a compaction of the snapshot that preceded it. */
   def compact(spark: SparkSession, root: String, partCol: String,
       sortCol: String): Long = withCommitLock(root) {
-    writeLocked(read(spark, root), root, partCol, sortCol)
+    // noRowChange: a compaction rewrites LAYOUT, not rows — its empty
+    // CDC sidecar keeps the per-commit change feed silent for it
+    // (Delta's dataChange=false), instead of emitting the whole table
+    // as delete+insert churn
+    writeLocked(read(spark, root), root, partCol, sortCol,
+      noRowChange = true)
   }
 
   // ---- readers -----------------------------------------------------------
@@ -1552,21 +1596,78 @@ object SnapshotStore {
     }
   }
 
+  // ---- row-exact CDC sidecars ----------------------------------------------
+
+  /** Directory name of a commit's CDC sidecar inside its snap dir. */
+  private[graft] val CdcDirName = "_cdc"
+
+  /** The CDC sidecar dir of manifest `id` — INSIDE the exclusively
+    * claimed `data/snap-<id>` dir, so no cross-host race and no extra
+    * retention bookkeeping: the sidecar lives exactly as long as its
+    * commit's manifest is retained ([[expire]] pins cdc-bearing snap
+    * dirs of retained manifests even when the commit's own entries
+    * reference none of them — a DELETE that drained every touched
+    * partition). */
+  private[graft] def cdcDirOf(root: String, id: Long): Path =
+    Paths.get(root, "data", s"snap-$id", CdcDirName)
+
+  /** Persist a row-exact changeset for the commit being built: the
+    * data columns plus `_change_type`
+    * (`insert`/`update_preimage`/`update_postimage`/`delete` — Delta
+    * CDF's row set). An EMPTY frame (or the bare marker dir a
+    * `noRowChange` rewrite creates) is meaningful: "this commit
+    * changed no rows", which silences the feed for it. */
+  private def writeCdcSidecar(cdc: DataFrame, root: String, id: Long,
+      tableSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val cols = cdc.columns.toSet
+    require(cols.contains("_change_type"),
+      "CDC sidecar frame must carry a _change_type column")
+    val unknown = cols - "_change_type" -- tableSchema.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"CDC sidecar frame carries columns outside the table schema: " +
+        unknown.mkString(", "))
+    // errorifexists: the _cdc dir lives inside the exclusively-claimed
+    // snap dir and is written exactly once per commit — append mode
+    // would pre-list the (nonexistent) path and WARN noisily, and a
+    // second write here is a bug worth failing on
+    org.apache.spark.sql.GraftPlanBridge.withSessionConf(cdc,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+      .write.mode("errorifexists").parquet(cdcDirOf(root, id).toString)
+  }
+
+  /** Read a commit's CDC sidecar under the given table schema (missing
+    * columns — evolution after the sidecar was written — read as
+    * null, same as any manifest read). */
+  private def readCdcSidecar(spark: SparkSession, root: String, id: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType)))
+      .parquet(cdcDirOf(root, id).toString)
+
   /** Batch CHANGE FEED between two committed chain sequences — the
-    * table-format CDF read (Delta `table_changes` analogue, built on
-    * the same endpoint-diff the streaming tail uses): rows in dirs
-    * manifest@to lists that @from did not, tagged
-    * `_change_type = 'insert'`, unioned with rows in dirs @from lists
-    * that @to dropped, tagged `'delete'`. A copy-on-write restatement
-    * (backfill / MERGE / dynamic overwrite) therefore reads as
-    * delete(old partition content) + insert(new content) — apply as
-    * retract-then-upsert; a pure append is inserts only; a partition
-    * DELETE is deletes only. Cost: two ~KB manifest parses + one
-    * multi-root scan over exactly the changed dirs; both endpoints
-    * must be within the retention horizon ([[manifestAtSeq]] fails
-    * loudly otherwise — and retention keeping a manifest keeps its
-    * dirs, so the delete side is always readable when the endpoint
-    * is). Rows read under the TO endpoint's schema (evolution: dropped
+    * table-format CDF read (Delta `table_changes` analogue), replayed
+    * PER COMMIT: for each chain step (s-1, s] in the range,
+    *   - a DML commit (row-level UPDATE/DELETE, MERGE) emits its
+    *     row-exact CDC sidecar — `update_preimage`/`update_postimage`/
+    *     `delete`/`insert` rows persisted at commit time from the
+    *     already-materialized changeset, NOT the wholesale restated
+    *     partitions;
+    *   - a compaction emits NOTHING (empty sidecar = no row changed,
+    *     Delta's dataChange=false);
+    *   - any other commit emits the step's dir diff: new dirs tagged
+    *     `insert`, dropped dirs tagged `delete` — so an append is
+    *     exactly the appended rows, a backfill/rollback is delete(old
+    *     content) + insert(new), a partition DELETE is deletes only.
+    * Apply as retract-then-upsert. Cost: one ~KB manifest parse per
+    * commit in the range (bounded by retention) + one multi-root scan
+    * over exactly the changed dirs/sidecars. Both ENDPOINTS must be
+    * within the retention horizon ([[manifestAtSeq]] fails loudly
+    * otherwise); if an INTERMEDIATE commit was expired (a pinned-tag
+    * endpoint far behind the head), the feed falls back to the
+    * endpoint-wholesale dir diff — net-correct, but changes that
+    * cancelled out within the range coalesce away (a WARN says so).
+    * Rows read under the TO endpoint's schema (evolution: dropped
     * rows' missing columns read as null). */
   def changeFeed(spark: SparkSession, root: String, fromSeq: Long,
       toSeq: Long): DataFrame = {
@@ -1578,9 +1679,9 @@ object SnapshotStore {
     // changeFeed(0, 0) before the first commit) needs a schema: the TO
     // endpoint's, else FROM's, else the live table's — only a
     // pre-schema legacy table can fail, and it fails with the cause
-    val schema = b.schema.orElse(a.schema)
+    val schemaOpt = b.schema.orElse(a.schema)
       .orElse(current(root).flatMap(_.schema))
-    if (schema.isEmpty)
+    if (schemaOpt.isEmpty)
       throw new IllegalStateException(
         s"changeFeed at $root: no endpoint (nor the live table) " +
           "carries a schema — manifests predate schema-carrying " +
@@ -1588,18 +1689,47 @@ object SnapshotStore {
     // case-INSENSITIVE: Spark resolution is case-insensitive by
     // default, so withColumn("_change_type", …) would replace a
     // pre-existing _CHANGE_TYPE column too
-    require(!schema.exists(_.fieldNames.exists(
+    require(!schemaOpt.exists(_.fieldNames.exists(
         _.equalsIgnoreCase("_change_type"))),
       "changeFeed cannot tag a table that already has a _change_type " +
         "column — the tag would silently overwrite it")
-    val aDirs = a.entries.map(_.dir).toSet
-    val bDirs = b.entries.map(_.dir).toSet
-    def side(dirs: Set[String], tag: String): DataFrame =
-      readManifest(spark, root,
-        Manifest(0L, dirs.toSeq.sorted.map(d => Entry("", d)), schema))
-        .withColumn("_change_type", lit(tag))
-    side(bDirs -- aDirs, "insert")
-      .unionByName(side(aDirs -- bDirs, "delete"))
+    val schema = schemaOpt
+    def diff(mA: Manifest, mB: Manifest): DataFrame = {
+      val aDirs = mA.entries.map(_.dir).toSet
+      val bDirs = mB.entries.map(_.dir).toSet
+      def side(dirs: Set[String], tag: String): DataFrame =
+        readManifest(spark, root,
+          Manifest(0L, dirs.toSeq.sorted.map(d => Entry("", d)), schema))
+          .withColumn("_change_type", lit(tag))
+      side(bDirs -- aDirs, "insert")
+        .unionByName(side(aDirs -- bDirs, "delete"))
+    }
+    // per-commit replay; None = an intermediate slot was expired
+    val steps: Option[Seq[DataFrame]] =
+      try {
+        var prev = a
+        Some((fromSeq + 1 to toSeq).map { s =>
+          val m = manifestAtSeq(root, s)
+          val step =
+            if (Files.isDirectory(cdcDirOf(root, m.id)))
+              readCdcSidecar(spark, root, m.id, schema.get)
+            else diff(prev, m)
+          prev = m
+          step
+        })
+      } catch {
+        case e: IllegalStateException =>
+          System.err.println(
+            s"[snapshot] WARN: changeFeed($fromSeq, $toSeq) at $root " +
+              s"cannot replay per-commit (${e.getMessage}) — emitting " +
+              "the endpoint-wholesale dir diff instead; changes that " +
+              "cancelled out within the range are coalesced away")
+          None
+      }
+    steps match {
+      case Some(fs) if fs.nonEmpty => fs.reduce(_ unionByName _)
+      case _ => diff(a, b) // empty range → typed empty frame
+    }
   }
 
   /** ROLL the table BACK to its state at chain sequence `toSeq`, as a
@@ -1816,7 +1946,14 @@ object SnapshotStore {
             manifestAt(root, id).entries
           else Seq.empty
         } ++ live.toSeq.flatMap(_.entries))
-          .map(e => e.dir.split("/").take(2).mkString("/"))
+          .map(e => e.dir.split("/").take(2).mkString("/")) ++
+          // a retained manifest's CDC sidecar must outlive the entry
+          // references: a DML that DRAINED every touched partition has
+          // a sidecar in a snap dir its own entries never mention —
+          // sweeping it would silently turn the commit's row-exact
+          // feed into a wholesale fallback
+          keep.filter(id => Files.isDirectory(cdcDirOf(root, id)))
+            .map(id => s"data/snap-$id")
       // delete unreferenced snap dirs past the orphan grace (an
       // in-flight cross-host commit's dirs are younger than it), then
       // dropped manifests

@@ -97,7 +97,12 @@ object MergeInto {
       sortCol: String): Long =
     mergeCommitImpl(spark, root, changes, key, partCol, sortCol,
       landable = !coalesce(col(deleteFlag), lit(false)),
-      resolve = (base, chg) => merge(base, chg, key, deleteFlag))
+      resolve = (base, chg) => merge(base, chg, key, deleteFlag),
+      // whole-row form: matched non-delete rows always update
+      cdcOf = (base, chg) => {
+        val del = coalesce(col(s"c.$deleteFlag"), lit(false))
+        cdcChangeset(base, chg, key, del, !del, !del)
+      })
 
   /** Shared locked read → discover → resolve → commit sequence under
     * both MERGE entry forms. `landable` marks change rows that can
@@ -124,10 +129,24 @@ object MergeInto {
     * reading the replica, and only losing BOTH replicas falls back to
     * lineage recomputation (where a non-deterministic source could in
     * principle diverge — the Delta trade-off). */
+  /** Materialize a MERGE source/changeset before multi-pass reads —
+    * `graft.merge.materialize=reliable` picks replicated persist over
+    * the default lineage-free localCheckpoint (see [[mergeCommitImpl]]
+    * scaladoc for the trade-off). Callers must `unpersist()` it. */
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
+    if (spark.conf.getOption("graft.merge.materialize")
+        .contains("reliable")) {
+      val c = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+      c.count() // barrier: materialize before any pass reads it
+      c
+    } else df.localCheckpoint(true)
+
   private def mergeCommitImpl(spark: SparkSession, root: String,
       changes0: DataFrame, key: String, partCol: String, sortCol: String,
       landable: org.apache.spark.sql.Column,
-      resolve: (DataFrame, DataFrame) => DataFrame): Long =
+      resolve: (DataFrame, DataFrame) => DataFrame,
+      cdcOf: (DataFrame, DataFrame) => DataFrame): Long =
     SnapshotStore.withTableLock(root) {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(
@@ -138,15 +157,7 @@ object MergeInto {
       // writer's (else touched partitions silently miss, or a carried
       // entry gets duplicated under a second spelling)
       SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
-      val reliable = spark.conf.getOption("graft.merge.materialize")
-        .contains("reliable")
-      val changes =
-        if (reliable) {
-          val c = changes0.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
-          c.count() // barrier: materialize before any pass reads it
-          c
-        } else changes0.localCheckpoint(true)
+      val changes = materialize(spark, changes0)
       try {
         val changeKeys = changes.filter(col(key).isNotNull)
           .select(col(key)).distinct()
@@ -176,10 +187,16 @@ object MergeInto {
         val touched = (touchedBase ++ touchedNew).toSet
         if (touched.isEmpty) m.id
         else {
-          val resolved =
-            resolve(SnapshotStore.readWhere(spark, root, touched), changes)
+          val touchedContent = SnapshotStore.readWhere(spark, root, touched)
+          val resolved = resolve(touchedContent, changes)
+          // row-exact CDC sidecar (Delta CDF semantics), derived from
+          // the SAME materialized changeset the resolve reads — one
+          // extra key join of the touched partitions against the
+          // (usually broadcast-small) changes, proportional to the
+          // touched data like the rewrite itself
+          val cdc = cdcOf(touchedContent, changes)
           SnapshotStore.restatePartitions(resolved, root, touched, partCol,
-            sortCol)
+            sortCol, cdc = Some(cdc))
         }
       } finally changes.unpersist()
     }
@@ -245,7 +262,228 @@ object MergeInto {
       landable = coalesce(col(InsCol), lit(false)) ||
         (coalesce(col(UpdCol), lit(false)) &&
           !coalesce(col(DelCol), lit(false))),
-      resolve = (base, chg) => mergeClauses(base, chg, key))
+      resolve = (base, chg) => mergeClauses(base, chg, key),
+      cdcOf = (base, chg) => cdcChangeset(base, chg, key,
+        coalesce(col(s"c.$DelCol"), lit(false)),
+        coalesce(col(s"c.$UpdCol"), lit(false)),
+        coalesce(col(s"c.$InsCol"), lit(false))))
+
+  /** The ROW-EXACT changeset of a merge, as CDC rows (Delta CDF's
+    * vocabulary): per joined (base, change) row —
+    * matched ∧ del → one `delete` row (the base image);
+    * matched ∧ ¬del ∧ upd → `update_preimage` (base) +
+    * `update_postimage` (change values);
+    * unmatched change ∧ ins → one `insert` row;
+    * anything else (unmatched base rows, matched rows no clause
+    * claims) → nothing. Persisted as the commit's CDC sidecar so
+    * [[graft.etl.SnapshotStore.changeFeed]] and the streaming CDF emit
+    * exactly the changed rows for DML commits. Same one-shuffle
+    * full-outer shape as the resolve; the 0/1/2 output rows per joined
+    * row ride one `when`-chained array + explode (a null array — no
+    * clause fired — explodes to zero rows). The marker columns
+    * `del`/`upd`/`ins` are evaluated over the JOINED row's change side
+    * (`c.` alias). */
+  private[graft] def cdcChangeset(base: DataFrame, changes: DataFrame,
+      key: String, del: org.apache.spark.sql.Column,
+      upd: org.apache.spark.sql.Column,
+      ins: org.apache.spark.sql.Column): DataFrame = {
+    val dataCols = base.columns
+    val joined = base.withColumn(basePresentCol, lit(true)).alias("b")
+      .join(changes.withColumn(presentCol, lit(true)).alias("c"),
+        col(s"b.$key") === col(s"c.$key"), "full_outer")
+    val matched = col(s"b.$basePresentCol").isNotNull &&
+      col(s"c.$presentCol").isNotNull
+    val changeOnly = col(s"b.$basePresentCol").isNull &&
+      col(s"c.$presentCol").isNotNull
+    def rowOf(side: String) = struct(
+      dataCols.toIndexedSeq.map(n => col(s"$side.$n").as(n)): _*)
+    def tagged(t: String, r: org.apache.spark.sql.Column) =
+      struct(lit(t).as("_ct"), r.as("_r"))
+    val events =
+      when(matched && del, array(tagged("delete", rowOf("b"))))
+        .when(matched && !del && upd, array(
+          tagged("update_preimage", rowOf("b")),
+          tagged("update_postimage", rowOf("c"))))
+        .when(changeOnly && ins, array(tagged("insert", rowOf("c"))))
+    // no otherwise: the null array explodes to zero rows
+    joined.select(explode(events).as("_e"))
+      .select(dataCols.toIndexedSeq.map(n => col(s"_e._r.$n").as(n)) :+
+        col("_e._ct").as("_change_type"): _*)
+  }
+
+  // ---- general clause-form MERGE (expression conditions, partial SET) ----
+
+  /** The GENERAL SQL MERGE program: clause conditions and assignment
+    * values as COLUMN expressions over the RESOLVE JOIN's aliased row
+    * — base side `"b"`, source side `"c"` (e.g.
+    * `col("b.status") === lit("open")`). Evaluating everything where
+    * BOTH rows are in scope is what lets matched-clause conditions
+    * reference TARGET columns and a partial `SET` keep unassigned
+    * target values — the two shapes the pre-evaluated per-source-row
+    * marker model ([[mergeClausesCommit]], still the CALL-procedure
+    * path) cannot express.
+    *
+    *   - `del`/`upd`/`ins`: the first-match-wins-folded clause
+    *     conditions (null-safe; `ins` references the source side only,
+    *     SQL's NOT MATCHED contract);
+    *   - `updValues`: per assigned table column, the SET value over
+    *     the joined row — columns absent KEEP the target value;
+    *   - `insValues`: per table column, the INSERT value (source side
+    *     only); empty = no insert clause;
+    *   - `insSourceCond`/`insSourcePart`: the insert condition and
+    *     partition-column value over the BARE source frame
+    *     (unqualified names) — the landing-partition discovery pass,
+    *     which runs before any join;
+    *   - `partColMovedByUpdate`: whether SET assigns the partition
+    *     column anything but itself — only then does discovery need a
+    *     join pass to find update-landing partitions. */
+  final case class MergeClauseProgram(
+      del: org.apache.spark.sql.Column,
+      upd: org.apache.spark.sql.Column,
+      ins: org.apache.spark.sql.Column,
+      updValues: Map[String, org.apache.spark.sql.Column],
+      insValues: Map[String, org.apache.spark.sql.Column],
+      insSourceCond: org.apache.spark.sql.Column,
+      insSourcePart: Option[org.apache.spark.sql.Column],
+      partColMovedByUpdate: Boolean)
+
+  /** The resolve join both the discovery and resolve passes share:
+    * base aliased `"b"`, source aliased `"c"`, full-outer on the ON
+    * keys, presence markers appended to make matched-ness testable
+    * for NULL-key rows. */
+  private def generalJoin(base: DataFrame, src: DataFrame,
+      keyTarget: String, keySource: String): DataFrame =
+    base.withColumn(basePresentCol, lit(true)).alias("b")
+      .join(src.withColumn(presentCol, lit(true)).alias("c"),
+        col(s"b.$keyTarget") === col(s"c.$keySource"), "full_outer")
+
+  private def matchedCol: org.apache.spark.sql.Column =
+    col(s"b.$basePresentCol").isNotNull && col(s"c.$presentCol").isNotNull
+  private def changeOnlyCol: org.apache.spark.sql.Column =
+    col(s"b.$basePresentCol").isNull && col(s"c.$presentCol").isNotNull
+
+  /** General MERGE INTO a snapshot table — the SQL statement's engine
+    * ([[graft.plans.SnapshotMergeRewrite]]): same locked read →
+    * discover → resolve → commit sequence as [[mergeCommit]], with the
+    * clause program evaluated ON the resolve join. `source` is the
+    * statement's source relation AS IS (its own columns — no table
+    * alignment happens before the join). Discovery:
+    *   1. touchedBase — manifest-stats candidate pruning on the SOURCE
+    *      key's min/max, then a (key, partCol) semi-join, exactly the
+    *      marker path's shape;
+    *   2. insert landing — the insert clause's partition value over
+    *      source rows passing its (source-only) condition;
+    *   3. update landing — ONLY when SET moves the partition column: a
+    *      join pass over the touchedBase neighborhood evaluates the
+    *      new partition value of rows the UPDATE claims (matched rows
+    *      live in touchedBase partitions by construction, so the pass
+    *      is bounded by the touched data, never the table).
+    * Values are cast to the table column's type (SQL store-assignment
+    * semantics). CDC sidecar rows are derived from the same join.
+    * Every pass re-evaluates the clause expressions, so the SQL
+    * rewriter refuses non-deterministic/current-time expressions and
+    * subqueries — the same two-pass contract as row-level UPDATE. */
+  def mergeGeneralCommit(spark: SparkSession, root: String,
+      source: DataFrame, keyTarget: String, keySource: String,
+      prog: MergeClauseProgram, partCol: String,
+      sortCol: String): Long =
+    SnapshotStore.withTableLock(root) {
+      val m = SnapshotStore.current(root).getOrElse(
+        throw new IllegalStateException(
+          s"no snapshot at $root to merge into"))
+      SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
+      val tableSchema = m.schema.getOrElse(
+        throw new IllegalStateException(s"table at $root predates " +
+          "schema-carrying manifests — recommit before SQL MERGE"))
+      val tableCols = tableSchema.fieldNames.toSeq
+      require(!source.columns.exists(c =>
+          c.equalsIgnoreCase(presentCol) ||
+            c.equalsIgnoreCase(basePresentCol)),
+        s"MERGE source must not carry the reserved marker columns " +
+          s"$presentCol/$basePresentCol")
+      val src = materialize(spark, source)
+      try {
+        val del = coalesce(prog.del, lit(false))
+        val upd = coalesce(prog.upd, lit(false))
+        val ins = coalesce(prog.ins, lit(false))
+        def uv(n: String) = prog.updValues.get(n)
+          .map(_.cast(tableSchema(n).dataType))
+          .getOrElse(col(s"b.$n"))
+        def iv(n: String) = prog.insValues.get(n)
+          .map(_.cast(tableSchema(n).dataType))
+          .getOrElse(lit(null).cast(tableSchema(n).dataType))
+        // 1. touchedBase: stats-pruned key discovery
+        val keyed = src.select(col(keySource).as(keyTarget))
+        val candidates = candidatePartitions(m, keyed, keyTarget)
+        val touchedBase: Set[String] = candidates match {
+          case Some(c) if c.isEmpty => Set.empty
+          case other =>
+            val baseSrc = other match {
+              case Some(c) if c != m.entries.map(_.value).toSet =>
+                SnapshotStore.readWhere(spark, root, c)
+              case _ => SnapshotStore.read(spark, root)
+            }
+            val changeKeys = keyed.filter(col(keyTarget).isNotNull)
+              .distinct().withColumnRenamed(keyTarget, "__graft_ck")
+            baseSrc.select(col(keyTarget), col(partCol))
+              .join(changeKeys, col(keyTarget) === col("__graft_ck"),
+                "left_semi")
+              .select(col(partCol).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSet
+        }
+        // 2. insert landing (bare-source evaluation; cast through the
+        // partition column's TYPE first, so the token renders exactly
+        // as the commit will render it)
+        val insLanding: Set[String] = prog.insSourcePart match {
+          case Some(p) => src
+            .filter(coalesce(prog.insSourceCond, lit(false)))
+            .select(p.cast(tableSchema(partCol).dataType).cast("string"))
+            .distinct().collect().map(_.getString(0)).toSet
+          case None => Set.empty
+        }
+        // 3. update landing (join pass, only for partition-moving SETs)
+        val updLanding: Set[String] =
+          if (!prog.partColMovedByUpdate || touchedBase.isEmpty) Set.empty
+          else generalJoin(
+              SnapshotStore.readWhere(spark, root, touchedBase),
+              src, keyTarget, keySource)
+            .filter(matchedCol && !del && upd)
+            .select(uv(partCol).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+        val touched = touchedBase ++ insLanding ++ updLanding
+        if (touched.isEmpty) m.id
+        else {
+          val joined = generalJoin(
+            SnapshotStore.readWhere(spark, root, touched),
+            src, keyTarget, keySource)
+          val resolved = joined
+            .filter(!(matchedCol && del) && !(changeOnlyCol && !ins))
+            .select(tableCols.map { n =>
+              when(matchedCol && !del && upd, uv(n))
+                .when(changeOnlyCol, iv(n))
+                .otherwise(col(s"b.$n")).as(n)
+            }: _*)
+          def rowB = struct(
+            tableCols.toIndexedSeq.map(n => col(s"b.$n").as(n)): _*)
+          def rowU = struct(tableCols.toIndexedSeq.map(n => uv(n).as(n)): _*)
+          def rowI = struct(tableCols.toIndexedSeq.map(n => iv(n).as(n)): _*)
+          def tagd(t: String, r: org.apache.spark.sql.Column) =
+            struct(lit(t).as("_ct"), r.as("_r"))
+          val events =
+            when(matchedCol && del, array(tagd("delete", rowB)))
+              .when(matchedCol && !del && upd, array(
+                tagd("update_preimage", rowB),
+                tagd("update_postimage", rowU)))
+              .when(changeOnlyCol && ins, array(tagd("insert", rowI)))
+          val cdc = joined.select(explode(events).as("_e"))
+            .select(tableCols.toIndexedSeq
+              .map(n => col(s"_e._r.$n").as(n)) :+
+              col("_e._ct").as("_change_type"): _*)
+          SnapshotStore.restatePartitions(resolved, root, touched,
+            partCol, sortCol, cdc = Some(cdc))
+        }
+      } finally src.unpersist()
+    }
 
   /** Partitions whose manifest key-range could hold a change key —
     * the Iceberg-style min/max prune, decided entirely on the manifest:

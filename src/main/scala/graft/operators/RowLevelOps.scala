@@ -80,14 +80,29 @@ object RowLevelOps {
         }
         val touched = srcParts ++ landing
         val content = SnapshotStore.readWhere(spark, root, touched)
-        val resolved = content.select(content.columns.toSeq.map { n =>
+        val proj = content.columns.toSeq.map { n =>
           setMap.get(n) match {
             case Some(v) => when(matchedCond, v).otherwise(col(n)).as(n)
             case None => col(n)
           }
-        }: _*)
+        }
+        val resolved = content.select(proj: _*)
+        // row-exact CDC sidecar: the matched rows' pre- and post-images
+        // (Delta CDF semantics), persisted with the commit so the
+        // change feed emits exactly the changed rows instead of the
+        // wholesale restated partitions. The post-image reuses the
+        // SAME projection (filtered to matches, where when() picks the
+        // SET value), so its types are bit-identical to the restated
+        // data. Cost: two more pushed-filter scans of the touched
+        // partitions — proportional to the touched data, like the
+        // rewrite itself.
+        val pre = content.filter(matchedCond)
+        val post = content.filter(matchedCond).select(proj: _*)
+        val cdc = pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(
+            post.withColumn("_change_type", lit("update_postimage")))
         SnapshotStore.restatePartitions(resolved, root, touched,
-          partCol, sortCol)
+          partCol, sortCol, cdc = Some(cdc))
       }
     }
 
@@ -113,8 +128,11 @@ object RowLevelOps {
       else {
         val content = SnapshotStore.readWhere(spark, root, srcParts)
         val resolved = content.filter(!matchedCond)
+        // row-exact CDC sidecar: exactly the deleted rows
+        val cdc = content.filter(matchedCond)
+          .withColumn("_change_type", lit("delete"))
         SnapshotStore.restatePartitions(resolved, root, srcParts,
-          partCol, sortCol)
+          partCol, sortCol, cdc = Some(cdc))
       }
     }
 }

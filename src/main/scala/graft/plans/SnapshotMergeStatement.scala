@@ -4,7 +4,8 @@ import graft.etl.SnapshotStore
 import graft.operators.MergeInto
 import graft.sources.GraftSnapshotTable
 import org.apache.spark.sql.{GraftExpressionBridge, GraftPlanBridge, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, AttributeSet, Expression, Literal, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, Expression, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo => CatalystEqualTo}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction}
@@ -14,15 +15,15 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.LongType
 
 /** Native SQL `MERGE INTO` for snapshot tables — the standard
-  * Delta/Iceberg-style statement on top of the exact same locked,
+  * Delta/Iceberg-style statement on top of the same locked,
   * manifest-stats-pruned commit path the `CALL system.merge_into`
   * procedure uses:
   *
   * {{{
   * MERGE INTO snap.t AS t USING changes AS s
   * ON t.key = s.key
+  * WHEN MATCHED AND t.status = 'open' THEN UPDATE SET price = s.p
   * WHEN MATCHED AND s.del THEN DELETE
-  * WHEN MATCHED THEN UPDATE SET *
   * WHEN NOT MATCHED AND NOT s.del THEN INSERT *
   * }}}
   *
@@ -32,24 +33,27 @@ import org.apache.spark.sql.types.LongType
   * would reject the table for not implementing
   * `SupportsRowLevelOperations`. That upstream surface rewrites MERGE
   * as a whole-group copy-on-write ReplaceData plan; routing to
-  * [[MergeInto.mergeClausesCommit]] instead keeps the engine's own
+  * [[MergeInto.mergeGeneralCommit]] instead keeps the engine's own
   * shape — single table lock across read→resolve→commit, discovery
   * scan pruned on manifest key-range stats before any file listing,
   * only touched partitions restated — which is the part that matters
   * at 100 TB. (Same plan-interception pattern Iceberg used for MERGE
   * before Spark grew the row-level API.)
   *
-  * Supported subset, everything else a LOUD AnalysisException naming
-  * the CALL fallback: ON must be one target-column = source-column
-  * equality; matched clauses are any ordered mix of one DELETE and one
-  * UPDATE SET * (clause conditions over SOURCE columns only — they are
-  * pre-evaluated per change row, which is what lets the resolve stay
-  * one full-outer join); one NOT MATCHED [AND cond] INSERT *; no
-  * NOT MATCHED BY SOURCE (the engine's changeset model has no
-  * "scan every base row" clause — by design, that clause is a full
-  * table rewrite at any scale). UPDATE and INSERT must assign the same
-  * source values (the SET * / INSERT * shape): the commit's change-row
-  * model is whole-row, matching the procedure's semantics exactly. */
+  * Clause semantics supported: matched clauses are any ordered mix of
+  * one DELETE and one UPDATE, first-match-wins; conditions may
+  * reference BOTH target and source columns and a partial `SET` keeps
+  * unassigned target values (everything evaluates on the resolve join,
+  * where both rows are in scope). One `NOT MATCHED [AND cond] INSERT`
+  * clause (condition/values source-only — SQL's own contract). Still
+  * refused loudly: ON shapes other than one target-column =
+  * source-column equality (the keyed-commit model), `NOT MATCHED BY
+  * SOURCE` (a full-table scan clause at any scale), more than one
+  * clause of a kind, and — because discovery and resolve evaluate the
+  * clause expressions in SEPARATE jobs — subqueries,
+  * non-deterministic expressions and the current-time family (the
+  * same two-pass contract as row-level UPDATE/DELETE; bind times to
+  * literals first). */
 object SnapshotMergeRewrite extends Rule[LogicalPlan] {
 
   private def fail(msg: String): Nothing =
@@ -99,11 +103,22 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
         s"target-column = source-column equality, got: ${other.sql}")
     }
 
+    // discovery, resolve and the CDC changeset evaluate every clause
+    // expression in SEPARATE jobs — the same two-pass hazard as
+    // row-level UPDATE, the same loud analysis-time refusals
+    def checked(what: String, e: Expression): Expression = {
+      RowLevelStatements.checkPredicate("MERGE INTO", what, e)
+      if (!e.references.subsetOf(targetAttrs ++ sourceAttrs))
+        fail(s"$what references columns of neither the target nor " +
+          s"the source: ${e.sql}")
+      e
+    }
     def sourceOnly(what: String, e: Expression): Expression = {
+      checked(what, e)
       if (!e.references.subsetOf(sourceAttrs))
-        fail(s"$what may reference SOURCE columns only (they are " +
-          "evaluated per change row before the resolve join); found " +
-          s"target references in: ${e.sql}")
+        fail(s"$what may reference SOURCE columns only (a NOT MATCHED " +
+          s"row has no target values); found target references in: " +
+          s"${e.sql}")
       e
     }
 
@@ -116,7 +131,7 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
     // every LATER clause instead of evaluating it.
     def satisfied(c: Option[Expression], what: String): Expression =
       org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
-        sourceOnly(what, c.getOrElse(Literal.TrueLiteral)),
+        checked(what, c.getOrElse(Literal.TrueLiteral)),
         Literal.FalseLiteral))
     var delCond: Expression = Literal.FalseLiteral
     var updCond: Expression = Literal.FalseLiteral
@@ -141,82 +156,84 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
     m.notMatchedActions.foreach {
       case InsertAction(c, assigns) =>
         if (insAssigns.isDefined) fail("at most one INSERT clause")
-        insCond = satisfied(c, "a WHEN NOT MATCHED condition")
+        insCond = org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+          sourceOnly("a WHEN NOT MATCHED condition",
+            c.getOrElse(Literal.TrueLiteral)),
+          Literal.FalseLiteral))
         insAssigns = Some(assigns)
       case other =>
         fail(s"unsupported WHEN NOT MATCHED action: $other")
     }
 
-    // change-row projection: one value per target column, source-only.
-    // UPDATE SET * and INSERT * resolve to identical aligned
-    // assignment lists; a partial SET (unassigned columns keep the
-    // TARGET value) resolves to target references and fails the
-    // source-only check — honestly, since the whole-row change model
-    // cannot express "keep old".
-    def valueMap(assigns: Seq[Assignment], what: String)
-        : Map[String, Expression] = assigns.map { a =>
-      val name = a.key match {
-        case att: Attribute => att.name
-        case other => fail(s"$what assigns a non-column key: ${other.sql}")
-      }
-      name -> sourceOnly(s"the $what assignment to '$name'", a.value)
-    }.toMap
-    val updMap = updAssigns.map(valueMap(_, "UPDATE SET"))
-    val insMap = insAssigns.map(valueMap(_, "INSERT"))
-    for (u <- updMap; i <- insMap) {
-      val diverging = target.output.map(_.name).filter(n =>
-        u.get(n).zip(i.get(n)).exists { case (a, b) => !a.semanticEquals(b) })
-      if (diverging.nonEmpty)
-        fail("UPDATE and INSERT must assign the same source values " +
-          s"(the SET * / INSERT * shape); they diverge on: " +
-          diverging.mkString(", "))
+    def assignName(a: Assignment, what: String): String = a.key match {
+      case att: Attribute => att.name
+      case other => fail(s"$what assigns a non-column key: ${other.sql}")
     }
-    val values = updMap.orElse(insMap)
-    val projValues: Seq[Expression] = target.output.map { att =>
-      values match {
-        case Some(vm) => vm.getOrElse(att.name,
-          fail(s"no assignment covers target column '${att.name}' — " +
-            "partial SET keeps target values, which the whole-row " +
-            "change model cannot express; use SET *"))
-        case None =>
-          // delete-only MERGE: only the key column must carry real
-          // values (it drives the match); the rest ride along as
-          // typed nulls and can never land (nothing updates/inserts)
-          if (att.name == keyTarget.name) keySource
-          else Literal.create(null, att.dataType)
+    // UPDATE SET: partial is fine — unassigned columns keep the TARGET
+    // value (the resolve join has the base row in scope); values may
+    // reference both sides
+    val updPairs: Seq[(String, Expression)] =
+      updAssigns.getOrElse(Seq.empty).map { a =>
+        val n = assignName(a, "UPDATE SET")
+        n -> checked(s"the UPDATE SET assignment to '$n'", a.value)
       }
+    if (updPairs.map(_._1).distinct.size != updPairs.size)
+      fail("duplicate UPDATE SET column among: " +
+        updPairs.map(_._1).mkString(", "))
+    // INSERT: must cover every target column (there is no base row to
+    // keep values from), source-only values
+    val insPairs: Seq[(String, Expression)] =
+      insAssigns.getOrElse(Seq.empty).map { a =>
+        val n = assignName(a, "INSERT")
+        n -> sourceOnly(s"the INSERT assignment to '$n'", a.value)
+      }
+    insAssigns.foreach { _ =>
+      val covered = insPairs.map(_._1.toLowerCase).toSet
+      val missing = target.output.map(_.name)
+        .filterNot(n => covered(n.toLowerCase))
+      if (missing.nonEmpty)
+        fail("the INSERT clause must assign every target column " +
+          s"(no base row exists to keep values from); missing: " +
+          missing.mkString(", "))
     }
-    // the projected key must BE the ON clause's source key — otherwise
-    // the commit would join on a different value than the statement
-    val projNames = target.output.map(_.name)
-    projNames.zip(projValues).find(_._1 == keyTarget.name) match {
-      case Some((_, v)) if v.semanticEquals(keySource) => ()
-      case _ => fail(s"the assignment to key column '${keyTarget.name}' " +
-        s"must be the ON clause's source column ${keySource.sql} — the " +
-        "commit joins base and changes on that single key")
+
+    // does SET move rows across partitions? only a self-assignment
+    // (or no assignment) provably keeps a row in place
+    val partColMoved = updPairs.toMap.get(partCol).exists {
+      case a: AttributeReference =>
+        !target.output.filter(_.name == partCol).exists(_.semanticEquals(a))
+      case _ => true
     }
 
     // names ride SEPARATELY from the value expressions: the analyzer's
     // CleanupAliases strips Alias nodes out of every operator's
     // expression fields, so Alias-carried names would not survive to
-    // execution
+    // execution. Source attr ids ride along so run() can rebind each
+    // reference to its JOIN SIDE by name ("b." target / "c." source).
     SnapshotMergeCommand(table.root, partCol, sortCol, source,
-      keyTarget.name, projNames, projValues, delCond, updCond, insCond)
+      keyTarget.name, keySource.name,
+      updPairs.map(_._1), updPairs.map(_._2),
+      insPairs.map(_._1), insPairs.map(_._2),
+      delCond, updCond, insCond,
+      source.output.map(_.exprId.id), partColMoved)
   }
 }
 
-/** The rewritten MERGE as an eagerly-executed command: builds the
-  * change frame from the (already analyzed) source plan — table-column
-  * projection plus the three clause-condition booleans, all evaluated
-  * per source row — and hands it to the locked
-  * [[MergeInto.mergeClausesCommit]]. Returns the committed snapshot id
-  * (one row), like the CALL procedure. */
+/** The rewritten MERGE as an eagerly-executed command: rebinds the
+  * (analysis-time resolved) clause expressions against the resolve
+  * join's aliases — every target reference by name under `"b"`, every
+  * source reference under `"c"` (told apart by the source output's
+  * expr ids, carried in `sourceIds`) — and hands the program to the
+  * locked [[MergeInto.mergeGeneralCommit]]. Returns the committed
+  * snapshot id (one row), like the CALL procedure. */
 case class SnapshotMergeCommand(
     root: String, partCol: String, sortCol: String,
-    source: LogicalPlan, key: String,
-    projNames: Seq[String], projValues: Seq[Expression],
-    delCond: Expression, updCond: Expression,
-    insCond: Expression) extends LeafRunnableCommand {
+    source: LogicalPlan, keyTarget: String, keySource: String,
+    updNames: Seq[String], updValues: Seq[Expression],
+    insNames: Seq[String], insValues: Seq[Expression],
+    delCond: Expression, updCond: Expression, insCond: Expression,
+    sourceIds: Seq[Long], partColMoved: Boolean)
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
@@ -225,16 +242,35 @@ case class SnapshotMergeCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftPlanBridge.dataFrame(spark, source)
-    val c = GraftExpressionBridge.column _
-    val projCols = projNames.zip(projValues).map {
-      case (n, v) => c(v).as(n)
-    }
-    val changes = src.select(projCols ++ Seq(
-      c(delCond).as(MergeInto.DelCol),
-      c(updCond).as(MergeInto.UpdCol),
-      c(insCond).as(MergeInto.InsCol)): _*)
-    val id = MergeInto.mergeClausesCommit(spark, root, changes, key,
-      partCol, sortCol)
+    val srcIds = sourceIds.toSet
+    // join-side rebinding: the command reads the CURRENT snapshot
+    // under the table lock (never the analysis-time relation), so
+    // attribute references re-resolve BY NAME against the join aliases
+    def qual(e: Expression): org.apache.spark.sql.Column =
+      GraftExpressionBridge.column(e.transform {
+        case a: AttributeReference => UnresolvedAttribute(
+          Seq(if (srcIds(a.exprId.id)) "c" else "b", a.name))
+      })
+    // bare-source rebinding for the pre-join landing discovery pass
+    def bare(e: Expression): org.apache.spark.sql.Column =
+      GraftExpressionBridge.column(e.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    val insMapExpr = insNames.zip(insValues).toMap
+    val prog = MergeInto.MergeClauseProgram(
+      del = qual(delCond), upd = qual(updCond), ins = qual(insCond),
+      updValues = updNames.zip(updValues.map(qual)).toMap,
+      insValues = insNames.zip(insValues.map(qual)).toMap,
+      insSourceCond = bare(insCond),
+      insSourcePart =
+        if (insNames.isEmpty) None
+        else Some(bare(insMapExpr.getOrElse(partCol,
+          throw new IllegalStateException(
+            s"INSERT clause covers no '$partCol' — unreachable, the " +
+              "rewrite checks coverage")))),
+      partColMovedByUpdate = partColMoved)
+    val id = MergeInto.mergeGeneralCommit(spark, root, src,
+      keyTarget, keySource, prog, partCol, sortCol)
     Seq(Row(id))
   }
 }

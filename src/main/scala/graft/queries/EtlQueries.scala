@@ -568,6 +568,55 @@ object EtlQueries {
   def snapshotSqlMergeStmt: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlMergeStmt(s, d)))
 
+  /** One conditionally-MERGEd history per (JVM, sfDir): the GENERAL
+    * clause shapes the marker model cannot express —
+    * TARGET-referencing clause conditions, partial `SET` (unassigned
+    * columns keep target values) and mixed target/source SET values,
+    * all evaluated on the resolve join
+    * ([[graft.operators.MergeInto.mergeGeneralCommit]]):
+    *
+    *   - `WHEN MATCHED AND t.o_orderstatus = 'F' THEN UPDATE SET
+    *     o_totalprice = t.o_totalprice + s.adj` — keys ≡ 2 (mod 20)
+    *     with status F get the source adjustment added to the CURRENT
+    *     price, every other column kept;
+    *   - `WHEN MATCHED AND t.o_totalprice > 200000.0 THEN DELETE` —
+    *     non-F matches above the target-price threshold drop
+    *     (first-match-wins: an F row matching both takes the UPDATE). */
+  private val snapCondMergePrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlMergeCond(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapcondmerge",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapCondMergePrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_condmerge_changes AS
+             |SELECT o_orderkey AS k, 3.25 AS adj
+             |FROM parquet.`$d/orders.parquet`
+             |WHERE o_orderkey % 20 = 2""".stripMargin)
+        s.sql(
+          s"""MERGE INTO $table AS t
+             |USING graft_condmerge_changes AS s
+             |ON t.o_orderkey = s.k
+             |WHEN MATCHED AND t.o_orderstatus = 'F' THEN
+             |  UPDATE SET o_totalprice = t.o_totalprice + s.adj
+             |WHEN MATCHED AND t.o_totalprice > 200000.0 THEN DELETE"""
+            .stripMargin)
+        snapCondMergePrepared += root
+      }
+    }
+    root
+  }
+
+  /** General MERGE clause semantics, oracle-replayed: a CASE bump for
+    * status-F matched keys, a filtered drop for expensive non-F ones. */
+  def snapshotSqlMergeCond: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlMergeCond(s, d)))
+
   /** One SQL-OVERWRITTEN history per (JVM, sfDir): full load, then the
     * corrected-last-month restatement (the [[snapshotBackfill]]
     * replay) applied as a pure-SQL dynamic-partition
@@ -678,6 +727,50 @@ object EtlQueries {
   def snapshotSqlDeleteRows: Q = (s, d) =>
     sqlMonthAgg(s,
       registerSnapCatalog(s, prepareSnapshotSqlDeleteRows(s, d)))
+
+  /** One DML-mutated history per (JVM, sfDir) for the ROW-EXACT change
+    * feed: full load (seq 1), a native SQL UPDATE (keys ≡ 4 mod 10,
+    * +7.50 — seq 2), a native row-level SQL DELETE (keys ≡ 6 mod 10 —
+    * seq 3; disjoint key classes, so the delete sees original prices).
+    * Both DML commits persist their changesets as CDC sidecars. */
+  private val snapCdfRowPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotCdfRowlevel(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapcdfrl",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapCdfRowPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"UPDATE $table SET o_totalprice = o_totalprice + 7.50 " +
+          "WHERE o_orderkey % 10 = 4 AND o_orderdate >= DATE '1998-03-01'")
+        s.sql(s"DELETE FROM $table WHERE o_orderkey % 10 = 6 " +
+          "AND o_orderdate >= DATE '1998-03-01'")
+        snapCdfRowPrepared += root
+      }
+    }
+    root
+  }
+
+  /** ROW-EXACT CDC over DML commits ([[SnapshotStore.changeFeed]]'s
+    * per-commit sidecar replay): the feed over (1, 3] must emit
+    * EXACTLY the changed rows — `update_preimage` (old values) +
+    * `update_postimage` (+7.50) for every updated key and `delete`
+    * for every deleted one — never the wholesale restated partitions
+    * (which hold every other row of the touched months too). The
+    * DuckDB oracle replays the three changesets from raw orders, so
+    * one extra emitted row is a hash mismatch. */
+  def snapshotCdfRowlevel: Q = (s, d) => {
+    val root = prepareSnapshotCdfRowlevel(s, d)
+    SnapshotStore.changeFeed(s, root, fromSeq = 1L, toSeq = 3L)
+      .groupBy(col("_change_type").as("change_type"),
+        col("order_month"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(38,8)"))
+          .cast("double"), 4).as("sum_price"))
+  }
 
   /** One rolled-back history per (JVM, sfDir): full load (seq 1), a
     * "bad" batch of mutations — an UPDATE inflating prices and a
@@ -968,6 +1061,7 @@ object EtlQueries {
     "snapshot_sql_insert" -> snapshotSqlInsert,
     "snapshot_sql_merge" -> snapshotSqlMerge,
     "snapshot_sql_merge_stmt" -> snapshotSqlMergeStmt,
+    "snapshot_sql_merge_cond" -> snapshotSqlMergeCond,
     "snapshot_sql_overwrite" -> snapshotSqlOverwrite,
     "snapshot_sql_update" -> snapshotSqlUpdate,
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
@@ -977,6 +1071,7 @@ object EtlQueries {
     "snapshot_stream_tail" -> snapshotStreamTail,
     "snapshot_changefeed" -> snapshotChangeFeed,
     "snapshot_stream_cdf" -> snapshotStreamCdf,
+    "snapshot_cdf_rowlevel" -> snapshotCdfRowlevel,
     "snapshot_sql_delete" -> snapshotSqlDelete,
     "dpp_join" -> dppJoin,
     "etl_bad_records" -> csvBadRecords,
@@ -1116,6 +1211,24 @@ object EtlQueries {
     "snapshot_sql_merge" -> snapshotMergeOracleSql,
     // the native MERGE INTO statement: third entry point, same oracle
     "snapshot_sql_merge_stmt" -> snapshotMergeOracleSql,
+    // general clause MERGE: target-referencing conditions + partial
+    // SET, replayed as a CASE bump (matched F keys) + a filtered drop
+    // (matched non-F keys above the target-price threshold);
+    // first-match-wins means an F row matching both takes the UPDATE
+    "snapshot_sql_merge_cond" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | fin AS (SELECT order_month,
+        |   CASE WHEN o_orderkey % 20 = 2 AND o_orderstatus = 'F'
+        |        THEN o_totalprice + 3.25 ELSE o_totalprice END
+        |     AS o_totalprice
+        |  FROM o
+        |  WHERE NOT (o_orderkey % 20 = 2 AND o_orderstatus <> 'F'
+        |             AND o_totalprice > 200000.0))
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
     // pure-SQL dynamic-partition INSERT OVERWRITE replays the same
     // restatement as the Scala backfill — one oracle, three write APIs
     "snapshot_sql_overwrite" -> snapshotBackfillSql,
@@ -1173,6 +1286,28 @@ object EtlQueries {
     // the STREAMING change feed drains the same (1, 2] diff — one
     // history, batch and streaming CDC APIs, one oracle
     "snapshot_stream_cdf" -> snapshotChangeFeedSql,
+    // ROW-EXACT DML CDC: the feed over (UPDATE, row-DELETE) commits
+    // replays the per-commit sidecars — pre/post images for updated
+    // keys, delete rows for removed ones, and NOTHING else (the
+    // oracle's row set is exactly the changesets, so a wholesale
+    // partition emission hash-mismatches immediately)
+    "snapshot_cdf_rowlevel" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | upd AS (SELECT * FROM o
+        |  WHERE o_orderkey % 10 = 4 AND o_orderdate >= DATE '1998-03-01'),
+        | del AS (SELECT * FROM o
+        |  WHERE o_orderkey % 10 = 6 AND o_orderdate >= DATE '1998-03-01'),
+        | ch AS (
+        |  SELECT order_month, o_totalprice,
+        |    'update_preimage' AS change_type FROM upd
+        |  UNION ALL SELECT order_month, o_totalprice + 7.5,
+        |    'update_postimage' FROM upd
+        |  UNION ALL SELECT order_month, o_totalprice, 'delete' FROM del)
+        |SELECT change_type, order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM ch GROUP BY 1, 2""".stripMargin,
     // replay the partition DELETE: the first and last months dropped
     // whole, everything between untouched
     "snapshot_sql_delete" ->

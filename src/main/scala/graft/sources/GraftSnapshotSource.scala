@@ -403,9 +403,17 @@ private class ManifestStatsScan(p: ParquetScan, rows: Option[Long],
 }
 
 /** The CHANGE-FEED view of a snapshot table — schema = data schema +
-  * `_change_type` (string), micro-batch streaming only (the batch form
-  * is [[SnapshotStore.changeFeed]]). Loaded by the provider when
-  * `option("readChangeFeed", "true")` is set. */
+  * `_change_type` (string), readable BOTH ways under the same option
+  * (Delta parity):
+  *   - `readStream` tails the commit chain per commit
+  *     ([[GraftSnapshotCdfMicroBatchStream]]);
+  *   - batch `read` emits the changes between two chain sequences —
+  *     `option("startingSeq", a)` (default 0) exclusive to
+  *     `option("endingSeq", b)` (default: the current head), the
+  *     DSV2 face of [[SnapshotStore.changeFeed]] with identical
+  *     per-commit-replay semantics.
+  * Loaded by the provider when `option("readChangeFeed", "true")` is
+  * set. */
 class GraftSnapshotCdfTable(spark: SparkSession, root: String,
     dataSchema: StructType, tblOptions: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
@@ -425,6 +433,7 @@ class GraftSnapshotCdfTable(spark: SparkSession, root: String,
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability]()
     caps.add(TableCapability.MICRO_BATCH_READ)
+    caps.add(TableCapability.BATCH_READ)
     caps
   }
 
@@ -436,6 +445,28 @@ class GraftSnapshotCdfTable(spark: SparkSession, root: String,
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       new GraftSnapshotCdfMicroBatchStream(spark, root, dataSchema,
         tblOptions)
+    override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+      // reuse the stream's per-commit planner for one fixed range: the
+      // batch face and the tail must never diverge semantically
+      val from = Option(tblOptions.get("startingSeq"))
+        .map(_.toLong).getOrElse(0L)
+      val to = Option(tblOptions.get("endingSeq")).map(_.toLong)
+        .getOrElse(SnapshotStore.currentSeq(root))
+      require(from <= to, s"batch readChangeFeed range is inverted: " +
+        s"startingSeq=$from > endingSeq=$to")
+      val stream = new GraftSnapshotCdfMicroBatchStream(spark, root,
+        dataSchema, tblOptions)
+      val parts = stream.planInputPartitions(
+        GraftSeqOffset(from), GraftSeqOffset(to))
+      new org.apache.spark.sql.connector.read.Batch {
+        override def planInputPartitions()
+            : Array[org.apache.spark.sql.connector.read.InputPartition] =
+          parts
+        override def createReaderFactory()
+            : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+          stream.createReaderFactory()
+      }
+    }
   }
 }
 
@@ -456,28 +487,40 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
     * and a commit racing between the two calls could resolve two
     * DIFFERENT snapshots for one load (the "pointer resolved once"
     * contract). CaseInsensitiveStringMap equality is entry-set
-    * equality, so a same-options re-call reuses the table. */
+    * equality, so a same-options re-call reuses the table — EXCEPT
+    * through a tag: a tag can be legitimately moved (untag + re-tag,
+    * the sanctioned two-step), so its target id is re-resolved on
+    * every call and joins the cache key; a moved tag invalidates,
+    * same options or not. */
   private var cachedKey: CaseInsensitiveStringMap = _
+  private var cachedTagId: Option[Long] = None
   private var cachedTable: Table = _
 
   private def resolve(options: CaseInsensitiveStringMap): Table =
     synchronized {
-      if (cachedKey == null || cachedKey != options) {
-        val root = Option(options.get("path")).getOrElse(
+      val root0 = Option(options.get("path"))
+      // `tag` is the name-addressed form of `asOf` (the reader twin
+      // of `VERSION AS OF '<name>'`) — resolved through the
+      // expire-pinned refs to a manifest id; naming both is refused
+      // (they could disagree silently)
+      val tagOpt = Option(options.get("tag"))
+      val asOfOpt0 = Option(options.get("asOf")).map(_.toLong)
+      require(tagOpt.isEmpty || asOfOpt0.isEmpty,
+        "graft-snapshot: options 'tag' and 'asOf' are mutually " +
+          "exclusive — they both pin the snapshot to read")
+      val tagId = tagOpt.map { t =>
+        SnapshotStore.resolveTag(root0.getOrElse(
+          throw new IllegalArgumentException(
+            "graft-snapshot needs a table root: .load(root) or " +
+              ".option(\"path\", root)")), t).id
+      }
+      if (cachedKey == null || cachedKey != options ||
+          cachedTagId != tagId) {
+        val root = root0.getOrElse(
           throw new IllegalArgumentException(
             "graft-snapshot needs a table root: .load(root) or " +
               ".option(\"path\", root)"))
-        // `tag` is the name-addressed form of `asOf` (the reader twin
-        // of `VERSION AS OF '<name>'`) — resolved through the
-        // expire-pinned refs to a manifest id; naming both is refused
-        // (they could disagree silently)
-        val tagOpt = Option(options.get("tag"))
-        val asOfOpt = Option(options.get("asOf")).map(_.toLong)
-        require(tagOpt.isEmpty || asOfOpt.isEmpty,
-          "graft-snapshot: options 'tag' and 'asOf' are mutually " +
-            "exclusive — they both pin the snapshot to read")
-        val asOf = asOfOpt.orElse(
-          tagOpt.map(SnapshotStore.resolveTag(root, _).id))
+        val asOf = asOfOpt0.orElse(tagId)
         val cdf = Option(options.get("readChangeFeed"))
           .exists(_.equalsIgnoreCase("true"))
         cachedTable =
@@ -497,6 +540,7 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
           } else GraftSnapshotTables.load(SparkSession.active, root, asOf,
             options)
         cachedKey = options
+        cachedTagId = tagId
       }
       cachedTable
     }
@@ -738,10 +782,9 @@ class GraftSnapshotCatalog extends TableCatalog
   // ---- procedures (CALL snap.system.merge_into(…)) -----------------------
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array("system"), "merge_into"),
-      Identifier.of(Array("system"), "history"),
-      Identifier.of(Array("system"), "expire"),
-      Identifier.of(Array("system"), "compact"))
+    Array("merge_into", "history", "expire", "compact", "rollback",
+      "tag", "untag", "tags")
+      .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ident.name() match {

@@ -123,10 +123,16 @@ class GraftSnapshotMicroBatchStream(
     * dirs, pinned to the STREAM's schema (files from later schema
     * evolution read the pinned subset; earlier files read missing
     * columns as null — same contract as the batch reader). */
-  protected def parquetBatch(dirs: Seq[String]): Batch = {
+  protected def parquetBatch(dirs: Seq[String]): Batch =
+    parquetBatch(dirs, pinnedSchema)
+
+  /** Same, under an explicit schema (the CDF tail reads sidecar dirs
+    * whose files carry `_change_type` as a real column). */
+  protected def parquetBatch(dirs: Seq[String],
+      schema: StructType): Batch = {
     val tbl = ParquetTable(
       s"graft_snapshot_stream_${new java.io.File(root).getName}",
-      spark, options, dirs.map(d => s"$root/$d"), Some(pinnedSchema),
+      spark, options, dirs.map(d => s"$root/$d"), Some(schema),
       classOf[ParquetFileFormat])
     tbl.newScanBuilder(options).build().toBatch
   }
@@ -152,16 +158,23 @@ class GraftSnapshotMicroBatchStream(
   * .option("readChangeFeed", "true")`) — the streaming form of
   * [[SnapshotStore.changeFeed]] (Delta's CDF `readChangeFeed` option):
   * every row carries an appended `_change_type` column. Batch (a, b]
-  * emits the ENDPOINT dir diff both directions — manifest@b's new dirs
-  * as `insert` rows, manifest@a's removed dirs as `delete` rows — so a
-  * copy-on-write restatement reads as delete(old content) +
-  * insert(new), a partition DELETE as deletes, an append as inserts:
-  * the same contract the batch change feed's oracle pins, now
-  * incremental. Offsets, admission control, retention failure modes
-  * and the 100 TB shape (two ~KB endpoint parses per batch, vectorized
-  * parquet underneath) are inherited from the plain tail; deleted
-  * dirs are readable within the retention horizon because both
-  * endpoints are retained manifests, whose dirs expire pins. */
+  * is replayed PER COMMIT, exactly like the batch feed: a DML commit
+  * (row-level UPDATE/DELETE, MERGE) emits its row-exact CDC sidecar
+  * (`update_preimage`/`update_postimage`/`delete`/`insert` rows
+  * persisted at commit time), a compaction emits nothing (empty
+  * sidecar = no row changed), and any other commit emits its dir
+  * diff — new dirs as `insert` rows, dropped dirs as `delete` rows —
+  * so an append is exactly the appended rows, a backfill/rollback is
+  * delete(old content) + insert(new), a partition DELETE deletes only.
+  * A lagging consumer's coalesced batch carries the UNION of its
+  * commits' changes (per-commit replay — intermediate changes are
+  * never dropped); only if an INTERMEDIATE commit was expired does the
+  * batch fall back to the endpoint-wholesale dir diff (net-correct,
+  * WARNed). Offsets, admission control, retention failure modes and
+  * the 100 TB shape (one ~KB manifest parse per commit in the batch,
+  * vectorized parquet underneath) are inherited from the plain tail;
+  * deleted dirs and sidecars are readable within the retention horizon
+  * because retention pins retained manifests' dirs. */
 class GraftSnapshotCdfMicroBatchStream(
     spark: SparkSession,
     root: String,
@@ -169,78 +182,125 @@ class GraftSnapshotCdfMicroBatchStream(
     options: CaseInsensitiveStringMap)
   extends GraftSnapshotMicroBatchStream(spark, root, dataSchema, options) {
 
-  private var insertBatch: Batch = _
-  private var deleteBatch: Batch = _
+  private val cdfSchema = StructType(dataSchema.fields :+
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType))
+
+  /** The planned scan segments of the last batch: one inner parquet
+    * Batch per segment, plus the constant tag to append (None for
+    * sidecar segments — their files carry `_change_type` natively). */
+  private var segments: Seq[(Batch, Option[String])] = Seq.empty
+
+  /** One segment per change source in (a, b]: per-commit sidecar/diff
+    * segments, or the endpoint-wholesale fallback when an intermediate
+    * slot was expired. */
+  private def planSegments(a: Long, b: Long)
+      : Seq[(Seq[String], Option[String])] = {
+    if (a >= b) return Seq.empty
+    def dirsOf(seq: Long): Set[String] = manifestDirs(seq)
+    // endpoints resolve LOUDLY (falling past retention is data loss)
+    val aDirs = dirsOf(a)
+    val bDirs = dirsOf(b)
+    val perCommit: Option[Seq[(Seq[String], Option[String])]] =
+      try {
+        var prev = aDirs
+        Some((a + 1 to b).flatMap { s =>
+          val m = SnapshotStore.manifestAtSeq(root, s)
+          val cur = m.entries.map(_.dir).toSet
+          val segs =
+            if (java.nio.file.Files.isDirectory(
+                SnapshotStore.cdcDirOf(root, m.id)))
+              Seq((Seq(s"data/snap-${m.id}/${SnapshotStore.CdcDirName}"),
+                None))
+            else
+              Seq(((cur -- prev).toSeq.sorted, Some("insert")),
+                ((prev -- cur).toSeq.sorted, Some("delete")))
+          prev = cur
+          segs.filter(_._1.nonEmpty)
+        })
+      } catch {
+        case e: IllegalStateException =>
+          System.err.println(
+            s"[snapshot] WARN: CDF batch ($a, $b] at $root cannot " +
+              s"replay per-commit (${e.getMessage}) — emitting the " +
+              "endpoint-wholesale dir diff instead; changes that " +
+              "cancelled out within the batch are coalesced away")
+          None
+      }
+    perCommit.getOrElse(
+      Seq(((bDirs -- aDirs).toSeq.sorted, Some("insert")),
+        ((aDirs -- bDirs).toSeq.sorted, Some("delete")))
+        .filter(_._1.nonEmpty))
+  }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[GraftSeqOffset].seq
     val b = end.asInstanceOf[GraftSeqOffset].seq
-    val (ins, del) =
-      if (a >= b) (Seq.empty[String], Seq.empty[String])
-      else {
-        val before = manifestDirs(a)
-        val after = manifestDirs(b)
-        ((after -- before).toSeq.sorted, (before -- after).toSeq.sorted)
-      }
-    insertBatch = parquetBatch(ins)
-    deleteBatch = parquetBatch(del)
-    val ip = if (ins.isEmpty) Array.empty[InputPartition]
-      else insertBatch.planInputPartitions()
-        .map(p => CdfTaggedPartition(p, insert = true): InputPartition)
-    val dp = if (del.isEmpty) Array.empty[InputPartition]
-      else deleteBatch.planInputPartitions()
-        .map(p => CdfTaggedPartition(p, insert = false): InputPartition)
-    ip ++ dp
+    segments = planSegments(a, b).map { case (dirs, tag) =>
+      // sidecar files carry _change_type as a real column — read them
+      // under the full CDF schema, no tagging; diff segments read the
+      // data schema and get the constant tag appended per row
+      (parquetBatch(dirs, if (tag.isEmpty) cdfSchema else dataSchema),
+        tag)
+    }
+    segments.zipWithIndex.flatMap { case ((batch, tag), i) =>
+      batch.planInputPartitions()
+        .map(p => CdfPartition(p, i, tag.orNull): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdfTagReaderFactory(insertBatch.createReaderFactory(),
-      deleteBatch.createReaderFactory(), dataSchema)
+    CdfReaderFactory(segments.map(_._1.createReaderFactory()), dataSchema)
 }
 
-/** A parquet input partition tagged with the side of the dir diff it
-  * came from (shipped to executors — keep it a flat case class). */
-case class CdfTaggedPartition(inner: InputPartition, insert: Boolean)
+/** A parquet input partition of one CDF segment: `segment` indexes the
+  * planning stream's segment list (to pick the right inner factory),
+  * `tag` is the constant `_change_type` to append — null for sidecar
+  * partitions, whose rows carry it natively (shipped to executors —
+  * keep it a flat case class). */
+case class CdfPartition(inner: InputPartition, segment: Int, tag: String)
     extends InputPartition {
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
 }
 
-/** Appends the constant `_change_type` value to every row of the
-  * wrapped parquet reader. Row-based on purpose: the tag is one
-  * constant column, and forcing the row path keeps the append a
-  * JoinedRow + UnsafeProjection instead of a per-batch column splice —
-  * CDF consumers process change rows, not scan-bound analytics. */
-case class CdfTagReaderFactory(insertFactory: PartitionReaderFactory,
-    deleteFactory: PartitionReaderFactory, dataSchema: StructType)
-    extends PartitionReaderFactory {
+/** Appends the partition's constant `_change_type` value to every row
+  * of the wrapped parquet reader (sidecar partitions pass through —
+  * their read schema already ends in `_change_type`). Row-based on
+  * purpose: the tag is one constant column, and forcing the row path
+  * keeps the append a JoinedRow + UnsafeProjection instead of a
+  * per-batch column splice — CDF consumers process change rows, not
+  * scan-bound analytics. */
+case class CdfReaderFactory(factories: Seq[PartitionReaderFactory],
+    dataSchema: StructType) extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = partition match {
-    case CdfTaggedPartition(inner, isInsert) =>
-      val r = (if (isInsert) insertFactory else deleteFactory)
-        .createReader(inner)
-      val tagRow = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(Array[Any](
-          org.apache.spark.unsafe.types.UTF8String.fromString(
-            if (isInsert) "insert" else "delete")))
-      val out = StructType(dataSchema.fields :+
-        org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType, nullable = false))
-      new org.apache.spark.sql.connector.read.PartitionReader[
-          org.apache.spark.sql.catalyst.InternalRow] {
-        private val joined =
-          new org.apache.spark.sql.catalyst.expressions.JoinedRow
-        private val proj = org.apache.spark.sql.catalyst.expressions
-          .UnsafeProjection.create(out)
-        override def next(): Boolean = r.next()
-        override def get(): org.apache.spark.sql.catalyst.InternalRow =
-          proj(joined(r.get(), tagRow))
-        override def close(): Unit = r.close()
+    case CdfPartition(inner, segment, tag) =>
+      val r = factories(segment).createReader(inner)
+      if (tag == null) r // sidecar rows already carry _change_type
+      else {
+        val tagRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tag)))
+        val out = StructType(dataSchema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false))
+        new org.apache.spark.sql.connector.read.PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] {
+          private val joined =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          private val proj = org.apache.spark.sql.catalyst.expressions
+            .UnsafeProjection.create(out)
+          override def next(): Boolean = r.next()
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            proj(joined(r.get(), tagRow))
+          override def close(): Unit = r.close()
+        }
       }
     case other => throw new IllegalStateException(
       s"CDF reader factory got an untagged partition: $other")

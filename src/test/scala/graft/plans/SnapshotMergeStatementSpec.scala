@@ -160,9 +160,72 @@ class SnapshotMergeStatementSpec extends SparkSpec {
       "a MERGE that touches nothing must not commit")
   }
 
+  test("TARGET-referencing clause conditions: WHEN MATCHED AND " +
+      "t.price > 15 evaluates on the resolve join — only base rows " +
+      "passing the target predicate are claimed") {
+    val (cat, _, root) = mkTable()
+    // every base row has a matching change row; the DELETE must claim
+    // only those whose CURRENT price exceeds 15
+    Seq((1L, true), (2L, true), (3L, true)).toDF("id", "del")
+      .createOrReplaceTempView("stmt_tref")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_tref AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.price > 15 THEN DELETE""".stripMargin)
+    assert(state(root).keySet === Set(1L, 4L, 5L),
+      "ids 2 (20.0) and 3 (30.0) deleted; id 1 (10.0) kept by the " +
+        "target predicate")
+  }
+
+  test("partial SET keeps unassigned target columns, and mixed " +
+      "target/source SET values evaluate on the joined row") {
+    val (cat, _, root) = mkTable()
+    Seq((1L, 100.0), (3L, 300.0)).toDF("id", "p")
+      .createOrReplaceTempView("stmt_pset")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_pset AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = t.price + s.p""".stripMargin)
+    assert(state(root) === Map(
+      1L -> ("2024-01", 110.0), 2L -> ("2024-01", 20.0),
+      3L -> ("2024-02", 330.0), 4L -> ("2024-02", 40.0),
+      5L -> ("2024-03", 50.0)),
+      "price = old + s.p; month (unassigned) kept from the target")
+  }
+
+  test("diverging UPDATE and INSERT values are legal clauses now: " +
+      "matched rows take the SET value, unmatched the INSERT value") {
+    val (cat, _, root) = mkTable()
+    Seq((1L, "2024-01", 5.0), (9L, "2024-09", 5.0))
+      .toDF("id", "m", "price").createOrReplaceTempView("stmt_div")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_div AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = s.price * 2
+         |WHEN NOT MATCHED THEN
+         |  INSERT (id, m, price) VALUES (s.id, s.m, s.price + 1)""".stripMargin)
+    assert(state(root)(1L) === (("2024-01", 10.0)), "update: 5*2")
+    assert(state(root)(9L) === (("2024-09", 6.0)), "insert: 5+1")
+  }
+
+  test("a partition-moving partial SET restates source AND landing " +
+      "months — the moved row lands exactly once, neighbours carried") {
+    val (cat, _, root) = mkTable()
+    Seq((1L, "2024-03")).toDF("id", "newm")
+      .createOrReplaceTempView("stmt_move")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING stmt_move AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET m = s.newm""".stripMargin)
+    assert(state(root)(1L) === (("2024-03", 10.0)),
+      "row moved to 2024-03, price kept (partial SET)")
+    assert(state(root).values.count(_._1 == "2024-03") === 2,
+      "landing month holds its prior row AND the moved one")
+  }
+
   test("unsupported shapes fail LOUDLY at analysis with nothing " +
-      "committed: BY SOURCE clauses, target-referencing conditions, " +
-      "partial SET, diverging UPDATE/INSERT values") {
+      "committed: BY SOURCE clauses, multi-column ON, target refs in " +
+      "NOT MATCHED, non-deterministic/current-time conditions") {
     val (cat, _, root) = mkTable()
     changesView("stmt_changes_e")
     val id = SnapshotStore.current(root).get.id
@@ -180,26 +243,20 @@ class SnapshotMergeStatementSpec extends SparkSpec {
       "NOT MATCHED BY SOURCE")
     rejected(
       s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
-         |ON t.id = s.id
-         |WHEN MATCHED AND t.price > 15 THEN DELETE""".stripMargin,
-      "SOURCE columns only")
-    rejected(
-      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
-         |ON t.id = s.id
-         |WHEN MATCHED THEN UPDATE SET price = s.price""".stripMargin,
-      "no assignment covers") // partial SET keeps target values
-    rejected(
-      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
-         |ON t.id = s.id
-         |WHEN MATCHED THEN UPDATE SET *
-         |WHEN NOT MATCHED THEN
-         |  INSERT (id, m, price) VALUES (s.id, s.m, s.price + 1)""".stripMargin,
-      "same source values")
-    rejected(
-      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
          |ON t.id = s.id AND t.m = s.m
          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
       "single")
+    rejected(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND rand() > 0.5 THEN DELETE""".stripMargin,
+      "non-deterministic")
+    rejected(
+      s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.m < date_format(now(), 'yyyy-MM')
+         |THEN DELETE""".stripMargin,
+      "current time")
     assert(SnapshotStore.current(root).get.id === id,
       "rejected statements must not commit")
   }

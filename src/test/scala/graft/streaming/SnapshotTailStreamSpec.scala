@@ -146,11 +146,15 @@ class SnapshotTailStreamSpec extends SparkSpec {
       ("2024-02", 1.0, "delete"), ("2024-02", 9.0, "insert")))
     SnapshotStore.dropPartitions(root, Some(Set("2024-01")))
     assert(feed(3, 4) === Set(("2024-01", 1.0, "delete")))
-    // from table start: the NET current state arrives as inserts only
-    // (the 2024-02 restatement and the 2024-03 append; 2024-01's dirs
-    // were never in the empty FROM endpoint, so no deletes)
-    assert(feed(0, 4) ===
-      Set(("2024-02", 9.0, "insert"), ("2024-03", 2.0, "insert")))
+    // from table start: PER-COMMIT replay (Delta table_changes
+    // semantics) — every commit's changes appear, including the ones a
+    // net endpoint diff would cancel away (the 2024-02 restatement's
+    // delete+insert, the 2024-01 insert-then-delete)
+    assert(feed(0, 4) === Set(
+      ("2024-01", 1.0, "insert"), ("2024-02", 1.0, "insert"),
+      ("2024-03", 2.0, "insert"),
+      ("2024-02", 1.0, "delete"), ("2024-02", 9.0, "insert"),
+      ("2024-01", 1.0, "delete")))
     val e = intercept[IllegalArgumentException](feed(3, 2))
     assert(e.getMessage.contains("inverted"))
   }
@@ -158,7 +162,7 @@ class SnapshotTailStreamSpec extends SparkSpec {
   test("streaming CHANGE FEED (readChangeFeed=true): per-commit batches " +
       "carry _change_type — append = inserts, restatement = delete(old) " +
       "+ insert(new), partition DELETE = deletes only; a coalesced " +
-      "catch-up emits the NET diff") {
+      "catch-up replays PER COMMIT (union, nothing dropped)") {
     val root = tmpDir("cdfstream") + "/t"
     SnapshotStore.write(rows(1.0, "2024-01", "2024-02"), root, "m", "ts")
     SnapshotStore.appendPartitions(rows(2.0, "2024-03"), root, "m", "ts")
@@ -191,10 +195,11 @@ class SnapshotTailStreamSpec extends SparkSpec {
       Set(("2024-03", 2.0, "insert")),
       Set(("2024-02", 1.0, "delete"), ("2024-02", 9.0, "insert")),
       Set(("2024-01", 1.0, "delete"))))
-    // coalesced: the NET endpoint diff, exactly the batch changeFeed
+    // coalesced catch-up: PER-COMMIT replay in one batch — the UNION
+    // of the commits' changes, nothing dropped (Delta CDF semantics;
+    // pre-r12 this emitted the lossy NET endpoint diff)
     val coalesced = drainCdf(tmpDir("cdfstream_ck2"), cap = None)
-    assert(coalesced === Seq(
-      Set(("2024-02", 9.0, "insert"), ("2024-03", 2.0, "insert"))))
+    assert(coalesced === Seq(perCommit.reduce(_ union _)))
     // refusals: asOf + CDF is contradictory; so is a shadowed tag column
     intercept[Exception] {
       spark.readStream.format("graft-snapshot")
@@ -266,12 +271,16 @@ class SnapshotTailStreamSpec extends SparkSpec {
     assert(feed === Set(
       ("2024-02", 666.0, "delete"), ("2024-02", 1.0, "insert")),
       "rollback = delete(bad) + insert(restored) through the feed")
-    // and the whole-history net view lands on the restored content
+    // the whole-history view replays per commit: the corruption AND
+    // its rollback both appear, and retract-then-upsert application
+    // still converges on the restored content
     val net = SnapshotStore.changeFeed(spark, root, 0L, 3L).collect()
       .map(r => (r.getString(1), r.getDouble(3),
         r.getString(r.fieldIndex("_change_type")))).toSet
     assert(net === Set(
-      ("2024-01", 1.0, "insert"), ("2024-02", 1.0, "insert")))
+      ("2024-01", 1.0, "insert"), ("2024-02", 1.0, "insert"),
+      ("2024-02", 666.0, "insert"), ("2024-02", 666.0, "delete"),
+      ("2024-02", 1.0, "delete")))
   }
 
   test("changeFeed refuses a pre-existing change-type column in ANY " +
