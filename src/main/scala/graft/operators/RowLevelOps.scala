@@ -64,7 +64,13 @@ object RowLevelOps {
         s"duplicate SET column: ${sets.map(_._1).diff(setMap.keys.toSeq)}")
       val unknown = setMap.keySet.diff(base.columns.toSet)
       require(unknown.isEmpty, s"SET of unknown column(s): $unknown")
-      val matched = base.filter(matchedCond)
+      // manifest-stats pruning: the discovery scan reads only the
+      // partitions whose per-column min/max could satisfy the WHERE
+      // clause — decided on the ~KB manifest, the same skip MERGE's
+      // key discovery already had ([[graft.etl.StatsPruning]])
+      val (disc, _) = graft.etl.StatsPruning.discoveryFrame(
+        spark, root, m, base, matchedCond)
+      val matched = disc.filter(matchedCond)
       val srcParts = matched.select(col(partCol).cast("string"))
         .distinct().collect().map(_.getString(0)).toSet
       if (srcParts.isEmpty) m.id
@@ -121,7 +127,10 @@ object RowLevelOps {
         "row-level DELETE")
       val matchedCond = coalesce(cond, lit(false))
       val base = SnapshotStore.read(spark, root)
-      val srcParts = base.filter(matchedCond)
+      // stats-pruned discovery, same as UPDATE
+      val (disc, _) = graft.etl.StatsPruning.discoveryFrame(
+        spark, root, m, base, matchedCond)
+      val srcParts = disc.filter(matchedCond)
         .select(col(partCol).cast("string"))
         .distinct().collect().map(_.getString(0)).toSet
       if (srcParts.isEmpty) m.id
