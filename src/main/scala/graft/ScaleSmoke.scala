@@ -163,14 +163,25 @@ object ScaleSmoke {
     // measured runs price the per-commit sidecar replay (sidecar size
     // grows with the CHANGED rows, K×; manifest walking stays
     // O(commits)) and the general-clause MERGE read
-    "snapshot_cdf_rowlevel", "snapshot_sql_merge_cond")
+    "snapshot_cdf_rowlevel", "snapshot_sql_merge_cond",
+    // round-12: the multipart (two-identity-column) layout at K× —
+    // partition count grows with (months × priorities), fixed under
+    // identical copies; the DELETE/UPDATE/MERGE discovery and the
+    // measured read both grow K× in data while the composite-token
+    // manifest work stays O(entries)
+    "snapshot_multipart",
+    // round-12: the column-ID rename at K× — the renames are ~KB
+    // metadata commits regardless of K; the measured read prices the
+    // mapped (physical-schema) scan + logical projection over K× data
+    "snapshot_sql_rename")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
     Set("snapshot_merge", "snapshot_sql", "snapshot_sql_insert",
       "snapshot_sql_merge_stmt", "snapshot_sql_overwrite",
       "snapshot_sql_update", "snapshot_sql_delete_rows",
-      "snapshot_cdf_rowlevel", "snapshot_sql_merge_cond")
+      "snapshot_cdf_rowlevel", "snapshot_sql_merge_cond",
+      "snapshot_multipart", "snapshot_sql_rename")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

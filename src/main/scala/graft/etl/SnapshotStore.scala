@@ -236,8 +236,21 @@ object SnapshotStore {
       }
     }
     val priorNames = prior.fieldNames.toSet
-    org.apache.spark.sql.types.StructType(
-      prior.fields ++ next.fields.filterNot(f => priorNames(f.name)))
+    val added = next.fields.filterNot(f => priorNames(f.name))
+    // a new column must not collide with another field's PHYSICAL name
+    // (possible only after a rename freed the logical spelling): files
+    // would then carry two columns of one name and the mapped read
+    // becomes ambiguous
+    added.foreach { f =>
+      val clash = prior.fields.find(pf =>
+        physName(pf).equalsIgnoreCase(f.name) &&
+          !pf.name.equalsIgnoreCase(f.name))
+      require(clash.isEmpty,
+        s"cannot add column '${f.name}': it collides with the PHYSICAL " +
+          s"(pre-rename) name of column '${clash.get.name}' — files " +
+          "already spell that name; pick another")
+    }
+    org.apache.spark.sql.types.StructType(prior.fields ++ added)
   }
 
   /** Thrown when a commit loses the publish race to a writer this
@@ -933,6 +946,175 @@ object SnapshotStore {
     }.toMap
   }
 
+  // ---- column ids + physical-name mapping (RENAME COLUMN) -----------------
+
+  /** STABLE FIELD ID, stamped into `StructField.metadata` — the
+    * Iceberg-style identity that survives renames (an extension: the
+    * reference's ClickHouse supports `ALTER TABLE … RENAME COLUMN` as
+    * standard DDL). Assigned at CREATE TABLE and adopted by legacy
+    * tables on their first RENAME. */
+  private[graft] val FieldIdKey = "graft.field.id"
+
+  /** The column's PHYSICAL name — what the parquet files actually
+    * carry. INVARIANT for the field's lifetime across renames (a
+    * rename rewrites only the manifest's logical name), reset to the
+    * logical name by a full rewrite (every file is fresh then). Data
+    * files and CDC sidecars are ALWAYS written under physical names,
+    * so one `spark.read.schema(physical)` plans every dir of every
+    * era — no per-file name mapping, no field-id reconciliation at
+    * read time. */
+  private[graft] val PhysKey = "graft.field.phys"
+
+  private[graft] def physName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  private[graft] def hasMapping(
+      s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => physName(f) != f.name)
+
+  /** logical → physical, only the non-identity pairs. */
+  private[graft] def physMapOf(s: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    s.fields.iterator.map(f => f.name -> physName(f))
+      .filter { case (lo, ph) => lo != ph }.toMap
+
+  /** The schema as the parquet FILES spell it. */
+  private[graft] def physicalSchema(
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = physName(f))))
+
+  private def quoted(n: String): String = s"`${n.replace("`", "``")}`"
+
+  /** Stamp ids + physical names on every field that lacks them (id =
+    * running max + 1, schema order; phys = the current name — sound
+    * for adoption because every file written so far used exactly the
+    * current names). Fields already stamped keep their metadata. */
+  private[graft] def stampIds(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    var next = s.fields.iterator
+      .filter(_.metadata.contains(FieldIdKey))
+      .map(_.metadata.getLong(FieldIdKey)).foldLeft(0L)(math.max) + 1
+    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      if (f.metadata.contains(FieldIdKey) &&
+          f.metadata.contains(PhysKey)) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        if (!f.metadata.contains(FieldIdKey)) {
+          mb.putLong(FieldIdKey, next); next += 1
+        }
+        if (!f.metadata.contains(PhysKey)) mb.putString(PhysKey, f.name)
+        f.copy(metadata = mb.build())
+      }
+    })
+  }
+
+  /** Full-rewrite schema: carry each same-named prior field's STABLE
+    * ID but reset phys = logical — a full write rewrites every file
+    * under the current logical names, so the mapping collapses while
+    * the identity survives for future renames. */
+  private def carryIdsReset(
+      prior: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = prior match {
+    case None => next
+    case Some(p) =>
+      val byName = p.fields.map(f => f.name -> f).toMap
+      org.apache.spark.sql.types.StructType(next.fields.map { f =>
+        byName.get(f.name).filter(_.metadata.contains(FieldIdKey)) match {
+          case Some(pf) =>
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(FieldIdKey, pf.metadata.getLong(FieldIdKey))
+              .putString(PhysKey, f.name)
+            f.copy(metadata = mb.build())
+          case None => f
+        }
+      })
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` — a METADATA-ONLY commit
+    * in the column-ID model: the manifest schema's logical name moves,
+    * the field keeps its stable id and its PHYSICAL name (what every
+    * existing parquet file spells), entry stats re-key to the new
+    * logical name, and the partition/sort layout props follow. Old
+    * files stay readable forever (reads plan under the physical schema
+    * and project back to logical names); time travel to a pre-rename
+    * manifest sees the old names. Legacy tables ADOPT ids/phys on
+    * their first rename. Cost: one ~KB manifest write at any table
+    * size. */
+  def renameColumns(root: String, renames: Seq[(String, String)]): Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to alter"))
+      val schema0 = prior.schema.getOrElse(
+        throw new IllegalStateException(
+          s"table at $root predates schema-carrying manifests — " +
+            "recommit with a full write before renaming columns"))
+      val schema = stampIds(schema0)
+      require(renames.nonEmpty, "RENAME COLUMN: nothing to rename")
+      // resolve each old name case-insensitively (Spark's resolver)
+      val resolved: Seq[(String, String)] = renames.map { case (o, n) =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(o)).getOrElse(
+          throw new IllegalArgumentException(
+            s"RENAME COLUMN $o: no such column — schema has " +
+              schema.fieldNames.mkString(", ")))
+        (f.name, n)
+      }
+      val oldSet = resolved.map(_._1).toSet
+      require(oldSet.size == resolved.size,
+        "RENAME COLUMN: a column is renamed twice in one statement")
+      resolved.foreach { case (o, n) =>
+        require(n.nonEmpty, s"RENAME COLUMN $o: empty new name")
+        require(!n.equalsIgnoreCase("_change_type"),
+          s"RENAME COLUMN $o TO $n: '_change_type' is reserved for the " +
+            "change feed")
+        require(!n.startsWith("__"),
+          s"RENAME COLUMN $o TO $n: the '__' prefix is reserved for " +
+            "engine marker columns")
+        val clash = schema.fields.exists(f =>
+          !oldSet.contains(f.name) && f.name.equalsIgnoreCase(n)) ||
+          resolved.exists { case (o2, n2) =>
+            o2 != o && n2.equalsIgnoreCase(n) }
+        require(!clash,
+          s"RENAME COLUMN $o TO $n: a column of that name already " +
+            "exists (or is created by this same statement)")
+      }
+      val renameMap = resolved.toMap
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f =>
+          renameMap.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+      // entry stats are keyed by LOGICAL name — re-key so pruning on
+      // the new name keeps working (keys absent from the map pass
+      // through; a stale key could only disable pruning, never break
+      // correctness, but re-keying here keeps the invariant exact)
+      val entries = prior.entries.map { e =>
+        e.copy(stats = e.stats.map(s => s.copy(cols = s.cols.map {
+          case (k, v) => renameMap.getOrElse(k, k) -> v
+        })))
+      }
+      // layout props follow the logical names
+      val props = prior.props.map {
+        case (PartColProp, v) =>
+          PartColProp -> PartitionSpec(parseSpec(v).fields.map {
+            case PartitionSpec.Identity(c) =>
+              PartitionSpec.Identity(renameMap.getOrElse(c, c))
+            case PartitionSpec.Bucket(n, c) =>
+              PartitionSpec.Bucket(n, renameMap.getOrElse(c, c))
+          }).canonical
+        case (SortColProp, v) => SortColProp -> renameMap.getOrElse(v, v)
+        case kv => kv
+      }
+      val id = allocateId(root)
+      commitManifest(root, Manifest(id, entries, Some(newSchema), props),
+        seqOf(prior))
+      id
+    }
+
   // ---- data writes -------------------------------------------------------
 
   /** One job writes every partition of `df` into the snapshot dir:
@@ -943,10 +1125,24 @@ object SnapshotStore {
     * [[MergeTreeWriter]] lesson). Returns the written entries, read
     * back from the directory listing — no driver-side distinct. */
   private def writeSnapData(df: DataFrame, root: String, snapId: Long,
-      partCol: String, sortCol: String): Seq[Entry] = {
+      partCol: String, sortCol: String,
+      physOf: Map[String, String] = Map.empty): Seq[Entry] = {
     val rel = s"data/snap-$snapId"
     val dataDir = s"$root/$rel"
-    val prepared = df.withColumn(PartKey, col(partCol).cast("string"))
+    // partCol is a PARTITION SPEC string ([[PartitionSpec]]) — a bare
+    // column name (the legacy single-identity layout, token = bare
+    // cast) or a multi-transform spec whose token is the joined
+    // component rendering. The token is computed over the LOGICAL
+    // names FIRST; data columns are then renamed to their PHYSICAL
+    // names ([[PhysKey]] — the invariant spelling every file of the
+    // table shares, so renamed tables read with one schema).
+    val spec = PartitionSpec.parse(partCol)
+    val tokened = df.withColumn(PartKey, spec.tokenExpr(c => col(c)))
+    val renamed = physOf.foldLeft(tokened) { case (d, (lo, ph)) =>
+      d.withColumnRenamed(lo, ph)
+    }
+    val physSort = physOf.getOrElse(sortCol, sortCol)
+    val prepared = renamed
       // sort prefix must be the PARTITION KEY ATTRIBUTE itself — the
       // dynamic-partition writer checks its required ordering by
       // expression identity, and a sort on the source column (not
@@ -954,7 +1150,7 @@ object SnapshotStore {
       // own __part-only sort, destroying the time order (the
       // MergeTreeWriter lesson).
       .repartition(col(PartKey))
-      .sortWithinPartitions(col(PartKey), col(sortCol))
+      .sortWithinPartitions(col(PartKey), col(quoted(physSort)))
     // snapshot data is written TIMESTAMP_MICROS, not the session
     // default INT96: INT96 is deprecated in parquet-format, records NO
     // chunk statistics (the footer harvest would silently lose every
@@ -986,11 +1182,22 @@ object SnapshotStore {
       _ == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .DEFAULT_PARTITION_NAME)
     require(nullTok.isEmpty,
-      s"snapshot commit rejected: partition column '$partCol' has NULL " +
-        "(or the literal __HIVE_DEFAULT_PARTITION__ string) values — " +
-        "the directory sentinel is ambiguous with a real string value; " +
-        "filter or default the partition column before committing")
-    val stats = harvestStats(df.sparkSession, dataDir, df.schema)
+      s"snapshot commit rejected: partition spec '$partCol' rendered " +
+        "NULL tokens (a NULL in any partition/bucket source column, " +
+        "or the literal __HIVE_DEFAULT_PARTITION__ string) — the " +
+        "directory sentinel is ambiguous with a real string value; " +
+        "filter or default the partition columns before committing")
+    // footers carry PHYSICAL column names; entry stats are keyed by
+    // LOGICAL names (what pruning predicates reference) — translate
+    val statSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(f =>
+        f.copy(name = physOf.getOrElse(f.name, f.name))))
+    val logicalOf = physOf.map(_.swap)
+    val stats0 = harvestStats(df.sparkSession, dataDir, statSchema)
+    val stats = stats0.map { case (tok, es) =>
+      tok -> es.copy(cols = es.cols.map { case (k, v) =>
+        logicalOf.getOrElse(k, k) -> v })
+    }
     toks.map { tok =>
       val v = unescapeDirToken(tok)
       Entry(v, s"$rel/$PartKey=$tok", stats.get(v))
@@ -1107,9 +1314,12 @@ object SnapshotStore {
     * support). */
   private[graft] def checkTokenRenderZone(spark: SparkSession,
       m: Manifest, partCol: String, what: String): Unit = {
-    val isTzTs = m.schema.exists(_.fields.exists(f =>
-      f.name == partCol &&
-        f.dataType == org.apache.spark.sql.types.TimestampType))
+    // only IDENTITY components render through the session-zone cast;
+    // bucket components hash the zone-independent internal micros
+    val isTzTs = parseSpec(partCol).identityCols.exists(c =>
+      m.schema.exists(_.fields.exists(f =>
+        f.name == c &&
+          f.dataType == org.apache.spark.sql.types.TimestampType)))
     if (!isTzTs) return
     val sess = spark.sessionState.conf.sessionLocalTimeZone
     val wtz = m.props.get(TzProp)
@@ -1129,35 +1339,53 @@ object SnapshotStore {
       })
   }
 
-  /** The recorded (partCol, sortCol) of a committed table, if its
-    * manifests carry layout props (every commit since stats-era does). */
+  /** The recorded (partition SPEC string, sortCol) of a committed
+    * table, if its manifests carry layout props (every commit since
+    * stats-era does). The first slot is a [[PartitionSpec]] canonical
+    * string — a bare column name for legacy single-identity layouts. */
   def tableLayout(m: Manifest): Option[(String, String)] =
     for { p <- m.props.get(PartColProp); s <- m.props.get(SortColProp) }
       yield (p, s)
 
+  /** A spec string parsed leniently: an unparseable legacy string
+    * degrades to a single-identity spec of the raw string (never throw
+    * from a comparison/guard path on one odd layout prop). */
+  private[graft] def parseSpec(s: String): PartitionSpec =
+    try PartitionSpec.parse(s)
+    catch { case _: Exception =>
+      PartitionSpec(Seq(PartitionSpec.Identity(s)))
+    }
+
+  private def canonicalSpec(s: String): String = parseSpec(s).canonical
+
   /** Incremental commits must match the recorded layout; a full
-    * [[write]] redefines it (it rewrites every partition anyway). */
+    * [[write]] redefines it (it rewrites every partition anyway).
+    * Spec strings compare CANONICALIZED, so spelling variance
+    * (`bucket( 16 , id )`) can't fail a matching layout. */
   private def checkLayout(prior: Option[Manifest], partCol: String,
       sortCol: String, df: DataFrame): Unit = {
     prior.flatMap(tableLayout).foreach { case (p, s) =>
-      require(p == partCol && s == sortCol,
+      require(canonicalSpec(p) == canonicalSpec(partCol) && s == sortCol,
         s"commit layout ($partCol, $sortCol) does not match the table's " +
           s"recorded layout ($p, $s) — a mixed-layout table cannot be " +
           "read back; write a full snapshot to change the layout")
     }
-    // A TZ-timestamp partition column's dir tokens are rendered under
-    // the WRITER session's timezone ([[TzProp]]): an append under a
-    // differently-RENDERING zone would split the same instant across
-    // two tokens — reads stay correct (they never address by token)
-    // but DELETE and MERGE pruning would silently miss rows. Refuse
-    // loudly instead; equivalently-rendering zone aliases pass.
+    // A TZ-timestamp IDENTITY partition component's dir tokens are
+    // rendered under the WRITER session's timezone ([[TzProp]]): an
+    // append under a differently-RENDERING zone would split the same
+    // instant across two tokens — reads stay correct (they never
+    // address by token) but DELETE and MERGE pruning would silently
+    // miss rows. Refuse loudly instead; equivalently-rendering zone
+    // aliases pass. (Bucket components hash the zone-independent
+    // internal micros — no check needed.)
     for {
       pm <- prior
       wtz <- pm.props.get(TzProp)
       tz <- renderTz(df)
-      if pm.schema.exists(_.fields.exists(f =>
-        f.name == partCol &&
-          f.dataType == org.apache.spark.sql.types.TimestampType))
+      if parseSpec(partCol).identityCols.exists(c =>
+        pm.schema.exists(_.fields.exists(f =>
+          f.name == c &&
+            f.dataType == org.apache.spark.sql.types.TimestampType)))
     } require(sameRendering(tz, wtz),
       s"this table's TZ-timestamp partition tokens were rendered under " +
         s"session timezone '$wtz' but this session uses '$tz' — set " +
@@ -1167,7 +1395,7 @@ object SnapshotStore {
 
   private def layoutProps(partCol: String, sortCol: String,
       df: DataFrame): Map[String, String] =
-    Map(PartColProp -> partCol, SortColProp -> sortCol) ++
+    Map(PartColProp -> canonicalSpec(partCol), SortColProp -> sortCol) ++
       renderTz(df).map(TzProp -> _)
 
   // ---- public writer API -------------------------------------------------
@@ -1246,7 +1474,12 @@ object SnapshotStore {
         throw new IllegalArgumentException(
           s"$what column '$c' is not in the schema: " +
             schema.fieldNames.mkString(", ")))
-    val partCol = resolve("partition", partCol0)
+    val partCol = PartitionSpec(parseSpec(partCol0).fields.map {
+      case PartitionSpec.Identity(c) =>
+        PartitionSpec.Identity(resolve("partition", c))
+      case PartitionSpec.Bucket(n, c) =>
+        PartitionSpec.Bucket(n, resolve("partition bucket", c))
+    }).canonical
     val sortCol = resolve("sort", sortCol0)
     withCommitLock(root) {
       require(current(root).isEmpty,
@@ -1254,7 +1487,9 @@ object SnapshotStore {
       val id = allocateId(root)
       val tz = scala.util.Try(
         spark.sessionState.conf.sessionLocalTimeZone).toOption
-      commitManifest(root, Manifest(id, Seq.empty, Some(schema),
+      // stamp stable field ids + physical names at birth — RENAME
+      // COLUMN is then always a pure manifest re-key
+      commitManifest(root, Manifest(id, Seq.empty, Some(stampIds(schema)),
         Map(PartColProp -> partCol, SortColProp -> sortCol) ++
           tz.map(TzProp -> _)), 0L)
       id
@@ -1285,6 +1520,16 @@ object SnapshotStore {
             "existing rows have no value to back a NOT NULL promise")
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
           s"ADD COLUMN ${f.name}: a column of that name already exists")
+        // a rename frees the LOGICAL spelling but the files still
+        // carry it physically — re-adding it would put two columns of
+        // one name into new files and make the mapped read ambiguous
+        val physClash = schema.fields.find(pf =>
+          physName(pf).equalsIgnoreCase(f.name) &&
+            !pf.name.equalsIgnoreCase(f.name))
+        require(physClash.isEmpty,
+          s"ADD COLUMN ${f.name}: collides with the PHYSICAL " +
+            s"(pre-rename) name of column '${physClash.map(_.name)
+              .getOrElse("")}' — files already spell that name")
       }
       val dupInBatch = newFields.groupBy(_.name.toLowerCase)
         .collect { case (_, fs) if fs.size > 1 => fs.head.name }
@@ -1313,11 +1558,14 @@ object SnapshotStore {
   private def writeLocked(df: DataFrame, root: String, partCol: String,
       sortCol: String, noRowChange: Boolean = false): Long = {
     // a full write rewrites everything, so it may REDEFINE the layout
+    // AND collapse any rename mapping (files land under the current
+    // logical names; stable field ids carry by name)
     val prior = current(root)
     val id = allocateId(root)
     val entries = writeSnapData(df, root, id, partCol, sortCol)
     if (noRowChange) Files.createDirectories(cdcDirOf(root, id))
-    commitManifest(root, Manifest(id, entries, Some(df.schema),
+    commitManifest(root, Manifest(id, entries,
+      Some(carryIdsReset(prior.flatMap(_.schema), df.schema)),
       prior.map(_.props).getOrElse(Map.empty) ++
         layoutProps(partCol, sortCol, df)),
       prior.map(seqOf).getOrElse(0L))
@@ -1353,7 +1601,8 @@ object SnapshotStore {
     val merged = prior.schema.map(mergeSchemas(_, df.schema))
       .getOrElse(df.schema)
     val id = allocateId(root)
-    val fresh = writeSnapData(df, root, id, partCol, sortCol)
+    val fresh = writeSnapData(df, root, id, partCol, sortCol,
+      physMapOf(merged))
     val restated = fresh.map(_.value).toSet
     val carried = prior.entries.filterNot(e => restated(e.value))
     commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
@@ -1423,7 +1672,8 @@ object SnapshotStore {
             layoutProps(partCol, sortCol, df)
           if (fresh == null) { // written once; conflicts reuse the dirs
             id = allocateId(root)
-            fresh = writeSnapData(df, root, id, partCol, sortCol)
+            fresh = writeSnapData(df, root, id, partCol, sortCol,
+              physMapOf(merged))
           }
           try {
             commitManifest(root, Manifest(id,
@@ -1464,7 +1714,8 @@ object SnapshotStore {
       val merged = prior.schema.map(mergeSchemas(_, restated.schema))
         .getOrElse(restated.schema)
       val id = allocateId(root)
-      val fresh = writeSnapData(restated, root, id, partCol, sortCol)
+      val fresh = writeSnapData(restated, root, id, partCol, sortCol,
+        physMapOf(merged))
       val stray = fresh.map(_.value).filterNot(dropValues)
       require(stray.isEmpty,
         s"restatePartitions: rows landed in partitions ${stray.mkString(", ")} " +
@@ -1586,6 +1837,13 @@ object SnapshotStore {
     } else {
       val paths = m.entries.map(e => s"$root/${e.dir}")
       m.schema match {
+        // a renamed table plans under the PHYSICAL schema (what every
+        // file of every era spells) and projects back to the logical
+        // names — one alias projection, pushdown flows through it
+        case Some(s) if hasMapping(s) =>
+          spark.read.schema(physicalSchema(s)).parquet(paths: _*)
+            .select(s.fields.toIndexedSeq.map(f =>
+              col(quoted(physName(f))).as(f.name)): _*)
         // the manifest schema applies to every dir it lists: columns a
         // pre-evolution dir's files lack read as null — O(1), decided on
         // the manifest, no per-file footer merge (mergeSchema would read
@@ -1626,24 +1884,40 @@ object SnapshotStore {
     require(unknown.isEmpty,
       s"CDC sidecar frame carries columns outside the table schema: " +
         unknown.mkString(", "))
+    // sidecar files use PHYSICAL column names, like every data file —
+    // a later rename then re-keys the feed's read projection only
+    val physed = physMapOf(tableSchema).foldLeft(cdc) {
+      case (d, (lo, ph)) => d.withColumnRenamed(lo, ph)
+    }
     // errorifexists: the _cdc dir lives inside the exclusively-claimed
     // snap dir and is written exactly once per commit — append mode
     // would pre-list the (nonexistent) path and WARN noisily, and a
     // second write here is a bug worth failing on
-    org.apache.spark.sql.GraftPlanBridge.withSessionConf(cdc,
+    org.apache.spark.sql.GraftPlanBridge.withSessionConf(physed,
       "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
       .write.mode("errorifexists").parquet(cdcDirOf(root, id).toString)
   }
 
   /** Read a commit's CDC sidecar under the given table schema (missing
     * columns — evolution after the sidecar was written — read as
-    * null, same as any manifest read). */
+    * null, same as any manifest read). Files carry PHYSICAL names;
+    * the result projects back to logical, like any manifest read. */
   private def readCdcSidecar(spark: SparkSession, root: String, id: Long,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(org.apache.spark.sql.types.StructType(
-        schema.fields :+ org.apache.spark.sql.types.StructField(
-          "_change_type", org.apache.spark.sql.types.StringType)))
-      .parquet(cdcDirOf(root, id).toString)
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val withCt = StructType(schema.fields :+
+      StructField("_change_type", StringType))
+    if (!hasMapping(schema))
+      spark.read.schema(withCt).parquet(cdcDirOf(root, id).toString)
+    else
+      spark.read.schema(StructType(physicalSchema(schema).fields :+
+          StructField("_change_type", StringType)))
+        .parquet(cdcDirOf(root, id).toString)
+        .select(withCt.fields.toIndexedSeq.map { f =>
+          if (f.name == "_change_type") col("_change_type")
+          else col(quoted(physName(f))).as(f.name)
+        }: _*)
+  }
 
   /** Batch CHANGE FEED between two committed chain sequences — the
     * table-format CDF read (Delta `table_changes` analogue), replayed

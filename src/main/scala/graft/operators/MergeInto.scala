@@ -157,6 +157,10 @@ object MergeInto {
       // writer's (else touched partitions silently miss, or a carried
       // entry gets duplicated under a second spelling)
       SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
+      // partCol is a PARTITION SPEC string ([[graft.etl.PartitionSpec]])
+      // — tokens render through the spec's expression, so multi-column
+      // and bucket layouts discover/restate exactly as the commit writes
+      val spec = SnapshotStore.parseSpec(partCol)
       val changes = materialize(spark, changes0)
       try {
         val changeKeys = changes.filter(col(key).isNotNull)
@@ -169,20 +173,20 @@ object MergeInto {
             // manifest-stats pruning: the discovery scan reads only the
             // partitions whose key range intersects the changeset's — at
             // fine partition granularity this replaces the full-base
-            // (key, partCol) scan with a scan of the touched neighborhood,
+            // (key, partCols) scan with a scan of the touched neighborhood,
             // decided on the ~KB manifest before any file listing
             val src = other match {
               case Some(c) if c != m.entries.map(_.value).toSet =>
                 SnapshotStore.readWhere(spark, root, c)
               case _ => SnapshotStore.read(spark, root)
             }
-            src.select(col(key), col(partCol))
+            src.select((key +: spec.sourceCols).distinct.map(col): _*)
               .join(changeKeys, Seq(key), "left_semi")
-              .select(col(partCol).cast("string")).distinct()
+              .select(spec.tokenExpr(col).as("__tok")).distinct()
               .collect().map(_.getString(0)).toSeq
         }
         val touchedNew = changes.filter(landable)
-          .select(col(partCol).cast("string")).distinct()
+          .select(spec.tokenExpr(col).as("__tok")).distinct()
           .collect().map(_.getString(0))
         val touched = (touchedBase ++ touchedNew).toSet
         if (touched.isEmpty) m.id
@@ -330,13 +334,16 @@ object MergeInto {
     *     the joined row — columns absent KEEP the target value;
     *   - `insValues`: per table column, the INSERT value (source side
     *     only); empty = no insert clause;
-    *   - `insSourceCond`/`insSourcePart`: the insert condition and
-    *     partition-column value over the BARE source frame
+    *   - `insSourceCond`/`insSourceValues`: the insert condition and
+    *     per-table-column INSERT values over the BARE source frame
     *     (unqualified names) — the landing-partition discovery pass,
-    *     which runs before any join;
-    *   - `partColMovedByUpdate`: whether SET assigns the partition
-    *     column anything but itself — only then does discovery need a
-    *     join pass to find update-landing partitions. */
+    *     which runs before any join; empty map = no insert clause
+    *     (the statement rewriter guarantees a present INSERT clause
+    *     covers every table column, so every partition-spec source
+    *     column is present);
+    *   - `partColMovedByUpdate`: whether SET assigns any partition
+    *     SOURCE column anything but itself — only then does discovery
+    *     need a join pass to find update-landing partitions. */
   final case class MergeClauseProgram(
       del: org.apache.spark.sql.Column,
       upd: org.apache.spark.sql.Column,
@@ -344,7 +351,7 @@ object MergeInto {
       updValues: Map[String, org.apache.spark.sql.Column],
       insValues: Map[String, org.apache.spark.sql.Column],
       insSourceCond: org.apache.spark.sql.Column,
-      insSourcePart: Option[org.apache.spark.sql.Column],
+      insSourceValues: Map[String, org.apache.spark.sql.Column],
       partColMovedByUpdate: Boolean)
 
   /** The resolve join both the discovery and resolve passes share:
@@ -392,6 +399,7 @@ object MergeInto {
         throw new IllegalStateException(
           s"no snapshot at $root to merge into"))
       SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
+      val spec = SnapshotStore.parseSpec(partCol)
       val tableSchema = m.schema.getOrElse(
         throw new IllegalStateException(s"table at $root predates " +
           "schema-carrying manifests — recommit before SQL MERGE"))
@@ -425,22 +433,30 @@ object MergeInto {
             }
             val changeKeys = keyed.filter(col(keyTarget).isNotNull)
               .distinct().withColumnRenamed(keyTarget, "__graft_ck")
-            baseSrc.select(col(keyTarget), col(partCol))
+            baseSrc
+              .select((keyTarget +: spec.sourceCols).distinct.map(col): _*)
               .join(changeKeys, col(keyTarget) === col("__graft_ck"),
                 "left_semi")
-              .select(col(partCol).cast("string")).distinct()
+              .select(spec.tokenExpr(col).as("__tok")).distinct()
               .collect().map(_.getString(0)).toSet
         }
-        // 2. insert landing (bare-source evaluation; cast through the
-        // partition column's TYPE first, so the token renders exactly
-        // as the commit will render it)
-        val insLanding: Set[String] = prog.insSourcePart match {
-          case Some(p) => src
-            .filter(coalesce(prog.insSourceCond, lit(false)))
-            .select(p.cast(tableSchema(partCol).dataType).cast("string"))
-            .distinct().collect().map(_.getString(0)).toSet
-          case None => Set.empty
-        }
+        // 2. insert landing (bare-source evaluation; each component
+        // value is cast through its column's TYPE first, so the token
+        // renders exactly as the commit will render it)
+        val insLanding: Set[String] =
+          if (prog.insSourceValues.isEmpty) Set.empty
+          else {
+            val missing = spec.sourceCols
+              .filterNot(prog.insSourceValues.contains)
+            require(missing.isEmpty,
+              s"MERGE insert clause provides no value for partition " +
+                s"source column(s) ${missing.mkString(", ")} — " +
+                "unreachable, the rewrite checks coverage")
+            src.filter(coalesce(prog.insSourceCond, lit(false)))
+              .select(spec.tokenExpr(n => prog.insSourceValues(n)
+                .cast(tableSchema(n).dataType)).as("__tok"))
+              .distinct().collect().map(_.getString(0)).toSet
+          }
         // 3. update landing (join pass, only for partition-moving SETs)
         val updLanding: Set[String] =
           if (!prog.partColMovedByUpdate || touchedBase.isEmpty) Set.empty
@@ -448,7 +464,7 @@ object MergeInto {
               SnapshotStore.readWhere(spark, root, touchedBase),
               src, keyTarget, keySource)
             .filter(matchedCol && !del && upd)
-            .select(uv(partCol).cast("string")).distinct()
+            .select(spec.tokenExpr(n => uv(n)).as("__tok")).distinct()
             .collect().map(_.getString(0)).toSet
         val touched = touchedBase ++ insLanding ++ updLanding
         if (touched.isEmpty) m.id

@@ -71,19 +71,30 @@ object RowLevelOps {
       val (disc, _) = graft.etl.StatsPruning.discoveryFrame(
         spark, root, m, base, matchedCond)
       val matched = disc.filter(matchedCond)
-      val srcParts = matched.select(col(partCol).cast("string"))
+      // the partition layout may be a multi-transform SPEC
+      // ([[graft.etl.PartitionSpec]]): tokens render through the
+      // spec's own expression, so bucket components hash exactly as
+      // the commit will write them
+      val spec = graft.etl.SnapshotStore.parseSpec(partCol)
+      val srcParts = matched.select(spec.tokenExpr(col).as("__tok"))
         .distinct().collect().map(_.getString(0)).toSet
       if (srcParts.isEmpty) m.id
       else {
-        // rows MOVE when SET assigns the partition column: their
-        // landing partitions are restated too (their untouched prior
-        // content must carry into the rewrite, or the move would
-        // shadow it)
-        val landing: Set[String] = setMap.get(partCol) match {
-          case Some(v) => matched.select(v.cast("string")).distinct()
-            .collect().map(_.getString(0)).toSet
-          case None => Set.empty
-        }
+        // rows MOVE when SET assigns any partition source column:
+        // their landing partitions are restated too (their untouched
+        // prior content must carry into the rewrite, or the move would
+        // shadow it). The landing token substitutes the SET value for
+        // each assigned source column, CAST to the column's type first
+        // — a bucket component hashes the stored representation, and
+        // hash(100: int) ≠ hash(100L: long) would discover the wrong
+        // landing bucket (the commit's stray-partition check would
+        // catch it loudly, but the statement should just work).
+        val landing: Set[String] =
+          if (!spec.sourceCols.exists(setMap.contains)) Set.empty
+          else matched.select(spec.tokenExpr(n =>
+              setMap.get(n).map(_.cast(base.schema(n).dataType))
+                .getOrElse(col(n))).as("__tok"))
+            .distinct().collect().map(_.getString(0)).toSet
         val touched = srcParts ++ landing
         val content = SnapshotStore.readWhere(spark, root, touched)
         val proj = content.columns.toSeq.map { n =>
@@ -130,8 +141,9 @@ object RowLevelOps {
       // stats-pruned discovery, same as UPDATE
       val (disc, _) = graft.etl.StatsPruning.discoveryFrame(
         spark, root, m, base, matchedCond)
+      val spec = graft.etl.SnapshotStore.parseSpec(partCol)
       val srcParts = disc.filter(matchedCond)
-        .select(col(partCol).cast("string"))
+        .select(spec.tokenExpr(col).as("__tok"))
         .distinct().collect().map(_.getString(0)).toSet
       if (srcParts.isEmpty) m.id
       else {

@@ -197,13 +197,18 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
           missing.mkString(", "))
     }
 
-    // does SET move rows across partitions? only a self-assignment
-    // (or no assignment) provably keeps a row in place
-    val partColMoved = updPairs.toMap.get(partCol).exists {
-      case a: AttributeReference =>
-        !target.output.filter(_.name == partCol).exists(_.semanticEquals(a))
-      case _ => true
-    }
+    // does SET move rows across partitions? the layout may be a
+    // multi-transform SPEC — a row moves if ANY partition source
+    // column is assigned anything but itself (only a self-assignment,
+    // or no assignment, provably keeps a row in place)
+    val partColMoved = graft.etl.SnapshotStore.parseSpec(partCol)
+      .sourceCols.exists { pc =>
+        updPairs.toMap.get(pc).exists {
+          case a: AttributeReference =>
+            !target.output.filter(_.name == pc).exists(_.semanticEquals(a))
+          case _ => true
+        }
+      }
 
     // names ride SEPARATELY from the value expressions: the analyzer's
     // CleanupAliases strips Alias nodes out of every operator's
@@ -257,17 +262,21 @@ case class SnapshotMergeCommand(
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
       })
     val insMapExpr = insNames.zip(insValues).toMap
+    // the landing-discovery pass needs a bare-source value for every
+    // partition SOURCE column of the spec (the rewrite has already
+    // checked the INSERT clause covers every table column)
+    val specCols = graft.etl.SnapshotStore.parseSpec(partCol).sourceCols
     val prog = MergeInto.MergeClauseProgram(
       del = qual(delCond), upd = qual(updCond), ins = qual(insCond),
       updValues = updNames.zip(updValues.map(qual)).toMap,
       insValues = insNames.zip(insValues.map(qual)).toMap,
       insSourceCond = bare(insCond),
-      insSourcePart =
-        if (insNames.isEmpty) None
-        else Some(bare(insMapExpr.getOrElse(partCol,
+      insSourceValues =
+        if (insNames.isEmpty) Map.empty
+        else specCols.map(c => c -> bare(insMapExpr.getOrElse(c,
           throw new IllegalStateException(
-            s"INSERT clause covers no '$partCol' — unreachable, the " +
-              "rewrite checks coverage")))),
+            s"INSERT clause covers no '$c' — unreachable, the " +
+              "rewrite checks coverage")))).toMap,
       partColMovedByUpdate = partColMoved)
     val id = MergeInto.mergeGeneralCommit(spark, root, src,
       keyTarget, keySource, prog, partCol, sortCol)

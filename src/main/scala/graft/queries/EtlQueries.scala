@@ -728,6 +728,108 @@ object EtlQueries {
     sqlMonthAgg(s,
       registerSnapCatalog(s, prepareSnapshotSqlDeleteRows(s, d)))
 
+  /** One MULTIPART-layout history per (JVM, sfDir): orders committed
+    * under a TWO-identity-column partition spec
+    * (`order_month,o_orderpriority` — [[graft.etl.PartitionSpec]], the
+    * multi-tenant grain a 100 TB corpus needs), then the full DML
+    * surface over it:
+    *   1. DELETE constrained on BOTH partition columns — a
+    *      metadata-only partition drop pruned on the composite token;
+    *   2. DELETE with an OR ACROSS the two columns — still
+    *      partition-granular (the token evaluator decides per entry);
+    *   3. row-level UPDATE (keys ≡1 mod 10 from 1998 on, +2.50) —
+    *      copy-on-write restatement of touched composite partitions;
+    *   4. native MERGE INTO (keys ≡2 mod 10 of '1998-02', +11.25;
+    *      disjoint key class, so replay order is immaterial). */
+  private val snapMultipartPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotMultipart(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapmpart",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapMultipartPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month,o_orderpriority",
+          sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"DELETE FROM $table WHERE order_month = '1998-05' " +
+          "AND o_orderpriority = '1-URGENT'")
+        s.sql(s"DELETE FROM $table WHERE order_month = '1998-03' " +
+          "OR o_orderpriority = '3-MEDIUM'")
+        s.sql(s"UPDATE $table SET o_totalprice = o_totalprice + 2.50 " +
+          "WHERE o_orderkey % 10 = 1 AND o_orderdate >= DATE '1998-01-01'")
+        ordersWithMonth(s, d)
+          .filter(col("o_orderkey") % 10 === 2 &&
+            col("order_month") === "1998-02")
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") + 11.25).as("newprice"))
+          .createOrReplaceTempView("snap_mpart_changes")
+        s.sql(
+          s"""MERGE INTO $table AS t USING snap_mpart_changes AS s
+             |ON t.o_orderkey = s.k
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.newprice
+             |""".stripMargin)
+        snapMultipartPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Multi-column partition spec, end to end: partition-granular
+    * DELETEs pruning on both token components, row-level UPDATE and
+    * MERGE over the composite layout — hash-matched against a DuckDB
+    * replay of all four mutations over raw orders. */
+  def snapshotMultipart: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotMultipart(s, d)))
+
+  /** One RENAMED history per (JVM, sfDir): full load, then two
+    * column-ID renames (`o_totalprice` → `total_price` and the
+    * PARTITION column `order_month` → `month` — metadata-only commits,
+    * [[SnapshotStore.renameColumns]]; files keep their physical
+    * spelling), then writes and DML through the NEW names:
+    *   1. `INSERT … SELECT` clones keys ≡3 (mod 50) (+3e9 key, +1.25)
+    *      — post-rename files land under the INVARIANT physical names
+    *      and one scan mixes both eras;
+    *   2. row-level UPDATE (+7.50 on keys ≡4 mod 10 of '1998-04',
+    *      addressed via the renamed partition column — stats keys were
+    *      re-keyed by the rename, so pruning still applies). */
+  private val snapRenamePrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlRename(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snaprename",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapRenamePrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"ALTER TABLE $table RENAME COLUMN o_totalprice " +
+          "TO total_price")
+        s.sql(s"ALTER TABLE $table RENAME COLUMN order_month TO month")
+        s.sql(s"INSERT INTO $table SELECT o_orderkey + 3000000000, " +
+          "o_custkey, o_orderstatus, total_price + 1.25, o_orderdate, " +
+          s"o_orderpriority, month FROM $table WHERE o_orderkey % 50 = 3")
+        s.sql(s"UPDATE $table SET total_price = total_price + 7.50 " +
+          "WHERE o_orderkey % 10 = 4 AND month = '1998-04'")
+        snapRenamePrepared += root
+      }
+    }
+    root
+  }
+
+  /** Column-ID RENAME end to end: pre- and post-rename files in one
+    * scan, DML through the new names — hash-matched against a DuckDB
+    * replay over raw orders. */
+  def snapshotSqlRename: Q = (s, d) => {
+    val table = registerSnapCatalog(s, prepareSnapshotSqlRename(s, d))
+    s.sql(s"""SELECT month, count(*) AS cnt,
+             | round(CAST(sum(CAST(total_price AS DECIMAL(38,8)))
+             |   AS DOUBLE), 4) AS sum_price
+             |FROM $table GROUP BY month""".stripMargin)
+  }
+
   /** One DML-mutated history per (JVM, sfDir) for the ROW-EXACT change
     * feed: full load (seq 1), a native SQL UPDATE (keys ≡ 4 mod 10,
     * +7.50 — seq 2), a native row-level SQL DELETE (keys ≡ 6 mod 10 —
@@ -1065,6 +1167,8 @@ object EtlQueries {
     "snapshot_sql_overwrite" -> snapshotSqlOverwrite,
     "snapshot_sql_update" -> snapshotSqlUpdate,
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
+    "snapshot_multipart" -> snapshotMultipart,
+    "snapshot_sql_rename" -> snapshotSqlRename,
     "snapshot_rollback" -> snapshotRollback,
     "snapshot_sql_ctas" -> snapshotSqlCtas,
     "snapshot_tag_timetravel" -> snapshotTagTimetravel,
@@ -1243,6 +1347,52 @@ object EtlQueries {
         |  FROM o)
         |SELECT order_month, count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // replay the multipart-layout DML set over raw orders: two
+    // partition-granular DELETEs (AND of both partition columns; OR
+    // across them), the row-level UPDATE (+2.50) and the MERGE
+    // (+11.25) — key classes ≡1/≡2 (mod 10) are disjoint, so one CASE
+    // replays both
+    "snapshot_multipart" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | kept AS (SELECT * FROM o
+        |  WHERE NOT (order_month = '1998-05'
+        |             AND o_orderpriority = '1-URGENT')
+        |    AND NOT (order_month = '1998-03'
+        |             OR o_orderpriority = '3-MEDIUM')),
+        | fin AS (SELECT order_month,
+        |   CASE WHEN o_orderkey % 10 = 1
+        |             AND o_orderdate >= DATE '1998-01-01'
+        |        THEN o_totalprice + 2.5
+        |        WHEN o_orderkey % 10 = 2 AND order_month = '1998-02'
+        |        THEN o_totalprice + 11.25
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM kept)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // replay the RENAME lane over raw orders: the renames themselves
+    // change no data — the oracle just aliases — while the post-rename
+    // INSERT clone (keys ≡3 mod 50, +3e9 key, +1.25) and the UPDATE
+    // (+7.50 on keys ≡4 mod 10 of '1998-04', INCLUDING clones whose
+    // +3e9 key keeps the residue) replay arithmetically
+    "snapshot_sql_rename" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS total_price,
+        |   strftime(o_orderdate, '%Y-%m') AS month FROM orders),
+        | ins AS (SELECT k + 3000000000 AS k,
+        |   total_price + 1.25 AS total_price, month
+        |  FROM o WHERE k % 50 = 3),
+        | allr AS (SELECT * FROM o UNION ALL SELECT * FROM ins),
+        | fin AS (SELECT month,
+        |   CASE WHEN k % 10 = 4 AND month = '1998-04'
+        |        THEN total_price + 7.5 ELSE total_price END
+        |     AS total_price
+        |  FROM allr)
+        |SELECT month, count(*) AS cnt,
+        | round(CAST(sum(CAST(total_price AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
     // replay the row-level DELETE: keys ≡6 (mod 10) removed

@@ -78,12 +78,18 @@ object GraftSnapshotTables {
     require(m.entries.nonEmpty || m.schema.isDefined,
       s"snapshot ${m.id} at $root lists no data and carries no schema " +
         "— cannot type the empty table")
+    // a RENAMED table's files spell the PHYSICAL column names — the
+    // inner parquet table plans under those (so file-schema matching,
+    // row-group pruning and vectorized reads all see what the files
+    // actually contain), while this wrapper exposes the LOGICAL
+    // schema; the scan builder translates pruning between the two and
+    // the built scan reports its read schema back in logical names
     val inner = ParquetTable(
       s"graft_snapshot_${new java.io.File(root).getName}@${m.id}",
       spark,
       options,
       m.entries.map(e => s"$root/${e.dir}"),
-      m.schema,
+      m.schema.map(SnapshotStore.physicalSchema),
       classOf[ParquetFileFormat])
     new GraftSnapshotTable(root, m, inner, writable, pinned)
   }
@@ -114,9 +120,22 @@ class GraftSnapshotTable(
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = inner.name
-  override def schema(): StructType = inner.schema
+  /** LOGICAL names (post-rename); the inner table carries the
+    * physical spelling the files use. asNullable matches FileTable's
+    * own normalization (file sources can't promise NOT NULL; a
+    * non-nullable read schema makes the vectorized reader REJECT
+    * pre-evolution files missing the column instead of null-filling,
+    * and strips the IsNotNull conjuncts from pushed filters). */
+  override def schema(): StructType =
+    manifest.schema.map(GraftSnapshotTable.nullableDeep)
+      .getOrElse(inner.schema)
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def properties(): util.Map[String, String] = inner.properties()
+
+  /** logical → physical (empty for never-renamed tables). */
+  private val physOf: Map[String, String] =
+    manifest.schema.map(SnapshotStore.physMapOf).getOrElse(Map.empty)
+  private val logicalOf: Map[String, String] = physOf.map(_.swap)
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ)
@@ -152,9 +171,14 @@ class GraftSnapshotTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     // the inner table builds its own (option-merged) builder; its case
-    // accessors hand over the exact constructor args for the subclass
+    // accessors hand over the exact constructor args for the subclass.
+    // The streaming tail reads files by name, so it gets the PHYSICAL
+    // schema (its row output is positional against the relation's
+    // logical attributes).
     new GraftSnapshotScanBuilder(inner.newScanBuilder(options),
-      manifestRows, root, schema(), options)
+      manifestRows, root,
+      manifest.schema.map(SnapshotStore.physicalSchema)
+        .getOrElse(inner.schema), options, physOf, logicalOf)
 
   /** SQL `DELETE FROM snap.t WHERE <partition predicate>` — the atomic
     * DROP PARTITION (`ALTER TABLE … DROP PARTITION` is standard
@@ -220,10 +244,13 @@ class GraftSnapshotTable(
       : Option[Option[Set[String]]] = {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.types._
-    val partCol = SnapshotStore.tableLayout(manifest).map(_._1)
-    val partType = partCol.flatMap(c =>
-      schema().fields.find(_.name == c).map(_.dataType))
-    def render(v: Any): Option[String] = partType.flatMap {
+    val spec = SnapshotStore.tableLayout(manifest)
+      .map(l => SnapshotStore.parseSpec(l._1))
+      .getOrElse(return scala.None)
+    // the filter array is a conjunction; empty = unconditional DELETE
+    if (filters.isEmpty) return Some(None)
+    def render(c: String, v: Any): Option[String] =
+      schema().fields.find(_.name == c).map(_.dataType).flatMap {
       case StringType | ByteType | ShortType | IntegerType |
            LongType | BooleanType => Some(v.toString)
       case DateType => Some(v.toString) // sql.Date/LocalDate: ISO = cast
@@ -264,34 +291,54 @@ class GraftSnapshotTable(
         } catch { case _: Exception => scala.None }
       case _ => scala.None // float/decimal: ambiguous → loud refusal
     }
-    def one(f: Filter): Option[Option[Set[String]]] = f match {
-      case AlwaysTrue() => Some(None)
-      case EqualTo(a, v) if partCol.contains(a) && v != null =>
-        render(v).map(t => Some(Set(t)): Option[Set[String]])
-      case EqualNullSafe(a, v)
-          if partCol.contains(a) && v != null =>
-        render(v).map(t => Some(Set(t)): Option[Set[String]])
-      case In(a, vs)
-          if partCol.contains(a) && vs.forall(_ != null) =>
-        val ts = vs.toSeq.map(render)
-        if (ts.forall(_.isDefined)) Some(Some(ts.flatten.toSet))
-        else scala.None
-      case Or(l, r) =>
-        for (lv <- one(l); rv <- one(r)) yield (lv, rv) match {
-          case (None, _) | (_, None) => None // either side = all rows
-          case (Some(a), Some(b)) => Some(a union b)
+    // per-entry IDENTITY component values: identity components are
+    // EXACT at partition granularity (the token carries the value);
+    // bucket components are LOSSY — a predicate on a bucket-only
+    // column can never be served partition-granularly (deleting the
+    // bucket would delete other keys sharing it), so such predicates
+    // fall through to the row-level copy-on-write path
+    val entryComps: Seq[(String, Map[String, String])] =
+      manifest.entries.map { e =>
+        spec.splitToken(e.value) match {
+          case scala.Some(cs) =>
+            e.value -> spec.fields.zip(cs).collect {
+              case (graft.etl.PartitionSpec.Identity(c), v) => c -> v
+            }.toMap
+          // a token of the wrong arity (legacy layout change mid-table
+          // — shouldn't happen, checkLayout forbids it) is undecidable
+          case scala.None => return scala.None
         }
-      case _ => scala.None
-    }
-    // the filter array is a conjunction; empty = unconditional DELETE
-    if (filters.isEmpty) Some(None)
-    else filters.map(one).reduce { (x, y) =>
-      for (xv <- x; yv <- y) yield (xv, yv) match {
-        case (None, o) => o
-        case (o, None) => o
-        case (Some(a), Some(b)) => Some(a intersect b)
       }
+    // three-valued evaluation of one filter over one entry's identity
+    // components: Some(bool) = decided for the WHOLE partition, None =
+    // not expressible partition-granularly. Not() is exact because
+    // partition component values are non-null by the commit guard.
+    def ev(f: Filter, comps: Map[String, String]): Option[Boolean] =
+      f match {
+        case AlwaysTrue() => Some(true)
+        case AlwaysFalse() => Some(false)
+        case EqualTo(a, v) if comps.contains(a) && v != null =>
+          render(a, v).map(_ == comps(a))
+        case EqualNullSafe(a, v) if comps.contains(a) && v != null =>
+          render(a, v).map(_ == comps(a))
+        case In(a, vs)
+            if comps.contains(a) && vs != null && vs.forall(_ != null) =>
+          val ts = vs.toSeq.map(render(a, _))
+          if (ts.forall(_.isDefined)) Some(ts.flatten.contains(comps(a)))
+          else scala.None
+        case Or(l, r) =>
+          for (a <- ev(l, comps); b <- ev(r, comps)) yield a || b
+        case And(l, r) =>
+          for (a <- ev(l, comps); b <- ev(r, comps)) yield a && b
+        case Not(x) => ev(x, comps).map(!_)
+        case _ => scala.None
+      }
+    val decided = entryComps.map { case (value, comps) =>
+      val evs = filters.toSeq.map(f => ev(f, comps))
+      if (evs.exists(_.isEmpty)) return scala.None
+      value -> evs.forall(_.contains(true))
     }
+    Some(Some(decided.collect { case (v, true) => v }.toSet))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -347,6 +394,29 @@ class GraftSnapshotTable(
   }
 }
 
+private[sources] object GraftSnapshotTable {
+  /** Deep-nullable normalization — the (private[spark]) `asNullable`
+    * FileTable applies to user-specified schemas, reimplemented on the
+    * public type surface. Field METADATA is preserved (the rename
+    * mapping rides on it). */
+  def nullableDeep(s: StructType): StructType =
+    nullableDeepDt(s).asInstanceOf[StructType]
+
+  private def nullableDeepDt(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = nullableDeepDt(f.dataType), nullable = true)))
+      case at: ArrayType => at.copy(
+        elementType = nullableDeepDt(at.elementType), containsNull = true)
+      case mt: MapType => mt.copy(
+        valueType = nullableDeepDt(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+}
+
 /** The inner table's own builder subclassed — NOT a delegating proxy:
   * every pushdown mixin (`SupportsPushDownCatalystFilters`,
   * `SupportsPushDownRequiredColumns`, `SupportsPushDownAggregates`, …)
@@ -356,10 +426,22 @@ private class GraftSnapshotScanBuilder(
     template: ParquetScanBuilder,
     manifestRows: Option[Long],
     root: String,
-    tableSchema: StructType,
-    tblOptions: CaseInsensitiveStringMap)
+    physTableSchema: StructType,
+    tblOptions: CaseInsensitiveStringMap,
+    physOf: Map[String, String],
+    logicalOf: Map[String, String])
   extends ParquetScanBuilder(template.sparkSession, template.fileIndex,
     template.schema, template.dataSchema, template.options) {
+
+  /** Column pruning arrives in LOGICAL names (the relation exposes
+    * them); the inner builder's dataSchema is PHYSICAL (what the
+    * files spell) — translate, or a renamed column's pruning request
+    * would silently drop it from the read schema. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    super.pruneColumns(
+      if (physOf.isEmpty) requiredSchema
+      else StructType(requiredSchema.fields.map(f =>
+        f.copy(name = physOf.getOrElse(f.name, f.name)))))
 
   override def build(): ParquetScan = {
     val p = super.build()
@@ -369,7 +451,8 @@ private class GraftSnapshotScanBuilder(
       if (p.partitionFilters.isEmpty && p.dataFilters.isEmpty &&
         p.pushedAggregate.isEmpty) manifestRows
       else None
-    new ManifestStatsScan(p, exactRows, root, tableSchema, tblOptions)
+    new ManifestStatsScan(p, exactRows, root, physTableSchema,
+      tblOptions, logicalOf)
   }
 }
 
@@ -380,12 +463,23 @@ private class GraftSnapshotScanBuilder(
   * exact — and (b) answers `toMicroBatchStream` with the commit-chain
   * tail ([[GraftSnapshotMicroBatchStream]]). */
 private class ManifestStatsScan(p: ParquetScan, rows: Option[Long],
-    root: String, tableSchema: StructType,
-    tblOptions: CaseInsensitiveStringMap)
+    root: String, physTableSchema: StructType,
+    tblOptions: CaseInsensitiveStringMap,
+    logicalOf: Map[String, String] = Map.empty)
     extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema,
       p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
       p.dataFilters, p.pushedVariantExtractions) {
+  /** The plan-facing schema reports LOGICAL names (the relation's
+    * attributes are matched against it by name); the inherited
+    * readDataSchema keeps the PHYSICAL spelling the file readers
+    * match against — rows line up positionally. */
+  override def readSchema(): StructType = {
+    val s = super.readSchema()
+    if (logicalOf.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = logicalOf.getOrElse(f.name, f.name))))
+  }
   override def estimateStatistics(): Statistics = {
     val base = super.estimateStatistics()
     rows match {
@@ -398,8 +492,8 @@ private class ManifestStatsScan(p: ParquetScan, rows: Option[Long],
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftSnapshotMicroBatchStream(p.sparkSession, root, tableSchema,
-      tblOptions)
+    new GraftSnapshotMicroBatchStream(p.sparkSession, root,
+      physTableSchema, tblOptions)
 }
 
 /** The CHANGE-FEED view of a snapshot table — schema = data schema +
@@ -437,13 +531,17 @@ class GraftSnapshotCdfTable(spark: SparkSession, root: String,
     caps
   }
 
+  /** The streams read FILES, which spell physical names; their row
+    * output is positional against this table's logical schema. */
+  private val physDataSchema = SnapshotStore.physicalSchema(dataSchema)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = () => new Scan {
     override def readSchema(): StructType = cdfSchema
     override def description(): String = s"graft-snapshot-cdf $root"
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-      new GraftSnapshotCdfMicroBatchStream(spark, root, dataSchema,
+      new GraftSnapshotCdfMicroBatchStream(spark, root, physDataSchema,
         tblOptions)
     override def toBatch: org.apache.spark.sql.connector.read.Batch = {
       // reuse the stream's per-commit planner for one fixed range: the
@@ -455,7 +553,7 @@ class GraftSnapshotCdfTable(spark: SparkSession, root: String,
       require(from <= to, s"batch readChangeFeed range is inverted: " +
         s"startingSeq=$from > endingSeq=$to")
       val stream = new GraftSnapshotCdfMicroBatchStream(spark, root,
-        dataSchema, tblOptions)
+        physDataSchema, tblOptions)
       val parts = stream.planInputPartitions(
         GraftSeqOffset(from), GraftSeqOffset(to))
       new org.apache.spark.sql.connector.read.Batch {
@@ -620,21 +718,22 @@ class GraftSnapshotCatalog extends TableCatalog
     "graft snapshot catalog supports table DDL (CREATE TABLE [AS " +
       "SELECT] ... PARTITIONED BY (col) TBLPROPERTIES " +
       "('sort_col'='col'), DROP TABLE), DML (INSERT INTO / OVERWRITE, " +
-      "MERGE INTO, UPDATE, DELETE), ALTER TABLE ADD COLUMN (a " +
-      "metadata-only schema-evolution commit) and operations (CALL " +
+      "MERGE INTO, UPDATE, DELETE), ALTER TABLE ADD COLUMN / RENAME " +
+      "COLUMN (metadata-only commits) and operations (CALL " +
       "system.merge_into / history / expire / compact / rollback / " +
-      "tag) — but not RENAME (it would invalidate every reader's " +
-      "resolved root) nor other ALTERs (drop/retype would rewrite " +
-      "history readers depend on)")
+      "tag) — but not table RENAME (it would invalidate every " +
+      "reader's resolved root) nor other ALTERs (drop/retype would " +
+      "rewrite history readers depend on)")
 
-  /** `CREATE TABLE snap.t (cols…) PARTITIONED BY (m) TBLPROPERTIES
-    * ('sort_col'='ts')` — and the CTAS form, where Spark calls this
-    * then appends the SELECT through the table's own WriteBuilder
-    * (the locked [[SnapshotStore.appendPartitions]] commit). The
-    * layout is the engine's month-grain shape: exactly ONE identity
-    * partition column plus a required within-partition sort column —
-    * both become durable manifest props, so later name-only entry
-    * points never re-state them. */
+  /** `CREATE TABLE snap.t (cols…) PARTITIONED BY (m[, region,
+    * bucket(16, id)]) TBLPROPERTIES ('sort_col'='ts')` — and the CTAS
+    * form, where Spark calls this then appends the SELECT through the
+    * table's own WriteBuilder (the locked
+    * [[SnapshotStore.appendPartitions]] commit). The layout is a
+    * PARTITION SPEC ([[graft.etl.PartitionSpec]] — identity columns
+    * and/or bucket transforms) plus a required within-partition sort
+    * column — both become durable manifest props, so later name-only
+    * entry points never re-state them. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -642,13 +741,47 @@ class GraftSnapshotCatalog extends TableCatalog
     if (tableExistsAt(root))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val partCol = partitions.toSeq match {
-      case Seq(t) if t.name == "identity" && t.references().length == 1 =>
-        t.references()(0).fieldNames().mkString(".")
-      case other => throw new UnsupportedOperationException(
-        "graft snapshot CREATE TABLE needs exactly one identity " +
-          "PARTITIONED BY column (the manifest's partition grain), " +
-          s"got: [${other.mkString(", ")}]")
+    // the partition layout is a SPEC ([[graft.etl.PartitionSpec]]):
+    // one or more identity columns and/or bucket(n, col) transforms —
+    // `PARTITIONED BY (m)`, `PARTITIONED BY (m, region)`,
+    // `PARTITIONED BY (m, bucket(16, id))` all map to manifest specs
+    val partCol = {
+      if (partitions.isEmpty) throw new UnsupportedOperationException(
+        "graft snapshot CREATE TABLE needs a PARTITIONED BY clause " +
+          "(identity columns and/or bucket(n, col) — the manifest's " +
+          "partition grain)")
+      // matched through the PUBLIC Transform surface (name/references/
+      // arguments) — the concrete transform case classes are
+      // private[sql]
+      def oneTopLevelRef(t: Transform): Option[String] =
+        t.references().toSeq match {
+          case Seq(r) if r.fieldNames().length == 1 =>
+            Some(r.fieldNames()(0))
+          case _ => None
+        }
+      val fields = partitions.toSeq.map { t =>
+        def bad(): Nothing = throw new UnsupportedOperationException(
+          "graft snapshot CREATE TABLE supports identity and " +
+            "single-column bucket(n, col) partition transforms on " +
+            s"top-level columns only, got: $t")
+        t.name() match {
+          case "identity" =>
+            graft.etl.PartitionSpec.Identity(
+              oneTopLevelRef(t).getOrElse(bad()))
+          case "bucket" =>
+            val n = t.arguments().collectFirst {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                l.value() match {
+                  case num: Number => num.intValue()
+                  case _ => bad()
+                }
+            }.getOrElse(bad())
+            graft.etl.PartitionSpec.Bucket(n,
+              oneTopLevelRef(t).getOrElse(bad()))
+          case _ => bad()
+        }
+      }
+      graft.etl.PartitionSpec(fields).canonical
     }
     val sortCol = Option(properties.get("sort_col")).getOrElse(
       throw new IllegalArgumentException(
@@ -683,15 +816,21 @@ class GraftSnapshotCatalog extends TableCatalog
   /** `ALTER TABLE snap.t ADD COLUMN(S) …` — explicit schema evolution
     * as a metadata-only commit ([[SnapshotStore.addColumns]]): every
     * existing dir reads the new column as null, time travel keeps each
-    * snapshot's own shape. Everything else (drop/rename/retype/
-    * reorder/comment) stays rejected: type changes are refused at
-    * every commit boundary by design, and the rest would rewrite
-    * history readers depend on. */
+    * snapshot's own shape. `ALTER TABLE snap.t RENAME COLUMN a TO b` —
+    * the column-ID rename ([[SnapshotStore.renameColumns]]): the field
+    * keeps its stable id and PHYSICAL file name, only the manifest's
+    * logical name (and the stats/layout keys) move, so every existing
+    * parquet file stays readable and time travel before the rename
+    * sees the old name. Everything else (drop/retype/reorder/comment)
+    * stays rejected: type changes are refused at every commit boundary
+    * by design, and the rest would rewrite history readers depend on. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
-    val fields = changes.map {
+    val adds = scala.collection.mutable.ArrayBuffer[StructField]()
+    val renames = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    changes.foreach {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1)
           throw new UnsupportedOperationException(
@@ -706,13 +845,24 @@ class GraftSnapshotCatalog extends TableCatalog
               "honored, so it is refused rather than ignored")
         val f = StructField(a.fieldNames()(0), a.dataType(),
           nullable = a.isNullable)
-        Option(a.comment()).map(f.withComment).getOrElse(f)
+        adds += Option(a.comment()).map(f.withComment).getOrElse(f)
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "graft snapshot ALTER TABLE renames TOP-LEVEL columns " +
+              s"only, got nested: ${r.fieldNames().mkString(".")}")
+        renames += ((r.fieldNames()(0), r.newName()))
       case other => throw new UnsupportedOperationException(
-        s"graft snapshot ALTER TABLE supports ADD COLUMN only, got: " +
-          s"$other — drop/rename/retype would rewrite history that " +
-          "readers depend on")
+        s"graft snapshot ALTER TABLE supports ADD COLUMN and RENAME " +
+          s"COLUMN only, got: $other — drop/retype would rewrite " +
+          "history that readers depend on")
     }
-    SnapshotStore.addColumns(root, fields)
+    if (adds.nonEmpty && renames.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft snapshot ALTER TABLE cannot mix ADD COLUMN and RENAME " +
+          "COLUMN in one statement — run them as two commits")
+    if (renames.nonEmpty) SnapshotStore.renameColumns(root, renames.toSeq)
+    else SnapshotStore.addColumns(root, adds.toSeq)
     loadTable(ident)
   }
 

@@ -91,7 +91,7 @@ class SnapshotSqlDdlSpec extends SparkSpec {
   }
 
   test("CREATE TABLE refusals are loud and leave nothing behind: " +
-      "missing sort_col, non-identity or multi-column partitioning, " +
+      "missing sort_col, unsupported partition transforms, " +
       "partition column absent from the schema; ALTER/RENAME rejected") {
     val wh = mkWh("refuse")
     register("snapddl3", wh)
@@ -100,16 +100,19 @@ class SnapshotSqlDdlSpec extends SparkSpec {
         "PARTITIONED BY (m)")
     }
     assert(e1.getMessage.contains("sort_col"))
+    // identity and bucket(n, col) are the supported transforms
+    // (multi-column specs have their own spec, SnapshotMultipartSpec);
+    // anything else — truncate, a multi-column bucket — refuses loudly
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE snapddl3.b (id BIGINT, m STRING) " +
-        "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('sort_col'='id')")
+        "PARTITIONED BY (truncate(4, m)) TBLPROPERTIES ('sort_col'='id')")
     }
     assert(e2.getMessage.contains("identity"))
     val e3 = intercept[Exception] {
       spark.sql("CREATE TABLE snapddl3.c (id BIGINT, m STRING) " +
-        "PARTITIONED BY (m, id) TBLPROPERTIES ('sort_col'='id')")
+        "PARTITIONED BY (bucket(4, id, m)) TBLPROPERTIES ('sort_col'='id')")
     }
-    assert(e3.getMessage.contains("exactly one"))
+    assert(e3.getMessage.contains("top-level"))
     intercept[Exception] {
       spark.sql("CREATE TABLE snapddl3.d (id BIGINT, m STRING) " +
         "PARTITIONED BY (zz) TBLPROPERTIES ('sort_col'='id')")
