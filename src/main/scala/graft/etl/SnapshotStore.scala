@@ -1105,6 +1105,10 @@ object SnapshotStore {
               PartitionSpec.Identity(renameMap.getOrElse(c, c))
             case PartitionSpec.Bucket(n, c) =>
               PartitionSpec.Bucket(n, renameMap.getOrElse(c, c))
+            case PartitionSpec.TimeUnit(u, c) =>
+              PartitionSpec.TimeUnit(u, renameMap.getOrElse(c, c))
+            case PartitionSpec.Truncate(w, c) =>
+              PartitionSpec.Truncate(w, renameMap.getOrElse(c, c))
           }).canonical
         case (SortColProp, v) => SortColProp -> renameMap.getOrElse(v, v)
         case kv => kv
@@ -1137,6 +1141,7 @@ object SnapshotStore {
     // names ([[PhysKey]] — the invariant spelling every file of the
     // table shares, so renamed tables read with one schema).
     val spec = PartitionSpec.parse(partCol)
+    spec.validate(df.schema) // time/truncate transform type checks, loud
     val tokened = df.withColumn(PartKey, spec.tokenExpr(c => col(c)))
     val renamed = physOf.foldLeft(tokened) { case (d, (lo, ph)) =>
       d.withColumnRenamed(lo, ph)
@@ -1314,9 +1319,10 @@ object SnapshotStore {
     * support). */
   private[graft] def checkTokenRenderZone(spark: SparkSession,
       m: Manifest, partCol: String, what: String): Unit = {
-    // only IDENTITY components render through the session-zone cast;
-    // bucket components hash the zone-independent internal micros
-    val isTzTs = parseSpec(partCol).identityCols.exists(c =>
+    // identity components render through the session-zone cast and
+    // time transforms through session-zone date_format; bucket
+    // components hash the zone-independent internal micros
+    val isTzTs = parseSpec(partCol).zoneSensitiveCols.exists(c =>
       m.schema.exists(_.fields.exists(f =>
         f.name == c &&
           f.dataType == org.apache.spark.sql.types.TimestampType)))
@@ -1382,7 +1388,7 @@ object SnapshotStore {
       pm <- prior
       wtz <- pm.props.get(TzProp)
       tz <- renderTz(df)
-      if parseSpec(partCol).identityCols.exists(c =>
+      if parseSpec(partCol).zoneSensitiveCols.exists(c =>
         pm.schema.exists(_.fields.exists(f =>
           f.name == c &&
             f.dataType == org.apache.spark.sql.types.TimestampType)))
@@ -1474,12 +1480,18 @@ object SnapshotStore {
         throw new IllegalArgumentException(
           s"$what column '$c' is not in the schema: " +
             schema.fieldNames.mkString(", ")))
-    val partCol = PartitionSpec(parseSpec(partCol0).fields.map {
+    val spec = PartitionSpec(parseSpec(partCol0).fields.map {
       case PartitionSpec.Identity(c) =>
         PartitionSpec.Identity(resolve("partition", c))
       case PartitionSpec.Bucket(n, c) =>
         PartitionSpec.Bucket(n, resolve("partition bucket", c))
+      case PartitionSpec.TimeUnit(u, c) =>
+        PartitionSpec.TimeUnit(u, resolve(s"partition $u", c))
+      case PartitionSpec.Truncate(w, c) =>
+        PartitionSpec.Truncate(w, resolve("partition truncate", c))
     }).canonical
+    PartitionSpec.parse(spec).validate(schema)
+    val partCol = spec
     val sortCol = resolve("sort", sortCol0)
     withCommitLock(root) {
       require(current(root).isEmpty,

@@ -761,22 +761,29 @@ class GraftSnapshotCatalog extends TableCatalog
         }
       val fields = partitions.toSeq.map { t =>
         def bad(): Nothing = throw new UnsupportedOperationException(
-          "graft snapshot CREATE TABLE supports identity and " +
-            "single-column bucket(n, col) partition transforms on " +
+          "graft snapshot CREATE TABLE supports identity, " +
+            "bucket(n, col), years/months/days/hours(col) and " +
+            "truncate(w, col) partition transforms on single " +
             s"top-level columns only, got: $t")
+        def intArg(): Int = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case num: Number => num.intValue()
+              case _ => bad()
+            }
+        }.getOrElse(bad())
         t.name() match {
           case "identity" =>
             graft.etl.PartitionSpec.Identity(
               oneTopLevelRef(t).getOrElse(bad()))
           case "bucket" =>
-            val n = t.arguments().collectFirst {
-              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-                l.value() match {
-                  case num: Number => num.intValue()
-                  case _ => bad()
-                }
-            }.getOrElse(bad())
-            graft.etl.PartitionSpec.Bucket(n,
+            graft.etl.PartitionSpec.Bucket(intArg(),
+              oneTopLevelRef(t).getOrElse(bad()))
+          case u @ ("years" | "months" | "days" | "hours") =>
+            graft.etl.PartitionSpec.TimeUnit(u,
+              oneTopLevelRef(t).getOrElse(bad()))
+          case "truncate" =>
+            graft.etl.PartitionSpec.Truncate(intArg(),
               oneTopLevelRef(t).getOrElse(bad()))
           case _ => bad()
         }

@@ -32,7 +32,10 @@ class SnapshotMultipartSpec extends SparkSpec {
     assert(s3.canonical === "m,bucket(16,id)")
     assert(s3.hasBucket && s3.sourceCols === Seq("m", "id"))
     assert(PartitionSpec.parse(s3.canonical).canonical === s3.canonical)
-    intercept[IllegalArgumentException](PartitionSpec.parse("days(ts)"))
+    val s4 = PartitionSpec.parse("DAYS( ts ), truncate(3, name)")
+    assert(s4.canonical === "days(ts),truncate(3,name)")
+    assert(s4.zoneSensitiveCols === Seq("ts"))
+    intercept[IllegalArgumentException](PartitionSpec.parse("zoom(ts)"))
     intercept[IllegalArgumentException](PartitionSpec.parse("m,,x"))
   }
 
@@ -218,6 +221,57 @@ class SnapshotMultipartSpec extends SparkSpec {
     // same spec, different spelling: passes
     SnapshotStore.appendPartitions(df, root, "m , bucket( 4 , id )", "id")
     assert(SnapshotStore.read(spark, root).count() === 2L)
+  }
+
+  test("time + truncate transforms: days(ts) tokens are calendar days " +
+      "in time order, truncate(w, s) groups by prefix; type-mismatched " +
+      "transforms refuse at the commit boundary") {
+    val root = mkRoot("timetr")
+    val df = Seq(
+      (1L, java.time.LocalDateTime.of(2024, 1, 1, 5, 0), "alpha", 1),
+      (2L, java.time.LocalDateTime.of(2024, 1, 1, 23, 59), "alps", 2),
+      (3L, java.time.LocalDateTime.of(2024, 1, 2, 0, 0), "beta", 3)
+    ).toDF("id", "ts", "name", "v")
+    SnapshotStore.write(df, root, "days(ts),truncate(2,name)", "id")
+    val m = SnapshotStore.current(root).get
+    val spec = PartitionSpec.parse("days(ts),truncate(2,name)")
+    val comps = m.entries.map(e => spec.splitToken(e.value).get).toSet
+    assert(comps === Set(Seq("2024-01-01", "al"), Seq("2024-01-02", "be")))
+    // both 'alpha' and 'alps' landed in the shared 'al' prefix token
+    val alTok = spec.joinComponents(Seq("2024-01-01", "al"))
+    assert(SnapshotStore.readWhere(spark, root, Set(alTok))
+      .count() === 2L)
+    // row-level DML over the transform layout stays exact
+    val sess = spark
+    graft.operators.RowLevelOps.deleteRowsCommit(sess, root,
+      col("id") === 2L, "days(ts),truncate(2,name)", "id")
+    assert(SnapshotStore.read(spark, root).count() === 2L)
+    // type mismatches refuse loudly at commit, not as garbage tokens
+    intercept[IllegalArgumentException] {
+      SnapshotStore.write(df, mkRoot("bad1"), "days(name)", "id")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.write(df, mkRoot("bad2"), "truncate(2,id)", "v")
+    }
+  }
+
+  test("days() over a TZ timestamp is zone-sensitive: a session whose " +
+      "zone renders differently is refused for token-addressed DML") {
+    val root = mkRoot("tzdays")
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1))
+      .toDF("id", "ts", "v")
+    SnapshotStore.write(df, root, "days(ts)", "id")
+    val m = SnapshotStore.current(root).get
+    // same zone passes…
+    SnapshotStore.checkTokenRenderZone(spark, m, "days(ts)", "UPDATE")
+    // …a differently-rendering zone refuses (the tokens were rendered
+    // under UTC; Kolkata shifts calendar days)
+    val shifted = org.apache.spark.sql.GraftPlanBridge
+      .sessionWithConf(spark, "spark.sql.session.timeZone" -> "Asia/Kolkata")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.checkTokenRenderZone(shifted, m, "days(ts)", "UPDATE")
+    }
+    assert(e.getMessage.contains("timezone"))
   }
 
   test("NULL in any partition source column is rejected at commit " +

@@ -100,12 +100,13 @@ class SnapshotSqlDdlSpec extends SparkSpec {
         "PARTITIONED BY (m)")
     }
     assert(e1.getMessage.contains("sort_col"))
-    // identity and bucket(n, col) are the supported transforms
-    // (multi-column specs have their own spec, SnapshotMultipartSpec);
-    // anything else — truncate, a multi-column bucket — refuses loudly
+    // identity, bucket, years/months/days/hours and truncate are the
+    // supported transforms (multi-column specs have their own spec,
+    // SnapshotMultipartSpec); anything else — an unknown transform, a
+    // multi-column bucket — refuses loudly
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE snapddl3.b (id BIGINT, m STRING) " +
-        "PARTITIONED BY (truncate(4, m)) TBLPROPERTIES ('sort_col'='id')")
+        "PARTITIONED BY (zoom(4, m)) TBLPROPERTIES ('sort_col'='id')")
     }
     assert(e2.getMessage.contains("identity"))
     val e3 = intercept[Exception] {
