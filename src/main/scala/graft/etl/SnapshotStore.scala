@@ -1014,9 +1014,15 @@ object SnapshotStore {
   }
 
   /** Full-rewrite schema: carry each same-named prior field's STABLE
-    * ID but reset phys = logical — a full write rewrites every file
-    * under the current logical names, so the mapping collapses while
-    * the identity survives for future renames. */
+    * ID AND its PHYSICAL name. The physical name is frozen for the
+    * field's LIFETIME — even a full rewrite keeps writing it (the
+    * Delta column-mapping discipline): collapsing phys back to the
+    * logical name would strand every RETAINED pre-rewrite data dir and
+    * CDC sidecar (still spelling the old physical name) behind a
+    * mapping-free schema, and a change feed or time-travel-adjacent
+    * read spanning the rewrite would silently null the renamed column.
+    * Fields the rewrite drops release nothing until their manifests
+    * expire; fields new in `next` get phys = name implicitly. */
   private def carryIdsReset(
       prior: Option[org.apache.spark.sql.types.StructType],
       next: org.apache.spark.sql.types.StructType)
@@ -1030,7 +1036,7 @@ object SnapshotStore {
             val mb = new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
               .putLong(FieldIdKey, pf.metadata.getLong(FieldIdKey))
-              .putString(PhysKey, f.name)
+              .putString(PhysKey, physName(pf))
             f.copy(metadata = mb.build())
           case None => f
         }
@@ -1076,13 +1082,28 @@ object SnapshotStore {
         require(!n.startsWith("__"),
           s"RENAME COLUMN $o TO $n: the '__' prefix is reserved for " +
             "engine marker columns")
+        // collision checks against EVERY other field's LOGICAL name —
+        // including names this same statement renames away (a swap
+        // like (a→b, b→a) would make the write path's logical→physical
+        // renames collide mid-fold and corrupt files) — AND against
+        // every other field's PHYSICAL spelling: files carry physical
+        // names forever, so taking one as a logical name would bind
+        // pushed filters and the mapped read to the WRONG file column
         val clash = schema.fields.exists(f =>
-          !oldSet.contains(f.name) && f.name.equalsIgnoreCase(n)) ||
+          f.name != o && f.name.equalsIgnoreCase(n)) ||
           resolved.exists { case (o2, n2) =>
             o2 != o && n2.equalsIgnoreCase(n) }
         require(!clash,
           s"RENAME COLUMN $o TO $n: a column of that name already " +
-            "exists (or is created by this same statement)")
+            "exists (or is created by this same statement) — swaps " +
+            "and reuse of a just-freed name are not supported; files " +
+            "spell physical names forever")
+        val physClash = schema.fields.find(f =>
+          f.name != o && physName(f).equalsIgnoreCase(n))
+        require(physClash.isEmpty,
+          s"RENAME COLUMN $o TO $n: '$n' is the PHYSICAL (file) name " +
+            s"of column '${physClash.map(_.name).getOrElse("")}' — " +
+            "files already spell it; pick another name")
       }
       val renameMap = resolved.toMap
       val newSchema = org.apache.spark.sql.types.StructType(
@@ -1569,15 +1590,17 @@ object SnapshotStore {
     * delete+insert churn for content that did not change. */
   private def writeLocked(df: DataFrame, root: String, partCol: String,
       sortCol: String, noRowChange: Boolean = false): Long = {
-    // a full write rewrites everything, so it may REDEFINE the layout
-    // AND collapse any rename mapping (files land under the current
-    // logical names; stable field ids carry by name)
+    // a full write rewrites everything, so it may REDEFINE the layout;
+    // stable field ids AND frozen physical names carry by logical name
+    // (see [[carryIdsReset]] — retained old dirs/sidecars still spell
+    // the physical names, so new files must keep spelling them too)
     val prior = current(root)
     val id = allocateId(root)
-    val entries = writeSnapData(df, root, id, partCol, sortCol)
+    val schema2 = carryIdsReset(prior.flatMap(_.schema), df.schema)
+    val entries = writeSnapData(df, root, id, partCol, sortCol,
+      physMapOf(schema2))
     if (noRowChange) Files.createDirectories(cdcDirOf(root, id))
-    commitManifest(root, Manifest(id, entries,
-      Some(carryIdsReset(prior.flatMap(_.schema), df.schema)),
+    commitManifest(root, Manifest(id, entries, Some(schema2),
       prior.map(_.props).getOrElse(Map.empty) ++
         layoutProps(partCol, sortCol, df)),
       prior.map(seqOf).getOrElse(0L))

@@ -47,8 +47,12 @@ object PrefixSum {
     val w = Window.partitionBy(col("__pid")).orderBy(orderExprs: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val localCum = coalesce(sum(value).over(w), lit(0L))
-    // nRanges rows — bounded driver materialization by construction
-    val totals = local.groupBy(col("__pid")).agg(sum(value).as("t"))
+    // nRanges rows — bounded driver materialization by construction.
+    // coalesce: a range whose values are ALL NULL sums to null, and a
+    // bare getLong would NPE on the driver (the per-row window above
+    // already null-guards the same way)
+    val totals = local.groupBy(col("__pid"))
+      .agg(coalesce(sum(value), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((-1, 0L)) {
       case ((_, acc), (p, t)) => (p, acc + t)

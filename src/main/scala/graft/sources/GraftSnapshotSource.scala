@@ -443,6 +443,52 @@ private class GraftSnapshotScanBuilder(
       else StructType(requiredSchema.fields.map(f =>
         f.copy(name = physOf.getOrElse(f.name, f.name)))))
 
+  /** Data filters arrive in LOGICAL names too; the parquet predicate
+    * builder matches them against the FILE schema — untranslated, a
+    * filter on a renamed column would find no file column and parquet
+    * row-group/page pruning silently disappears at exactly the scale
+    * it matters. Filters with a reference this translator can't walk
+    * are simply NOT pushed (Spark re-evaluates every data filter
+    * post-scan, so dropping a pushdown can only cost I/O, never
+    * rows). */
+  override def pushDataFilters(
+      dataFilters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    if (physOf.isEmpty) super.pushDataFilters(dataFilters)
+    else super.pushDataFilters(
+      dataFilters.flatMap(translateFilterNames))
+
+  private def translateFilterNames(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def p(a: String): String = physOf.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(p(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(p(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(p(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(p(a), v))
+      case LessThan(a, v) => Some(LessThan(p(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(p(a), v))
+      case In(a, vs) => Some(In(p(a), vs))
+      case IsNull(a) => Some(IsNull(p(a)))
+      case IsNotNull(a) => Some(IsNotNull(p(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(p(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(p(a), v))
+      case StringContains(a, v) => Some(StringContains(p(a), v))
+      case And(l, r) =>
+        for (lt <- translateFilterNames(l); rt <- translateFilterNames(r))
+          yield And(lt, rt)
+      case Or(l, r) =>
+        for (lt <- translateFilterNames(l); rt <- translateFilterNames(r))
+          yield Or(lt, rt)
+      case Not(x) => translateFilterNames(x).map(Not)
+      case AlwaysTrue() => Some(f)
+      case AlwaysFalse() => Some(f)
+      case _ => None // unknown shape: don't push, post-scan filter holds
+    }
+  }
+
   override def build(): ParquetScan = {
     val p = super.build()
     // filtered/aggregated: the manifest count would overestimate, so

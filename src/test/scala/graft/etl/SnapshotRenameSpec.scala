@@ -136,9 +136,9 @@ class SnapshotRenameSpec extends SparkSpec {
       ("update_postimage", 15.0)))
   }
 
-  test("refusals: rename to an existing/reserved/colliding name; " +
-      "adding a column that collides with a PHYSICAL name; compact " +
-      "collapses the mapping while keeping the stable ids") {
+  test("refusals: rename to an existing/reserved/physically-taken " +
+      "name, swaps; adding a column that collides with a PHYSICAL " +
+      "name; the physical mapping is FROZEN across full rewrites") {
     val root = mkRoot("guard")
     val df = Seq((1L, "2024-01", 1.0)).toDF("id", "m", "price")
     SnapshotStore.write(df, root, "m", "id")
@@ -151,30 +151,68 @@ class SnapshotRenameSpec extends SparkSpec {
       SnapshotStore.renameColumns(root, Seq("total" -> "__part")))
     intercept[IllegalArgumentException](
       SnapshotStore.renameColumns(root, Seq("nope" -> "x")))
-    // the freed LOGICAL spelling cannot be re-added: files still spell
-    // it physically, and two file columns named 'price' would be
-    // ambiguous
+    // the freed LOGICAL spelling stays taken PHYSICALLY: files spell
+    // 'price' forever, so neither a rename onto it nor re-adding it
+    // can be allowed (two file columns of one name)
+    intercept[IllegalArgumentException](
+      SnapshotStore.renameColumns(root, Seq("id" -> "price")))
     intercept[IllegalArgumentException](
       SnapshotStore.addColumns(root, Seq(
         org.apache.spark.sql.types.StructField("price",
           org.apache.spark.sql.types.IntegerType))))
+    // one-statement SWAPS are refused (the write path's sequential
+    // logical→physical renames would collide mid-fold)
+    intercept[IllegalArgumentException](
+      SnapshotStore.renameColumns(root, Seq("id" -> "total",
+        "total" -> "id")))
     // a DIFFERENT new column is fine
     SnapshotStore.addColumns(root, Seq(
       org.apache.spark.sql.types.StructField("extra",
         org.apache.spark.sql.types.IntegerType)))
-    // compaction rewrites every file under the current logical names:
-    // the mapping collapses, the stable id survives
+    // a full rewrite KEEPS the frozen physical name and the stable id:
+    // retained pre-rewrite dirs/sidecars still spell 'price', so a
+    // feed or read spanning the compaction must keep mapping — and the
+    // compacted files keep spelling it too
     val preId = SnapshotStore.current(root).get.schema.get
       .fields.find(_.name == "total").get
       .metadata.getLong(SnapshotStore.FieldIdKey)
     SnapshotStore.compact(spark, root, "m", "id")
     val f = SnapshotStore.current(root).get.schema.get
       .fields.find(_.name == "total").get
-    assert(SnapshotStore.physName(f) === "total",
-      "a full rewrite resets phys = logical")
+    assert(SnapshotStore.physName(f) === "price",
+      "the physical file name is frozen for the field's lifetime")
     assert(f.metadata.getLong(SnapshotStore.FieldIdKey) === preId,
       "the stable field id survives the rewrite")
     assert(SnapshotStore.read(spark, root)
       .select("total").as[Double].collect().toSeq === Seq(1.0))
+  }
+
+  test("a change feed SPANNING a post-rename compaction keeps the " +
+      "renamed column's values (the mapping never collapses)") {
+    val wh = mkRoot("feedspan")
+    register("snapren3", wh)
+    spark.sql(
+      """CREATE TABLE snapren3.t (id BIGINT, m STRING, price DOUBLE)
+        |PARTITIONED BY (m) TBLPROPERTIES ('sort_col' = 'id')"""
+        .stripMargin)
+    val root = s"$wh/t"
+    spark.sql("INSERT INTO snapren3.t VALUES (1, '2024-01', 10.0)")
+    spark.sql("ALTER TABLE snapren3.t RENAME COLUMN price TO total")
+    val preAppend = SnapshotStore.currentSeq(root)
+    // post-rename append, then a compaction: both write files that
+    // must keep spelling the FROZEN physical name 'price'
+    spark.sql("INSERT INTO snapren3.t VALUES (2, '2024-02', 20.0)")
+    spark.sql(s"CALL snapren3.system.compact('${new java.io.File(root)
+      .getName}')")
+    val head = SnapshotStore.currentSeq(root)
+    val feed = SnapshotStore.changeFeed(spark, root, preAppend, head)
+    // the appended row arrives with its VALUE intact under the new
+    // logical name; the compaction emits nothing (empty sidecar)
+    val rows = feed.select("_change_type", "id", "total")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows === Set(("insert", 2L, 20.0)))
+    // and the compacted table reads both eras' values
+    assert(spark.sql("SELECT sum(total) FROM snapren3.t")
+      .head().getDouble(0) === 30.0)
   }
 }
