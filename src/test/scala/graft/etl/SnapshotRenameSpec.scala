@@ -214,5 +214,32 @@ class SnapshotRenameSpec extends SparkSpec {
     // and the compacted table reads both eras' values
     assert(spark.sql("SELECT sum(total) FROM snapren3.t")
       .head().getDouble(0) === 30.0)
+    // the DSV2 batch CDF face shares the stream planner — over the
+    // renamed table it must emit the same rows under the LOGICAL name
+    val dsv2 = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingSeq", preAppend).option("endingSeq", head)
+      .load(root)
+      .select("_change_type", "id", "total")
+      .as[(String, Long, Double)].collect().toSet
+    assert(dsv2 === Set(("insert", 2L, 20.0)))
+  }
+
+  test("a pushed filter on a renamed column reaches the parquet scan " +
+      "under the PHYSICAL file name (row-group pruning survives)") {
+    val wh = mkRoot("push")
+    register("snapren4", wh)
+    spark.sql(
+      """CREATE TABLE snapren4.t (id BIGINT, m STRING, price DOUBLE)
+        |PARTITIONED BY (m) TBLPROPERTIES ('sort_col' = 'id')"""
+        .stripMargin)
+    spark.sql("INSERT INTO snapren4.t VALUES " +
+      "(1, '2024-01', 10.0), (2, '2024-02', 20.0)")
+    spark.sql("ALTER TABLE snapren4.t RENAME COLUMN price TO total")
+    val q = spark.sql("SELECT total FROM snapren4.t WHERE total > 15.0")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(price,15.0)"),
+      s"the pushed filter must spell the PHYSICAL column name:\n$plan")
+    assert(q.collect().map(_.getDouble(0)).toSeq === Seq(20.0))
   }
 }
