@@ -291,24 +291,45 @@ object MergeInto {
       key: String, del: org.apache.spark.sql.Column,
       upd: org.apache.spark.sql.Column,
       ins: org.apache.spark.sql.Column): DataFrame = {
-    val dataCols = base.columns
+    val dataCols = base.columns.toIndexedSeq
     val joined = base.withColumn(basePresentCol, lit(true)).alias("b")
       .join(changes.withColumn(presentCol, lit(true)).alias("c"),
         col(s"b.$key") === col(s"c.$key"), "full_outer")
-    val matched = col(s"b.$basePresentCol").isNotNull &&
-      col(s"c.$presentCol").isNotNull
-    val changeOnly = col(s"b.$basePresentCol").isNull &&
-      col(s"c.$presentCol").isNotNull
     def rowOf(side: String) = struct(
-      dataCols.toIndexedSeq.map(n => col(s"$side.$n").as(n)): _*)
+      dataCols.map(n => col(s"$side.$n").as(n)): _*)
+    cdcEvents(joined, matchedCol, changeOnlyCol, del, upd, ins,
+      rowDel = rowOf("b"), rowPre = rowOf("b"), rowPost = rowOf("c"),
+      rowIns = rowOf("c"), dataCols)
+  }
+
+  /** THE one implementation of the CDC sidecar row contract (Delta
+    * CDF's vocabulary) — both the whole-row/marker merges and the
+    * general clause-program merge tag through here, with only the row
+    * STRUCT builders differing: per joined row,
+    * matched ∧ del → `delete`(rowDel);
+    * matched ∧ ¬del ∧ upd → `update_preimage`(rowPre) +
+    * `update_postimage`(rowPost);
+    * unmatched change ∧ ins → `insert`(rowIns); else nothing (the
+    * null when-array explodes to zero rows). */
+  private def cdcEvents(joined: DataFrame,
+      matched: org.apache.spark.sql.Column,
+      changeOnly: org.apache.spark.sql.Column,
+      del: org.apache.spark.sql.Column,
+      upd: org.apache.spark.sql.Column,
+      ins: org.apache.spark.sql.Column,
+      rowDel: org.apache.spark.sql.Column,
+      rowPre: org.apache.spark.sql.Column,
+      rowPost: org.apache.spark.sql.Column,
+      rowIns: org.apache.spark.sql.Column,
+      dataCols: Seq[String]): DataFrame = {
     def tagged(t: String, r: org.apache.spark.sql.Column) =
       struct(lit(t).as("_ct"), r.as("_r"))
     val events =
-      when(matched && del, array(tagged("delete", rowOf("b"))))
+      when(matched && del, array(tagged("delete", rowDel)))
         .when(matched && !del && upd, array(
-          tagged("update_preimage", rowOf("b")),
-          tagged("update_postimage", rowOf("c"))))
-        .when(changeOnly && ins, array(tagged("insert", rowOf("c"))))
+          tagged("update_preimage", rowPre),
+          tagged("update_postimage", rowPost)))
+        .when(changeOnly && ins, array(tagged("insert", rowIns)))
     // no otherwise: the null array explodes to zero rows
     joined.select(explode(events).as("_e"))
       .select(dataCols.toIndexedSeq.map(n => col(s"_e._r.$n").as(n)) :+
@@ -483,18 +504,9 @@ object MergeInto {
             tableCols.toIndexedSeq.map(n => col(s"b.$n").as(n)): _*)
           def rowU = struct(tableCols.toIndexedSeq.map(n => uv(n).as(n)): _*)
           def rowI = struct(tableCols.toIndexedSeq.map(n => iv(n).as(n)): _*)
-          def tagd(t: String, r: org.apache.spark.sql.Column) =
-            struct(lit(t).as("_ct"), r.as("_r"))
-          val events =
-            when(matchedCol && del, array(tagd("delete", rowB)))
-              .when(matchedCol && !del && upd, array(
-                tagd("update_preimage", rowB),
-                tagd("update_postimage", rowU)))
-              .when(changeOnlyCol && ins, array(tagd("insert", rowI)))
-          val cdc = joined.select(explode(events).as("_e"))
-            .select(tableCols.toIndexedSeq
-              .map(n => col(s"_e._r.$n").as(n)) :+
-              col("_e._ct").as("_change_type"): _*)
+          val cdc = cdcEvents(joined, matchedCol, changeOnlyCol,
+            del, upd, ins, rowDel = rowB, rowPre = rowB, rowPost = rowU,
+            rowIns = rowI, tableCols)
           SnapshotStore.restatePartitions(resolved, root, touched,
             partCol, sortCol, cdc = Some(cdc))
         }
