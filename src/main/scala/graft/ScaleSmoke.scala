@@ -169,7 +169,7 @@ object ScaleSmoke {
     // identical copies; the DELETE/UPDATE/MERGE discovery and the
     // measured read both grow K× in data while the composite-token
     // manifest work stays O(entries)
-    "snapshot_multipart",
+    "snapshot_multipart", "snapshot_bucket",
     // round-12: the column-ID rename at K× — the renames are ~KB
     // metadata commits regardless of K; the measured read prices the
     // mapped (physical-schema) scan + logical projection over K× data
@@ -181,7 +181,7 @@ object ScaleSmoke {
       "snapshot_sql_merge_stmt", "snapshot_sql_overwrite",
       "snapshot_sql_update", "snapshot_sql_delete_rows",
       "snapshot_cdf_rowlevel", "snapshot_sql_merge_cond",
-      "snapshot_multipart", "snapshot_sql_rename")
+      "snapshot_multipart", "snapshot_bucket", "snapshot_sql_rename")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

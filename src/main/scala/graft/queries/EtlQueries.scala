@@ -783,6 +783,44 @@ object EtlQueries {
   def snapshotMultipart: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotMultipart(s, d)))
 
+  /** One BUCKET-layout history per (JVM, sfDir): orders committed
+    * under `(order_month, bucket(8, o_orderkey))` — the hash-bucketed
+    * composite grain ([[graft.etl.PartitionSpec]]) — then row-level
+    * DML that must stay ROW-exact across lossy bucket partitions
+    * (deleting key residue 7 must not touch residue-15 keys sharing
+    * buckets; the update's discovery and landing hash through the
+    * spec's own expression):
+    *   1. row-level DELETE, keys ≡7 (mod 10);
+    *   2. row-level UPDATE (+3.75 on keys ≡8 mod 10 from Feb 1998). */
+  private val snapBucketPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotBucket(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapbucket",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapBucketPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month,bucket(8,o_orderkey)",
+          sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"DELETE FROM $table WHERE o_orderkey % 10 = 7")
+        s.sql(s"UPDATE $table SET o_totalprice = o_totalprice + 3.75 " +
+          "WHERE o_orderkey % 10 = 8 " +
+          "AND o_orderdate >= DATE '1998-02-01'")
+        snapBucketPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Hash-bucketed composite layout, end to end: row-level DELETE and
+    * UPDATE over `(month, bucket(8, key))` partitions — hash-matched
+    * against a DuckDB replay over raw orders (one wrongly-drained
+    * bucket mismatches immediately). */
+  def snapshotBucket: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotBucket(s, d)))
+
   /** One RENAMED history per (JVM, sfDir): full load, then two
     * column-ID renames (`o_totalprice` → `total_price` and the
     * PARTITION column `order_month` → `month` — metadata-only commits,
@@ -1168,6 +1206,7 @@ object EtlQueries {
     "snapshot_sql_update" -> snapshotSqlUpdate,
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
     "snapshot_multipart" -> snapshotMultipart,
+    "snapshot_bucket" -> snapshotBucket,
     "snapshot_sql_rename" -> snapshotSqlRename,
     "snapshot_rollback" -> snapshotRollback,
     "snapshot_sql_ctas" -> snapshotSqlCtas,
@@ -1369,6 +1408,24 @@ object EtlQueries {
         |        WHEN o_orderkey % 10 = 2 AND order_month = '1998-02'
         |        THEN o_totalprice + 11.25
         |        ELSE o_totalprice END AS o_totalprice
+        |  FROM kept)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // replay the bucket-layout DML over raw orders: keys ≡7 (mod 10)
+    // removed row-exactly (bucket partitions are lossy — a
+    // whole-bucket drop would also remove residue-15/…-keys sharing
+    // the bucket and mismatch), keys ≡8 (mod 10) from Feb 1998 +3.75
+    "snapshot_bucket" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | kept AS (SELECT * FROM o WHERE o_orderkey % 10 <> 7),
+        | fin AS (SELECT order_month,
+        |   CASE WHEN o_orderkey % 10 = 8
+        |             AND o_orderdate >= DATE '1998-02-01'
+        |        THEN o_totalprice + 3.75 ELSE o_totalprice END
+        |     AS o_totalprice
         |  FROM kept)
         |SELECT order_month, count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
