@@ -499,19 +499,39 @@ object Dedup {
     * that label-blocked [[embeddingNearDup]] by construction cannot.
     *
     * Scale shape: the centroid table is groups × dims (tiny at any
-    * corpus size) → broadcast, so assignment is map-only; the
-    * within-cluster quadratic is behind [[embeddingNearDup]]'s loud
-    * `maxClusterRows` guard (at real corpus sizes route candidate
-    * generation through `SimilaritySearch.hyperplaneBucketsPortable`
-    * and keep this form for verification); component labeling is the
-    * bounded star-contraction of [[ConnectedComponents]].
+    * corpus size) → broadcast, so assignment is map-only; component
+    * labeling is the bounded star-contraction of
+    * [[ConnectedComponents]]. Within-cluster pair generation is
+    * TIERED by cluster size:
+    *   - clusters ≤ `maxClusterRows` take the exact quadratic
+    *     [[embeddingNearDup]] path (the published SemDeDup recipe,
+    *     byte-for-byte the oracle-pinned form);
+    *   - an over-limit ("hot") cluster — real corpora have them by
+    *     construction; a crawl's boilerplate cluster can be a double-
+    *     digit percentage of the corpus — degrades to a scale-safe
+    *     approximation instead of refusing: (1) bit-identical
+    *     quantized vectors (×10⁴, the portable quantization) collapse
+    *     into exact-duplicate groups linked by LINEAR star pairs to
+    *     their min-id representative (still cosine-thresholded on the
+    *     ORIGINAL vectors — a star edge below threshold is dropped);
+    *     (2) the DISTINCT representatives sub-bucket under
+    *     hyperplane LSH ([[SimilaritySearch.hyperplaneBucketsPortable]],
+    *     `lshPlanes` ±1 hyperplanes) and pair quadratically only
+    *     within (cluster, lsh-bucket). Exact duplication — the way
+    *     hot clusters actually get hot — costs O(n); only the
+    *     distinct-vector residue pays the bucketed quadratic, and a
+    *     residue bucket larger than `maxClusterRows` still fails
+    *     loudly (raise `lshPlanes` — each plane halves the expected
+    *     bucket). The hot path trades recall (an LSH bucket boundary
+    *     can split a near-dup pair) for a linear-in-duplicates cost,
+    *     exactly the LSH trade the MinHash tier makes for text.
     *
     * Returns one row per input id: (id, cluster, dup_root, keep) —
     * `dup_root` the component's min id (itself if unpaired), `keep`
     * true exactly for the survivor of each component. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       protoCol: String, threshold: Double,
-      maxClusterRows: Long = 10000L): DataFrame = {
+      maxClusterRows: Long = 10000L, lshPlanes: Int = 8): DataFrame = {
     val cents = EmbeddingStats.centroids(emb, protoCol, vecCol)
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -526,8 +546,72 @@ object Dedup {
       .groupBy("id")
       .agg(max(col("scored")).getField("grp").cast("long").as("cluster"))
     val withCluster = base.join(assigned, Seq("id"))
-    val pairs = embeddingNearDup(withCluster, "id", "vec", threshold,
-      blockCols = Seq("cluster"), maxBlockRows = maxClusterRows)
+    // hot-cluster census: one count aggregate keyed by cluster —
+    // bounded by the number of centroid groups (the same cardinality
+    // the broadcast above already committed to), so the collect is
+    // bounded metadata, not data
+    val hotIds: Seq[Long] = withCluster.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxClusterRows)
+      .select(col("cluster")).collect().map(_.getLong(0)).toSeq
+    val pairs =
+      if (hotIds.isEmpty)
+        // no hot cluster: EXACTLY the published recipe's plan (the
+        // oracle-pinned form — no extra operators on this path)
+        embeddingNearDup(withCluster, "id", "vec", threshold,
+          blockCols = Seq("cluster"), maxBlockRows = maxClusterRows)
+      else {
+        val cold = withCluster.filter(!col("cluster").isin(hotIds: _*))
+        val hot = withCluster.filter(col("cluster").isin(hotIds: _*))
+        val coldPairs = embeddingNearDup(cold, "id", "vec", threshold,
+          blockCols = Seq("cluster"), maxBlockRows = maxClusterRows)
+        // (1) exact-duplicate collapse: the portable ×10⁴ quantization
+        // fingerprints each vector; groups shuffle on (cluster, fp) —
+        // duplicates distribute by CONTENT, so one hot cluster of n
+        // copies is one group, not one hot task per comparison
+        val hq = hot.withColumn("__q",
+          transform(col("vec"), x => round(x * 10000).cast("long")))
+          .withColumn("__fp",
+            md5(concat_ws(",", transform(col("__q"), _.cast("string")))))
+        val repOf = hq.groupBy(col("cluster"), col("__fp"))
+          .agg(min(col("id")).as("__rep"))
+        val withRep = hq.join(repOf, Seq("cluster", "__fp"))
+        val repRows = withRep.filter(col("id") === col("__rep"))
+          .select(col("cluster"), col("__fp"),
+            col("id").as("__rid"), col("vec").as("__rvec"))
+        // star edges rep→member, still thresholded on the ORIGINAL
+        // vectors (quantized-identical ⇒ cosine ≈ 1, but the filter
+        // keeps the contract exact rather than assumed)
+        val starPairs = withRep.filter(col("id") =!= col("__rep"))
+          .join(repRows, Seq("cluster", "__fp"))
+          .withColumn("cos",
+            round(VF.cosineSimilarity(col("vec"), col("__rvec")), 4))
+          .filter(col("cos") >= threshold)
+          .select(col("__rid").as("id_a"), col("id").as("id_b"),
+            col("cos"))
+        // (2) distinct representatives: LSH sub-bucket, quadratic only
+        // within (cluster, bucket); the residue guard still applies
+        val dim = repRows.select(size(col("__rvec")).as("d"))
+          .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+        val planes = SimilaritySearch.portablePlanes(lshPlanes, dim)
+        // zero planes (or dim unknown) = one bucket — the inner join
+        // against an empty bucket frame would silently DROP every rep
+        val reps =
+          if (planes.isEmpty)
+            repRows.select(col("__rid").as("id"), col("__rvec").as("vec"),
+              col("cluster"), lit(0L).as("bucket"))
+          else {
+            val buckets = SimilaritySearch.hyperplaneBucketsPortable(
+              repRows.select(col("__rid"), col("__rvec")), "__rid",
+              "__rvec", planes)
+            repRows.join(buckets, Seq("__rid"))
+              .select(col("__rid").as("id"), col("__rvec").as("vec"),
+                col("cluster"), col("bucket"))
+          }
+        val repPairs = embeddingNearDup(reps, "id", "vec", threshold,
+          blockCols = Seq("cluster", "bucket"),
+          maxBlockRows = maxClusterRows)
+        coldPairs.unionByName(starPairs).unionByName(repPairs)
+      }
     val comp = ConnectedComponents.labels(pairs, "id_a", "id_b")
     withCluster.select(col("id"), col("cluster"))
       .join(comp, Seq("id"), "left")

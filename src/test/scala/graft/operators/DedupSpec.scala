@@ -179,6 +179,56 @@ class DedupSpec extends SparkSpec {
     assert(!labelBlocked.contains((1L, 4L)))
   }
 
+  test("semanticDedup hot cluster degrades to star+LSH instead of refusing") {
+    import spark.implicits._
+    // cluster 0 (x-axis) gets SIX members — over maxClusterRows=5, so
+    // the quadratic guard would refuse the naive path: three exact
+    // copies of v1, two exact copies of a distinct-but-near vector,
+    // and one far-but-same-cluster vector. Cluster 1 (y-axis) stays
+    // small and takes the exact path.
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.0f)),      // exact copy of 1 → star pair
+      (3L, 0, Array(1.0f, 0.0f)),      // exact copy of 1 → star pair
+      (4L, 0, Array(0.995f, 0.09f)),   // distinct near-dup of 1 (cos≈0.995)
+      (5L, 0, Array(0.995f, 0.09f)),   // exact copy of 4 → star pair
+      (6L, 0, Array(0.4f, 0.3f)),      // same cluster, cos(1,6)=0.8 < 0.9
+      (7L, 1, Array(0.0f, 1.0f)),
+      (8L, 1, Array(0.01f, 0.999f)),   // small-cluster near-dup of 7
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", "label",
+      threshold = 0.9, maxClusterRows = 5L)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    // exact copies fold to their min-id representative via star pairs
+    assert(out(2L) === ((1L, false)) && out(3L) === ((1L, false)))
+    // the two distinct reps (v1, v4) pair in the LSH-bucketed residue
+    // (identical direction up to cos 0.995 → same hyperplane bucket)
+    assert(out(4L) === ((1L, false)) && out(5L) === ((1L, false)))
+    assert(out(1L) === ((1L, true)))
+    // far vector stays its own component despite sharing the cluster
+    assert(out(6L) === ((6L, true)))
+    // the small cluster still runs the exact path
+    assert(out(7L) === ((7L, true)) && out(8L) === ((7L, false)))
+  }
+
+  test("semanticDedup hot-path residue guard still fails loudly") {
+    import spark.implicits._
+    // 6 DISTINCT near-identical vectors (one hot cluster, no exact
+    // duplicates to collapse; all are x-dominant so every ±1
+    // hyperplane scores them by sign(w_x) — one LSH bucket whatever
+    // the planes): the residue quadratic exceeds maxClusterRows=5 and
+    // must refuse, not burn
+    val emb = (1 to 6).map(i =>
+      (i.toLong, 0, Array(1.0f, i * 0.001f))).toDF("vec_id", "label",
+      "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "vec_id", "embedding", "label",
+        threshold = 0.9, maxClusterRows = 5L).count()
+    }
+    assert(e.getMessage.contains("quadratic"))
+  }
+
   test("incrementalDedup drops exact, near, and within-batch dups") {
     import spark.implicits._
     val corpus = Seq(
