@@ -321,15 +321,30 @@ object MergeInto {
       rowPre: org.apache.spark.sql.Column,
       rowPost: org.apache.spark.sql.Column,
       rowIns: org.apache.spark.sql.Column,
-      dataCols: Seq[String]): DataFrame = {
+      dataCols: Seq[String],
+      // by-source tail (general MERGE only): unmatched BASE rows a
+      // `WHEN NOT MATCHED BY SOURCE` clause claims — delete emits the
+      // base image, update emits base pre + by-source-SET post
+      bySource: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)] = None): DataFrame = {
     def tagged(t: String, r: org.apache.spark.sql.Column) =
       struct(lit(t).as("_ct"), r.as("_r"))
-    val events =
+    val head =
       when(matched && del, array(tagged("delete", rowDel)))
         .when(matched && !del && upd, array(
           tagged("update_preimage", rowPre),
           tagged("update_postimage", rowPost)))
         .when(changeOnly && ins, array(tagged("insert", rowIns)))
+    val events = bySource match {
+      case None => head
+      case Some((baseOnly, bsDel, bsUpd, rowPostBs)) =>
+        head
+          .when(baseOnly && bsDel, array(tagged("delete", rowDel)))
+          .when(baseOnly && !bsDel && bsUpd, array(
+            tagged("update_preimage", rowPre),
+            tagged("update_postimage", rowPostBs)))
+    }
     // no otherwise: the null array explodes to zero rows
     joined.select(explode(events).as("_e"))
       .select(dataCols.toIndexedSeq.map(n => col(s"_e._r.$n").as(n)) :+
@@ -364,7 +379,22 @@ object MergeInto {
     *     column is present);
     *   - `partColMovedByUpdate`: whether SET assigns any partition
     *     SOURCE column anything but itself — only then does discovery
-    *     need a join pass to find update-landing partitions. */
+    *     need a join pass to find update-landing partitions;
+    *   - `bySource`: the `WHEN NOT MATCHED BY SOURCE` program, when
+    *     the statement carries one — clauses over unmatched TARGET
+    *     rows (the full-sync idiom: delete/retire rows the source no
+    *     longer carries). Conditions and SET values reference the
+    *     target side only (an unmatched row has no source values);
+    *     `bareCond` is bsDel∨bsUpd over the BARE (unaliased) table
+    *     frame, the discovery pass's pruning predicate. */
+  final case class BySourceProgram(
+      bsDel: org.apache.spark.sql.Column,
+      bsUpd: org.apache.spark.sql.Column,
+      updValues: Map[String, org.apache.spark.sql.Column],
+      bareCond: org.apache.spark.sql.Column,
+      bareUpdValues: Map[String, org.apache.spark.sql.Column],
+      partColMovedByUpdate: Boolean)
+
   final case class MergeClauseProgram(
       del: org.apache.spark.sql.Column,
       upd: org.apache.spark.sql.Column,
@@ -373,7 +403,8 @@ object MergeInto {
       insValues: Map[String, org.apache.spark.sql.Column],
       insSourceCond: org.apache.spark.sql.Column,
       insSourceValues: Map[String, org.apache.spark.sql.Column],
-      partColMovedByUpdate: Boolean)
+      partColMovedByUpdate: Boolean,
+      bySource: Option[BySourceProgram] = None)
 
   /** The resolve join both the discovery and resolve passes share:
     * base aliased `"b"`, source aliased `"c"`, full-outer on the ON
@@ -389,6 +420,8 @@ object MergeInto {
     col(s"b.$basePresentCol").isNotNull && col(s"c.$presentCol").isNotNull
   private def changeOnlyCol: org.apache.spark.sql.Column =
     col(s"b.$basePresentCol").isNull && col(s"c.$presentCol").isNotNull
+  private def baseOnlyCol: org.apache.spark.sql.Column =
+    col(s"b.$basePresentCol").isNotNull && col(s"c.$presentCol").isNull
 
   /** General MERGE INTO a snapshot table — the SQL statement's engine
     * ([[graft.plans.SnapshotMergeRewrite]]): same locked read →
@@ -487,26 +520,68 @@ object MergeInto {
             .filter(matchedCol && !del && upd)
             .select(spec.tokenExpr(n => uv(n)).as("__tok")).distinct()
             .collect().map(_.getString(0)).toSet
-        val touched = touchedBase ++ insLanding ++ updLanding
+        // 4. by-source discovery: a NOT MATCHED BY SOURCE clause can
+        // claim an unmatched base row in ANY partition — every entry
+        // is a candidate, stats-pruned on the bare clause condition
+        // (an entry PROVABLY outside bsDel∨bsUpd carries by
+        // reference; unknown keeps — prune skips work, never rows)
+        val bySourceTouched: Set[String] = prog.bySource match {
+          case None => Set.empty
+          case Some(bs) =>
+            // bareCond is the RAW clause-condition disjunction (no
+            // Coalesce folding) so the planner's filter translation
+            // can see it; pruning treats nulls/untranslatables as keep
+            graft.etl.StatsPruning.candidateValues(m,
+                SnapshotStore.read(spark, root), bs.bareCond)
+              .getOrElse(m.entries.map(_.value).toSet)
+        }
+        // 5. by-source update landing (only for partition-moving
+        // by-source SETs): bare-frame evaluation over the candidate
+        // partitions — matched-ness is unknown here, so this is a
+        // SUPERSET (an extra partition restates unchanged, harmless)
+        val bsUpdLanding: Set[String] = prog.bySource match {
+          case Some(bs)
+              if bs.partColMovedByUpdate && bySourceTouched.nonEmpty =>
+            SnapshotStore.readWhere(spark, root, bySourceTouched)
+              .filter(coalesce(bs.bareCond, lit(false)))
+              .select(spec.tokenExpr(n =>
+                bs.bareUpdValues.getOrElse(n, col(n))
+                  .cast(tableSchema(n).dataType)).as("__tok"))
+              .distinct().collect().map(_.getString(0)).toSet
+          case _ => Set.empty
+        }
+        val touched = touchedBase ++ insLanding ++ updLanding ++
+          bySourceTouched ++ bsUpdLanding
         if (touched.isEmpty) m.id
         else {
           val joined = generalJoin(
             SnapshotStore.readWhere(spark, root, touched),
             src, keyTarget, keySource)
+          val bsDel = prog.bySource
+            .map(b => coalesce(b.bsDel, lit(false))).getOrElse(lit(false))
+          val bsUpd = prog.bySource
+            .map(b => coalesce(b.bsUpd, lit(false))).getOrElse(lit(false))
+          def bv(n: String) = prog.bySource.flatMap(_.updValues.get(n))
+            .map(_.cast(tableSchema(n).dataType)).getOrElse(col(s"b.$n"))
           val resolved = joined
-            .filter(!(matchedCol && del) && !(changeOnlyCol && !ins))
+            .filter(!(matchedCol && del) && !(changeOnlyCol && !ins) &&
+              !(baseOnlyCol && bsDel))
             .select(tableCols.map { n =>
               when(matchedCol && !del && upd, uv(n))
                 .when(changeOnlyCol, iv(n))
+                .when(baseOnlyCol && !bsDel && bsUpd, bv(n))
                 .otherwise(col(s"b.$n")).as(n)
             }: _*)
           def rowB = struct(
             tableCols.toIndexedSeq.map(n => col(s"b.$n").as(n)): _*)
           def rowU = struct(tableCols.toIndexedSeq.map(n => uv(n).as(n)): _*)
           def rowI = struct(tableCols.toIndexedSeq.map(n => iv(n).as(n)): _*)
+          def rowBs = struct(tableCols.toIndexedSeq.map(n => bv(n).as(n)): _*)
           val cdc = cdcEvents(joined, matchedCol, changeOnlyCol,
             del, upd, ins, rowDel = rowB, rowPre = rowB, rowPost = rowU,
-            rowIns = rowI, tableCols)
+            rowIns = rowI, tableCols,
+            bySource = prog.bySource.map(_ =>
+              (baseOnlyCol, bsDel, bsUpd, rowBs)))
           SnapshotStore.restatePartitions(resolved, root, touched,
             partCol, sortCol, cdc = Some(cdc))
         }

@@ -45,10 +45,15 @@ import org.apache.spark.sql.types.LongType
   * reference BOTH target and source columns and a partial `SET` keeps
   * unassigned target values (everything evaluates on the resolve join,
   * where both rows are in scope). One `NOT MATCHED [AND cond] INSERT`
-  * clause (condition/values source-only — SQL's own contract). Still
+  * clause (condition/values source-only — SQL's own contract).
+  * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE/UPDATE` — the
+  * full-sync idiom (retire target rows the source dropped) — is
+  * supported with target-only conditions/values; its discovery is
+  * honest about the semantics (every partition not PROVABLY outside
+  * the clause condition by manifest stats restates — a full-sync IS a
+  * full-table pass; bound it with a partition-column conjunct). Still
   * refused loudly: ON shapes other than one target-column =
-  * source-column equality (the keyed-commit model), `NOT MATCHED BY
-  * SOURCE` (a full-table scan clause at any scale), more than one
+  * source-column equality (the keyed-commit model), more than one
   * clause of a kind, and — because discovery and resolve evaluate the
   * clause expressions in SEPARATE jobs — subqueries,
   * non-deterministic expressions and the current-time family (the
@@ -79,9 +84,6 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
     if (!table.writable)
       fail("time-travel targets are read-only — merging into a " +
         "historical snapshot would fork the manifest history")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported: it scans " +
-        "every base row, a full-table rewrite at any scale")
     if (m.schemaEvolutionEnabled)
       fail("WITH SCHEMA EVOLUTION is not supported on the statement; " +
         "schema evolution happens at the snapshot commit boundary")
@@ -164,6 +166,57 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
       case other =>
         fail(s"unsupported WHEN NOT MATCHED action: $other")
     }
+    // NOT MATCHED BY SOURCE clauses (the full-sync idiom: retire or
+    // delete target rows the source no longer carries): conditions and
+    // SET values may reference the TARGET side only — the source row is
+    // absent by definition. Same first-match-wins fold as the matched
+    // clauses, a separate clause chain (SQL keeps the three lists
+    // independent).
+    def targetOnly(what: String, e: Expression): Expression = {
+      checked(what, e)
+      if (!e.references.subsetOf(targetAttrs))
+        fail(s"$what may reference TARGET columns only (a NOT MATCHED " +
+          s"BY SOURCE row has no source values); found source " +
+          s"references in: ${e.sql}")
+      e
+    }
+    def bsSatisfied(c: Option[Expression]): Expression =
+      org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        targetOnly("a WHEN NOT MATCHED BY SOURCE condition",
+          c.getOrElse(Literal.TrueLiteral)),
+        Literal.FalseLiteral))
+    var bsDelCond: Expression = Literal.FalseLiteral
+    var bsUpdCond: Expression = Literal.FalseLiteral
+    var bsUpdAssigns: Option[Seq[Assignment]] = None
+    var bsNoEarlier: Expression = Literal.TrueLiteral
+    // the RAW disjunction of the clause conditions, kept aside for
+    // discovery: manifest-stats pruning translates it through the
+    // planner's filter translation, which cannot see through the
+    // Coalesce/first-match-wins folding below — a clause with no
+    // condition makes it TRUE (every partition is a candidate)
+    var bsAnyCond: Expression = Literal.FalseLiteral
+    def bsAny(c: Option[Expression]): Unit = bsAnyCond =
+      if (c.isEmpty || bsAnyCond == Literal.TrueLiteral) Literal.TrueLiteral
+      else if (bsAnyCond == Literal.FalseLiteral) c.get
+      else Or(bsAnyCond, c.get)
+    m.notMatchedBySourceActions.foreach {
+      case DeleteAction(c) =>
+        val cc = bsSatisfied(c)
+        bsDelCond = Or(bsDelCond, And(bsNoEarlier, cc))
+        bsNoEarlier = And(bsNoEarlier, Not(cc))
+        bsAny(c)
+      case UpdateAction(c, assigns, _) =>
+        if (bsUpdAssigns.isDefined)
+          fail("at most one NOT MATCHED BY SOURCE UPDATE clause")
+        val cc = bsSatisfied(c)
+        bsUpdCond = Or(bsUpdCond, And(bsNoEarlier, cc))
+        bsUpdAssigns = Some(assigns)
+        bsNoEarlier = And(bsNoEarlier, Not(cc))
+        bsAny(c)
+      case other =>
+        fail(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+    val hasBySource = m.notMatchedBySourceActions.nonEmpty
 
     def assignName(a: Assignment, what: String): String = a.key match {
       case att: Attribute => att.name
@@ -197,18 +250,33 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
           missing.mkString(", "))
     }
 
+    // by-source UPDATE SET: partial keeps target values, like the
+    // matched SET — but values are target-only (no source row exists)
+    val bsUpdPairs: Seq[(String, Expression)] =
+      bsUpdAssigns.getOrElse(Seq.empty).map { a =>
+        val n = assignName(a, "NOT MATCHED BY SOURCE UPDATE SET")
+        n -> targetOnly(
+          s"the NOT MATCHED BY SOURCE SET assignment to '$n'", a.value)
+      }
+    if (bsUpdPairs.map(_._1).distinct.size != bsUpdPairs.size)
+      fail("duplicate NOT MATCHED BY SOURCE SET column among: " +
+        bsUpdPairs.map(_._1).mkString(", "))
+
     // does SET move rows across partitions? the layout may be a
     // multi-transform SPEC — a row moves if ANY partition source
     // column is assigned anything but itself (only a self-assignment,
     // or no assignment, provably keeps a row in place)
-    val partColMoved = graft.etl.SnapshotStore.parseSpec(partCol)
-      .sourceCols.exists { pc =>
-        updPairs.toMap.get(pc).exists {
-          case a: AttributeReference =>
-            !target.output.filter(_.name == pc).exists(_.semanticEquals(a))
-          case _ => true
+    def movesPartition(pairs: Seq[(String, Expression)]): Boolean =
+      graft.etl.SnapshotStore.parseSpec(partCol)
+        .sourceCols.exists { pc =>
+          pairs.toMap.get(pc).exists {
+            case a: AttributeReference =>
+              !target.output.filter(_.name == pc).exists(_.semanticEquals(a))
+            case _ => true
+          }
         }
-      }
+    val partColMoved = movesPartition(updPairs)
+    val bsPartColMoved = movesPartition(bsUpdPairs)
 
     // names ride SEPARATELY from the value expressions: the analyzer's
     // CleanupAliases strips Alias nodes out of every operator's
@@ -220,7 +288,9 @@ object SnapshotMergeRewrite extends Rule[LogicalPlan] {
       updPairs.map(_._1), updPairs.map(_._2),
       insPairs.map(_._1), insPairs.map(_._2),
       delCond, updCond, insCond,
-      source.output.map(_.exprId.id), partColMoved)
+      source.output.map(_.exprId.id), partColMoved,
+      hasBySource, bsDelCond, bsUpdCond, bsAnyCond,
+      bsUpdPairs.map(_._1), bsUpdPairs.map(_._2), bsPartColMoved)
   }
 }
 
@@ -237,7 +307,14 @@ case class SnapshotMergeCommand(
     updNames: Seq[String], updValues: Seq[Expression],
     insNames: Seq[String], insValues: Seq[Expression],
     delCond: Expression, updCond: Expression, insCond: Expression,
-    sourceIds: Seq[Long], partColMoved: Boolean)
+    sourceIds: Seq[Long], partColMoved: Boolean,
+    hasBySource: Boolean = false,
+    bsDelCond: Expression = Literal.FalseLiteral,
+    bsUpdCond: Expression = Literal.FalseLiteral,
+    bsAnyCond: Expression = Literal.FalseLiteral,
+    bsUpdNames: Seq[String] = Seq.empty,
+    bsUpdValues: Seq[Expression] = Seq.empty,
+    bsPartColMoved: Boolean = false)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -266,6 +343,17 @@ case class SnapshotMergeCommand(
     // partition SOURCE column of the spec (the rewrite has already
     // checked the INSERT clause covers every table column)
     val specCols = graft.etl.SnapshotStore.parseSpec(partCol).sourceCols
+    // by-source expressions reference the target only, so their bare
+    // form resolves against the unaliased table frame (the discovery
+    // pass) and the qualified form against the "b" join side
+    val bySource =
+      if (!hasBySource) None
+      else Some(MergeInto.BySourceProgram(
+        bsDel = qual(bsDelCond), bsUpd = qual(bsUpdCond),
+        updValues = bsUpdNames.zip(bsUpdValues.map(qual)).toMap,
+        bareCond = bare(bsAnyCond),
+        bareUpdValues = bsUpdNames.zip(bsUpdValues.map(bare)).toMap,
+        partColMovedByUpdate = bsPartColMoved))
     val prog = MergeInto.MergeClauseProgram(
       del = qual(delCond), upd = qual(updCond), ins = qual(insCond),
       updValues = updNames.zip(updValues.map(qual)).toMap,
@@ -277,7 +365,8 @@ case class SnapshotMergeCommand(
           throw new IllegalStateException(
             s"INSERT clause covers no '$c' — unreachable, the " +
               "rewrite checks coverage")))).toMap,
-      partColMovedByUpdate = partColMoved)
+      partColMovedByUpdate = partColMoved,
+      bySource = bySource)
     val id = MergeInto.mergeGeneralCommit(spark, root, src,
       keyTarget, keySource, prog, partCol, sortCol)
     Seq(Row(id))

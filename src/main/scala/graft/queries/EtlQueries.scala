@@ -617,6 +617,56 @@ object EtlQueries {
   def snapshotSqlMergeCond: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSqlMergeCond(s, d)))
 
+  /** One by-source-MERGEd history per (JVM, sfDir): the full-sync
+    * shape — the source view DROPS keys ≡ 5 (mod 20), and the MERGE's
+    * `WHEN NOT MATCHED BY SOURCE` clause program retires exactly the
+    * target rows the source no longer carries (first-match-wins:
+    * 1998+ orphans DELETE, older orphans keep a −1.25 markdown), while
+    * matched keys ≡ 15 (mod 20) take a source-valued UPDATE. Routed
+    * through [[graft.operators.MergeInto.mergeGeneralCommit]]'s
+    * by-source program: discovery stats-prunes the orphan scan, the
+    * resolve join claims unmatched BASE rows, and the CDC sidecar
+    * carries the by-source deletes/updates row-exactly. */
+  private val snapBsMergePrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlMergeBySource(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapbsmerge",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapBsMergePrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(
+          s"""CREATE OR REPLACE TEMPORARY VIEW graft_bsmerge_src AS
+             |SELECT o_orderkey AS k, o_totalprice AS p
+             |FROM parquet.`$d/orders.parquet`
+             |WHERE o_orderkey % 20 <> 5""".stripMargin)
+        s.sql(
+          s"""MERGE INTO $table AS t
+             |USING graft_bsmerge_src AS s
+             |ON t.o_orderkey = s.k
+             |WHEN MATCHED AND s.k % 20 = 15 THEN
+             |  UPDATE SET o_totalprice = s.p + 4.5
+             |WHEN NOT MATCHED BY SOURCE
+             |    AND t.o_orderdate >= DATE '1998-01-01' THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE THEN
+             |  UPDATE SET o_totalprice = t.o_totalprice - 1.25"""
+            .stripMargin)
+        snapBsMergePrepared += root
+      }
+    }
+    root
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE` full-sync semantics, oracle-replayed
+    * over raw orders: source-dropped keys ≡ 5 (mod 20) are deleted
+    * (1998+) or marked down (−1.25, older), matched ≡ 15 keys +4.50. */
+  def snapshotSqlMergeBySource: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s,
+      prepareSnapshotSqlMergeBySource(s, d)))
+
   /** One SQL-OVERWRITTEN history per (JVM, sfDir): full load, then the
     * corrected-last-month restatement (the [[snapshotBackfill]]
     * replay) applied as a pure-SQL dynamic-partition
@@ -1202,6 +1252,7 @@ object EtlQueries {
     "snapshot_sql_merge" -> snapshotSqlMerge,
     "snapshot_sql_merge_stmt" -> snapshotSqlMergeStmt,
     "snapshot_sql_merge_cond" -> snapshotSqlMergeCond,
+    "snapshot_sql_merge_bysource" -> snapshotSqlMergeBySource,
     "snapshot_sql_overwrite" -> snapshotSqlOverwrite,
     "snapshot_sql_update" -> snapshotSqlUpdate,
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
@@ -1368,6 +1419,25 @@ object EtlQueries {
         |  FROM o
         |  WHERE NOT (o_orderkey % 20 = 2 AND o_orderstatus <> 'F'
         |             AND o_totalprice > 200000.0))
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // replay the by-source MERGE over raw orders: the source view
+    // drops keys ≡5 (mod 20) — those target rows DELETE when 1998+
+    // (first by-source clause) else take the −1.25 markdown (second);
+    // matched ≡15 keys get the source-valued +4.50 update. Key classes
+    // are disjoint so one CASE replays all three clauses.
+    "snapshot_sql_merge_bysource" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | fin AS (SELECT order_month,
+        |   CASE WHEN o_orderkey % 20 = 15 THEN o_totalprice + 4.5
+        |        WHEN o_orderkey % 20 = 5 THEN o_totalprice - 1.25
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM o
+        |  WHERE NOT (o_orderkey % 20 = 5
+        |             AND o_orderdate >= DATE '1998-01-01'))
         |SELECT order_month, count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price

@@ -235,12 +235,15 @@ class SnapshotMergeStatementSpec extends SparkSpec {
       assert(e.getMessage.contains(needle),
         s"expected '$needle' in: ${e.getMessage}")
     }
+    // a by-source condition referencing the SOURCE is nonsense (the
+    // row has no source values): Spark's own resolution rejects the
+    // column (our target-only check is defense in depth behind it)
     rejected(
       s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
          |ON t.id = s.id
          |WHEN MATCHED THEN UPDATE SET *
-         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "NOT MATCHED BY SOURCE")
+         |WHEN NOT MATCHED BY SOURCE AND s.del THEN DELETE""".stripMargin,
+      "del")
     rejected(
       s"""MERGE INTO $cat.t AS t USING stmt_changes_e AS s
          |ON t.id = s.id AND t.m = s.m
@@ -259,6 +262,87 @@ class SnapshotMergeStatementSpec extends SparkSpec {
       "current time")
     assert(SnapshotStore.current(root).get.id === id,
       "rejected statements must not commit")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: first-match-wins clause program " +
+      "over unmatched target rows, row-exact CDC sidecar") {
+    val (cat, _, root) = mkTable()
+    val seq0 = SnapshotStore.currentSeq(root)
+    // source carries ids 2 and 3 only → 1, 4, 5 are by-source rows
+    Seq((2L, 222.0), (3L, 333.0)).toDF("id", "p")
+      .createOrReplaceTempView("bs_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING bs_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = s.p
+         |WHEN NOT MATCHED BY SOURCE AND t.price >= 50.0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN
+         |  UPDATE SET price = t.price - 1.0""".stripMargin)
+    // 1 (10.0) → 9.0; 4 (40.0) → 39.0; 5 (50.0) → deleted (first
+    // clause wins); 2/3 matched-updated
+    assert(state(root) === Map(
+      1L -> ("2024-01", 9.0), 2L -> ("2024-01", 222.0),
+      3L -> ("2024-02", 333.0), 4L -> ("2024-02", 39.0)))
+    // the CDC sidecar carries the by-source rows EXACTLY: one delete
+    // image for 5, pre+post for the three updates (2, 3 matched; 1, 4
+    // by-source) — one extra or missing row fails this set compare
+    val cdc = SnapshotStore.changeFeed(spark, root, seq0,
+      SnapshotStore.currentSeq(root))
+      .collect().map(r => (r.getLong(0), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(cdc === Set(
+      (5L, 50.0, "delete"),
+      (1L, 10.0, "update_preimage"), (1L, 9.0, "update_postimage"),
+      (2L, 20.0, "update_preimage"), (2L, 222.0, "update_postimage"),
+      (3L, 30.0, "update_preimage"), (3L, 333.0, "update_postimage"),
+      (4L, 40.0, "update_preimage"), (4L, 39.0, "update_postimage")))
+  }
+
+  test("by-source UPDATE moving the partition column restates source " +
+      "AND landing partitions; delete-only sync keeps the rest") {
+    val (cat, _, root) = mkTable()
+    // source keeps 1..4 → only 5 ('2024-03') is by-source; its SET
+    // moves it to month 2024-09 (a partition that does not exist yet)
+    Seq(1L, 2L, 3L, 4L).toDF("id").createOrReplaceTempView("bs_src_mv")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING bs_src_mv AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN
+         |  UPDATE SET m = '2024-09', price = t.price + 0.5""".stripMargin)
+    assert(state(root) === Map(
+      1L -> ("2024-01", 10.0), 2L -> ("2024-01", 20.0),
+      3L -> ("2024-02", 30.0), 4L -> ("2024-02", 40.0),
+      5L -> ("2024-09", 50.5)))
+    assert(SnapshotStore.current(root).get.entries
+      .exists(_.value == "2024-09"), "landing partition committed")
+    assert(!SnapshotStore.current(root).get.entries
+      .exists(_.value == "2024-03"), "drained source partition dropped")
+  }
+
+  test("by-source discovery stats-prunes provably-unreachable " +
+      "partitions: their entries carry by dir reference") {
+    val (cat, _, root) = mkTable()
+    val dirsBefore = SnapshotStore.current(root).get.entries
+      .map(e => e.value -> e.dir).toMap
+    // source drops ids 1 AND 2 (the whole of month 2024-01, prices
+    // 10/20): the by-source condition price >= 25 is PROVABLY false
+    // for 2024-01 (stats max 20) AND no source key matches there, so
+    // that partition must carry by reference, un-restated — while
+    // 2024-02/03 restate (matched keys 3,4,5 put them in touchedBase)
+    Seq(3L, 4L, 5L).toDF("id").createOrReplaceTempView("bs_src_pr")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING bs_src_pr AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.price >= 25.0 THEN
+         |  DELETE""".stripMargin)
+    val after = SnapshotStore.current(root).get.entries
+      .map(e => e.value -> e.dir).toMap
+    assert(state(root).keySet === Set(1L, 2L, 3L, 4L, 5L),
+      "no row matched the by-source condition — content unchanged")
+    assert(after("2024-01") === dirsBefore("2024-01"),
+      "stats-pruned partition must carry by reference")
+    assert(after("2024-02") !== dirsBefore("2024-02"),
+      "candidate partition restates (its stats range intersects)")
   }
 
   test("MERGE INTO a NON-snapshot v2 table is untouched by the rule " +
