@@ -1043,6 +1043,145 @@ object SnapshotStore {
       })
   }
 
+  /** Durable registry of RETIRED fields — `(id, physical name)` pairs
+    * of every column a [[dropColumns]] commit removed: the files (and
+    * CDC sidecars) of retained entries still SPELL the physical column
+    * forever, so a later same-named ADD must take a FRESH id and a
+    * non-colliding physical spelling or the old values would resurrect
+    * under the new column (zombie data). Cleared only by a full
+    * rewrite ([[write]]), which re-owns every spelling (the current
+    * entry list then references no pre-drop file). Encoded as compact
+    * JSON `[{"id":N,"phys":"x"},…]` in the manifest props. */
+  private[graft] val RetiredKey = "graft.fields.retired"
+
+  private[graft] def retiredFields(props: Map[String, String])
+      : Seq[(Long, String)] =
+    props.get(RetiredKey).map { j =>
+      import org.json4s._
+      jackson.JsonMethods.parse(j) match {
+        case JArray(items) => items.map { it =>
+          val id = (it \ "id") match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case other => sys.error(s"bad retired id: $other")
+          }
+          val ph = (it \ "phys") match {
+            case JString(s) => s
+            case other => sys.error(s"bad retired phys: $other")
+          }
+          (id, ph)
+        }
+        case other => sys.error(s"bad retired fields: $other")
+      }
+    }.getOrElse(Seq.empty)
+
+  private def renderRetired(retired: Seq[(Long, String)]): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        retired.map { case (id, ph) =>
+          ("id" -> id) ~ ("phys" -> ph) }))
+  }
+
+  /** Stamp id + physical name on `merged` fields that are NEW relative
+    * to the prior schema (an evolving backfill/append or ALTER ADD):
+    * ids start above every live AND retired id, and a new field whose
+    * name is a RETIRED physical spelling gets a suffixed physical name
+    * — retained pre-drop files spell the old column, so reusing the
+    * spelling would resurrect dropped values into the new column. */
+  private def stampNewFields(props: Map[String, String],
+      prior: Option[org.apache.spark.sql.types.StructType],
+      merged: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val priorNames = prior.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    if (merged.fields.forall(f => priorNames(f.name))) return merged
+    val retired = retiredFields(props)
+    var next = (merged.fields.iterator
+      .filter(_.metadata.contains(FieldIdKey))
+      .map(_.metadata.getLong(FieldIdKey)) ++
+      retired.iterator.map(_._1)).foldLeft(0L)(math.max) + 1
+    val taken = scala.collection.mutable.Set[String]()
+    merged.fields.filter(f => priorNames(f.name))
+      .foreach(f => taken += physName(f).toLowerCase)
+    retired.foreach { case (_, p) => taken += p.toLowerCase }
+    org.apache.spark.sql.types.StructType(merged.fields.map { f =>
+      if (priorNames(f.name)) f
+      else {
+        val id = next; next += 1
+        var phys = f.name
+        var k = id
+        while (taken(phys.toLowerCase)) { phys = s"${f.name}_r$k"; k += 1 }
+        taken += phys.toLowerCase
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(FieldIdKey, id).putString(PhysKey, phys).build())
+      }
+    })
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — a METADATA-ONLY commit in the
+    * column-ID model, the mirror of [[renameColumns]]: the field
+    * leaves the manifest schema (reads stop projecting it in O(1) at
+    * any table size), every data file keeps its physical column
+    * untouched, and time travel to a pre-drop manifest still sees it.
+    * The dropped field's `(id, phys)` is recorded as RETIRED so a
+    * later same-named ADD takes a fresh id and physical spelling —
+    * no zombie resurrection from retained files. Partition-spec
+    * source columns and the sort column are load-bearing layout and
+    * refuse (rewrite the table with a new layout instead). Cost: one
+    * ~KB manifest write at any table size. */
+  def dropColumns(root: String, names: Seq[String]): Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to alter"))
+      val schema0 = prior.schema.getOrElse(
+        throw new IllegalStateException(
+          s"table at $root predates schema-carrying manifests — " +
+            "recommit with a full write before dropping columns"))
+      // adopt ids/physical names first (legacy tables): the retired
+      // registry needs both
+      val schema = stampIds(schema0)
+      require(names.nonEmpty, "DROP COLUMN: nothing to drop")
+      val resolved = names.map { n =>
+        schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"DROP COLUMN $n: no such column — schema has " +
+              schema.fieldNames.mkString(", ")))
+      }
+      val dropSet = resolved.map(_.name).toSet
+      require(dropSet.size == resolved.size,
+        "DROP COLUMN: a column is dropped twice in one statement")
+      require(dropSet.size < schema.fields.length,
+        "DROP COLUMN: cannot drop every column of the table")
+      tableLayout(prior).foreach { case (p, s) =>
+        val specCols = parseSpec(p).sourceCols.toSet
+        resolved.foreach { f =>
+          require(!specCols.contains(f.name),
+            s"DROP COLUMN ${f.name}: it is a partition-spec source " +
+              s"column of layout '$p' — every entry dir is keyed by " +
+              "it; rewrite the table with a new layout instead")
+          require(f.name != s,
+            s"DROP COLUMN ${f.name}: it is the table's sort column — " +
+              "rewrite the table with a new layout instead")
+        }
+      }
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(f => dropSet(f.name)))
+      val retired = retiredFields(prior.props) ++ resolved.map(f =>
+        (f.metadata.getLong(FieldIdKey), physName(f)))
+      // stats re-key: dropped columns leave the per-entry min/max maps
+      // (a stale key could only have disabled pruning, but exactness
+      // is cheap here)
+      val entries = prior.entries.map { e =>
+        e.copy(stats = e.stats.map(s => s.copy(cols = s.cols -- dropSet)))
+      }
+      val id = allocateId(root)
+      commitManifest(root, Manifest(id, entries, Some(newSchema),
+        prior.props + (RetiredKey -> renderRetired(retired))),
+        seqOf(prior))
+      id
+    }
+
   /** `ALTER TABLE … RENAME COLUMN old TO new` — a METADATA-ONLY commit
     * in the column-ID model: the manifest schema's logical name moves,
     * the field keeps its stable id and its PHYSICAL name (what every
@@ -1569,10 +1708,14 @@ object SnapshotStore {
       require(dupInBatch.isEmpty,
         s"ADD COLUMN: duplicate new column name(s) in one statement: " +
           dupInBatch.mkString(", "))
+      // stamp the new fields NOW (fresh id, collision-free physical
+      // name): re-adding a DROPPED column's name must bind to a fresh
+      // physical spelling, never to the retained files' old values
       val id = allocateId(root)
       commitManifest(root, Manifest(id, prior.entries,
-        Some(org.apache.spark.sql.types.StructType(
-          schema.fields ++ newFields)),
+        Some(stampNewFields(prior.props, Some(schema),
+          org.apache.spark.sql.types.StructType(
+            schema.fields ++ newFields))),
         prior.props), seqOf(prior))
       id
     }
@@ -1600,8 +1743,12 @@ object SnapshotStore {
     val entries = writeSnapData(df, root, id, partCol, sortCol,
       physMapOf(schema2))
     if (noRowChange) Files.createDirectories(cdcDirOf(root, id))
+    // a full rewrite re-owns every column spelling: the new entry list
+    // references no pre-drop file, so the retired-field registry (a
+    // guard against resurrecting dropped columns from RETAINED entries)
+    // resets — a post-rewrite ADD may take any free name at face value
     commitManifest(root, Manifest(id, entries, Some(schema2),
-      prior.map(_.props).getOrElse(Map.empty) ++
+      prior.map(_.props - RetiredKey).getOrElse(Map.empty) ++
         layoutProps(partCol, sortCol, df)),
       prior.map(seqOf).getOrElse(0L))
     id
@@ -1632,9 +1779,11 @@ object SnapshotStore {
     checkLayout(Some(prior), partCol, sortCol, df)
     // schema evolution happens at the COMMIT boundary: a backfill
     // adding columns appends them to the table schema; a type change
-    // fails here, before any pointer moves
-    val merged = prior.schema.map(mergeSchemas(_, df.schema))
-      .getOrElse(df.schema)
+    // fails here, before any pointer moves. New fields stamp fresh
+    // ids/physical names (a re-added DROPPED name must not bind to
+    // retained files' old values)
+    val merged = stampNewFields(prior.props, prior.schema,
+      prior.schema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
     val id = allocateId(root)
     val fresh = writeSnapData(df, root, id, partCol, sortCol,
       physMapOf(merged))
@@ -1700,8 +1849,11 @@ object SnapshotStore {
           prior.id // the batch already committed; retry is a no-op
         case prior =>
           checkLayout(prior, partCol, sortCol, df)
-          val merged = prior.flatMap(_.schema)
-            .map(mergeSchemas(_, df.schema)).getOrElse(df.schema)
+          val merged = stampNewFields(
+            prior.map(_.props).getOrElse(Map.empty),
+            prior.flatMap(_.schema),
+            prior.flatMap(_.schema)
+              .map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
           val props = prior.map(_.props).getOrElse(Map.empty) ++
             idempotence.map { case (w, t) => (AppendTokenPrefix + w) -> t } ++
             layoutProps(partCol, sortCol, df)

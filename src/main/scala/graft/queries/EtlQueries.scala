@@ -918,6 +918,55 @@ object EtlQueries {
              |FROM $table GROUP BY month""".stripMargin)
   }
 
+  /** One DROP+re-ADD history per (JVM, sfDir): full load, metadata-only
+    * `ALTER TABLE DROP COLUMN o_orderpriority`
+    * ([[SnapshotStore.dropColumns]] — dirs carry by reference, the
+    * files keep the physical column), then `ADD COLUMN` of the SAME
+    * name (fresh field id + suffixed physical spelling from the
+    * retired registry) and an INSERT of clone rows carrying a priority
+    * value. The lane aggregates BY the re-added column: every pre-drop
+    * row must read NULL — a zombie resurrection (the retained files'
+    * old priority values leaking into the re-added column) lands rows
+    * in the wrong groups and hash-mismatches. */
+  private val snapDropPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlDrop(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapdrop",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapDropPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"ALTER TABLE $table DROP COLUMN o_orderpriority")
+        s.sql(s"ALTER TABLE $table ADD COLUMN o_orderpriority STRING")
+        // re-added column is LAST in the schema now; clones carry a
+        // sentinel priority no original row ever had
+        s.sql(s"INSERT INTO $table SELECT o_orderkey + 4000000000, " +
+          "o_custkey, o_orderstatus, o_totalprice + 0.75, o_orderdate, " +
+          s"order_month, 'READDED' FROM $table " +
+          "WHERE o_orderkey % 25 = 3 AND o_orderkey < 4000000000")
+        snapDropPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Column-ID DROP COLUMN end to end: pre-drop files + the re-added
+    * fresh column in one scan — pre-drop rows group under NULL
+    * priority, clones under the sentinel. */
+  def snapshotSqlDrop: Q = (s, d) => {
+    val table = registerSnapCatalog(s, prepareSnapshotSqlDrop(s, d))
+    s.sql(s"""SELECT order_month,
+             | coalesce(o_orderpriority, 'none') AS pri,
+             | count(*) AS cnt,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8)))
+             |   AS DOUBLE), 4) AS sum_price
+             |FROM $table GROUP BY order_month, o_orderpriority"""
+      .stripMargin)
+  }
+
   /** One DML-mutated history per (JVM, sfDir) for the ROW-EXACT change
     * feed: full load (seq 1), a native SQL UPDATE (keys ≡ 4 mod 10,
     * +7.50 — seq 2), a native row-level SQL DELETE (keys ≡ 6 mod 10 —
@@ -1259,6 +1308,7 @@ object EtlQueries {
     "snapshot_multipart" -> snapshotMultipart,
     "snapshot_bucket" -> snapshotBucket,
     "snapshot_sql_rename" -> snapshotSqlRename,
+    "snapshot_sql_drop" -> snapshotSqlDrop,
     "snapshot_rollback" -> snapshotRollback,
     "snapshot_sql_ctas" -> snapshotSqlCtas,
     "snapshot_tag_timetravel" -> snapshotTagTimetravel,
@@ -1522,6 +1572,23 @@ object EtlQueries {
         | round(CAST(sum(CAST(total_price AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
+    // replay the DROP+re-ADD over raw orders: every original row's
+    // re-added priority is NULL ('none' after coalesce) — the old
+    // values must NOT resurface — and the ≡3 (mod 25) clones carry the
+    // sentinel with +0.75 price and +4e9 keys
+    "snapshot_sql_drop" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | base AS (SELECT order_month, 'none' AS pri, o_totalprice
+        |  FROM o),
+        | ins AS (SELECT order_month, 'READDED' AS pri,
+        |   o_totalprice + 0.75 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 25 = 3),
+        | allr AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        |SELECT order_month, pri, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM allr GROUP BY 1, 2""".stripMargin,
     // replay the row-level DELETE: keys ≡6 (mod 10) removed
     "snapshot_sql_delete_rows" ->
       """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')

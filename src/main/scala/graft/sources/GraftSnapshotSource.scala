@@ -764,11 +764,11 @@ class GraftSnapshotCatalog extends TableCatalog
     "graft snapshot catalog supports table DDL (CREATE TABLE [AS " +
       "SELECT] ... PARTITIONED BY (col) TBLPROPERTIES " +
       "('sort_col'='col'), DROP TABLE), DML (INSERT INTO / OVERWRITE, " +
-      "MERGE INTO, UPDATE, DELETE), ALTER TABLE ADD COLUMN / RENAME " +
+      "MERGE INTO, UPDATE, DELETE), ALTER TABLE ADD / RENAME / DROP " +
       "COLUMN (metadata-only commits) and operations (CALL " +
       "system.merge_into / history / expire / compact / rollback / " +
       "tag) — but not table RENAME (it would invalidate every " +
-      "reader's resolved root) nor other ALTERs (drop/retype would " +
+      "reader's resolved root) nor other ALTERs (retype/reorder would " +
       "rewrite history readers depend on)")
 
   /** `CREATE TABLE snap.t (cols…) PARTITIONED BY (m[, region,
@@ -874,15 +874,21 @@ class GraftSnapshotCatalog extends TableCatalog
     * keeps its stable id and PHYSICAL file name, only the manifest's
     * logical name (and the stats/layout keys) move, so every existing
     * parquet file stays readable and time travel before the rename
-    * sees the old name. Everything else (drop/retype/reorder/comment)
-    * stays rejected: type changes are refused at every commit boundary
-    * by design, and the rest would rewrite history readers depend on. */
+    * sees the old name. `ALTER TABLE snap.t DROP COLUMN c` — the
+    * column-ID drop ([[SnapshotStore.dropColumns]]): metadata-only,
+    * files keep the physical column, time travel before the drop sees
+    * it, and the retired registry guarantees a re-ADD of the name
+    * binds to a FRESH column, not the old values. Everything else
+    * (retype/reorder/comment) stays rejected: type changes are refused
+    * at every commit boundary by design, and the rest would rewrite
+    * history readers depend on. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
     val adds = scala.collection.mutable.ArrayBuffer[StructField]()
     val renames = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val drops = scala.collection.mutable.ArrayBuffer[String]()
     changes.foreach {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1)
@@ -905,16 +911,23 @@ class GraftSnapshotCatalog extends TableCatalog
             "graft snapshot ALTER TABLE renames TOP-LEVEL columns " +
               s"only, got nested: ${r.fieldNames().mkString(".")}")
         renames += ((r.fieldNames()(0), r.newName()))
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "graft snapshot ALTER TABLE drops TOP-LEVEL columns " +
+              s"only, got nested: ${d.fieldNames().mkString(".")}")
+        drops += d.fieldNames()(0)
       case other => throw new UnsupportedOperationException(
-        s"graft snapshot ALTER TABLE supports ADD COLUMN and RENAME " +
-          s"COLUMN only, got: $other — drop/retype would rewrite " +
-          "history that readers depend on")
+        s"graft snapshot ALTER TABLE supports ADD COLUMN, RENAME " +
+          s"COLUMN and DROP COLUMN only, got: $other — retype/reorder " +
+          "would rewrite history that readers depend on")
     }
-    if (adds.nonEmpty && renames.nonEmpty)
+    if (Seq(adds, renames, drops).count(_.nonEmpty) > 1)
       throw new UnsupportedOperationException(
-        "graft snapshot ALTER TABLE cannot mix ADD COLUMN and RENAME " +
-          "COLUMN in one statement — run them as two commits")
+        "graft snapshot ALTER TABLE cannot mix ADD/RENAME/DROP COLUMN " +
+          "in one statement — run them as separate commits")
     if (renames.nonEmpty) SnapshotStore.renameColumns(root, renames.toSeq)
+    else if (drops.nonEmpty) SnapshotStore.dropColumns(root, drops.toSeq)
     else SnapshotStore.addColumns(root, adds.toSeq)
     loadTable(ident)
   }
