@@ -98,9 +98,14 @@ object SnapshotStore {
     * adds new dirs ("parts", MergeTree-style) without dropping prior
     * ones; readers scan all of them, [[compact]] folds them back to
     * one dir per partition. */
+  /** `ts` is the commit WALL TIME (epoch millis), stamped by
+    * [[commitManifest]] on every commit — the `TIMESTAMP AS OF`
+    * resolution key. None only on manifests committed before stamping
+    * existed (those resolve by id/tag, never by time). */
   final case class Manifest(id: Long, entries: Seq[Entry],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      ts: Option[Long] = None)
 
   private val PartKey = "__part"
 
@@ -182,6 +187,7 @@ object SnapshotStore {
 
   private def render(m: Manifest): String =
     (Seq(s"id=${m.id}") ++
+      m.ts.map(t => s"ts=$t") ++
       m.schema.map(s => s"schema=${s.json}") ++
       // "prop=" can never collide with an entry line: escapeValue
       // escapes '=' in partition values, so a value spelled "prop=x"
@@ -197,8 +203,11 @@ object SnapshotStore {
     val lines = Files.readString(p, StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
     val id = lines.head.stripPrefix("id=").toLong
+    val (tsLines, rest0) =
+      lines.tail.partition(_.startsWith("ts="))
+    val ts = tsLines.headOption.map(_.stripPrefix("ts=").toLong)
     val (schemaLines, rest) =
-      lines.tail.partition(_.startsWith("schema="))
+      rest0.partition(_.startsWith("schema="))
     val (propLines, entryLines) = rest.partition(_.startsWith("prop="))
     val schema = schemaLines.headOption.map(l =>
       org.apache.spark.sql.types.DataType
@@ -216,7 +225,7 @@ object SnapshotStore {
         case Array(v, dir, stats) =>
           Entry(unescapeToken(v), dir, Some(parseStatsJson(stats)))
       }
-    }, schema, props)
+    }, schema, props, ts)
   }
 
   /** Evolution merge: the prior schema's fields keep their order and
@@ -375,7 +384,10 @@ object SnapshotStore {
   private def commitManifest(root: String, m0: Manifest,
       baseSeq: Long): Unit = {
     val seq = baseSeq + 1
-    val m = m0.copy(props = m0.props + (SeqProp -> seq.toString))
+    // every commit stamps its wall time — the TIMESTAMP AS OF key
+    // ([[manifestAtTime]]); a rollback/restore is a NEW commit in time
+    val m = m0.copy(props = m0.props + (SeqProp -> seq.toString),
+      ts = Some(System.currentTimeMillis()))
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("manifests"))
     val bytes = render(m).getBytes(StandardCharsets.UTF_8)
@@ -634,6 +646,48 @@ object SnapshotStore {
     * one hint parse + forward probes, no manifest listing. */
   def currentSeq(root: String): Long =
     current(root).map(seqOf).getOrElse(0L)
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST retained commit whose
+    * stamped wall time is ≤ `tsMillis` — how a human asks for history
+    * ("the table as of yesterday 09:00"). Walks the retained chain
+    * (cost bounded by retention, never table size). Fails loudly when
+    * `tsMillis` predates the earliest retained commit (expired past
+    * the horizon, or before the table existed) and when the only
+    * commits at-or-before it predate timestamp stamping (those resolve
+    * by id/tag only — guessing would silently pick a wrong snapshot).
+    * Commit times come from the WRITER's clock: on a multi-host table,
+    * skew between writers can reorder ts against the commit chain; the
+    * chain order wins (resolution scans in seq order and takes the
+    * last ts-qualified slot). */
+  def manifestAtTime(root: String, tsMillis: Long): Manifest = {
+    val seqs = retainedSeqs(root)
+    if (seqs.isEmpty)
+      throw new IllegalStateException(
+        s"no retained commit chain at $root to time-travel in")
+    var best: Option[Manifest] = None
+    var sawUnstamped = false
+    seqs.foreach { s =>
+      scala.util.Try(manifestAtSeq(root, s)).toOption.foreach { m =>
+        m.ts match {
+          case Some(t) if t <= tsMillis => best = Some(m)
+          case None => sawUnstamped = true
+          case _ =>
+        }
+      }
+    }
+    best.getOrElse {
+      if (sawUnstamped)
+        throw new IllegalStateException(
+          s"TIMESTAMP AS OF $tsMillis at $root: the commits at or " +
+            "before that time predate commit-timestamp stamping — " +
+            "address them with VERSION AS OF <id|tag> instead")
+      else
+        throw new IllegalStateException(
+          s"TIMESTAMP AS OF $tsMillis at $root: no retained commit at " +
+            "or before that time (before the table existed, or expired " +
+            "past the retention horizon)")
+    }
+  }
 
   /** One retained commit, as table history reports it: chain seq,
     * manifest id, partition-entry count, and the total row count when

@@ -1283,6 +1283,52 @@ object EtlQueries {
     sqlMonthAgg(s, registerSnapCatalog(s, root))
   }
 
+  /** One timestamp-travel history per (JVM, sfDir): full load (its
+    * commit WALL TIME recorded), then — strictly later on the clock,
+    * enforced with a millisecond guard so the two commits can never
+    * share a stamp — an INSERT of clone rows. Querying `TIMESTAMP AS
+    * OF <first commit's stamp>` must resolve to the FIRST commit (the
+    * latest commit at-or-before that instant) and replay the original
+    * load exactly; the clones prove a too-late resolution would
+    * mismatch. */
+  private val snapTsPrepared =
+    scala.collection.mutable.Map[String, String]()
+  private def prepareSnapshotTsHistory(s: SparkSession, d: String)
+      : (String, String) = {
+    val root = graft.util.Fs.processScratchRoot("snapts",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapTsPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val ts1 = SnapshotStore.current(root).get.ts.get
+        // the second commit must stamp strictly AFTER ts1
+        while (System.currentTimeMillis() <= ts1) Thread.sleep(1L)
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"INSERT INTO $table SELECT o_orderkey + 2000000000, " +
+          "o_custkey, o_orderstatus, o_totalprice + 1.25, o_orderdate, " +
+          s"o_orderpriority, order_month FROM $table " +
+          "WHERE o_orderkey % 50 = 3 AND o_orderkey < 2000000000")
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+        snapTsPrepared(root) = fmt.format(
+          java.time.Instant.ofEpochMilli(ts1))
+      }
+    }
+    (root, snapTsPrepared(root))
+  }
+
+  /** Wall-time time travel: `TIMESTAMP AS OF <first commit's stamp>`
+    * equals the original load — the post-stamp INSERT clones must NOT
+    * appear (same oracle as the VERSION AS OF lane). */
+  def snapshotTimeTravelTs: Q = (s, d) => {
+    val (root, tsLit) = prepareSnapshotTsHistory(s, d)
+    sqlMonthAgg(s,
+      s"${registerSnapCatalog(s, root)} TIMESTAMP AS OF '$tsLit'")
+  }
+
   /** SQL time travel: `VERSION AS OF <first snapshot>` through the
     * catalog equals the Scala `asOf` read — the original load. */
   def snapshotSqlTimetravel: Q = (s, d) => {
@@ -1297,6 +1343,7 @@ object EtlQueries {
     "snapshot_merge" -> snapshotMerge,
     "snapshot_sql" -> snapshotSql,
     "snapshot_sql_timetravel" -> snapshotSqlTimetravel,
+    "snapshot_time_travel_ts" -> snapshotTimeTravelTs,
     "snapshot_sql_insert" -> snapshotSqlInsert,
     "snapshot_sql_merge" -> snapshotSqlMerge,
     "snapshot_sql_merge_stmt" -> snapshotSqlMergeStmt,
@@ -1441,6 +1488,15 @@ object EtlQueries {
     // path (GraftSnapshotCatalog) — one replay, two read APIs
     "snapshot_sql" -> snapshotBackfillSql,
     "snapshot_sql_timetravel" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    // TIMESTAMP AS OF the first commit's wall stamp = the original
+    // load — the post-stamp INSERT clones must not leak in (a
+    // too-late resolution would add them and mismatch)
+    "snapshot_time_travel_ts" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
         | count(*) AS cnt,
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)

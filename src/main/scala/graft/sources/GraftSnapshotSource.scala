@@ -757,6 +757,20 @@ class GraftSnapshotCatalog extends TableCatalog
       CaseInsensitiveStringMap.empty(), writable = false)
   }
 
+  /** SQL time travel by wall time: `TIMESTAMP AS OF t` arrives here in
+    * MICROseconds since epoch (the DSV2 contract); resolution picks
+    * the latest retained commit stamped at or before it
+    * ([[SnapshotStore.manifestAtTime]]). Read-only, like VERSION AS
+    * OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
+    val id = SnapshotStore.manifestAtTime(root,
+      Math.floorDiv(timestamp, 1000L)).id
+    GraftSnapshotTables.load(SparkSession.active, root, Some(id),
+      CaseInsensitiveStringMap.empty(), writable = false)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     tableExistsAt(rootOf(ident))
 

@@ -1,0 +1,86 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `TIMESTAMP AS OF` over snapshot tables: every commit stamps its
+  * wall time in the manifest; resolution picks the LATEST retained
+  * commit at-or-before the asked instant
+  * ([[SnapshotStore.manifestAtTime]]) and refuses loudly outside the
+  * stamped range. */
+class SnapshotTimeTravelTsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkRoot(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_tstravel_$tag").toString
+
+  /** Three commits with strictly increasing wall stamps. */
+  private def threeCommits(root: String): Seq[(Long, Long)] = {
+    def pause(): Unit = {
+      val t = SnapshotStore.current(root).get.ts.get
+      while (System.currentTimeMillis() <= t) Thread.sleep(1L)
+    }
+    SnapshotStore.write(Seq((1L, "2024-01", 10.0))
+      .toDF("id", "m", "price"), root, "m", "id")
+    pause()
+    SnapshotStore.appendPartitions(Seq((2L, "2024-01", 20.0))
+      .toDF("id", "m", "price"), root, "m", "id")
+    pause()
+    SnapshotStore.appendPartitions(Seq((3L, "2024-02", 30.0))
+      .toDF("id", "m", "price"), root, "m", "id")
+    SnapshotStore.retainedSeqs(root).map { s =>
+      val m = SnapshotStore.manifestAtSeq(root, s)
+      (m.id, m.ts.get)
+    }
+  }
+
+  test("resolution picks the latest commit at-or-before the instant; " +
+      "outside the stamped range fails loudly") {
+    val root = mkRoot("resolve")
+    val commits = threeCommits(root)
+    assert(commits.map(_._2) === commits.map(_._2).sorted,
+      "stamps must be monotone under the guard")
+    def rowsAt(ts: Long): Set[Long] = {
+      val m = SnapshotStore.manifestAtTime(root, ts)
+      SnapshotStore.read(spark, root, asOf = Some(m.id))
+        .select(col("id")).as[Long].collect().toSet
+    }
+    val Seq((_, t1), (_, t2), (_, t3)) = commits
+    assert(rowsAt(t1) === Set(1L), "exactly at the first stamp")
+    assert(rowsAt(t2 - 1) === Set(1L), "just before the second")
+    assert(rowsAt(t2) === Set(1L, 2L))
+    assert(rowsAt(t3 + 60000) === Set(1L, 2L, 3L), "future = head")
+    val e = intercept[IllegalStateException](
+      SnapshotStore.manifestAtTime(root, t1 - 1))
+    assert(e.getMessage.contains("no retained commit at or before"))
+  }
+
+  test("SQL TIMESTAMP AS OF through the catalog is read-only and " +
+      "resolves like the Scala API") {
+    val wh = mkRoot("sqlwh")
+    val root = s"$wh/t"
+    val Seq((_, t1), _, (_, t3)) = threeCommits(root)
+    spark.conf.set("spark.sql.catalog.tstrav",
+      classOf[graft.sources.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tstrav.warehouse", wh)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def lit(t: Long): String = fmt.format(java.time.Instant.ofEpochMilli(t))
+    val got1 = spark.sql(s"SELECT id FROM tstrav.t " +
+      s"TIMESTAMP AS OF '${lit(t1)}'").as[Long].collect().toSet
+    assert(got1 === Set(1L))
+    val got3 = spark.sql(s"SELECT id FROM tstrav.t " +
+      s"TIMESTAMP AS OF '${lit(t3)}'").as[Long].collect().toSet
+    assert(got3 === Set(1L, 2L, 3L))
+    // the resolved table is a read-only (pinned) load, like VERSION AS
+    // OF — the write-refusal itself is pinned by the merge/DML specs
+    val cat = spark.sessionState.catalogManager
+      .catalog("tstrav").asInstanceOf[graft.sources.GraftSnapshotCatalog]
+    val tbl = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "t"), t1 * 1000L)
+    assert(!tbl.asInstanceOf[graft.sources.GraftSnapshotTable].writable)
+  }
+}
