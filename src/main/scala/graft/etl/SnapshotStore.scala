@@ -1572,7 +1572,11 @@ object SnapshotStore {
     * from a comparison/guard path on one odd layout prop). */
   private[graft] def parseSpec(s: String): PartitionSpec =
     try PartitionSpec.parse(s)
-    catch { case _: Exception =>
+    // ONLY the documented parse failure degrades to the legacy
+    // single-identity reading — a broader catch would mask a real
+    // programming error (MatchError/NPE) inside the guard paths and
+    // quietly weaken the layout/TZ checks that call through here
+    catch { case _: IllegalArgumentException =>
       PartitionSpec(Seq(PartitionSpec.Identity(s)))
     }
 

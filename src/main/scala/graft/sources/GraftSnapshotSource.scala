@@ -326,10 +326,33 @@ class GraftSnapshotTable(
           val ts = vs.toSeq.map(render(a, _))
           if (ts.forall(_.isDefined)) Some(ts.flatten.contains(comps(a)))
           else scala.None
+        // identity component values are provably NON-NULL (the commit
+        // guard refuses null partition values), so the null-intolerance
+        // conjuncts Spark attaches to a delete condition decide exactly
+        // — without this, `month = 'x'` arriving as
+        // `IsNotNull(month) AND month = 'x'` would abort the whole
+        // metadata-only drop into a row-level copy-on-write
+        case IsNotNull(a) if comps.contains(a) => Some(true)
+        case IsNull(a) if comps.contains(a) => Some(false)
+        // three-valued domination: a side decided TRUE settles an OR
+        // (every row of the partition satisfies it, whatever the other
+        // side does per-row), FALSE settles an AND — so
+        // `month='1998-03' OR other=5` still decides exactly for the
+        // entries whose decided disjunct is true
         case Or(l, r) =>
-          for (a <- ev(l, comps); b <- ev(r, comps)) yield a || b
+          (ev(l, comps), ev(r, comps)) match {
+            case (Some(true), _) | (_, Some(true)) => Some(true)
+            case (Some(false), o) => o
+            case (o, Some(false)) => o
+            case _ => scala.None
+          }
         case And(l, r) =>
-          for (a <- ev(l, comps); b <- ev(r, comps)) yield a && b
+          (ev(l, comps), ev(r, comps)) match {
+            case (Some(false), _) | (_, Some(false)) => Some(false)
+            case (Some(true), o) => o
+            case (o, Some(true)) => o
+            case _ => scala.None
+          }
         case Not(x) => ev(x, comps).map(!_)
         case _ => scala.None
       }
@@ -508,10 +531,10 @@ private class GraftSnapshotScanBuilder(
   * when unfiltered — size estimate unchanged (file bytes), row count
   * exact — and (b) answers `toMicroBatchStream` with the commit-chain
   * tail ([[GraftSnapshotMicroBatchStream]]). */
-private class ManifestStatsScan(p: ParquetScan, rows: Option[Long],
-    root: String, physTableSchema: StructType,
+private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
+    val root: String, physTableSchema: StructType,
     tblOptions: CaseInsensitiveStringMap,
-    logicalOf: Map[String, String] = Map.empty)
+    val logicalOf: Map[String, String] = Map.empty)
     extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema,
       p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
@@ -540,6 +563,18 @@ private class ManifestStatsScan(p: ParquetScan, rows: Option[Long],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftSnapshotMicroBatchStream(p.sparkSession, root,
       physTableSchema, tblOptions)
+  /** Exchange/scan reuse compares scans for equality; ParquetScan's
+    * equals ignores the extra fields here. Two scans of one fileIndex
+    * always share the same manifest (hence rows/logicalOf), so this is
+    * hygiene, not an observed defect — but keep equality exact. */
+  override def equals(obj: Any): Boolean = obj match {
+    case o: ManifestStatsScan =>
+      super.equals(o) && rows == o.rows && root == o.root &&
+        logicalOf == o.logicalOf
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * super.hashCode() + (rows, root, logicalOf).hashCode()
 }
 
 /** The CHANGE-FEED view of a snapshot table — schema = data schema +

@@ -87,15 +87,15 @@ class GraftSnapshotSqlSpec extends SparkSpec {
       s"projection did not prune the scan:\n$plan")
   }
 
-  test("RENAME and non-add ALTERs stay rejected (DROP/CREATE/ADD " +
-      "COLUMN are supported since round 11 — SnapshotSqlDdlSpec); a " +
+  test("table RENAME and retype ALTERs stay rejected (DROP/CREATE/ADD/" +
+      "RENAME/DROP COLUMN are supported — SnapshotSqlDdlSpec); a " +
       "missing table is a proper NoSuchTableException") {
     val (wh, name, _) = mkTable("ro")
     spark.conf.set("spark.sql.catalog.snapro",
       classOf[GraftSnapshotCatalog].getName)
     spark.conf.set("spark.sql.catalog.snapro.warehouse", wh)
     val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE snapro.$name DROP COLUMN price")
+      spark.sql(s"ALTER TABLE snapro.$name ALTER COLUMN price TYPE STRING")
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: chain(t.getCause)

@@ -168,8 +168,18 @@ class SnapshotSqlDdlSpec extends SparkSpec {
       "PARTITIONED BY (mn) TBLPROPERTIES ('sort_col'='ID')")
     assert(SnapshotStore.tableLayout(
       SnapshotStore.current(s"$wh/ci").get) === Some(("Mn", "id")))
+    // DROP COLUMN is a metadata-only commit now (SnapshotDropColumnSpec
+    // pins the column-ID semantics); retype and table RENAME stay
+    // rejected
+    val preDrop = SnapshotStore.current(s"$wh/t").get
+    spark.sql("ALTER TABLE snapddl3.t DROP COLUMN extra")
+    assert(!spark.table("snapddl3.t").columns.contains("extra"))
+    assert(SnapshotStore.current(s"$wh/t").get.entries.map(_.dir) ===
+      preDrop.entries.map(_.dir),
+      "DROP COLUMN carries every dir by reference (only the dropped " +
+        "column's stats keys leave the entries)")
     intercept[Exception] {
-      spark.sql("ALTER TABLE snapddl3.t DROP COLUMN extra")
+      spark.sql("ALTER TABLE snapddl3.t ALTER COLUMN id TYPE STRING")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE snapddl3.t RENAME TO t2")

@@ -82,6 +82,37 @@ class SnapshotSqlDeleteSpec extends SparkSpec {
     assert(!dirsBefore.contains(s"snap-${after.id}"))
   }
 
+  test("null-intolerance conjuncts and dominated ORs still take the " +
+      "metadata-only drop: identity partition values are provably " +
+      "non-null") {
+    val (wh, root) = mkTable("nullconj")
+    register("snapd7", wh)
+    // Spark commonly attaches IsNotNull(m) beside m = 'x'; partition
+    // values are non-null by the commit guard, so the conjunct decides
+    // TRUE and the whole predicate stays partition-granular
+    spark.sql(
+      "DELETE FROM snapd7.t WHERE m IS NOT NULL AND m = '2024-01'")
+    val after = SnapshotStore.current(root).get
+    assert(after.entries.map(_.value).toSet === Set("2024-02", "2024-03"))
+    assert(Option(new java.io.File(s"$root/data/snap-${after.id}")
+      .listFiles()).get.isEmpty,
+      "the IsNotNull conjunct must not force a copy-on-write rewrite")
+    // m IS NULL can match no partition: a provably-no-op DELETE must
+    // not even commit
+    val idBefore = SnapshotStore.current(root).get.id
+    spark.sql("DELETE FROM snapd7.t WHERE m IS NULL")
+    assert(SnapshotStore.current(root).get.id === idBefore)
+    // OR domination: every entry decides (the decided-true disjunct
+    // wins for 2024-02; the others decide false on both sides)
+    spark.sql(
+      "DELETE FROM snapd7.t WHERE m = '2024-02' OR (m IS NULL)")
+    assert(SnapshotStore.current(root).get.entries.map(_.value) ===
+      Seq("2024-03"))
+    assert(Option(new java.io.File(
+      s"$root/data/snap-${SnapshotStore.current(root).get.id}")
+      .listFiles()).get.isEmpty, "the dominated OR stays metadata-only")
+  }
+
   test("unconditional DELETE truncates to a typed empty table; the " +
       "history survives for time travel") {
     val (wh, root) = mkTable("trunc")
