@@ -89,8 +89,16 @@ object SnapshotStore {
     * it in; readers apply the manifest schema to every listed dir in
     * O(1) — old files' missing columns read as null, no per-file
     * footer merging). */
+  /** `spec` is the PARTITION SPEC the entry's `value` token was
+    * rendered under — None means the table's CURRENT spec (the
+    * [[PartColProp]] layout). Evolution ([[evolvePartitionSpec]])
+    * stamps every then-current entry with the outgoing spec, so the
+    * None ⟺ current invariant holds across any number of evolutions;
+    * DML restatement and [[compact]] migrate stamped entries back to
+    * the current layout. */
   final case class Entry(value: String, dir: String,
-      stats: Option[EntryStats] = None)
+      stats: Option[EntryStats] = None,
+      spec: Option[String] = None)
   /** `props` is durable table metadata carried forward across every
     * commit kind (append tokens must survive an interleaved backfill
     * or compaction — see [[appendPartitions]]'s exactly-once note). A
@@ -196,7 +204,10 @@ object SnapshotStore {
         .map { case (k, v) => s"prop=${escapeValue(k)}\t${escapeValue(v)}" } ++
       m.entries.sortBy(e => (e.value, e.dir))
         .map(e => s"${escapeValue(e.value)}\t${e.dir}" +
-          e.stats.map(s => s"\t${statsJson(s)}").getOrElse("")))
+          e.stats.map(s => s"\t${statsJson(s)}").getOrElse("") +
+          // distinguishable from the stats field by prefix: stats is
+          // always a '{'-opened JSON object, this is 'spec='
+          e.spec.map(s => s"\tspec=${escapeValue(s)}").getOrElse("")))
       .mkString("", "\n", "\n")
 
   private def parse(p: Path): Manifest = {
@@ -218,13 +229,17 @@ object SnapshotStore {
       unescapeToken(k) -> unescapeToken(v)
     }.toMap
     Manifest(id, entryLines.map { l =>
-      // pre-stats manifests have two fields; stats-era three — the
-      // reader accepts both (stats are always optional metadata)
-      l.split("\t", 3) match {
-        case Array(v, dir) => Entry(unescapeToken(v), dir)
-        case Array(v, dir, stats) =>
-          Entry(unescapeToken(v), dir, Some(parseStatsJson(stats)))
-      }
+      // pre-stats manifests have two fields; later eras append
+      // optional stats ('{'-opened JSON) and spec ('spec='-prefixed)
+      // fields — classified by prefix, so every era parses
+      val fields = l.split("\t")
+      val v = fields(0)
+      val dir = fields(1)
+      val rest = fields.drop(2)
+      Entry(unescapeToken(v), dir,
+        rest.find(_.startsWith("{")).map(parseStatsJson),
+        rest.find(_.startsWith("spec="))
+          .map(s => unescapeToken(s.stripPrefix("spec="))))
     }, schema, props, ts)
   }
 
@@ -341,8 +356,8 @@ object SnapshotStore {
     })
 
   /** commit.seq of a manifest FILE from its HEADER lines only (id=,
-    * schema=, prop= — all precede the first entry line, and props sort
-    * by key): O(header bytes), never parses entries. None when the
+    * ts=, schema=, prop= — all precede the first entry line, and props
+    * sort by key): O(header bytes), never parses entries. None when the
     * file is unreadable or carries no seq prop (pre-chain manifest). */
   private def seqOfHeader(p: Path): Option[Long] =
     scala.util.Try {
@@ -352,8 +367,8 @@ object SnapshotStore {
         var line = br.readLine()
         var out: Option[Long] = None
         while (line != null && out.isEmpty &&
-            (line.startsWith("id=") || line.startsWith("schema=") ||
-              line.startsWith("prop="))) {
+            (line.startsWith("id=") || line.startsWith("ts=") ||
+              line.startsWith("schema=") || line.startsWith("prop="))) {
           if (line.startsWith(prefix))
             out = line.substring(prefix.length).toLongOption
           line = br.readLine()
@@ -1834,6 +1849,17 @@ object SnapshotStore {
       partCol: String, sortCol: String): Long = {
     val prior = current(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root to backfill"))
+    // a value-addressed overwrite cannot say what it means on a table
+    // holding OUTGOING-spec vintages: "replace month X" should replace
+    // X's rows in the old vintage too, but those live inside entries
+    // this addressing cannot name. Refuse loudly; row-level DML and
+    // compact are the spec-aware routes.
+    require(!hasMixedSpecs(prior),
+      s"overwritePartitions at $root: the table holds entries of an " +
+        "outgoing partition-spec vintage (evolvePartitionSpec) — " +
+        "value-addressed overwrite is ambiguous across vintages; use " +
+        "row-level UPDATE/DELETE, or compact() to migrate the layout " +
+        "first")
     checkLayout(Some(prior), partCol, sortCol, df)
     // schema evolution happens at the COMMIT boundary: a backfill
     // adding columns appends them to the table schema; a type change
@@ -1949,9 +1975,17 @@ object SnapshotStore {
     * forward by reference, and `restated` rows landing in partitions
     * outside `dropValues` are a caller bug (rejected — they would
     * shadow a carried entry with a duplicate value). */
+  /** `dropOld` names RESTATED entries of OUTGOING spec vintages as
+    * (canonical spec, value) pairs — their content must be part of
+    * `restated` (rewritten under the CURRENT spec: this is how DML
+    * migrates old-vintage partitions after an
+    * [[evolvePartitionSpec]]). `dropValues` stays CURRENT-spec
+    * addressing, and the stray check is against it (every restated
+    * row lands under the current layout). */
   def restatePartitions(restated: DataFrame, root: String,
       dropValues: Set[String], partCol: String, sortCol: String,
-      cdc: Option[DataFrame] = None): Long =
+      cdc: Option[DataFrame] = None,
+      dropOld: Set[(String, String)] = Set.empty): Long =
     withCommitLock(root) {
       val prior = current(root).getOrElse(
         throw new IllegalStateException(s"no snapshot at $root to restate"))
@@ -1972,7 +2006,10 @@ object SnapshotStore {
       // changeset. A lost publish race orphans the sidecar together
       // with its data dirs; expire sweeps both.
       cdc.foreach(writeCdcSidecar(_, root, id, merged))
-      val carried = prior.entries.filterNot(e => dropValues(e.value))
+      val carried = prior.entries.filterNot(e => e.spec match {
+        case None => dropValues(e.value)
+        case Some(s) => dropOld((canonicalSpec(s), e.value))
+      })
       commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
         prior.props ++ layoutProps(partCol, sortCol, restated)),
         seqOf(prior))
@@ -2022,6 +2059,86 @@ object SnapshotStore {
         id
       }
     }
+
+  /** Evolve the PARTITION SPEC for FUTURE commits — Iceberg-style
+    * partition-spec evolution as a METADATA-ONLY commit: no data dir
+    * is touched; every existing entry is stamped with the OUTGOING
+    * spec (so its token keeps meaning what it meant), and the table's
+    * recorded layout moves to `newSpec` — appends/inserts land under
+    * the new layout from the next commit on, readers union entries
+    * across vintages (they never address by token), row-level
+    * UPDATE/DELETE discover per entry-spec and MIGRATE the partitions
+    * they touch to the new layout, and [[compact]] (a full rewrite)
+    * migrates everything. A 100 TB corpus that starts month-partitioned
+    * and later needs `month,bucket(16,id)` evolves in one ~KB commit
+    * instead of a full rewrite. The sort column may change with the
+    * spec (`newSortCol`) — it is advisory per-dir layout, not an
+    * addressing key. Returns the committed snapshot id. */
+  def evolvePartitionSpec(root: String, newSpec: String,
+      newSortCol: Option[String] = None): Long = withCommitLock(root) {
+    val prior = current(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root to evolve"))
+    val schema = prior.schema.getOrElse(
+      throw new IllegalStateException(
+        s"table at $root predates schema-carrying manifests — " +
+          "recommit with a full write before evolving the spec"))
+    val (oldSpec, oldSort) = tableLayout(prior).getOrElse(
+      throw new IllegalStateException(
+        s"table at $root predates layout-recording manifests — " +
+          "recommit with a full write before evolving the spec"))
+    // resolve source columns case-insensitively and NORMALIZE to the
+    // schema's casing (like createEmpty) — a typo'd column must refuse
+    // AT THIS metadata-only commit, not at some later write
+    def resolve(c: String): String =
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"evolvePartitionSpec: column '$c' is not in the schema: " +
+            schema.fieldNames.mkString(", ")))
+    val parsed = PartitionSpec(PartitionSpec.parse(newSpec).fields.map {
+      case PartitionSpec.Identity(c) => PartitionSpec.Identity(resolve(c))
+      case PartitionSpec.Bucket(n, c) => PartitionSpec.Bucket(n, resolve(c))
+      case PartitionSpec.TimeUnit(u, c) =>
+        PartitionSpec.TimeUnit(u, resolve(c))
+      case PartitionSpec.Truncate(w, c) =>
+        PartitionSpec.Truncate(w, resolve(c))
+    })
+    parsed.validate(schema)
+    val canon = parsed.canonical
+    val oldCanon = canonicalSpec(oldSpec)
+    val sortCol = newSortCol.getOrElse(oldSort)
+    require(schema.fieldNames.contains(sortCol),
+      s"evolvePartitionSpec: sort column '$sortCol' is not in the schema")
+    require(canon != oldCanon || sortCol != oldSort,
+      s"evolvePartitionSpec: the table already has layout " +
+        s"($oldCanon, $oldSort) — nothing to evolve")
+    // stamp the outgoing spec on every entry that was current until
+    // now; entries already stamped (an earlier evolution) keep theirs
+    val entries = prior.entries.map(e =>
+      if (e.spec.isDefined) e else e.copy(spec = Some(oldCanon)))
+    val id = allocateId(root)
+    commitManifest(root, Manifest(id, entries, Some(schema),
+      prior.props + (PartColProp -> canon) + (SortColProp -> sortCol)),
+      seqOf(prior))
+    id
+  }
+
+  /** Does the current manifest hold entries of an OUTGOING spec
+    * vintage (committed before an [[evolvePartitionSpec]])? The write
+    * paths that address partitions BY VALUE under the current spec
+    * must take the spec-aware route (or refuse) on such tables. */
+  private[graft] def hasMixedSpecs(m: Manifest): Boolean =
+    m.entries.exists(_.spec.isDefined)
+
+  /** Read exactly the entries `keep` selects — the ENTRY-granular
+    * sibling of [[readWhere]] for mixed-spec tables, where a bare
+    * value can be ambiguous across spec vintages. */
+  private[graft] def readEntriesWhere(spark: SparkSession, root: String,
+      keep: Entry => Boolean): DataFrame = {
+    val m = current(root)
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    readManifest(spark, root,
+      Manifest(m.id, m.entries.filter(keep), m.schema))
+  }
 
   /** Compaction as a snapshot commit: rewrite the CURRENT snapshot's
     * content into fresh one-file-per-partition dirs and swap the

@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object MergeInto {
 
+  /** MERGE's discovery addresses base partitions by CURRENT-spec
+    * token; a table holding OUTGOING-spec vintages
+    * ([[SnapshotStore.evolvePartitionSpec]]) would silently miss
+    * matched rows living in old-vintage entries. Row-level
+    * UPDATE/DELETE are spec-aware; MERGE refuses until the table is
+    * compacted (one full-rewrite migration) — loud, never wrong. */
+  private def requireSingleSpec(m: SnapshotStore.Manifest,
+      root: String): Unit =
+    require(!SnapshotStore.hasMixedSpecs(m),
+      s"MERGE at $root: the table holds entries of an outgoing " +
+        "partition-spec vintage (evolvePartitionSpec) — MERGE " +
+        "discovery is current-spec-addressed; run compact() to " +
+        "migrate the layout first (row-level UPDATE/DELETE work " +
+        "across vintages)")
+
   /** Change-row presence marker: non-null on every `changes` row, so
     * after the full-outer join "change side present" is testable even
     * for NULL-key change rows (testing key nullity instead would emit
@@ -151,6 +166,7 @@ object MergeInto {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(
           s"no snapshot at $root to merge into"))
+      requireSingleSpec(m, root)
       // discovery and restatement match RENDERED partition tokens
       // against manifest entry values — on a TZ-timestamp partition
       // column that is only sound when this session renders like the
@@ -452,6 +468,7 @@ object MergeInto {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(
           s"no snapshot at $root to merge into"))
+      requireSingleSpec(m, root)
       SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
       val spec = SnapshotStore.parseSpec(partCol)
       val tableSchema = m.schema.getOrElse(

@@ -35,8 +35,51 @@ import org.apache.spark.sql.functions._
   * entry points ([[graft.plans.SnapshotUpdateRewrite]]) enforce this
   * at analysis; Scala callers own it. SQL NULL semantics: a NULL
   * condition row is NOT matched (`WHERE NULL` selects nothing), so the
-  * condition is null-coalesced to false on both passes. */
+  * condition is null-coalesced to false on both passes.
+  *
+  * PARTITION-SPEC EVOLUTION ([[SnapshotStore.evolvePartitionSpec]]):
+  * on a table holding OUTGOING-spec vintages, discovery additionally
+  * matches tokens PER ENTRY-SPEC (an old `month` entry is addressed by
+  * its month token, not the current `month,bucket(n,id)` token), the
+  * touched old-vintage entries' full content joins the rewrite, and
+  * the restatement writes everything under the CURRENT spec — row
+  * mutations MIGRATE the partitions they touch to the evolved
+  * layout, entry by entry, no full rewrite needed. */
 object RowLevelOps {
+
+  /** Old-vintage entries the operation touches, per outgoing spec:
+    * (canonical spec, value) keys for [[SnapshotStore
+    * .restatePartitions]]'s `dropOld`, discovered by rendering the
+    * matched rows' tokens under EACH outgoing spec (one distinct
+    * aggregate per vintage — vintages are operator-bounded, the scans
+    * are the already-pruned discovery frame). */
+  private def discoverOldVintages(spark: SparkSession,
+      m: SnapshotStore.Manifest, matched: DataFrame,
+      what: String): Set[(String, String)] = {
+    val oldSpecs = m.entries.filter(_.spec.isDefined).groupBy(_.spec.get)
+    oldSpecs.iterator.flatMap { case (s, es) =>
+      SnapshotStore.checkTokenRenderZone(spark, m, s, what)
+      val sp = SnapshotStore.parseSpec(s)
+      val toks = matched.select(sp.tokenExpr(col).as("__tok"))
+        .distinct().collect().map(_.getString(0)).toSet
+      es.iterator.filter(e => toks(e.value)).map(e => (s, e.value))
+    }.toSet
+  }
+
+  /** Content + CURRENT-spec landing tokens of the touched old-vintage
+    * entries: their rows (matched or not) restate under the current
+    * layout, so every row's current token joins the touched set. */
+  private def oldVintageScope(spark: SparkSession, root: String,
+      dropOld: Set[(String, String)],
+      spec: graft.etl.PartitionSpec): (Option[DataFrame], Set[String]) =
+    if (dropOld.isEmpty) (None, Set.empty)
+    else {
+      val content = SnapshotStore.readEntriesWhere(spark, root,
+        e => e.spec.exists(s => dropOld((s, e.value))))
+      val landing = content.select(spec.tokenExpr(col).as("__tok"))
+        .distinct().collect().map(_.getString(0)).toSet
+      (Some(content), landing)
+    }
 
   /** `UPDATE t SET col = v, … WHERE cond` as one atomic copy-on-write
     * commit. `sets` values see the OLD row (standard SQL UPDATE: all
@@ -78,7 +121,11 @@ object RowLevelOps {
       val spec = graft.etl.SnapshotStore.parseSpec(partCol)
       val srcParts = matched.select(spec.tokenExpr(col).as("__tok"))
         .distinct().collect().map(_.getString(0)).toSet
-      if (srcParts.isEmpty) m.id
+      // spec evolution: matched rows living in OLD-vintage entries are
+      // addressed by THEIR spec's tokens; those entries migrate
+      val dropOld = discoverOldVintages(spark, m, matched,
+        "row-level UPDATE")
+      if (srcParts.isEmpty && dropOld.isEmpty) m.id
       else {
         // rows MOVE when SET assigns any partition source column:
         // their landing partitions are restated too (their untouched
@@ -95,8 +142,15 @@ object RowLevelOps {
               setMap.get(n).map(_.cast(base.schema(n).dataType))
                 .getOrElse(col(n))).as("__tok"))
             .distinct().collect().map(_.getString(0)).toSet
-        val touched = srcParts ++ landing
-        val content = SnapshotStore.readWhere(spark, root, touched)
+        // migrating old-vintage entries: ALL their rows restate under
+        // the current spec, so their plain current tokens land too
+        val (oldContent, oldLanding) =
+          oldVintageScope(spark, root, dropOld, spec)
+        val touched = srcParts ++ landing ++ oldLanding
+        val curContent = SnapshotStore.readEntriesWhere(spark, root,
+          e => e.spec.isEmpty && touched(e.value))
+        val content = oldContent
+          .map(curContent.unionByName(_)).getOrElse(curContent)
         val proj = content.columns.toSeq.map { n =>
           setMap.get(n) match {
             case Some(v) => when(matchedCond, v).otherwise(col(n)).as(n)
@@ -119,7 +173,7 @@ object RowLevelOps {
           .unionByName(
             post.withColumn("_change_type", lit("update_postimage")))
         SnapshotStore.restatePartitions(resolved, root, touched,
-          partCol, sortCol, cdc = Some(cdc))
+          partCol, sortCol, cdc = Some(cdc), dropOld = dropOld)
       }
     }
 
@@ -142,18 +196,30 @@ object RowLevelOps {
       val (disc, _) = graft.etl.StatsPruning.discoveryFrame(
         spark, root, m, base, matchedCond)
       val spec = graft.etl.SnapshotStore.parseSpec(partCol)
-      val srcParts = disc.filter(matchedCond)
+      val matched = disc.filter(matchedCond)
+      val srcParts = matched
         .select(spec.tokenExpr(col).as("__tok"))
         .distinct().collect().map(_.getString(0)).toSet
-      if (srcParts.isEmpty) m.id
+      // spec evolution: deleted rows living in OLD-vintage entries are
+      // addressed by THEIR spec's tokens; survivors migrate to the
+      // current layout with the restatement
+      val dropOld = discoverOldVintages(spark, m, matched,
+        "row-level DELETE")
+      if (srcParts.isEmpty && dropOld.isEmpty) m.id
       else {
-        val content = SnapshotStore.readWhere(spark, root, srcParts)
+        val (oldContent, oldLanding) =
+          oldVintageScope(spark, root, dropOld, spec)
+        val touched = srcParts ++ oldLanding
+        val curContent = SnapshotStore.readEntriesWhere(spark, root,
+          e => e.spec.isEmpty && touched(e.value))
+        val content = oldContent
+          .map(curContent.unionByName(_)).getOrElse(curContent)
         val resolved = content.filter(!matchedCond)
         // row-exact CDC sidecar: exactly the deleted rows
         val cdc = content.filter(matchedCond)
           .withColumn("_change_type", lit("delete"))
-        SnapshotStore.restatePartitions(resolved, root, srcParts,
-          partCol, sortCol, cdc = Some(cdc))
+        SnapshotStore.restatePartitions(resolved, root, touched,
+          partCol, sortCol, cdc = Some(cdc), dropOld = dropOld)
       }
     }
 }

@@ -953,6 +953,111 @@ object EtlQueries {
     root
   }
 
+  /** One spec-EVOLVED history per (JVM, sfDir): full load under the
+    * single-identity `order_month` layout, then
+    * `CALL system.evolve_spec` to `order_month,bucket(4,o_orderkey)`
+    * (metadata-only — every existing entry records the outgoing spec
+    * and carries by reference), then DML SPANNING BOTH VINTAGES:
+    * an INSERT of clone rows (lands under the new composite-token
+    * layout), a row-level UPDATE (discovers old entries by THEIR
+    * month tokens and new entries by composite tokens, and migrates
+    * the old months it touches), and a row-level DELETE. The month
+    * aggregate must replay over raw orders — a vintage silently
+    * missed by discovery, or a migration losing/duplicating rows,
+    * is a hash mismatch. */
+  private val snapEvolvePrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSpecEvolve(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapevolve",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapEvolvePrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        val name = new java.io.File(root).getName
+        s.sql(s"CALL graftsnap.system.evolve_spec('$name', " +
+          "'order_month,bucket(4,o_orderkey)')")
+        // INSERT lands under the NEW spec (clone keys keep the mod-10
+        // residue: +5e9 ≡ 0 mod 10)
+        s.sql(s"INSERT INTO $table SELECT o_orderkey + 5000000000, " +
+          "o_custkey, o_orderstatus, o_totalprice + 2.0, o_orderdate, " +
+          s"o_orderpriority, order_month FROM $table " +
+          "WHERE o_orderkey % 50 = 9 AND o_orderkey < 5000000000")
+        // UPDATE spans vintages: ≡9 (mod 10) originals live in OLD
+        // month entries, their clones in NEW bucketed entries
+        s.sql(s"UPDATE $table SET o_totalprice = o_totalprice + 3.25 " +
+          "WHERE o_orderkey % 10 = 9 AND o_orderdate >= DATE '1998-02-01'")
+        // DELETE hits the old vintage only (clones are ≡9 mod 10)
+        s.sql(s"DELETE FROM $table WHERE o_orderkey % 10 = 7 " +
+          "AND o_orderdate >= DATE '1998-03-01'")
+        snapEvolvePrepared += root
+      }
+    }
+    root
+  }
+
+  /** Partition-spec evolution end to end: both vintages in one scan,
+    * DML across them — hash-matched against a DuckDB replay. */
+  def snapshotSpecEvolve: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotSpecEvolve(s, d)))
+
+  /** Two co-bucketed snapshot tables per (JVM, sfDir) for the
+    * STORAGE-PARTITIONED JOIN: both written under `bucket(16,
+    * o_orderkey)`, so their scans report the same
+    * `KeyGroupedPartitioning` and the fact-to-fact equi-join plans
+    * with ZERO exchanges under the V2-bucketing session (the
+    * Iceberg-style SPJ — at 100 TB this deletes the dominant shuffle
+    * of every co-layout join). PlanAudit asserts the exchange-free
+    * join subtree; this lane pins the RESULT against a DuckDB join
+    * replay (a bucket mis-grouping — two co-bucketed keys meeting in
+    * different tasks — drops join rows and mismatches). */
+  private val snapSpjPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSpj(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapspj",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapSpjPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        val o = ordersWithMonth(s, d)
+        SnapshotStore.write(o, s"$root/a",
+          partCol = "bucket(16,o_orderkey)", sortCol = "o_orderdate")
+        SnapshotStore.write(
+          o.select(col("o_orderkey"),
+            when(col("o_orderpriority") === "1-URGENT", 10.0)
+              .otherwise(1.0).as("adj")),
+          s"$root/b",
+          partCol = "bucket(16,o_orderkey)", sortCol = "o_orderkey")
+        snapSpjPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Storage-partitioned join over the co-bucketed pair: month
+    * aggregate of the joined frame, exchange-free join subtree. */
+  def snapshotSpj: Q = (s, d) => {
+    val root = prepareSnapshotSpj(s, d)
+    // scoped to a session CLONE: V2 bucketing + no-broadcast (the
+    // join must be a sort-merge for SPJ to mean anything at sf0.01)
+    val clone = org.apache.spark.sql.GraftPlanBridge.sessionWithConf(s,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    clone.conf.set("spark.sql.catalog.graftspj",
+      classOf[graft.sources.GraftSnapshotCatalog].getName)
+    clone.conf.set("spark.sql.catalog.graftspj.warehouse", root)
+    clone.sql(
+      """SELECT a.order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(a.o_totalprice + b.adj AS DECIMAL(38,8)))
+        |   AS DOUBLE), 4) AS sum_price
+        |FROM graftspj.a a JOIN graftspj.b b
+        |  ON a.o_orderkey = b.o_orderkey
+        |GROUP BY a.order_month""".stripMargin)
+  }
+
   /** Column-ID DROP COLUMN end to end: pre-drop files + the re-added
     * fresh column in one scan — pre-drop rows group under NULL
     * priority, clones under the sentinel. */
@@ -1356,6 +1461,8 @@ object EtlQueries {
     "snapshot_bucket" -> snapshotBucket,
     "snapshot_sql_rename" -> snapshotSqlRename,
     "snapshot_sql_drop" -> snapshotSqlDrop,
+    "snapshot_spec_evolve" -> snapshotSpecEvolve,
+    "snapshot_spj" -> snapshotSpj,
     "snapshot_rollback" -> snapshotRollback,
     "snapshot_sql_ctas" -> snapshotSqlCtas,
     "snapshot_tag_timetravel" -> snapshotTagTimetravel,
@@ -1645,6 +1752,47 @@ object EtlQueries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM allr GROUP BY 1, 2""".stripMargin,
+    // replay the storage-partitioned join over raw orders: a
+    // priority-derived adjustment joined back by key, month aggregate
+    "snapshot_spj" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | b AS (SELECT o_orderkey,
+        |   CASE WHEN o_orderpriority = '1-URGENT' THEN 10.0 ELSE 1.0 END
+        |     AS adj FROM o)
+        |SELECT a.order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(a.o_totalprice + b.adj AS DECIMAL(38,8)))
+        |   AS DOUBLE), 4) AS sum_price
+        |FROM o a JOIN b ON a.o_orderkey = b.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // replay the spec-evolution DML set over raw orders: the ≡9
+    // (mod 50) clones insert (+5e9 key, +2.00 — residues mod 10
+    // preserved), then ≡9 (mod 10) rows — originals in the OLD month
+    // vintage AND clones in the NEW bucketed vintage — get +3.25 when
+    // 1998-02+; ≡7 (mod 10) rows from 1998-03+ delete (old vintage)
+    "snapshot_spec_evolve" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | ins AS (SELECT o_orderkey + 5000000000 AS o_orderkey,
+        |   o_totalprice + 2.0 AS o_totalprice, o_orderdate, order_month
+        |  FROM o WHERE o_orderkey % 50 = 9),
+        | allr AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate, order_month
+        |  FROM o
+        |  UNION ALL SELECT * FROM ins),
+        | upd AS (SELECT order_month, o_orderdate, o_orderkey,
+        |   CASE WHEN o_orderkey % 10 = 9
+        |             AND o_orderdate >= DATE '1998-02-01'
+        |        THEN o_totalprice + 3.25 ELSE o_totalprice END
+        |     AS o_totalprice
+        |  FROM allr),
+        | fin AS (SELECT * FROM upd
+        |  WHERE NOT (o_orderkey % 10 = 7
+        |             AND o_orderdate >= DATE '1998-03-01'))
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
     // replay the row-level DELETE: keys ≡6 (mod 10) removed
     "snapshot_sql_delete_rows" ->
       """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
