@@ -802,6 +802,15 @@ object PlanAudit {
       cdfFiles.nonEmpty && cdfFiles.forall(_.contains("/_cdc/")),
       "DML change rows come from _cdc sidecars, never restated dirs")
 
+    // storage-partitioned join: two bucket(16,o_orderkey) snapshot
+    // tables report KeyGroupedPartitioning, so the fact-to-fact
+    // sort-merge join plans with ZERO exchanges — the only shuffle in
+    // the whole query is the month aggregation after the join
+    val spj = plan("snapshot_spj")
+    check("snapshot_spj: no exchange under the co-bucketed join",
+      spj.contains("SortMergeJoin") && occurrences(spj, "Exchange") == 1,
+      "KeyGroupedPartitioning scans; only the agg shuffles")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -178,7 +178,8 @@ class GraftSnapshotTable(
     new GraftSnapshotScanBuilder(inner.newScanBuilder(options),
       manifestRows, root,
       manifest.schema.map(SnapshotStore.physicalSchema)
-        .getOrElse(inner.schema), options, physOf, logicalOf)
+        .getOrElse(inner.schema), options, physOf, logicalOf,
+      manifest)
 
   /** SQL `DELETE FROM snap.t WHERE <partition predicate>` — the atomic
     * DROP PARTITION (`ALTER TABLE … DROP PARTITION` is standard
@@ -299,9 +300,13 @@ class GraftSnapshotTable(
     // fall through to the row-level copy-on-write path
     val entryComps: Seq[(String, Map[String, String])] =
       manifest.entries.map { e =>
-        spec.splitToken(e.value) match {
+        // spec evolution: an entry of an OUTGOING vintage splits under
+        // ITS OWN spec — its identity components are exact under that
+        // spec, so the metadata-only drop stays exact across vintages
+        val eSpec = e.spec.map(SnapshotStore.parseSpec).getOrElse(spec)
+        eSpec.splitToken(e.value) match {
           case scala.Some(cs) =>
-            e.value -> spec.fields.zip(cs).collect {
+            e.value -> eSpec.fields.zip(cs).collect {
               case (graft.etl.PartitionSpec.Identity(c), v) => c -> v
             }.toMap
           // a token of the wrong arity (legacy layout change mid-table
@@ -309,6 +314,10 @@ class GraftSnapshotTable(
           case scala.None => return scala.None
         }
       }
+    // entries of DIFFERENT vintages may share a value string; the
+    // value-addressed drop cannot tell them apart, so a shared value
+    // with diverging decisions must bail to the row-level path
+    // (checked below after per-entry evaluation)
     // three-valued evaluation of one filter over one entry's identity
     // components: Some(bool) = decided for the WHOLE partition, None =
     // not expressible partition-granularly. Not() is exact because
@@ -361,6 +370,9 @@ class GraftSnapshotTable(
       if (evs.exists(_.isEmpty)) return scala.None
       value -> evs.forall(_.contains(true))
     }
+    val byValue = decided.groupBy(_._1)
+    if (byValue.exists(_._2.map(_._2).distinct.size > 1))
+      return scala.None // cross-vintage value collision, row-level path
     Some(Some(decided.collect { case (v, true) => v }.toSet))
   }
 
@@ -452,7 +464,8 @@ private class GraftSnapshotScanBuilder(
     physTableSchema: StructType,
     tblOptions: CaseInsensitiveStringMap,
     physOf: Map[String, String],
-    logicalOf: Map[String, String])
+    logicalOf: Map[String, String],
+    manifest: SnapshotStore.Manifest)
   extends ParquetScanBuilder(template.sparkSession, template.fileIndex,
     template.schema, template.dataSchema, template.options) {
 
@@ -521,8 +534,156 @@ private class GraftSnapshotScanBuilder(
         p.pushedAggregate.isEmpty) manifestRows
       else None
     new ManifestStatsScan(p, exactRows, root, physTableSchema,
-      tblOptions, logicalOf)
+      tblOptions, logicalOf,
+      GraftSpj.infoFor(template.sparkSession, manifest))
   }
+}
+
+/** Storage-partitioned-join support ([[SupportsReportPartitioning]]):
+  * when the session opts in (`spark.sql.sources.v2.bucketing.enabled`)
+  * and the table's layout is key-reconstructible, the snapshot scan
+  * reports Iceberg-style `KeyGroupedPartitioning` over the partition
+  * spec and plans ONE input partition per partition value (tagged
+  * [[HasPartitionKey]]) — two co-partitioned snapshot tables then join
+  * with ZERO exchanges (Spark's V2 bucketing / SPJ machinery; at
+  * 100 TB this deletes the dominant shuffle of every fact-to-fact
+  * equi-join that shares the layout). Reported only for specs built
+  * from IDENTITY fields (string/integral/date source) and BUCKET
+  * fields — the token round-trips exactly for those; time/truncate
+  * transforms and TZ-sensitive identity sources stay unreported
+  * (correct, just not exchange-free). */
+private object GraftSpj {
+
+  final case class Info(spec: graft.etl.PartitionSpec,
+      keyTypes: Seq[org.apache.spark.sql.types.DataType])
+
+  def infoFor(spark: SparkSession,
+      m: SnapshotStore.Manifest): Option[Info] = {
+    if (!spark.sessionState.conf.getConfString(
+        "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+      return None
+    if (SnapshotStore.hasMixedSpecs(m)) return None
+    val schema = m.schema.getOrElse(return None)
+    val layout = SnapshotStore.tableLayout(m).getOrElse(return None)
+    val spec = SnapshotStore.parseSpec(layout._1)
+    import org.apache.spark.sql.types._
+    import graft.etl.PartitionSpec._
+    val keyTypes = spec.fields.map {
+      case Identity(c) =>
+        schema.fields.find(_.name == c).map(_.dataType) match {
+          // types whose cast-to-string token round-trips exactly and
+          // zone-independently
+          case Some(t @ (StringType | IntegerType | LongType |
+                         ShortType | ByteType | DateType)) => t
+          case _ => return None
+        }
+      case Bucket(_, _) => IntegerType
+      case _ => return None // time/truncate: lossy or zone-sensitive
+    }
+    Some(Info(spec, keyTypes))
+  }
+
+  /** The connector-expression clustering keys, spec order. */
+  def keys(info: Info): Array[
+      org.apache.spark.sql.connector.expressions.Expression] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import graft.etl.PartitionSpec._
+    info.spec.fields.map {
+      case Identity(c) => Expressions.identity(c)
+      case Bucket(n, c) => Expressions.bucket(n, c)
+      case other => throw new IllegalStateException(
+        s"unreachable: $other filtered by infoFor")
+    }.toArray
+  }
+
+  /** Typed partition-key row for one dir token, in clustering order. */
+  def keyRow(info: Info, token: String): Option[InternalRow] = {
+    import graft.etl.PartitionSpec._
+    import org.apache.spark.sql.types._
+    info.spec.splitToken(token).map { comps =>
+      val vals = info.spec.fields.zip(comps).zip(info.keyTypes).map {
+        case ((Bucket(_, _), v), _) => v.toInt: Any
+        case ((_, v), StringType) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(v)
+        case ((_, v), IntegerType) => v.toInt
+        case ((_, v), LongType) => v.toLong
+        case ((_, v), ShortType) => v.toShort
+        case ((_, v), ByteType) => v.toByte
+        case ((_, v), DateType) =>
+          java.time.LocalDate.parse(v).toEpochDay.toInt
+        case ((f, v), t) => throw new IllegalStateException(
+          s"unreachable key type $t for $f value $v")
+      }
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(vals.toArray)
+    }
+  }
+
+  /** The dir token of a data file path
+    * (`…/__part=<escaped>/file.parquet`), unescaped with Spark's own
+    * inverse. None for a path outside the layout (never happens for
+    * manifest-listed dirs). */
+  def tokenOf(path: String): Option[String] =
+    path.split('/').reverseIterator
+      .find(_.startsWith("__part="))
+      .map(s => org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(s.stripPrefix("__part=")))
+}
+
+/** The V2 `bucket(n, col)` function: binds to any (int, key) input and
+  * replays [[graft.etl.PartitionSpec.Bucket]]'s exact
+  * `pmod(hash(col), n)` (Spark Murmur3, seed 42) — the SAME number the
+  * partition token records, so a partition key Spark computes through
+  * this function can never disagree with the layout on disk. The
+  * canonical name is the SPJ compatibility witness across tables. */
+private[sources] object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions
+      .UnboundFunction {
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "graft partition bucket: pmod(murmur3_hash(col), n)"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(n, col) takes two arguments, got ${inputType.simpleString}")
+    val keyType = inputType.fields(1).dataType
+    new org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer] {
+      private val hasher =
+        org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(
+            1, keyType, nullable = true)), 42)
+      override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+        Array(org.apache.spark.sql.types.IntegerType, keyType)
+      override def resultType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String =
+        s"graft.bucket(${keyType.catalogString})"
+      override def produceResult(input: InternalRow): Integer =
+        if (input.isNullAt(1)) null
+        else {
+          val n = input.getInt(0)
+          val h = hasher.eval(input).asInstanceOf[Int]
+          Integer.valueOf(((h % n) + n) % n)
+        }
+    }
+  }
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
+  * knows its partition KEY — the [[HasPartitionKey]] face Spark's SPJ
+  * machinery groups on. Subclassing (not wrapping) keeps the parquet
+  * reader factory's `FilePartition` pattern matches working. */
+private class KeyedFilePartition(index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(
+    index, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** A real [[ParquetScan]] (every FileScan behavior inherited — input
@@ -534,11 +695,56 @@ private class GraftSnapshotScanBuilder(
 private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
     val root: String, physTableSchema: StructType,
     tblOptions: CaseInsensitiveStringMap,
-    val logicalOf: Map[String, String] = Map.empty)
+    val logicalOf: Map[String, String] = Map.empty,
+    val spj: Option[GraftSpj.Info] = None)
     extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema,
       p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
-      p.dataFilters, p.pushedVariantExtractions) {
+      p.dataFilters, p.pushedVariantExtractions)
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** One [[KeyedFilePartition]] per partition VALUE among the selected
+    * files (several manifest parts of one value merge; pushdown-pruned
+    * files are simply absent), key order deterministic. None when any
+    * file's token fails to key (fall back to unreported). */
+  private lazy val keyedPartitions: Option[Seq[KeyedFilePartition]] =
+    spj.flatMap { info =>
+      val files = super.partitions.flatMap(_.files)
+      // decoded hadoop-Path form: the __part= segment is exactly the
+      // escapePathName spelling on disk, which tokenOf un-escapes
+      val grouped = files.groupBy(f =>
+        GraftSpj.tokenOf(f.filePath.toPath.toString))
+      if (grouped.contains(None)) None
+      else {
+        val keyed = grouped.toSeq
+          .map { case (tok, fs) => (tok.get, fs) }
+          .sortBy(_._1)
+          .map { case (tok, fs) =>
+            GraftSpj.keyRow(info, tok).map(k => (k, fs)) }
+        if (keyed.exists(_.isEmpty)) None
+        else Some(keyed.flatten.zipWithIndex.map { case ((k, fs), i) =>
+          new KeyedFilePartition(i, fs.toArray, k)
+        })
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedPartitions match {
+      case Some(ps) if ps.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(GraftSpj.keys(spj.get), ps.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    keyedPartitions match {
+      case Some(ps) if ps.nonEmpty => ps.toArray
+      case _ => super.planInputPartitions()
+    }
   /** The plan-facing schema reports LOGICAL names (the relation's
     * attributes are matched against it by name); the inherited
     * readDataSchema keeps the PHYSICAL spelling the file readers
@@ -570,11 +776,11 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
   override def equals(obj: Any): Boolean = obj match {
     case o: ManifestStatsScan =>
       super.equals(o) && rows == o.rows && root == o.root &&
-        logicalOf == o.logicalOf
+        logicalOf == o.logicalOf && spj == o.spj
     case _ => false
   }
   override def hashCode(): Int =
-    31 * super.hashCode() + (rows, root, logicalOf).hashCode()
+    31 * super.hashCode() + (rows, root, logicalOf, spj).hashCode()
 }
 
 /** The CHANGE-FEED view of a snapshot table — schema = data schema +
@@ -741,7 +947,8 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
   * (create/alter/drop) stays rejected — table lifecycle belongs to the
   * Scala API that owns the directory layout. */
 class GraftSnapshotCatalog extends TableCatalog
-    with SupportsNamespaces with ProcedureCatalog {
+    with SupportsNamespaces with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -1044,11 +1251,34 @@ class GraftSnapshotCatalog extends TableCatalog
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = readOnly
 
+  // ---- functions (the SPJ bucket transform) -------------------------------
+
+  /** [[org.apache.spark.sql.connector.catalog.FunctionCatalog]] face:
+    * Spark's V2-bucketing/SPJ machinery resolves a reported
+    * `bucket(n, col)` clustering key by loading THIS function from the
+    * relation's catalog and binding it — the bound function's
+    * canonical name is the cross-table compatibility witness (two
+    * graft tables bucketed with the same (n, key type) are
+    * co-partitioned), and `produceResult` replays the exact
+    * pmod(hash(col), n) the partition spec writes. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case other => throw new UnsupportedOperationException(
+        s"unknown function '$other' — this catalog provides 'bucket' " +
+          "(the partition-spec bucket transform, for storage-" +
+          "partitioned joins)")
+    }
+
   // ---- procedures (CALL snap.system.merge_into(…)) -----------------------
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("merge_into", "history", "expire", "compact", "rollback",
-      "tag", "untag", "tags")
+      "tag", "untag", "tags", "evolve_spec")
       .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -1061,13 +1291,50 @@ class GraftSnapshotCatalog extends TableCatalog
       case "tag" => new TagProcedure(warehouse)
       case "untag" => new UntagProcedure(warehouse)
       case "tags" => new TagsProcedure(warehouse)
+      case "evolve_spec" => new EvolveSpecProcedure(warehouse)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — this catalog provides " +
           "system.merge_into(table, source, key, delete_flag), " +
           "system.history(table), system.expire(table, keep_last), " +
           "system.compact(table), system.rollback(table, to_seq), " +
-          "system.tag(table, name, seq), system.untag(table, name) " +
-          "and system.tags(table)")
+          "system.tag(table, name, seq), system.untag(table, name), " +
+          "system.tags(table) and system.evolve_spec(table, new_spec)")
+    }
+}
+
+/** `CALL <catalog>.system.evolve_spec(table, new_spec)` — Iceberg-style
+  * partition-spec evolution from SQL: a metadata-only commit through
+  * the locked [[SnapshotStore.evolvePartitionSpec]] — existing entries
+  * keep (and record) their outgoing spec, new commits land under the
+  * new one, row-level DML migrates touched partitions. Returns the
+  * committed snapshot id. */
+class EvolveSpecProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "evolve_spec"
+  override def description(): String =
+    "Evolve a graft snapshot table's partition spec for future commits"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "evolve_spec"
+      override def description(): String =
+        EvolveSpecProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("new_spec", StringType)
+          .comment("new partition spec, e.g. 'month,bucket(4,id)'")
+          .build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val newSpec = input.getUTF8String(1).toString
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapProcedures.singleLongResult("snapshot_id",
+          SnapshotStore.evolvePartitionSpec(root, newSpec))
+      }
     }
 }
 
