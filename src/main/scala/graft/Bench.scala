@@ -154,7 +154,12 @@ object Bench {
     // round-11: row-level copy-on-write DML — native UPDATE and
     // row-granular DELETE commit in warmup; measured reads price the
     // carried + restated manifest exactly like the other DML lanes
-    "snapshot_sql_update", "snapshot_sql_delete_rows")
+    "snapshot_sql_update", "snapshot_sql_delete_rows",
+    // round-13: the storage-partitioned join — the co-bucketed
+    // fact-to-fact sort-merge join runs with ZERO join exchanges
+    // (KeyGroupedPartitioning scans); the measured body is the join
+    // itself, the one lane whose cost model CHANGES with SPJ
+    "snapshot_spj")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -173,7 +173,18 @@ object ScaleSmoke {
     // round-12: the column-ID rename at K× — the renames are ~KB
     // metadata commits regardless of K; the measured read prices the
     // mapped (physical-schema) scan + logical projection over K× data
-    "snapshot_sql_rename")
+    "snapshot_sql_rename",
+    // round-13: by-source MERGE (full-sync discovery scans every
+    // stats-surviving partition — the honest full-table pass — and
+    // the measured read prices the restated result at K×);
+    // spec evolution (mixed-vintage DML in warmup, the measured read
+    // unions old- and new-layout entries over K× data); the
+    // storage-partitioned join (the co-bucketed fact-to-fact join
+    // itself is the measured body — K× rows through ZERO join
+    // exchanges, the lane's reason to exist); DROP+re-ADD (metadata
+    // commits, the measured read prices the mapped scan at K×)
+    "snapshot_sql_merge_bysource", "snapshot_spec_evolve",
+    "snapshot_spj", "snapshot_sql_drop")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
@@ -181,7 +192,9 @@ object ScaleSmoke {
       "snapshot_sql_merge_stmt", "snapshot_sql_overwrite",
       "snapshot_sql_update", "snapshot_sql_delete_rows",
       "snapshot_cdf_rowlevel", "snapshot_sql_merge_cond",
-      "snapshot_multipart", "snapshot_bucket", "snapshot_sql_rename")
+      "snapshot_multipart", "snapshot_bucket", "snapshot_sql_rename",
+      "snapshot_sql_merge_bysource", "snapshot_spec_evolve",
+      "snapshot_spj", "snapshot_sql_drop")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
