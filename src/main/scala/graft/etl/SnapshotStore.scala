@@ -1251,6 +1251,92 @@ object SnapshotStore {
       id
     }
 
+  /** Read-compatible type widenings: the promotions Spark 4's parquet
+    * readers apply at scan time when the declared schema is wider than
+    * the file column, so a widened table needs NO rewrite — old files
+    * up-cast as they are read. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c TYPE <wider>` — type WIDENING as a
+    * METADATA-ONLY commit (the Delta/Iceberg-V3 type-widening shape):
+    * the manifest schema's field moves up the promotion lattice
+    * (byte→short→int→long, float→double), old files stay as written
+    * and up-cast at scan time (Spark 4 parquet readers promote
+    * int32→int64 and float→double natively), new writes land wide,
+    * and time travel before the widen keeps the narrow shape.
+    * Anything else (narrowing, cross-family) refuses — reads would
+    * corrupt or reject files. Partition-spec SOURCE columns refuse
+    * too: a bucket component hashes the stored representation
+    * (hash(int) ≠ hash(long)) and a float identity/sort token respells
+    * under double rendering — the existing tokens would silently stop
+    * matching; rewrite with a new layout instead. Float→double drops
+    * the column's per-entry stats: the old float-rendered stat strings
+    * parse to DIFFERENT doubles than the widened values, and a max
+    * stat parsing low would let pruning skip real rows — absent stats
+    * are merely conservative. Integral stat strings are exact and
+    * carry. Cost: one ~KB manifest write at any table size. */
+  def widenColumnTypes(root: String,
+      changes: Seq[(String, org.apache.spark.sql.types.DataType)]): Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to alter"))
+      val schema = prior.schema.getOrElse(
+        throw new IllegalStateException(
+          s"table at $root predates schema-carrying manifests — " +
+            "recommit with a full write before widening columns"))
+      require(changes.nonEmpty, "ALTER COLUMN TYPE: nothing to widen")
+      val resolved = changes.map { case (n, to) =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER COLUMN $n TYPE: no such column — schema has " +
+              schema.fieldNames.mkString(", ")))
+        require(widens(f.dataType, to),
+          s"ALTER COLUMN ${f.name} TYPE ${to.simpleString}: only " +
+            s"read-compatible widenings are supported " +
+            s"(byte→short→int→long, float→double); the column is " +
+            s"${f.dataType.simpleString} — a rewrite is the only safe " +
+            "route for anything else")
+        (f, to)
+      }
+      require(resolved.map(_._1.name).distinct.size == resolved.size,
+        "ALTER COLUMN TYPE: a column is widened twice in one statement")
+      tableLayout(prior).foreach { case (p, s) =>
+        val specCols = parseSpec(p).sourceCols.toSet
+        resolved.foreach { case (f, _) =>
+          require(!specCols.contains(f.name) && f.name != s,
+            s"ALTER COLUMN ${f.name} TYPE: it is a partition-spec " +
+              s"source or sort column of layout ($p, $s) — tokens " +
+              "hash/render the stored representation, so widening " +
+              "would silently unmatch them; rewrite with a new layout")
+        }
+      }
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      val dropStats = resolved.collect {
+        case (f, DoubleType) if f.dataType == FloatType => f.name
+      }.toSet
+      val widenMap = resolved.map { case (f, to) => f.name -> to }.toMap
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => widenMap.get(f.name)
+          .map(to => f.copy(dataType = to)).getOrElse(f)))
+      val entries = prior.entries.map { e =>
+        e.copy(stats = e.stats.map(s => s.copy(cols = s.cols -- dropStats)))
+      }
+      val id = allocateId(root)
+      commitManifest(root, Manifest(id, entries, Some(newSchema),
+        prior.props), seqOf(prior))
+      id
+    }
+
   /** `ALTER TABLE … RENAME COLUMN old TO new` — a METADATA-ONLY commit
     * in the column-ID model: the manifest schema's logical name moves,
     * the field keeps its stable id and its PHYSICAL name (what every

@@ -998,6 +998,47 @@ object EtlQueries {
     root
   }
 
+  /** One type-WIDENED history per (JVM, sfDir): full load with
+    * o_custkey narrowed to INT (it fits at every sf), then
+    * `ALTER COLUMN o_custkey TYPE BIGINT`
+    * ([[SnapshotStore.widenColumnTypes]] — metadata-only, old int32
+    * files up-cast at scan time), then an INSERT of clone rows whose
+    * custkeys NEED the wide type (+5e9, above Int.MaxValue). The lane
+    * aggregates sum(o_custkey) per month over both file vintages — a
+    * failed promotion either crashes the scan or mangles the sum. */
+  private val snapWidenPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSqlWiden(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapwiden",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapWidenPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(
+          ordersWithMonth(s, d)
+            .withColumn("o_custkey", col("o_custkey").cast("int")),
+          root, partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"ALTER TABLE $table ALTER COLUMN o_custkey TYPE BIGINT")
+        s.sql(s"INSERT INTO $table SELECT o_orderkey + 6000000000, " +
+          "o_custkey + 5000000000, o_orderstatus, o_totalprice, " +
+          s"o_orderdate, o_orderpriority, order_month FROM $table " +
+          "WHERE o_orderkey % 40 = 11 AND o_orderkey < 6000000000")
+        snapWidenPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Type widening end to end: int32 and int64 file vintages in one
+    * scan, summed into a value only the wide type can hold. */
+  def snapshotSqlWiden: Q = (s, d) => {
+    val table = registerSnapCatalog(s, prepareSnapshotSqlWiden(s, d))
+    s.sql(s"""SELECT order_month, count(*) AS cnt,
+             | CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+             |FROM $table GROUP BY order_month""".stripMargin)
+  }
+
   /** Partition-spec evolution end to end: both vintages in one scan,
     * DML across them — hash-matched against a DuckDB replay. */
   def snapshotSpecEvolve: Q = (s, d) =>
@@ -1461,6 +1502,7 @@ object EtlQueries {
     "snapshot_bucket" -> snapshotBucket,
     "snapshot_sql_rename" -> snapshotSqlRename,
     "snapshot_sql_drop" -> snapshotSqlDrop,
+    "snapshot_sql_widen" -> snapshotSqlWiden,
     "snapshot_spec_evolve" -> snapshotSpecEvolve,
     "snapshot_spj" -> snapshotSpj,
     "snapshot_rollback" -> snapshotRollback,
@@ -1752,6 +1794,19 @@ object EtlQueries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM allr GROUP BY 1, 2""".stripMargin,
+    // replay the type-widening history over raw orders: clones of ≡11
+    // (mod 40) keys carry custkey + 5e9 (a value the pre-widen INT
+    // could not hold); original rows sum their plain custkeys
+    "snapshot_sql_widen" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | ins AS (SELECT o_custkey + 5000000000 AS ck, order_month
+        |  FROM o WHERE o_orderkey % 40 = 11),
+        | allr AS (SELECT o_custkey AS ck, order_month FROM o
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT order_month, count(*) AS cnt,
+        | CAST(sum(ck) AS BIGINT) AS sum_cust
+        |FROM allr GROUP BY 1""".stripMargin,
     // replay the storage-partitioned join over raw orders: a
     // priority-derived adjustment joined back by key, month aggregate
     "snapshot_spj" ->

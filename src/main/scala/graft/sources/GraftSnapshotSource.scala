@@ -1145,6 +1145,8 @@ class GraftSnapshotCatalog extends TableCatalog
     val adds = scala.collection.mutable.ArrayBuffer[StructField]()
     val renames = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val drops = scala.collection.mutable.ArrayBuffer[String]()
+    val widens = scala.collection.mutable
+      .ArrayBuffer[(String, org.apache.spark.sql.types.DataType)]()
     changes.foreach {
       case a: TableChange.AddColumn =>
         if (a.fieldNames().length != 1)
@@ -1173,17 +1175,27 @@ class GraftSnapshotCatalog extends TableCatalog
             "graft snapshot ALTER TABLE drops TOP-LEVEL columns " +
               s"only, got nested: ${d.fieldNames().mkString(".")}")
         drops += d.fieldNames()(0)
+      case u: TableChange.UpdateColumnType =>
+        if (u.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "graft snapshot ALTER TABLE widens TOP-LEVEL columns " +
+              s"only, got nested: ${u.fieldNames().mkString(".")}")
+        widens += ((u.fieldNames()(0), u.newDataType()))
       case other => throw new UnsupportedOperationException(
-        s"graft snapshot ALTER TABLE supports ADD COLUMN, RENAME " +
-          s"COLUMN and DROP COLUMN only, got: $other — retype/reorder " +
-          "would rewrite history that readers depend on")
+        s"graft snapshot ALTER TABLE supports ADD / RENAME / DROP " +
+          s"COLUMN and ALTER COLUMN TYPE (widening), got: $other — " +
+          "reorder/comment would rewrite history that readers depend on")
     }
-    if (Seq(adds, renames, drops).count(_.nonEmpty) > 1)
+    if (Seq[scala.collection.mutable.ArrayBuffer[_]](
+        adds, renames, drops, widens).count(_.nonEmpty) > 1)
       throw new UnsupportedOperationException(
         "graft snapshot ALTER TABLE cannot mix ADD/RENAME/DROP COLUMN " +
-          "in one statement — run them as separate commits")
+          "or TYPE widening in one statement — run them as separate " +
+          "commits")
     if (renames.nonEmpty) SnapshotStore.renameColumns(root, renames.toSeq)
     else if (drops.nonEmpty) SnapshotStore.dropColumns(root, drops.toSeq)
+    else if (widens.nonEmpty)
+      SnapshotStore.widenColumnTypes(root, widens.toSeq)
     else SnapshotStore.addColumns(root, adds.toSeq)
     loadTable(ident)
   }
