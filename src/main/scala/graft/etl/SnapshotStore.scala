@@ -705,10 +705,12 @@ object SnapshotStore {
   }
 
   /** One retained commit, as table history reports it: chain seq,
-    * manifest id, partition-entry count, and the total row count when
-    * every entry carries write-time stats. */
+    * manifest id, partition-entry count, the total row count when
+    * every entry carries write-time stats, and the commit wall time
+    * (None on pre-stamping manifests) — the instants `TIMESTAMP AS OF`
+    * can address. */
   final case class HistoryEntry(seq: Long, id: Long, entries: Int,
-      rows: Option[Long])
+      rows: Option[Long], ts: Option[Long] = None)
 
   /** Sequences of the retained (non-tombstoned) COMMIT CHAIN slots,
     * ascending — read from the slot names alone, no file contents.
@@ -761,7 +763,8 @@ object SnapshotStore {
         if (m.entries.isEmpty) Some(0L)
         else if (stats.size == m.entries.size)
           Some(stats.map(_.rows).sum)
-        else None)
+        else None,
+        m.ts)
     }
     val viaChain = retainedSeqs(root).flatMap { seq =>
       scala.util.Try(manifestAtSeq(root, seq)).toOption

@@ -792,7 +792,11 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
   *     `option("startingSeq", a)` (default 0) exclusive to
   *     `option("endingSeq", b)` (default: the current head), the
   *     DSV2 face of [[SnapshotStore.changeFeed]] with identical
-  *     per-commit-replay semantics.
+  *     per-commit-replay semantics. `startingTimestamp` /
+  *     `endingTimestamp` (epoch millis, or `yyyy-MM-dd HH:mm:ss[.SSS]`
+  *     UTC) address the same bounds by COMMIT WALL TIME: the state
+  *     `TIMESTAMP AS OF t` plus the feed from `startingTimestamp = t`
+  *     replay every later state exactly.
   * Loaded by the provider when `option("readChangeFeed", "true")` is
   * set. */
 class GraftSnapshotCdfTable(spark: SparkSession, root: String,
@@ -832,10 +836,36 @@ class GraftSnapshotCdfTable(spark: SparkSession, root: String,
         tblOptions)
     override def toBatch: org.apache.spark.sql.connector.read.Batch = {
       // reuse the stream's per-commit planner for one fixed range: the
-      // batch face and the tail must never diverge semantically
+      // batch face and the tail must never diverge semantically.
+      // Timestamp addressing composes with TIMESTAMP AS OF: the state
+      // AS OF t plus the changes with startingTimestamp=t reconstruct
+      // every later state — so startingTimestamp resolves to the seq
+      // of the latest commit stamped ≤ t (range bounds are EXCLUSIVE
+      // below), i.e. "changes committed strictly after t".
+      def seqAt(opt: String): Option[Long] =
+        Option(tblOptions.get(opt)).map { v =>
+          val millis = v.toLongOption.getOrElse(
+            java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+          try SnapshotStore.seqOf(SnapshotStore.manifestAtTime(root, millis))
+          catch {
+            // an instant before the first stamped commit bounds at 0
+            // (everything); inside-range resolution errors stay loud
+            case e: IllegalStateException
+                if e.getMessage.contains("no retained commit at or " +
+                  "before") => 0L
+          }
+        }
+      require(!(tblOptions.containsKey("startingSeq") &&
+          tblOptions.containsKey("startingTimestamp")),
+        "readChangeFeed: give startingSeq OR startingTimestamp, not both")
+      require(!(tblOptions.containsKey("endingSeq") &&
+          tblOptions.containsKey("endingTimestamp")),
+        "readChangeFeed: give endingSeq OR endingTimestamp, not both")
       val from = Option(tblOptions.get("startingSeq"))
-        .map(_.toLong).getOrElse(0L)
+        .map(_.toLong).orElse(seqAt("startingTimestamp")).getOrElse(0L)
       val to = Option(tblOptions.get("endingSeq")).map(_.toLong)
+        .orElse(seqAt("endingTimestamp"))
         .getOrElse(SnapshotStore.currentSeq(root))
       require(from <= to, s"batch readChangeFeed range is inverted: " +
         s"startingSeq=$from > endingSeq=$to")
@@ -1612,13 +1642,18 @@ class HistoryProcedure(warehouse: String) extends UnboundProcedure {
           StructField("snapshot_id", LongType, false),
           StructField("entries", org.apache.spark.sql.types.IntegerType,
             false),
-          StructField("total_rows", LongType, true)))
+          StructField("total_rows", LongType, true),
+          // the commit wall time (micros) — the instants TIMESTAMP AS
+          // OF can address; null on pre-stamping manifests
+          StructField("commit_ts",
+            org.apache.spark.sql.types.TimestampType, true)))
         // NOT named `rows`: inside the anonymous LocalScan that name
         // resolves to the override itself — a self-tail-call scalac
         // compiles into an infinite loop
         val historyRows = SnapshotStore.history(root).map { h =>
           InternalRow(h.seq, h.id, h.entries,
-            h.rows.map(Long.box).orNull)
+            h.rows.map(Long.box).orNull,
+            h.ts.map(t => Long.box(t * 1000L)).orNull)
         }.toArray
         util.Collections.singletonList[Scan](new LocalScan {
           override def readSchema(): StructType = resultSchema

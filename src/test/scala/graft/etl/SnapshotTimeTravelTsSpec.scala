@@ -83,4 +83,43 @@ class SnapshotTimeTravelTsSpec extends SparkSpec {
         Array.empty[String], "t"), t1 * 1000L)
     assert(!tbl.asInstanceOf[graft.sources.GraftSnapshotTable].writable)
   }
+
+  test("history exposes commit wall times; the CDF composes with " +
+      "TIMESTAMP AS OF via startingTimestamp (changes strictly after)") {
+    val wh = mkRoot("cdfwh")
+    val root = s"$wh/t"
+    val Seq((_, t1), (_, t2), (_, t3)) = threeCommits(root)
+    // history: seq-aligned, monotone, non-null stamps
+    val hist = SnapshotStore.history(root)
+    assert(hist.map(_.ts) === Seq(Some(t1), Some(t2), Some(t3)))
+    spark.conf.set("spark.sql.catalog.cdfts",
+      classOf[graft.sources.GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdfts.warehouse", wh)
+    val sqlTs = spark.sql("CALL cdfts.system.history('t')")
+      .select("commit_ts").collect().map(_.getTimestamp(0).getTime)
+    assert(sqlTs.toSeq === Seq(t1, t2, t3),
+      "CALL history must report the same stamps in micros→ms")
+    // state AS OF t1 (+) changes after t1 == the head: the feed from
+    // startingTimestamp=t1 must emit EXACTLY commits 2 and 3 (ids 2,3)
+    val changed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", t1.toString)
+      .load(root)
+      .select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changed === Set((2L, "insert"), (3L, "insert")))
+    // an instant before the table bounds at seq 0: everything
+    val all = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", (t1 - 60000).toString)
+      .load(root).count()
+    assert(all === 3L)
+    // both spellings of a bound refuse together
+    val e = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingSeq", "1")
+      .option("startingTimestamp", t1.toString)
+      .load(root).count())
+    assert(e.getMessage.contains("not both"))
+  }
 }
