@@ -630,6 +630,26 @@ private object GraftSpj {
         .ExternalCatalogUtils.unescapePathName(s.stripPrefix("__part=")))
 }
 
+/** Timestamp → chain-seq bound resolution, shared by the batch CDF
+  * face and the streaming tail: the seq of the latest retained commit
+  * stamped at-or-before the instant (so a feed FROM that bound emits
+  * commits strictly after it — composing exactly with
+  * `TIMESTAMP AS OF`). An instant before the first stamped commit
+  * bounds at 0 (everything); in-range resolution failures stay loud. */
+private[sources] object GraftSeqBounds {
+  def seqAtOrBefore(root: String, value: String): Long = {
+    val millis = value.toLongOption.getOrElse(
+      java.time.LocalDateTime.parse(value.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    try SnapshotStore.seqOf(SnapshotStore.manifestAtTime(root, millis))
+    catch {
+      case e: IllegalStateException
+          if e.getMessage.contains("no retained commit at or before") =>
+        0L
+    }
+  }
+}
+
 /** The V2 `bucket(n, col)` function: binds to any (int, key) input and
   * replays [[graft.etl.PartitionSpec.Bucket]]'s exact
   * `pmod(hash(col), n)` (Spark Murmur3, seed 42) — the SAME number the
@@ -843,19 +863,8 @@ class GraftSnapshotCdfTable(spark: SparkSession, root: String,
       // of the latest commit stamped ≤ t (range bounds are EXCLUSIVE
       // below), i.e. "changes committed strictly after t".
       def seqAt(opt: String): Option[Long] =
-        Option(tblOptions.get(opt)).map { v =>
-          val millis = v.toLongOption.getOrElse(
-            java.time.LocalDateTime.parse(v.replace(' ', 'T'))
-              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
-          try SnapshotStore.seqOf(SnapshotStore.manifestAtTime(root, millis))
-          catch {
-            // an instant before the first stamped commit bounds at 0
-            // (everything); inside-range resolution errors stay loud
-            case e: IllegalStateException
-                if e.getMessage.contains("no retained commit at or " +
-                  "before") => 0L
-          }
-        }
+        Option(tblOptions.get(opt))
+          .map(GraftSeqBounds.seqAtOrBefore(root, _))
       require(!(tblOptions.containsKey("startingSeq") &&
           tblOptions.containsKey("startingTimestamp")),
         "readChangeFeed: give startingSeq OR startingTimestamp, not both")

@@ -44,10 +44,14 @@ case class GraftSeqOffset(seq: Long) extends Offset {
   *
   * `option("startingSeq", n)` starts the tail AFTER commit n (default
   * 0 = emit the whole current table as the first batch);
-  * `option("maxCommitsPerTrigger", k)` bounds admission per batch to
-  * k commits (default: all available) — a consumer catching up over a
-  * long commit history processes it as bounded increments instead of
-  * one giant coalesced batch. */
+  * `option("startingTimestamp", t)` (epoch millis or
+  * `yyyy-MM-dd HH:mm:ss[.SSS]` UTC) addresses the same bound by commit
+  * WALL TIME — the tail emits commits stamped strictly after t, so a
+  * consumer that snapshotted `TIMESTAMP AS OF t` resumes exactly
+  * where it left off; `option("maxCommitsPerTrigger", k)` bounds
+  * admission per batch to k commits (default: all available) — a
+  * consumer catching up over a long commit history processes it as
+  * bounded increments instead of one giant coalesced batch. */
 class GraftSnapshotMicroBatchStream(
     spark: SparkSession,
     root: String,
@@ -56,8 +60,15 @@ class GraftSnapshotMicroBatchStream(
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
-  private val startingSeq: Long =
-    Option(options.get("startingSeq")).map(_.toLong).getOrElse(0L)
+  private val startingSeq: Long = {
+    require(!(options.containsKey("startingSeq") &&
+        options.containsKey("startingTimestamp")),
+      "give startingSeq OR startingTimestamp, not both")
+    Option(options.get("startingSeq")).map(_.toLong)
+      .orElse(Option(options.get("startingTimestamp"))
+        .map(GraftSeqBounds.seqAtOrBefore(root, _)))
+      .getOrElse(0L)
+  }
 
   // fail at STREAM START, not first batch, when the table cannot be
   // tailed: a table committed in the no-hard-link degraded mode (or a

@@ -122,4 +122,24 @@ class SnapshotTimeTravelTsSpec extends SparkSpec {
       .load(root).count())
     assert(e.getMessage.contains("not both"))
   }
+
+  test("the streaming tail honors startingTimestamp: an AvailableNow " +
+      "drain from t1 emits exactly the post-t1 commits") {
+    val root = mkRoot("streamts") + "/t"
+    val Seq((_, t1), _, _) = threeCommits(root)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tstravel_ckpt").toString
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingTimestamp", t1.toString)
+      .load(root)
+      .writeStream.format("memory").queryName("ts_tail")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val ids = spark.table("ts_tail").select(col("id"))
+      .as[Long].collect().toSet
+    assert(ids === Set(2L, 3L),
+      "the tail from t1 must skip commit 1's rows and emit 2 and 3")
+  }
 }
