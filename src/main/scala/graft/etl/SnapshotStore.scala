@@ -674,34 +674,89 @@ object SnapshotStore {
     * skew between writers can reorder ts against the commit chain; the
     * chain order wins (resolution scans in seq order and takes the
     * last ts-qualified slot). */
-  def manifestAtTime(root: String, tsMillis: Long): Manifest = {
-    val seqs = retainedSeqs(root)
-    if (seqs.isEmpty)
-      throw new IllegalStateException(
-        s"no retained commit chain at $root to time-travel in")
-    var best: Option[Manifest] = None
-    var sawUnstamped = false
-    seqs.foreach { s =>
-      scala.util.Try(manifestAtSeq(root, s)).toOption.foreach { m =>
-        m.ts match {
-          case Some(t) if t <= tsMillis => best = Some(m)
-          case None => sawUnstamped = true
-          case _ =>
-        }
-      }
-    }
-    best.getOrElse {
-      if (sawUnstamped)
+  def manifestAtTime(root: String, tsMillis: Long): Manifest =
+    bestSeqAtTime(root, tsMillis) match {
+      case BestSeq(Some(s), _, _) => manifestAtSeq(root, s)
+      case BestSeq(None, true, _) =>
         throw new IllegalStateException(
           s"TIMESTAMP AS OF $tsMillis at $root: the commits at or " +
             "before that time predate commit-timestamp stamping — " +
             "address them with VERSION AS OF <id|tag> instead")
-      else
+      case _ =>
         throw new IllegalStateException(
           s"TIMESTAMP AS OF $tsMillis at $root: no retained commit at " +
             "or before that time (before the table existed, or expired " +
             "past the retention horizon)")
     }
+
+  /** Feed/stream BOUND resolution by wall time: the chain seq of the
+    * latest retained commit stamped ≤ `tsMillis` — so a change feed
+    * FROM this bound emits commits strictly after the instant,
+    * composing exactly with [[manifestAtTime]]'s state. Resolves 0
+    * ("everything") ONLY when the instant PROVABLY predates the table
+    * — the chain is retained from seq 1 and its first stamp is later.
+    * An instant that falls inside the EXPIRED range fails loudly:
+    * resolving it to 0 would silently re-deliver the whole table to a
+    * consumer that already saw most of it. */
+  def seqAtTimeOrBefore(root: String, tsMillis: Long): Long =
+    bestSeqAtTime(root, tsMillis) match {
+      case BestSeq(Some(s), _, _) => s
+      case BestSeq(None, sawUnstamped, seqs)
+          if seqs.headOption.contains(1L) && !sawUnstamped =>
+        0L // full chain retained; the instant predates the first commit
+      case BestSeq(None, sawUnstamped, _) =>
+        throw new IllegalStateException(
+          s"timestamp bound $tsMillis at $root cannot resolve: " +
+            (if (sawUnstamped)
+               "commits at or before it predate timestamp stamping — " +
+                 "use a seq bound instead"
+             else
+               "the commits at or before it were expired past the " +
+                 "retention horizon — restart from the current state " +
+                 "or a retained seq bound"))
+    }
+
+  private final case class BestSeq(seq: Option[Long],
+      sawUnstamped: Boolean, retained: Seq[Long])
+
+  /** Shared ts-resolution core: walks the retained chain reading ONLY
+    * the ts= header line of each slot (O(header bytes) per commit,
+    * like [[seqOfHeader]] — never a full entry/schema parse), in seq
+    * order so writer clock skew resolves by CHAIN order. Read failures
+    * propagate: silently skipping a transiently unreadable slot would
+    * resolve to an OLDER commit and serve a wrong snapshot. */
+  private def bestSeqAtTime(root: String, tsMillis: Long): BestSeq = {
+    val seqs = retainedSeqs(root)
+    if (seqs.isEmpty)
+      throw new IllegalStateException(
+        s"no retained commit chain at $root to time-travel in")
+    var best: Option[Long] = None
+    var sawUnstamped = false
+    seqs.foreach { s =>
+      tsOfHeader(chainFile(root, s)) match {
+        case Some(t) if t <= tsMillis => best = Some(s)
+        case Some(_) => ()
+        case None => sawUnstamped = true
+      }
+    }
+    BestSeq(best, sawUnstamped, seqs)
+  }
+
+  /** The ts= header of a manifest file, header-walk only (the ts line
+    * precedes schema/props/entries). None = pre-stamping manifest.
+    * IO errors propagate — see [[bestSeqAtTime]]. */
+  private def tsOfHeader(p: Path): Option[Long] = {
+    val br = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+    try {
+      var line = br.readLine()
+      var out: Option[Long] = None
+      while (line != null && out.isEmpty &&
+          (line.startsWith("id=") || line.startsWith("ts="))) {
+        if (line.startsWith("ts=")) out = line.stripPrefix("ts=").toLongOption
+        line = br.readLine()
+      }
+      out
+    } finally br.close()
   }
 
   /** One retained commit, as table history reports it: chain seq,
@@ -1225,14 +1280,21 @@ object SnapshotStore {
         "DROP COLUMN: a column is dropped twice in one statement")
       require(dropSet.size < schema.fields.length,
         "DROP COLUMN: cannot drop every column of the table")
-      tableLayout(prior).foreach { case (p, s) =>
-        val specCols = parseSpec(p).sourceCols.toSet
+      // EVERY spec in play, not just the current one: a column that
+      // evolution moved out of the current layout still keys the
+      // stamped outgoing-vintage entries' tokens — dropping it would
+      // wedge spec-aware DML discovery on those entries
+      locally {
+        val specCols = specsInPlay(prior)
+          .flatMap(p => parseSpec(p).sourceCols).toSet
+        val sortColOpt = tableLayout(prior).map(_._2)
         resolved.foreach { f =>
           require(!specCols.contains(f.name),
             s"DROP COLUMN ${f.name}: it is a partition-spec source " +
-              s"column of layout '$p' — every entry dir is keyed by " +
-              "it; rewrite the table with a new layout instead")
-          require(f.name != s,
+              "column (of the current layout or an outgoing vintage " +
+              "still stamped on entries) — every entry dir is keyed " +
+              "by it; rewrite the table with a new layout instead")
+          require(!sortColOpt.contains(f.name),
             s"DROP COLUMN ${f.name}: it is the table's sort column — " +
               "rewrite the table with a new layout instead")
         }
@@ -1313,14 +1375,21 @@ object SnapshotStore {
       }
       require(resolved.map(_._1.name).distinct.size == resolved.size,
         "ALTER COLUMN TYPE: a column is widened twice in one statement")
-      tableLayout(prior).foreach { case (p, s) =>
-        val specCols = parseSpec(p).sourceCols.toSet
+      // EVERY spec in play (current + stamped outgoing vintages): a
+      // widened column re-hashes/re-renders under the new type, so any
+      // spec still keying entries by it would silently stop matching
+      locally {
+        val specCols = specsInPlay(prior)
+          .flatMap(p => parseSpec(p).sourceCols).toSet
+        val sortColOpt = tableLayout(prior).map(_._2)
         resolved.foreach { case (f, _) =>
-          require(!specCols.contains(f.name) && f.name != s,
+          require(!specCols.contains(f.name) &&
+              !sortColOpt.contains(f.name),
             s"ALTER COLUMN ${f.name} TYPE: it is a partition-spec " +
-              s"source or sort column of layout ($p, $s) — tokens " +
-              "hash/render the stored representation, so widening " +
-              "would silently unmatch them; rewrite with a new layout")
+              "source (current layout or an outgoing vintage still " +
+              "stamped on entries) or sort column — tokens hash/render " +
+              "the stored representation, so widening would silently " +
+              "unmatch them; rewrite with a new layout")
         }
       }
       import org.apache.spark.sql.types.{DoubleType, FloatType}
@@ -1409,25 +1478,31 @@ object SnapshotStore {
       // entry stats are keyed by LOGICAL name — re-key so pruning on
       // the new name keeps working (keys absent from the map pass
       // through; a stale key could only disable pruning, never break
-      // correctness, but re-keying here keeps the invariant exact)
+      // correctness, but re-keying here keeps the invariant exact).
+      // Stamped OUTGOING-vintage specs re-key too: their source
+      // columns are logical names, and spec-aware DML would otherwise
+      // select the pre-rename spelling and crash on every mutation
+      def renameSpec(s: String): String =
+        PartitionSpec(parseSpec(s).fields.map {
+          case PartitionSpec.Identity(c) =>
+            PartitionSpec.Identity(renameMap.getOrElse(c, c))
+          case PartitionSpec.Bucket(n, c) =>
+            PartitionSpec.Bucket(n, renameMap.getOrElse(c, c))
+          case PartitionSpec.TimeUnit(u, c) =>
+            PartitionSpec.TimeUnit(u, renameMap.getOrElse(c, c))
+          case PartitionSpec.Truncate(w, c) =>
+            PartitionSpec.Truncate(w, renameMap.getOrElse(c, c))
+        }).canonical
       val entries = prior.entries.map { e =>
-        e.copy(stats = e.stats.map(s => s.copy(cols = s.cols.map {
-          case (k, v) => renameMap.getOrElse(k, k) -> v
-        })))
+        e.copy(
+          stats = e.stats.map(s => s.copy(cols = s.cols.map {
+            case (k, v) => renameMap.getOrElse(k, k) -> v
+          })),
+          spec = e.spec.map(renameSpec))
       }
       // layout props follow the logical names
       val props = prior.props.map {
-        case (PartColProp, v) =>
-          PartColProp -> PartitionSpec(parseSpec(v).fields.map {
-            case PartitionSpec.Identity(c) =>
-              PartitionSpec.Identity(renameMap.getOrElse(c, c))
-            case PartitionSpec.Bucket(n, c) =>
-              PartitionSpec.Bucket(n, renameMap.getOrElse(c, c))
-            case PartitionSpec.TimeUnit(u, c) =>
-              PartitionSpec.TimeUnit(u, renameMap.getOrElse(c, c))
-            case PartitionSpec.Truncate(w, c) =>
-              PartitionSpec.Truncate(w, renameMap.getOrElse(c, c))
-          }).canonical
+        case (PartColProp, v) => PartColProp -> renameSpec(v)
         case (SortColProp, v) => SortColProp -> renameMap.getOrElse(v, v)
         case kv => kv
       }
@@ -2201,9 +2276,14 @@ object SnapshotStore {
       s"evolvePartitionSpec: the table already has layout " +
         s"($oldCanon, $oldSort) — nothing to evolve")
     // stamp the outgoing spec on every entry that was current until
-    // now; entries already stamped (an earlier evolution) keep theirs
-    val entries = prior.entries.map(e =>
-      if (e.spec.isDefined) e else e.copy(spec = Some(oldCanon)))
+    // now; entries already stamped (an earlier evolution) keep theirs.
+    // A SORT-ONLY evolution (same partition spec) changes no token
+    // meaning — stamping would needlessly poison the table into
+    // mixed-spec mode (refusing MERGE/overwrite until a compaction)
+    val entries =
+      if (canon == oldCanon) prior.entries
+      else prior.entries.map(e =>
+        if (e.spec.isDefined) e else e.copy(spec = Some(oldCanon)))
     val id = allocateId(root)
     commitManifest(root, Manifest(id, entries, Some(schema),
       prior.props + (PartColProp -> canon) + (SortColProp -> sortCol)),
@@ -2217,6 +2297,14 @@ object SnapshotStore {
     * must take the spec-aware route (or refuse) on such tables. */
   private[graft] def hasMixedSpecs(m: Manifest): Boolean =
     m.entries.exists(_.spec.isDefined)
+
+  /** Every spec addressing entries of THIS manifest: the current
+    * layout plus any outgoing vintages stamped on entries. Schema
+    * DDL (drop/widen/rename) must honor all of them — a column that
+    * left the current spec via evolution still keys the stamped
+    * entries' tokens until DML/compaction migrates them. */
+  private def specsInPlay(m: Manifest): Seq[String] =
+    (tableLayout(m).map(_._1).toSeq ++ m.entries.flatMap(_.spec)).distinct
 
   /** Read exactly the entries `keep` selects — the ENTRY-granular
     * sibling of [[readWhere]] for mixed-spec tables, where a bare

@@ -546,11 +546,14 @@ object Dedup {
       .groupBy("id")
       .agg(max(col("scored")).getField("grp").cast("long").as("cluster"))
     val withCluster = base.join(assigned, Seq("id"))
-    // hot-cluster census: one count aggregate keyed by cluster —
-    // bounded by the number of centroid groups (the same cardinality
-    // the broadcast above already committed to), so the collect is
-    // bounded metadata, not data
-    val hotIds: Seq[Long] = withCluster.groupBy(col("cluster"))
+    // hot-cluster census over `assigned` DIRECTLY (one row per id —
+    // the base join adds nothing the count needs): one aggregate keyed
+    // by cluster, bounded by the centroid-group count, so the collect
+    // is bounded metadata. The census job materializes `assigned`'s
+    // groupBy shuffle; the later pair/labeling jobs reuse those
+    // shuffle files (same lineage → skipped stages), so the extra pass
+    // costs one post-shuffle aggregate, not a second corpus scan
+    val hotIds: Seq[Long] = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxClusterRows)
       .select(col("cluster")).collect().map(_.getLong(0)).toSeq
     val pairs =

@@ -634,19 +634,16 @@ private object GraftSpj {
   * face and the streaming tail: the seq of the latest retained commit
   * stamped at-or-before the instant (so a feed FROM that bound emits
   * commits strictly after it — composing exactly with
-  * `TIMESTAMP AS OF`). An instant before the first stamped commit
-  * bounds at 0 (everything); in-range resolution failures stay loud. */
+  * `TIMESTAMP AS OF`). An instant that provably predates the table
+  * bounds at 0 (everything); one inside the EXPIRED range fails
+  * loudly — [[SnapshotStore.seqAtTimeOrBefore]] tells them apart on
+  * the retained chain, never by exception-message matching. */
 private[sources] object GraftSeqBounds {
   def seqAtOrBefore(root: String, value: String): Long = {
     val millis = value.toLongOption.getOrElse(
       java.time.LocalDateTime.parse(value.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
-    try SnapshotStore.seqOf(SnapshotStore.manifestAtTime(root, millis))
-    catch {
-      case e: IllegalStateException
-          if e.getMessage.contains("no retained commit at or before") =>
-        0L
-    }
+    SnapshotStore.seqAtTimeOrBefore(root, millis)
   }
 }
 

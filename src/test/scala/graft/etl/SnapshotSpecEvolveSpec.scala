@@ -133,6 +133,57 @@ class SnapshotSpecEvolveSpec extends SparkSpec {
       .as[Double].head() === 1.0)
   }
 
+  test("schema DDL honors OUTGOING-vintage specs: dropping/widening a " +
+      "column an old vintage still keys refuses; RENAME re-keys the " +
+      "stamped specs so spec-aware DML keeps working") {
+    val root = mkRoot("ddl")
+    SnapshotStore.write(
+      Seq((1, "2024-01", 10.0), (2, "2024-02", 20.0))
+        .toDF("id", "m", "price"), root, "bucket(2,id)", "m")
+    SnapshotStore.evolvePartitionSpec(root, "m", Some("m"))
+    // 'id' left the CURRENT spec but still keys the stamped entries —
+    // dropping or widening it would break their token addressing
+    val e1 = intercept[Exception](
+      SnapshotStore.dropColumns(root, Seq("id")))
+    assert(e1.getMessage.contains("outgoing vintage"))
+    val e2 = intercept[Exception](SnapshotStore.widenColumnTypes(root,
+      Seq("id" -> org.apache.spark.sql.types.LongType)))
+    assert(e2.getMessage.contains("outgoing vintage"))
+    // a rename of a stamped spec's source column re-keys the stamp;
+    // spec-aware row-level DML then discovers under the NEW name
+    SnapshotStore.renameColumns(root, Seq("id" -> "key"))
+    assert(SnapshotStore.current(root).get.entries
+      .forall(_.spec.contains("bucket(2,key)")),
+      "the stamped outgoing spec must follow the rename")
+    graft.operators.RowLevelOps.updateCommit(spark, root,
+      cond = col("key") === 1,
+      sets = Seq("price" -> lit(11.0)), "m", "m")
+    val got = SnapshotStore.read(spark, root)
+      .select(col("key"), col("price")).as[(Int, Double)]
+      .collect().toMap
+    assert(got === Map(1 -> 11.0, 2 -> 20.0))
+  }
+
+  test("a SORT-ONLY evolution does not stamp entries into mixed-spec " +
+      "mode: MERGE keeps working") {
+    val wh = mkRoot("sortonly")
+    val root = s"$wh/t"
+    SnapshotStore.write(base(), root, "m", "id")
+    SnapshotStore.evolvePartitionSpec(root, "m", Some("price"))
+    val m1 = SnapshotStore.current(root).get
+    assert(SnapshotStore.tableLayout(m1) === Some(("m", "price")))
+    assert(m1.entries.forall(_.spec.isEmpty),
+      "same partition spec — no entry may be stamped as outgoing")
+    register("evosort", wh)
+    Seq((1L, "2024-01", 99.0, false)).toDF("id", "m", "price", "del")
+      .createOrReplaceTempView("evosort_changes")
+    spark.sql(
+      "CALL evosort.system.merge_into('t', 'evosort_changes', 'id', 'del')")
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("id") === 1L).select(col("price"))
+      .as[Double].head() === 99.0)
+  }
+
   test("SQL surface: CALL system.evolve_spec; refusals: same layout, " +
       "unknown column, bad transform") {
     val wh = mkRoot("callwh")

@@ -123,6 +123,29 @@ class SnapshotTimeTravelTsSpec extends SparkSpec {
     assert(e.getMessage.contains("not both"))
   }
 
+  test("an expired timestamp bound fails LOUDLY instead of silently " +
+      "replaying the whole table; a pre-table instant still bounds " +
+      "at everything") {
+    val root = mkRoot("expired")
+    val Seq((_, t1), (_, t2), _) = threeCommits(root)
+    // pre-table instant on a FULLY retained chain: 0 = everything
+    assert(SnapshotStore.seqAtTimeOrBefore(root, t1 - 60000) === 0L)
+    // expire the first two commits; t1 now falls in the EXPIRED range
+    SnapshotStore.expire(root, keepLast = 1)
+    val e = intercept[IllegalStateException](
+      SnapshotStore.seqAtTimeOrBefore(root, t1))
+    assert(e.getMessage.contains("expired past the retention horizon"))
+    // the retained bound still resolves
+    assert(SnapshotStore.seqAtTimeOrBefore(root,
+      System.currentTimeMillis() + 60000) === 3L)
+    // and the CDF face surfaces the same refusal
+    val e2 = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", t2.toString)
+      .load(root).count())
+    assert(e2.getMessage.contains("expired past the retention horizon"))
+  }
+
   test("the streaming tail honors startingTimestamp: an AvailableNow " +
       "drain from t1 emits exactly the post-t1 commits") {
     val root = mkRoot("streamts") + "/t"

@@ -112,6 +112,6 @@ class SnapshotTypeWidenSpec extends SparkSpec {
       root, "m,bucket(2,id)", "m")
     val e = intercept[Exception](
       SnapshotStore.widenColumnTypes(root, Seq("id" -> LongType)))
-    assert(e.getMessage.contains("partition-spec source or sort"))
+    assert(e.getMessage.contains("partition-spec source"))
   }
 }
