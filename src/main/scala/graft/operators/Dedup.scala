@@ -529,9 +529,19 @@ object Dedup {
     * Returns one row per input id: (id, cluster, dup_root, keep) —
     * `dup_root` the component's min id (itself if unpaired), `keep`
     * true exactly for the survivor of each component. */
+  /** `hotClusterApprox` (default true) is the tier switch: false
+    * restores the strict pre-r13 contract — an over-limit cluster
+    * REFUSES loudly instead of degrading to the star+LSH
+    * approximation, for callers whose recall requirements forbid a
+    * silent downgrade (the approximation preserves precision — every
+    * emitted pair is cosine-thresholded on the original vectors — but
+    * can MISS pairs an LSH bucket boundary splits). When the
+    * approximate tier does engage, a WARN names the hot clusters so
+    * the downgrade is never silent. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       protoCol: String, threshold: Double,
-      maxClusterRows: Long = 10000L, lshPlanes: Int = 8): DataFrame = {
+      maxClusterRows: Long = 10000L, lshPlanes: Int = 8,
+      hotClusterApprox: Boolean = true): DataFrame = {
     val cents = EmbeddingStats.centroids(emb, protoCol, vecCol)
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -563,6 +573,21 @@ object Dedup {
         embeddingNearDup(withCluster, "id", "vec", threshold,
           blockCols = Seq("cluster"), maxBlockRows = maxClusterRows)
       else {
+        require(hotClusterApprox,
+          s"semanticDedup: cluster(s) ${hotIds.sorted.mkString(", ")} " +
+            s"exceed maxClusterRows=$maxClusterRows and " +
+            "hotClusterApprox=false forbids the approximate star+LSH " +
+            "tier — raise maxClusterRows, refine the prototypes, or " +
+            "allow the approximation (it preserves precision but can " +
+            "miss pairs split across LSH buckets)")
+        // the downgrade is deliberate but must never be silent:
+        // exactness-dependent callers can see it engage and opt out
+        System.err.println(
+          s"[semanticDedup] WARN: cluster(s) ${hotIds.sorted.mkString(", ")} " +
+            s"exceed maxClusterRows=$maxClusterRows — taking the " +
+            "approximate star+LSH tier for them (precision preserved, " +
+            "recall may drop at LSH bucket boundaries); pass " +
+            "hotClusterApprox=false to refuse instead")
         val cold = withCluster.filter(!col("cluster").isin(hotIds: _*))
         val hot = withCluster.filter(col("cluster").isin(hotIds: _*))
         val coldPairs = embeddingNearDup(cold, "id", "vec", threshold,

@@ -639,10 +639,35 @@ private object GraftSpj {
   * loudly — [[SnapshotStore.seqAtTimeOrBefore]] tells them apart on
   * the retained chain, never by exception-message matching. */
 private[sources] object GraftSeqBounds {
-  def seqAtOrBefore(root: String, value: String): Long = {
-    val millis = value.toLongOption.getOrElse(
-      java.time.LocalDateTime.parse(value.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+  /** Accepted forms: epoch millis, `yyyy-MM-dd HH:mm:ss[.SSS]` (UTC)
+    * and a bare `yyyy-MM-dd` (midnight UTC — the form every human
+    * types first). NOTE the bound is EXCLUSIVE of commits stamped
+    * exactly AT the instant — `startingTimestamp = t` composes with
+    * `TIMESTAMP AS OF t` (whose state already contains the commit at
+    * t), which differs from Delta's inclusive startingTimestamp; the
+    * docs and this scaladoc both say so. Parse failures name the
+    * offending option and the accepted formats instead of leaking a
+    * raw DateTimeParseException. */
+  def seqAtOrBefore(root: String, value: String,
+      option: String = "timestamp bound"): Long = {
+    val millis = value.toLongOption.getOrElse {
+      try {
+        if (value.trim.matches("""\d{4}-\d{2}-\d{2}"""))
+          java.time.LocalDate.parse(value.trim).atStartOfDay()
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        else
+          java.time.LocalDateTime.parse(value.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"option '$option' value '$value' is not a recognized " +
+              "timestamp — accepted: epoch milliseconds, " +
+              "'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC), or 'yyyy-MM-dd' " +
+              "(midnight UTC); the bound is exclusive (commits " +
+              "stamped strictly after it are emitted)", e)
+      }
+    }
     SnapshotStore.seqAtTimeOrBefore(root, millis)
   }
 }
@@ -861,7 +886,7 @@ class GraftSnapshotCdfTable(spark: SparkSession, root: String,
       // below), i.e. "changes committed strictly after t".
       def seqAt(opt: String): Option[Long] =
         Option(tblOptions.get(opt))
-          .map(GraftSeqBounds.seqAtOrBefore(root, _))
+          .map(GraftSeqBounds.seqAtOrBefore(root, _, opt))
       require(!(tblOptions.containsKey("startingSeq") &&
           tblOptions.containsKey("startingTimestamp")),
         "readChangeFeed: give startingSeq OR startingTimestamp, not both")

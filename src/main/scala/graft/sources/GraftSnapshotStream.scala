@@ -66,7 +66,7 @@ class GraftSnapshotMicroBatchStream(
       "give startingSeq OR startingTimestamp, not both")
     Option(options.get("startingSeq")).map(_.toLong)
       .orElse(Option(options.get("startingTimestamp"))
-        .map(GraftSeqBounds.seqAtOrBefore(root, _)))
+        .map(GraftSeqBounds.seqAtOrBefore(root, _, "startingTimestamp")))
       .getOrElse(0L)
   }
 

@@ -123,6 +123,31 @@ class SnapshotTimeTravelTsSpec extends SparkSpec {
     assert(e.getMessage.contains("not both"))
   }
 
+  test("timestamp bounds accept a bare yyyy-MM-dd (midnight UTC) and " +
+      "name the option + accepted formats on a parse failure") {
+    val root = mkRoot("dateonly")
+    threeCommits(root)
+    // a date-only bound strictly after every stamp resolves to the
+    // head: the feed from it is empty (all commits are ≤ the bound)
+    val tomorrow = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .plusDays(2).toString
+    val none = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", tomorrow)
+      .load(root).count()
+    assert(none === 0L, "a post-head date bound must emit nothing")
+    // garbage bounds fail with the option name and the accepted forms,
+    // not a raw DateTimeParseException
+    val e = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", "03/15/2024")
+      .load(root).count())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("startingTimestamp") && msg.contains("yyyy-MM-dd"),
+      s"parse failure must name the option and formats, got: $msg")
+  }
+
   test("an expired timestamp bound fails LOUDLY instead of silently " +
       "replaying the whole table; a pre-table instant still bounds " +
       "at everything") {

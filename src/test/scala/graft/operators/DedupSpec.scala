@@ -212,6 +212,25 @@ class DedupSpec extends SparkSpec {
     assert(out(7L) === ((7L, true)) && out(8L) === ((7L, false)))
   }
 
+  test("semanticDedup hotClusterApprox=false restores the strict refusal") {
+    import spark.implicits._
+    // same hot-cluster fixture as the degrade test — with the opt-out
+    // the over-limit cluster must refuse loudly, never silently
+    // downgrade an exactness-dependent caller to the star+LSH tier
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 0, Array(1.0f, 0.0f)), (4L, 0, Array(0.995f, 0.09f)),
+      (5L, 0, Array(0.995f, 0.09f)), (6L, 0, Array(0.4f, 0.3f)),
+    ).toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "vec_id", "embedding", "label",
+        threshold = 0.9, maxClusterRows = 5L,
+        hotClusterApprox = false).count()
+    }
+    assert(e.getMessage.contains("hotClusterApprox"))
+    assert(e.getMessage.contains("maxClusterRows"))
+  }
+
   test("semanticDedup hot-path residue guard still fails loudly") {
     import spark.implicits._
     // 6 DISTINCT near-identical vectors (one hot cluster, no exact
