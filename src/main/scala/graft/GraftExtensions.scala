@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => catalystExpression(f(exprs.map(column)))))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // DELETION-VECTOR reads: batch relations over DV-bearing snapshot
+    // tables are replaced by the DV-applied plan. Injected FIRST so a
+    // MERGE statement's SOURCE side is rewritten before the MERGE
+    // rewrite below evaluates it
+    ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotDvReadRewrite)
     // native SQL MERGE INTO over snapshot tables: intercepted after
     // resolution (clauses and star-assignments already expanded) but
     // before the analyzer's DML-rewrite batch would reject the table

@@ -736,25 +736,44 @@ object PlanAudit {
     check("snapshot_sql_delete: DSV2 BatchScan + one agg exchange, no join",
       dl.contains("BatchScan") && occurrences(dl, "Exchange") <= 1 &&
         !dl.contains("Join") && occurrences(dl, "HashAggregate") >= 2, "")
-    // native UPDATE (row-level copy-on-write): only the date-bounded
-    // months restate onto snap-2, every other month carries its snap-1
-    // dir by reference — and a touched month moves WHOLESALE (restate
-    // replaces the partition; an append would leave it reading both)
-    val updFiles = catalogLaneAudit("snapshot_sql_update",
-      "UPDATE mixes carried + restated dirs",
-      "row-level UPDATE restates only the partitions holding matches")
-    check("snapshot_sql_update: a touched month moves wholesale",
+    // native UPDATE / row-level DELETE: these lanes' mutations touch
+    // ~10% of each hit month — UNDER graft.dv.maxDeleteFraction — so
+    // they take the MERGE-ON-READ path: the commit attaches deletion
+    // vectors (no partition restated), and the read anti-applies them
+    // through ONE BROADCAST LeftAnti join (a map-side filter over the
+    // scan — no shuffle of the data; the one shuffle left is the agg)
+    def dvLaneAudit(lane: String): Seq[String] = {
+      val df = SparkEntry.allQueries(lane)(spark, sfDir)
+      val files = df.inputFiles.toSeq
+      check(s"$lane: the deletion vector is read (merge-on-read)",
+        files.exists(_.contains("/_dv/")),
+        "small-fraction row-level DML must route to the DV path")
+      val p = planOf(df)
+      val shuffles = occurrences(p, "Exchange") -
+        occurrences(p, "BroadcastExchange")
+      check(s"$lane: one broadcast anti-join, agg-only shuffle",
+        p.contains("LeftAnti") && !p.contains("SortMergeJoin") &&
+          shuffles <= 1 && occurrences(p, "HashAggregate") >= 2,
+        "DV application is a broadcast anti-join, never a data shuffle")
+      files.filterNot(_.contains("/_dv/"))
+    }
+    val updFiles = dvLaneAudit("snapshot_sql_update")
+    check("snapshot_sql_update: sources keep their dirs; post-images " +
+        "land as additive parts",
       (partMonths(updFiles, "snap-1")
-        intersect partMonths(updFiles, "snap-2")).isEmpty,
-      "copy-on-write restatement REPLACES a touched month's dirs")
-    // row-level DELETE: same restatement shape as UPDATE
-    val delrFiles = catalogLaneAudit("snapshot_sql_delete_rows",
-      "row-level DELETE mixes carried + restated dirs",
-      "only the partitions holding deleted rows are rewritten")
-    check("snapshot_sql_delete_rows: a touched month moves wholesale",
-      (partMonths(delrFiles, "snap-1")
-        intersect partMonths(delrFiles, "snap-2")).isEmpty,
-      "survivors of a touched month rewrite; untouched months carry")
+        intersect partMonths(updFiles, "snap-2")).nonEmpty,
+      "a DV UPDATE = positions deleted in place + appended post rows")
+    // a DELETE has no additive parts: DV-routed months keep their
+    // snap-1 dirs; any month a tiny-SF fraction pushed over the
+    // threshold restates WHOLESALE (never reads both snapshots)
+    val delrFiles = dvLaneAudit("snapshot_sql_delete_rows")
+    check("snapshot_sql_delete_rows: DV months carried, COW months " +
+        "moved wholesale",
+      delrFiles.exists(_.contains("/snap-1/")) &&
+        (partMonths(delrFiles, "snap-1")
+          intersect partMonths(delrFiles, "snap-2")).isEmpty,
+      "a DV DELETE commits O(positions); an over-fraction month " +
+        "restates copy-on-write")
     // CTAS-created table: the read rides the same vectorized DSV2
     // machinery as every other entry point — lifecycle via SQL DDL
     // must not degrade the scan
@@ -810,6 +829,14 @@ object PlanAudit {
     check("snapshot_spj: no exchange under the co-bucketed join",
       spj.contains("SortMergeJoin") && occurrences(spj, "Exchange") == 1,
       "KeyGroupedPartitioning scans; only the agg shuffles")
+    // the TIME-transform SPJ: two months(date)-partitioned tables —
+    // the reference's own MergeTree month layout — join exchange-free
+    // through the graft V2 years/months/days/hours functions
+    val spjT = plan("snapshot_spj_time")
+    check("snapshot_spj_time: no exchange under the months(date) join",
+      spjT.contains("SortMergeJoin") &&
+        occurrences(spjT, "Exchange") == 1,
+      "time-transform KeyGroupedPartitioning; only the agg shuffles")
 
     println(s"\n$failures failures")
     spark.stop()

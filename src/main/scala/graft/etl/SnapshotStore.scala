@@ -2,7 +2,7 @@ package graft.etl
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Atomic multi-file snapshot commits for the writer family — closing
@@ -96,9 +96,38 @@ object SnapshotStore {
     * None ⟺ current invariant holds across any number of evolutions;
     * DML restatement and [[compact]] migrate stamped entries back to
     * the current layout. */
+  /** A DELETION VECTOR reference — the merge-on-read complement to
+    * copy-on-write restatement (Iceberg v2 position deletes / Delta
+    * DVs): `dir` holds a tiny parquet sidecar of `(__dv_file,
+    * __dv_pos)` rows naming the entry's DELETED row positions, `rows`
+    * is their count (so live-row accounting stays exact without
+    * reading the sidecar). Readers anti-apply the vector; a 1-row
+    * DELETE on a 100 GB partition commits O(KB) instead of restating
+    * the partition. Folded away by any restatement/compaction of the
+    * entry. */
+  final case class DvRef(dir: String, rows: Long)
+
   final case class Entry(value: String, dir: String,
       stats: Option[EntryStats] = None,
-      spec: Option[String] = None)
+      spec: Option[String] = None,
+      dv: Option[DvRef] = None)
+
+  /** Exact LIVE row count of an entry: write-time stats minus the
+    * deletion vector's positions. None when the entry predates stats
+    * capture (consumers treat unknown conservatively). */
+  private[graft] def liveRows(e: Entry): Option[Long] =
+    e.stats.map(_.rows - e.dv.map(_.rows).getOrElse(0L))
+
+  /** Minimum reader era required to read this table correctly,
+    * recomputed by every commit: "2" while any entry carries a
+    * deletion vector (a DV-blind reader would resurrect deleted rows —
+    * the one manifest feature an old binary cannot safely ignore),
+    * absent (= era 1) otherwise. [[parse]] refuses eras above
+    * [[SupportedReaderVersion]] loudly. The r13→r14 manifest additions
+    * (ts= header, spec=/dv= entry fields) are one-way for OLD binaries
+    * regardless — see MIGRATION.md's manifest-era table. */
+  private[graft] val ReaderVersionProp = "format.reader"
+  private[graft] val SupportedReaderVersion = 2L
   /** `props` is durable table metadata carried forward across every
     * commit kind (append tokens must survive an interleaved backfill
     * or compaction — see [[appendPartitions]]'s exactly-once note). A
@@ -207,7 +236,13 @@ object SnapshotStore {
           e.stats.map(s => s"\t${statsJson(s)}").getOrElse("") +
           // distinguishable from the stats field by prefix: stats is
           // always a '{'-opened JSON object, this is 'spec='
-          e.spec.map(s => s"\tspec=${escapeValue(s)}").getOrElse("")))
+          e.spec.map(s => s"\tspec=${escapeValue(s)}").getOrElse("") +
+          // deletion vector: sidecar dir + deleted-position count,
+          // prefix-classified like spec= (era-2 field — commits
+          // carrying any dv= stamp format.reader=2)
+          e.dv.map(d =>
+            s"\tdv=${escapeValue(d.dir)}\tdvrows=${d.rows}")
+            .getOrElse("")))
       .mkString("", "\n", "\n")
 
   private def parse(p: Path): Manifest = {
@@ -228,10 +263,21 @@ object SnapshotStore {
       val Array(k, v) = l.stripPrefix("prop=").split("\t", 2)
       unescapeToken(k) -> unescapeToken(v)
     }.toMap
+    // reader-era gate BEFORE entries are trusted: a manifest demanding
+    // a newer era than this binary supports must refuse loudly — the
+    // one era-2 feature (deletion vectors) silently ignored would
+    // resurrect deleted rows
+    props.get(ReaderVersionProp).flatMap(_.toLongOption).foreach { v =>
+      require(v <= SupportedReaderVersion,
+        s"manifest at $p requires reader era $v but this binary " +
+          s"supports era $SupportedReaderVersion — upgrade the reader " +
+          "(see MIGRATION.md, manifest eras)")
+    }
     Manifest(id, entryLines.map { l =>
       // pre-stats manifests have two fields; later eras append
-      // optional stats ('{'-opened JSON) and spec ('spec='-prefixed)
-      // fields — classified by prefix, so every era parses
+      // optional stats ('{'-opened JSON), spec ('spec='-prefixed) and
+      // deletion-vector ('dv='/'dvrows='-prefixed) fields — classified
+      // by prefix, so every era parses
       val fields = l.split("\t")
       val v = fields(0)
       val dir = fields(1)
@@ -239,7 +285,12 @@ object SnapshotStore {
       Entry(unescapeToken(v), dir,
         rest.find(_.startsWith("{")).map(parseStatsJson),
         rest.find(_.startsWith("spec="))
-          .map(s => unescapeToken(s.stripPrefix("spec="))))
+          .map(s => unescapeToken(s.stripPrefix("spec="))),
+        for {
+          d <- rest.find(_.startsWith("dv="))
+          r <- rest.find(_.startsWith("dvrows="))
+        } yield DvRef(unescapeToken(d.stripPrefix("dv=")),
+          r.stripPrefix("dvrows=").toLong))
     }, schema, props, ts)
   }
 
@@ -399,9 +450,17 @@ object SnapshotStore {
   private def commitManifest(root: String, m0: Manifest,
       baseSeq: Long): Unit = {
     val seq = baseSeq + 1
+    // the reader era is recomputed HERE, the one place every commit
+    // passes: era 2 exactly while a deletion vector is live (the only
+    // feature a DV-blind reader cannot safely ignore), so a compaction
+    // that folds the last DV also lifts the era requirement
+    val eraProps =
+      if (m0.entries.exists(_.dv.isDefined))
+        m0.props + (ReaderVersionProp -> "2")
+      else m0.props - ReaderVersionProp
     // every commit stamps its wall time — the TIMESTAMP AS OF key
     // ([[manifestAtTime]]); a rollback/restore is a NEW commit in time
-    val m = m0.copy(props = m0.props + (SeqProp -> seq.toString),
+    val m = m0.copy(props = eraProps + (SeqProp -> seq.toString),
       ts = Some(System.currentTimeMillis()))
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("manifests"))
@@ -813,11 +872,11 @@ object SnapshotStore {
     * retained commit. */
   def history(root: String): Seq[HistoryEntry] = {
     def entryOf(seq: Long, m: Manifest): HistoryEntry = {
-      val stats = m.entries.flatMap(_.stats)
+      // LIVE rows: write-time stats minus deletion-vector positions
+      val live = m.entries.map(liveRows)
       HistoryEntry(seq, m.id, m.entries.size,
         if (m.entries.isEmpty) Some(0L)
-        else if (stats.size == m.entries.size)
-          Some(stats.map(_.rows).sum)
+        else if (live.forall(_.isDefined)) Some(live.flatten.sum)
         else None,
         m.ts)
     }
@@ -2013,17 +2072,6 @@ object SnapshotStore {
       partCol: String, sortCol: String): Long = {
     val prior = current(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root to backfill"))
-    // a value-addressed overwrite cannot say what it means on a table
-    // holding OUTGOING-spec vintages: "replace month X" should replace
-    // X's rows in the old vintage too, but those live inside entries
-    // this addressing cannot name. Refuse loudly; row-level DML and
-    // compact are the spec-aware routes.
-    require(!hasMixedSpecs(prior),
-      s"overwritePartitions at $root: the table holds entries of an " +
-        "outgoing partition-spec vintage (evolvePartitionSpec) — " +
-        "value-addressed overwrite is ambiguous across vintages; use " +
-        "row-level UPDATE/DELETE, or compact() to migrate the layout " +
-        "first")
     checkLayout(Some(prior), partCol, sortCol, df)
     // schema evolution happens at the COMMIT boundary: a backfill
     // adding columns appends them to the table schema; a type change
@@ -2032,11 +2080,57 @@ object SnapshotStore {
     // retained files' old values)
     val merged = stampNewFields(prior.props, prior.schema,
       prior.schema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
+    val spark = df.sparkSession
+    val spec = parseSpec(partCol)
+    spec.validate(df.schema)
+    // SPEC-VINTAGE migration ([[evolvePartitionSpec]]): "replace
+    // partition V" must replace V's rows wherever they live — including
+    // inside OUTGOING-vintage entries whose own tokens cannot name V.
+    // The restated value set is rendered from `df` up front; each
+    // old-vintage entry holding ≥1 row whose CURRENT-spec token falls
+    // in it is dropped, its rows outside the set SURVIVE by restating
+    // under the current layout (additive parts beside any carried
+    // current entries of the same value) — so the overwrite doubles as
+    // an incremental layout migration. Untouched old-vintage entries
+    // carry by reference; single-vintage tables skip all of this.
+    val restatedVals: Set[String] = df
+      .select(spec.tokenExpr(col).as("__tok")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val oldEntries = prior.entries.filter(_.spec.isDefined)
+    val (toWrite, dropOld) =
+      if (oldEntries.isEmpty || restatedVals.isEmpty) (df, Set.empty[(String, String)])
+      else {
+        val schema = prior.schema.getOrElse(throw new IllegalStateException(
+          s"table at $root holds spec vintages but no schema — corrupt"))
+        val content = readEntriesWithPositions(spark, root, schema,
+            oldEntries)
+          .withColumn("__graft_curtok", spec.tokenExpr(col))
+          .withColumn("__graft_dir", entryDirCol)
+        val affectedDirs = content
+          .filter(col("__graft_curtok").isInCollection(restatedVals.toSeq))
+          .select(col("__graft_dir")).distinct()
+          .collect().map(_.getString(0)).toSet
+        if (affectedDirs.isEmpty) (df, Set.empty[(String, String)])
+        else {
+          val byDir = prior.entries.map(e => e.dir -> e).toMap
+          val affected = affectedDirs.toSeq.sorted.map(byDir)
+          val pairs = affected.map(e =>
+            (canonicalSpec(e.spec.get), e.value)).toSet
+          val survivors = content
+            .filter(col("__graft_dir").isInCollection(affectedDirs.toSeq) &&
+              !col("__graft_curtok").isInCollection(restatedVals.toSeq))
+            .select(schema.fieldNames.toIndexedSeq
+              .map(n => col(quoted(n))): _*)
+          (df.unionByName(survivors, allowMissingColumns = true), pairs)
+        }
+      }
     val id = allocateId(root)
-    val fresh = writeSnapData(df, root, id, partCol, sortCol,
+    val fresh = writeSnapData(toWrite, root, id, partCol, sortCol,
       physMapOf(merged))
-    val restated = fresh.map(_.value).toSet
-    val carried = prior.entries.filterNot(e => restated(e.value))
+    val carried = prior.entries.filterNot(e => e.spec match {
+      case None => restatedVals(e.value)
+      case Some(s) => dropOld((canonicalSpec(s), e.value))
+    })
     commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
       prior.props ++ layoutProps(partCol, sortCol, df)), seqOf(prior))
     id
@@ -2146,10 +2240,25 @@ object SnapshotStore {
     * [[evolvePartitionSpec]]). `dropValues` stays CURRENT-spec
     * addressing, and the stray check is against it (every restated
     * row lands under the current layout). */
+  /** `appendValues` names partition values whose fresh dirs are
+    * ADDITIVE parts (carried entries of those values survive) — the
+    * merge-on-read UPDATE's post-image rows land this way.
+    * `dvEntries`/`dvPositions` attach DELETION VECTORS to carried
+    * entries instead of restating them: `dvEntries` is the ordered
+    * (entry dir → newly-deleted position count) list, `dvPositions`
+    * one frame of ([[DvEntCol]] = index into that list, [[DvFileCol]],
+    * [[DvPosCol]]) rows. The commit MERGES each entry's prior vector
+    * (positions accumulate until a restatement folds them), writes one
+    * sidecar dir per entry under the claimed snap dir, and drops an
+    * entry outright when its vector covers every written row. Commit
+    * cost of the DV side: O(deleted positions), never O(partition). */
   def restatePartitions(restated: DataFrame, root: String,
       dropValues: Set[String], partCol: String, sortCol: String,
       cdc: Option[DataFrame] = None,
-      dropOld: Set[(String, String)] = Set.empty): Long =
+      dropOld: Set[(String, String)] = Set.empty,
+      appendValues: Set[String] = Set.empty,
+      dvPositions: Option[DataFrame] = None,
+      dvEntries: Seq[(String, Long)] = Nil): Long =
     withCommitLock(root) {
       val prior = current(root).getOrElse(
         throw new IllegalStateException(s"no snapshot at $root to restate"))
@@ -2159,10 +2268,12 @@ object SnapshotStore {
       val id = allocateId(root)
       val fresh = writeSnapData(restated, root, id, partCol, sortCol,
         physMapOf(merged))
-      val stray = fresh.map(_.value).filterNot(dropValues)
+      val stray = fresh.map(_.value)
+        .filterNot(v => dropValues(v) || appendValues(v))
       require(stray.isEmpty,
         s"restatePartitions: rows landed in partitions ${stray.mkString(", ")} " +
-          s"not named in dropValues — the commit would duplicate them")
+          s"not named in dropValues/appendValues — the commit would " +
+          "duplicate them")
       // the row-exact CDC sidecar (see [[changeFeed]]): written INSIDE
       // the exclusively-claimed snap dir before the pointer moves, so
       // a published commit either has its full sidecar or (crash
@@ -2170,11 +2281,58 @@ object SnapshotStore {
       // changeset. A lost publish race orphans the sidecar together
       // with its data dirs; expire sweeps both.
       cdc.foreach(writeCdcSidecar(_, root, id, merged))
-      val carried = prior.entries.filterNot(e => e.spec match {
-        case None => dropValues(e.value)
-        case Some(s) => dropOld((canonicalSpec(s), e.value))
-      })
-      commitManifest(root, Manifest(id, carried ++ fresh, Some(merged),
+      // ---- deletion-vector attachment ----
+      val dvK: Map[String, (Int, Long)] = dvEntries.zipWithIndex
+        .map { case ((dir, delta), k) => dir -> (k, delta) }.toMap
+      require(dvK.size == dvEntries.size,
+        "restatePartitions: an entry dir appears twice in dvEntries")
+      if (dvEntries.nonEmpty) {
+        val byDir = prior.entries.map(e => e.dir -> e).toMap
+        val unknown = dvK.keys.filterNot(byDir.contains)
+        require(unknown.isEmpty, "restatePartitions: dvEntries name " +
+          s"dirs absent from the manifest: ${unknown.mkString(", ")}")
+        val spark = restated.sparkSession
+        val deltas = dvPositions.getOrElse(throw new IllegalArgumentException(
+          "restatePartitions: dvEntries without dvPositions"))
+        // merge prior vectors: positions accumulate across DV commits,
+        // so the live sidecar of an entry is always ONE dir — the
+        // read-side anti-join stays a single broadcast
+        val priorDv = dvK.toSeq.collect {
+          case (dir, (k, _)) if byDir(dir).dv.isDefined =>
+            dvFrame(spark, root, Seq(byDir(dir).dv.get.dir))
+              .withColumn(DvEntCol, lit(k))
+        }
+        val all = (deltas.select(col(DvEntCol), col(DvFileCol),
+          col(DvPosCol)) +: priorDv).reduce(_ unionByName _)
+        // one task per entry's vector (AQE coalesces) — vectors are
+        // fraction-capped small, and the partitioned write gives each
+        // entry its own leaf dir to reference
+        org.apache.spark.sql.GraftPlanBridge.withSessionConf(
+          all.repartition(col(DvEntCol)),
+          "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+          .write.mode("errorifexists").partitionBy(DvEntCol)
+          .parquet(s"$root/data/snap-$id/_dv")
+      }
+      val dropOrDv = prior.entries.flatMap { e =>
+        val dropped = e.spec match {
+          case None => dropValues(e.value)
+          case Some(s) => dropOld((canonicalSpec(s), e.value))
+        }
+        dvK.get(e.dir) match {
+          case Some(_) if dropped => throw new IllegalArgumentException(
+            s"restatePartitions: entry ${e.dir} is both restated " +
+              "(dropValues/dropOld) and DV-attached — caller bug")
+          case Some((k, delta)) =>
+            val newRows = e.dv.map(_.rows).getOrElse(0L) + delta
+            // a vector covering every written row = a fully-deleted
+            // entry: drop it (exact — DV commits require stats)
+            if (e.stats.exists(_.rows == newRows)) None
+            else Some(e.copy(dv =
+              Some(DvRef(s"data/snap-$id/_dv/$DvEntCol=$k", newRows))))
+          case None => if (dropped) None else Some(e)
+        }
+      }
+      commitManifest(root, Manifest(id, dropOrDv ++ fresh, Some(merged),
         prior.props ++ layoutProps(partCol, sortCol, restated)),
         seqOf(prior))
       id
@@ -2359,8 +2517,109 @@ object SnapshotStore {
     readManifest(spark, root, Manifest(m.id, m.entries.filter(e => keep(e.value)), m.schema))
   }
 
+  // ---- deletion-vector read plumbing ---------------------------------------
+
+  /** DV sidecar columns: the deleted row's FILE (the path suffix from
+    * `data/snap-` on — unique within a table, robust to root moves)
+    * and its physical ROW INDEX inside that file (parquet
+    * `_metadata.row_index`). Both sides — the DV writer and the
+    * anti-applying reader — derive the pair from the same metadata
+    * columns, so they can never disagree on spelling. */
+  private[graft] val DvFileCol = "__dv_file"
+  private[graft] val DvPosCol = "__dv_pos"
+  private[graft] val DvEntCol = "__dvent"
+
+  private def dvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(DvFileCol,
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(DvPosCol,
+      org.apache.spark.sql.types.LongType)))
+
+  /** The union of DV sidecars at `dirs` (each a per-entry
+    * `__dvent=k` leaf dir). */
+  private def dvFrame(spark: SparkSession, root: String,
+      dirs: Seq[String]): DataFrame =
+    spark.read.schema(dvSchema).parquet(dirs.map(d => s"$root/$d"): _*)
+
+  /** The (file, position) identity of every row scanned — the columns
+    * DV application anti-joins on and DV creation records.
+    * `_metadata.file_path` is a URI: the on-disk `%`-escaped partition
+    * dir names (`__part=2024-01%2F3`) arrive double-encoded
+    * (`%252F`), so the path is percent-DECODED back to the raw
+    * filesystem spelling — the spelling manifest entry dirs use, which
+    * is what lets the DML paths attribute a row to its entry by
+    * prefix. A literal `+` is protected first (url_decode would turn
+    * it into a space; URI encoding never produces `+`). */
+  private def withRowIdentity(df: DataFrame): DataFrame = df
+    .withColumn(DvFileCol,
+      regexp_extract(
+        url_decode(regexp_replace(col("_metadata.file_path"),
+          lit("\\+"), lit("%2B"))),
+        "data/snap-.*$", 0))
+    .withColumn(DvPosCol, col("_metadata.row_index"))
+
+  /** Read `entries` (data columns under LOGICAL names, schema order)
+    * plus the row-identity columns, with every entry's deletion vector
+    * ANTI-APPLIED: a broadcast left-anti join against the (tiny by the
+    * write-path's fraction cap) DV set — at scale this is a map-side
+    * filter over the data scan, no shuffle of the data. The row-level
+    * DML paths read through this to (a) never match already-deleted
+    * rows and (b) learn the positions of the rows they delete. */
+  private[graft] def readEntriesWithPositions(spark: SparkSession,
+      root: String, schema: org.apache.spark.sql.types.StructType,
+      entries: Seq[Entry]): DataFrame = {
+    val outCols = schema.fields.toIndexedSeq.map(f =>
+      col(quoted(physName(f))).as(f.name)) :+
+      col(DvFileCol) :+ col(DvPosCol)
+    if (entries.isEmpty) {
+      val out = org.apache.spark.sql.types.StructType(
+        schema.fields ++ dvSchema.fields)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    }
+    val raw = withRowIdentity(spark.read
+      .schema(physicalSchema(schema))
+      .parquet(entries.map(e => s"$root/${e.dir}"): _*))
+    val dvDirs = entries.flatMap(_.dv).map(_.dir)
+    val live =
+      if (dvDirs.isEmpty) raw
+      else raw.join(broadcast(dvFrame(spark, root, dvDirs)),
+        Seq(DvFileCol, DvPosCol), "left_anti")
+    live.select(outCols: _*)
+  }
+
+  /** First three path segments of a row-identity file =
+    * `data/snap-<id>/__part=<tok>` = exactly the manifest entry dir
+    * (dir names never contain '/': escapePathName escapes it inside
+    * tokens). The DML paths attribute a scanned row to its ENTRY with
+    * this — uniform across partition-spec vintages and free of any
+    * token re-rendering. */
+  private[graft] def entryDirCol: Column =
+    substring_index(col(DvFileCol), "/", 3)
+
+  /** Read a manifest WITH deletion vectors applied — the DSV2 DV
+    * rewrite rule's body ([[graft.plans.SnapshotDvReadRewrite]]);
+    * identical to the internal manifest read. */
+  private[graft] def readManifestResolved(spark: SparkSession,
+      root: String, m: Manifest): DataFrame = readManifest(spark, root, m)
+
   private def readManifest(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
+    val (dved, undved) = m.entries.partition(_.dv.isDefined)
+    if (dved.nonEmpty) {
+      // DV-bearing entries anti-apply their vectors; DV-less entries
+      // keep the plain multi-root scan — the two sides union under the
+      // manifest schema (DVs are only ever written on schema-carrying
+      // tables, so the schema is always present here)
+      val schema = m.schema.getOrElse(throw new IllegalStateException(
+        s"snapshot at $root carries deletion vectors but no schema — " +
+          "corrupt manifest"))
+      val applied = readEntriesWithPositions(spark, root, schema, dved)
+        .select(schema.fieldNames.toIndexedSeq.map(n => col(quoted(n))): _*)
+      return if (undved.isEmpty) applied
+      else readManifest(spark, root, m.copy(entries = undved))
+        .unionByName(applied)
+    }
     // zero entries is a LEGAL table state, not an error: a prune can
     // keep no partitions, and a MERGE whose deletes drain every
     // remaining partition commits an entries-empty manifest (the
@@ -2508,14 +2767,22 @@ object SnapshotStore {
         "column — the tag would silently overwrite it")
     val schema = schemaOpt
     def diff(mA: Manifest, mB: Manifest): DataFrame = {
-      val aDirs = mA.entries.map(_.dir).toSet
-      val bDirs = mB.entries.map(_.dir).toSet
-      def side(dirs: Set[String], tag: String): DataFrame =
-        readManifest(spark, root,
-          Manifest(0L, dirs.toSeq.sorted.map(d => Entry("", d)), schema))
+      // entry identity for the diff is (dir, deletion vector): an entry
+      // whose DV grew between the endpoints changed content without
+      // changing dirs — it re-emits as delete(old live rows) +
+      // insert(new live rows), coarse but net-correct under
+      // retract-then-upsert (the per-commit sidecar replay above is
+      // the row-exact path). Sides read DV-APPLIED, so rows deleted at
+      // an endpoint never leak into its side of the diff.
+      val aKeys = mA.entries.map(e => (e.dir, e.dv)).toSet
+      val bKeys = mB.entries.map(e => (e.dir, e.dv)).toSet
+      def side(m: Manifest, other: Set[(String, Option[DvRef])],
+          tag: String): DataFrame =
+        readManifest(spark, root, Manifest(0L,
+          m.entries.filterNot(e => other((e.dir, e.dv)))
+            .sortBy(_.dir), schema))
           .withColumn("_change_type", lit(tag))
-      side(bDirs -- aDirs, "insert")
-        .unionByName(side(aDirs -- bDirs, "delete"))
+      side(mB, aKeys, "insert").unionByName(side(mA, bKeys, "delete"))
     }
     // per-commit replay; None = an intermediate slot was expired
     val steps: Option[Seq[DataFrame]] =
@@ -2674,6 +2941,186 @@ object SnapshotStore {
     }
   }
 
+  // ---- branches (write-audit-publish) --------------------------------------
+
+  /** A BRANCH: a named MUTABLE head for staging commits main readers
+    * must never see — the write-audit-publish primitive (Iceberg
+    * branches / Nessie; an extension, not in the reference). Unlike
+    * the main head, a branch head is a plain ref file: branch commits
+    * write ordinary manifest files but claim NO chain slot, so the
+    * main chain walk — every main reader's resolution path — is
+    * structurally unable to surface them. `fork` records the MAIN
+    * chain seq the branch was cut at: [[fastForward]] publishes the
+    * branch head onto main only while main still stands at the fork
+    * (a true fast-forward; anything else refuses — merging diverged
+    * histories is a data decision, not a pointer move).
+    *
+    * The WAP loop: `branch(root, "audit")` → [[appendToBranch]] /
+    * [[resetBranch]] under validation → [[fastForward]] — bad commits
+    * die on the branch, main readers see nothing until the publish,
+    * and the publish is one ordinary chain commit. */
+  final case class BranchRef(name: String, id: Long, fork: Long)
+
+  private def branchFile(root: String, name: String): Path =
+    Paths.get(root, "refs", s"branch-$name")
+
+  private def writeBranchRef(root: String, ref: BranchRef): Unit = {
+    Files.createDirectories(Paths.get(root, "refs"))
+    val tmp = Paths.get(root, "refs", s".branch-${ref.name}.tmp")
+    fsyncWriteBytes(tmp,
+      s"id=${ref.id}\nfork=${ref.fork}\n".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, branchFile(root, ref.name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fsyncDir(Paths.get(root, "refs"), s"branch ${ref.name} at $root")
+  }
+
+  /** All branches, name-sorted; unreadable ref files are skipped. */
+  def branches(root: String): Map[String, BranchRef] = {
+    val dir = Paths.get(root, "refs")
+    if (!Files.exists(dir)) return Map.empty
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.Map[String, BranchRef]()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("branch-") && !n.endsWith(".tmp"))
+          scala.util.Try {
+            val kv = Files.readString(p, StandardCharsets.UTF_8)
+              .split("\n").filter(_.contains("="))
+              .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+            val name = n.stripPrefix("branch-")
+            buf(name) = BranchRef(name, kv("id").toLong, kv("fork").toLong)
+          }
+      }
+      buf.toMap
+    } finally s.close()
+  }
+
+  private def branchRef(root: String, name: String): BranchRef =
+    branches(root).getOrElse(name, throw new IllegalArgumentException(
+      s"no branch '$name' at $root — branches: " +
+        branches(root).keys.toSeq.sorted.mkString(", ")))
+
+  /** Cut branch `name` at the CURRENT main head. Exclusive create —
+    * re-branching a live name refuses (drop it first). */
+  def branch(root: String, name: String): BranchRef =
+    withCommitLock(root) {
+      require(TagNameRe.matches(name),
+        s"branch name '$name' must match ${TagNameRe.regex}")
+      val head = current(root).getOrElse(throw new IllegalStateException(
+        s"no snapshot at $root to branch"))
+      require(!branches(root).contains(name),
+        s"branch '$name' already exists at $root — drop it first")
+      require(!Files.exists(branchFile(root, name)),
+        s"branch '$name' already exists at $root — drop it first")
+      val ref = BranchRef(name, head.id, seqOf(head))
+      // exclusive create, then the atomic-replace writer for updates
+      Files.createDirectories(Paths.get(root, "refs"))
+      try Files.write(branchFile(root, name),
+        s"id=${ref.id}\nfork=${ref.fork}\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"branch '$name' already exists at $root — drop it first")
+      }
+      fsyncDir(Paths.get(root, "refs"), s"branch $name at $root")
+      ref
+    }
+
+  /** Drop a branch ref; its unpublished manifests and data dirs become
+    * unreferenced and age out via [[expire]]. */
+  def dropBranch(root: String, name: String): Boolean =
+    withCommitLock(root) {
+      val existed = Files.deleteIfExists(branchFile(root, name))
+      if (existed)
+        fsyncDir(Paths.get(root, "refs"), s"dropBranch $name at $root")
+      existed
+    }
+
+  /** The branch head's manifest. */
+  def branchManifest(root: String, name: String): Manifest =
+    manifestAt(root, branchRef(root, name).id)
+
+  /** Read the branch head — the audit-side read of the WAP loop. */
+  def readBranch(spark: SparkSession, root: String, name: String)
+      : DataFrame =
+    readManifest(spark, root, branchManifest(root, name))
+
+  /** Append `df` to branch `name` as a BRANCH COMMIT: data written
+    * like any append (fresh immutable dirs in a claimed snap dir), a
+    * manifest file written and fsync'd — but NO chain slot claimed and
+    * the MANIFEST hint untouched; only the branch ref moves. Main
+    * readers are structurally unable to see it. Layout comes from the
+    * branch head's recorded props. */
+  def appendToBranch(df: DataFrame, root: String, name: String): Long =
+    withCommitLock(root) {
+      val head = branchManifest(root, name)
+      val ref = branchRef(root, name)
+      val (partCol, sortCol) = tableLayout(head).getOrElse(
+        throw new IllegalStateException(
+          s"branch '$name' at $root predates layout-recording " +
+            "manifests — cannot resolve the append layout"))
+      checkLayout(Some(head), partCol, sortCol, df)
+      val merged = stampNewFields(head.props, head.schema,
+        head.schema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
+      val id = allocateId(root)
+      val fresh = writeSnapData(df, root, id, partCol, sortCol,
+        physMapOf(merged))
+      val m = Manifest(id, head.entries ++ fresh, Some(merged),
+        head.props ++ layoutProps(partCol, sortCol, df),
+        ts = Some(System.currentTimeMillis()))
+      fsyncWriteBytes(Paths.get(root, s"manifests/manifest-$id"),
+        render(m).getBytes(StandardCharsets.UTF_8))
+      writeBranchRef(root, ref.copy(id = id))
+      id
+    }
+
+  /** Point the branch back at an earlier manifest (the "audit failed"
+    * move): `toId` must be a retained manifest — typically the fork
+    * head or a prior branch commit. The abandoned branch manifests
+    * become unreferenced and age out via [[expire]]. */
+  def resetBranch(root: String, name: String, toId: Long): Unit =
+    withCommitLock(root) {
+      val ref = branchRef(root, name)
+      manifestAt(root, toId) // loud on a missing manifest
+      writeBranchRef(root, ref.copy(id = toId))
+    }
+
+  /** PUBLISH the branch: commit its head state onto the MAIN chain as
+    * one ordinary (conflict-checked, chain-claimed) commit — the "P"
+    * of write-audit-publish. Requires main to still stand at the
+    * branch's fork seq: a true fast-forward, refusing loudly when main
+    * advanced underneath (re-branch from the new head and re-apply —
+    * silently merging diverged histories would be a lost update).
+    * Main's streaming idempotence tokens are preserved (the rollback
+    * rule). The branch ref then re-forks at the published head, so the
+    * next WAP cycle continues on the same branch name. Returns the
+    * published manifest id. */
+  def fastForward(root: String, name: String): Long =
+    withCommitLock(root) {
+      val ref = branchRef(root, name)
+      val main = current(root).getOrElse(throw new IllegalStateException(
+        s"no snapshot at $root"))
+      val mainSeq = seqOf(main)
+      require(mainSeq == ref.fork,
+        s"fastForward('$name') at $root refused: main advanced from " +
+          s"the fork (seq ${ref.fork}) to seq $mainSeq — the branch no " +
+          "longer fast-forwards; re-branch from the current head and " +
+          "re-apply the staged commits")
+      if (ref.id == main.id) return main.id // nothing staged
+      val head = manifestAt(root, ref.id)
+      val tokens = main.props.filter(_._1.startsWith(AppendTokenPrefix))
+      val id = allocateId(root)
+      commitManifest(root,
+        Manifest(id, head.entries, head.schema, head.props ++ tokens),
+        mainSeq)
+      writeBranchRef(root, BranchRef(name, id, mainSeq + 1))
+      id
+    }
+
   // ---- retention ---------------------------------------------------------
 
   /** Drop all but the newest `keepLast` manifests (the current pointer
@@ -2750,7 +3197,12 @@ object SnapshotStore {
         // operator's "this state matters" (release snapshots, audit
         // points) — their manifests, chain slots and data dirs all
         // survive retention until the tag is removed
-        tags(root).values.map(_.id)
+        tags(root).values.map(_.id) ++
+        // BRANCH HEADS are pinned the same way: an unpublished staged
+        // state must survive retention until published or dropped
+        // (intermediate branch manifests age out normally — only the
+        // head is load-bearing)
+        branches(root).values.map(_.id)
       val referenced =
         (keep.flatMap { id =>
           // the live pointer's entries are pinned via `live` below even
@@ -2759,7 +3211,12 @@ object SnapshotStore {
             manifestAt(root, id).entries
           else Seq.empty
         } ++ live.toSeq.flatMap(_.entries))
-          .map(e => e.dir.split("/").take(2).mkString("/")) ++
+          // a retained entry pins BOTH its data dir's snap root and —
+          // when it carries a deletion vector — the snap root holding
+          // the DV sidecar (a later commit's _dv dir referenced by a
+          // carried entry; sweeping it would resurrect deleted rows)
+          .flatMap(e => Seq(e.dir.split("/").take(2).mkString("/")) ++
+            e.dv.map(_.dir.split("/").take(2).mkString("/"))) ++
           // a retained manifest's CDC sidecar must outlive the entry
           // references: a DML that DRAINED every touched partition has
           // a sidecar in a snap dir its own entries never mention —

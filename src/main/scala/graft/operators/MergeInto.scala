@@ -28,20 +28,39 @@ import org.apache.spark.sql.functions._
   */
 object MergeInto {
 
-  /** MERGE's discovery addresses base partitions by CURRENT-spec
-    * token; a table holding OUTGOING-spec vintages
-    * ([[SnapshotStore.evolvePartitionSpec]]) would silently miss
-    * matched rows living in old-vintage entries. Row-level
-    * UPDATE/DELETE are spec-aware; MERGE refuses until the table is
-    * compacted (one full-rewrite migration) — loud, never wrong. */
-  private def requireSingleSpec(m: SnapshotStore.Manifest,
-      root: String): Unit =
-    require(!SnapshotStore.hasMixedSpecs(m),
-      s"MERGE at $root: the table holds entries of an outgoing " +
-        "partition-spec vintage (evolvePartitionSpec) — MERGE " +
-        "discovery is current-spec-addressed; run compact() to " +
-        "migrate the layout first (row-level UPDATE/DELETE work " +
-        "across vintages)")
+  /** Candidate ENTRIES of the key-range prune — the entry-granular
+    * form of [[candidatePartitions]] (vintage-uniform: the prune keys
+    * on entry stats, never on tokens). */
+  private def candidateEntries(m: SnapshotStore.Manifest,
+      changes: DataFrame, key: String): Seq[SnapshotStore.Entry] =
+    candidatePartitions(m, changes, key) match {
+      case Some(vs) => m.entries.filter(e => vs(e.value))
+      case None => m.entries
+    }
+
+  /** Entries holding ≥1 base row whose key matches the changeset —
+    * attributed by FILE identity ([[SnapshotStore.entryDirCol]]), so
+    * discovery is uniform across partition-spec vintages
+    * ([[SnapshotStore.evolvePartitionSpec]]) and deletion vectors are
+    * anti-applied (an already-deleted row can never re-match). The
+    * scan reads (key + row identity) of the stats-pruned candidates;
+    * the changeset side is AQE-broadcast when small. */
+  private def touchedEntriesByKey(spark: SparkSession, root: String,
+      m: SnapshotStore.Manifest,
+      schema: org.apache.spark.sql.types.StructType,
+      cand: Seq[SnapshotStore.Entry], changeKeys: DataFrame,
+      keyTarget: String): Seq[SnapshotStore.Entry] =
+    if (cand.isEmpty) Seq.empty
+    else {
+      val dirs = SnapshotStore
+        .readEntriesWithPositions(spark, root, schema, cand)
+        .select(col(keyTarget), SnapshotStore.entryDirCol.as("__dir"))
+        .join(changeKeys, Seq(keyTarget), "left_semi")
+        .select(col("__dir")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val byDir = m.entries.map(e => e.dir -> e).toMap
+      dirs.toSeq.sorted.map(byDir)
+    }
 
   /** Change-row presence marker: non-null on every `changes` row, so
     * after the full-outer join "change side present" is testable even
@@ -166,48 +185,36 @@ object MergeInto {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(
           s"no snapshot at $root to merge into"))
-      requireSingleSpec(m, root)
-      // discovery and restatement match RENDERED partition tokens
-      // against manifest entry values — on a TZ-timestamp partition
-      // column that is only sound when this session renders like the
-      // writer's (else touched partitions silently miss, or a carried
-      // entry gets duplicated under a second spelling)
+      // the restatement renders partition tokens for the rows it
+      // writes — on a TZ-timestamp partition column that is only sound
+      // when this session renders like the writer's (else a carried
+      // entry gets duplicated under a second spelling). Base-side
+      // DISCOVERY is file-attributed and never renders tokens.
       SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
       // partCol is a PARTITION SPEC string ([[graft.etl.PartitionSpec]])
-      // — tokens render through the spec's expression, so multi-column
-      // and bucket layouts discover/restate exactly as the commit writes
+      // — landing tokens render through the spec's expression, so
+      // multi-column and bucket layouts land exactly as the commit writes
       val spec = SnapshotStore.parseSpec(partCol)
+      val schema = m.schema.getOrElse(SnapshotStore.read(spark, root).schema)
       val changes = materialize(spark, changes0)
       try {
         val changeKeys = changes.filter(col(key).isNotNull)
           .select(col(key)).distinct()
-        val candidates = candidatePartitions(m, changes, key)
-        val touchedBase: Seq[String] = candidates match {
-          case Some(c) if c.isEmpty =>
-            Seq.empty // no base partition's key range can hold a change key
-          case other =>
-            // manifest-stats pruning: the discovery scan reads only the
-            // partitions whose key range intersects the changeset's — at
-            // fine partition granularity this replaces the full-base
-            // (key, partCols) scan with a scan of the touched neighborhood,
-            // decided on the ~KB manifest before any file listing
-            val src = other match {
-              case Some(c) if c != m.entries.map(_.value).toSet =>
-                SnapshotStore.readWhere(spark, root, c)
-              case _ => SnapshotStore.read(spark, root)
-            }
-            src.select((key +: spec.sourceCols).distinct.map(col): _*)
-              .join(changeKeys, Seq(key), "left_semi")
-              .select(spec.tokenExpr(col).as("__tok")).distinct()
-              .collect().map(_.getString(0)).toSeq
-        }
+        // manifest-stats pruning bounds the discovery scan to the
+        // entries whose key range intersects the changeset's — decided
+        // on the ~KB manifest before any file listing; the scan then
+        // attributes matches to ENTRIES by file identity, uniform
+        // across spec vintages (old-vintage entries MIGRATE to the
+        // current layout with the restatement)
+        val touchedBase = touchedEntriesByKey(spark, root, m, schema,
+          candidateEntries(m, changes, key), changeKeys, key)
         val touchedNew = changes.filter(landable)
           .select(spec.tokenExpr(col).as("__tok")).distinct()
-          .collect().map(_.getString(0))
-        val touched = (touchedBase ++ touchedNew).toSet
-        if (touched.isEmpty) m.id
+          .collect().map(_.getString(0)).toSet
+        if (touchedBase.isEmpty && touchedNew.isEmpty) m.id
         else {
-          val touchedContent = SnapshotStore.readWhere(spark, root, touched)
+          val (touchedContent, dropValues, dropOld) = RowLevelOps
+            .restatementScope(spark, root, touchedBase, spec, touchedNew)
           val resolved = resolve(touchedContent, changes)
           // row-exact CDC sidecar (Delta CDF semantics), derived from
           // the SAME materialized changeset the resolve reads — one
@@ -215,8 +222,8 @@ object MergeInto {
           // (usually broadcast-small) changes, proportional to the
           // touched data like the rewrite itself
           val cdc = cdcOf(touchedContent, changes)
-          SnapshotStore.restatePartitions(resolved, root, touched, partCol,
-            sortCol, cdc = Some(cdc))
+          SnapshotStore.restatePartitions(resolved, root, dropValues,
+            partCol, sortCol, cdc = Some(cdc), dropOld = dropOld)
         }
       } finally changes.unpersist()
     }
@@ -411,6 +418,11 @@ object MergeInto {
       bareUpdValues: Map[String, org.apache.spark.sql.Column],
       partColMovedByUpdate: Boolean)
 
+  /** `hasMatchedClauses` = the statement carries at least one WHEN
+    * MATCHED clause: when false (a by-source-only sync), matched base
+    * rows can never change, so the matched-key discovery pass is
+    * skipped outright — a full-coverage no-op sync then touches ZERO
+    * partitions instead of restating every key-matched one. */
   final case class MergeClauseProgram(
       del: org.apache.spark.sql.Column,
       upd: org.apache.spark.sql.Column,
@@ -420,7 +432,8 @@ object MergeInto {
       insSourceCond: org.apache.spark.sql.Column,
       insSourceValues: Map[String, org.apache.spark.sql.Column],
       partColMovedByUpdate: Boolean,
-      bySource: Option[BySourceProgram] = None)
+      bySource: Option[BySourceProgram] = None,
+      hasMatchedClauses: Boolean = true)
 
   /** The resolve join both the discovery and resolve passes share:
     * base aliased `"b"`, source aliased `"c"`, full-outer on the ON
@@ -468,7 +481,6 @@ object MergeInto {
       val m = SnapshotStore.current(root).getOrElse(
         throw new IllegalStateException(
           s"no snapshot at $root to merge into"))
-      requireSingleSpec(m, root)
       SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
       val spec = SnapshotStore.parseSpec(partCol)
       val tableSchema = m.schema.getOrElse(
@@ -491,26 +503,19 @@ object MergeInto {
         def iv(n: String) = prog.insValues.get(n)
           .map(_.cast(tableSchema(n).dataType))
           .getOrElse(lit(null).cast(tableSchema(n).dataType))
-        // 1. touchedBase: stats-pruned key discovery
+        // 1. touchedBase: stats-pruned key discovery, attributed to
+        // ENTRIES by file identity (vintage-uniform, DV-applied)
         val keyed = src.select(col(keySource).as(keyTarget))
-        val candidates = candidatePartitions(m, keyed, keyTarget)
-        val touchedBase: Set[String] = candidates match {
-          case Some(c) if c.isEmpty => Set.empty
-          case other =>
-            val baseSrc = other match {
-              case Some(c) if c != m.entries.map(_.value).toSet =>
-                SnapshotStore.readWhere(spark, root, c)
-              case _ => SnapshotStore.read(spark, root)
-            }
-            val changeKeys = keyed.filter(col(keyTarget).isNotNull)
-              .distinct().withColumnRenamed(keyTarget, "__graft_ck")
-            baseSrc
-              .select((keyTarget +: spec.sourceCols).distinct.map(col): _*)
-              .join(changeKeys, col(keyTarget) === col("__graft_ck"),
-                "left_semi")
-              .select(spec.tokenExpr(col).as("__tok")).distinct()
-              .collect().map(_.getString(0)).toSet
-        }
+        val changeKeys = keyed.filter(col(keyTarget).isNotNull).distinct()
+        // no WHEN MATCHED clause → matched rows can never change →
+        // nothing key-matched needs restating (a full-coverage
+        // by-source no-op sync touches zero partitions)
+        val touchedBase =
+          if (!prog.hasMatchedClauses) Seq.empty
+          else touchedEntriesByKey(spark, root, m,
+            tableSchema, candidateEntries(m, keyed, keyTarget),
+            changeKeys, keyTarget)
+        val touchedDirs = touchedBase.map(_.dir).toSet
         // 2. insert landing (bare-source evaluation; each component
         // value is cast through its column's TYPE first, so the token
         // renders exactly as the commit will render it)
@@ -532,34 +537,54 @@ object MergeInto {
         val updLanding: Set[String] =
           if (!prog.partColMovedByUpdate || touchedBase.isEmpty) Set.empty
           else generalJoin(
-              SnapshotStore.readWhere(spark, root, touchedBase),
+              SnapshotStore.readEntriesWhere(spark, root,
+                e => touchedDirs(e.dir)),
               src, keyTarget, keySource)
             .filter(matchedCol && !del && upd)
             .select(spec.tokenExpr(n => uv(n)).as("__tok")).distinct()
             .collect().map(_.getString(0)).toSet
         // 4. by-source discovery: a NOT MATCHED BY SOURCE clause can
-        // claim an unmatched base row in ANY partition — every entry
-        // is a candidate, stats-pruned on the bare clause condition
-        // (an entry PROVABLY outside bsDel∨bsUpd carries by
-        // reference; unknown keeps — prune skips work, never rows)
-        val bySourceTouched: Set[String] = prog.bySource match {
-          case None => Set.empty
+        // claim an unmatched base row in ANY partition. Stats-prune
+        // the candidates on the bare clause condition (bareCond is the
+        // RAW disjunction so the planner's filter translation can see
+        // it), then a PROBE pass keeps only the entries holding ≥1 row
+        // the clause program actually claims — unmatched by source AND
+        // condition-true. A no-op full-sync (every target row still in
+        // the source) then restates NOTHING instead of every candidate
+        // partition.
+        val bySourceHit: Seq[SnapshotStore.Entry] = prog.bySource match {
+          case None => Seq.empty
           case Some(bs) =>
-            // bareCond is the RAW clause-condition disjunction (no
-            // Coalesce folding) so the planner's filter translation
-            // can see it; pruning treats nulls/untranslatables as keep
-            graft.etl.StatsPruning.candidateValues(m,
-                SnapshotStore.read(spark, root), bs.bareCond)
-              .getOrElse(m.entries.map(_.value).toSet)
+            val candE = graft.etl.StatsPruning.candidateValues(m,
+                SnapshotStore.read(spark, root), bs.bareCond) match {
+              case Some(vs) => m.entries.filter(e => vs(e.value))
+              case None => m.entries
+            }
+            if (candE.isEmpty) Seq.empty
+            else {
+              val srcKeys = src.filter(col(keySource).isNotNull)
+                .select(col(keySource).as("__graft_ck")).distinct()
+              val dirs = SnapshotStore.readEntriesWithPositions(spark,
+                  root, tableSchema, candE)
+                .join(srcKeys, col(keyTarget) === col("__graft_ck"),
+                  "left_anti")
+                .filter(coalesce(bs.bareCond, lit(false)))
+                .select(SnapshotStore.entryDirCol.as("__dir")).distinct()
+                .collect().map(_.getString(0)).toSet
+              val byDir = m.entries.map(e => e.dir -> e).toMap
+              dirs.toSeq.sorted.map(byDir)
+            }
         }
         // 5. by-source update landing (only for partition-moving
-        // by-source SETs): bare-frame evaluation over the candidate
-        // partitions — matched-ness is unknown here, so this is a
+        // by-source SETs): bare-frame evaluation over the HIT entries —
+        // matched-ness is approximated by the bare condition, a
         // SUPERSET (an extra partition restates unchanged, harmless)
+        val bsHitDirs = bySourceHit.map(_.dir).toSet
         val bsUpdLanding: Set[String] = prog.bySource match {
           case Some(bs)
-              if bs.partColMovedByUpdate && bySourceTouched.nonEmpty =>
-            SnapshotStore.readWhere(spark, root, bySourceTouched)
+              if bs.partColMovedByUpdate && bySourceHit.nonEmpty =>
+            SnapshotStore.readEntriesWhere(spark, root,
+                e => bsHitDirs(e.dir))
               .filter(coalesce(bs.bareCond, lit(false)))
               .select(spec.tokenExpr(n =>
                 bs.bareUpdValues.getOrElse(n, col(n))
@@ -567,13 +592,16 @@ object MergeInto {
               .distinct().collect().map(_.getString(0)).toSet
           case _ => Set.empty
         }
-        val touched = touchedBase ++ insLanding ++ updLanding ++
-          bySourceTouched ++ bsUpdLanding
-        if (touched.isEmpty) m.id
+        val touchedEntries =
+          (touchedBase ++ bySourceHit).distinctBy(_.dir)
+        val extraLanding = insLanding ++ updLanding ++ bsUpdLanding
+        if (touchedEntries.isEmpty && extraLanding.isEmpty) m.id
         else {
-          val joined = generalJoin(
-            SnapshotStore.readWhere(spark, root, touched),
-            src, keyTarget, keySource)
+          val (touchedContent, dropValues, dropOld) = RowLevelOps
+            .restatementScope(spark, root, touchedEntries, spec,
+              extraLanding)
+          val joined = generalJoin(touchedContent, src,
+            keyTarget, keySource)
           val bsDel = prog.bySource
             .map(b => coalesce(b.bsDel, lit(false))).getOrElse(lit(false))
           val bsUpd = prog.bySource
@@ -599,8 +627,8 @@ object MergeInto {
             rowIns = rowI, tableCols,
             bySource = prog.bySource.map(_ =>
               (baseOnlyCol, bsDel, bsUpd, rowBs)))
-          SnapshotStore.restatePartitions(resolved, root, touched,
-            partCol, sortCol, cdc = Some(cdc))
+          SnapshotStore.restatePartitions(resolved, root, dropValues,
+            partCol, sortCol, cdc = Some(cdc), dropOld = dropOld)
         }
       } finally src.unpersist()
     }

@@ -366,7 +366,9 @@ case class SnapshotMergeCommand(
             s"INSERT clause covers no '$c' — unreachable, the " +
               "rewrite checks coverage")))).toMap,
       partColMovedByUpdate = partColMoved,
-      bySource = bySource)
+      bySource = bySource,
+      hasMatchedClauses = delCond != Literal.FalseLiteral ||
+        updCond != Literal.FalseLiteral)
     val id = MergeInto.mergeGeneralCommit(spark, root, src,
       keyTarget, keySource, prog, partCol, sortCol)
     Seq(Row(id))

@@ -778,6 +778,59 @@ object EtlQueries {
     sqlMonthAgg(s,
       registerSnapCatalog(s, prepareSnapshotSqlDeleteRows(s, d)))
 
+  /** One MERGE-ON-READ history per (JVM, sfDir): full load, then two
+    * SMALL-fraction row-level mutations that must take the
+    * deletion-vector path (≈1% of each touched month — far under
+    * `graft.dv.maxDeleteFraction`):
+    *   1. native SQL DELETE of keys ≡ 9 (mod 100);
+    *   2. native SQL UPDATE (+6.75) of keys ≡ 17 (mod 100) — the DV
+    *      delete + additive post-image part shape.
+    * The prepare ASSERTS the vectors actually attached (a routing
+    * regression to copy-on-write would silently keep the results green
+    * while losing the O(KB)-commit property this lane exists to pin —
+    * the commit economics themselves are spec-pinned in
+    * [[graft.etl.SnapshotDeletionVectorSpec]]). */
+  private val snapDvPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotDv(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapdv",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapDvPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"DELETE FROM $table WHERE o_orderkey % 100 = 9")
+        s.sql(s"UPDATE $table SET o_totalprice = o_totalprice + 6.75 " +
+          "WHERE o_orderkey % 100 = 17")
+        val m = SnapshotStore.current(root).get
+        require(m.entries.exists(_.dv.isDefined),
+          "snapshot_dv lanes: the small-fraction DML did not attach " +
+            "deletion vectors — merge-on-read routing regressed")
+        snapDvPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Merge-on-read DELETE end to end: the DV-applied scan must drop
+    * exactly the vectored rows — hash-matched against a DuckDB replay
+    * (one leaked deleted row, or one over-deleted position, is a
+    * count/hash mismatch). */
+  def snapshotDvDelete: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotDv(s, d)))
+
+  /** Merge-on-read UPDATE end to end, read through a DIFFERENT
+    * projection (priority grain) so the additive post-image parts are
+    * verified independently of the month aggregate. */
+  def snapshotDvUpdate: Q = (s, d) => {
+    val table = registerSnapCatalog(s, prepareSnapshotDv(s, d))
+    s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8)))
+             |   AS DOUBLE), 4) AS sum_price
+             |FROM $table GROUP BY o_orderpriority""".stripMargin)
+  }
+
   /** One MULTIPART-layout history per (JVM, sfDir): orders committed
     * under a TWO-identity-column partition spec
     * (`order_month,o_orderpriority` — [[graft.etl.PartitionSpec]], the
@@ -992,11 +1045,117 @@ object EtlQueries {
         // DELETE hits the old vintage only (clones are ≡9 mod 10)
         s.sql(s"DELETE FROM $table WHERE o_orderkey % 10 = 7 " +
           "AND o_orderdate >= DATE '1998-03-01'")
+        // native MERGE WITHOUT a prior compact (r14: MERGE discovery
+        // is file-attributed, vintage-uniform): matched keys ≡5
+        // (mod 20) live in BOTH old month entries and — via earlier
+        // migrations — current-spec entries; +1.50 each. A vintage
+        // silently missed by MERGE discovery is a hash mismatch.
+        ordersWithMonth(s, d)
+          .filter(col("o_orderkey") % 20 === 5)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") + 1.50).as("newprice"))
+          .createOrReplaceTempView("snap_evolve_changes")
+        s.sql(
+          s"""MERGE INTO $table AS t USING snap_evolve_changes AS s
+             |ON t.o_orderkey = s.k
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.newprice
+             |""".stripMargin)
         snapEvolvePrepared += root
       }
     }
     root
   }
+
+  /** One cross-vintage OVERWRITE history per (JVM, sfDir): full load
+    * under `bucket(8,o_orderkey)` (every bucket mixes months), evolve
+    * to the `order_month` identity layout (metadata-only), then the
+    * standard corrected-month dynamic backfill
+    * ([[SnapshotStore.overwritePartitions]]). The addressed month's
+    * rows live INSIDE old-vintage bucket entries — the overwrite must
+    * reach them, drop them, and migrate each affected bucket's other
+    * months to the current layout exactly once. Final state ==
+    * [[backfillOverwrite]]'s, so the lane shares its oracle. */
+  private val snapEvolveOwPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotEvolveOverwrite(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapevow",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapEvolveOwPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        val orders = ordersWithMonth(s, d)
+        SnapshotStore.write(orders, root,
+          partCol = "bucket(8,o_orderkey)", sortCol = "o_orderdate")
+        SnapshotStore.evolvePartitionSpec(root, "order_month")
+        SnapshotStore.overwritePartitions(correctedLastMonth(orders),
+          root, partCol = "order_month", sortCol = "o_orderdate")
+        snapEvolveOwPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Dynamic overwrite ACROSS spec vintages, end to end — the
+    * corrected-month restatement on a table whose history is still
+    * bucket-partitioned. One row leaked from (or duplicated by) the
+    * survivor migration is a hash mismatch. */
+  def snapshotEvolveOverwrite: Q = (s, d) =>
+    monthAgg(SnapshotStore.read(s,
+      prepareSnapshotEvolveOverwrite(s, d)))
+
+  /** One WRITE-AUDIT-PUBLISH history per (JVM, sfDir): full load, cut
+    * branch `audit`, stage a BAD commit (negative-price clones), fail
+    * the audit, RESET the branch, stage the GOOD commit (keys ≡21
+    * (mod 50) cloned, +0.50 price, +8e9 key), pass the audit,
+    * FAST-FORWARD. The prepare ASSERTS main never saw the staged
+    * states (count pinned at the original between fork and publish) —
+    * the isolation property the lane exists to pin; the final
+    * aggregate hash-matches a replay of load + good clones only (one
+    * leaked bad row is a mismatch). */
+  private val snapWapPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotBranchWap(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapwap",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapWapPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        val orders = ordersWithMonth(s, d)
+        val baseCount = orders.count()
+        SnapshotStore.write(orders, root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val fork = SnapshotStore.branch(root, "audit")
+        def clones(mod: Int, bump: Double) = orders
+          .filter(col("o_orderkey") % 50 === mod)
+          .withColumn("o_orderkey", col("o_orderkey") + 8000000000L)
+          .withColumn("o_totalprice", col("o_totalprice") + bump)
+        // WRITE (bad): a poisoned batch the audit must catch
+        SnapshotStore.appendToBranch(
+          clones(21, 0.0).withColumn("o_totalprice", lit(-1000000.0)),
+          root, "audit")
+        require(SnapshotStore.read(s, root).count() == baseCount,
+          "WAP isolation broken: main saw a staged (bad) commit")
+        require(SnapshotStore.readBranch(s, root, "audit")
+          .filter(col("o_totalprice") < 0).count() > 0,
+          "the audit read must see the staged bad rows")
+        SnapshotStore.resetBranch(root, "audit", toId = fork.id)
+        // WRITE (good) → AUDIT green → PUBLISH
+        SnapshotStore.appendToBranch(clones(21, 0.50), root, "audit")
+        require(SnapshotStore.readBranch(s, root, "audit")
+          .filter(col("o_totalprice") < 0).count() == 0, "audit failed")
+        require(SnapshotStore.read(s, root).count() == baseCount,
+          "WAP isolation broken: main saw a staged (good) commit")
+        SnapshotStore.fastForward(root, "audit")
+        snapWapPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Write-audit-publish end to end: main carries exactly load + the
+    * validated clones after the fast-forward. */
+  def snapshotBranchWap: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotBranchWap(s, d)))
 
   /** One type-WIDENED history per (JVM, sfDir): full load with
     * o_custkey narrowed to INT (it fits at every sf), then
@@ -1074,6 +1233,57 @@ object EtlQueries {
       }
     }
     root
+  }
+
+  /** Two co-laid-out `months(o_orderdate)` snapshot tables per (JVM,
+    * sfDir) — the STORAGE-PARTITIONED JOIN for TIME-transform specs
+    * (r14; the reference's own MergeTree month layout, README.md:548,
+    * made exchange-free): both scans report `months(date)`
+    * KeyGroupedPartitioning via the graft V2 time functions, and the
+    * date-keyed equi-join plans with ZERO exchanges under the
+    * V2-bucketing session. The lane pins the RESULT against a DuckDB
+    * join replay; PlanAudit asserts the exchange-free subtree. */
+  private val snapSpjTimePrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotSpjTime(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapspjt",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapSpjTimePrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        val o = ordersWithMonth(s, d)
+        SnapshotStore.write(o, s"$root/a",
+          partCol = "months(o_orderdate)", sortCol = "o_orderdate")
+        SnapshotStore.write(
+          o.select(col("o_orderdate")).distinct()
+            .withColumn("adj",
+              (dayofmonth(col("o_orderdate")) * 0.01).cast("double")),
+          s"$root/b",
+          partCol = "months(o_orderdate)", sortCol = "o_orderdate")
+        snapSpjTimePrepared += root
+      }
+    }
+    root
+  }
+
+  /** Time-transform storage-partitioned join: per-date adjustments
+    * joined back by date, month aggregate, exchange-free join. */
+  def snapshotSpjTime: Q = (s, d) => {
+    val root = prepareSnapshotSpjTime(s, d)
+    val clone = org.apache.spark.sql.GraftPlanBridge.sessionWithConf(s,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    clone.conf.set("spark.sql.catalog.graftspjt",
+      classOf[graft.sources.GraftSnapshotCatalog].getName)
+    clone.conf.set("spark.sql.catalog.graftspjt.warehouse", root)
+    clone.sql(
+      """SELECT a.order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(a.o_totalprice + b.adj AS DECIMAL(38,8)))
+        |   AS DOUBLE), 4) AS sum_price
+        |FROM graftspjt.a a JOIN graftspjt.b b
+        |  ON a.o_orderdate = b.o_orderdate
+        |GROUP BY a.order_month""".stripMargin)
   }
 
   /** Storage-partitioned join over the co-bucketed pair: month
@@ -1498,13 +1708,18 @@ object EtlQueries {
     "snapshot_sql_overwrite" -> snapshotSqlOverwrite,
     "snapshot_sql_update" -> snapshotSqlUpdate,
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
+    "snapshot_dv_delete" -> snapshotDvDelete,
+    "snapshot_dv_update" -> snapshotDvUpdate,
     "snapshot_multipart" -> snapshotMultipart,
     "snapshot_bucket" -> snapshotBucket,
     "snapshot_sql_rename" -> snapshotSqlRename,
     "snapshot_sql_drop" -> snapshotSqlDrop,
     "snapshot_sql_widen" -> snapshotSqlWiden,
     "snapshot_spec_evolve" -> snapshotSpecEvolve,
+    "snapshot_evolve_overwrite" -> snapshotEvolveOverwrite,
+    "snapshot_branch_wap" -> snapshotBranchWap,
     "snapshot_spj" -> snapshotSpj,
+    "snapshot_spj_time" -> snapshotSpjTime,
     "snapshot_rollback" -> snapshotRollback,
     "snapshot_sql_ctas" -> snapshotSqlCtas,
     "snapshot_tag_timetravel" -> snapshotTagTimetravel,
@@ -1820,6 +2035,18 @@ object EtlQueries {
         |   AS DOUBLE), 4) AS sum_price
         |FROM o a JOIN b ON a.o_orderkey = b.o_orderkey
         |GROUP BY 1""".stripMargin,
+    // replay the time-transform storage-partitioned join: per-date
+    // adjustment (day-of-month cents) joined back by date
+    "snapshot_spj_time" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | b AS (SELECT DISTINCT o_orderdate,
+        |   CAST(day(o_orderdate) AS DOUBLE) * 0.01 AS adj FROM orders)
+        |SELECT a.order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(a.o_totalprice + b.adj AS DECIMAL(38,8)))
+        |   AS DOUBLE), 4) AS sum_price
+        |FROM o a JOIN b ON a.o_orderdate = b.o_orderdate
+        |GROUP BY 1""".stripMargin,
     // replay the spec-evolution DML set over raw orders: the ≡9
     // (mod 50) clones insert (+5e9 key, +2.00 — residues mod 10
     // preserved), then ≡9 (mod 10) rows — originals in the OLD month
@@ -1838,7 +2065,9 @@ object EtlQueries {
         | upd AS (SELECT order_month, o_orderdate, o_orderkey,
         |   CASE WHEN o_orderkey % 10 = 9
         |             AND o_orderdate >= DATE '1998-02-01'
-        |        THEN o_totalprice + 3.25 ELSE o_totalprice END
+        |        THEN o_totalprice + 3.25
+        |        WHEN o_orderkey % 20 = 5 THEN o_totalprice + 1.5
+        |        ELSE o_totalprice END
         |     AS o_totalprice
         |  FROM allr),
         | fin AS (SELECT * FROM upd
@@ -1848,6 +2077,51 @@ object EtlQueries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
+    // replay the merge-on-read history over raw orders: keys ≡9
+    // (mod 100) deleted (the deletion-vector path — a leaked deleted
+    // row mismatches the count), keys ≡17 (mod 100) +6.75 (DV delete
+    // + additive post-image part). Disjoint key classes, one CASE.
+    "snapshot_dv_delete" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | fin AS (SELECT order_month,
+        |   CASE WHEN o_orderkey % 100 = 17 THEN o_totalprice + 6.75
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 100 <> 9)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // the same merge-on-read state through the priority grain — the
+    // additive post-image parts must aggregate exactly once each
+    "snapshot_dv_update" ->
+      """WITH fin AS (SELECT o_orderpriority,
+        |   CASE WHEN o_orderkey % 100 = 17 THEN o_totalprice + 6.75
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 <> 9)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM fin GROUP BY 1""".stripMargin,
+    // the cross-vintage dynamic overwrite lands the SAME final state
+    // as the plain corrected-month backfill — one oracle, with the
+    // survivor-migration machinery underneath
+    "snapshot_evolve_overwrite" -> snapshotBackfillSql,
+    // replay the published WAP state over raw orders: load + the GOOD
+    // clone batch (keys ≡21 mod 50, +0.50, +8e9 key) — the abandoned
+    // bad batch (price -1e6) must never surface (one leaked row moves
+    // a month's sum by a million and mismatches)
+    "snapshot_branch_wap" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | ins AS (SELECT order_month, o_totalprice + 0.50 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 50 = 21),
+        | allr AS (SELECT order_month, o_totalprice FROM o
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM allr GROUP BY 1""".stripMargin,
     // replay the row-level DELETE: keys ≡6 (mod 10) removed
     "snapshot_sql_delete_rows" ->
       """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')

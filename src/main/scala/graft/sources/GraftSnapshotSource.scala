@@ -137,6 +137,16 @@ class GraftSnapshotTable(
     manifest.schema.map(SnapshotStore.physMapOf).getOrElse(Map.empty)
   private val logicalOf: Map[String, String] = physOf.map(_.swap)
 
+  /** Does this load's manifest carry live DELETION VECTORS? Batch
+    * reads must then anti-apply them —
+    * [[graft.plans.SnapshotDvReadRewrite]] (part of
+    * [[graft.GraftExtensions]], the engine's session contract)
+    * replaces the relation with the DV-applied plan at analysis; a
+    * session WITHOUT the extensions reaches the scan's toBatch and
+    * fails loudly there instead of resurrecting deleted rows. */
+  private[graft] val hasDvs: Boolean =
+    manifest.entries.exists(_.dv.isDefined)
+
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ)
     // the streaming tail follows the LIVE commit chain — a time-travel
@@ -179,7 +189,7 @@ class GraftSnapshotTable(
       manifestRows, root,
       manifest.schema.map(SnapshotStore.physicalSchema)
         .getOrElse(inner.schema), options, physOf, logicalOf,
-      manifest)
+      manifest, hasDvs)
 
   /** SQL `DELETE FROM snap.t WHERE <partition predicate>` — the atomic
     * DROP PARTITION (`ALTER TABLE … DROP PARTITION` is standard
@@ -465,7 +475,8 @@ private class GraftSnapshotScanBuilder(
     tblOptions: CaseInsensitiveStringMap,
     physOf: Map[String, String],
     logicalOf: Map[String, String],
-    manifest: SnapshotStore.Manifest)
+    manifest: SnapshotStore.Manifest,
+    hasDvs: Boolean)
   extends ParquetScanBuilder(template.sparkSession, template.fileIndex,
     template.schema, template.dataSchema, template.options) {
 
@@ -535,7 +546,7 @@ private class GraftSnapshotScanBuilder(
       else None
     new ManifestStatsScan(p, exactRows, root, physTableSchema,
       tblOptions, logicalOf,
-      GraftSpj.infoFor(template.sparkSession, manifest))
+      GraftSpj.infoFor(template.sparkSession, manifest), hasDvs)
   }
 }
 
@@ -563,6 +574,10 @@ private object GraftSpj {
         "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
       return None
     if (SnapshotStore.hasMixedSpecs(m)) return None
+    // DV-bearing tables never reach a raw keyed scan (the DV rewrite
+    // replaces the relation; the toBatch guard backstops) — reporting
+    // a partitioning for one would be dead code at best
+    if (m.entries.exists(_.dv.isDefined)) return None
     val schema = m.schema.getOrElse(return None)
     val layout = SnapshotStore.tableLayout(m).getOrElse(return None)
     val spec = SnapshotStore.parseSpec(layout._1)
@@ -578,7 +593,23 @@ private object GraftSpj {
           case _ => return None
         }
       case Bucket(_, _) => IntegerType
-      case _ => return None // time/truncate: lossy or zone-sensitive
+      // time transforms report an Iceberg-style UNITS-SINCE-EPOCH int
+      // key: the canonical token renders ("2024-03", "2024-03-15-08")
+      // round-trip exactly for date/NTZ sources (zone-free); a TZ
+      // timestamp source is reportable only when this session provably
+      // renders like the table's writer (the table.tz prop) — the
+      // reference's own months(ts) MergeTree layout then joins
+      // exchange-free (README.md:548)
+      case TimeUnit(_, c) =>
+        schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(DateType) | Some(TimestampNTZType) => IntegerType
+          case Some(TimestampType)
+              if m.props.get(SnapshotStore.TzProp).exists(w =>
+                SnapshotStore.sameRendering(w, spark.sessionState.conf
+                  .sessionLocalTimeZone)) => IntegerType
+          case _ => return None
+        }
+      case _ => return None // truncate: prefix grouping is lossy
     }
     Some(Info(spec, keyTypes))
   }
@@ -591,6 +622,10 @@ private object GraftSpj {
     info.spec.fields.map {
       case Identity(c) => Expressions.identity(c)
       case Bucket(n, c) => Expressions.bucket(n, c)
+      case TimeUnit("years", c) => Expressions.years(c)
+      case TimeUnit("months", c) => Expressions.months(c)
+      case TimeUnit("days", c) => Expressions.days(c)
+      case TimeUnit("hours", c) => Expressions.hours(c)
       case other => throw new IllegalStateException(
         s"unreachable: $other filtered by infoFor")
     }.toArray
@@ -603,6 +638,9 @@ private object GraftSpj {
     info.spec.splitToken(token).map { comps =>
       val vals = info.spec.fields.zip(comps).zip(info.keyTypes).map {
         case ((Bucket(_, _), v), _) => v.toInt: Any
+        // time-transform tokens parse to the same UNITS-SINCE-EPOCH
+        // int the graft years/months/days/hours V2 functions compute
+        case ((TimeUnit(u, _), v), _) => GraftTimeUnitMath.ofToken(u, v)
         case ((_, v), StringType) =>
           org.apache.spark.unsafe.types.UTF8String.fromString(v)
         case ((_, v), IntegerType) => v.toInt
@@ -715,6 +753,104 @@ private[sources] object GraftBucketFunction
   }
 }
 
+/** Units-since-epoch arithmetic shared by the V2 time-transform
+  * functions and the partition-key parser: the int key of a local
+  * calendar field set, and its inverse from the canonical token
+  * rendering ([[graft.etl.PartitionSpec.TimeUnit.pattern]]). One
+  * definition — the function's computed key and the token-parsed key
+  * can never drift. */
+private[sources] object GraftTimeUnitMath {
+  def years(y: Int): Int = y - 1970
+  def months(y: Int, mo: Int): Int = (y - 1970) * 12 + (mo - 1)
+  def days(d: java.time.LocalDate): Int = d.toEpochDay.toInt
+  def hours(d: java.time.LocalDate, h: Int): Int =
+    d.toEpochDay.toInt * 24 + h
+
+  def ofLocal(unit: String, dt: java.time.LocalDateTime): Int =
+    unit match {
+      case "years" => years(dt.getYear)
+      case "months" => months(dt.getYear, dt.getMonthValue)
+      case "days" => days(dt.toLocalDate)
+      case "hours" => hours(dt.toLocalDate, dt.getHour)
+    }
+
+  /** Parse a rendered token ("2024", "2024-03", "2024-03-15",
+    * "2024-03-15-08") back to the key. */
+  def ofToken(unit: String, tok: String): Int = unit match {
+    case "years" => years(tok.toInt)
+    case "months" =>
+      val Array(y, mo) = tok.split("-"); months(y.toInt, mo.toInt)
+    case "days" => days(java.time.LocalDate.parse(tok))
+    case "hours" => hours(
+      java.time.LocalDate.parse(tok.substring(0, 10)),
+      tok.substring(11, 13).toInt)
+  }
+}
+
+/** The V2 `years/months/days/hours(col)` functions — the SPJ witnesses
+  * for time-transform partition specs, exactly like
+  * [[GraftBucketFunction]] for bucket specs: Spark's storage-
+  * partitioned-join machinery resolves a reported `months(ts)`
+  * clustering key by loading THIS function and binding it; the bound
+  * canonical name is the cross-table compatibility witness, and
+  * `produceResult` computes the SAME units-since-epoch key the
+  * partition token records. Date and NTZ sources are zone-free; TZ
+  * timestamps compute under the session zone CAPTURED AT BIND — sound
+  * because [[GraftSpj.infoFor]] only reports a TZ-source transform
+  * when the session provably renders like the table's writer. */
+private[sources] class GraftTimeUnitFunction(unit: String)
+    extends org.apache.spark.sql.connector.catalog.functions
+      .UnboundFunction {
+
+  override def name(): String = unit
+  override def description(): String =
+    s"graft partition time transform: $unit since epoch (int)"
+
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$unit(col) takes one argument, got ${inputType.simpleString}")
+    val srcType = inputType.fields(0).dataType
+    import org.apache.spark.sql.types._
+    val zoneId: String = srcType match {
+      case TimestampType =>
+        SparkSession.active.sessionState.conf.sessionLocalTimeZone
+      case DateType | TimestampNTZType => "UTC"
+      case other => throw new UnsupportedOperationException(
+        s"graft $unit() binds to date/timestamp inputs, got " +
+          other.catalogString)
+    }
+    new org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer] {
+      @transient private lazy val zone = java.time.ZoneId.of(zoneId)
+      override def inputTypes(): Array[DataType] = Array(srcType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = unit
+      override def canonicalName(): String =
+        s"graft.$unit(${srcType.catalogString})"
+      override def produceResult(input: InternalRow): Integer =
+        if (input.isNullAt(0)) null
+        else srcType match {
+          case DateType =>
+            val d = java.time.LocalDate.ofEpochDay(input.getInt(0).toLong)
+            Integer.valueOf(
+              GraftTimeUnitMath.ofLocal(unit, d.atStartOfDay()))
+          case _ =>
+            val us = input.getLong(0)
+            val inst = java.time.Instant.ofEpochSecond(
+              Math.floorDiv(us, 1000000L),
+              Math.floorMod(us, 1000000L) * 1000L)
+            val local = srcType match {
+              case TimestampNTZType => java.time.LocalDateTime
+                .ofInstant(inst, java.time.ZoneOffset.UTC)
+              case _ => java.time.LocalDateTime.ofInstant(inst, zone)
+            }
+            Integer.valueOf(GraftTimeUnitMath.ofLocal(unit, local))
+        }
+    }
+  }
+}
+
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
   * knows its partition KEY — the [[HasPartitionKey]] face Spark's SPJ
   * machinery groups on. Subclassing (not wrapping) keeps the parquet
@@ -738,12 +874,30 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
     val root: String, physTableSchema: StructType,
     tblOptions: CaseInsensitiveStringMap,
     val logicalOf: Map[String, String] = Map.empty,
-    val spj: Option[GraftSpj.Info] = None)
+    val spj: Option[GraftSpj.Info] = None,
+    val hasDvs: Boolean = false)
     extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema,
       p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
       p.dataFilters, p.pushedVariantExtractions)
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** A raw file scan cannot anti-apply deletion vectors — batch
+    * execution of a DV-bearing table is only legal through the
+    * analysis rewrite ([[graft.plans.SnapshotDvReadRewrite]], which
+    * replaces the relation before any scan is built). Reaching here
+    * with DVs means the session lacks [[graft.GraftExtensions]]:
+    * refuse loudly instead of resurrecting deleted rows. The
+    * streaming tail is untouched (it reads per-commit APPENDED dirs,
+    * which never carry vectors at birth). */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    if (hasDvs) throw new UnsupportedOperationException(
+      s"snapshot table at $root carries deletion vectors — batch " +
+        "reads need the DV rewrite from graft.GraftExtensions " +
+        "(spark.sql.extensions=graft.GraftExtensions), or run " +
+        "SnapshotStore.compact to fold the vectors into clean files")
+    super.toBatch
+  }
 
   /** One [[KeyedFilePartition]] per partition VALUE among the selected
     * files (several manifest parts of one value merge; pushdown-pruned
@@ -818,11 +972,11 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
   override def equals(obj: Any): Boolean = obj match {
     case o: ManifestStatsScan =>
       super.equals(o) && rows == o.rows && root == o.root &&
-        logicalOf == o.logicalOf && spj == o.spj
+        logicalOf == o.logicalOf && spj == o.spj && hasDvs == o.hasDvs
     case _ => false
   }
   override def hashCode(): Int =
-    31 * super.hashCode() + (rows, root, logicalOf, spj).hashCode()
+    31 * super.hashCode() + (rows, root, logicalOf, spj, hasDvs).hashCode()
 }
 
 /** The CHANGE-FEED view of a snapshot table — schema = data schema +
@@ -946,20 +1100,26 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
     synchronized {
       val root0 = Option(options.get("path"))
       // `tag` is the name-addressed form of `asOf` (the reader twin
-      // of `VERSION AS OF '<name>'`) — resolved through the
-      // expire-pinned refs to a manifest id; naming both is refused
-      // (they could disagree silently)
+      // of `VERSION AS OF '<name>'`); `branch` reads a WAP branch's
+      // staged head ([[SnapshotStore.branches]]) — each resolved
+      // through the expire-pinned refs to a manifest id; naming more
+      // than one pin is refused (they could disagree silently)
       val tagOpt = Option(options.get("tag"))
+      val branchOpt = Option(options.get("branch"))
       val asOfOpt0 = Option(options.get("asOf")).map(_.toLong)
-      require(tagOpt.isEmpty || asOfOpt0.isEmpty,
-        "graft-snapshot: options 'tag' and 'asOf' are mutually " +
-          "exclusive — they both pin the snapshot to read")
-      val tagId = tagOpt.map { t =>
-        SnapshotStore.resolveTag(root0.getOrElse(
-          throw new IllegalArgumentException(
-            "graft-snapshot needs a table root: .load(root) or " +
-              ".option(\"path\", root)")), t).id
-      }
+      require(Seq(tagOpt, branchOpt, asOfOpt0).count(_.isDefined) <= 1,
+        "graft-snapshot: options 'tag', 'branch' and 'asOf' are " +
+          "mutually exclusive — each pins the snapshot to read")
+      def rootOrFail: String = root0.getOrElse(
+        throw new IllegalArgumentException(
+          "graft-snapshot needs a table root: .load(root) or " +
+            ".option(\"path\", root)"))
+      // tags and branches can legitimately MOVE (untag+retag; branch
+      // commits) — their target id re-resolves on every call and joins
+      // the cache key
+      val tagId = tagOpt.map(t => SnapshotStore.resolveTag(rootOrFail, t).id)
+        .orElse(branchOpt.map(b =>
+          SnapshotStore.branchManifest(rootOrFail, b).id))
       if (cachedKey == null || cachedKey != options ||
           cachedTagId != tagId) {
         val root = root0.getOrElse(
@@ -1335,23 +1495,27 @@ class GraftSnapshotCatalog extends TableCatalog
     * co-partitioned), and `produceResult` replays the exact
     * pmod(hash(col), n) the partition spec writes. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array("bucket", "years", "months", "days", "hours")
+      .map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => GraftBucketFunction
+      case u @ ("years" | "months" | "days" | "hours") =>
+        new GraftTimeUnitFunction(u)
       case other => throw new UnsupportedOperationException(
         s"unknown function '$other' — this catalog provides 'bucket' " +
-          "(the partition-spec bucket transform, for storage-" +
-          "partitioned joins)")
+          "and 'years'/'months'/'days'/'hours' (the partition-spec " +
+          "transforms, for storage-partitioned joins)")
     }
 
   // ---- procedures (CALL snap.system.merge_into(…)) -----------------------
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("merge_into", "history", "expire", "compact", "rollback",
-      "tag", "untag", "tags", "evolve_spec")
+      "tag", "untag", "tags", "evolve_spec", "branch", "fast_forward",
+      "drop_branch")
       .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -1365,13 +1529,19 @@ class GraftSnapshotCatalog extends TableCatalog
       case "untag" => new UntagProcedure(warehouse)
       case "tags" => new TagsProcedure(warehouse)
       case "evolve_spec" => new EvolveSpecProcedure(warehouse)
+      case "branch" => new BranchProcedure(warehouse)
+      case "fast_forward" => new FastForwardProcedure(warehouse)
+      case "drop_branch" => new DropBranchProcedure(warehouse)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — this catalog provides " +
           "system.merge_into(table, source, key, delete_flag), " +
           "system.history(table), system.expire(table, keep_last), " +
           "system.compact(table), system.rollback(table, to_seq), " +
           "system.tag(table, name, seq), system.untag(table, name), " +
-          "system.tags(table) and system.evolve_spec(table, new_spec)")
+          "system.tags(table), system.evolve_spec(table, new_spec), " +
+          "system.branch(table, name), " +
+          "system.fast_forward(table, name) and " +
+          "system.drop_branch(table, name)")
     }
 }
 
@@ -1407,6 +1577,108 @@ class EvolveSpecProcedure(warehouse: String) extends UnboundProcedure {
         val root = SnapProcedures.existingRoot(warehouse, table)
         SnapProcedures.singleLongResult("snapshot_id",
           SnapshotStore.evolvePartitionSpec(root, newSpec))
+      }
+    }
+}
+
+/** `CALL <catalog>.system.branch(table, name)` — cut a WAP branch at
+  * the current head ([[SnapshotStore.branch]]): staged commits land on
+  * the branch (Scala [[SnapshotStore.appendToBranch]] /
+  * [[SnapshotStore.resetBranch]]; read with
+  * `spark.read.format("graft-snapshot").option("branch", name)`),
+  * invisible to main readers until `system.fast_forward` publishes
+  * them. Returns the fork's manifest id. */
+class BranchProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "branch"
+  override def description(): String =
+    "Cut a write-audit-publish branch at a graft snapshot table's head"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "branch"
+      override def description(): String =
+        BranchProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("name", StringType)
+          .comment("branch name").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val branchName = input.getUTF8String(1).toString
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapProcedures.singleLongResult("snapshot_id",
+          SnapshotStore.branch(root, branchName).id)
+      }
+    }
+}
+
+/** `CALL <catalog>.system.fast_forward(table, name)` — publish a WAP
+  * branch's staged state onto the main chain
+  * ([[SnapshotStore.fastForward]]): one ordinary conflict-checked
+  * commit; refuses loudly when main advanced since the fork. Returns
+  * the published manifest id. */
+class FastForwardProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "Publish a WAP branch's staged state onto the main chain"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "fast_forward"
+      override def description(): String =
+        FastForwardProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("name", StringType)
+          .comment("branch name to publish").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val branchName = input.getUTF8String(1).toString
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapProcedures.singleLongResult("snapshot_id",
+          SnapshotStore.fastForward(root, branchName))
+      }
+    }
+}
+
+/** `CALL <catalog>.system.drop_branch(table, name)` — drop a WAP
+  * branch ref; its unpublished manifests/dirs age out via expire.
+  * Returns whether the branch existed (0/1). */
+class DropBranchProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "Drop a WAP branch from a graft snapshot table"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String =
+        DropBranchProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("name", StringType)
+          .comment("branch name to drop").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val branchName = input.getUTF8String(1).toString
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapProcedures.singleLongResult("existed",
+          if (SnapshotStore.dropBranch(root, branchName)) 1L else 0L)
       }
     }
 }

@@ -208,25 +208,45 @@ class GraftSnapshotCdfMicroBatchStream(
   private def planSegments(a: Long, b: Long)
       : Seq[(Seq[String], Option[String])] = {
     if (a >= b) return Seq.empty
-    def dirsOf(seq: Long): Set[String] = manifestDirs(seq)
+    def manifestOf(seq: Long): SnapshotStore.Manifest =
+      SnapshotStore.manifestAtSeq(root, seq)
+    def dvOf(m: SnapshotStore.Manifest): Map[String, Option[_]] =
+      m.entries.map(e => e.dir -> e.dv).toMap
     // endpoints resolve LOUDLY (falling past retention is data loss)
-    val aDirs = dirsOf(a)
-    val bDirs = dirsOf(b)
+    val mA = if (a == 0) SnapshotStore.Manifest(0L, Seq.empty)
+      else manifestOf(a)
+    val mB = manifestOf(b)
     val perCommit: Option[Seq[(Seq[String], Option[String])]] =
       try {
-        var prev = aDirs
+        var prevM = mA
         Some((a + 1 to b).flatMap { s =>
-          val m = SnapshotStore.manifestAtSeq(root, s)
+          val m = manifestOf(s)
+          val prev = prevM.entries.map(_.dir).toSet
           val cur = m.entries.map(_.dir).toSet
           val segs =
             if (java.nio.file.Files.isDirectory(
                 SnapshotStore.cdcDirOf(root, m.id)))
               Seq((Seq(s"data/snap-${m.id}/${SnapshotStore.CdcDirName}"),
                 None))
-            else
+            else {
+              // a sidecar-less step whose deletion vectors CHANGED on
+              // dirs it kept (a rollback across DV commits) cannot be
+              // expressed as a raw dir diff — the stream reads files
+              // positionally and cannot anti-apply vectors. Refuse
+              // loudly; the batch changeFeed handles this shape.
+              val dvPrev = dvOf(prevM); val dvCur = dvOf(m)
+              val dvChanged = (prev intersect cur).exists(d =>
+                dvPrev.get(d) != dvCur.get(d))
+              if (dvChanged) throw new UnsupportedOperationException(
+                s"CDF tail at $root: commit seq $s changed deletion " +
+                  "vectors on carried dirs without a CDC sidecar (a " +
+                  "rollback across DV commits) — the streaming tail " +
+                  "cannot replay it; use the batch changeFeed for " +
+                  "this range and restart the stream from its head")
               Seq(((cur -- prev).toSeq.sorted, Some("insert")),
                 ((prev -- cur).toSeq.sorted, Some("delete")))
-          prev = cur
+            }
+          prevM = m
           segs.filter(_._1.nonEmpty)
         })
       } catch {
@@ -238,10 +258,25 @@ class GraftSnapshotCdfMicroBatchStream(
               "cancelled out within the batch are coalesced away")
           None
       }
-    perCommit.getOrElse(
+    perCommit.getOrElse {
+      // the wholesale fallback reads raw dirs — with live deletion
+      // vectors at either endpoint that read would leak deleted rows
+      // (or miss DV-only diffs); fail loudly rather than emit a wrong
+      // feed (the batch changeFeed's entry-based diff handles DVs)
+      if (mA.entries.exists(_.dv.isDefined) ||
+          mB.entries.exists(_.dv.isDefined))
+        throw new UnsupportedOperationException(
+          s"CDF tail at $root: per-commit replay is unavailable for " +
+            s"($a, $b] and an endpoint carries deletion vectors — the " +
+            "wholesale dir-diff fallback cannot anti-apply them; " +
+            "raise retention, or read the range with the batch " +
+            "changeFeed")
+      val aDirs = mA.entries.map(_.dir).toSet
+      val bDirs = mB.entries.map(_.dir).toSet
       Seq(((bDirs -- aDirs).toSeq.sorted, Some("insert")),
         ((aDirs -- bDirs).toSeq.sorted, Some("delete")))
-        .filter(_._1.nonEmpty))
+        .filter(_._1.nonEmpty)
+    }
   }
 
   override def planInputPartitions(start: Offset,

@@ -11,6 +11,11 @@ object Fs {
     f.delete(); ()
   }
 
+  /** Recursive byte size of a file tree (0 for a missing path). */
+  def du(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+
   /** A per-process scratch root under java.io.tmpdir:
     * `graft_<family>_p<pid><suffix>`. The PID suffix makes the root
     * single-writer by construction (two JVMs sharing tmpdir can never

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Partition-spec EVOLUTION ([[SnapshotStore.evolvePartitionSpec]]):
   * a metadata-only commit moves the table's layout for FUTURE commits;
   * existing entries keep (and record) their outgoing spec, readers
-  * union vintages, row-level DML discovers per entry-spec and MIGRATES
-  * what it touches, compact migrates everything, and the
-  * value-addressed paths that cannot be made exact across vintages
-  * (MERGE, dynamic overwrite) refuse loudly. */
+  * union vintages, and EVERY write path spans vintages (since r14):
+  * row-level DML and MERGE discover touched entries by FILE identity
+  * and migrate what they restate; dynamic overwrite resolves its
+  * addressed values inside old-vintage entries and migrates their
+  * survivors; compact migrates everything at once. */
 class SnapshotSpecEvolveSpec extends SparkSpec {
 
   import spark.implicits._
@@ -95,8 +96,8 @@ class SnapshotSpecEvolveSpec extends SparkSpec {
   }
 
   test("partition-granular SQL DELETE stays exact across vintages " +
-      "(per-entry spec decisions); MERGE and dynamic overwrite refuse " +
-      "until compact migrates the layout") {
+      "(per-entry spec decisions); MERGE spans vintages WITHOUT a " +
+      "prior compact and migrates the entries it touches") {
     val wh = mkRoot("sqlwh")
     val root = s"$wh/t"
     SnapshotStore.write(base(), root, "m", "id")
@@ -114,23 +115,52 @@ class SnapshotSpecEvolveSpec extends SparkSpec {
     assert(java.nio.file.Files.list(
       java.nio.file.Paths.get(s"$root/data/snap-${m1.id}")).count() === 0L,
       "the cross-vintage partition drop must stay metadata-only")
-    // MERGE refuses loudly on a mixed-spec table
+    // MERGE on the mixed-spec table: id 3 lives in an OLD-vintage
+    // 2024-02 entry — the file-attributed discovery finds it, the
+    // restatement migrates the touched entry to the current layout
     Seq((3L, "2024-02", 1.0, false)).toDF("id", "m", "price", "del")
       .createOrReplaceTempView("evo_changes")
-    val e = intercept[Exception](spark.sql(
-      "CALL evo.system.merge_into('t', 'evo_changes', 'id', 'del')"))
-    assert(e.getMessage.contains("outgoing partition-spec vintage"))
-    val e2 = intercept[Exception](SnapshotStore.overwritePartitions(
-      Seq((9L, "2024-02", 9.0)).toDF("id", "m", "price"),
-      root, "m,bucket(2,id)", "id"))
-    assert(e2.getMessage.contains("outgoing partition-spec vintage"))
-    // compact migrates every vintage in one full rewrite; MERGE works
+    spark.sql("CALL evo.system.merge_into('t', 'evo_changes', 'id', 'del')")
+    val afterMerge = SnapshotStore.read(spark, root)
+      .select(col("id"), col("price")).as[(Long, Double)].collect().toMap
+    assert(afterMerge === Map(3L -> 1.0, 4L -> 40.0, 6L -> 60.0))
+    assert(!SnapshotStore.current(root).get.entries.exists(e =>
+      e.spec.isDefined && e.value == "2024-02"),
+      "the MERGE-touched old-vintage entry must migrate to the " +
+        "current layout")
+    // compact still migrates everything that remains
     SnapshotStore.compact(spark, root, "m,bucket(2,id)", "id")
     assert(SnapshotStore.current(root).get.entries.forall(_.spec.isEmpty))
-    spark.sql("CALL evo.system.merge_into('t', 'evo_changes', 'id', 'del')")
+  }
+
+  test("dynamic overwrite spans vintages: the addressed value is " +
+      "replaced inside old-vintage entries too, and their survivors " +
+      "migrate to the current layout") {
+    val root = mkRoot("ow")
+    // BUCKET-only first, THEN evolved to month identity: every
+    // old-vintage bucket entry MIXES months, so a value-addressed
+    // month overwrite must reach inside them AND migrate the other
+    // months' rows (the survivors) to the current layout
+    val id1 = SnapshotStore.write(base(), root, "bucket(2,id)", "id")
+    SnapshotStore.evolvePartitionSpec(root, "m", Some("id"))
+    SnapshotStore.overwritePartitions(
+      Seq((9L, "2024-02", 9.0)).toDF("id", "m", "price"), root, "m", "id")
+    val got = SnapshotStore.read(spark, root)
+      .select(col("id"), col("price")).as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 10.0, 2L -> 20.0, 9L -> 9.0),
+      "old-vintage 2024-02 rows (ids 3,4) must be REPLACED by the " +
+        "overwrite, surviving 2024-01 rows preserved exactly once")
+    val m2 = SnapshotStore.current(root).get
+    // the affected buckets dropped; their 2024-01 survivors live in
+    // CURRENT-spec month entries now (migration), and the overwritten
+    // month is a fresh current-spec entry
+    assert(m2.entries.filter(_.spec.isEmpty).map(_.value)
+      .contains("2024-02"))
     assert(SnapshotStore.read(spark, root)
-      .filter(col("id") === 3L).select(col("price"))
-      .as[Double].head() === 1.0)
+      .filter(col("m") === "2024-01").count() === 2L)
+    // time travel to the pre-overwrite state still sees all 4 rows
+    assert(SnapshotStore.read(spark, root, asOf = Some(id1))
+      .count() === 4L)
   }
 
   test("schema DDL honors OUTGOING-vintage specs: dropping/widening a " +

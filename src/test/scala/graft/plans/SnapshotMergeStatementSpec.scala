@@ -319,30 +319,61 @@ class SnapshotMergeStatementSpec extends SparkSpec {
       .exists(_.value == "2024-03"), "drained source partition dropped")
   }
 
-  test("by-source discovery stats-prunes provably-unreachable " +
-      "partitions: their entries carry by dir reference") {
+  test("by-source discovery is EXACT: a clause claiming no row (the " +
+      "condition holds for no unmatched target) commits nothing") {
     val (cat, _, root) = mkTable()
-    val dirsBefore = SnapshotStore.current(root).get.entries
-      .map(e => e.value -> e.dir).toMap
-    // source drops ids 1 AND 2 (the whole of month 2024-01, prices
-    // 10/20): the by-source condition price >= 25 is PROVABLY false
-    // for 2024-01 (stats max 20) AND no source key matches there, so
-    // that partition must carry by reference, un-restated — while
-    // 2024-02/03 restate (matched keys 3,4,5 put them in touchedBase)
+    val before = SnapshotStore.current(root).get
+    // source drops ids 1 AND 2 (prices 10/20): they are the only
+    // by-source rows, and the condition price >= 25 is false for both
+    // — the probe pass (stats-pruned candidates, anti-joined against
+    // the source keys, filtered by the bare condition) finds ZERO
+    // claimed rows, and with no WHEN MATCHED clause the key-matched
+    // partitions have nothing to restate either: full no-op
     Seq(3L, 4L, 5L).toDF("id").createOrReplaceTempView("bs_src_pr")
     spark.sql(
       s"""MERGE INTO $cat.t AS t USING bs_src_pr AS s
          |ON t.id = s.id
          |WHEN NOT MATCHED BY SOURCE AND t.price >= 25.0 THEN
          |  DELETE""".stripMargin)
-    val after = SnapshotStore.current(root).get.entries
-      .map(e => e.value -> e.dir).toMap
+    val after = SnapshotStore.current(root).get
     assert(state(root).keySet === Set(1L, 2L, 3L, 4L, 5L),
       "no row matched the by-source condition — content unchanged")
-    assert(after("2024-01") === dirsBefore("2024-01"),
-      "stats-pruned partition must carry by reference")
-    assert(after("2024-02") !== dirsBefore("2024-02"),
-      "candidate partition restates (its stats range intersects)")
+    assert(after.id === before.id,
+      "a clause program claiming no row must not commit")
+  }
+
+  test("a no-op by-source sync (source covers every key) touches ZERO " +
+      "partitions: the probe pass finds no claimed row, nothing commits") {
+    val (cat, _, root) = mkTable()
+    val before = SnapshotStore.current(root).get
+    // the source carries EVERY target key → no row is by-source; the
+    // unconditional DELETE clause claims nothing. Pre-r14 this
+    // restated every candidate partition's data unchanged; now the
+    // commit must be a pure no-op (same head, same dirs).
+    Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+      .createOrReplaceTempView("bs_src_noop")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING bs_src_noop AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val after = SnapshotStore.current(root).get
+    assert(after.id === before.id, "a no-op sync must not commit")
+    assert(after.entries.map(_.dir) === before.entries.map(_.dir))
+    // and the probe is EXACT, not just empty-safe: dropping one key
+    // from the source deletes exactly that row, touching one partition
+    Seq(1L, 2L, 3L, 4L).toDF("id")
+      .createOrReplaceTempView("bs_src_one")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING bs_src_one AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(state(root).keySet === Set(1L, 2L, 3L, 4L))
+    val m2 = SnapshotStore.current(root).get
+    val changedDirs = m2.entries.map(_.dir)
+      .filterNot(before.entries.map(_.dir).toSet)
+    assert(changedDirs.isEmpty,
+      "a delete-only by-source sync drains id 5's partition without " +
+        s"restating any other (fresh dirs: $changedDirs)")
   }
 
   test("MERGE INTO a NON-snapshot v2 table is untouched by the rule " +
