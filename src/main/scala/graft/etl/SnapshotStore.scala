@@ -294,6 +294,26 @@ object SnapshotStore {
     }, schema, props, ts)
   }
 
+  /** Names + types recursively; nullability and field METADATA
+    * ignored (the public mirror of Catalyst's private `sameType`). */
+  private def structurallyEqual(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (f, g) =>
+            f.name == g.name && structurallyEqual(f.dataType, g.dataType)
+          }
+      case (x: ArrayType, y: ArrayType) =>
+        structurallyEqual(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        structurallyEqual(x.keyType, y.keyType) &&
+          structurallyEqual(x.valueType, y.valueType)
+      case (x, y) => x == y
+    }
+  }
+
   /** Evolution merge: the prior schema's fields keep their order and
     * types; fields new in `next` append. A same-name field must keep
     * its exact type — silent widening/narrowing across a backfill is a
@@ -305,7 +325,11 @@ object SnapshotStore {
     val nextByName = next.fields.map(f => f.name -> f).toMap
     prior.fields.foreach { pf =>
       nextByName.get(pf.name).foreach { nf =>
-        require(nf.dataType == pf.dataType,
+        // STRUCTURAL comparison (names + types, nullability and field
+        // metadata ignored): a frame read back from the table loses
+        // NOT NULL promises and may lack the id/phys stamps the stored
+        // schema carries — neither is a type change
+        require(structurallyEqual(nf.dataType, pf.dataType),
           s"schema evolution cannot change column '${pf.name}' from " +
             s"${pf.dataType.simpleString} to ${nf.dataType.simpleString}")
       }
@@ -1156,9 +1180,30 @@ object SnapshotStore {
     if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
     else f.name
 
+  /** Any rename mapping — TOP-LEVEL or NESTED (a struct subfield whose
+    * physical spelling differs, from a nested RENAME or a re-ADD of a
+    * dropped nested name)? Reads then plan under the physical schema
+    * and LOGICALIZE back ([[logicalCol]] — nested mappings rebuild the
+    * struct). */
   private[graft] def hasMapping(
       s: org.apache.spark.sql.types.StructType): Boolean =
-    s.fields.exists(f => physName(f) != f.name)
+    s.fields.exists(f => physName(f) != f.name ||
+      dtHasMapping(f.dataType))
+
+  /** NESTED mapping only (top-level mappings translate cheaply in the
+    * DSV2 scan builder; nested ones route reads through the analysis
+    * rewrite, like deletion vectors). */
+  private[graft] def hasNestedMapping(
+      s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => dtHasMapping(f.dataType))
+
+  private def dtHasMapping(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.exists(f => physName(f) != f.name ||
+        dtHasMapping(f.dataType))
+    case _ => false
+  }
 
   /** logical → physical, only the non-identity pairs. */
   private[graft] def physMapOf(s: org.apache.spark.sql.types.StructType)
@@ -1166,27 +1211,123 @@ object SnapshotStore {
     s.fields.iterator.map(f => f.name -> physName(f))
       .filter { case (lo, ph) => lo != ph }.toMap
 
-  /** The schema as the parquet FILES spell it. */
+  /** The schema as the parquet FILES spell it — physical names at
+    * EVERY struct level (a no-op for fields without a mapping). */
   private[graft] def physicalSchema(
       s: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
-      s.fields.map(f => f.copy(name = physName(f))))
+      s.fields.map(f =>
+        f.copy(name = physName(f), dataType = physicalDt(f.dataType))))
+
+  private def physicalDt(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType => physicalSchema(st)
+    case other => other
+  }
+
+  /** Reconstruct field `f`'s LOGICAL value from the physical column
+    * expression `path`: structs carrying a nested mapping REBUILD
+    * (each subfield read under its physical spelling, emitted under
+    * its logical name — null structs stay null); everything else
+    * passes through. The read-side twin of [[physCol]]. */
+  private def logicalCol(f: org.apache.spark.sql.types.StructField,
+      path: Column): Column = f.dataType match {
+    case st: org.apache.spark.sql.types.StructType
+        if dtHasMapping(f.dataType) ||
+          st.fields.exists(sf => physName(sf) != sf.name) =>
+      val rebuilt = struct(st.fields.toIndexedSeq.map(sf =>
+        logicalCol(sf, path.getField(physName(sf))).as(sf.name)): _*)
+      // the outer CAST imposes the LOGICAL struct shape — field names
+      // and the id/phys metadata stamps — in its deep-NULLABLE form
+      // (file sources cannot promise NOT NULL, and the rebuilt
+      // subfields are nullable getFields; commit boundaries compare
+      // types STRUCTURALLY, so the relaxation is invisible to them)
+      when(path.isNull, lit(null)).otherwise(rebuilt)
+        .cast(nullableDt(f.dataType))
+    case _ => path
+  }
+
+  private def nullableDt(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(dataType = nullableDt(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = nullableDt(at.elementType),
+        containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(valueType = nullableDt(mt.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** The logicalizing projection of a physical-schema read: one
+    * expression per table column (the pushdown-transparent alias for
+    * unmapped fields; a struct rebuild where a nested mapping
+    * demands it). */
+  private def logicalProjection(
+      s: org.apache.spark.sql.types.StructType): Seq[Column] =
+    s.fields.toIndexedSeq.map(f =>
+      logicalCol(f, col(quoted(physName(f)))).as(f.name))
+
+  /** Respell a LOGICAL-named frame into PHYSICAL names at every level
+    * — the write-side twin of [[logicalProjection]]: top-level renames
+    * stay cheap `withColumnRenamed`s; struct columns with nested
+    * mappings rebuild under their physical subfield spellings. `df`
+    * must carry (a subset of) `schema`'s columns by logical name. */
+  private def physicalizeFrame(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    def physCol(dt: org.apache.spark.sql.types.DataType,
+        path: Column): Column = dt match {
+      case st: org.apache.spark.sql.types.StructType
+          if dtHasMapping(st) ||
+            st.fields.exists(sf => physName(sf) != sf.name) =>
+        val rebuilt = struct(st.fields.toIndexedSeq.map(sf =>
+          physCol(sf.dataType, path.getField(sf.name))
+            .as(physName(sf))): _*)
+        when(path.isNull, lit(null).cast(physicalDt(st))).otherwise(rebuilt)
+      case _ => path
+    }
+    val present = df.columns.toSet
+    schema.fields.filter(f => present(f.name)).foldLeft(df) { (d, f) =>
+      val d2 =
+        if (dtHasMapping(f.dataType))
+          d.withColumn(f.name, physCol(f.dataType, col(quoted(f.name))))
+        else d
+      if (physName(f) != f.name) d2.withColumnRenamed(f.name, physName(f))
+      else d2
+    }
+  }
 
   private def quoted(n: String): String = s"`${n.replace("`", "``")}`"
 
-  /** Stamp ids + physical names on every field that lacks them (id =
-    * running max + 1, schema order; phys = the current name — sound
-    * for adoption because every file written so far used exactly the
-    * current names). Fields already stamped keep their metadata. */
+  /** Stamp ids + physical names on every field that lacks them —
+    * RECURSIVELY through struct subfields (nested DDL needs nested
+    * identity too); id = running max across all levels + 1, schema
+    * order; phys = the current name (sound for adoption because every
+    * file written so far used exactly the current names). Fields
+    * already stamped keep their metadata. */
   private[graft] def stampIds(s: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    var next = s.fields.iterator
-      .filter(_.metadata.contains(FieldIdKey))
-      .map(_.metadata.getLong(FieldIdKey)).foldLeft(0L)(math.max) + 1
-    org.apache.spark.sql.types.StructType(s.fields.map { f =>
+    import org.apache.spark.sql.types.StructType
+    def maxId(st: StructType): Long = st.fields.iterator.map { f =>
+      val own = if (f.metadata.contains(FieldIdKey))
+        f.metadata.getLong(FieldIdKey) else 0L
+      val sub = f.dataType match {
+        case n: StructType => maxId(n)
+        case _ => 0L
+      }
+      math.max(own, sub)
+    }.foldLeft(0L)(math.max)
+    var next = maxId(s) + 1
+    def stamp(st: StructType): StructType = StructType(st.fields.map { f =>
+      val dt2 = f.dataType match {
+        case n: StructType => stamp(n)
+        case other => other
+      }
       if (f.metadata.contains(FieldIdKey) &&
-          f.metadata.contains(PhysKey)) f
+          f.metadata.contains(PhysKey)) f.copy(dataType = dt2)
       else {
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
@@ -1194,9 +1335,10 @@ object SnapshotStore {
           mb.putLong(FieldIdKey, next); next += 1
         }
         if (!f.metadata.contains(PhysKey)) mb.putString(PhysKey, f.name)
-        f.copy(metadata = mb.build())
+        f.copy(dataType = dt2, metadata = mb.build())
       }
     })
+    stamp(s)
   }
 
   /** Full-rewrite schema: carry each same-named prior field's STABLE
@@ -1215,18 +1357,33 @@ object SnapshotStore {
       : org.apache.spark.sql.types.StructType = prior match {
     case None => next
     case Some(p) =>
-      val byName = p.fields.map(f => f.name -> f).toMap
-      org.apache.spark.sql.types.StructType(next.fields.map { f =>
-        byName.get(f.name).filter(_.metadata.contains(FieldIdKey)) match {
-          case Some(pf) =>
-            val mb = new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong(FieldIdKey, pf.metadata.getLong(FieldIdKey))
-              .putString(PhysKey, physName(pf))
-            f.copy(metadata = mb.build())
-          case None => f
-        }
-      })
+      import org.apache.spark.sql.types.StructType
+      // recurse into same-named STRUCT fields: nested ids/phys carry
+      // too (a read's struct-rebuild projection strips nested
+      // metadata, so a compaction of a nested-renamed table must
+      // restore the frozen nested spellings from the prior schema —
+      // retained sidecars/dirs still spell them)
+      def carry(pst: StructType, nst: StructType): StructType = {
+        val byName = pst.fields.map(f => f.name -> f).toMap
+        StructType(nst.fields.map { f =>
+          byName.get(f.name) match {
+            case Some(pf) =>
+              val dt2 = (pf.dataType, f.dataType) match {
+                case (ps: StructType, ns: StructType) => carry(ps, ns)
+                case _ => f.dataType
+              }
+              if (pf.metadata.contains(FieldIdKey)) {
+                val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong(FieldIdKey, pf.metadata.getLong(FieldIdKey))
+                  .putString(PhysKey, physName(pf))
+                f.copy(dataType = dt2, metadata = mb.build())
+              } else f.copy(dataType = dt2)
+            case None => f
+          }
+        })
+      }
+      carry(p, next)
   }
 
   /** Durable registry of RETIRED fields — `(id, physical name)` pairs
@@ -1468,6 +1625,236 @@ object SnapshotStore {
       id
     }
 
+  // ---- nested-field schema evolution ---------------------------------------
+
+  /** Retired NESTED fields — `(id, dotted PHYSICAL path)` of every
+    * struct subfield a [[dropNestedColumns]] commit removed: dropped
+    * spellings stay in retained files forever, so a later same-named
+    * re-ADD under the same parent takes a suffixed physical spelling
+    * (no zombie resurrection). Cleared by a full rewrite, like
+    * [[RetiredKey]]. */
+  private[graft] val RetiredNestedKey = "graft.fields.retiredNested"
+
+  /** Apply `edit` to the struct at `parent` (case-insensitive per
+    * level), rebuilding the schema around it. Also hands `edit` the
+    * parent's dotted PHYSICAL path (the stable spelling the retired
+    * registry and collision checks key on). Throws loudly on a
+    * missing segment or a non-struct parent. */
+  private def editStructAt(
+      schema: org.apache.spark.sql.types.StructType,
+      parent: Seq[String], what: String)(
+      edit: (org.apache.spark.sql.types.StructType, String) =>
+        org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    def walk(st: StructType, segs: Seq[String],
+        physPath: Seq[String]): StructType = segs match {
+      case Seq() => edit(st, physPath.mkString("."))
+      case head +: rest =>
+        val f = st.fields.find(_.name.equalsIgnoreCase(head)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$what: no column '$head' under " +
+              s"'${physPath.mkString(".")}' — fields: " +
+              st.fieldNames.mkString(", ")))
+        f.dataType match {
+          case inner: StructType =>
+            StructType(st.fields.map(x =>
+              if (x.name == f.name)
+                f.copy(dataType = walk(inner, rest, physPath :+ physName(f)))
+              else x))
+          case other => throw new IllegalArgumentException(
+            s"$what: '$head' is ${other.simpleString}, not a struct — " +
+              "nested evolution addresses struct subfields only")
+        }
+    }
+    walk(schema, parent, Seq.empty)
+  }
+
+  private def maxFieldId(s: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.spark.sql.types.StructType
+    s.fields.iterator.map { f =>
+      val own = if (f.metadata.contains(FieldIdKey))
+        f.metadata.getLong(FieldIdKey) else 0L
+      val sub = f.dataType match {
+        case n: StructType => maxFieldId(n)
+        case _ => 0L
+      }
+      math.max(own, sub)
+    }.foldLeft(0L)(math.max)
+  }
+
+  /** `ALTER TABLE … ADD COLUMN parent.child <type>` — nested schema
+    * evolution as a METADATA-ONLY commit: the subfield appends at the
+    * END of its struct; files of every era read it as null (Spark's
+    * parquet readers clip nested schemas by name). A re-ADD of a
+    * DROPPED nested name binds to a fresh id + suffixed physical
+    * spelling — retained files' old values never resurrect. `adds` is
+    * (parent path segments, new field); the new field must be
+    * nullable. */
+  def addNestedColumns(root: String,
+      adds: Seq[(Seq[String], org.apache.spark.sql.types.StructField)])
+      : Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to alter"))
+      val schema0 = prior.schema.getOrElse(
+        throw new IllegalStateException(
+          s"table at $root predates schema-carrying manifests — " +
+            "recommit with a full write before nested evolution"))
+      require(adds.nonEmpty, "ADD COLUMN (nested): nothing to add")
+      adds.foreach { case (p, f) =>
+        require(p.nonEmpty, s"ADD COLUMN ${f.name}: empty parent path")
+        require(f.nullable,
+          s"ADD COLUMN ${p.mkString(".")}.${f.name}: new columns must " +
+            "be nullable — existing rows have no value to back a NOT " +
+            "NULL promise")
+      }
+      var s = stampIds(schema0)
+      val retired = retiredFields(prior.props) ++
+        retiredNestedFields(prior.props)
+      var nextId = math.max(maxFieldId(s),
+        retired.iterator.map(_._1).foldLeft(0L)(math.max)) + 1
+      adds.foreach { case (parent, f0) =>
+        s = editStructAt(s, parent, s"ADD COLUMN ${f0.name}") {
+          (st, physParent) =>
+            require(!st.fields.exists(_.name.equalsIgnoreCase(f0.name)),
+              s"ADD COLUMN $physParent.${f0.name}: a subfield of that " +
+                "name already exists")
+            val taken = scala.collection.mutable.Set[String]()
+            st.fields.foreach(x => taken += physName(x).toLowerCase)
+            retiredNestedFields(prior.props).foreach { case (_, dp) =>
+              val pref = s"$physParent."
+              if (dp.startsWith(pref) && !dp.stripPrefix(pref).contains("."))
+                taken += dp.stripPrefix(pref).toLowerCase
+            }
+            var phys = f0.name
+            var k = nextId
+            while (taken(phys.toLowerCase)) { phys = s"${f0.name}_r$k"; k += 1 }
+            val stamped = f0.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f0.metadata)
+                .putLong(FieldIdKey, nextId).putString(PhysKey, phys)
+                .build())
+            nextId += 1
+            org.apache.spark.sql.types.StructType(st.fields :+ stamped)
+        }
+      }
+      val id = allocateId(root)
+      commitManifest(root, Manifest(id, prior.entries, Some(s),
+        prior.props), seqOf(prior))
+      id
+    }
+
+  /** `ALTER TABLE … DROP COLUMN parent.child` — nested drop as a
+    * METADATA-ONLY commit: the subfield leaves the read schema (files
+    * keep the physical column; time travel sees it), and its
+    * (id, dotted physical path) joins the retired-nested registry so a
+    * later re-ADD cannot resurrect the old values. Refuses to empty a
+    * struct. */
+  def dropNestedColumns(root: String, paths: Seq[Seq[String]]): Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to alter"))
+      val schema0 = prior.schema.getOrElse(
+        throw new IllegalStateException(
+          s"table at $root predates schema-carrying manifests — " +
+            "recommit with a full write before nested evolution"))
+      require(paths.nonEmpty && paths.forall(_.length >= 2),
+        "DROP COLUMN (nested): each path needs parent.child segments " +
+          "(top-level drops go through dropColumns)")
+      var s = stampIds(schema0)
+      var retired = retiredNestedFields(prior.props)
+      paths.foreach { path =>
+        val (parent, leaf) = (path.init, path.last)
+        s = editStructAt(s, parent, s"DROP COLUMN ${path.mkString(".")}") {
+          (st, physParent) =>
+            val f = st.fields.find(_.name.equalsIgnoreCase(leaf)).getOrElse(
+              throw new IllegalArgumentException(
+                s"DROP COLUMN ${path.mkString(".")}: no such subfield — " +
+                  s"fields: ${st.fieldNames.mkString(", ")}"))
+            require(st.fields.length > 1,
+              s"DROP COLUMN ${path.mkString(".")}: cannot drop the last " +
+                "subfield of a struct — drop the whole column instead")
+            retired :+= ((f.metadata.getLong(FieldIdKey),
+              s"$physParent.${physName(f)}"))
+            org.apache.spark.sql.types.StructType(
+              st.fields.filterNot(_.name == f.name))
+        }
+      }
+      val id = allocateId(root)
+      commitManifest(root, Manifest(id, prior.entries, Some(s),
+        prior.props + (RetiredNestedKey -> renderRetired(retired))),
+        seqOf(prior))
+      id
+    }
+
+  /** `ALTER TABLE … RENAME COLUMN parent.old TO new` — nested rename
+    * as a METADATA-ONLY commit in the column-ID model: the subfield
+    * keeps its id and PHYSICAL spelling (what every file spells);
+    * reads rebuild the struct under the logical names
+    * ([[logicalCol]]). */
+  def renameNestedColumns(root: String,
+      renames: Seq[(Seq[String], String)]): Long =
+    withCommitLock(root) {
+      val prior = current(root).getOrElse(
+        throw new IllegalStateException(s"no snapshot at $root to alter"))
+      val schema0 = prior.schema.getOrElse(
+        throw new IllegalStateException(
+          s"table at $root predates schema-carrying manifests — " +
+            "recommit with a full write before nested evolution"))
+      require(renames.nonEmpty && renames.forall(_._1.length >= 2),
+        "RENAME COLUMN (nested): each path needs parent.child segments " +
+          "(top-level renames go through renameColumns)")
+      var s = stampIds(schema0)
+      renames.foreach { case (path, newName) =>
+        val (parent, leaf) = (path.init, path.last)
+        require(newName.nonEmpty && !newName.startsWith("__"),
+          s"RENAME COLUMN ${path.mkString(".")} TO $newName: empty or " +
+            "engine-reserved ('__') name")
+        s = editStructAt(s, parent,
+          s"RENAME COLUMN ${path.mkString(".")}") { (st, physParent) =>
+            val f = st.fields.find(_.name.equalsIgnoreCase(leaf)).getOrElse(
+              throw new IllegalArgumentException(
+                s"RENAME COLUMN ${path.mkString(".")}: no such subfield " +
+                  s"— fields: ${st.fieldNames.mkString(", ")}"))
+            val clash = st.fields.exists(x => x.name != f.name &&
+              (x.name.equalsIgnoreCase(newName) ||
+                physName(x).equalsIgnoreCase(newName)))
+            require(!clash,
+              s"RENAME COLUMN ${path.mkString(".")} TO $newName: a " +
+                "sibling already spells that name (logically or " +
+                "physically in the files)")
+            org.apache.spark.sql.types.StructType(st.fields.map(x =>
+              if (x.name == f.name) x.copy(name = newName) else x))
+        }
+      }
+      val id = allocateId(root)
+      commitManifest(root, Manifest(id, prior.entries, Some(s),
+        prior.props), seqOf(prior))
+      id
+    }
+
+  private[graft] def retiredNestedFields(props: Map[String, String])
+      : Seq[(Long, String)] =
+    props.get(RetiredNestedKey).map { j =>
+      import org.json4s._
+      jackson.JsonMethods.parse(j) match {
+        case JArray(items) => items.map { it =>
+          val id = (it \ "id") match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case other => sys.error(s"bad retired id: $other")
+          }
+          val ph = (it \ "phys") match {
+            case JString(x) => x
+            case other => sys.error(s"bad retired phys: $other")
+          }
+          (id, ph)
+        }
+        case other => sys.error(s"bad retired nested fields: $other")
+      }
+    }.getOrElse(Seq.empty)
+
   /** `ALTER TABLE … RENAME COLUMN old TO new` — a METADATA-ONLY commit
     * in the column-ID model: the manifest schema's logical name moves,
     * the field keeps its stable id and its PHYSICAL name (what every
@@ -1582,22 +1969,25 @@ object SnapshotStore {
     * back from the directory listing — no driver-side distinct. */
   private def writeSnapData(df: DataFrame, root: String, snapId: Long,
       partCol: String, sortCol: String,
-      physOf: Map[String, String] = Map.empty): Seq[Entry] = {
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[Entry] = {
     val rel = s"data/snap-$snapId"
     val dataDir = s"$root/$rel"
     // partCol is a PARTITION SPEC string ([[PartitionSpec]]) — a bare
     // column name (the legacy single-identity layout, token = bare
     // cast) or a multi-transform spec whose token is the joined
     // component rendering. The token is computed over the LOGICAL
-    // names FIRST; data columns are then renamed to their PHYSICAL
-    // names ([[PhysKey]] — the invariant spelling every file of the
-    // table shares, so renamed tables read with one schema).
+    // names FIRST; data columns are then respelled to their PHYSICAL
+    // names at every level ([[PhysKey]] / [[physicalizeFrame]] — the
+    // invariant spelling every file of the table shares, so renamed
+    // tables read with one schema).
+    val physOf: Map[String, String] =
+      schemaHint.map(physMapOf).getOrElse(Map.empty)
     val spec = PartitionSpec.parse(partCol)
     spec.validate(df.schema) // time/truncate transform type checks, loud
     val tokened = df.withColumn(PartKey, spec.tokenExpr(c => col(c)))
-    val renamed = physOf.foldLeft(tokened) { case (d, (lo, ph)) =>
-      d.withColumnRenamed(lo, ph)
-    }
+    val renamed = schemaHint
+      .map(physicalizeFrame(tokened, _)).getOrElse(tokened)
     val physSort = physOf.getOrElse(sortCol, sortCol)
     val prepared = renamed
       // sort prefix must be the PARTITION KEY ATTRIBUTE itself — the
@@ -2037,14 +2427,15 @@ object SnapshotStore {
     val id = allocateId(root)
     val schema2 = carryIdsReset(prior.flatMap(_.schema), df.schema)
     val entries = writeSnapData(df, root, id, partCol, sortCol,
-      physMapOf(schema2))
+      Some(schema2))
     if (noRowChange) Files.createDirectories(cdcDirOf(root, id))
     // a full rewrite re-owns every column spelling: the new entry list
     // references no pre-drop file, so the retired-field registry (a
     // guard against resurrecting dropped columns from RETAINED entries)
     // resets — a post-rewrite ADD may take any free name at face value
     commitManifest(root, Manifest(id, entries, Some(schema2),
-      prior.map(_.props - RetiredKey).getOrElse(Map.empty) ++
+      prior.map(_.props - RetiredKey - RetiredNestedKey)
+        .getOrElse(Map.empty) ++
         layoutProps(partCol, sortCol, df)),
       prior.map(seqOf).getOrElse(0L))
     id
@@ -2126,7 +2517,7 @@ object SnapshotStore {
       }
     val id = allocateId(root)
     val fresh = writeSnapData(toWrite, root, id, partCol, sortCol,
-      physMapOf(merged))
+      Some(merged))
     val carried = prior.entries.filterNot(e => e.spec match {
       case None => restatedVals(e.value)
       case Some(s) => dropOld((canonicalSpec(s), e.value))
@@ -2202,7 +2593,7 @@ object SnapshotStore {
           if (fresh == null) { // written once; conflicts reuse the dirs
             id = allocateId(root)
             fresh = writeSnapData(df, root, id, partCol, sortCol,
-              physMapOf(merged))
+              Some(merged))
           }
           try {
             commitManifest(root, Manifest(id,
@@ -2267,7 +2658,7 @@ object SnapshotStore {
         .getOrElse(restated.schema)
       val id = allocateId(root)
       val fresh = writeSnapData(restated, root, id, partCol, sortCol,
-        physMapOf(merged))
+        Some(merged))
       val stray = fresh.map(_.value)
         .filterNot(v => dropValues(v) || appendValues(v))
       require(stray.isEmpty,
@@ -2568,8 +2959,7 @@ object SnapshotStore {
   private[graft] def readEntriesWithPositions(spark: SparkSession,
       root: String, schema: org.apache.spark.sql.types.StructType,
       entries: Seq[Entry]): DataFrame = {
-    val outCols = schema.fields.toIndexedSeq.map(f =>
-      col(quoted(physName(f))).as(f.name)) :+
+    val outCols = logicalProjection(schema) :+
       col(DvFileCol) :+ col(DvPosCol)
     if (entries.isEmpty) {
       val out = org.apache.spark.sql.types.StructType(
@@ -2637,11 +3027,11 @@ object SnapshotStore {
       m.schema match {
         // a renamed table plans under the PHYSICAL schema (what every
         // file of every era spells) and projects back to the logical
-        // names — one alias projection, pushdown flows through it
+        // names — an alias projection (plus a struct rebuild where a
+        // NESTED rename demands it), pushdown flows through it
         case Some(s) if hasMapping(s) =>
           spark.read.schema(physicalSchema(s)).parquet(paths: _*)
-            .select(s.fields.toIndexedSeq.map(f =>
-              col(quoted(physName(f))).as(f.name)): _*)
+            .select(logicalProjection(s): _*)
         // the manifest schema applies to every dir it lists: columns a
         // pre-evolution dir's files lack read as null — O(1), decided on
         // the manifest, no per-file footer merge (mergeSchema would read
@@ -2682,11 +3072,11 @@ object SnapshotStore {
     require(unknown.isEmpty,
       s"CDC sidecar frame carries columns outside the table schema: " +
         unknown.mkString(", "))
-    // sidecar files use PHYSICAL column names, like every data file —
-    // a later rename then re-keys the feed's read projection only
-    val physed = physMapOf(tableSchema).foldLeft(cdc) {
-      case (d, (lo, ph)) => d.withColumnRenamed(lo, ph)
-    }
+    // sidecar files use PHYSICAL column names (every level), like
+    // every data file — a later rename re-keys the feed's read
+    // projection only; _change_type is outside the schema and passes
+    // through untouched
+    val physed = physicalizeFrame(cdc, tableSchema)
     // errorifexists: the _cdc dir lives inside the exclusively-claimed
     // snap dir and is written exactly once per commit — append mode
     // would pre-list the (nonexistent) path and WARN noisily, and a
@@ -2713,7 +3103,7 @@ object SnapshotStore {
         .parquet(cdcDirOf(root, id).toString)
         .select(withCt.fields.toIndexedSeq.map { f =>
           if (f.name == "_change_type") col("_change_type")
-          else col(quoted(physName(f))).as(f.name)
+          else logicalCol(f, col(quoted(physName(f)))).as(f.name)
         }: _*)
   }
 
@@ -3068,7 +3458,7 @@ object SnapshotStore {
         head.schema.map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
       val id = allocateId(root)
       val fresh = writeSnapData(df, root, id, partCol, sortCol,
-        physMapOf(merged))
+        Some(merged))
       val m = Manifest(id, head.entries ++ fresh, Some(merged),
         head.props ++ layoutProps(partCol, sortCol, df),
         ts = Some(System.currentTimeMillis()))

@@ -45,7 +45,7 @@ object SnapshotDvReadRewrite extends Rule[LogicalPlan] {
 
   private def isDvRelation(r: DataSourceV2Relation): Boolean =
     r.table match {
-      case t: GraftSnapshotTable => t.hasDvs
+      case t: GraftSnapshotTable => t.needsResolvedRead
       case _ => false
     }
 

@@ -1157,6 +1157,55 @@ object EtlQueries {
   def snapshotBranchWap: Q = (s, d) =>
     sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotBranchWap(s, d)))
 
+  /** One NESTED-evolution history per (JVM, sfDir): orders loaded with
+    * a STRUCT column `meta(pri, price)`, then
+    * `ALTER TABLE RENAME COLUMN meta.pri TO priority` (metadata-only —
+    * files keep the physical subfield spelling, reads rebuild the
+    * struct), `ADD COLUMN meta.src STRING` (old files read it as
+    * null), and an INSERT of clone rows (keys ≡31 mod 50, +9e9 key,
+    * +0.25 price, src='NEW') whose files spell the FROZEN physical
+    * name under the evolved shape. The lane groups BY the renamed
+    * subfield across both file eras — a rename that strands either
+    * era reads NULL priorities and hash-mismatches. */
+  private val snapNestedPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotNested(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapnested",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapNestedPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(
+          ordersWithMonth(s, d).select(col("o_orderkey"),
+            col("order_month"),
+            struct(col("o_orderpriority").as("pri"),
+              col("o_totalprice").as("price")).as("meta")),
+          root, partCol = "order_month", sortCol = "o_orderkey")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"ALTER TABLE $table RENAME COLUMN meta.pri TO priority")
+        s.sql(s"ALTER TABLE $table ADD COLUMN meta.src STRING")
+        s.sql(s"INSERT INTO $table SELECT o_orderkey + 9000000000, " +
+          "order_month, named_struct('priority', meta.priority, " +
+          s"'price', meta.price + 0.25, 'src', 'NEW') FROM $table " +
+          "WHERE o_orderkey % 50 = 31 AND o_orderkey < 9000000000")
+        snapNestedPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Nested-type schema evolution end to end: pre-rename files (old
+    * physical spelling, no src), post-evolution files (frozen physical
+    * spelling + src) — one scan groups by the renamed subfield and the
+    * null-filled added one. */
+  def snapshotNestedEvolve: Q = (s, d) => {
+    val table = registerSnapCatalog(s, prepareSnapshotNested(s, d))
+    s.sql(s"""SELECT meta.priority AS pri,
+             | coalesce(meta.src, 'old') AS src, count(*) AS cnt,
+             | round(CAST(sum(CAST(meta.price AS DECIMAL(38,8)))
+             |   AS DOUBLE), 4) AS sum_price
+             |FROM $table GROUP BY 1, 2""".stripMargin)
+  }
+
   /** One type-WIDENED history per (JVM, sfDir): full load with
     * o_custkey narrowed to INT (it fits at every sf), then
     * `ALTER COLUMN o_custkey TYPE BIGINT`
@@ -1718,6 +1767,7 @@ object EtlQueries {
     "snapshot_spec_evolve" -> snapshotSpecEvolve,
     "snapshot_evolve_overwrite" -> snapshotEvolveOverwrite,
     "snapshot_branch_wap" -> snapshotBranchWap,
+    "snapshot_nested_evolve" -> snapshotNestedEvolve,
     "snapshot_spj" -> snapshotSpj,
     "snapshot_spj_time" -> snapshotSpjTime,
     "snapshot_rollback" -> snapshotRollback,
@@ -2035,6 +2085,22 @@ object EtlQueries {
         |   AS DOUBLE), 4) AS sum_price
         |FROM o a JOIN b ON a.o_orderkey = b.o_orderkey
         |GROUP BY 1""".stripMargin,
+    // replay the nested evolution over raw orders: the rename changes
+    // no data (the oracle just aliases); originals carry src NULL
+    // ('old' after coalesce), the ≡31 (mod 50) clones carry 'NEW' with
+    // +0.25 price — a rename stranding either file era reads NULL
+    // priorities and lands rows in the wrong groups
+    "snapshot_nested_evolve" ->
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |   o_totalprice AS price, o_orderkey FROM orders),
+        | ins AS (SELECT pri, price + 0.25 AS price, 'NEW' AS src
+        |  FROM o WHERE o_orderkey % 50 = 31),
+        | allr AS (SELECT pri, price, 'old' AS src FROM o
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT pri, src, count(*) AS cnt,
+        | round(CAST(sum(CAST(price AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM allr GROUP BY 1, 2""".stripMargin,
     // replay the time-transform storage-partitioned join: per-date
     // adjustment (day-of-month cents) joined back by date
     "snapshot_spj_time" ->

@@ -147,6 +147,12 @@ class GraftSnapshotTable(
   private[graft] val hasDvs: Boolean =
     manifest.entries.exists(_.dv.isDefined)
 
+  /** Batch reads that cannot run as a raw keyed file scan: deletion
+    * vectors (anti-join needed) or NESTED renames (struct-rebuild
+    * projection needed) — both served by the same analysis rewrite. */
+  private[graft] val needsResolvedRead: Boolean =
+    hasDvs || manifest.schema.exists(SnapshotStore.hasNestedMapping)
+
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ)
     // the streaming tail follows the LIVE commit chain — a time-travel
@@ -189,7 +195,7 @@ class GraftSnapshotTable(
       manifestRows, root,
       manifest.schema.map(SnapshotStore.physicalSchema)
         .getOrElse(inner.schema), options, physOf, logicalOf,
-      manifest, hasDvs)
+      manifest, needsResolvedRead)
 
   /** SQL `DELETE FROM snap.t WHERE <partition predicate>` — the atomic
     * DROP PARTITION (`ALTER TABLE … DROP PARTITION` is standard
@@ -476,7 +482,7 @@ private class GraftSnapshotScanBuilder(
     physOf: Map[String, String],
     logicalOf: Map[String, String],
     manifest: SnapshotStore.Manifest,
-    hasDvs: Boolean)
+    needsResolvedRead: Boolean)
   extends ParquetScanBuilder(template.sparkSession, template.fileIndex,
     template.schema, template.dataSchema, template.options) {
 
@@ -546,7 +552,8 @@ private class GraftSnapshotScanBuilder(
       else None
     new ManifestStatsScan(p, exactRows, root, physTableSchema,
       tblOptions, logicalOf,
-      GraftSpj.infoFor(template.sparkSession, manifest), hasDvs)
+      GraftSpj.infoFor(template.sparkSession, manifest),
+      needsResolvedRead)
   }
 }
 
@@ -875,7 +882,7 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
     tblOptions: CaseInsensitiveStringMap,
     val logicalOf: Map[String, String] = Map.empty,
     val spj: Option[GraftSpj.Info] = None,
-    val hasDvs: Boolean = false)
+    val needsResolvedRead: Boolean = false)
     extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema,
       p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
@@ -891,9 +898,10 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
     * streaming tail is untouched (it reads per-commit APPENDED dirs,
     * which never carry vectors at birth). */
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
-    if (hasDvs) throw new UnsupportedOperationException(
-      s"snapshot table at $root carries deletion vectors — batch " +
-        "reads need the DV rewrite from graft.GraftExtensions " +
+    if (needsResolvedRead) throw new UnsupportedOperationException(
+      s"snapshot table at $root carries deletion vectors or nested " +
+        "renames — batch reads need the resolved-read rewrite from " +
+        "graft.GraftExtensions " +
         "(spark.sql.extensions=graft.GraftExtensions), or run " +
         "SnapshotStore.compact to fold the vectors into clean files")
     super.toBatch
@@ -972,11 +980,12 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
   override def equals(obj: Any): Boolean = obj match {
     case o: ManifestStatsScan =>
       super.equals(o) && rows == o.rows && root == o.root &&
-        logicalOf == o.logicalOf && spj == o.spj && hasDvs == o.hasDvs
+        logicalOf == o.logicalOf && spj == o.spj &&
+        needsResolvedRead == o.needsResolvedRead
     case _ => false
   }
   override def hashCode(): Int =
-    31 * super.hashCode() + (rows, root, logicalOf, spj, hasDvs).hashCode()
+    31 * super.hashCode() + (rows, root, logicalOf, spj, needsResolvedRead).hashCode()
 }
 
 /** The CHANGE-FEED view of a snapshot table — schema = data schema +
@@ -1364,38 +1373,36 @@ class GraftSnapshotCatalog extends TableCatalog
     val root = rootOf(ident)
     if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
     val adds = scala.collection.mutable.ArrayBuffer[StructField]()
+    val nestedAdds = scala.collection.mutable
+      .ArrayBuffer[(Seq[String], StructField)]()
     val renames = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val nestedRenames = scala.collection.mutable
+      .ArrayBuffer[(Seq[String], String)]()
     val drops = scala.collection.mutable.ArrayBuffer[String]()
+    val nestedDrops = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     val widens = scala.collection.mutable
       .ArrayBuffer[(String, org.apache.spark.sql.types.DataType)]()
     changes.foreach {
       case a: TableChange.AddColumn =>
-        if (a.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            "graft snapshot ALTER TABLE adds TOP-LEVEL columns only, " +
-              s"got nested: ${a.fieldNames().mkString(".")}")
-        // new columns APPEND (addColumns always puts them last): an
+        // new columns APPEND (always last in their struct): an
         // explicit FIRST/AFTER would be silently ignored — refuse
         if (a.position() != null)
           throw new UnsupportedOperationException(
             "graft snapshot ALTER TABLE appends new columns at the " +
               "END of the schema — FIRST/AFTER placement is not " +
               "honored, so it is refused rather than ignored")
-        val f = StructField(a.fieldNames()(0), a.dataType(),
+        val f0 = StructField(a.fieldNames().last, a.dataType(),
           nullable = a.isNullable)
-        adds += Option(a.comment()).map(f.withComment).getOrElse(f)
+        val f = Option(a.comment()).map(f0.withComment).getOrElse(f0)
+        if (a.fieldNames().length == 1) adds += f
+        else nestedAdds += ((a.fieldNames().init.toSeq, f))
       case r: TableChange.RenameColumn =>
-        if (r.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            "graft snapshot ALTER TABLE renames TOP-LEVEL columns " +
-              s"only, got nested: ${r.fieldNames().mkString(".")}")
-        renames += ((r.fieldNames()(0), r.newName()))
+        if (r.fieldNames().length == 1)
+          renames += ((r.fieldNames()(0), r.newName()))
+        else nestedRenames += ((r.fieldNames().toSeq, r.newName()))
       case d: TableChange.DeleteColumn =>
-        if (d.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            "graft snapshot ALTER TABLE drops TOP-LEVEL columns " +
-              s"only, got nested: ${d.fieldNames().mkString(".")}")
-        drops += d.fieldNames()(0)
+        if (d.fieldNames().length == 1) drops += d.fieldNames()(0)
+        else nestedDrops += d.fieldNames().toSeq
       case u: TableChange.UpdateColumnType =>
         if (u.fieldNames().length != 1)
           throw new UnsupportedOperationException(
@@ -1404,19 +1411,27 @@ class GraftSnapshotCatalog extends TableCatalog
         widens += ((u.fieldNames()(0), u.newDataType()))
       case other => throw new UnsupportedOperationException(
         s"graft snapshot ALTER TABLE supports ADD / RENAME / DROP " +
-          s"COLUMN and ALTER COLUMN TYPE (widening), got: $other — " +
-          "reorder/comment would rewrite history that readers depend on")
+          s"COLUMN (top-level and struct subfields) and ALTER COLUMN " +
+          s"TYPE (widening), got: $other — reorder/comment would " +
+          "rewrite history that readers depend on")
     }
     if (Seq[scala.collection.mutable.ArrayBuffer[_]](
-        adds, renames, drops, widens).count(_.nonEmpty) > 1)
+        adds, nestedAdds, renames, nestedRenames, drops, nestedDrops,
+        widens).count(_.nonEmpty) > 1)
       throw new UnsupportedOperationException(
         "graft snapshot ALTER TABLE cannot mix ADD/RENAME/DROP COLUMN " +
-          "or TYPE widening in one statement — run them as separate " +
-          "commits")
+          "(top-level or nested) or TYPE widening in one statement — " +
+          "run them as separate commits")
     if (renames.nonEmpty) SnapshotStore.renameColumns(root, renames.toSeq)
+    else if (nestedRenames.nonEmpty)
+      SnapshotStore.renameNestedColumns(root, nestedRenames.toSeq)
     else if (drops.nonEmpty) SnapshotStore.dropColumns(root, drops.toSeq)
+    else if (nestedDrops.nonEmpty)
+      SnapshotStore.dropNestedColumns(root, nestedDrops.toSeq)
     else if (widens.nonEmpty)
       SnapshotStore.widenColumnTypes(root, widens.toSeq)
+    else if (nestedAdds.nonEmpty)
+      SnapshotStore.addNestedColumns(root, nestedAdds.toSeq)
     else SnapshotStore.addColumns(root, adds.toSeq)
     loadTable(ident)
   }
