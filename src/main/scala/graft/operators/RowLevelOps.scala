@@ -77,12 +77,29 @@ object RowLevelOps {
       dvGroups: Seq[Entry], // HIT entries taking the DV path
       cowEntries: Seq[Entry]) // ALL entries of COW-routed value groups
 
+  /** DEMOTE DV groups whose (current-spec) value collides with a
+    * RESTATED landing value to the COW route: a restatement drops and
+    * rewrites every entry of the values it lands in, so an entry
+    * cannot simultaneously carry a new vector — COW is always correct,
+    * so collisions resolve in that direction (at worst they restate a
+    * partition the vector would have spared). */
+  private def demote(d: Discovery, collide: Set[String]): Discovery = {
+    if (collide.isEmpty || d.dvGroups.isEmpty) return d
+    val (demoted, keep) = d.dvGroups.partition(e =>
+      e.spec.isEmpty && collide(e.value))
+    if (demoted.isEmpty) return d
+    val vals = demoted.map(_.value).toSet
+    val extraCow = d.m.entries.filter(e => e.spec.isEmpty && vals(e.value))
+    d.copy(dvGroups = keep,
+      cowEntries = (d.cowEntries ++ extraCow).distinctBy(_.dir))
+  }
+
   /** Scan the stats-pruned candidates (DV-applied, with row identity),
     * count matches per entry dir, and route each hit
     * (spec-vintage, value) group to the DV or COW strategy. */
   private def discover(spark: SparkSession, root: String,
       m: SnapshotStore.Manifest, base: DataFrame,
-      matchedCond: Column): Discovery = {
+      matchedCond: Column, spec: graft.etl.PartitionSpec): Discovery = {
     val schema = m.schema.getOrElse(base.schema)
     val candEntries = graft.etl.StatsPruning
       .candidateValues(m, base, matchedCond) match {
@@ -112,8 +129,24 @@ object RowLevelOps {
     }
     val cowKeys = cowGroupsM.keySet
     val cowEntries = m.entries.filter(e => cowKeys(groupKey(e)))
-    Discovery(m, schema, discMeta, matched, hitByDir,
+    val d0 = Discovery(m, schema, discMeta, matched, hitByDir,
       dvGroupsM.values.flatten.toSeq.sortBy(_.dir), cowEntries)
+    // old-vintage HIT entries that restate MIGRATE their rows to
+    // current-spec landing values — a DV group at one of those values
+    // would collide with the restatement. Demote against the SUPERSET
+    // of landing values (every old-vintage hit entry's content,
+    // whether it ends up COW or DV — conservative: extra demotion only
+    // trades a vector for a correct restatement).
+    val oldDirs = (d0.cowEntries ++ d0.dvGroups)
+      .filter(_.spec.isDefined).map(_.dir).toSet
+    if (d0.dvGroups.isEmpty || oldDirs.isEmpty) d0
+    else {
+      val landSuper = SnapshotStore.readEntriesWhere(spark, root,
+          e => oldDirs(e.dir))
+        .select(spec.tokenExpr(col).as("__tok")).distinct()
+        .collect().map(_.getString(0)).toSet
+      demote(d0, landSuper)
+    }
   }
 
   /** The DV delta inputs for [[SnapshotStore.restatePartitions]]:
@@ -191,11 +224,24 @@ object RowLevelOps {
       val unknown = setMap.keySet.diff(base.columns.toSet)
       require(unknown.isEmpty, s"SET of unknown column(s): $unknown")
       val spec = SnapshotStore.parseSpec(partCol)
-      val d = discover(spark, root, m, base, matchedCond)
-      if (d.hitByDir.isEmpty) m.id
+      val d0 = discover(spark, root, m, base, matchedCond, spec)
+      if (d0.hitByDir.isEmpty) m.id
       else {
-        val dataCols = d.schema.fieldNames.toIndexedSeq
+        val dataCols = d0.schema.fieldNames.toIndexedSeq
         def q(n: String) = s"`${n.replace("`", "``")}`"
+        val movesPartition = spec.sourceCols.exists(setMap.contains)
+        def landTok = spec.tokenExpr(n =>
+          setMap.get(n).map(_.cast(d0.schema(n).dataType))
+            .getOrElse(col(q(n)))).as("__tok")
+        // a partition-moving SET can land COW rows in a value whose
+        // entries were DV-routed — restatement and vector attachment
+        // cannot share an entry, so colliding DV groups demote to COW
+        // (the superset of ALL matched rows' landing values is used:
+        // conservative, never wrong)
+        val d =
+          if (!movesPartition) d0
+          else demote(d0, d0.matched.select(landTok).distinct()
+            .collect().map(_.getString(0)).toSet)
         // standard SQL UPDATE projection: assignments evaluate against
         // pre-update values; non-matching rows pass through
         val proj = dataCols.map { n =>
@@ -204,7 +250,6 @@ object RowLevelOps {
             case None => col(q(n))
           }
         }
-        val movesPartition = spec.sourceCols.exists(setMap.contains)
         // landing tokens of COW-matched rows (only when SET moves the
         // partition): SET values substitute, CAST through the column
         // type so bucket components hash the stored representation
@@ -212,9 +257,7 @@ object RowLevelOps {
         val landing: Set[String] =
           if (!movesPartition || cowDirs.isEmpty) Set.empty
           else d.matched.filter(dirOfFile.isInCollection(cowDirs.toSeq))
-            .select(spec.tokenExpr(n =>
-              setMap.get(n).map(_.cast(d.schema(n).dataType))
-                .getOrElse(col(q(n)))).as("__tok"))
+            .select(landTok)
             .distinct().collect().map(_.getString(0)).toSet
         val (content, dropValues, dropOld) =
           restatementScope(spark, root, d.cowEntries, spec, landing)
@@ -264,7 +307,7 @@ object RowLevelOps {
       val matchedCond = coalesce(cond, lit(false))
       val base = SnapshotStore.read(spark, root)
       val spec = SnapshotStore.parseSpec(partCol)
-      val d = discover(spark, root, m, base, matchedCond)
+      val d = discover(spark, root, m, base, matchedCond, spec)
       if (d.hitByDir.isEmpty) m.id
       else {
         val dataCols = d.schema.fieldNames.toIndexedSeq

@@ -218,6 +218,53 @@ class SnapshotDeletionVectorSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).count() === 181L)
   }
 
+  test("a partition-moving UPDATE landing in a DV-routed value DEMOTES " +
+      "that value to copy-on-write — restatement and vector never " +
+      "share an entry") {
+    val root = tmpRoot("collide")
+    SnapshotStore.write(rows(), root, "m", "ts")
+    // one statement: half of 2024-01 MOVES to 2024-02 (COW — fraction
+    // 0.5), while 10 rows of 2024-02 update in place (would be DV —
+    // but the movers LAND there, so the group must demote)
+    RowLevelOps.updateCommit(spark, root,
+      (col("m") === "2024-01" && col("id") % 2 === 0) ||
+        (col("m") === "2024-02" && col("id") % 10 === 3),
+      Seq("m" -> lit("2024-02")), "m", "ts")
+    val byMonth = SnapshotStore.read(spark, root)
+      .groupBy("m").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMonth === Map("2024-01" -> 50L, "2024-02" -> 150L))
+    assert(SnapshotStore.read(spark, root).count() === 200L)
+    val m = SnapshotStore.current(root).get
+    assert(m.entries.filter(_.value == "2024-02").forall(_.dv.isEmpty),
+      "the landing value's group must have been demoted to COW")
+  }
+
+  test("an old-vintage COW migration landing in a DV-routed value " +
+      "demotes it too (discovery's landing superset)") {
+    import spark.implicits._
+    val root = tmpRoot("vintcollide")
+    // bucket-only layout first: buckets mix months; evolve to month
+    SnapshotStore.write(rows(50), root, "bucket(2,id)", "ts")
+    SnapshotStore.evolvePartitionSpec(root, "m", Some("ts"))
+    // a current-spec month entry joins (small enough for DV routing)
+    SnapshotStore.appendPartitions(
+      (1000L to 1049L).map(i => (i, "2024-01",
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1.0))
+        .toDF("id", "m", "ts", "price"), root, "m", "ts")
+    // one DELETE: most old-bucket rows (COW → survivors MIGRATE into
+    // month values, including 2024-01) + 2 rows of the new 2024-01
+    // entry (fraction 0.04 → would be DV, must demote)
+    RowLevelOps.deleteRowsCommit(spark, root,
+      (col("id") < 1000L && col("id") % 2 === 0) ||
+        col("id").isin(1000L, 1001L), "m", "ts")
+    val left = SnapshotStore.read(spark, root)
+    assert(left.count() === (50L - 25L) + (50L - 25L) + 48L)
+    assert(left.filter(col("id") < 1000L && col("id") % 2 === 0)
+      .count() === 0L)
+    assert(left.filter(col("id").isin(1000L, 1001L)).count() === 0L)
+  }
+
   test("a vector covering every row drops the entry; the batch change " +
       "feed survives a rollback across DV commits (entry-based diff)") {
     val root = tmpRoot("drop")
