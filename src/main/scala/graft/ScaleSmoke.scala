@@ -184,7 +184,20 @@ object ScaleSmoke {
     // exchanges, the lane's reason to exist); DROP+re-ADD (metadata
     // commits, the measured read prices the mapped scan at K×)
     "snapshot_sql_merge_bysource", "snapshot_spec_evolve",
-    "snapshot_spj", "snapshot_sql_drop")
+    "snapshot_spj", "snapshot_sql_drop",
+    // round-14: merge-on-read DML (the DV commits land in warmup; the
+    // measured read prices the broadcast anti-join over K× data — the
+    // vector stays O(deleted positions) whatever K is); the
+    // cross-vintage overwrite (warmup pays the bucket→month migration,
+    // the read unions the migrated layout at K×); WAP (branch staging
+    // + fast-forward in warmup, the read prices the published chain
+    // head); the months(date) storage-partitioned join (K× rows
+    // through ZERO join exchanges, like snapshot_spj); nested
+    // evolution (the measured read prices the struct-rebuild
+    // logicalize projection over K× data)
+    "snapshot_dv_delete", "snapshot_dv_update",
+    "snapshot_evolve_overwrite", "snapshot_branch_wap",
+    "snapshot_spj_time", "snapshot_nested_evolve")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
@@ -194,7 +207,10 @@ object ScaleSmoke {
       "snapshot_cdf_rowlevel", "snapshot_sql_merge_cond",
       "snapshot_multipart", "snapshot_bucket", "snapshot_sql_rename",
       "snapshot_sql_merge_bysource", "snapshot_spec_evolve",
-      "snapshot_spj", "snapshot_sql_drop")
+      "snapshot_spj", "snapshot_sql_drop",
+      "snapshot_dv_delete", "snapshot_dv_update",
+      "snapshot_evolve_overwrite", "snapshot_branch_wap",
+      "snapshot_spj_time", "snapshot_nested_evolve")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 
