@@ -63,10 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => catalystExpression(f(exprs.map(column)))))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // METADATA-ONLY AGGREGATES: whole-table COUNT(*)/MIN/MAX over
+    // snapshot relations answered from manifest stats — zero data-file
+    // scans. MUST run before SnapshotDvReadRewrite: count(*) is exact
+    // on DV-bearing tables (live-row accounting), but only while the
+    // relation is still a relation
+    ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotMetadataOnlyAgg)
     // DELETION-VECTOR reads: batch relations over DV-bearing snapshot
-    // tables are replaced by the DV-applied plan. Injected FIRST so a
-    // MERGE statement's SOURCE side is rewritten before the MERGE
-    // rewrite below evaluates it
+    // tables are replaced by the DV-applied plan. Injected before the
+    // MERGE rewrite so a MERGE statement's SOURCE side is rewritten
+    // before the MERGE rewrite below evaluates it
     ext.injectPostHocResolutionRule(_ => graft.plans.SnapshotDvReadRewrite)
     // native SQL MERGE INTO over snapshot tables: intercepted after
     // resolution (clauses and star-assignments already expanded) but

@@ -838,6 +838,21 @@ object PlanAudit {
         occurrences(spjT, "Exchange") == 1,
       "time-transform KeyGroupedPartitioning; only the agg shuffles")
 
+    // metadata-only aggregates: whole-table count/min/max answered
+    // from manifest stats — the plan must contain NO scan node of any
+    // kind (the lane itself also hard-requires this, but the audit
+    // pins the DV-count variant's plan too)
+    val maggStats = plan("snapshot_agg_stats")
+    check("snapshot_agg_stats: scan-free manifest-stats aggregate",
+      !maggStats.contains("BatchScan") && !maggStats.contains("FileScan") &&
+        occurrences(maggStats, "Exchange") == 0,
+      "COUNT/MIN/MAX fold to literals; zero scans, zero shuffles")
+    val maggDv = plan("snapshot_agg_dv_count")
+    check("snapshot_agg_dv_count: DV-exact count without a scan",
+      !maggDv.contains("BatchScan") && !maggDv.contains("FileScan") &&
+        occurrences(maggDv, "Exchange") == 0,
+      "live rows = stats rows − DV positions, answered on the driver")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -1,0 +1,212 @@
+package graft.plans
+
+import graft.etl.SnapshotStore
+import graft.sources.GraftSnapshotTable
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, OneRowRelation, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types._
+
+/** METADATA-ONLY AGGREGATES — answer whole-table `COUNT(*)` / `MIN` /
+  * `MAX` over a snapshot table from the manifest's per-entry
+  * statistics, without scanning a single data file. At 100 TB this is
+  * the difference between a sub-millisecond driver lookup and a
+  * full-corpus scan for the most common sanity queries a pipeline
+  * runs (`SELECT count(*) FROM t`, watermark probes like
+  * `SELECT max(event_ts) FROM t`). Delta Lake ships the same rewrite
+  * as `OptimizeMetadataOnlyDeltaQuery`; Iceberg answers these from
+  * manifest files. (Reference analogue: ClickHouse's
+  * `optimize_trivial_count_query` serving `count()` from part
+  * metadata — README.md:606's Q1 count family.)
+  *
+  * Safety rules, each load-bearing:
+  *   - `COUNT(*)`/`COUNT(lit)` (no DISTINCT, no FILTER) = Σ live rows.
+  *     EXACT even on deletion-vector-bearing tables: every entry's
+  *     stats row count minus its DV position count
+  *     ([[SnapshotStore.liveRows]]) — which is why this rule is
+  *     injected BEFORE [[SnapshotDvReadRewrite]] (after it, the
+  *     relation is already a scan+anti-join plan).
+  *   - `MIN`/`MAX(col)` only when NO entry carries a deletion vector
+  *     (the vector may have deleted the extremal row), EVERY non-empty
+  *     entry has a harvested stat for the column (a missing stat means
+  *     all-null-or-dropped — indistinguishable, so the scan answers),
+  *     and the column type is a [[SnapshotStore.supportedStatType]].
+  *     Stat strings are the engine's own canonical renderings
+  *     ([[SnapshotStore.statString]]) reduced under
+  *     [[SnapshotStore.statCompare]] — the same total order the
+  *     pruning paths already bet correctness on.
+  *   - Only `Aggregate` with NO grouping over a bare relation
+  *     (through `SubqueryAlias` / attribute-only `Project`s): any
+  *     `Filter` in between disqualifies the plan shape entirely.
+  *   - Renamed columns need no translation: entry stats are keyed by
+  *     LOGICAL names (the write path re-keys footer stats, RENAME
+  *     migrates the keys) — exactly what the relation's attributes
+  *     spell.
+  *   - Time travel / branch reads are automatically correct: the
+  *     relation's table instance pins the exact manifest that read
+  *     resolved.
+  *
+  * Scope deliberately NOT taken: `COUNT(col)` (per-entry null counts
+  * are not harvested), grouped aggregates (partition-grain rollups
+  * would need exact entry↔group attribution across spec vintages),
+  * filtered aggregates. All fall through to the ordinary scan.
+  *
+  * Disable with `spark.graft.agg.metadataOnly=false` (A/B hook for
+  * the plan audit and an escape hatch if a stats regression is ever
+  * suspected in production).
+  */
+object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
+
+  private val ConfKey = "spark.graft.agg.metadataOnly"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString(ConfKey, "true") != "true") return plan
+    plan.transformUpWithSubqueries {
+      // `resolved` is load-bearing: post-hoc resolution also sees
+      // plans that FAILED main resolution (the analyzer surfaces the
+      // error afterwards) — rewriting around an unresolved aggregate
+      // would garble that error into a half-folded plan
+      case agg @ Aggregate(Nil, _, child, _) if agg.resolved =>
+        unwrap(child, Map.empty) match {
+          case Some((table, names)) =>
+            tryAnswer(agg, table, names).getOrElse(agg)
+          case None => agg
+        }
+    }
+  }
+
+  /** Walk down through alias/pruning layers to a snapshot relation,
+    * composing the exprId → relation-column-name map. Anything else
+    * (a Filter, a Join, an expression-bearing Project) disqualifies. */
+  private def unwrap(p: LogicalPlan, outer: Map[ExprId, String])
+      : Option[(GraftSnapshotTable, Map[ExprId, String])] = p match {
+    case SubqueryAlias(_, c) => unwrap(c, outer)
+    case Project(projList, c)
+        if projList.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        } =>
+      // re-expressed per level on the way OUT: first reach the
+      // relation, then names are relation-attr names — so here just
+      // recurse and translate project outputs afterwards
+      unwrap(c, outer).map { case (t, inner) =>
+        val thisLevel = projList.map {
+          case ar: AttributeReference => ar.exprId -> inner.get(ar.exprId)
+          case a @ Alias(ar: AttributeReference, _) =>
+            a.exprId -> inner.get(ar.exprId)
+        }.collect { case (id, Some(n)) => id -> n }.toMap
+        (t, thisLevel)
+      }
+    case r: DataSourceV2Relation =>
+      r.table match {
+        case t: GraftSnapshotTable =>
+          Some((t, r.output.map(a => a.exprId -> a.name).toMap))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def tryAnswer(agg: Aggregate, t: GraftSnapshotTable,
+      names: Map[ExprId, String]): Option[LogicalPlan] = {
+    val m = t.manifest
+    val entries = m.entries
+    // every entry must carry write-time stats (pre-stats-era tables
+    // answer by scan)
+    if (entries.exists(_.stats.isEmpty)) return None
+    val anyDv = entries.exists(_.dv.isDefined)
+
+    // collect every AggregateExpression anywhere in the result
+    // expressions; ALL must be answerable or the plan stands
+    val found = scala.collection.mutable.LinkedHashMap
+      .empty[AggregateExpression, Literal]
+    var ok = true
+    agg.aggregateExpressions.foreach(_.foreach {
+      case ae: AggregateExpression if ok && !found.contains(ae) =>
+        answerOne(ae, entries, names, anyDv) match {
+          case Some(lit) => found(ae) = lit
+          case None => ok = false
+        }
+      case _ => ()
+    })
+    if (!ok || found.isEmpty) return None
+
+    val newExprs = agg.aggregateExpressions.map(ne =>
+      ne.transform {
+        case ae: AggregateExpression => found(ae)
+      }.asInstanceOf[NamedExpression])
+    Some(Project(newExprs, OneRowRelation()))
+  }
+
+  private def answerOne(ae: AggregateExpression,
+      entries: Seq[SnapshotStore.Entry],
+      names: Map[ExprId, String],
+      anyDv: Boolean): Option[Literal] = {
+    if (ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case Count(Seq(l: Literal)) if !ae.isDistinct && l.value != null =>
+        Some(Literal(entries
+          .map(e => SnapshotStore.liveRows(e)
+            .getOrElse(return None)).sum))
+      case Min(ar: AttributeReference) =>
+        minMax(ar, pickMin = true, entries, names, anyDv)
+      case Max(ar: AttributeReference) =>
+        minMax(ar, pickMin = false, entries, names, anyDv)
+      case _ => None
+    }
+  }
+
+  private def minMax(ar: AttributeReference, pickMin: Boolean,
+      entries: Seq[SnapshotStore.Entry],
+      names: Map[ExprId, String],
+      anyDv: Boolean): Option[Literal] = {
+    if (anyDv) return None // a DV may have deleted the extremal row
+    val dt = ar.dataType
+    if (!SnapshotStore.supportedStatType(dt)) return None
+    // entry stats are keyed by LOGICAL column names (the write path
+    // re-keys footer stats; RENAME migrates the keys)
+    val logical = names.get(ar.exprId).getOrElse(return None)
+    val stats = entries.map(_.stats.get)
+    val nonEmpty = stats.filter(_.rows > 0)
+    if (nonEmpty.isEmpty)
+      return Some(Literal.create(null, dt)) // empty table: SQL NULL
+    val cols = nonEmpty.map(_.cols.get(logical))
+    // a rows>0 entry without the stat is all-null-or-dropped: bail
+    if (cols.exists(_.isEmpty)) return None
+    val strs = cols.map(_.get).map(cs => if (pickMin) cs.min else cs.max)
+    val best = strs.reduce { (a, b) =>
+      val c = SnapshotStore.statCompare(dt, a, b)
+      if ((pickMin && c <= 0) || (!pickMin && c >= 0)) a else b
+    }
+    toLiteral(dt, best)
+  }
+
+  /** Reparse a canonical stat string as a typed literal. Every branch
+    * is the exact inverse of the rendering in
+    * [[SnapshotStore.harvestStats]]'s `conv` / [[SnapshotStore.statString]]
+    * (integral toString, Float/Double toString — both round-trip
+    * exactly in Java — LocalDate/Instant/LocalDateTime ISO-8601,
+    * BigDecimal plain string). An unparseable string (corrupt
+    * manifest) falls back to the scan rather than failing the query. */
+  private def toLiteral(dt: DataType, s: String): Option[Literal] =
+    try {
+      val ext: Any = dt match {
+        case ByteType => s.toByte
+        case ShortType => s.toShort
+        case IntegerType => s.toInt
+        case LongType => s.toLong
+        case FloatType => s.toFloat
+        case DoubleType => s.toDouble
+        case StringType => s
+        case BooleanType => s.toBoolean
+        case DateType => java.time.LocalDate.parse(s)
+        case TimestampType => java.time.Instant.parse(s)
+        case TimestampNTZType => java.time.LocalDateTime.parse(s)
+        case _: DecimalType => new java.math.BigDecimal(s)
+        case _ => return None
+      }
+      Some(Literal.create(ext, dt))
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -831,6 +831,74 @@ object EtlQueries {
              |FROM $table GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** One CLEAN (no-DML) snapshot per (JVM, sfDir) for the
+    * metadata-only aggregate lanes — the manifest stats must answer
+    * alone, so the history is a single full load. */
+  private val snapAggPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotAgg(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snapagg",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapAggPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        snapAggPrepared += root
+      }
+    }
+    root
+  }
+
+  private def requireMetadataOnly(df: DataFrame, lane: String): DataFrame = {
+    // AQE wraps the plan in an AdaptiveSparkPlanExec with NO children —
+    // collect on the wrapper alone would pass vacuously, so unwrap
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scans = phys.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.isEmpty,
+      s"$lane: expected a metadata-only plan (manifest-stats aggregate), " +
+        s"but the plan scans data files — the " +
+        s"SnapshotMetadataOnlyAgg rewrite regressed:\n" +
+        df.queryExecution.executedPlan)
+    df
+  }
+
+  /** METADATA-ONLY AGGREGATES ([[graft.plans.SnapshotMetadataOnlyAgg]]):
+    * whole-table COUNT(*)/MIN/MAX across long/double/date/string
+    * columns answered purely from manifest stats — the lane REQUIRES
+    * the executed plan to be scan-free (a silent fallback to the scan
+    * would stay hash-green while losing the O(manifest) property this
+    * lane exists to pin), then hash-matches the values against DuckDB
+    * computing the same aggregates the hard way. */
+  def snapshotAggStats: Q = (s, d) => {
+    val t = registerSnapCatalog(s, prepareSnapshotAgg(s, d))
+    requireMetadataOnly(s.sql(
+      s"""SELECT count(*) AS cnt,
+         | min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+         | min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+         | min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date,
+         | min(o_orderpriority) AS mn_prio, max(o_orderpriority) AS mx_prio
+         |FROM $t""".stripMargin), "snapshot_agg_stats")
+  }
+
+  /** COUNT(*) on a DELETION-VECTOR-bearing table stays metadata-only
+    * AND exact: live rows = stats rows − vector positions, no scan.
+    * (Delta's metadata-only count gives up in the presence of DVs
+    * unless the DV row counts are trusted; here they are part of the
+    * manifest contract.) Reuses the DV history, so the count must
+    * reflect the merge-on-read DELETE exactly. */
+  def snapshotAggDvCount: Q = (s, d) => {
+    val t = registerSnapCatalog(s, prepareSnapshotDv(s, d))
+    requireMetadataOnly(
+      s.sql(s"SELECT count(*) AS cnt FROM $t"), "snapshot_agg_dv_count")
+  }
+
   /** One MULTIPART-layout history per (JVM, sfDir): orders committed
     * under a TWO-identity-column partition spec
     * (`order_month,o_orderpriority` — [[graft.etl.PartitionSpec]], the
@@ -1759,6 +1827,8 @@ object EtlQueries {
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
     "snapshot_dv_delete" -> snapshotDvDelete,
     "snapshot_dv_update" -> snapshotDvUpdate,
+    "snapshot_agg_stats" -> snapshotAggStats,
+    "snapshot_agg_dv_count" -> snapshotAggDvCount,
     "snapshot_multipart" -> snapshotMultipart,
     "snapshot_bucket" -> snapshotBucket,
     "snapshot_sql_rename" -> snapshotSqlRename,
@@ -2147,6 +2217,20 @@ object EtlQueries {
     // (mod 100) deleted (the deletion-vector path — a leaked deleted
     // row mismatches the count), keys ≡17 (mod 100) +6.75 (DV delete
     // + additive post-image part). Disjoint key classes, one CASE.
+    // the metadata-only aggregates, computed the hard way: min/max
+    // across four data types + the full count — a stats-string
+    // round-trip error of even one ULP/character hash-mismatches
+    "snapshot_agg_stats" ->
+      """SELECT count(*) AS cnt,
+        | min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+        | min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+        | min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date,
+        | min(o_orderpriority) AS mn_prio, max(o_orderpriority) AS mx_prio
+        |FROM orders""".stripMargin,
+    // live-row count after the merge-on-read DELETE (the UPDATE is
+    // count-neutral): stats rows minus vector positions, exact
+    "snapshot_agg_dv_count" ->
+      "SELECT count(*) AS cnt FROM orders WHERE o_orderkey % 100 <> 9",
     "snapshot_dv_delete" ->
       """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
         |   AS order_month FROM orders),
