@@ -159,7 +159,14 @@ object Bench {
     // fact-to-fact sort-merge join runs with ZERO join exchanges
     // (KeyGroupedPartitioning scans); the measured body is the join
     // itself, the one lane whose cost model CHANGES with SPJ
-    "snapshot_spj")
+    "snapshot_spj",
+    // round-14: the metadata-query economics — whole-table
+    // COUNT/MIN/MAX folding to manifest-stat literals (the measured
+    // body is ~a manifest read: the number should be near-constant in
+    // data size), and the stats-skipped time-range probe (the scan
+    // plans only range-overlapping month dirs — the cost model is
+    // O(selected months), not O(table))
+    "snapshot_agg_stats", "snapshot_stats_prune")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -853,6 +853,29 @@ object PlanAudit {
         occurrences(maggDv, "Exchange") == 0,
       "live rows = stats rows − DV positions, answered on the driver")
 
+    // manifest-stats file skipping: the planned scan's FilePartitions
+    // (not the file index — deliberately unpruned) carry ONLY the
+    // month dirs whose [min,max] overlap the probe's time range. The
+    // lane itself hard-requires this; the audit re-derives it from
+    // the planned partitions so a lane-side assertion regression is
+    // caught independently.
+    val pruneDf = SparkEntry.allQueries("snapshot_stats_prune")(spark, sfDir)
+    val pruneDirs = pruneDf.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.collect {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.planInputPartitions().toSeq.collect {
+          case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files.toSeq
+        }.flatten.map(_.filePath.toPath.getParent.getName)
+    }.flatten.toSet
+    check("snapshot_stats_prune: scan plans only range-overlapping dirs",
+      pruneDirs.nonEmpty && pruneDirs.forall(dir =>
+        Seq("1997-06", "1997-07", "1997-08", "1997-09")
+          .exists(dir.contains)),
+      s"planned dirs after manifest-stats skipping: ${pruneDirs.size}")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -197,7 +197,13 @@ object ScaleSmoke {
     // logicalize projection over K× data)
     "snapshot_dv_delete", "snapshot_dv_update",
     "snapshot_evolve_overwrite", "snapshot_branch_wap",
-    "snapshot_spj_time", "snapshot_nested_evolve")
+    "snapshot_spj_time", "snapshot_nested_evolve",
+    // round-14 metadata economics: the stats-fold aggregate should be
+    // ≈CONSTANT in K (it reads the manifest, not the data — the ratio
+    // is the strongest sublinearity claim in the sweep), and the
+    // stats-skipped range probe should scale with the SELECTED months'
+    // rows (K× those), not the table
+    "snapshot_agg_stats", "snapshot_stats_prune", "snapshot_agg_group")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
@@ -210,7 +216,9 @@ object ScaleSmoke {
       "snapshot_spj", "snapshot_sql_drop",
       "snapshot_dv_delete", "snapshot_dv_update",
       "snapshot_evolve_overwrite", "snapshot_branch_wap",
-      "snapshot_spj_time", "snapshot_nested_evolve")
+      "snapshot_spj_time", "snapshot_nested_evolve",
+      "snapshot_agg_stats", "snapshot_stats_prune",
+      "snapshot_agg_group")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

@@ -37,9 +37,14 @@ import org.apache.spark.sql.types._
   *     ([[SnapshotStore.statString]]) reduced under
   *     [[SnapshotStore.statCompare]] — the same total order the
   *     pruning paths already bet correctness on.
-  *   - Only `Aggregate` with NO grouping over a bare relation
-  *     (through `SubqueryAlias` / attribute-only `Project`s): any
-  *     `Filter` in between disqualifies the plan shape entirely.
+  *   - Only `Aggregate` over a bare relation (through `SubqueryAlias`
+  *     / attribute-only `Project`s): any `Filter` in between
+  *     disqualifies the plan shape entirely. Grouping is allowed
+  *     EXACTLY when every grouping expression is an IDENTITY
+  *     partition column of every entry's spec vintage — entries then
+  *     group precisely (per-entry constant, provably non-null), with
+  *     group keys read from the entries' own TYPED stats rather than
+  *     the token strings (no timestamp/float rendering ambiguity).
   *   - Renamed columns need no translation: entry stats are keyed by
   *     LOGICAL names (the write path re-keys footer stats, RENAME
   *     migrates the keys) — exactly what the relation's attributes
@@ -49,9 +54,9 @@ import org.apache.spark.sql.types._
   *     resolved.
   *
   * Scope deliberately NOT taken: `COUNT(col)` (per-entry null counts
-  * are not harvested), grouped aggregates (partition-grain rollups
-  * would need exact entry↔group attribution across spec vintages),
-  * filtered aggregates. All fall through to the ordinary scan.
+  * are not harvested), grouping by non-identity expressions (no exact
+  * entry↔group attribution), filtered aggregates. All fall through to
+  * the ordinary scan.
   *
   * Disable with `spark.graft.agg.metadataOnly=false` (A/B hook for
   * the plan audit and an escape hatch if a stats regression is ever
@@ -72,6 +77,19 @@ object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
         unwrap(child, Map.empty) match {
           case Some((table, names)) =>
             tryAnswer(agg, table, names).getOrElse(agg)
+          case None => agg
+        }
+      // PARTITION-GRAIN rollups: GROUP BY over IDENTITY partition
+      // columns — entries group exactly by their (non-null, per-entry
+      // constant) component values, so per-group COUNT/MIN/MAX are as
+      // answerable as the global ones (`SELECT month, count(*) …
+      // GROUP BY month` — the single most common operational rollup)
+      case agg @ Aggregate(groupExprs, _, child, _)
+          if agg.resolved && groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(child, Map.empty) match {
+          case Some((table, names)) =>
+            tryAnswerGrouped(agg, table, names).getOrElse(agg)
           case None => agg
         }
     }
@@ -114,16 +132,32 @@ object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
     val m = t.manifest
     val entries = m.entries
     // every entry must carry write-time stats (pre-stats-era tables
-    // answer by scan)
+    // answer by scan); ALL embedded AggregateExpressions must be
+    // answerable or the plan stands
     if (entries.exists(_.stats.isEmpty)) return None
-    val anyDv = entries.exists(_.dv.isDefined)
+    val found = answerAll(agg.aggregateExpressions, entries, names)
+      .getOrElse(return None)
+    if (found.isEmpty) return None
 
-    // collect every AggregateExpression anywhere in the result
-    // expressions; ALL must be answerable or the plan stands
+    val newExprs = agg.aggregateExpressions.map(ne =>
+      ne.transform {
+        case ae: AggregateExpression => found(ae)
+      }.asInstanceOf[NamedExpression])
+    Some(Project(newExprs, OneRowRelation()))
+  }
+
+  /** All AggregateExpressions inside `exprs` answered over `entries`,
+    * or None if any is unanswerable. */
+  private def answerAll(exprs: Seq[NamedExpression],
+      entries: Seq[SnapshotStore.Entry],
+      names: Map[ExprId, String])
+      : Option[scala.collection.mutable.LinkedHashMap[
+        AggregateExpression, Literal]] = {
+    val anyDv = entries.exists(_.dv.isDefined)
     val found = scala.collection.mutable.LinkedHashMap
       .empty[AggregateExpression, Literal]
     var ok = true
-    agg.aggregateExpressions.foreach(_.foreach {
+    exprs.foreach(_.foreach {
       case ae: AggregateExpression if ok && !found.contains(ae) =>
         answerOne(ae, entries, names, anyDv) match {
           case Some(lit) => found(ae) = lit
@@ -131,13 +165,82 @@ object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
         }
       case _ => ()
     })
-    if (!ok || found.isEmpty) return None
+    if (ok) Some(found) else None
+  }
 
-    val newExprs = agg.aggregateExpressions.map(ne =>
-      ne.transform {
-        case ae: AggregateExpression => found(ae)
-      }.asInstanceOf[NamedExpression])
-    Some(Project(newExprs, OneRowRelation()))
+  /** GROUP BY identity-partition-columns: every entry belongs to
+    * exactly one group (identity components are per-entry constant and
+    * provably non-null — the commit guard refuses null partition
+    * values), read from the entry's own stats (min==max for an
+    * identity column; also the TYPED canonical rendering, so the
+    * token-string parse ambiguities of timestamps/floats never
+    * arise). Entries of EVERY spec vintage qualify as long as their
+    * own spec carries the grouped columns as identity components.
+    * rows==0 entries contribute to no group. Empty table → zero
+    * groups, exactly the scan's semantics. */
+  private def tryAnswerGrouped(agg: Aggregate, t: GraftSnapshotTable,
+      names: Map[ExprId, String]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val m = t.manifest
+    if (m.entries.exists(_.stats.isEmpty)) return None
+    val groupAttrs = agg.groupingExpressions
+      .map(_.asInstanceOf[AttributeReference])
+    val groupCols = groupAttrs.map(a =>
+      names.get(a.exprId).getOrElse(return None))
+    // every entry's EFFECTIVE spec must carry every grouped column as
+    // an identity component
+    val currentSpec = SnapshotStore.tableLayout(m)
+      .map(l => SnapshotStore.parseSpec(l._1)).getOrElse(return None)
+    val entries = m.entries.filter(_.stats.exists(_.rows > 0))
+    val keyed: Seq[(Seq[String], SnapshotStore.Entry)] = entries.map { e =>
+      val spec = e.spec.map { s =>
+        try SnapshotStore.parseSpec(s)
+        catch { case _: IllegalArgumentException => return None }
+      }.getOrElse(currentSpec)
+      val identity = spec.fields.collect {
+        case graft.etl.PartitionSpec.Identity(c) => c
+      }.toSet
+      if (!groupCols.forall(identity.contains)) return None
+      val st = e.stats.get
+      val key = groupCols.map { c =>
+        val cs = st.cols.getOrElse(c, return None)
+        // identity ⇒ constant per entry; a violated invariant means
+        // the stats can't be trusted for grouping — fall back
+        val dt = groupAttrs(groupCols.indexOf(c)).dataType
+        if (!SnapshotStore.supportedStatType(dt) ||
+          SnapshotStore.statCompare(dt, cs.min, cs.max) != 0) return None
+        cs.min
+      }
+      key -> e
+    }
+    val outRows = keyed.groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
+      .map { case (key, ke) =>
+        val es = ke.map(_._2)
+        val keyLit: Map[ExprId, Literal] =
+          groupAttrs.zip(key).map { case (a, ks) =>
+            a.exprId -> toLiteral(a.dataType, ks).getOrElse(return None)
+          }.toMap
+        val found = answerAll(agg.aggregateExpressions, es, names)
+          .getOrElse(return None)
+        val vals = agg.aggregateExpressions.map { ne =>
+          val stripped = ne match {
+            case Alias(c, _) => c
+            case other => other
+          }
+          val substituted = stripped.transform {
+            case ae: AggregateExpression => found(ae)
+            case ar: AttributeReference =>
+              keyLit.getOrElse(ar.exprId, return None)
+          }
+          if (!substituted.foldable || !substituted.deterministic)
+            return None
+          try substituted.eval(InternalRow.empty)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        }
+        InternalRow.fromSeq(vals)
+      }
+    Some(org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      agg.output, outRows))
   }
 
   private def answerOne(ae: AggregateExpression,

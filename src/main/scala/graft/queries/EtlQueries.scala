@@ -887,6 +887,87 @@ object EtlQueries {
          |FROM $t""".stripMargin), "snapshot_agg_stats")
   }
 
+  /** `__part=` dir names the planned scan will actually read — AFTER
+    * manifest-stats file skipping (the planned FilePartitions, not the
+    * file index, which deliberately stays unpruned). */
+  private def plannedPartDirs(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.collect {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.planInputPartitions().toSeq.collect {
+          case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files.toSeq
+        }.flatten.map(_.filePath.toPath.getParent.getName)
+    }.flatten.toSet
+
+  /** MANIFEST-STATS FILE SKIPPING ([[graft.sources.GraftStatsPrune]]):
+    * a time-range probe on the sort/stat column scans ONLY the month
+    * dirs whose `[min,max]` overlap the range — the lane REQUIRES the
+    * planned scan to have skipped every other month (a silent
+    * regression to scan-everything would stay hash-green while losing
+    * the file-skipping property), then hash-matches a DuckDB replay
+    * of the same range aggregate. */
+  def snapshotStatsPrune: Q = (s, d) => {
+    val t = registerSnapCatalog(s, prepareSnapshotAgg(s, d))
+    val df = s.sql(
+      s"""SELECT order_month, count(*) AS cnt,
+         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8)))
+         |   AS DOUBLE), 4) AS sum_price
+         |FROM $t
+         |WHERE o_orderdate >= TIMESTAMP'1997-06-15 00:00:00'
+         |  AND o_orderdate < TIMESTAMP'1997-09-15 00:00:00'
+         |GROUP BY order_month""".stripMargin)
+    val dirs = plannedPartDirs(df)
+    val allowed = Set("1997-06", "1997-07", "1997-08", "1997-09")
+    require(dirs.nonEmpty && dirs.forall(dir => allowed.exists(dir.contains)),
+      s"snapshot_stats_prune: expected the scan to skip every month " +
+        s"outside $allowed via manifest stats, but it plans: $dirs")
+    df
+  }
+
+  /** PARTITION-GRAIN metadata rollup: GROUP BY the identity partition
+    * column answers per-month COUNT/MIN/MAX purely from entry stats
+    * (zero scans — the single most common operational rollup at
+    * 100 TB: "how big is each month"). Hash-matched against DuckDB
+    * recomputing the same rollup from raw orders. */
+  def snapshotAggGroup: Q = (s, d) => {
+    val t = registerSnapCatalog(s, prepareSnapshotAgg(s, d))
+    requireMetadataOnly(s.sql(
+      s"""SELECT order_month, count(*) AS cnt,
+         | min(o_totalprice) AS mn_price, max(o_orderkey) AS mx_key
+         |FROM $t GROUP BY order_month""".stripMargin),
+      "snapshot_agg_group")
+  }
+
+  /** METADATA INSPECTION TABLES ([[graft.sources.GraftMetaTables]]):
+    * `table$partitions` reports per-value LIVE rows straight from the
+    * manifest (a LocalScan — no data read); the oracle recomputes the
+    * same per-month counts from raw orders, so a drifted live-row
+    * account (stats, DV arithmetic, entry grouping) hash-mismatches. */
+  def snapshotMetaPartitions: Q = (s, d) => {
+    val root = prepareSnapshotAgg(s, d)
+    registerSnapCatalog(s, root)
+    val n = new java.io.File(root).getName
+    s.sql(s"SELECT value AS order_month, live_rows AS cnt " +
+      s"FROM graftsnap.`$n$$partitions`")
+  }
+
+  /** `table$files` over the MERGE-ON-READ history: per-entry live rows
+    * must sum per month to the post-DML counts — the additive UPDATE
+    * parts count in, the DV'd positions count out. A DV accounting
+    * error anywhere (vector rows, stats rows, entry grouping) breaks
+    * the hash against the raw-orders replay. */
+  def snapshotMetaFiles: Q = (s, d) => {
+    val root = prepareSnapshotDv(s, d)
+    registerSnapCatalog(s, root)
+    val n = new java.io.File(root).getName
+    s.sql(s"SELECT value AS order_month, " +
+      s"CAST(sum(live_rows) AS BIGINT) AS cnt " +
+      s"FROM graftsnap.`$n$$files` GROUP BY value")
+  }
+
   /** COUNT(*) on a DELETION-VECTOR-bearing table stays metadata-only
     * AND exact: live rows = stats rows − vector positions, no scan.
     * (Delta's metadata-only count gives up in the presence of DVs
@@ -1829,6 +1910,10 @@ object EtlQueries {
     "snapshot_dv_update" -> snapshotDvUpdate,
     "snapshot_agg_stats" -> snapshotAggStats,
     "snapshot_agg_dv_count" -> snapshotAggDvCount,
+    "snapshot_stats_prune" -> snapshotStatsPrune,
+    "snapshot_meta_partitions" -> snapshotMetaPartitions,
+    "snapshot_meta_files" -> snapshotMetaFiles,
+    "snapshot_agg_group" -> snapshotAggGroup,
     "snapshot_multipart" -> snapshotMultipart,
     "snapshot_bucket" -> snapshotBucket,
     "snapshot_sql_rename" -> snapshotSqlRename,
@@ -2231,6 +2316,39 @@ object EtlQueries {
     // count-neutral): stats rows minus vector positions, exact
     "snapshot_agg_dv_count" ->
       "SELECT count(*) AS cnt FROM orders WHERE o_orderkey % 100 <> 9",
+    // the partition-grain stats rollup, recomputed the hard way
+    "snapshot_agg_group" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders)
+        |SELECT order_month, count(*) AS cnt,
+        | min(o_totalprice) AS mn_price, max(o_orderkey) AS mx_key
+        |FROM o GROUP BY 1""".stripMargin,
+    // the $partitions metadata table's live-row account, recomputed
+    // from raw orders per month
+    "snapshot_meta_partitions" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    // the $files live-row sums over the merge-on-read history: DV'd
+    // positions out, additive UPDATE parts in — count-neutral except
+    // for the DELETEd key class
+    "snapshot_meta_files" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders WHERE o_orderkey % 100 <> 9 GROUP BY 1""".stripMargin,
+    // the file-skipped range aggregate, computed over ALL rows the
+    // hard way — a wrongly-pruned entry loses its month's rows and
+    // hash-mismatches
+    "snapshot_stats_prune" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM o
+        |WHERE o_orderdate >= TIMESTAMP '1997-06-15 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-09-15 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "snapshot_dv_delete" ->
       """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
         |   AS order_month FROM orders),

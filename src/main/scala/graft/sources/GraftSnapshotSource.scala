@@ -504,12 +504,23 @@ private class GraftSnapshotScanBuilder(
     * are simply NOT pushed (Spark re-evaluates every data filter
     * post-scan, so dropping a pushdown can only cost I/O, never
     * rows). */
+  /** The FULL data-filter conjunction in LOGICAL names, captured for
+    * manifest-stats file skipping (entry stats are keyed logically).
+    * Deliberately the INCOMING set, not what parquet accepted: a
+    * filter the file source can't push may still be range-decidable
+    * against entry stats, and Spark re-evaluates every data filter
+    * post-scan regardless. */
+  private[sources] var pruneFilters
+      : Seq[org.apache.spark.sql.sources.Filter] = Nil
+
   override def pushDataFilters(
       dataFilters: Array[org.apache.spark.sql.sources.Filter])
-      : Array[org.apache.spark.sql.sources.Filter] =
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pruneFilters = dataFilters.toSeq
     if (physOf.isEmpty) super.pushDataFilters(dataFilters)
     else super.pushDataFilters(
       dataFilters.flatMap(translateFilterNames))
+  }
 
   private def translateFilterNames(
       f: org.apache.spark.sql.sources.Filter)
@@ -550,10 +561,20 @@ private class GraftSnapshotScanBuilder(
       if (p.partitionFilters.isEmpty && p.dataFilters.isEmpty &&
         p.pushedAggregate.isEmpty) manifestRows
       else None
+    // manifest-stats file skipping inputs (off switch for A/B and as
+    // an escape hatch — pruning is conservative, see GraftStatsPrune)
+    val statsPruneOn = template.sparkSession.sessionState.conf
+      .getConfString("spark.graft.read.statsPrune", "true") == "true"
+    val logicalTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      manifest.schema.getOrElse(physTableSchema)
+        .fields.map(f => f.name -> f.dataType).toMap
     new ManifestStatsScan(p, exactRows, root, physTableSchema,
       tblOptions, logicalOf,
       GraftSpj.infoFor(template.sparkSession, manifest),
-      needsResolvedRead)
+      needsResolvedRead,
+      if (statsPruneOn) pruneFilters else Nil,
+      manifest.entries.map(e => e.dir -> e.stats),
+      logicalTypes)
   }
 }
 
@@ -882,7 +903,11 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
     tblOptions: CaseInsensitiveStringMap,
     val logicalOf: Map[String, String] = Map.empty,
     val spj: Option[GraftSpj.Info] = None,
-    val needsResolvedRead: Boolean = false)
+    val needsResolvedRead: Boolean = false,
+    val pruneFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    pruneEntries: Seq[(String, Option[SnapshotStore.EntryStats])] = Nil,
+    logicalTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      Map.empty)
     extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema,
       p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
@@ -905,6 +930,56 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
         "(spark.sql.extensions=graft.GraftExtensions), or run " +
         "SnapshotStore.compact to fold the vectors into clean files")
     super.toBatch
+  }
+
+  /** MANIFEST-STATS FILE SKIPPING: relative entry dirs whose per-entry
+    * `[min,max]` prove NO row can match the pushed data filters —
+    * whole dirs dropped BEFORE task planning or footer reads
+    * ([[GraftStatsPrune]]; Iceberg-manifest economics at 100 TB: a
+    * point lookup touches a handful of entries, not every file). A
+    * filter is a conjunction: ANY provably-unsatisfiable conjunct
+    * kills the entry. DV entries prune soundly (stats cover a superset
+    * of live rows). */
+  private lazy val prunedDirs: Set[String] =
+    if (pruneFilters.isEmpty) Set.empty
+    else pruneEntries.iterator.collect {
+      case (dir, Some(st)) if pruneFilters.exists(f =>
+        GraftStatsPrune.cannotMatch(st, logicalTypes, f)) => dir
+    }.toSet
+
+  /** File's parent dir relative to the table root (scheme-insensitive;
+    * an unrecognizable spelling maps to itself and is therefore KEPT —
+    * conservative). */
+  private def relDirOfParent(parent: String): String = {
+    val pp = parent.stripPrefix("file:")
+    val r = root.stripPrefix("file:")
+    if (pp.startsWith(r + "/")) pp.substring(r.length + 1) else pp
+  }
+
+  private def keepFile(
+      f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+      : Boolean =
+    !prunedDirs.contains(
+      relDirOfParent(f.filePath.toPath.getParent.toString))
+
+  /** Pruned file partitions, original packing minus skipped files
+    * (emptied partitions dropped, indexes re-sequenced). The SPJ path
+    * ([[keyedPartitions]]) deliberately stays UNPRUNED: dropping a
+    * partition value from a reported KeyGroupedPartitioning would
+    * change the key set the join co-location contract is checked
+    * against — correct either way, but exchange-free is worth more
+    * than skipping files in a fact-to-fact join. */
+  override def partitions
+      : Seq[org.apache.spark.sql.execution.datasources.FilePartition] = {
+    val base = super.partitions
+    if (prunedDirs.isEmpty) base
+    else base.iterator
+      .map(fp => fp.files.filter(keepFile))
+      .filter(_.nonEmpty)
+      .zipWithIndex
+      .map { case (fs, i) =>
+        org.apache.spark.sql.execution.datasources.FilePartition(i, fs) }
+      .toSeq
   }
 
   /** One [[KeyedFilePartition]] per partition VALUE among the selected
@@ -981,11 +1056,14 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
     case o: ManifestStatsScan =>
       super.equals(o) && rows == o.rows && root == o.root &&
         logicalOf == o.logicalOf && spj == o.spj &&
-        needsResolvedRead == o.needsResolvedRead
+        needsResolvedRead == o.needsResolvedRead &&
+        pruneFilters == o.pruneFilters
     case _ => false
   }
   override def hashCode(): Int =
-    31 * super.hashCode() + (rows, root, logicalOf, spj, needsResolvedRead).hashCode()
+    31 * super.hashCode() +
+      (rows, root, logicalOf, spj, needsResolvedRead, pruneFilters)
+        .hashCode()
 }
 
 /** The CHANGE-FEED view of a snapshot table — schema = data schema +
@@ -1211,9 +1289,23 @@ class GraftSnapshotCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val root = rootOf(ident)
-    if (!tableExistsAt(root)) throw new NoSuchTableException(ident)
-    GraftSnapshotTables.load(SparkSession.active, root, None,
-      CaseInsensitiveStringMap.empty(), writable = true)
+    if (tableExistsAt(root))
+      return GraftSnapshotTables.load(SparkSession.active, root, None,
+        CaseInsensitiveStringMap.empty(), writable = true)
+    // `name$kind` METADATA TABLES (Iceberg-style inspection surface,
+    // [[GraftMetaTables]]) — resolved only when no real table dir
+    // shadows the spelled name, so a user table legitimately named
+    // with a '$' always wins
+    val n = ident.name()
+    val cut = n.lastIndexOf('$')
+    if (cut > 0) {
+      val base = n.substring(0, cut)
+      val kind = n.substring(cut + 1)
+      val baseRoot = rootOf(Identifier.of(ident.namespace(), base))
+      if (GraftMetaTables.Kinds(kind) && tableExistsAt(baseRoot))
+        return GraftMetaTables.load(baseRoot, base, kind)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** SQL time travel: `VERSION AS OF n` arrives here as a string — a

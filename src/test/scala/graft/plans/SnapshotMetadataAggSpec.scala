@@ -58,12 +58,12 @@ class SnapshotMetadataAggSpec extends SparkSpec {
     assert(scansIn(on) === 0,
       s"expected a metadata-only plan for [$sql], got:\n" +
         on.queryExecution.executedPlan)
-    val onRows = on.collect()
+    val onRows = on.collect().toSeq.sortBy(_.toString)
     spark.conf.set("spark.graft.agg.metadataOnly", "false")
     try {
       val off = spark.sql(sql)
       assert(scansIn(off) > 0, "A/B control: the OFF plan must scan")
-      assert(onRows.toSeq === off.collect().toSeq,
+      assert(onRows === off.collect().toSeq.sortBy(_.toString),
         s"metadata answer diverged from the scan for [$sql]")
     } finally spark.conf.set("spark.graft.agg.metadataOnly", "true")
   }
@@ -125,7 +125,10 @@ class SnapshotMetadataAggSpec extends SparkSpec {
     SnapshotStore.write(rows(), root, "m", "d")
     val t = register(root)
     assertScanAnswered(s"SELECT count(*) AS c FROM $t WHERE id > 5")
-    assertScanAnswered(s"SELECT m, count(*) AS c FROM $t GROUP BY m")
+    // grouping by a NON-identity (data) column cannot attribute
+    // entries to groups (GROUP BY the partition column m is
+    // metadata-answered — pinned in the grouped test below)
+    assertScanAnswered(s"SELECT d, count(*) AS c FROM $t GROUP BY d")
     assertScanAnswered(s"SELECT count(tag) AS c FROM $t")
     assertScanAnswered(s"SELECT count(DISTINCT id) AS c FROM $t")
     assertScanAnswered(
@@ -149,6 +152,37 @@ class SnapshotMetadataAggSpec extends SparkSpec {
     assert(scansIn(now) === 0 && scansIn(old) === 0)
     assert(old.head.getLong(0) === 200L)
     assert(now.head.getLong(0) === 180L)
+  }
+
+  test("GROUP BY the identity partition column: per-partition " +
+      "COUNT/MIN/MAX from stats, zero scans; non-identity grouping " +
+      "falls back; DV-bearing grouped count stays exact") {
+    val root = tmpRoot("grp")
+    SnapshotStore.write(rows(), root, "m", "d")
+    val t = register(root)
+    assertMetadataAnswered(
+      s"SELECT m, count(*) AS cnt, min(id) AS mn_id, " +
+        s"max(price) AS mx_p FROM $t GROUP BY m")
+    // expression-of-aggregate + group key in expressions folds too
+    assertMetadataAnswered(
+      s"SELECT concat(m, '!') AS tag, count(*) * 2 AS c2 " +
+        s"FROM $t GROUP BY m")
+    // a non-identity (data) column can't attribute entries to groups
+    assertScanAnswered(s"SELECT tag, count(*) AS c FROM $t GROUP BY tag")
+    // merge-on-read: grouped count remains exact (per-entry live rows
+    // belong wholly to the entry's group), min/max falls back
+    val rootDv = tmpRoot("grpdv")
+    SnapshotStore.write(rows(), rootDv, "m", "d")
+    RowLevelOps.deleteRowsCommit(spark, rootDv,
+      col("id") % 10 === 3, "m", "d")
+    val tDv = register(rootDv)
+    val grouped = spark.sql(
+      s"SELECT m, count(*) AS cnt FROM $tDv GROUP BY m ORDER BY m")
+    assert(scansIn(grouped) === 0)
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq === Seq(("2024-01", 90L), ("2024-02", 90L)))
+    assertScanAnswered(
+      s"SELECT m, min(id) AS mn FROM $tDv GROUP BY m")
   }
 
   test("scalar subquery aggregate is answered from metadata inside a " +
