@@ -118,4 +118,49 @@ class SnapshotSpjSpec extends SparkSpec {
       "mixed-spec table: no SPJ")
     assert(dfE.count() === 10L)
   }
+
+  test("MISMATCHED partition value sets still join exchange-free " +
+      "(pushPartValues fills the gaps); the partially-clustered skew " +
+      "conf keeps rows exact") {
+    val wh = mkWh("gap")
+    // a: months 2024-01..03; b: only 02..03 — one whole value missing
+    SnapshotStore.write(rows(30), s"$wh/a", "m", "id")
+    SnapshotStore.write(
+      rows(30).filter(col("m") =!= "2024-01")
+        .select(col("id"), col("m"), (col("price") * 3).as("p3")),
+      s"$wh/b", "m", "id")
+    // join keys (m, id) are a SUPERSET of the partition key (m):
+    // co-partition on the subset needs the opt-out below (default-on
+    // strictness would shuffle even with matching value sets)
+    val on0 = spjSession(wh, "spjgap")
+    val on = org.apache.spark.sql.GraftPlanBridge.sessionWithConf(on0,
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    on.conf.set("spark.sql.catalog.spjgap",
+      classOf[GraftSnapshotCatalog].getName)
+    on.conf.set("spark.sql.catalog.spjgap.warehouse", wh)
+    val q = """SELECT a.id, a.m, b.p3 FROM spjgap.a a
+              |JOIN spjgap.b b ON a.m = b.m AND a.id = b.id""".stripMargin
+    val df = on.sql(q)
+    val plan = executedPlan(df)
+    assert(count(plan, "Exchange") === 0,
+      s"a missing partition value must not force a shuffle " +
+        s"(pushPartValues):\n$plan")
+    val expect = (1 to 30).filter(i => i % 3 + 1 != 1)
+      .map(i => (i.toLong, s"2024-0${i % 3 + 1}", i * 3.0)).toSet
+    assert(df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet === expect)
+    // skew handling: partially-clustered distribution replicates the
+    // smaller side's groups — rows must stay EXACT under it (the conf
+    // changes the physical grouping, never the result)
+    val pc = org.apache.spark.sql.GraftPlanBridge.sessionWithConf(on,
+      "spark.sql.sources.v2.bucketing.partiallyClustered" +
+        ".distribution.enabled" -> "true")
+    pc.conf.set("spark.sql.catalog.spjgap",
+      classOf[GraftSnapshotCatalog].getName)
+    pc.conf.set("spark.sql.catalog.spjgap.warehouse", wh)
+    val dfPc = pc.sql(q)
+    assert(dfPc.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet === expect,
+      "partially-clustered SPJ changed the result set")
+  }
 }
