@@ -203,7 +203,8 @@ object ScaleSmoke {
     // is the strongest sublinearity claim in the sweep), and the
     // stats-skipped range probe should scale with the SELECTED months'
     // rows (K× those), not the table
-    "snapshot_agg_stats", "snapshot_stats_prune", "snapshot_agg_group")
+    "snapshot_agg_stats", "snapshot_stats_prune", "snapshot_agg_group",
+    "snapshot_agg_filtered")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
@@ -218,7 +219,7 @@ object ScaleSmoke {
       "snapshot_evolve_overwrite", "snapshot_branch_wap",
       "snapshot_spj_time", "snapshot_nested_evolve",
       "snapshot_agg_stats", "snapshot_stats_prune",
-      "snapshot_agg_group")
+      "snapshot_agg_group", "snapshot_agg_filtered")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

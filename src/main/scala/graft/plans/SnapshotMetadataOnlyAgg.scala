@@ -38,8 +38,12 @@ import org.apache.spark.sql.types._
   *     [[SnapshotStore.statCompare]] — the same total order the
   *     pruning paths already bet correctness on.
   *   - Only `Aggregate` over a bare relation (through `SubqueryAlias`
-  *     / attribute-only `Project`s): any `Filter` in between
-  *     disqualifies the plan shape entirely. Grouping is allowed
+  *     / attribute-only `Project`s). A `WHERE` clause is allowed
+  *     EXACTLY when every entry decides it UNIFORMLY — exact
+  *     true/false on identity partition components (constant,
+  *     non-null), or no-row-matches through the range pruner — so
+  *     `count(*) WHERE order_month = 'x'` is two manifest lookups; a
+  *     row-mixing predicate disqualifies the plan. Grouping is allowed
   *     EXACTLY when every grouping expression is an IDENTITY
   *     partition column of every entry's spec vintage — entries then
   *     group precisely (per-entry constant, provably non-null), with
@@ -55,8 +59,9 @@ import org.apache.spark.sql.types._
   *
   * Scope deliberately NOT taken: `COUNT(col)` (per-entry null counts
   * are not harvested), grouping by non-identity expressions (no exact
-  * entry↔group attribution), filtered aggregates. All fall through to
-  * the ordinary scan.
+  * entry↔group attribution), per-aggregate FILTER clauses, WHERE
+  * clauses any entry straddles. All fall through to the ordinary
+  * scan.
   *
   * Disable with `spark.graft.agg.metadataOnly=false` (A/B hook for
   * the plan audit and an escape hatch if a stats regression is ever
@@ -74,9 +79,11 @@ object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
       // error afterwards) — rewriting around an unresolved aggregate
       // would garble that error into a half-folded plan
       case agg @ Aggregate(Nil, _, child, _) if agg.resolved =>
-        unwrap(child, Map.empty) match {
-          case Some((table, names)) =>
-            tryAnswer(agg, table, names).getOrElse(agg)
+        unwrap(child) match {
+          case Some((table, names, conds)) =>
+            selectEntries(table, conds)
+              .flatMap(es => tryAnswer(agg, es, names))
+              .getOrElse(agg)
           case None => agg
         }
       // PARTITION-GRAIN rollups: GROUP BY over IDENTITY partition
@@ -87,50 +94,128 @@ object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupExprs, _, child, _)
           if agg.resolved && groupExprs.nonEmpty &&
             groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
-        unwrap(child, Map.empty) match {
-          case Some((table, names)) =>
-            tryAnswerGrouped(agg, table, names).getOrElse(agg)
+        unwrap(child) match {
+          case Some((table, names, conds)) =>
+            selectEntries(table, conds)
+              .flatMap(es => tryAnswerGrouped(agg, table, es, names))
+              .getOrElse(agg)
           case None => agg
         }
     }
   }
 
-  /** Walk down through alias/pruning layers to a snapshot relation,
-    * composing the exprId → relation-column-name map. Anything else
-    * (a Filter, a Join, an expression-bearing Project) disqualifies. */
-  private def unwrap(p: LogicalPlan, outer: Map[ExprId, String])
-      : Option[(GraftSnapshotTable, Map[ExprId, String])] = p match {
-    case SubqueryAlias(_, c) => unwrap(c, outer)
-    case Project(projList, c)
-        if projList.forall {
-          case _: AttributeReference => true
-          case Alias(_: AttributeReference, _) => true
-          case _ => false
-        } =>
-      // re-expressed per level on the way OUT: first reach the
-      // relation, then names are relation-attr names — so here just
-      // recurse and translate project outputs afterwards
-      unwrap(c, outer).map { case (t, inner) =>
-        val thisLevel = projList.map {
-          case ar: AttributeReference => ar.exprId -> inner.get(ar.exprId)
-          case a @ Alias(ar: AttributeReference, _) =>
-            a.exprId -> inner.get(ar.exprId)
-        }.collect { case (id, Some(n)) => id -> n }.toMap
-        (t, thisLevel)
+  /** A Filter condition found on the way down, paired with the
+    * exprId→relation-column map IN SCOPE at its level (a Project above
+    * it may rename further; the pair stays bound to its own scope). */
+  private type Cond =
+    (org.apache.spark.sql.catalyst.expressions.Expression,
+      Map[ExprId, String])
+
+  /** Walk down through alias/pruning/filter layers to a snapshot
+    * relation, composing the exprId → relation-column-name map and
+    * collecting Filter conditions. Anything else (a Join, an
+    * expression-bearing Project) disqualifies. */
+  private def unwrap(p: LogicalPlan)
+      : Option[(GraftSnapshotTable, Map[ExprId, String], Seq[Cond])] =
+    p match {
+      case SubqueryAlias(_, c) => unwrap(c)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, c) =>
+        unwrap(c).map { case (t, inner, conds) =>
+          (t, inner, conds :+ (cond, inner))
+        }
+      case Project(projList, c)
+          if projList.forall {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => true
+            case _ => false
+          } =>
+        // re-expressed per level on the way OUT: first reach the
+        // relation, then names are relation-attr names — so here just
+        // recurse and translate project outputs afterwards
+        unwrap(c).map { case (t, inner, conds) =>
+          val thisLevel = projList.map {
+            case ar: AttributeReference => ar.exprId -> inner.get(ar.exprId)
+            case a @ Alias(ar: AttributeReference, _) =>
+              a.exprId -> inner.get(ar.exprId)
+          }.collect { case (id, Some(n)) => id -> n }.toMap
+          (t, thisLevel, conds)
+        }
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case t: GraftSnapshotTable =>
+            Some((t, r.output.map(a => a.exprId -> a.name).toMap, Nil))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** The manifest entries a conjunction of Filter conditions selects
+    * UNIFORMLY — every entry must decide wholly in or wholly out
+    * ([[graft.sources.GraftStatsPrune.decideUniform]]: exact on
+    * identity components, no-row-matches through the range pruner).
+    * `WHERE order_month = '1997-06'` thus answers `count(*)` from two
+    * manifest lookups; a row-mixing predicate falls back to the scan.
+    * Conditions are translated to source filters under THEIR OWN name
+    * scope; anything untranslatable bails. */
+  private def selectEntries(t: GraftSnapshotTable, conds: Seq[Cond])
+      : Option[Seq[SnapshotStore.Entry]] = {
+    val m = t.manifest
+    if (conds.isEmpty) return Some(m.entries)
+    if (m.entries.exists(_.stats.isEmpty)) return None
+    val types: Map[String, DataType] =
+      m.schema.map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(return None)
+    val filters = conds.map { case (expr, names) =>
+      val renamed = expr.transform {
+        case ar: AttributeReference =>
+          ar.withName(names.getOrElse(ar.exprId, return None))
       }
-    case r: DataSourceV2Relation =>
-      r.table match {
-        case t: GraftSnapshotTable =>
-          Some((t, r.output.map(a => a.exprId -> a.name).toMap))
-        case _ => None
+      // post-hoc resolution runs before ConstantFolding: a mixed-type
+      // literal still wears its analyzer cast (`id > CAST(99999 AS
+      // BIGINT)`), which the source-filter translator refuses — fold
+      // deterministic foldables down to literals first
+      val folded = renamed.transformUp {
+        case e if e.foldable && e.deterministic &&
+            !e.isInstanceOf[Literal] =>
+          try Literal.create(e.eval(
+            org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+          catch { case scala.util.control.NonFatal(_) => return None }
       }
-    case _ => None
+      org.apache.spark.sql.GraftPlanBridge.translateFilter(folded)
+        .getOrElse(return None)
+    }
+    val currentSpec = SnapshotStore.tableLayout(m)
+      .map(l => SnapshotStore.parseSpec(l._1)).getOrElse(return None)
+    val selected = m.entries.filter { e =>
+      val spec = e.spec.map { s =>
+        try SnapshotStore.parseSpec(s)
+        catch { case _: IllegalArgumentException => return None }
+      }.getOrElse(currentSpec)
+      val st = e.stats.get
+      // identity components valued by their canonical stat strings
+      // (per-entry constant; min==max or the component is excluded and
+      // its leaves fall to the range pruner)
+      val const: Map[String, String] = spec.fields.collect {
+        case graft.etl.PartitionSpec.Identity(c) => c
+      }.flatMap { c =>
+        for {
+          dt <- types.get(c)
+          if SnapshotStore.supportedStatType(dt)
+          cs <- st.cols.get(c)
+          if SnapshotStore.statCompare(dt, cs.min, cs.max) == 0
+        } yield c -> cs.min
+      }.toMap
+      filters.forall(f =>
+        graft.sources.GraftStatsPrune
+          .decideUniform(st, const, types, f)
+          .getOrElse(return None))
+    }
+    Some(selected)
   }
 
-  private def tryAnswer(agg: Aggregate, t: GraftSnapshotTable,
+  private def tryAnswer(agg: Aggregate,
+      entries: Seq[SnapshotStore.Entry],
       names: Map[ExprId, String]): Option[LogicalPlan] = {
-    val m = t.manifest
-    val entries = m.entries
     // every entry must carry write-time stats (pre-stats-era tables
     // answer by scan); ALL embedded AggregateExpressions must be
     // answerable or the plan stands
@@ -179,10 +264,11 @@ object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
     * rows==0 entries contribute to no group. Empty table → zero
     * groups, exactly the scan's semantics. */
   private def tryAnswerGrouped(agg: Aggregate, t: GraftSnapshotTable,
+      selected: Seq[SnapshotStore.Entry],
       names: Map[ExprId, String]): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
     val m = t.manifest
-    if (m.entries.exists(_.stats.isEmpty)) return None
+    if (selected.exists(_.stats.isEmpty)) return None
     val groupAttrs = agg.groupingExpressions
       .map(_.asInstanceOf[AttributeReference])
     val groupCols = groupAttrs.map(a =>
@@ -191,7 +277,7 @@ object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
     // an identity component
     val currentSpec = SnapshotStore.tableLayout(m)
       .map(l => SnapshotStore.parseSpec(l._1)).getOrElse(return None)
-    val entries = m.entries.filter(_.stats.exists(_.rows > 0))
+    val entries = selected.filter(_.stats.exists(_.rows > 0))
     val keyed: Seq[(Seq[String], SnapshotStore.Entry)] = entries.map { e =>
       val spec = e.spec.map { s =>
         try SnapshotStore.parseSpec(s)

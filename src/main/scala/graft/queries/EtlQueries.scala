@@ -941,6 +941,21 @@ object EtlQueries {
       "snapshot_agg_group")
   }
 
+  /** FILTERED metadata aggregates: a WHERE clause every entry decides
+    * uniformly (here: a month range on the identity partition column)
+    * answers COUNT/MIN/MAX from the selected entries' stats alone —
+    * the lane REQUIRES a scan-free plan and hash-matches DuckDB
+    * computing the same filtered aggregates over raw orders. */
+  def snapshotAggFiltered: Q = (s, d) => {
+    val t = registerSnapCatalog(s, prepareSnapshotAgg(s, d))
+    requireMetadataOnly(s.sql(
+      s"""SELECT count(*) AS cnt, min(o_orderdate) AS mn_date,
+         | max(o_totalprice) AS mx_price
+         |FROM $t
+         |WHERE order_month >= '1997-01' AND order_month < '1998-01'
+         |""".stripMargin), "snapshot_agg_filtered")
+  }
+
   /** METADATA INSPECTION TABLES ([[graft.sources.GraftMetaTables]]):
     * `table$partitions` reports per-value LIVE rows straight from the
     * manifest (a LocalScan — no data read); the oracle recomputes the
@@ -1914,6 +1929,7 @@ object EtlQueries {
     "snapshot_meta_partitions" -> snapshotMetaPartitions,
     "snapshot_meta_files" -> snapshotMetaFiles,
     "snapshot_agg_group" -> snapshotAggGroup,
+    "snapshot_agg_filtered" -> snapshotAggFiltered,
     "snapshot_multipart" -> snapshotMultipart,
     "snapshot_bucket" -> snapshotBucket,
     "snapshot_sql_rename" -> snapshotSqlRename,
@@ -2316,6 +2332,15 @@ object EtlQueries {
     // count-neutral): stats rows minus vector positions, exact
     "snapshot_agg_dv_count" ->
       "SELECT count(*) AS cnt FROM orders WHERE o_orderkey % 100 <> 9",
+    // the filtered metadata aggregate, recomputed the hard way
+    "snapshot_agg_filtered" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders)
+        |SELECT count(*) AS cnt, min(o_orderdate) AS mn_date,
+        | max(o_totalprice) AS mx_price
+        |FROM o
+        |WHERE order_month >= '1997-01' AND order_month < '1998-01'
+        |""".stripMargin,
     // the partition-grain stats rollup, recomputed the hard way
     "snapshot_agg_group" ->
       """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')

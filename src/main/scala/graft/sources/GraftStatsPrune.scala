@@ -100,6 +100,109 @@ private[graft] object GraftStatsPrune {
     case _ => false // IsNull/IsNotNull/unknown shapes: undecidable
   }
 
+  /** UNIFORM three-valued decision of `f` over an entry: Some(true) =
+    * EVERY live row of the entry satisfies f, Some(false) = NO row
+    * does, None = mixed/undecidable. Exact TRUE/FALSE come from
+    * `const` — the entry's IDENTITY partition components (per-entry
+    * constant, provably non-null by the commit guard), valued by their
+    * canonical stat strings; a leaf that can't decide exactly may
+    * still decide FALSE through the range pruner ([[cannotMatch]]).
+    * Used by the metadata-only aggregate rewrite to answer
+    * `count(*) … WHERE <partition-decidable predicate>` without a
+    * scan. NOT: only the exact (identity) decision inverts — a
+    * "no row satisfies x" verdict says nothing about ¬x on null-valued
+    * rows. Float/double identity comparisons refuse (±0.0/NaN ordering
+    * diverges from SQL equality). */
+  def decideUniform(st: EntryStats, const: Map[String, String],
+      types: Map[String, DataType], f: Filter): Option[Boolean] =
+    f match {
+      case And(l, r) =>
+        (decideUniform(st, const, types, l),
+          decideUniform(st, const, types, r)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), o) => o
+          case (o, Some(true)) => o
+          case _ => None
+        }
+      case Or(l, r) =>
+        (decideUniform(st, const, types, l),
+          decideUniform(st, const, types, r)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), o) => o
+          case (o, Some(false)) => o
+          case _ => None
+        }
+      case Not(x) => exactDecide(x, const, types).map(!_)
+      case leaf =>
+        exactDecide(leaf, const, types).orElse(
+          if (st.rows == 0 || no(leaf, st.cols, types)) Some(false)
+          else None)
+    }
+
+  /** Exact two-valued decision on identity-constant components only
+    * (non-null ⇒ SQL comparisons are two-valued there). */
+  private def exactDecide(f: Filter, const: Map[String, String],
+      types: Map[String, DataType]): Option[Boolean] = {
+    // no float/double: Double.compare's ±0.0/NaN order diverges from
+    // SQL equality, and an identity component of that type is already
+    // refused by the writer paths
+    def dtOf(a: String): Option[DataType] = types.get(a)
+      .filter(SnapshotStore.supportedStatType)
+      .filter(dt => dt != FloatType && dt != DoubleType)
+    def cmp(a: String, v: Any): Option[Int] =
+      for { dt <- dtOf(a); c <- const.get(a); s <- render(dt, v) }
+        yield SnapshotStore.statCompare(dt, c, s)
+    def strConst(a: String): Option[String] =
+      types.get(a).filter(_ == StringType).flatMap(_ => const.get(a))
+    f match {
+      case AlwaysTrue() => Some(true)
+      case AlwaysFalse() => Some(false)
+      case And(l, r) =>
+        (exactDecide(l, const, types), exactDecide(r, const, types)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), o) => o
+          case (o, Some(true)) => o
+          case _ => None
+        }
+      case Or(l, r) =>
+        (exactDecide(l, const, types), exactDecide(r, const, types)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), o) => o
+          case (o, Some(false)) => o
+          case _ => None
+        }
+      case Not(x) => exactDecide(x, const, types).map(!_)
+      case EqualTo(a, v) if v != null => cmp(a, v).map(_ == 0)
+      case EqualNullSafe(a, v) =>
+        if (v == null) const.get(a).map(_ => false)
+        else cmp(a, v).map(_ == 0)
+      case In(a, vs) if vs != null =>
+        for {
+          dt <- dtOf(a); c <- const.get(a)
+          rendered = vs.toSeq.filter(_ != null).map(render(dt, _))
+          r <- {
+            if (rendered.exists(_.exists(s =>
+              SnapshotStore.statCompare(dt, c, s) == 0))) Some(true)
+            else if (rendered.forall(_.isDefined)) Some(false)
+            else None
+          }
+        } yield r
+      case LessThan(a, v) if v != null => cmp(a, v).map(_ < 0)
+      case LessThanOrEqual(a, v) if v != null => cmp(a, v).map(_ <= 0)
+      case GreaterThan(a, v) if v != null => cmp(a, v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) if v != null => cmp(a, v).map(_ >= 0)
+      case IsNull(a) => const.get(a).map(_ => false)
+      case IsNotNull(a) => const.get(a).map(_ => true)
+      case StringStartsWith(a, p) if p != null =>
+        strConst(a).map(_.startsWith(p))
+      case StringEndsWith(a, p) if p != null =>
+        strConst(a).map(_.endsWith(p))
+      case StringContains(a, p) if p != null =>
+        strConst(a).map(_.contains(p))
+      case _ => None
+    }
+  }
+
   /** The column's (type, stats) when both sides are usable. */
   private def rangeOf(a: String, cols: Map[String, ColStats],
       types: Map[String, DataType]): Option[(DataType, ColStats)] =

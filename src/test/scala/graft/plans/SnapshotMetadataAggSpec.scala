@@ -185,6 +185,44 @@ class SnapshotMetadataAggSpec extends SparkSpec {
       s"SELECT m, min(id) AS mn FROM $tDv GROUP BY m")
   }
 
+  test("WHERE clauses decided per entry answer without a scan: " +
+      "partition equality/range/IN/NOT, impossible ranges; straddling " +
+      "predicates fall back; DV count stays exact under the filter") {
+    val root = tmpRoot("where")
+    SnapshotStore.write(rows(), root, "m", "d")
+    val t = register(root)
+    assertMetadataAnswered(
+      s"SELECT count(*) AS cnt FROM $t WHERE m = '2024-01'")
+    assertMetadataAnswered(
+      s"SELECT count(*) AS cnt, min(id) AS mn FROM $t WHERE m >= '2024-02'")
+    assertMetadataAnswered(
+      s"SELECT count(*) AS cnt FROM $t WHERE m IN ('2024-01', 'nope')")
+    assertMetadataAnswered(
+      s"SELECT count(*) AS cnt FROM $t WHERE m <> '2024-01'")
+    // no entry can match: every entry decides FALSE via the range
+    // pruner — count 0, min NULL, still scan-free
+    assertMetadataAnswered(
+      s"SELECT count(*) AS cnt, min(id) AS mn FROM $t WHERE id > 99999")
+    assert(spark.sql(
+      s"SELECT count(*) AS cnt FROM $t WHERE m = '2024-01'")
+      .head.getLong(0) === 100L)
+    // grouped + WHERE composes
+    assertMetadataAnswered(
+      s"SELECT m, count(*) AS c FROM $t WHERE m <> '2024-01' GROUP BY m")
+    // a predicate some entry STRADDLES must scan
+    assertScanAnswered(s"SELECT count(*) AS c FROM $t WHERE id > 5")
+    // merge-on-read + filter: live rows of the selected entry only
+    val rootDv = tmpRoot("wheredv")
+    SnapshotStore.write(rows(), rootDv, "m", "d")
+    RowLevelOps.deleteRowsCommit(spark, rootDv,
+      col("id") % 10 === 3, "m", "d")
+    val tDv = register(rootDv)
+    val c = spark.sql(
+      s"SELECT count(*) AS cnt FROM $tDv WHERE m = '2024-01'")
+    assert(scansIn(c) === 0)
+    assert(c.head.getLong(0) === 90L)
+  }
+
   test("scalar subquery aggregate is answered from metadata inside a " +
       "bigger query") {
     val root = tmpRoot("subq")
