@@ -223,6 +223,36 @@ class SnapshotMetadataAggSpec extends SparkSpec {
     assert(c.head.getLong(0) === 90L)
   }
 
+  test("compact() preserves the metadata answers byte-for-byte; a " +
+      "branch read answers from the BRANCH head while main stays put") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val root = tmpRoot("cmp")
+    SnapshotStore.write(rows(), root, "m", "d")
+    val t = register(root)
+    val sql = s"SELECT count(*) AS cnt, min(id) AS mn, max(price) AS mx" +
+      s" FROM $t"
+    val before = spark.sql(sql).collect().toSeq
+    SnapshotStore.compact(spark, root, "m", "d")
+    assertMetadataAnswered(sql)
+    assert(spark.sql(sql).collect().toSeq === before,
+      "compact changed a metadata-answered aggregate")
+    // write-audit-publish: the staged branch commit answers on the
+    // branch, never on main
+    import spark.implicits._
+    SnapshotStore.branch(root, "audit")
+    SnapshotStore.appendToBranch(
+      Seq((9999L, "2024-03", java.sql.Date.valueOf("2024-03-01"),
+        1.0, "x")).toDF("id", "m", "d", "price", "tag"),
+      root, "audit")
+    val branchCnt = spark.read.format("graft-snapshot")
+      .option("branch", "audit").load(root)
+      .agg(count(lit(1)).as("cnt"))
+    assert(scansIn(branchCnt) === 0)
+    assert(branchCnt.head.getLong(0) === 201L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t").head.getLong(0)
+      === 200L, "main must not see the staged branch commit")
+  }
+
   test("scalar subquery aggregate is answered from metadata inside a " +
       "bigger query") {
     val root = tmpRoot("subq")
