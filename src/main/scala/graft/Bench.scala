@@ -166,7 +166,12 @@ object Bench {
     // data size), and the stats-skipped time-range probe (the scan
     // plans only range-overlapping month dirs — the cost model is
     // O(selected months), not O(table))
-    "snapshot_agg_stats", "snapshot_stats_prune")
+    "snapshot_agg_stats", "snapshot_stats_prune",
+    // round-14: targeted maintenance — the fold/vector-fold/
+    // carry-by-reference rewrite runs in warmup; the measured read
+    // prices the post-maintenance layout, which must again be ≈ a
+    // plain multi-root parquet read (binpacked files, no vectors)
+    "snapshot_rewrite_files")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -204,7 +204,13 @@ object ScaleSmoke {
     // stats-skipped range probe should scale with the SELECTED months'
     // rows (K× those), not the table
     "snapshot_agg_stats", "snapshot_stats_prune", "snapshot_agg_group",
-    "snapshot_agg_filtered")
+    "snapshot_agg_filtered",
+    // round-14: targeted maintenance at K× — warmup pays the
+    // fold + vector-fold + binpack rewrite of the dirty (pre-1995)
+    // months only; the measured read prices the maintained layout
+    // over K× data. The rewrite itself is O(dirty data) whatever the
+    // table size — the carried ≥1995 dirs are never read or written
+    "snapshot_rewrite_files")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
@@ -219,7 +225,8 @@ object ScaleSmoke {
       "snapshot_evolve_overwrite", "snapshot_branch_wap",
       "snapshot_spj_time", "snapshot_nested_evolve",
       "snapshot_agg_stats", "snapshot_stats_prune",
-      "snapshot_agg_group", "snapshot_agg_filtered")
+      "snapshot_agg_group", "snapshot_agg_filtered",
+      "snapshot_rewrite_files")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

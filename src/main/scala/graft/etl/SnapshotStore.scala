@@ -1967,9 +1967,18 @@ object SnapshotStore {
     * survives the dynamic-partition writer verbatim (the
     * [[MergeTreeWriter]] lesson). Returns the written entries, read
     * back from the directory listing — no driver-side distinct. */
+  /** `slices` (the [[rewriteDataFiles]] binpack plan): rows of
+    * `(__part, __graft_slices)` — each partition VALUE's rows spread
+    * over its planned slice count by a deterministic hash of the sort
+    * key, so a value binpacks to ~`slices` files instead of one. The
+    * dynamic-partition writer emits one file per (task, dir): hash
+    * collisions of (value, slice) pairs into one shuffle partition
+    * merge slices — binpacking is best-effort sizing, never
+    * correctness. Values absent from the plan write 1 slice. */
   private def writeSnapData(df: DataFrame, root: String, snapId: Long,
       partCol: String, sortCol: String,
-      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
+      slices: Option[DataFrame] = None)
       : Seq[Entry] = {
     val rel = s"data/snap-$snapId"
     val dataDir = s"$root/$rel"
@@ -1989,15 +1998,35 @@ object SnapshotStore {
     val renamed = schemaHint
       .map(physicalizeFrame(tokened, _)).getOrElse(tokened)
     val physSort = physOf.getOrElse(sortCol, sortCol)
-    val prepared = renamed
-      // sort prefix must be the PARTITION KEY ATTRIBUTE itself — the
-      // dynamic-partition writer checks its required ordering by
-      // expression identity, and a sort on the source column (not
-      // expression-equal to the __part alias) would make it inject its
-      // own __part-only sort, destroying the time order (the
-      // MergeTreeWriter lesson).
-      .repartition(col(PartKey))
-      .sortWithinPartitions(col(PartKey), col(quoted(physSort)))
+    // sort prefix must be the PARTITION KEY ATTRIBUTE itself — the
+    // dynamic-partition writer checks its required ordering by
+    // expression identity, and a sort on the source column (not
+    // expression-equal to the __part alias) would make it inject its
+    // own __part-only sort, destroying the time order (the
+    // MergeTreeWriter lesson).
+    val prepared = slices match {
+      case Some(plan) =>
+        val k = "__graft_slices"
+        // EXPLICIT partition count: an expression-only repartition is
+        // fair game for AQE partition coalescing, which would fold all
+        // slices of a small rewrite back into one task — and one task
+        // per dir means ONE file per dir, silently defeating the
+        // binpack. A user-specified count is never coalesced; it also
+        // spreads a hot value's rewrite over `slices` parallel writers
+        // instead of the one-task funnel the plain path has.
+        val shuffleN = renamed.sparkSession.sessionState.conf
+          .numShufflePartitions
+        renamed
+          .join(broadcast(plan), Seq(PartKey), "left")
+          .repartition(shuffleN, col(PartKey),
+            pmod(xxhash64(col(PartKey), col(quoted(physSort))),
+              coalesce(col(quoted(k)), lit(1)).cast("long")))
+          .drop(k)
+          .sortWithinPartitions(col(PartKey), col(quoted(physSort)))
+      case None => renamed
+        .repartition(col(PartKey))
+        .sortWithinPartitions(col(PartKey), col(quoted(physSort)))
+    }
     // snapshot data is written TIMESTAMP_MICROS, not the session
     // default INT96: INT96 is deprecated in parquet-format, records NO
     // chunk statistics (the footer harvest would silently lose every
@@ -2882,6 +2911,110 @@ object SnapshotStore {
     // as delete+insert churn
     writeLocked(read(spark, root), root, partCol, sortCol,
       noRowChange = true)
+  }
+
+  /** Default [[rewriteDataFiles]] file-size target (Iceberg's
+    * `write.target-file-size-bytes` default neighborhood). */
+  private[graft] val DefaultRewriteTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Targeted table maintenance — the 100 TB form of [[compact]]
+    * (Iceberg `rewrite_data_files` / Delta `OPTIMIZE` economics, an
+    * extension; the reference's analogue is MergeTree's background
+    * part merging, README.md:547-548): restate ONLY the entries that
+    * need maintenance and carry every other entry BY REFERENCE —
+    * byte-identical dirs, no read, no write, no shuffle. A full
+    * [[compact]] of a 100 TB table is a 100 TB job; a nightly rewrite
+    * of the day's dirty partitions is O(dirty data).
+    *
+    * An entry is DIRTY when any of: (a) its partition value holds
+    * multiple parts (append accumulation — fold them); (b) it carries
+    * a live deletion vector (fold it into clean files, which also
+    * lifts the `format.reader` era once the last vector goes); (c) it
+    * is stamped with an outgoing spec vintage (migrate it to the
+    * current layout); (d) its file count sits far off the
+    * `targetFileBytes` binpack ideal. Size dirtiness uses a factor-2
+    * hysteresis band (count > 2×ideal, or count < ideal/2) so a
+    * freshly rewritten entry is CLEAN under the same target — a
+    * second invocation is a no-op returning the unchanged head id,
+    * with no commit.
+    *
+    * Rewritten values binpack to ≈`targetFileBytes` files (sliced by
+    * a deterministic sort-key hash; each slice internally sorted by
+    * the table sort column — MergeTree-part-shaped runs), sized on
+    * LIVE bytes (vector-deleted rows don't count). Like [[compact]],
+    * the commit is a pure REWRITE: same rows, new layout — its CDC
+    * sidecar is empty (`dataChange = false`) and time travel still
+    * reads the prior layout. Holds the commit lock across
+    * read+rewrite, so an interleaved writer can't be reverted.
+    *
+    * `where` selects candidates by the entry's OWN rendered partition
+    * value (an old-vintage entry by its outgoing spec's rendering). */
+  def rewriteDataFiles(spark: SparkSession, root: String,
+      where: String => Boolean = _ => true,
+      targetFileBytes: Long = DefaultRewriteTargetBytes,
+      onlyDirty: Boolean = true): Long = withCommitLock(root) {
+    require(targetFileBytes > 0,
+      s"rewriteDataFiles: targetFileBytes must be positive, " +
+        s"got $targetFileBytes")
+    val prior = current(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val schema = prior.schema.getOrElse(throw new IllegalStateException(
+      s"table at $root records no schema — cannot rewrite"))
+    val partCol = prior.props.getOrElse(PartColProp,
+      throw new IllegalStateException(
+        s"table at $root records no partition layout — cannot rewrite"))
+    val sortCol = prior.props.getOrElse(SortColProp,
+      throw new IllegalStateException(
+        s"table at $root records no sort layout — cannot rewrite"))
+    def dataFiles(e: Entry): Seq[java.io.File] = {
+      val d = new java.io.File(s"$root/${e.dir}")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    }
+    def ideal(bytes: Long): Long =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    // parts per VALUE — a value with several entries folds to one
+    val partsOf: Map[String, Int] =
+      prior.entries.groupMapReduce(_.value)(_ => 1)(_ + _)
+    def dirty(e: Entry): Boolean =
+      e.dv.isDefined || e.spec.isDefined || partsOf(e.value) > 1 || {
+        val fs = dataFiles(e)
+        val n = ideal(fs.map(_.length).sum)
+        fs.size > 2 * n || 2L * fs.size < n
+      }
+    val selected = prior.entries
+      .filter(e => where(e.value) && (!onlyDirty || dirty(e)))
+    if (selected.isEmpty) prior.id
+    else {
+      // binpack plan per CURRENT-spec value: estimated live bytes →
+      // planned slice count. Migrating old-vintage rows default to 1
+      // slice (their first rewrite folds; a later pass can split).
+      val slicePlan = selected.filter(_.spec.isEmpty)
+        .groupBy(_.value).toSeq.map { case (v, es) =>
+          val liveBytes = es.map { e =>
+            val b = dataFiles(e).map(_.length).sum
+            (liveRows(e), e.stats.map(_.rows)) match {
+              case (Some(lr), Some(tot)) if tot > 0 => b * lr / tot
+              case _ => b
+            }
+          }.sum
+          (v, ideal(liveBytes).min(Int.MaxValue.toLong).toInt)
+        }
+      val sliceDf = spark.createDataFrame(slicePlan)
+        .toDF(PartKey, "__graft_slices")
+      val live = readEntriesWithPositions(spark, root, schema, selected)
+        .drop(DvFileCol, DvPosCol)
+      val id = allocateId(root)
+      val fresh = writeSnapData(live, root, id, partCol, sortCol,
+        Some(schema), slices = Some(sliceDf))
+      // pure rewrite: empty CDC sidecar keeps the change feed silent
+      Files.createDirectories(cdcDirOf(root, id))
+      val selDirs = selected.map(_.dir).toSet
+      commitManifest(root,
+        Manifest(id, prior.entries.filterNot(e => selDirs(e.dir)) ++ fresh,
+          Some(schema), prior.props), seqOf(prior))
+      id
+    }
   }
 
   // ---- readers -----------------------------------------------------------

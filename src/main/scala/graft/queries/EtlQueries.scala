@@ -831,6 +831,73 @@ object EtlQueries {
              |FROM $table GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** One TARGETED-MAINTENANCE history per (JVM, sfDir): full load,
+    * then — pre-1997 months ONLY — an appended clone batch
+    * (multi-part values) and a small-fraction SQL DELETE (deletion
+    * vectors), then ONE [[SnapshotStore.rewriteDataFiles]] pass. The
+    * prepare ASSERTS the economics the lane exists to pin (a silent
+    * regression to full-table rewrite would stay hash-green): every
+    * ≥1997 month's dir carried BY REFERENCE (same dir strings —
+    * maintenance is O(dirty data), not O(table)), every value folded
+    * to one vector-free entry, and the reader-era requirement lifted
+    * by folding the last vector. */
+  private val snapRwPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotRewrite(s: SparkSession, d: String): String = {
+    val root = graft.util.Fs.processScratchRoot("snaprw",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapRwPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        val o = ordersWithMonth(s, d)
+        SnapshotStore.write(o, root, partCol = "order_month",
+          sortCol = "o_orderdate")
+        val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+        val clones = o
+          .filter(col("o_orderkey") % 50 === 21 &&
+            col("o_orderdate") < lit(cut))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(8000000000L))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(0.5))
+        SnapshotStore.appendPartitions(clones, root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val table = registerSnapCatalog(s, root)
+        s.sql(s"DELETE FROM $table WHERE o_orderkey % 100 = 9 " +
+          "AND o_orderdate < TIMESTAMP'1997-01-01 00:00:00'")
+        val pre = SnapshotStore.current(root).get
+        require(pre.entries.exists(_.dv.isDefined),
+          "snapshot_rewrite_files: the small-fraction DELETE did not " +
+            "attach deletion vectors — merge-on-read routing regressed")
+        val cleanDirs = pre.entries
+          .filter(_.value >= "1997-01").map(_.dir).sorted
+        SnapshotStore.rewriteDataFiles(s, root)
+        val m = SnapshotStore.current(root).get
+        require(m.entries.filter(_.value >= "1997-01").map(_.dir).sorted
+            == cleanDirs,
+          "snapshot_rewrite_files: clean months must carry BY " +
+            "REFERENCE — targeted maintenance regressed to a full " +
+            "rewrite")
+        require(m.entries.groupBy(_.value).forall(_._2.size == 1) &&
+            m.entries.forall(_.dv.isEmpty),
+          "snapshot_rewrite_files: dirty months must fold to one " +
+            "vector-free entry per value")
+        require(!m.props.contains(SnapshotStore.ReaderVersionProp),
+          "snapshot_rewrite_files: folding the last vector must lift " +
+            "the reader-era requirement")
+        snapRwPrepared += root
+      }
+    }
+    root
+  }
+
+  /** Targeted maintenance end to end (Iceberg `rewrite_data_files` /
+    * Delta `OPTIMIZE` economics; the MergeTree analogue is background
+    * part merging, README.md:547-548): after part-fold + vector-fold
+    * + carry-by-reference, the table must replay the exact post-DML
+    * state — hash-matched against a DuckDB replay of load +
+    * clone-append − deletes (a row lost or duplicated by the fold, or
+    * a resurrected vector-deleted row, is a count/hash mismatch). */
+  def snapshotRewriteFiles: Q = (s, d) =>
+    sqlMonthAgg(s, registerSnapCatalog(s, prepareSnapshotRewrite(s, d)))
+
   /** One CLEAN (no-DML) snapshot per (JVM, sfDir) for the
     * metadata-only aggregate lanes — the manifest stats must answer
     * alone, so the history is a single full load. */
@@ -1923,6 +1990,7 @@ object EtlQueries {
     "snapshot_sql_delete_rows" -> snapshotSqlDeleteRows,
     "snapshot_dv_delete" -> snapshotDvDelete,
     "snapshot_dv_update" -> snapshotDvUpdate,
+    "snapshot_rewrite_files" -> snapshotRewriteFiles,
     "snapshot_agg_stats" -> snapshotAggStats,
     "snapshot_agg_dv_count" -> snapshotAggDvCount,
     "snapshot_stats_prune" -> snapshotStatsPrune,
@@ -2396,6 +2464,23 @@ object EtlQueries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
+    // replay the targeted-maintenance end state: load + the pre-1997
+    // clone batch (keys ≡21 mod 50, +0.50) − the pre-1997 deletes
+    // (keys ≡9 mod 100); the rewrite itself must be row-invisible
+    "snapshot_rewrite_files" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders),
+        | ins AS (SELECT order_month, o_totalprice + 0.50 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 50 = 21
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        | keep AS (SELECT order_month, o_totalprice FROM o
+        |  WHERE NOT (o_orderkey % 100 = 9
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM keep GROUP BY 1""".stripMargin,
     // the cross-vintage dynamic overwrite lands the SAME final state
     // as the plain corrected-month backfill — one oracle, with the
     // survivor-migration machinery underneath

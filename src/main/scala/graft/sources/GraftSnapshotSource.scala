@@ -1620,7 +1620,8 @@ class GraftSnapshotCatalog extends TableCatalog
   // ---- procedures (CALL snap.system.merge_into(…)) -----------------------
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("merge_into", "history", "expire", "compact", "rollback",
+    Array("merge_into", "history", "expire", "compact",
+      "rewrite_data_files", "rollback",
       "tag", "untag", "tags", "evolve_spec", "branch", "fast_forward",
       "drop_branch")
       .map(Identifier.of(Array("system"), _))
@@ -1631,6 +1632,7 @@ class GraftSnapshotCatalog extends TableCatalog
       case "history" => new HistoryProcedure(warehouse)
       case "expire" => new ExpireProcedure(warehouse)
       case "compact" => new CompactProcedure(warehouse)
+      case "rewrite_data_files" => new RewriteDataFilesProcedure(warehouse)
       case "rollback" => new RollbackProcedure(warehouse)
       case "tag" => new TagProcedure(warehouse)
       case "untag" => new UntagProcedure(warehouse)
@@ -1643,7 +1645,9 @@ class GraftSnapshotCatalog extends TableCatalog
         s"unknown procedure '$other' — this catalog provides " +
           "system.merge_into(table, source, key, delete_flag), " +
           "system.history(table), system.expire(table, keep_last), " +
-          "system.compact(table), system.rollback(table, to_seq), " +
+          "system.compact(table), " +
+          "system.rewrite_data_files(table, target_file_bytes), " +
+          "system.rollback(table, to_seq), " +
           "system.tag(table, name, seq), system.untag(table, name), " +
           "system.tags(table), system.evolve_spec(table, new_spec), " +
           "system.branch(table, name), " +
@@ -2019,6 +2023,45 @@ class CompactProcedure(warehouse: String) extends UnboundProcedure {
           SnapProcedures.layoutOf(root, table, "SQL compaction")
         val id = SnapshotStore.compact(spark, root, partCol, sortCol)
         SnapProcedures.singleLongResult("snapshot_id", id)
+      }
+    }
+}
+
+/** `CALL <catalog>.system.rewrite_data_files(table, target_file_bytes)`
+  * — targeted maintenance ([[SnapshotStore.rewriteDataFiles]], the
+  * Iceberg procedure of the same name): restates ONLY dirty entries
+  * (multi-part values, live deletion vectors, outgoing spec vintages,
+  * file counts far off the binpack ideal) and carries everything else
+  * by reference — O(dirty data), not O(table). Returns the committed
+  * snapshot id; a fully-clean table returns the unchanged head id
+  * without committing. */
+class RewriteDataFilesProcedure(warehouse: String) extends UnboundProcedure {
+
+  override def name(): String = "rewrite_data_files"
+  override def description(): String =
+    "Binpack-rewrite a graft snapshot table's dirty entries only"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name(): String = "rewrite_data_files"
+      override def description(): String =
+        RewriteDataFilesProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snapshot table name relative to the warehouse").build(),
+        ProcedureParameter.in("target_file_bytes", LongType)
+          .comment("binpack file-size target in bytes").build())
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val target = input.getLong(1)
+        val spark = SparkSession.active
+        val root = SnapProcedures.existingRoot(warehouse, table)
+        SnapProcedures.singleLongResult("snapshot_id",
+          SnapshotStore.rewriteDataFiles(spark, root,
+            targetFileBytes = target))
       }
     }
 }
