@@ -1967,18 +1967,24 @@ object SnapshotStore {
     * survives the dynamic-partition writer verbatim (the
     * [[MergeTreeWriter]] lesson). Returns the written entries, read
     * back from the directory listing — no driver-side distinct. */
-  /** `slices` (the [[rewriteDataFiles]] binpack plan): rows of
-    * `(__part, __graft_slices)` — each partition VALUE's rows spread
-    * over its planned slice count by a deterministic hash of the sort
-    * key, so a value binpacks to ~`slices` files instead of one. The
-    * dynamic-partition writer emits one file per (task, dir): hash
-    * collisions of (value, slice) pairs into one shuffle partition
-    * merge slices — binpacking is best-effort sizing, never
-    * correctness. Values absent from the plan write 1 slice. */
+  /** `slices` (the [[rewriteDataFiles]] binpack plan): TOTAL planned
+    * file count across the write — rows RANGE-partition over
+    * (partition value, sort key), so each value binpacks to
+    * ~bytes/target files of CONTIGUOUS, NON-OVERLAPPING sort runs
+    * (MergeTree-part shape: a sort-column probe inside a big value
+    * skips whole row groups/files on parquet footer stats, which
+    * hash-sliced files could not offer). The dynamic-partition writer
+    * emits one file per (task, dir); range boundaries are row-count
+    * balanced, so binpacking is best-effort sizing, never
+    * correctness. The count is EXPLICIT so AQE cannot coalesce a
+    * small rewrite back into one task (one task = one file per dir,
+    * silently defeating the split) — and a hot value's rewrite
+    * spreads over parallel writers instead of the plain path's
+    * one-task-per-value funnel. */
   private def writeSnapData(df: DataFrame, root: String, snapId: Long,
       partCol: String, sortCol: String,
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
-      slices: Option[DataFrame] = None)
+      slices: Option[Int] = None)
       : Seq[Entry] = {
     val rel = s"data/snap-$snapId"
     val dataDir = s"$root/$rel"
@@ -2005,24 +2011,10 @@ object SnapshotStore {
     // own __part-only sort, destroying the time order (the
     // MergeTreeWriter lesson).
     val prepared = slices match {
-      case Some(plan) =>
-        val k = "__graft_slices"
-        // EXPLICIT partition count: an expression-only repartition is
-        // fair game for AQE partition coalescing, which would fold all
-        // slices of a small rewrite back into one task — and one task
-        // per dir means ONE file per dir, silently defeating the
-        // binpack. A user-specified count is never coalesced; it also
-        // spreads a hot value's rewrite over `slices` parallel writers
-        // instead of the one-task funnel the plain path has.
-        val shuffleN = renamed.sparkSession.sessionState.conf
-          .numShufflePartitions
-        renamed
-          .join(broadcast(plan), Seq(PartKey), "left")
-          .repartition(shuffleN, col(PartKey),
-            pmod(xxhash64(col(PartKey), col(quoted(physSort))),
-              coalesce(col(quoted(k)), lit(1)).cast("long")))
-          .drop(k)
-          .sortWithinPartitions(col(PartKey), col(quoted(physSort)))
+      case Some(n) => renamed
+        .repartitionByRange(math.max(1, n), col(PartKey),
+          col(quoted(physSort)))
+        .sortWithinPartitions(col(PartKey), col(quoted(physSort)))
       case None => renamed
         .repartition(col(PartKey))
         .sortWithinPartitions(col(PartKey), col(quoted(physSort)))
@@ -2986,27 +2978,25 @@ object SnapshotStore {
       .filter(e => where(e.value) && (!onlyDirty || dirty(e)))
     if (selected.isEmpty) prior.id
     else {
-      // binpack plan per CURRENT-spec value: estimated live bytes →
-      // planned slice count. Migrating old-vintage rows default to 1
-      // slice (their first rewrite folds; a later pass can split).
-      val slicePlan = selected.filter(_.spec.isEmpty)
-        .groupBy(_.value).toSeq.map { case (v, es) =>
-          val liveBytes = es.map { e =>
-            val b = dataFiles(e).map(_.length).sum
-            (liveRows(e), e.stats.map(_.rows)) match {
-              case (Some(lr), Some(tot)) if tot > 0 => b * lr / tot
-              case _ => b
-            }
-          }.sum
-          (v, ideal(liveBytes).min(Int.MaxValue.toLong).toInt)
-        }
-      val sliceDf = spark.createDataFrame(slicePlan)
-        .toDF(PartKey, "__graft_slices")
+      // binpack plan: TOTAL planned file count = Σ per selected
+      // VALUE's live-byte ideal (parts of a value fold together;
+      // vector-deleted rows don't count). Range partitioning on
+      // (value, sort) balances rows across that many writers, so each
+      // value lands ≈ its own share of files.
+      val totalSlices = selected.groupBy(_.value).map { case (_, es) =>
+        ideal(es.map { e =>
+          val b = dataFiles(e).map(_.length).sum
+          (liveRows(e), e.stats.map(_.rows)) match {
+            case (Some(lr), Some(tot)) if tot > 0 => b * lr / tot
+            case _ => b
+          }
+        }.sum)
+      }.sum.min(Int.MaxValue.toLong).toInt
       val live = readEntriesWithPositions(spark, root, schema, selected)
         .drop(DvFileCol, DvPosCol)
       val id = allocateId(root)
       val fresh = writeSnapData(live, root, id, partCol, sortCol,
-        Some(schema), slices = Some(sliceDf))
+        Some(schema), slices = Some(totalSlices))
       // pure rewrite: empty CDC sidecar keeps the change feed silent
       Files.createDirectories(cdcDirOf(root, id))
       val selDirs = selected.map(_.dir).toSet

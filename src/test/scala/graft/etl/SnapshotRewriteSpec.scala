@@ -133,6 +133,20 @@ class SnapshotRewriteSpec extends SparkSpec {
         .select("ts").collect().map(_.getTimestamp(0).getTime).toSeq
       assert(ts === ts.sorted, s"slice ${f.getName} lost its sort order")
     }
+    // and slices are CONTIGUOUS, NON-OVERLAPPING sort runs (range
+    // slicing, not hash slicing) — a sort-column probe inside a big
+    // partition skips whole files on parquet footer stats
+    val ranges = fs.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min("ts"), max("ts")).head()
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin,
+          "binpack slices must be non-overlapping sort runs")
+      case _ => ()
+    }
     // the split result is inside the hysteresis band: no re-rewrite
     assert(SnapshotStore.rewriteDataFiles(spark, root,
       targetFileBytes = target) === id2)
