@@ -171,7 +171,11 @@ object Bench {
     // carry-by-reference rewrite runs in warmup; the measured read
     // prices the post-maintenance layout, which must again be ≈ a
     // plain multi-root parquet read (binpacked files, no vectors)
-    "snapshot_rewrite_files")
+    "snapshot_rewrite_files",
+    // round-14: file-grain skipping — the 7-day probe plans a strict
+    // subset of one month's binpacked slices; the cost model is
+    // O(overlapping slices), the finest skipping grain in the engine
+    "snapshot_file_prune")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()

@@ -206,11 +206,16 @@ object ScaleSmoke {
     "snapshot_agg_stats", "snapshot_stats_prune", "snapshot_agg_group",
     "snapshot_agg_filtered",
     // round-14: targeted maintenance at K× — warmup pays the
-    // fold + vector-fold + binpack rewrite of the dirty (pre-1995)
+    // fold + vector-fold + binpack rewrite of the dirty (pre-1997)
     // months only; the measured read prices the maintained layout
     // over K× data. The rewrite itself is O(dirty data) whatever the
-    // table size — the carried ≥1995 dirs are never read or written
-    "snapshot_rewrite_files")
+    // table size — the carried ≥1997 dirs are never read or written
+    "snapshot_rewrite_files",
+    // round-14: file-grain skipping at K× — the month's slice count
+    // grows with K (fixed byte target), the 7-day probe's planned
+    // slice count grows with the PROBED rows only: the measured scan
+    // is O(overlapping slices), the sweep's finest-skipping claim
+    "snapshot_file_prune")
 
   /** Lanes redirected to the K×-orders enlargement (see above). */
   private val snapshotLanes: Set[String] =
@@ -226,7 +231,7 @@ object ScaleSmoke {
       "snapshot_spj_time", "snapshot_nested_evolve",
       "snapshot_agg_stats", "snapshot_stats_prune",
       "snapshot_agg_group", "snapshot_agg_filtered",
-      "snapshot_rewrite_files")
+      "snapshot_rewrite_files", "snapshot_file_prune")
 
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
 

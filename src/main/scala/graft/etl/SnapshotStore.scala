@@ -78,7 +78,24 @@ object SnapshotStore {
     * key range cannot hold a change key
     * ([[graft.operators.MergeInto.mergeCommit]]), and the DSV2 read
     * path reports exact row counts to the optimizer. */
-  final case class EntryStats(rows: Long, cols: Map[String, ColStats])
+  /** Per-FILE stats inside one entry dir — harvested for the table
+    * SORT column only (the column [[rewriteDataFiles]]' range binpack
+    * slices into contiguous, non-overlapping runs): `name` is the
+    * file's basename within the entry dir. One file-grain [min,max]
+    * per ~target-sized file lets the scan skip FILES inside a kept
+    * dir, the way entry stats skip dirs — a narrow sort-range probe
+    * on a binpacked 100 GB partition plans one file, not all of them.
+    * Kept to a single column deliberately: per-file × all-columns is
+    * the known Iceberg-manifest bloat; the sort column is the one
+    * whose runs are disjoint, so it is the one that pays. */
+  final case class FileStats(name: String, rows: Long,
+      cols: Map[String, ColStats])
+
+  /** `files` empty = no per-file grain recorded (pre-r14 manifests,
+    * or a sort column with no stat-capable type) — consumers treat
+    * that conservatively, exactly like a stats-less entry. */
+  final case class EntryStats(rows: Long, cols: Map[String, ColStats],
+      files: Seq[FileStats] = Nil)
 
   /** One partition of one snapshot: partition VALUE (as written in the
     * `__part=` dir name) → data dir RELATIVE to the table root, plus
@@ -111,6 +128,15 @@ object SnapshotStore {
       stats: Option[EntryStats] = None,
       spec: Option[String] = None,
       dv: Option[DvRef] = None)
+
+  /** Apply a column-stats transform at BOTH grains (entry + per-file)
+    * — the DDL paths (DROP/WIDEN drop a column's stats, RENAME re-keys
+    * them) must keep the grains consistent, or a stale per-file key
+    * would dodge the transform and mis-prune after a rename. */
+  private def mapStatsCols(s: EntryStats,
+      f: Map[String, ColStats] => Map[String, ColStats]): EntryStats =
+    s.copy(cols = f(s.cols),
+      files = s.files.map(fs => fs.copy(cols = f(fs.cols))))
 
   /** Exact LIVE row count of an entry: write-time stats minus the
     * deletion vector's positions. None when the entry predates stats
@@ -193,25 +219,29 @@ object SnapshotStore {
     * `{"rows":N,"cols":{"name":["min","max"],…}}`. */
   private def statsJson(s: EntryStats): String = {
     import org.json4s.JsonDSL._
+    def colsJson(cols: Map[String, ColStats]) =
+      org.json4s.JObject(cols.toList.sortBy(_._1).map {
+        case (n, cs) =>
+          n -> (org.json4s.JArray(List(
+            org.json4s.JString(cs.min), org.json4s.JString(cs.max)))
+            : org.json4s.JValue)
+      })
+    val base = ("rows" -> s.rows) ~ ("cols" -> colsJson(s.cols))
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
-        ("rows" -> s.rows) ~
-          ("cols" -> org.json4s.JObject(s.cols.toList.sortBy(_._1).map {
-            case (n, cs) =>
-              n -> org.json4s.JArray(List(
-                org.json4s.JString(cs.min), org.json4s.JString(cs.max)))
+        // "files" only when present: older-era manifests stay
+        // byte-identical, and an absent field parses as Nil
+        if (s.files.isEmpty) base
+        else base ~ ("files" ->
+          org.json4s.JArray(s.files.sortBy(_.name).toList.map { fs =>
+            (("f" -> fs.name) ~ ("rows" -> fs.rows) ~
+              ("cols" -> colsJson(fs.cols))): org.json4s.JValue
           }))))
   }
 
   private def parseStatsJson(j: String): EntryStats = {
     import org.json4s._
-    val jv = jackson.JsonMethods.parse(j)
-    val rows = (jv \ "rows") match {
-      case JInt(n) => n.toLong
-      case JLong(n) => n
-      case other => sys.error(s"bad stats rows: $other")
-    }
-    val cols = (jv \ "cols") match {
+    def parseCols(jv: JValue): Map[String, ColStats] = jv match {
       case JObject(fields) => fields.map {
         case (n, JArray(List(JString(mn), JString(mx)))) =>
           n -> ColStats(mn, mx)
@@ -219,7 +249,23 @@ object SnapshotStore {
       }.toMap
       case _ => Map.empty[String, ColStats]
     }
-    EntryStats(rows, cols)
+    def parseRows(jv: JValue): Long = jv match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => sys.error(s"bad stats rows: $other")
+    }
+    val jv = jackson.JsonMethods.parse(j)
+    val files = (jv \ "files") match {
+      case JArray(fs) => fs.map { f =>
+        val name = (f \ "f") match {
+          case JString(s) => s
+          case other => sys.error(s"bad file stats name: $other")
+        }
+        FileStats(name, parseRows(f \ "rows"), parseCols(f \ "cols"))
+      }
+      case _ => Nil // pre-file-stats manifests
+    }
+    EntryStats(parseRows(jv \ "rows"), parseCols(jv \ "cols"), files)
   }
 
   private def render(m: Manifest): String =
@@ -1055,13 +1101,19 @@ object SnapshotStore {
     * min/max fold) is dropped for the whole entry: consumers treat a
     * stats-less column conservatively, so a drop can only cost
     * pruning, never correctness. */
+  /** `fileStatCols` (physical names): columns to ALSO harvest at
+    * per-FILE grain ([[FileStats]] — in practice the table sort
+    * column, passed by every commit path). Same fold semantics as the
+    * entry grain, same free cost: the footers are already open. */
   private[graft] def harvestStats(spark: SparkSession, dataDir: String,
-      dataSchema: org.apache.spark.sql.types.StructType)
+      dataSchema: org.apache.spark.sql.types.StructType,
+      fileStatCols: Set[String] = Set.empty)
       : Map[String, EntryStats] = {
     import org.apache.spark.sql.types._
     val statCols = dataSchema.fields
       .filter(f => f.name != PartKey && supportedStatType(f.dataType))
       .take(StatsColCap)
+    val fileCols = statCols.filter(f => fileStatCols(f.name))
     val types = statCols.map(f => f.name -> f.dataType).toMap
     val conf = spark.sessionState.newHadoopConf()
 
@@ -1106,53 +1158,71 @@ object SnapshotStore {
       var rows = 0L
       // fold state per column: None until a non-null chunk
       // contributes; REMOVED once any chunk makes the column unknown
-      val acc = scala.collection.mutable.LinkedHashMap[String,
-        Option[(String, String)]](statCols.map(f => f.name -> None): _*)
+      type Acc = scala.collection.mutable.LinkedHashMap[String,
+        Option[(String, String)]]
+      def freshAcc(fields: Seq[org.apache.spark.sql.types.StructField])
+          : Acc = scala.collection.mutable.LinkedHashMap(
+        fields.map(f => f.name -> (None: Option[(String, String)])): _*)
+      def foldBlock(acc: Acc,
+          byName: java.util.HashMap[String,
+            org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+          : Unit =
+        acc.keys.toSeq.foreach { name =>
+          val chunk = byName.get(name)
+          val st = if (chunk == null) null else chunk.getStatistics
+          if (st == null) acc.remove(name) // no stats recorded
+          else if (st.hasNonNullValue) {
+            try {
+              val mn = conv(types(name), st.genericGetMin)
+              val mx = conv(types(name), st.genericGetMax)
+              if (poisoned(types(name), mn) || poisoned(types(name), mx))
+                acc.remove(name)
+              else acc(name) match {
+                case Some((m0, x0)) =>
+                  val dt = types(name)
+                  acc(name) = Some((
+                    if (statCompare(dt, mn, m0) < 0) mn else m0,
+                    if (statCompare(dt, mx, x0) > 0) mx else x0))
+                case None => acc(name) = Some((mn, mx))
+              }
+            } catch { case _: Exception => acc.remove(name) }
+          } else if (!(st.isNumNullsSet &&
+              st.getNumNulls == chunk.getValueCount)) {
+            acc.remove(name) // stats present but unusable: unknown
+          } // else: all-null chunk, contributes nothing
+        }
+      def collectCols(acc: Acc): Map[String, ColStats] =
+        acc.toSeq.collect {
+          case (n, Some((mn, mx)))
+              if !(types(n) == StringType &&
+                (mn.length > StatsMaxStringLen ||
+                 mx.length > StatsMaxStringLen)) =>
+            n -> ColStats(mn, mx)
+        }.toMap
+      val acc = freshAcc(statCols.toSeq)
+      val perFile = scala.collection.mutable.ArrayBuffer[FileStats]()
       files.foreach { file =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(file.getPath), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        var frows = 0L
+        val facc = freshAcc(fileCols.toSeq)
         try {
           reader.getFooter.getBlocks.forEach { block =>
             rows += block.getRowCount
+            frows += block.getRowCount
             val byName = new java.util.HashMap[String,
               org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]()
             block.getColumns.forEach(c => byName.put(c.getPath.toDotString, c))
-            acc.keys.toSeq.foreach { name =>
-              val chunk = byName.get(name)
-              val st = if (chunk == null) null else chunk.getStatistics
-              if (st == null) acc.remove(name) // no stats recorded
-              else if (st.hasNonNullValue) {
-                try {
-                  val mn = conv(types(name), st.genericGetMin)
-                  val mx = conv(types(name), st.genericGetMax)
-                  if (poisoned(types(name), mn) || poisoned(types(name), mx))
-                    acc.remove(name)
-                  else acc(name) match {
-                    case Some((m0, x0)) =>
-                      val dt = types(name)
-                      acc(name) = Some((
-                        if (statCompare(dt, mn, m0) < 0) mn else m0,
-                        if (statCompare(dt, mx, x0) > 0) mx else x0))
-                    case None => acc(name) = Some((mn, mx))
-                  }
-                } catch { case _: Exception => acc.remove(name) }
-              } else if (!(st.isNumNullsSet &&
-                  st.getNumNulls == chunk.getValueCount)) {
-                acc.remove(name) // stats present but unusable: unknown
-              } // else: all-null chunk, contributes nothing
-            }
+            foldBlock(acc, byName)
+            if (fileCols.nonEmpty) foldBlock(facc, byName)
           }
         } finally reader.close()
+        if (fileCols.nonEmpty)
+          perFile += FileStats(file.getName, frows, collectCols(facc))
       }
-      val cols = acc.toSeq.collect {
-        case (n, Some((mn, mx)))
-            if !(types(n) == StringType &&
-              (mn.length > StatsMaxStringLen ||
-               mx.length > StatsMaxStringLen)) =>
-          n -> ColStats(mn, mx)
-      }.toMap
-      unescapeDirToken(tok) -> EntryStats(rows, cols)
+      unescapeDirToken(tok) ->
+        EntryStats(rows, collectCols(acc), perFile.toSeq)
     }.toMap
   }
 
@@ -1523,7 +1593,7 @@ object SnapshotStore {
       // (a stale key could only have disabled pruning, but exactness
       // is cheap here)
       val entries = prior.entries.map { e =>
-        e.copy(stats = e.stats.map(s => s.copy(cols = s.cols -- dropSet)))
+        e.copy(stats = e.stats.map(mapStatsCols(_, _ -- dropSet)))
       }
       val id = allocateId(root)
       commitManifest(root, Manifest(id, entries, Some(newSchema),
@@ -1617,7 +1687,7 @@ object SnapshotStore {
         schema.fields.map(f => widenMap.get(f.name)
           .map(to => f.copy(dataType = to)).getOrElse(f)))
       val entries = prior.entries.map { e =>
-        e.copy(stats = e.stats.map(s => s.copy(cols = s.cols -- dropStats)))
+        e.copy(stats = e.stats.map(mapStatsCols(_, _ -- dropStats)))
       }
       val id = allocateId(root)
       commitManifest(root, Manifest(id, entries, Some(newSchema),
@@ -1941,7 +2011,7 @@ object SnapshotStore {
         }).canonical
       val entries = prior.entries.map { e =>
         e.copy(
-          stats = e.stats.map(s => s.copy(cols = s.cols.map {
+          stats = e.stats.map(mapStatsCols(_, _.map {
             case (k, v) => renameMap.getOrElse(k, k) -> v
           })),
           spec = e.spec.map(renameSpec))
@@ -2061,10 +2131,16 @@ object SnapshotStore {
       df.schema.fields.map(f =>
         f.copy(name = physOf.getOrElse(f.name, f.name))))
     val logicalOf = physOf.map(_.swap)
-    val stats0 = harvestStats(df.sparkSession, dataDir, statSchema)
+    // per-FILE grain on the sort column: binpacked slices are disjoint
+    // sorted runs, so these ranges let the scan skip files inside a
+    // kept dir ([[FileStats]])
+    val stats0 = harvestStats(df.sparkSession, dataDir, statSchema,
+      fileStatCols = Set(physSort))
+    def toLogical(cols: Map[String, ColStats]): Map[String, ColStats] =
+      cols.map { case (k, v) => logicalOf.getOrElse(k, k) -> v }
     val stats = stats0.map { case (tok, es) =>
-      tok -> es.copy(cols = es.cols.map { case (k, v) =>
-        logicalOf.getOrElse(k, k) -> v })
+      tok -> es.copy(cols = toLogical(es.cols),
+        files = es.files.map(f => f.copy(cols = toLogical(f.cols))))
     }
     toks.map { tok =>
       val v = unescapeDirToken(tok)

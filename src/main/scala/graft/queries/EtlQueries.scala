@@ -994,6 +994,92 @@ object EtlQueries {
     df
   }
 
+  /** Planned FILE basenames after manifest-stats skipping — the
+    * file-grain sibling of [[plannedPartDirs]]. */
+  private def plannedFileNames(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.collect {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.planInputPartitions().toSeq.collect {
+          case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files.toSeq
+        }.flatten.map(_.filePath.toPath.getName)
+    }.flatten.toSet
+
+  /** One BINPACKED snapshot per (JVM, sfDir) for the file-grain
+    * skipping lane: full load, then a full
+    * [[SnapshotStore.rewriteDataFiles]] pass whose target splits the
+    * 1997-06 month into ≥3 contiguous sorted slices (per-file
+    * sort-column stats recorded by the rewrite commit). */
+  private val snapFpPrepared = scala.collection.mutable.Set[String]()
+  private def prepareSnapshotFilePrune(s: SparkSession, d: String)
+      : String = {
+    val root = graft.util.Fs.processScratchRoot("snapfp",
+      s"_${d.hashCode.toHexString}")
+    synchronized {
+      if (!snapFpPrepared.contains(root)) {
+        graft.util.Fs.deleteRecursively(new java.io.File(root))
+        SnapshotStore.write(ordersWithMonth(s, d), root,
+          partCol = "order_month", sortCol = "o_orderdate")
+        val m = SnapshotStore.current(root).get
+        val june = m.entries.find(_.value == "1997-06").getOrElse(
+          sys.error("snapshot_file_prune: testdata lacks 1997-06"))
+        val juneBytes = listParquet(root, june.dir).map(_.length).sum
+        SnapshotStore.rewriteDataFiles(s, root, onlyDirty = false,
+          targetFileBytes = math.max(1L, juneBytes / 4))
+        val m2 = SnapshotStore.current(root).get
+        val june2 = m2.entries.filter(_.value == "1997-06")
+        require(june2.size == 1 &&
+            june2.head.stats.exists(_.files.size >= 3),
+          "snapshot_file_prune: the binpack rewrite did not split " +
+            "1997-06 into ≥3 slices — fixture assumption broken")
+        snapFpPrepared += root
+      }
+    }
+    root
+  }
+
+  private def listParquet(root: String, dir: String)
+      : Seq[java.io.File] =
+    Option(new java.io.File(s"$root/$dir").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+
+  /** FILE-GRAIN stats skipping ([[graft.etl.SnapshotStore.FileStats]]
+    * + the scan's per-file prune): after a range binpack, a 7-day
+    * probe inside one month must plan a STRICT SUBSET of that month's
+    * slices — every other month drops at dir grain, every
+    * non-overlapping slice at file grain. The lane REQUIRES both
+    * grains (a regression to dir-only skipping stays hash-green while
+    * losing the per-file economics), then hash-matches a DuckDB
+    * replay of the range aggregate over raw orders. */
+  def snapshotFilePrune: Q = (s, d) => {
+    val root = prepareSnapshotFilePrune(s, d)
+    val t = registerSnapCatalog(s, root)
+    val df = s.sql(
+      s"""SELECT order_month, count(*) AS cnt,
+         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8)))
+         |   AS DOUBLE), 4) AS sum_price
+         |FROM $t
+         |WHERE o_orderdate >= TIMESTAMP'1997-06-08 00:00:00'
+         |  AND o_orderdate < TIMESTAMP'1997-06-15 00:00:00'
+         |GROUP BY order_month""".stripMargin)
+    val planned = plannedFileNames(df)
+    val m = SnapshotStore.current(root).get
+    val juneFiles = m.entries.filter(_.value == "1997-06")
+      .flatMap(e => listParquet(root, e.dir)).map(_.getName).toSet
+    require(planned.nonEmpty && planned.subsetOf(juneFiles),
+      s"snapshot_file_prune: months outside 1997-06 must drop at dir " +
+        s"grain, but the scan plans: ${planned -- juneFiles}")
+    require(planned.size < juneFiles.size,
+      s"snapshot_file_prune: expected the 7-day probe to skip " +
+        s"non-overlapping slices of 1997-06, but it plans all " +
+        s"${juneFiles.size} files")
+    df
+  }
+
   /** PARTITION-GRAIN metadata rollup: GROUP BY the identity partition
     * column answers per-month COUNT/MIN/MAX purely from entry stats
     * (zero scans — the single most common operational rollup at
@@ -1991,6 +2077,7 @@ object EtlQueries {
     "snapshot_dv_delete" -> snapshotDvDelete,
     "snapshot_dv_update" -> snapshotDvUpdate,
     "snapshot_rewrite_files" -> snapshotRewriteFiles,
+    "snapshot_file_prune" -> snapshotFilePrune,
     "snapshot_agg_stats" -> snapshotAggStats,
     "snapshot_agg_dv_count" -> snapshotAggDvCount,
     "snapshot_stats_prune" -> snapshotStatsPrune,
@@ -2464,6 +2551,18 @@ object EtlQueries {
         | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
         |   AS sum_price
         |FROM fin GROUP BY 1""".stripMargin,
+    // the file-skipped 7-day probe, computed over ALL rows the hard
+    // way — a wrongly-pruned slice loses its rows and hash-mismatches
+    "snapshot_file_prune" ->
+      """WITH o AS (SELECT *, strftime(o_orderdate, '%Y-%m')
+        |   AS order_month FROM orders)
+        |SELECT order_month, count(*) AS cnt,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE), 4)
+        |   AS sum_price
+        |FROM o
+        |WHERE o_orderdate >= TIMESTAMP '1997-06-08 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // replay the targeted-maintenance end state: load + the pre-1997
     // clone batch (keys ≡21 mod 50, +0.50) − the pre-1997 deletes
     // (keys ≡9 mod 100); the rewrite itself must be row-invisible

@@ -947,6 +947,24 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
         GraftStatsPrune.cannotMatch(st, logicalTypes, f)) => dir
     }.toSet
 
+  /** FILE-grain skipping inside KEPT dirs: per-file sort-column
+    * `[min,max]` ([[SnapshotStore.FileStats]] — recorded by every
+    * commit; after a [[SnapshotStore.rewriteDataFiles]] binpack the
+    * files are contiguous, non-overlapping sort runs). The same
+    * conservative [[GraftStatsPrune]] evaluation decides per file —
+    * a narrow sort-range probe on a binpacked 100 GB partition plans
+    * ONE file, not every slice. DV entries prune soundly (file stats
+    * cover a superset of live rows); files without recorded stats are
+    * always kept. */
+  private lazy val filePrune
+      : Map[String, Map[String, SnapshotStore.EntryStats]] =
+    if (pruneFilters.isEmpty) Map.empty
+    else pruneEntries.iterator.collect {
+      case (dir, Some(st)) if st.files.nonEmpty =>
+        dir -> st.files.map(fs => fs.name ->
+          SnapshotStore.EntryStats(fs.rows, fs.cols)).toMap
+    }.toMap
+
   /** File's parent dir relative to the table root (scheme-insensitive;
     * an unrecognizable spelling maps to itself and is therefore KEPT —
     * conservative). */
@@ -958,9 +976,14 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
 
   private def keepFile(
       f: org.apache.spark.sql.execution.datasources.PartitionedFile)
-      : Boolean =
-    !prunedDirs.contains(
-      relDirOfParent(f.filePath.toPath.getParent.toString))
+      : Boolean = {
+    val p = f.filePath.toPath
+    val dir = relDirOfParent(p.getParent.toString)
+    !prunedDirs.contains(dir) &&
+      !filePrune.get(dir).exists(_.get(p.getName).exists(st =>
+        pruneFilters.exists(fl =>
+          GraftStatsPrune.cannotMatch(st, logicalTypes, fl))))
+  }
 
   /** Pruned file partitions, original packing minus skipped files
     * (emptied partitions dropped, indexes re-sequenced). The SPJ path
@@ -972,7 +995,7 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
   override def partitions
       : Seq[org.apache.spark.sql.execution.datasources.FilePartition] = {
     val base = super.partitions
-    if (prunedDirs.isEmpty) base
+    if (prunedDirs.isEmpty && filePrune.isEmpty) base
     else base.iterator
       .map(fp => fp.files.filter(keepFile))
       .filter(_.nonEmpty)
