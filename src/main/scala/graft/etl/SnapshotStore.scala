@@ -124,6 +124,88 @@ object SnapshotStore {
     * entry. */
   final case class DvRef(dir: String, rows: Long)
 
+  /** An EQUALITY-DELETE reference (Iceberg v2 equality deletes — the
+    * streaming-upsert complement to position deletes): `dir` holds a
+    * small parquet sidecar of DISTINCT key tuples (PHYSICAL column
+    * spelling, like data files — rename-invariant), committed by
+    * [[appendUpsert]] in the same atomic commit as the batch's data
+    * parts. Semantics: a key tuple in commit `id`'s sidecar DELETES
+    * every row of every entry BORN BEFORE `id` (entry birth = the
+    * snap id in its dir path) whose key columns equal the tuple —
+    * "this batch's rows replace all older rows with these keys",
+    * which is what makes a streaming CDC upsert commit O(batch)
+    * instead of a read-modify-write of the whole state. Readers
+    * anti-apply; carried in manifest PROPS (key `eqdel.<id>`) so
+    * every commit kind forwards them automatically; auto-pruned by
+    * [[commitManifest]] once no entry predates them (restatement
+    * naturally ages entries past the delete — a rewrite's fresh
+    * entries are born after it and were read resolved). */
+  final case class EqDeleteRef(id: Long, dir: String,
+      cols: Seq[String], rows: Long)
+
+  private[graft] val EqDelPropPrefix = "eqdel."
+  private[graft] val EqDelDirName = "_eqdel"
+
+  private[graft] def eqDelDirOf(root: String, id: Long): Path =
+    Paths.get(root, "data", s"snap-$id", EqDelDirName)
+
+  /** Every equality delete the manifest carries, id ascending. */
+  private[graft] def eqDeletesOf(m: Manifest): Seq[EqDeleteRef] =
+    m.props.toSeq.collect {
+      case (k, v) if k.startsWith(EqDelPropPrefix) =>
+        parseEqDelProp(k.stripPrefix(EqDelPropPrefix).toLong, v)
+    }.sortBy(_.id)
+
+  private def renderEqDelProp(r: EqDeleteRef): (String, String) = {
+    import org.json4s.JsonDSL._
+    (EqDelPropPrefix + r.id,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          ("dir" -> r.dir) ~ ("cols" -> r.cols.toList) ~
+            ("rows" -> r.rows))))
+  }
+
+  private def parseEqDelProp(id: Long, v: String): EqDeleteRef = {
+    import org.json4s._
+    val jv = jackson.JsonMethods.parse(v)
+    val dir = (jv \ "dir") match {
+      case JString(s) => s
+      case o => sys.error(s"bad eqdel dir: $o")
+    }
+    val cols = (jv \ "cols") match {
+      case JArray(cs) => cs.map {
+        case JString(s) => s
+        case o => sys.error(s"bad eqdel col: $o")
+      }
+      case o => sys.error(s"bad eqdel cols: $o")
+    }
+    val rows = (jv \ "rows") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case o => sys.error(s"bad eqdel rows: $o")
+    }
+    EqDeleteRef(id, dir, cols, rows)
+  }
+
+  /** Birth commit of an entry — the snap id its dir path names. */
+  private[graft] def birthOf(e: Entry): Long =
+    e.dir.stripPrefix("data/snap-").takeWhile(_.isDigit).toLong
+
+  /** Row-level DML discovery reads entries RAW (un-displaced) — on a
+    * table with live equality deletes it would restate resurrected
+    * rows. Refuse loudly until they are folded; appends, upserts,
+    * partition-granular deletes, reads, time travel and the change
+    * feed all keep working. */
+  private[graft] def requireNoEqDeletes(m: Manifest, what: String)
+      : Unit = {
+    val eqs = eqDeletesOf(m)
+    require(eqs.isEmpty,
+      s"$what is not supported while equality deletes are live " +
+        s"(upsert commits ${eqs.map(_.id).mkString(", ")}) — fold " +
+        "them first (SnapshotStore.rewriteDataFiles or compact), " +
+        "then retry")
+  }
+
   final case class Entry(value: String, dir: String,
       stats: Option[EntryStats] = None,
       spec: Option[String] = None,
@@ -145,15 +227,16 @@ object SnapshotStore {
     e.stats.map(_.rows - e.dv.map(_.rows).getOrElse(0L))
 
   /** Minimum reader era required to read this table correctly,
-    * recomputed by every commit: "2" while any entry carries a
-    * deletion vector (a DV-blind reader would resurrect deleted rows —
-    * the one manifest feature an old binary cannot safely ignore),
-    * absent (= era 1) otherwise. [[parse]] refuses eras above
+    * recomputed by every commit: "3" while any EQUALITY DELETE is
+    * live ([[EqDeleteRef]]), "2" while any entry carries a deletion
+    * vector — either feature silently ignored would resurrect
+    * deleted rows, the manifest features an old binary cannot safely
+    * skip — absent (= era 1) otherwise. [[parse]] refuses eras above
     * [[SupportedReaderVersion]] loudly. The r13→r14 manifest additions
     * (ts= header, spec=/dv= entry fields) are one-way for OLD binaries
     * regardless — see MIGRATION.md's manifest-era table. */
   private[graft] val ReaderVersionProp = "format.reader"
-  private[graft] val SupportedReaderVersion = 2L
+  private[graft] val SupportedReaderVersion = 3L
   /** `props` is durable table metadata carried forward across every
     * commit kind (append tokens must survive an interleaved backfill
     * or compaction — see [[appendPartitions]]'s exactly-once note). A
@@ -520,14 +603,26 @@ object SnapshotStore {
   private def commitManifest(root: String, m0: Manifest,
       baseSeq: Long): Unit = {
     val seq = baseSeq + 1
-    // the reader era is recomputed HERE, the one place every commit
-    // passes: era 2 exactly while a deletion vector is live (the only
-    // feature a DV-blind reader cannot safely ignore), so a compaction
-    // that folds the last DV also lifts the era requirement
+    // aged equality deletes auto-prune HERE, the one place every
+    // commit passes: once no entry predates a delete, no row can
+    // match it (restatement/compaction age entries past it — their
+    // fresh entries were read resolved)
+    val prunedProps = m0.props.filter { case (k, _) =>
+      !(k.startsWith(EqDelPropPrefix) && {
+        val eid = k.stripPrefix(EqDelPropPrefix).toLong
+        m0.entries.forall(e => birthOf(e) >= eid)
+      })
+    }
+    // the reader era is recomputed on the same pass: era 3 while an
+    // equality delete is live, era 2 while a deletion vector is (the
+    // two features a blind reader cannot safely ignore — either would
+    // resurrect deleted rows), lifted as soon as both fold away
     val eraProps =
-      if (m0.entries.exists(_.dv.isDefined))
-        m0.props + (ReaderVersionProp -> "2")
-      else m0.props - ReaderVersionProp
+      if (prunedProps.keys.exists(_.startsWith(EqDelPropPrefix)))
+        prunedProps + (ReaderVersionProp -> "3")
+      else if (m0.entries.exists(_.dv.isDefined))
+        prunedProps + (ReaderVersionProp -> "2")
+      else prunedProps - ReaderVersionProp
     // every commit stamps its wall time — the TIMESTAMP AS OF key
     // ([[manifestAtTime]]); a rollback/restore is a NEW commit in time
     val m = m0.copy(props = eraProps + (SeqProp -> seq.toString),
@@ -942,10 +1037,14 @@ object SnapshotStore {
     * retained commit. */
   def history(root: String): Seq[HistoryEntry] = {
     def entryOf(seq: Long, m: Manifest): HistoryEntry = {
-      // LIVE rows: write-time stats minus deletion-vector positions
+      // LIVE rows: write-time stats minus deletion-vector positions.
+      // LIVE EQUALITY DELETES make the count unknowable without a
+      // read (how many older rows a key displaces is data-dependent)
+      // — report nothing rather than an overcount.
       val live = m.entries.map(liveRows)
       HistoryEntry(seq, m.id, m.entries.size,
         if (m.entries.isEmpty) Some(0L)
+        else if (eqDeletesOf(m).nonEmpty) None
         else if (live.forall(_.isDefined)) Some(live.flatten.sum)
         else None,
         m.ts)
@@ -2588,6 +2687,10 @@ object SnapshotStore {
     val (toWrite, dropOld) =
       if (oldEntries.isEmpty || restatedVals.isEmpty) (df, Set.empty[(String, String)])
       else {
+        // the survivor-migration read below is RAW (per-entry, no
+        // displacement) — with live equality deletes it would restate
+        // resurrected rows into the migrated layout
+        requireNoEqDeletes(prior, "dynamic overwrite across spec vintages")
         val schema = prior.schema.getOrElse(throw new IllegalStateException(
           s"table at $root holds spec vintages but no schema — corrupt"))
         val content = readEntriesWithPositions(spark, root, schema,
@@ -2708,6 +2811,90 @@ object SnapshotStore {
 
   private[graft] val AppendTokenPrefix = "append.lastToken."
   private val AppendConflictRetries = 5
+
+  /** STREAMING EQUALITY-DELETE UPSERT — the O(batch) CDC-ingest
+    * commit (Flink→Iceberg shape; Iceberg v2 equality deletes, an
+    * extension — the reference's ClickHouse analogue is
+    * ReplacingMergeTree's key-based replacement at merge time):
+    * append `df` as new parts AND, in the SAME atomic commit, an
+    * equality-delete sidecar of `df`'s key tuples — every OLDER row
+    * with one of those keys is displaced at read time. The commit
+    * cost is O(batch); the read applies one broadcast anti-join; a
+    * later [[rewriteDataFiles]]/[[compact]] folds the deletes into
+    * clean files (restated entries are born after the delete and were
+    * read resolved, so [[commitManifest]] auto-prunes aged deletes).
+    *
+    * Contract (checked in one O(batch) aggregate): the batch is
+    * key-UNIQUE (a duplicate key within one batch would survive
+    * twice — pre-fold the batch) and key-NON-NULL (a null key can
+    * never displace anything — SQL equality). Exactly-once for
+    * at-least-once callers via the same per-writer idempotence slots
+    * as [[appendPartitions]]. While equality deletes are live the
+    * table refuses row-level DML (fold first — loud, never wrong);
+    * reads, appends, upserts, time travel and the change feed all
+    * compose. Readers below era 3 refuse the manifest
+    * ([[ReaderVersionProp]] — a delete-blind reader would resurrect
+    * displaced rows). */
+  def appendUpsert(df: DataFrame, root: String, partCol: String,
+      sortCol: String, keyCols: Seq[String],
+      idempotence: Option[(String, String)] = None): Long =
+    withCommitLock(root) {
+      require(keyCols.nonEmpty,
+        "appendUpsert needs at least one key column")
+      keyCols.foreach(c => require(df.columns.contains(c),
+        s"appendUpsert key column '$c' is not in the batch"))
+      val slot = idempotence.map { case (w, _) => AppendTokenPrefix + w }
+      current(root) match {
+        case Some(prior) if idempotence.exists { case (_, tok) =>
+            slot.exists(s => prior.props.get(s).contains(tok)) } =>
+          prior.id // the batch already committed; retry is a no-op
+        case prior =>
+          val keyStruct = struct(keyCols.map(c => col(quoted(c))): _*)
+          val chk = df.agg(count(lit(1)).as("n"),
+            countDistinct(keyStruct).as("d"),
+            count(when(keyCols.map(c => col(quoted(c)).isNull)
+              .reduce(_ || _), 1)).as("nulls")).head()
+          require(chk.getLong(2) == 0L,
+            s"appendUpsert batch carries NULL keys in ${keyCols
+              .mkString("(", ", ", ")")} — a null key can never " +
+              "displace a row; filter or default the keys")
+          require(chk.getLong(0) == chk.getLong(1),
+            s"appendUpsert batch is not key-unique on ${keyCols
+              .mkString("(", ", ", ")")}: ${chk.getLong(0)} rows, " +
+              s"${chk.getLong(1)} distinct keys — fold the batch to " +
+              "one row per key first (both would survive otherwise)")
+          checkLayout(prior, partCol, sortCol, df)
+          val merged = stampNewFields(
+            prior.map(_.props).getOrElse(Map.empty),
+            prior.flatMap(_.schema),
+            prior.flatMap(_.schema)
+              .map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
+          val physOf = physMapOf(merged)
+          val id = allocateId(root)
+          val fresh = writeSnapData(df, root, id, partCol, sortCol,
+            Some(merged))
+          // the sidecar: DISTINCT key tuples under the PHYSICAL
+          // spelling (rename-invariant, like data files), inside the
+          // exclusively-claimed snap dir — retention follows the
+          // manifests that reference it
+          val eqDir = eqDelDirOf(root, id)
+          org.apache.spark.sql.GraftPlanBridge.withSessionConf(
+            df.select(keyCols.map(c =>
+              col(quoted(c)).as(physOf.getOrElse(c, c))): _*).distinct(),
+            "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+            .write.mode("errorifexists").parquet(eqDir.toString)
+          val ref = EqDeleteRef(id, s"data/snap-$id/$EqDelDirName",
+            keyCols.map(c => physOf.getOrElse(c, c)), chk.getLong(1))
+          val props = prior.map(_.props).getOrElse(Map.empty) ++
+            idempotence.map { case (w, t) =>
+              (AppendTokenPrefix + w) -> t } ++
+            layoutProps(partCol, sortCol, df) + renderEqDelProp(ref)
+          commitManifest(root, Manifest(id,
+            prior.map(_.entries).getOrElse(Seq.empty) ++ fresh,
+            Some(merged), props), prior.map(seqOf).getOrElse(0L))
+          id
+      }
+    }
 
   /** Restate an EXPLICIT partition set as one atomic commit — the
     * primitive a copy-on-write MERGE needs and [[overwritePartitions]]
@@ -2960,7 +3147,9 @@ object SnapshotStore {
     val m = current(root)
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
     readManifest(spark, root,
-      Manifest(m.id, m.entries.filter(keep), m.schema))
+      // props carry: equality deletes ride the props, and a filtered
+      // read must still anti-apply them
+      Manifest(m.id, m.entries.filter(keep), m.schema, m.props))
   }
 
   /** Compaction as a snapshot commit: rewrite the CURRENT snapshot's
@@ -3044,8 +3233,13 @@ object SnapshotStore {
     // parts per VALUE — a value with several entries folds to one
     val partsOf: Map[String, Int] =
       prior.entries.groupMapReduce(_.value)(_ => 1)(_ + _)
+    val eqs = eqDeletesOf(prior)
     def dirty(e: Entry): Boolean =
-      e.dv.isDefined || e.spec.isDefined || partsOf(e.value) > 1 || {
+      e.dv.isDefined || e.spec.isDefined || partsOf(e.value) > 1 ||
+      // an applicable equality delete: rewriting folds it in (the
+      // fresh entry is born after the delete), and once every old
+      // entry is rewritten commitManifest auto-prunes the delete
+      eqs.exists(_.id > birthOf(e)) || {
         val fs = dataFiles(e)
         val n = ideal(fs.map(_.length).sum)
         fs.size > 2 * n || 2L * fs.size < n
@@ -3068,7 +3262,12 @@ object SnapshotStore {
           }
         }.sum)
       }.sum.min(Int.MaxValue.toLong).toInt
-      val live = readEntriesWithPositions(spark, root, schema, selected)
+      // equality deletes resolve INSIDE the rewrite read — the fresh
+      // entries are born after them, so a raw read here would
+      // resurrect every displaced row of the rewritten partitions
+      val live = applyEqDeletes(spark, root,
+        readEntriesWithPositions(spark, root, schema, selected),
+        eqs, schema)
         .drop(DvFileCol, DvPosCol)
       val id = allocateId(root)
       val fresh = writeSnapData(live, root, id, partCol, sortCol,
@@ -3104,7 +3303,9 @@ object SnapshotStore {
       keep: String => Boolean): DataFrame = {
     val m = current(root)
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
-    readManifest(spark, root, Manifest(m.id, m.entries.filter(e => keep(e.value)), m.schema))
+    readManifest(spark, root,
+      Manifest(m.id, m.entries.filter(e => keep(e.value)), m.schema,
+        m.props))
   }
 
   // ---- deletion-vector read plumbing ---------------------------------------
@@ -3192,8 +3393,59 @@ object SnapshotStore {
   private[graft] def readManifestResolved(spark: SparkSession,
       root: String, m: Manifest): DataFrame = readManifest(spark, root, m)
 
+  /** Anti-apply equality deletes to a frame still carrying the
+    * row-identity columns ([[DvFileCol]]): a row BORN BEFORE an
+    * equality delete whose key tuple matches is dropped. One
+    * broadcast anti-join per distinct key-column set (normally one).
+    * Sidecars spell PHYSICAL names; the frame spells LOGICAL — the
+    * join translates through the schema's mapping, so displacement
+    * survives renames. Sidecar key types read under the CURRENT
+    * logical type (widening-safe, same argument as data files). */
+  private[graft] def applyEqDeletes(spark: SparkSession, root: String,
+      df: DataFrame, eqs: Seq[EqDeleteRef],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    if (eqs.isEmpty) return df
+    val logicalOfM = physMapOf(schema).map(_.swap)
+    val birth = regexp_extract(col(DvFileCol), "^data/snap-(\\d+)/", 1)
+      .cast("long")
+    eqs.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(df) { case (acc, (physCols, group)) =>
+        val pairs = physCols.map(p => p -> logicalOfM.getOrElse(p, p))
+        val keySchema = org.apache.spark.sql.types.StructType(
+          pairs.map { case (p, l) =>
+            org.apache.spark.sql.types.StructField(p,
+              schema(schema.fieldIndex(l)).dataType) })
+        val eqf = group.map { r =>
+          spark.read.schema(keySchema).parquet(s"$root/${r.dir}")
+            .withColumn("__eq_commit", lit(r.id))
+        }.reduce(_ unionByName _)
+        val renamed = pairs.zipWithIndex.foldLeft(eqf) {
+          case (d, ((p, _), i)) => d.withColumnRenamed(p, s"__eqk_$i")
+        }
+        val keyEq = pairs.zipWithIndex.map { case ((_, l), i) =>
+          acc.col(quoted(l)) === renamed.col(s"__eqk_$i")
+        }.reduce(_ && _)
+        acc.join(broadcast(renamed),
+          keyEq && renamed.col("__eq_commit") > birth, "left_anti")
+      }
+  }
+
   private def readManifest(spark: SparkSession, root: String,
       m: Manifest): DataFrame = {
+    // EQUALITY DELETES resolve first: the whole table reads with row
+    // identity (DVs anti-applied inside), displaced rows drop, then
+    // the identity columns project away. Stripped sub-manifests built
+    // below carry no props, so the recursion never re-enters here.
+    val eqs = eqDeletesOf(m)
+    if (eqs.nonEmpty) {
+      val schema = m.schema.getOrElse(throw new IllegalStateException(
+        s"snapshot at $root carries equality deletes but no schema — " +
+          "corrupt manifest"))
+      return applyEqDeletes(spark, root,
+        readEntriesWithPositions(spark, root, schema, m.entries),
+        eqs, schema)
+        .select(schema.fieldNames.toIndexedSeq.map(n => col(quoted(n))): _*)
+    }
     val (dved, undved) = m.entries.partition(_.dv.isDefined)
     if (dved.nonEmpty) {
       // DV-bearing entries anti-apply their vectors; DV-less entries
@@ -3363,13 +3615,22 @@ object SnapshotStore {
       // retract-then-upsert (the per-commit sidecar replay above is
       // the row-exact path). Sides read DV-APPLIED, so rows deleted at
       // an endpoint never leak into its side of the diff.
-      val aKeys = mA.entries.map(e => (e.dir, e.dv)).toSet
-      val bKeys = mB.entries.map(e => (e.dir, e.dv)).toSet
-      def side(m: Manifest, other: Set[(String, Option[DvRef])],
+      // EQUALITY DELETES join the identity: an entry whose applicable
+      // eq-delete set grew between the endpoints changed content
+      // without changing dirs — it re-emits delete(old live rows) +
+      // insert(new live rows), coarse but net-correct like a DV
+      // growth. Applicable = deletes committed after the entry's
+      // birth.
+      def eqIds(m: Manifest, e: Entry): Set[Long] =
+        eqDeletesOf(m).filter(_.id > birthOf(e)).map(_.id).toSet
+      def key(m: Manifest, e: Entry) = (e.dir, e.dv, eqIds(m, e))
+      val aKeys = mA.entries.map(key(mA, _)).toSet
+      val bKeys = mB.entries.map(key(mB, _)).toSet
+      def side(m: Manifest, other: Set[(String, Option[DvRef], Set[Long])],
           tag: String): DataFrame =
         readManifest(spark, root, Manifest(0L,
-          m.entries.filterNot(e => other((e.dir, e.dv)))
-            .sortBy(_.dir), schema))
+          m.entries.filterNot(e => other(key(m, e)))
+            .sortBy(_.dir), schema, m.props))
           .withColumn("_change_type", lit(tag))
       side(mB, aKeys, "insert").unionByName(side(mA, bKeys, "delete"))
     }
@@ -3812,7 +4073,19 @@ object SnapshotStore {
           // sweeping it would silently turn the commit's row-exact
           // feed into a wholesale fallback
           keep.filter(id => Files.isDirectory(cdcDirOf(root, id)))
-            .map(id => s"data/snap-$id")
+            .map(id => s"data/snap-$id") ++
+          // EQUALITY-DELETE sidecars ride the PROPS of every retained
+          // manifest (they carry forward across commits), so a
+          // retained manifest may reference an _eqdel dir whose own
+          // commit's manifest is long expired — sweeping it would
+          // resurrect displaced rows for every reader of that
+          // manifest
+          (keep.flatMap { id =>
+            if (Files.exists(dir.resolve(s"manifest-$id")))
+              eqDeletesOf(manifestAt(root, id)).map(_.dir)
+            else Seq.empty
+          } ++ live.toSeq.flatMap(m => eqDeletesOf(m).map(_.dir)))
+            .map(_.split("/").take(2).mkString("/"))
       // delete unreferenced snap dirs past the orphan grace (an
       // in-flight cross-host commit's dirs are younger than it), then
       // dropped manifests

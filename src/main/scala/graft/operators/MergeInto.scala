@@ -191,6 +191,7 @@ object MergeInto {
       // entry gets duplicated under a second spelling). Base-side
       // DISCOVERY is file-attributed and never renders tokens.
       SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
+      SnapshotStore.requireNoEqDeletes(m, "MERGE INTO")
       // partCol is a PARTITION SPEC string ([[graft.etl.PartitionSpec]])
       // — landing tokens render through the spec's expression, so
       // multi-column and bucket layouts land exactly as the commit writes
@@ -482,6 +483,7 @@ object MergeInto {
         throw new IllegalStateException(
           s"no snapshot at $root to merge into"))
       SnapshotStore.checkTokenRenderZone(spark, m, partCol, "MERGE")
+      SnapshotStore.requireNoEqDeletes(m, "MERGE INTO")
       val spec = SnapshotStore.parseSpec(partCol)
       val tableSchema = m.schema.getOrElse(
         throw new IllegalStateException(s"table at $root predates " +

@@ -216,6 +216,7 @@ object RowLevelOps {
       // like the writer's
       SnapshotStore.checkTokenRenderZone(spark, m, partCol,
         "row-level UPDATE")
+      SnapshotStore.requireNoEqDeletes(m, "row-level UPDATE")
       val matchedCond = coalesce(cond, lit(false))
       val base = SnapshotStore.read(spark, root)
       val setMap = sets.toMap
@@ -304,6 +305,7 @@ object RowLevelOps {
           s"no snapshot at $root to delete from"))
       SnapshotStore.checkTokenRenderZone(spark, m, partCol,
         "row-level DELETE")
+      SnapshotStore.requireNoEqDeletes(m, "row-level DELETE")
       val matchedCond = coalesce(cond, lit(false))
       val base = SnapshotStore.read(spark, root)
       val spec = SnapshotStore.parseSpec(partCol)

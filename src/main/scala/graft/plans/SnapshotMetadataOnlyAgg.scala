@@ -142,7 +142,12 @@ object SnapshotMetadataOnlyAgg extends Rule[LogicalPlan] {
         }
       case r: DataSourceV2Relation =>
         r.table match {
-          case t: GraftSnapshotTable =>
+          // LIVE EQUALITY DELETES make every stat-derived answer
+          // data-dependent (how many older rows a key displaces is
+          // unknowable from the manifest — unlike DV counts, which
+          // are recorded exactly). Fall back to the scan; the
+          // resolved-read rewrite makes it correct.
+          case t: GraftSnapshotTable if !t.hasEqDeletes =>
             Some((t, r.output.map(a => a.exprId -> a.name).toMap, Nil))
           case _ => None
         }

@@ -658,6 +658,8 @@ object EventQueries {
       ((s, d) => EventsStream.streamStaticEnrichedCounts(s, d)),
     "stream_upsert" ->
       ((s, d) => EventsStream.streamingUpsertLatest(s, d)),
+    "stream_upsert_eqdel" ->
+      ((s, d) => EventsStream.streamingUpsertEqDelta(s, d)),
     "resample_ffill" -> eventsResampleFfill,
     "resample_interp" -> eventsResampleInterp,
     "cohort_retention" -> cohortRetention,
@@ -854,6 +856,18 @@ object EventQueries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
         | FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        | event_type AS last_type, round(value, 4) AS last_value
+        |FROM r WHERE rk = 1""".stripMargin,
+    // equality-delete upsert: the LAST batch (chunk) containing a key
+    // wins, argmax (ts, event_id) within the batch — arrival order is
+    // chunk order (deterministic mtime+path sort, see the lane)
+    "stream_upsert_eqdel" ->
+      """WITH e AS (SELECT *, event_id % 4 AS chunk FROM events),
+        | r AS (SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY chunk DESC, epoch_us(ts) DESC, event_id DESC) AS rk
+        | FROM e)
         |SELECT user_id, event_id AS last_event_id,
         | event_type AS last_type, round(value, 4) AS last_value
         |FROM r WHERE rk = 1""".stripMargin,

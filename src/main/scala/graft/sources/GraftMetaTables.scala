@@ -74,11 +74,15 @@ private[sources] object GraftMetaTables {
       StructField("live_rows", LongType, nullable = true),
       StructField("dv_rows", LongType, nullable = false)))
     val m = currentOf(root)
+    // live equality deletes make per-entry live rows data-dependent —
+    // report null rather than an overcount (same honesty as history)
+    val eqLive = SnapshotStore.eqDeletesOf(m).nonEmpty
     val rows = m.entries.groupBy(_.value).toSeq.sortBy(_._1).map {
       case (v, es) =>
         val live = es.map(SnapshotStore.liveRows)
         InternalRow(str(v), es.size,
-          if (live.forall(_.isDefined)) java.lang.Long.valueOf(live.flatten.sum)
+          if (!eqLive && live.forall(_.isDefined))
+            java.lang.Long.valueOf(live.flatten.sum)
           else null,
           es.map(_.dv.map(_.rows).getOrElse(0L)).sum)
     }
@@ -94,10 +98,12 @@ private[sources] object GraftMetaTables {
       StructField("dv_rows", LongType, nullable = false),
       StructField("spec", StringType, nullable = true)))
     val m = currentOf(root)
+    val eqLive = SnapshotStore.eqDeletesOf(m).nonEmpty
     val rows = m.entries.sortBy(e => (e.value, e.dir)).map { e =>
       InternalRow(str(e.value), str(e.dir),
         e.stats.map(st => java.lang.Long.valueOf(st.rows)).orNull,
-        SnapshotStore.liveRows(e).map(java.lang.Long.valueOf).orNull,
+        if (eqLive) null
+        else SnapshotStore.liveRows(e).map(java.lang.Long.valueOf).orNull,
         e.dv.map(_.rows).getOrElse(0L),
         e.spec.map(str).orNull)
     }

@@ -147,11 +147,16 @@ class GraftSnapshotTable(
   private[graft] val hasDvs: Boolean =
     manifest.entries.exists(_.dv.isDefined)
 
+  private[graft] val hasEqDeletes: Boolean =
+    SnapshotStore.eqDeletesOf(manifest).nonEmpty
+
   /** Batch reads that cannot run as a raw keyed file scan: deletion
-    * vectors (anti-join needed) or NESTED renames (struct-rebuild
-    * projection needed) — both served by the same analysis rewrite. */
+    * vectors / equality deletes (anti-joins needed) or NESTED renames
+    * (struct-rebuild projection needed) — all served by the same
+    * analysis rewrite. */
   private[graft] val needsResolvedRead: Boolean =
-    hasDvs || manifest.schema.exists(SnapshotStore.hasNestedMapping)
+    hasDvs || hasEqDeletes ||
+      manifest.schema.exists(SnapshotStore.hasNestedMapping)
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = util.EnumSet.of(TableCapability.BATCH_READ)
@@ -180,7 +185,11 @@ class GraftSnapshotTable(
     * a lie, so report nothing). */
   private val manifestRows: Option[Long] = {
     val stats = manifest.entries.flatMap(_.stats)
-    if (stats.size == manifest.entries.size) Some(stats.map(_.rows).sum)
+    // live equality deletes make the total data-dependent — never
+    // report a count that over-claims
+    if (hasEqDeletes) None
+    else if (stats.size == manifest.entries.size)
+      Some(stats.map(_.rows).sum)
     else None
   }
 
@@ -606,6 +615,9 @@ private object GraftSpj {
     // replaces the relation; the toBatch guard backstops) — reporting
     // a partitioning for one would be dead code at best
     if (m.entries.exists(_.dv.isDefined)) return None
+    // equality-delete tables likewise read through the resolved
+    // rewrite, never a raw keyed scan
+    if (SnapshotStore.eqDeletesOf(m).nonEmpty) return None
     val schema = m.schema.getOrElse(return None)
     val layout = SnapshotStore.tableLayout(m).getOrElse(return None)
     val spec = SnapshotStore.parseSpec(layout._1)
@@ -924,11 +936,11 @@ private class ManifestStatsScan(p: ParquetScan, val rows: Option[Long],
     * which never carry vectors at birth). */
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     if (needsResolvedRead) throw new UnsupportedOperationException(
-      s"snapshot table at $root carries deletion vectors or nested " +
-        "renames — batch reads need the resolved-read rewrite from " +
-        "graft.GraftExtensions " +
+      s"snapshot table at $root carries deletion vectors, equality " +
+        "deletes or nested renames — batch reads need the " +
+        "resolved-read rewrite from graft.GraftExtensions " +
         "(spark.sql.extensions=graft.GraftExtensions), or run " +
-        "SnapshotStore.compact to fold the vectors into clean files")
+        "SnapshotStore.compact to fold the deletes into clean files")
     super.toBatch
   }
 

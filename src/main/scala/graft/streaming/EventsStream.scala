@@ -582,6 +582,78 @@ object EventsStream {
     upsertState(spark, snapRoot)
   }
 
+  /** EQUALITY-DELETE STREAMING UPSERT — the O(batch) CDC-ingest sink
+    * ([[graft.etl.SnapshotStore.appendUpsert]]; Flink→Iceberg v2
+    * equality-delete shape): each micro-batch folds to one row per
+    * key, then ONE atomic commit appends the batch AND displaces
+    * every older row with those keys — no read-modify-write of the
+    * state, unlike [[streamingUpsertLatest]]'s textbook full-state
+    * rewrite. The state table is bucket-partitioned on the key
+    * (`bucket(8,user_id)`), reads resolve by one broadcast anti-join,
+    * and a later `rewriteDataFiles` folds the deletes away.
+    *
+    * Batch order is the displacement order: the file source sorts by
+    * (mtime, path), the chunk dirs sort lexicographically and mtimes
+    * are stamped ascending, so chunk c arrives as batch c
+    * deterministically — the oracle replays "highest chunk containing
+    * the key wins, argmax (ts, event_id) within the chunk".
+    * Exactly-once: per-writer idempotence tokens, same slots as the
+    * append sink. */
+  def streamingUpsertEqDelta(spark: SparkSession, sfDir: String,
+      nChunks: Int = 4, workDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = workDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_equps").toString)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    (0 until nChunks).foreach { c =>
+      val dir = s"$work/src/chunk_$c"
+      ev.filter(pmod(col("event_id"), lit(nChunks)) === c)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      // deterministic arrival order on any filesystem clock
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .foreach(_.setLastModified(1700000000000L + c * 60000L))
+    }
+    val snapRoot = s"$work/state_snap"
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$work/src/chunk_*")
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val folded = b.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1).drop("__rk")
+        graft.etl.SnapshotStore.appendUpsert(folded, snapRoot,
+          partCol = "bucket(8,user_id)", sortCol = "ts",
+          keyCols = Seq("user_id"),
+          idempotence = Some((s"$work/ckpt", batchId.toString)))
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the routing proof: the commits attached equality deletes and
+    // stamped the era (a silent fall-back to rewrite-the-state would
+    // stay hash-green while losing the O(batch) commit economics)
+    val m = graft.etl.SnapshotStore.current(snapRoot).getOrElse(
+      sys.error(s"no committed upsert snapshot at $snapRoot"))
+    require(graft.etl.SnapshotStore.eqDeletesOf(m).nonEmpty,
+      "stream_upsert_eqdel: no equality deletes live after the drain " +
+        "— the upsert commits did not take the O(batch) path")
+    require(m.props.get("format.reader").contains("3"),
+      "stream_upsert_eqdel: reader era 3 must be stamped while " +
+        "equality deletes are live")
+    graft.etl.SnapshotStore.read(spark, snapRoot)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 4).as("last_value"))
+  }
+
   /** Windowed streaming HLL — the always-on "distinct users per 6-hour
     * window per type" monitor, closing the sketch×streaming matrix
     * (stream_hll = global complete-mode registers; this = EVENT-TIME
