@@ -876,6 +876,43 @@ object PlanAudit {
           .exists(dir.contains)),
       s"planned dirs after manifest-stats skipping: ${pruneDirs.size}")
 
+    // FILE-grain skipping: the 7-day probe inside one binpacked month
+    // plans a strict subset of that month's slice files — the dir
+    // stays, the non-overlapping slices drop (the lane hard-requires
+    // the exact subset relation; the audit fingerprints the plan's
+    // file count against the dir's on-disk count independently)
+    val fpDf = SparkEntry.allQueries("snapshot_file_prune")(spark, sfDir)
+    val fpFiles = fpDf.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.collect {
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+        f.planInputPartitions().toSeq.collect {
+          case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files.toSeq
+        }.flatten.map(_.filePath.toPath)
+    }.flatten
+    val fpDirs = fpFiles.map(_.getParent).distinct
+    val fpOnDisk = fpDirs.map(d =>
+      Option(new java.io.File(d.toString.stripPrefix("file:"))
+        .listFiles()).map(_.count(_.getName.endsWith(".parquet")))
+        .getOrElse(0)).sum
+    check("snapshot_file_prune: planned files ⊂ the kept dir's slices",
+      fpDirs.size == 1 && fpFiles.nonEmpty && fpFiles.size < fpOnDisk,
+      s"one June dir, ${fpFiles.size} of $fpOnDisk slices planned")
+
+    // equality-delete read shape: displacement is ONE broadcast
+    // anti-join over the data scan — a map-side filter, never a
+    // shuffle of the data side (SortMergeJoin/exchange would mean the
+    // whole table shuffles to drop a handful of displaced rows)
+    val eqDf = SparkEntry.allQueries("stream_upsert_eqdel")(spark, sfDir)
+    val eqPlan = eqDf.queryExecution.executedPlan.toString
+    check("stream_upsert_eqdel: displacement is a broadcast anti-join",
+      eqPlan.contains("LeftAnti") &&
+        eqPlan.contains("BroadcastHashJoin") &&
+        !eqPlan.contains("SortMergeJoin"),
+      "eq-delete keys broadcast; the state scan never shuffles")
+
     println(s"\n$failures failures")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -49,13 +49,26 @@ class SnapshotEqDeleteSpec extends SparkSpec {
       "pre-upsert state") {
     val root = tmpRoot("disp")
     val id1 = SnapshotStore.write(base(), root, "m", "ts")
-    SnapshotStore.appendUpsert(
+    val id2 = SnapshotStore.appendUpsert(
       batch((50L, "2024-01", "2024-01-05 00:00:00", -5.0),
         (150L, "2024-02", "2024-02-05 00:00:00", -15.0)),
       root, "m", "ts", keyCols = Seq("id"))
     val m = SnapshotStore.current(root).get
     assert(m.props.get(SnapshotStore.ReaderVersionProp) === Some("3"))
     assert(SnapshotStore.eqDeletesOf(m).map(_.rows) === Seq(2L))
+    // THE ECONOMICS PIN: the upsert commit wrote only its own batch
+    // (2 month parts + the _eqdel sidecar) — no prior partition was
+    // read or restated, and the whole commit is KB-scale
+    val snapDir = new java.io.File(s"$root/data/snap-$id2")
+    val written = Option(snapDir.listFiles()).get.map(_.getName)
+      .filterNot(n => n.contains("_SUCCESS")).toSet
+    assert(written === Set("__part=2024-01", "__part=2024-02",
+      SnapshotStore.EqDelDirName),
+      s"an upsert commit must write only its batch, wrote: $written")
+    assert(graft.util.Fs.du(snapDir) < 64 * 1024,
+      "an upsert commit over a large table must stay KB-scale")
+    assert(m.entries.count(_.dir.startsWith(s"data/snap-$id1/")) === 2,
+      "prior entries must carry by reference")
     val r = SnapshotStore.read(spark, root)
     assert(r.count() === 200L, "each displaced key replaced 1:1")
     assert(r.filter(col("id") === 50L).select("price").head().getDouble(0)
