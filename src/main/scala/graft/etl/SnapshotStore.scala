@@ -1683,6 +1683,17 @@ object SnapshotStore {
             s"DROP COLUMN ${f.name}: it is the table's sort column — " +
               "rewrite the table with a new layout instead")
         }
+        // a LIVE equality delete keys on its columns at every read —
+        // dropping one would wedge the table (applyEqDeletes could no
+        // longer resolve the key, and even the fold path reads
+        // through it); fold first, then drop
+        val eqPhys = eqDeletesOf(prior).flatMap(_.cols).toSet
+        resolved.foreach { f =>
+          require(!eqPhys.contains(physName(f)),
+            s"DROP COLUMN ${f.name}: it is a key column of a live " +
+              "equality delete — fold the deletes first " +
+              "(SnapshotStore.rewriteDataFiles or compact), then drop")
+        }
       }
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(f => dropSet(f.name)))
@@ -2844,25 +2855,34 @@ object SnapshotStore {
       keyCols.foreach(c => require(df.columns.contains(c),
         s"appendUpsert key column '$c' is not in the batch"))
       val slot = idempotence.map { case (w, _) => AppendTokenPrefix + w }
-      current(root) match {
+      // batch-contract check once (depends only on df)
+      val keyStruct = struct(keyCols.map(c => col(quoted(c))): _*)
+      val chk = df.agg(count(lit(1)).as("n"),
+        countDistinct(keyStruct).as("d"),
+        count(when(keyCols.map(c => col(quoted(c)).isNull)
+          .reduce(_ || _), 1)).as("nulls")).head()
+      require(chk.getLong(2) == 0L,
+        s"appendUpsert batch carries NULL keys in ${keyCols
+          .mkString("(", ", ", ")")} — a null key can never " +
+          "displace a row; filter or default the keys")
+      require(chk.getLong(0) == chk.getLong(1),
+        s"appendUpsert batch is not key-unique on ${keyCols
+          .mkString("(", ", ", ")")}: ${chk.getLong(0)} rows, " +
+          s"${chk.getLong(1)} distinct keys — fold the batch to " +
+          "one row per key first (both would survive otherwise)")
+      // like an append, an upsert is COMMUTATIVE over the base: its
+      // fresh dirs and sidecar don't depend on base content
+      // (displacement keys on the allocated snap id), so a cross-host
+      // publish conflict re-runs just the manifest merge against the
+      // winner, reusing the data written on the first attempt
+      var fresh: Seq[Entry] = null
+      var id = 0L
+      var ref: EqDeleteRef = null
+      def attempt(retriesLeft: Int): Long = current(root) match {
         case Some(prior) if idempotence.exists { case (_, tok) =>
             slot.exists(s => prior.props.get(s).contains(tok)) } =>
           prior.id // the batch already committed; retry is a no-op
         case prior =>
-          val keyStruct = struct(keyCols.map(c => col(quoted(c))): _*)
-          val chk = df.agg(count(lit(1)).as("n"),
-            countDistinct(keyStruct).as("d"),
-            count(when(keyCols.map(c => col(quoted(c)).isNull)
-              .reduce(_ || _), 1)).as("nulls")).head()
-          require(chk.getLong(2) == 0L,
-            s"appendUpsert batch carries NULL keys in ${keyCols
-              .mkString("(", ", ", ")")} — a null key can never " +
-              "displace a row; filter or default the keys")
-          require(chk.getLong(0) == chk.getLong(1),
-            s"appendUpsert batch is not key-unique on ${keyCols
-              .mkString("(", ", ", ")")}: ${chk.getLong(0)} rows, " +
-              s"${chk.getLong(1)} distinct keys — fold the batch to " +
-              "one row per key first (both would survive otherwise)")
           checkLayout(prior, partCol, sortCol, df)
           val merged = stampNewFields(
             prior.map(_.props).getOrElse(Map.empty),
@@ -2870,30 +2890,41 @@ object SnapshotStore {
             prior.flatMap(_.schema)
               .map(mergeSchemas(_, df.schema)).getOrElse(df.schema))
           val physOf = physMapOf(merged)
-          val id = allocateId(root)
-          val fresh = writeSnapData(df, root, id, partCol, sortCol,
-            Some(merged))
-          // the sidecar: DISTINCT key tuples under the PHYSICAL
-          // spelling (rename-invariant, like data files), inside the
-          // exclusively-claimed snap dir — retention follows the
-          // manifests that reference it
-          val eqDir = eqDelDirOf(root, id)
-          org.apache.spark.sql.GraftPlanBridge.withSessionConf(
-            df.select(keyCols.map(c =>
-              col(quoted(c)).as(physOf.getOrElse(c, c))): _*).distinct(),
-            "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
-            .write.mode("errorifexists").parquet(eqDir.toString)
-          val ref = EqDeleteRef(id, s"data/snap-$id/$EqDelDirName",
-            keyCols.map(c => physOf.getOrElse(c, c)), chk.getLong(1))
+          if (fresh == null) { // written once; conflicts reuse the dirs
+            id = allocateId(root)
+            fresh = writeSnapData(df, root, id, partCol, sortCol,
+              Some(merged))
+            // the sidecar: DISTINCT key tuples under the PHYSICAL
+            // spelling (rename-invariant, like data files), inside the
+            // exclusively-claimed snap dir — retention follows the
+            // manifests that reference it
+            org.apache.spark.sql.GraftPlanBridge.withSessionConf(
+              df.select(keyCols.map(c =>
+                col(quoted(c)).as(physOf.getOrElse(c, c))): _*)
+                .distinct(),
+              "spark.sql.parquet.outputTimestampType" ->
+                "TIMESTAMP_MICROS")
+              .write.mode("errorifexists")
+              .parquet(eqDelDirOf(root, id).toString)
+            ref = EqDeleteRef(id, s"data/snap-$id/$EqDelDirName",
+              keyCols.map(c => physOf.getOrElse(c, c)), chk.getLong(1))
+          }
           val props = prior.map(_.props).getOrElse(Map.empty) ++
             idempotence.map { case (w, t) =>
               (AppendTokenPrefix + w) -> t } ++
             layoutProps(partCol, sortCol, df) + renderEqDelProp(ref)
-          commitManifest(root, Manifest(id,
-            prior.map(_.entries).getOrElse(Seq.empty) ++ fresh,
-            Some(merged), props), prior.map(seqOf).getOrElse(0L))
-          id
+          try {
+            commitManifest(root, Manifest(id,
+              prior.map(_.entries).getOrElse(Seq.empty) ++ fresh,
+              Some(merged), props), prior.map(seqOf).getOrElse(0L))
+            id
+          } catch {
+            case e: ConcurrentCommitException =>
+              if (retriesLeft <= 0) throw e
+              attempt(retriesLeft - 1)
+          }
       }
+      attempt(AppendConflictRetries)
     }
 
   /** Restate an EXPLICIT partition set as one atomic commit — the
@@ -3223,11 +3254,17 @@ object SnapshotStore {
     val sortCol = prior.props.getOrElse(SortColProp,
       throw new IllegalStateException(
         s"table at $root records no sort layout — cannot rewrite"))
-    def dataFiles(e: Entry): Seq[java.io.File] = {
-      val d = new java.io.File(s"$root/${e.dir}")
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
-    }
+    // one listing per entry dir: dirty() and the slice plan both need
+    // (count, bytes) — on object-store-like backends the metadata
+    // round-trip is the cost, so memoize
+    val dataFilesMemo =
+      scala.collection.mutable.HashMap.empty[String, Seq[java.io.File]]
+    def dataFiles(e: Entry): Seq[java.io.File] =
+      dataFilesMemo.getOrElseUpdate(e.dir, {
+        val d = new java.io.File(s"$root/${e.dir}")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      })
     def ideal(bytes: Long): Long =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     // parts per VALUE — a value with several entries folds to one
@@ -3257,7 +3294,10 @@ object SnapshotStore {
         ideal(es.map { e =>
           val b = dataFiles(e).map(_.length).sum
           (liveRows(e), e.stats.map(_.rows)) match {
-            case (Some(lr), Some(tot)) if tot > 0 => b * lr / tot
+            // double arithmetic: b * lr overflows Long at TB-dir ×
+            // 1e10-row scale, which would collapse the slice plan to 1
+            case (Some(lr), Some(tot)) if tot > 0 =>
+              (b.toDouble * lr / tot).toLong
             case _ => b
           }
         }.sum)
@@ -4053,14 +4093,17 @@ object SnapshotStore {
         // (intermediate branch manifests age out normally — only the
         // head is load-bearing)
         branches(root).values.map(_.id)
+      // parse each retained manifest ONCE (they can be ~MB each; the
+      // entry and eq-delete references both come from the same parse).
+      // The live pointer's entries are pinned via `live` even if its
+      // history file is gone (lost to a pre-fix expire).
+      val retainedMs = keep.flatMap { id =>
+        if (Files.exists(dir.resolve(s"manifest-$id")))
+          Some(manifestAt(root, id))
+        else None
+      } ++ live.toSeq
       val referenced =
-        (keep.flatMap { id =>
-          // the live pointer's entries are pinned via `live` below even
-          // if its history file is gone (lost to a pre-fix expire)
-          if (Files.exists(dir.resolve(s"manifest-$id")))
-            manifestAt(root, id).entries
-          else Seq.empty
-        } ++ live.toSeq.flatMap(_.entries))
+        retainedMs.flatMap(_.entries)
           // a retained entry pins BOTH its data dir's snap root and —
           // when it carries a deletion vector — the snap root holding
           // the DV sidecar (a later commit's _dv dir referenced by a
@@ -4080,11 +4123,7 @@ object SnapshotStore {
           // commit's manifest is long expired — sweeping it would
           // resurrect displaced rows for every reader of that
           // manifest
-          (keep.flatMap { id =>
-            if (Files.exists(dir.resolve(s"manifest-$id")))
-              eqDeletesOf(manifestAt(root, id)).map(_.dir)
-            else Seq.empty
-          } ++ live.toSeq.flatMap(m => eqDeletesOf(m).map(_.dir)))
+          retainedMs.flatMap(m => eqDeletesOf(m).map(_.dir))
             .map(_.split("/").take(2).mkString("/"))
       // delete unreferenced snap dirs past the orphan grace (an
       // in-flight cross-host commit's dirs are younger than it), then

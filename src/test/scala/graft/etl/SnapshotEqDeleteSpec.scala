@@ -148,6 +148,12 @@ class SnapshotEqDeleteSpec extends SparkSpec {
         col("id") === 60L, "m", "ts")
     }
     assert(refusal.getMessage.contains("equality deletes are live"))
+    // dropping a live delete's KEY column would wedge every read —
+    // the DDL must refuse it too
+    val dropRefusal = intercept[IllegalArgumentException] {
+      SnapshotStore.dropColumns(root, Seq("id"))
+    }
+    assert(dropRefusal.getMessage.contains("equality delete"))
     val before = sortedRows(SnapshotStore.read(spark, root))
     SnapshotStore.rewriteDataFiles(spark, root)
     val m = SnapshotStore.current(root).get
