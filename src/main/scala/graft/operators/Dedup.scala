@@ -545,25 +545,37 @@ object Dedup {
     val cents = EmbeddingStats.centroids(emb, protoCol, vecCol)
     val base = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    // argmax cosine over the broadcast centroids; ties break to the
-    // highest group id via lexicographic struct max (the
-    // nearestCentroidConfusion policy, replayed in the oracle as
-    // ORDER BY cos DESC, grp DESC)
-    val assigned = base.crossJoin(broadcast(cents))
-      .select(col("id"), struct(
-        VF.cosineSimilarity(col("vec"), col("centroid")).as("cos"),
-        col("grp")).as("scored"))
-      .groupBy("id")
-      .agg(max(col("scored")).getField("grp").cast("long").as("cluster"))
-    val withCluster = base.join(assigned, Seq("id"))
-    // hot-cluster census over `assigned` DIRECTLY (one row per id —
-    // the base join adds nothing the count needs): one aggregate keyed
-    // by cluster, bounded by the centroid-group count, so the collect
-    // is bounded metadata. The census job materializes `assigned`'s
-    // groupBy shuffle; the later pair/labeling jobs reuse those
-    // shuffle files (same lineage → skipped stages), so the extra pass
-    // costs one post-shuffle aggregate, not a second corpus scan
-    val hotIds: Seq[Long] = assigned.groupBy(col("cluster"))
+    // The centroid table is groups × dims — bounded metadata at any
+    // corpus size (the same bound that justified broadcasting it), so
+    // collect it and fold the argmax into ONE codegen'd projection:
+    // assignment becomes genuinely map-only — the old
+    // crossJoin(broadcast) → groupBy(id) → join(base) chain cost an
+    // N-row aggregation exchange plus an N⋈N join for what is a pure
+    // per-row function of `vec` (guide §2.4: remove shuffles outright).
+    // Ties still break to the highest group id: `greatest` over
+    // (cos, grp) structs is the same lexicographic max as the old
+    // max(struct) aggregate (replayed in the oracle as ORDER BY
+    // cos DESC, grp DESC); the collected doubles are the exact values
+    // the broadcast column carried, so every cosine is bit-identical.
+    val centRows = cents.collect()
+      .map(r => (r.get(0), r.getSeq[Double](1)))
+    val clusterExpr =
+      if (centRows.isEmpty) lit(null).cast("long") // empty corpus
+      else {
+        val scored = centRows.map { case (grp, c) =>
+          struct(
+            VF.cosineSimilarity(col("vec"),
+              typedlit(c.toSeq)).as("cos"),
+            lit(grp).as("grp"))
+        }
+        (if (scored.size == 1) scored.head else greatest(scored: _*))
+          .getField("grp").cast("long")
+      }
+    val withCluster = base.withColumn("cluster", clusterExpr)
+    // hot-cluster census: one corpus pass into a cluster-keyed
+    // aggregate bounded by the centroid-group count — the collect is
+    // bounded metadata
+    val hotIds: Seq[Long] = withCluster.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n")).filter(col("n") > maxClusterRows)
       .select(col("cluster")).collect().map(_.getLong(0)).toSeq
     val pairs =

@@ -71,9 +71,16 @@ object GradientTrainer {
     require(iters >= 1 && iters <= 1000,
       s"iters=$iters out of the documented budget [1, 1000]")
     val k = features.size
-    val raw = docs.select(
+    // Pin the RAW feature frame (k longs + y — same width as the
+    // standardized frame): feature extraction over the documents (the
+    // expensive regex/text pass) runs ONCE. The old shape extracted
+    // features twice — once for the moment aggregate and once to build
+    // the standardized checkpoint (guide §1.2: don't compute things
+    // twice); standardization is now a cheap per-scan projection over
+    // the pinned longs, bit-identical to the materialized form.
+    val (raw, releaseRaw) = graft.util.Checkpoints.pin(docs.select(
       features.map { case (n, c) => c.cast("long").as(n) } :+
-        label.cast("double").as("y"): _*)
+        label.cast("double").as("y"): _*))
 
     // Pass 1: exact integer sums -> means/sds (rounded like the oracle).
     // Moments accumulate in decimal(38,0): Σx² of a long feature (a
@@ -98,13 +105,14 @@ object GradientTrainer {
       (mean, if (varr > 0) round12(math.sqrt(varr)) else 1.0)
     }
 
-    // Standardized frame, checkpointed once: iterations scan doubles,
-    // not text; released before returning (Checkpoints discipline).
+    // Standardized VIEW over the pinned raw frame: iterations scan the
+    // pinned longs and standardize in the projection (4 flops/row —
+    // noise next to the per-job floor), never the raw text.
     val xCols = features.zip(meanSd).map { case ((nm, _), (m, sd)) =>
       round((col(nm) - lit(m)) / lit(sd), 12).as(s"x_$nm")
     }
-    val (x, release) = graft.util.Checkpoints.pin(
-      raw.select(xCols :+ col("y"): _*))
+    val x = raw.select(xCols :+ col("y"): _*)
+    val release = releaseRaw
     try {
       // ŷ − y with the SAME left-assoc chain and the same single IEEE
       // micro->double divide the oracle SQL spells out.

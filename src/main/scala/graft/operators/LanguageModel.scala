@@ -155,7 +155,42 @@ object LanguageModel {
         explode(TF.tokens(col(textCol))).as("t"))
       .agg(countDistinct(when(col("is_t"), col("t"))).as("vocab_t"),
         countDistinct(col("t")).as("vocab_r"))
-    scoreUnderMergedModels(docs, c12, c1, vocabs, idCol, textCol)
+    // Self-form-only join collapse: target ⊆ raw = docs means EVERY
+    // scored bigram is in c12 (it was counted from these very rows),
+    // so the prefix counts can ride the pair table — one model⋈model
+    // join on w1 (both vocab-bounded) replaces the second
+    // corpus-occurrence-level join of the scoring chain (guide §2.3:
+    // shuffle/probe fewer bytes — the occurrence stream is the big
+    // side). The general two-frame form keeps the two-join shape: a
+    // scored bigram absent from c12 but with a known prefix still
+    // needs the c1 fallback there.
+    val model = c12.join(c1, Seq("w1"))
+    scoreUnderMergedModelSingleJoin(docs, model, vocabs, idCol, textCol)
+  }
+
+  /** [[scoreUnderMergedModels]] for callers that GUARANTEE every scored
+    * bigram appears in the merged model table (the self-trained DSIR
+    * form): one (w1, w2) join carries pair and prefix counts both. */
+  private def scoreUnderMergedModelSingleJoin(docs: DataFrame,
+      model: DataFrame, vocabs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def lp(c12c: String, c1c: String, vc: String) = log(
+      (coalesce(col(c12c), lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(col(c1c), lit(0L)) + col(vc)).cast("double"))
+    val scored = docBigrams(docs, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vocabs))
+      .select(col("doc_id"),
+        lp("c12_t", "c1_t", "vocab_t").cast("decimal(38,12)").as("lp_t"),
+        lp("c12_r", "c1_r", "vocab_r").cast("decimal(38,12)").as("lp_r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp_t")).cast("double") / count(lit(1)), 4)
+          .as("avg_ll_target"),
+        round(sum(col("lp_r")).cast("double") / count(lit(1)), 4)
+          .as("avg_ll_raw"))
+    scored.withColumn("logw",
+      round(col("avg_ll_target") - col("avg_ll_raw"), 4))
   }
 
   /** Shared scoring tail: join document bigrams against the merged

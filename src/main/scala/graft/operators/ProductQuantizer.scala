@@ -89,27 +89,52 @@ object ProductQuantizer {
         (element_at(a, j + 1) - element_at(b, j + 1))
     }.reduce(_ + _)
 
-  /** Per-(m, code) micro-unit codebook means of the given assignment:
-    * (m, g, j, cm). Empty codes simply emit no rows. */
-  private def codebookOf(sub: DataFrame, assign: DataFrame): DataFrame =
-    sub.join(assign, Seq("id", "m"))
-      .groupBy(col("m"), col("g"), col("j"))
-      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
-      .select(col("m"), col("g"), col("j"),
-        floorDiv(col("s"), col("n")).as("cm"))
-
   /** Nearest-code assignment (id, m, g) under the array-form codebook:
     * exact integer squared distance in one codegen'd projection, ties
     * to the lowest code via the (dist, g) struct min. The codebook is
-    * constant-size — always broadcast; the fan-out is N·M·K rows. */
+    * constant-size — always broadcast; the fan-out is N·M·K rows.
+    * `carrySv` additionally threads the micro subvector through the
+    * aggregate (every row of an (id, m) group carries the same sv, so
+    * `first` is deterministic in value) — the Lloyd rebuild then reads
+    * components straight off the assignment row instead of re-joining
+    * the N·D component table per iteration. */
   private def assignTo(subArr: DataFrame, cbArr: DataFrame,
-      subDim: Int): DataFrame =
-    subArr.join(broadcast(cbArr), Seq("m"))
-      .select(col("id"), col("m"), col("g"),
-        sqDist(col("sv"), col("cv"), subDim).as("dist"))
-      .groupBy(col("id"), col("m"))
-      .agg(min(struct(col("dist"), col("g"))).as("best"))
-      .select(col("id"), col("m"), col("best.g").as("g"))
+      subDim: Int, carrySv: Boolean = false): DataFrame = {
+    val fanout = subArr.join(broadcast(cbArr), Seq("m"))
+    val scored =
+      if (carrySv)
+        fanout.select(col("id"), col("m"), col("g"),
+          sqDist(col("sv"), col("cv"), subDim).as("dist"), col("sv"))
+      else
+        fanout.select(col("id"), col("m"), col("g"),
+          sqDist(col("sv"), col("cv"), subDim).as("dist"))
+    val aggs =
+      if (carrySv)
+        Seq(min(struct(col("dist"), col("g"))).as("best"),
+          first(col("sv")).as("sv"))
+      else Seq(min(struct(col("dist"), col("g"))).as("best"))
+    val agg = scored.groupBy(col("id"), col("m"))
+      .agg(aggs.head, aggs.tail: _*)
+    if (carrySv)
+      agg.select(col("id"), col("m"), col("best.g").as("g"), col("sv"))
+    else agg.select(col("id"), col("m"), col("best.g").as("g"))
+  }
+
+  /** Per-(m, code) micro-unit codebook means from an sv-carrying
+    * assignment: posexplode the subvector (j is its 0-based position —
+    * exactly [[subComponents]]' dim % subDim), one map-side-combinable
+    * (m, g, j) aggregate. The old shape re-joined the N·D component
+    * table against the assignment on (id, m) EVERY Lloyd round — a
+    * corpus-sized shuffle join per iteration for rows the assignment
+    * already held (guide §2.4: remove shuffles outright). Empty codes
+    * simply emit no rows. */
+  private def codebookOfSv(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("g"), posexplode(col("sv")).as(Seq("j", "vm")))
+      .groupBy(col("m"), col("g"), col("j"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("m"), col("g").cast("int").as("g"),
+        col("j").cast("int").as("j"), floorDiv(col("s"), col("n")).as("cm"))
 
   /** Train per-subspace codebooks: portable md5-bucket init, then a
     * fixed unrolled budget of Lloyd iterations. Returns (m, g, j, cm).
@@ -118,33 +143,39 @@ object ProductQuantizer {
       m: Int, k: Int, subDim: Int, lloydIters: Int = 2,
       salt: String = "pq"): DataFrame = {
     require(m > 0 && k > 1 && subDim > 0 && lloydIters >= 0)
-    val sub = subComponents(vecs, idCol, vecCol, subDim)
     val subArr = subVectors(vecs, idCol, vecCol, m, subDim)
-    val init = sub.select(col("id"), col("m")).distinct()
-      .withColumn("g",
-        (conv(substring(md5(concat(col("id").cast("string"),
-          lit(s":$salt"))), 1, 15), 16, 10).cast("long") % k).cast("int"))
+    // init bucket is a function of id alone (identical across m), so
+    // it rides the component row as an inline expression — the old
+    // distinct-then-join materialization of (id, m, g) cost an extra
+    // aggregate exchange plus an N·D-row join for a value computable
+    // in the projection (guide §2.4)
+    val initG = (conv(substring(md5(concat(col("id").cast("string"),
+      lit(s":$salt"))), 1, 15), 16, 10).cast("long") % k).cast("int")
+    val init = subComponents(vecs, idCol, vecCol, subDim)
+      .withColumn("g", initG)
+      .groupBy(col("m"), col("g"), col("j"))
+      .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
+      .select(col("m"), col("g"), col("j"),
+        floorDiv(col("s"), col("n")).as("cm"))
     // Each iteration's codebook is tiny (≤ m·k·subDim rows) but its
-    // LINEAGE holds the full O(N·M·K) assignment join of every prior
+    // LINEAGE holds the full O(N·M·K) assignment scan of every prior
     // iteration — and the result feeds encode + ADC + the next round,
     // so an unpinned chain re-executes the whole history per consumer.
     // Pin each round, release the stale one once its successor is
     // materialized (the ConnectedComponents/PageRank discipline).
-    var (cb, release) = graft.util.Checkpoints.pin(codebookOf(sub, init))
+    var (cb, release) = graft.util.Checkpoints.pin(init)
     for (_ <- 1 to lloydIters) {
-      val assigned = assignTo(subArr, codebookVectors(cb), subDim)
+      val assigned = assignTo(subArr, codebookVectors(cb), subDim,
+        carrySv = true)
       val (next, releaseNext) =
-        graft.util.Checkpoints.pin(codebookOf(sub, assigned))
+        graft.util.Checkpoints.pin(codebookOfSv(assigned))
       release(); cb = next; release = releaseNext
     }
     cb
   }
 
   /** Encode every vector as its M nearest codes under the trained
-    * codebooks: (id, m, code). The subspace count derives from the
-    * codebook itself (max m + 1 would cost a job; the caller's m is
-    * implied by cb's row keys, so recover it from subDim and the
-    * vector width at plan time via the same explode range). */
+    * codebooks: (id, m, code). */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
       cb: DataFrame, m: Int, subDim: Int): DataFrame =
     assignTo(subVectors(vecs, idCol, vecCol, m, subDim),

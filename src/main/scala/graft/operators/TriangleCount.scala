@@ -34,15 +34,25 @@ object TriangleCount {
     *              deduped via the canonical (min, max) form.
     * @return single row (n_nodes, n_edges, n_triangles) */
   def triangles(edges: DataFrame): DataFrame = {
+    // e, deg and oriented each feed several consumers (deg/oriented/
+    // nEdges; da/db/nNodes; e1/e2/closing). Unpinned, every consumer
+    // re-derives its whole subtree — the edge-building scan and its
+    // aggregations ran 36× in the r14-before plan (148 Exchanges).
+    // Each frame is edge/vertex-cardinality-sized (≤ m, already
+    // support-thresholded by callers), the same bound the wedge join
+    // itself relies on, so pinning is scale-safe — the
+    // ConnectedComponents/PageRank checkpoint discipline.
     val e = edges.toDF("src", "dst")
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint(true)
 
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
 
     // orient each canonical edge from the (deg, id)-smaller endpoint;
     // the degree frame is vertex-cardinality-sized — joined twice on
@@ -63,6 +73,7 @@ object TriangleCount {
           .as("edge"))
       .select(col("edge.u").as("u"), col("edge.w").as("w"),
         col("edge.ok").as("ok"))
+      .localCheckpoint(true)
 
     // wedges from each least vertex: ordered pairs of out-neighbors in
     // the SAME (deg, id) total order the orientation used, so the wedge
