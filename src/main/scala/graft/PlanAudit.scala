@@ -287,15 +287,16 @@ object PlanAudit {
       occurrences(cc, "Exchange") == 1 && !cc.contains("Window"),
       "boundary array, not a lag window, supplies chunk spans")
 
-    // SemDeDup: the only nested-loop is the INTENTIONAL broadcast of
-    // the tiny centroid table (groups × dims — constant-size at any
-    // corpus); the near-dup pair join is an equi-join on the assigned
-    // cluster, never a cartesian.
+    // SemDeDup: since r14 the centroid argmax is FOLDED INTO the scan
+    // projection (the collected groups × dims table is constant-size
+    // at any corpus), so no nested-loop — or ANY join — exists in the
+    // assignment at all; the near-dup pair join is an equi-join on the
+    // assigned cluster, never a cartesian.
     val semd = plan("semantic_dedup")
-    check("semantic_dedup: centroid broadcast, no cartesian",
-      occurrences(semd, "BroadcastNestedLoopJoin") == 1 &&
+    check("semantic_dedup: map-only assignment, no cartesian",
+      occurrences(semd, "BroadcastNestedLoopJoin") == 0 &&
         !semd.contains("CartesianProduct"),
-      "assignment is map-only over a broadcast prototype table")
+      "assignment is one codegen'd argmax projection, no join")
 
     // DSIR: the top-k selection must plan as TakeOrderedAndProject
     // (map-side partial top-k per partition, k rows to the driver) —
@@ -620,10 +621,15 @@ object PlanAudit {
       wq.contains("Window") && !wq.contains("SinglePartition"),
       "cumulative weight sorts within flag partitions only")
     val gd = plan("geo_distance")
-    check("geo_distance: one exchange, haversine inside codegen",
-      occurrences(gd, "Exchange") <= 1 && !gd.contains("Window") &&
+    // r14: +1 exchange is the adaptive unsplittable-input spread
+    // (Tables.spreadIfNarrow) — on the one-row-group testdata the trig
+    // stage would otherwise run on a single core; on a many-row-group
+    // production scan the spread disengages and the plan has one
+    // exchange again
+    check("geo_distance: agg + at most the spread exchange, codegen trig",
+      occurrences(gd, "Exchange") <= 2 && !gd.contains("Window") &&
         gd.contains("*(1)"),
-      "trig projection fused with the scan; 3-row shuffle")
+      "haversine stays in a codegen'd projection; agg shuffle is 3 rows")
     val gc = plan("geo_gridcells")
     check("geo_gridcells: one cell-keyed exchange",
       occurrences(gc, "Exchange") <= 1 && !gc.contains("Join"),

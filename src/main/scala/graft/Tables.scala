@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
   *     sees a standard column.
   */
 object Tables {
+
+  /** Unsplittable-input remedy (optimization guide §2.5: "one huge
+    * unsplittable file … otherwise repartition immediately after the
+    * read"): the driver testdata ships every table as ONE parquet row
+    * group, so a scan plans one effective task and every expensive
+    * per-row stage above it (tokenize, explode, trig, signature
+    * hashing) runs on a single core of the machine. SCALE-ADAPTIVE by
+    * construction, not a local[n] constant: the shuffle engages only
+    * when the scan plans materially fewer partitions than the
+    * session's parallelism — a production many-row-group scan passes
+    * through untouched. */
+  def spreadIfNarrow(df: DataFrame, key: Column): DataFrame =
+    if (df.rdd.getNumPartitions * 2 <
+        df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(key)
+    else df
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -157,21 +157,19 @@ object ProductQuantizer {
       .agg(sum(col("vm")).as("s"), count(lit(1)).as("n"))
       .select(col("m"), col("g"), col("j"),
         floorDiv(col("s"), col("n")).as("cm"))
-    // Each iteration's codebook is tiny (≤ m·k·subDim rows) but its
-    // LINEAGE holds the full O(N·M·K) assignment scan of every prior
-    // iteration — and the result feeds encode + ADC + the next round,
-    // so an unpinned chain re-executes the whole history per consumer.
-    // Pin each round, release the stale one once its successor is
-    // materialized (the ConnectedComponents/PageRank discipline).
-    var (cb, release) = graft.util.Checkpoints.pin(init)
-    for (_ <- 1 to lloydIters) {
-      val assigned = assignTo(subArr, codebookVectors(cb), subDim,
-        carrySv = true)
-      val (next, releaseNext) =
-        graft.util.Checkpoints.pin(codebookOfSv(assigned))
-      release(); cb = next; release = releaseNext
-    }
-    cb
+    // Only the FINAL codebook is pinned: within training each round's
+    // codebook has exactly ONE consumer (the next round's broadcast),
+    // so the unpinned chain executes once per action anyway — the old
+    // per-round localCheckpoint paid one extra driver job per Lloyd
+    // round purely to cut lineage that nothing re-read (guide §1.2:
+    // per-job overhead dominates constant-size reductions). The final
+    // pin is what protects the RETURNED frame's multiple consumers
+    // (encode + ADC + size joins) from replaying the whole trajectory.
+    var cb = init
+    for (_ <- 1 to lloydIters)
+      cb = codebookOfSv(assignTo(subArr, codebookVectors(cb), subDim,
+        carrySv = true))
+    graft.util.Checkpoints.pin(cb)._1
   }
 
   /** Encode every vector as its M nearest codes under the trained

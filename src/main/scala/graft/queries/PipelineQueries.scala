@@ -23,6 +23,24 @@ object PipelineQueries {
     Tables.documents(s, d)
       .withColumn("norm_text", TF.normalize(col("text")))
 
+  /** [[docs]] with the unsplittable-input remedy (guide §2.5): the
+    * driver testdata ships each table as ONE parquet row group, so the
+    * scan plans a single task no matter the split config — and every
+    * tokenize/explode/signature stage above it runs on one core of the
+    * whole machine. Fan-out-heavy lanes take this form, which
+    * repartitions by doc_id RIGHT AFTER the read (before normalize, so
+    * the regex normalization parallelizes too). The spread is
+    * SCALE-ADAPTIVE, not a local[32] constant: it engages only when
+    * the scan plans materially fewer partitions than the session's
+    * parallelism — a production corpus scan is already many-partitioned
+    * and pays nothing here. Map-only read-speed lanes (gopher_rules,
+    * char_entropy, quality_compress, pipeline_e2e — plan-audited to
+    * their minimal exchange counts) keep the plain [[docs]] form: for
+    * them one exchange would rival the whole lane. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    Tables.spreadIfNarrow(Tables.documents(s, d), col("doc_id"))
+      .withColumn("norm_text", TF.normalize(col("text")))
+
   // ------------------------------------------------------- text analysis
 
   def textStats: Q = (s, d) =>
@@ -186,7 +204,7 @@ object PipelineQueries {
     * this one proves the LSH mechanics themselves). */
   def dedupMinhashOracle: Q = (s, d) =>
     Dedup.minhashPairsPortable(
-      docs(s, d).filter(TF.tokenCount(col("norm_text")) > 0),
+      docsSpread(s, d).filter(TF.tokenCount(col("norm_text")) > 0),
       "doc_id", "norm_text")
       .orderBy("id_a", "id_b")
 
@@ -195,11 +213,11 @@ object PipelineQueries {
     * document hash-checked against the DuckDB bit-for-bit replay (the
     * xxhash64 simhash lane stays rows-only). */
   def dedupSimhashOracle: Q = (s, d) =>
-    Dedup.simhashPortable(docs(s, d), "doc_id", "norm_text")
+    Dedup.simhashPortable(docsSpread(s, d), "doc_id", "norm_text")
 
   def dedupJaccardPairs: Q = (s, d) =>
     Dedup.ngramJaccardPairs(
-      docs(s, d).filter(TF.tokenCount(col("norm_text")) > 0),
+      docsSpread(s, d).filter(TF.tokenCount(col("norm_text")) > 0),
       "doc_id", "norm_text", n = 3, threshold = 0.2,
       blockCols = Seq("lang", "source"))
       .orderBy("id_a", "id_b")
@@ -272,7 +290,7 @@ object PipelineQueries {
     * pairs found within the ASSIGNED cluster (not the true label), one
     * survivor per connected component. See [[Dedup.semanticDedup]]. */
   def semanticDedup: Q = (s, d) =>
-    Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+    Dedup.semanticDedup(Tables.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id")), "vec_id", "embedding",
       "label", threshold = 0.35)
 
   /** DSIR importance-resampling lane: every document scored under a
@@ -284,7 +302,7 @@ object PipelineQueries {
     * rounded key and the doc_id tiebreak). See
     * [[graft.operators.LanguageModel.importanceWeights]]. */
   def importanceResample: Q = (s, d) => {
-    val dd = docs(s, d)
+    val dd = docsSpread(s, d)
     val w = graft.operators.LanguageModel.importanceWeightsSelf(
       dd, col("lang") === "en", "doc_id", "norm_text")
     val u = operatorsSampling.hashFraction(col("doc_id"), "dsir")
@@ -338,12 +356,11 @@ object PipelineQueries {
   /** Content-defined chunking: rolling-hash boundaries (window 8,
     * divisor 64) over normalized text — per-chunk spans and md5
     * fingerprints ([[graft.operators.ContentChunker]]). */
-  // The testdata table is ONE parquet file → one scan partition; the
-  // per-position hash fan-out (8 ops/char) must be spread across cores
-  // first. At real scale the scan is already many-partitioned and this
-  // repartition is a cheap no-op-sized shuffle of the raw docs.
+  // The per-position hash fan-out (8 ops/char) must be spread across
+  // cores first — [[docsSpread]] is exactly that remedy (and now
+  // scale-adaptive: no shuffle when the scan is already wide).
   private def cdcDocs(s: SparkSession, d: String): DataFrame =
-    docs(s, d).repartition(col("doc_id"))
+    docsSpread(s, d)
 
   def cdcChunks: Q = (s, d) =>
     graft.operators.ContentChunker.chunks(cdcDocs(s, d), "doc_id",
@@ -359,14 +376,14 @@ object PipelineQueries {
     * frequencies ([[graft.operators.BpeTrainer]]); the oracle replays
     * training merge for merge (unrolled CTE chain). */
   def bpeTrain: Q = (s, d) =>
-    graft.operators.BpeTrainer.trainMerges(docs(s, d), "norm_text",
+    graft.operators.BpeTrainer.trainMerges(docsSpread(s, d), "norm_text",
       nMerges = bpeMergeCount)
 
   /** BPE encode: the corpus segmented with the merges just learned —
     * train (driver collects 6 rules) then a pure map encode stage;
     * output is per-doc subword counts. */
   def bpeEncode: Q = (s, d) => {
-    val dd = docs(s, d)
+    val dd = docsSpread(s, d)
     val merges = graft.operators.BpeTrainer
       .trainMerges(dd, "norm_text", nMerges = bpeMergeCount)
       .orderBy("merge_rank").collect()
@@ -444,7 +461,7 @@ object PipelineQueries {
     * every document scored by average smoothed bigram log-likelihood —
     * off-language and gibberish text scores low. */
   def textLmScore: Q = (s, d) => {
-    val dd = docs(s, d)
+    val dd = docsSpread(s, d)
     graft.operators.LanguageModel.bigramLogLik(
       dd, dd.filter(col("lang") === "en"), "doc_id", "norm_text")
   }
@@ -454,7 +471,7 @@ object PipelineQueries {
     * batch; output is the batch docs that survive exact-fingerprint and
     * trigram-Jaccard ≥ 0.6 screening against the corpus. */
   def dedupIncremental: Q = (s, d) => {
-    val dd = docs(s, d)
+    val dd = docsSpread(s, d)
     val h = operatorsSampling.hashFraction(col("doc_id"), "inc")
     Dedup.incrementalDedup(
       corpus = dd.filter(h < 0.7), batch = dd.filter(h >= 0.7),
@@ -507,7 +524,7 @@ object PipelineQueries {
     * corpus plays the held-out set; training docs sharing any 5-gram
     * with it are flagged with their shared-gram count. */
   def decontaminate: Q = (s, d) => {
-    val all = docs(s, d)
+    val all = docsSpread(s, d)
     val isEval = operatorsSampling.hashFraction(col("doc_id"), "eval") < 0.1
     Decontamination.flagOverlaps(
       all.filter(!isEval), all.filter(isEval),
@@ -714,7 +731,7 @@ object PipelineQueries {
     * [[decontaminate]]; what changes is the 100 TB shape: only n-grams
     * that might overlap reach the shuffle. */
   def decontaminateBloom: Q = (s, d) => {
-    val all = docs(s, d)
+    val all = docsSpread(s, d)
     val isEval = operatorsSampling.hashFraction(col("doc_id"), "eval") < 0.1
     Decontamination.flagOverlapsBloom(
       all.filter(!isEval), all.filter(isEval),
@@ -802,7 +819,7 @@ object PipelineQueries {
     * oracle-replayable tier; this lane benches the hot path.
     * Spec-pinned + bench-only (no DuckDB xxhash64). */
   def neardupBands: Q = (s, d) =>
-    docs(s, d)
+    docsSpread(s, d)
       .select(graft.functions.MinHashBandFunctions.minhashBands(
         graft.functions.ShingleFunctions.distinctShingles(
           TF.tokens(col("norm_text")), 3)).as("bk"))
@@ -1041,8 +1058,9 @@ object PipelineQueries {
     val rows = cbCache.synchronized {
       cbCache.getOrElseUpdate(s"$d|m=16,k=64,subDim=4,salt=pq", {
         val PQ = graft.operators.ProductQuantizer
-        PQ.trainCodebooks(Tables.embeddings(s, d), "vec_id", "embedding",
-          m = 16, k = 64, subDim = 4)
+        PQ.trainCodebooks(
+          Tables.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id")),
+          "vec_id", "embedding", m = 16, k = 64, subDim = 4)
           .collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
           .toSeq
@@ -1080,7 +1098,7 @@ object PipelineQueries {
     * components, each with its cluster's member count. */
   def kmeansTrain: Q = (s, d) => {
     val PQ = graft.operators.ProductQuantizer
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id"))
     val cb = PQ.trainCodebooks(emb, "vec_id", "embedding",
       m = 1, k = 8, subDim = 64, salt = "km")
     val codes = PQ.encode(emb, "vec_id", "embedding", cb, m = 1,
@@ -1096,7 +1114,7 @@ object PipelineQueries {
     * with M integer table lookups — no per-candidate float math. */
   def annPq: Q = (s, d) => {
     val PQ = graft.operators.ProductQuantizer
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id"))
     val cb = sharedPqCodebook(s, d)
     val codes = PQ.encode(emb, "vec_id", "embedding", cb, m = 16, subDim = 4)
     PQ.adcTopK(codes, cb, emb.filter(col("vec_id") < 5),
@@ -1108,7 +1126,7 @@ object PipelineQueries {
     * baseline — quantifies what 8-bit compression costs on THIS corpus
     * (vs ann_recall's PQ-vs-L2 measurement). */
   def annRecallQuantized: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id"))
     val probes = emb.filter(col("vec_id") < 5)
     val approx = SimilaritySearch.quantizedTopK(
       emb, probes, "vec_id", "embedding", k = 5)
@@ -1123,7 +1141,7 @@ object PipelineQueries {
     * build, itself hash-replayable because both sides are. */
   def annRecall: Q = (s, d) => {
     val PQ = graft.operators.ProductQuantizer
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id"))
     val probes = emb.filter(col("vec_id") < 5)
     val cb = sharedPqCodebook(s, d)
     val codes = PQ.encode(emb, "vec_id", "embedding", cb, m = 16,
@@ -1139,7 +1157,7 @@ object PipelineQueries {
     * terms make the approximate path hash-comparable, not just
     * recall-checked. */
   def annQuantized: Q = (s, d) => {
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.spreadIfNarrow(Tables.embeddings(s, d), col("vec_id"))
     SimilaritySearch.quantizedTopK(
       emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
       .orderBy("probe_id", "rk")

@@ -90,7 +90,12 @@ object RelationalQueries {
     * survives any scale-up. PlanAudit asserts no explicit hint targets a
     * fact-proportional table. */
   def q7DenormJoin: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
+    // the five hash probes run in the scan stage — on a one-row-group
+    // input that is one core probing 600 k rows five times; the
+    // adaptive spread (guide §2.5) parallelizes the probe stage and
+    // disengages on a real many-row-group fact scan
+    val li = Tables.spreadIfNarrow(Tables.lineitem(s, d),
+      col("l_orderkey"))
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val su = Tables.supplier(s, d)
@@ -1042,7 +1047,11 @@ object RelationalQueries {
     * min/max are order-free by nature. One aggregation, one shuffle
     * of 3 rows per partition. */
   def q48GeoDistance: Q = (s, d) => {
-    val li = Tables.lineitem(s, d).select(
+    // 600k haversines on a one-row-group scan = one core doing all the
+    // trig; the adaptive spread parallelizes the trig stage (guide
+    // §2.5) and column pruning keeps the shuffle to the 5 used columns
+    val li = Tables.spreadIfNarrow(Tables.lineitem(s, d),
+      col("l_orderkey")).select(
       col("l_returnflag").as("flag"),
       (lit(-74.0) + pmod(col("l_partkey"), lit(2000L)) / 1000.0)
         .as("plon"),
